@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Qx._
+
+/** Core relational surface (SURVEY.md §2.1–2.7): scans, projections,
+  * filters, joins, aggregations, sorts/limits, set ops, scalar functions.
+  *
+  * Design notes for 100 TB scale (tested at sf0.01/sf0.1):
+  *  - filters/projections stay declarative so Catalyst pushes them into
+  *    the parquet scan (PushedFilters / pruned ReadSchema);
+  *  - dimension joins (region/nation/customer) use `broadcast()` —
+  *    dimensions stay small while facts grow, so no shuffle on the fact;
+  *  - top-k uses orderBy+limit → TakeOrderedAndProject (no global sort);
+  *  - aggregations use partial (map-side) aggregation for free via
+  *    groupBy; explicit ORDER BY on output keys keeps results
+  *    deterministic under any parallelism.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // P1 — CAST projection (reference: spark_stream/spark_stream.py:213)
+    "q01_cast_project" -> ((s, d) =>
+      Tables.events(s, d)
+        .selectExpr("CAST(event_id AS STRING) AS key", "CAST(props AS STRING) AS value")
+        .orderBy("key")),
+
+    // P2/F11 — JSON parse + flatten (spark_stream/spark_stream.py:159-171)
+    "q02_json_flatten" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // P3 — case-insensitive containment (dags/get_data/kpis_search.py:48-50)
+    "q03_keyword_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(lower(col("text")).contains("spark"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // P4/O3 — first-match with reverse scan order (kpis_search.py:21-54)
+    "q04_first_match_desc" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(lower(col("text")).contains("merge"))
+        .orderBy(desc("doc_id")).limit(1)
+        .select(col("doc_id"), col("n_chars"))),
+
+    // O3/O5 — top-k (TakeOrderedAndProject; no global sort at scale)
+    "q05_topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // U1 — union all (dags/get_data/rapport_eco.py:75-82)
+    "q06_union_names" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_name").as("name"), lit("customer").as("kind"))
+      val p = Tables.supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("kind"))
+      c.unionByName(p).orderBy("kind", "name")
+    }),
+
+    // A2 — group-by-key collect (texteExtract.py:107-110); sorted for determinism
+    "q07_group_collect" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .groupBy(col("event_type"))
+        .agg(concat_ws(",", array_sort(collect_set(col("user_id").cast("string")))).as("users"))
+        .orderBy("event_type")),
+
+    // A3 — argmax per group via window (deterministic tie-break)
+    "q08_argmax_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // A-agg — pricing summary (TPC-H Q1 shape; map-side partial agg)
+    "q09_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J — broadcast dim join (customer is the small side at any scale vs orders)
+    "q10_revenue_by_segment" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
+    "q11_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c  = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // left_semi — EXISTS (engine extension; no equi-join in the reference)
+    "q12_semi_join" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000).select("o_custkey")
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // left_anti — NOT EXISTS
+    "q13_anti_join" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000).select("o_custkey")
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // left outer join + null-fill aggregate
+    "q14_left_join_counts" -> ((s, d) => {
+      val cnt = Tables.orders(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d)
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // window top-n per key (reference first-match generalized)
+    "q15_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // distinct
+    "q16_distinct" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_type")).distinct().orderBy("event_type")),
+
+    // count distinct (exact; HLL variant is non-oracle)
+    "q17_count_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // rollup with GROUPING() labels (null-safe across engines)
+    "q18_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"), grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // F1–F8 — string functions over documents
+    "q19_string_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 16)).as("head_upper"),
+          locate("spark", col("text")).cast("long").as("spark_pos"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          trim(substring(col("text"), 1, 12)).as("head_trim"))
+        .orderBy("doc_id")),
+
+    // P9/F5/F6 — European decimal-comma normalization + cast
+    // (notePresentation.py:71-75)
+    "q20_decimal_comma" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          regexp_replace(
+            regexp_replace(col("value").cast("string"), "\\.", ","),
+            ",", ".").cast("double").as("parsed"))
+        .orderBy("event_id")),
+
+    // F12 — date parts + aggregation per year
+    "q21_year_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr")),
+
+    // conditional expression (when/otherwise; ocr.py:42-43 dark-page analog)
+    "q22_case_when" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("value") < 50, lit("low")).otherwise(lit("high")).as("bucket"),
+          col("value"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("bucket")),
+
+    // P10 — limit/head preview
+    "q23_limit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // U2/J5 — set membership (isin over broadcast-able literal lexicon)
+    "q24_isin" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "error"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // pivot (groupBy().pivot() — grid-assembly shape used by M6)
+    "q25_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("l_returnflag")),
+
+    // cube (engine extension beyond rollup)
+    "q26_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_st"), grouping(col("o_orderpriority")).as("g_pr"))
+        .select(
+          when(col("g_st") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("st"),
+          when(col("g_pr") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("prio"),
+          col("n"))
+        .orderBy("st", "prio"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_cast_project" ->
+      "SELECT CAST(event_id AS VARCHAR) AS key, CAST(props AS VARCHAR) AS value FROM events ORDER BY key",
+    "q02_json_flatten" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q03_keyword_filter" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE contains(lower(text), 'spark') ORDER BY doc_id",
+    "q04_first_match_desc" ->
+      "SELECT doc_id, n_chars FROM documents WHERE contains(lower(text), 'merge') ORDER BY doc_id DESC LIMIT 1",
+    "q05_topk_orders" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q06_union_names" ->
+      """SELECT name, kind FROM (
+        |  SELECT c_name AS name, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        |) ORDER BY kind, name""".stripMargin,
+    "q07_group_collect" ->
+      """SELECT event_type,
+        |       array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',') AS users
+        |FROM events WHERE user_id < 20 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q08_argmax_window" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q09_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       SUM(l_quantity) AS sum_qty,
+         |       ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |       ${sqlDavg("l_quantity")} AS avg_qty,
+         |       COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q10_revenue_by_segment" ->
+      s"""SELECT c_mktsegment, ${sqlDsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q11_star_join" ->
+      s"""SELECT r_name, n_name,
+         |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_left_join_counts" ->
+      """SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+        |) ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin,
+    "q15_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q16_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q17_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_rollup" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        |       SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q19_string_funcs" ->
+      """SELECT doc_id,
+        |       upper(substring(text, 1, 16)) AS head_upper,
+        |       CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       trim(substring(text, 1, 12)) AS head_trim
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_decimal_comma" ->
+      """SELECT event_id,
+        |       CAST(replace(replace(CAST(value AS VARCHAR), '.', ','), ',', '.') AS DOUBLE) AS parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_year_agg" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q22_case_when" ->
+      s"""SELECT CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS bucket,
+         |       COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q23_limit" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+    "q24_isin" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |WHERE event_type IN ('signup', 'error') GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_pivot" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS st,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS prio,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY st, prio""".stripMargin
+  )
+}

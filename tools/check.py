@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs graft.Verify at a given SF dir (default sf0.01), then replays each
+oracle SQL in DuckDB over the same parquet tables and compares the
+results exactly (columns sorted by name, rows sorted by all columns,
+bit-exact values). Development feedback loop only — not part of the
+shipped engine.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
+"""
+import json, subprocess, sys, math
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/graft_verify"
+SKIP = "--skip-verify" in sys.argv
+ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+if not SKIP:
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit(1)
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+names = ONLY or sorted(oracle)
+fails = []
+for name in names:
+    try:
+        spark_df = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        duck_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: load error {str(e)[:200]}"); continue
+    a, b = spark_df.reindex(sorted(spark_df.columns), axis=1), duck_df.reindex(sorted(duck_df.columns), axis=1)
+    if list(a.columns) != list(b.columns):
+        fails.append(name); print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); continue
+    if [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
+        print(f"WARN {name}: dtypes {list(map(str, a.dtypes))} vs {list(map(str, b.dtypes))}")
+    if len(a) != len(b):
+        fails.append(name); print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); continue
+    a = a.sort_values(by=list(a.columns), ignore_index=True)
+    b = b.sort_values(by=list(b.columns), ignore_index=True)
+    bad = None
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        neq = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv))
+               if x != y and not (isinstance(x, float) and isinstance(y, float)
+                                  and math.isnan(x) and math.isnan(y))
+               and str(x) != str(y)]
+        if neq:
+            bad = (c, neq[:3]); break
+    if bad:
+        fails.append(name)
+        print(f"FAIL {name}: col {bad[0]} first diffs {bad[1]}")
+    else:
+        print(f"OK   {name} ({len(a)} rows)")
+
+print(f"\n{len(names) - len(fails)}/{len(names)} queries match")
+sys.exit(1 if fails else 0)
