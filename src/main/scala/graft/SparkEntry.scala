@@ -12,7 +12,8 @@ object SparkEntry {
   import _root_.graft.{queries => q}
 
   private val modules: Seq[(Map[String, q.Qx.Q], Map[String, String])] = Seq(
-    (q.Relational.queries, q.Relational.oracles)
+    (q.Relational.queries, q.Relational.oracles),
+    (q.TextMiningQ.queries, q.TextMiningQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
