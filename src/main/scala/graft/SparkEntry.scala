@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, q.Qx.Q], Map[String, String])] = Seq(
     (q.Relational.queries, q.Relational.oracles),
-    (q.TextMiningQ.queries, q.TextMiningQ.oracles)
+    (q.TextMiningQ.queries, q.TextMiningQ.oracles),
+    (q.DedupQ.queries, q.DedupQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

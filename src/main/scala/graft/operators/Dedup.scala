@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (builder north-star: exact dedup,
+  * MinHash+LSH near-dup, SimHash, bottom-k fingerprinting).
+  *
+  * Scale design (the 100 TB contract):
+  *  - Near-dup detection is ALWAYS bucketed: MinHash signatures are
+  *    banded and candidate pairs come from a `groupBy(band)`-shaped
+  *    self-equi-join on (band_idx, band_hash) — never an all-pairs
+  *    cross join. Bucket sizes are bounded by collision probability, so
+  *    the pair count scales with true-duplicate density, not n².
+  *  - Every hash is derived from `md5` hex strings (codegen'd built-in)
+  *    so signatures are portable across engines — the DuckDB oracle
+  *    computes bit-identical signatures. A string `min` of uniformly
+  *    distributed hex is order-isomorphic to a numeric minhash.
+  *  - All aggregations are single-shuffle conditional aggs with
+  *    map-side partial aggregation; signatures are one row per doc.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text
+    * (sha2-256 grouping — content hash, not string compare, so the
+    * shuffle key is 32 bytes however large the document is). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val lambda = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> $lambda)"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** k-seed MinHash signature, one row per doc with columns h0..h{k-1}.
+    * Seed i's hash of a shingle is md5(shingle || '#i'); the signature
+    * element is the min hex string. Computed as k conditional `min`
+    * aggregates in ONE groupBy — single shuffle, partial agg on the map
+    * side. */
+  def minhashSignature(sh: DataFrame, k: Int = 12): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: r consecutive signature elements are concatenated and
+    * re-hashed into a band bucket key. Output: (doc_id, band_idx,
+    * band_hash). */
+  def lshBands(sigs: DataFrame, bands: Int = 4, rows: Int = 3): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).cast("int").as("band_idx"), md5(concat(parts: _*)).as("band_hash"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs = docs sharing any band bucket. The equi-join on
+    * (band_idx, band_hash) is the bucketed step that replaces all-pairs
+    * comparison. */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Verify candidates with the exact shingle-set Jaccard: two hash
+    * joins against the shingle relation (co-partitioned on doc_id),
+    * one count aggregate. Output: (doc_a, doc_b, n_a, n_b, n_inter,
+    * jaccard). */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs.alias("p")
+      .join(sh.alias("sa"), col("p.doc_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"),
+        col("p.doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** 16-bit SimHash as a bit string. Bit p of a token's md5 is "set"
+    * when hex digit p is in [8..f] (the digit's high bit); the
+    * fingerprint bit is the sign of the ±1 vote sum over the doc's
+    * distinct tokens. 16 conditional sums in one groupBy — one
+    * shuffle. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", md5(col("tok")))
+    val votes = (1 to 16).map(p =>
+      sum(when(substring(col("h"), p, 1).isin(highHex: _*), 1).otherwise(-1))
+        .as(s"s$p"))
+    val bits = (1 to 16).map(p =>
+      when(col(s"s$p") > 0, lit("1")).otherwise(lit("0")))
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Bottom-k sketch fingerprint: md5 of the k lexicographically
+    * smallest shingle hashes. `WindowGroupLimit` prunes to k per doc
+    * before the final shuffle. */
+  def bottomKSketch(sh: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("h")
+    sh.withColumn("h", md5(col("shingle")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))).as("sketch"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+import Qx._
+
+/** Oracle-checked dedup queries. The lake's `documents` table has no
+  * duplicates, so a duplicated corpus is derived identically on both
+  * engines: every doc, plus exact copies of doc_id % 3 == 0 (+100000)
+  * and near-dup copies of doc_id % 5 == 0 (+200000, three tokens
+  * appended). */
+object DedupQ {
+
+  def dupDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" bruit supplementaire ajoute")).as("text")))
+  }
+
+  val dupDocsSql: String =
+    """dup_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text || ' bruit supplementaire ajoute' AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  /** Distinct 3-gram shingle CTE over dup_docs. */
+  val shinglesSql: String =
+    s"""$dupDocsSql,
+       |shingles AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |  FROM (
+       |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM dup_docs)
+       |    WHERE len(ws) >= 3
+       |  )
+       |)""".stripMargin
+
+  private val seedIdx = 0 until 12
+  private val sigColsSql =
+    seedIdx.map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(",\n         ")
+  private val bandSelectsSql = (0 until 4).map { b =>
+    val parts = (0 until 3).map(r => s"h${b * 3 + r}").mkString(" || ")
+    s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash group, keep min doc_id, report copies
+    "q33_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(dupDocs(s, d))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")),
+
+    // MinHash + LSH near-dup pairs, Jaccard-verified. The full
+    // shingle -> 12-seed signature -> 4x3 band bucket -> candidate
+    // equi-join -> exact-Jaccard pipeline; never all-pairs.
+    "q34_minhash_pairs" -> ((s, d) => {
+      val sh = Dedup.shingles(dupDocs(s, d))
+      val cands = Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh)))
+      Dedup.jaccardVerify(cands, sh)
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 16-bit SimHash fingerprint per doc
+    "q35_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d).filter(col("doc_id") < 200))
+        .orderBy("doc_id")),
+
+    // Bottom-k sketch fingerprint per doc
+    "q36_bottomk_sketch" -> ((s, d) =>
+      Dedup.bottomKSketch(
+        Dedup.shingles(Tables.documents(s, d).filter(col("doc_id") < 200)))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_exact_dedup" ->
+      s"""WITH $dupDocsSql
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM dup_docs GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+
+    "q34_minhash_pairs" ->
+      s"""WITH $shinglesSql,
+         |sigs AS (
+         |  SELECT doc_id,
+         |         $sigColsSql
+         |  FROM shingles GROUP BY doc_id
+         |),
+         |bands AS (
+         |  $bandSelectsSql
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
+         |  FROM cand p
+         |  JOIN shingles sa ON p.doc_a = sa.doc_id
+         |  JOIN shingles sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY p.doc_a, p.doc_b
+         |)
+         |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, za.n AS n_a, zb.n AS n_b,
+         |       i.n_inter AS n_inter,
+         |       i.n_inter / (za.n + zb.n - i.n_inter) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON i.doc_a = za.doc_id
+         |JOIN sizes zb ON i.doc_b = zb.doc_id
+         |WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.6
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q35_simhash" -> {
+      val votes = (1 to 16).map(p =>
+        s"sum(CASE WHEN substring(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
+        .mkString(",\n         ")
+      val bits = (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents WHERE doc_id < 200
+         |  )
+         |),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
+    },
+
+    "q36_bottomk_sketch" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs)
+        |    WHERE len(ws) >= 3
+        |  )
+        |),
+        |ranked AS (
+        |  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |  FROM (SELECT doc_id, md5(shingle) AS h FROM shingles)
+        |)
+        |SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS sketch
+        |FROM ranked WHERE rn <= 8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
