@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, q.Qx.Q], Map[String, String])] = Seq(
     (q.Relational.queries, q.Relational.oracles),
     (q.TextMiningQ.queries, q.TextMiningQ.oracles),
-    (q.DedupQ.queries, q.DedupQ.oracles)
+    (q.DedupQ.queries, q.DedupQ.oracles),
+    (q.SimilarityQ.queries, q.SimilarityQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

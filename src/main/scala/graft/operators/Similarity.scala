@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (builder north-star:
+  * approximate nearest neighbor over `Array[Float]`).
+  *
+  * Two surfaces:
+  *  - [[cosineTopK]] — exact brute-force cosine top-k: the correctness
+  *    baseline. The query side is tiny and broadcast; the candidate
+  *    side streams. Cost is O(|queries| x |corpus|) — linear in corpus
+  *    size per query, embarrassingly parallel, no shuffle of the corpus
+  *    itself (map-side partial aggregation reduces each (query, cand)
+  *    dot product before the single exchange).
+  *  - [[ivfTopK]] — the scale path: an IVF-style probe that only scores
+  *    candidates sharing the query's coarse cluster (here the `label`
+  *    column; in production the cluster id comes from a k-means
+  *    quantizer). Turns the scan into a bucketed equi-join — corpus
+  *    partitioned by cluster, each query touches one bucket.
+  *
+  * Numeric determinism: float elements are widened through
+  * DECIMAL(18,9); dot products and norms are exact decimal sums
+  * (order-independent), and only the final cosine division/sqrt is IEEE
+  * double — so results are bit-identical across engines and across any
+  * partitioning. A float `sum()` would be neither.
+  */
+object Similarity {
+
+  private val dec = DecimalType(18, 9)
+
+  /** (vec_id, label, pos, x) — one row per vector element, decimal.
+    * The float is widened to double BEFORE the decimal cast: float→
+    * decimal directly is engine-dependent (DuckDB goes through the
+    * float's shortest decimal repr), while double→decimal rounds the
+    * exact binary value identically everywhere. */
+  def exploded(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("col").cast("double").cast(dec).as("x"))
+
+  /** Exact squared norms per vector (decimal, order-independent). */
+  def norms(ex: DataFrame): DataFrame =
+    ex.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("norm2"))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
+  }
+
+  private def score(q: DataFrame, c: DataFrame, joinOnLabel: Boolean): DataFrame = {
+    val nq = norms(q).select(col("vec_id").as("query_id"), col("norm2").as("qn"))
+    val nc = norms(c).select(col("vec_id").as("cand_id"), col("norm2").as("cn"))
+    val cond =
+      if (joinOnLabel)
+        col("q.pos") === col("c.pos") && col("q.label") === col("c.label")
+      else col("q.pos") === col("c.pos")
+    val dots = broadcast(q.alias("q"))
+      .join(c.alias("c"), cond && col("q.vec_id") =!= col("c.vec_id"))
+      .groupBy(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+      .agg(sum(col("q.x") * col("c.x")).as("dot"))
+    dots
+      .join(broadcast(nq), "query_id")
+      .join(nc, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+          .as("cosine"))
+  }
+
+  /** Brute-force exact cosine top-k for the given query vec_ids. */
+  def cosineTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int): DataFrame = {
+    val ex = exploded(emb)
+    topK(score(queryPred(ex), ex, joinOnLabel = false), k)
+  }
+
+  /** IVF-style probe: score only candidates in the query's coarse
+    * cluster (`label`). */
+  def ivfTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int): DataFrame = {
+    val ex = exploded(emb)
+    topK(score(queryPred(ex), ex, joinOnLabel = true), k)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+import Qx._
+
+/** Oracle-checked similarity-search queries over the `embeddings`
+  * table. Cosine scores are decimal-exact (see Similarity scaladoc) so
+  * DuckDB reproduces them bit-for-bit. */
+object SimilarityQ {
+
+  private def exSql(pred: String): String =
+    s"""ex AS (
+       |  SELECT vec_id, label, i AS pos,
+       |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+       |  FROM (SELECT vec_id, label, embedding,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)
+       |),
+       |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+       |q AS (SELECT * FROM ex WHERE $pred)""".stripMargin
+
+  private def topkSql(joinLabel: String, pred: String, k: Int): String =
+    s"""WITH ${exSql(pred)},
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+       |  FROM q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id $joinLabel
+       |  GROUP BY q.vec_id, c.vec_id
+       |),
+       |scored AS (
+       |  -- decimal -> varchar -> double: DuckDB's direct decimal->double
+       |  -- cast is not correctly rounded for int128 decimals; parsing the
+       |  -- exact digit string is, and matches Spark's BigDecimal.doubleValue.
+       |  SELECT d.query_id AS query_id, d.cand_id AS cand_id,
+       |         CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+       |         (sqrt(CAST(CAST(nq.norm2 AS VARCHAR) AS DOUBLE)) *
+       |          sqrt(CAST(CAST(nc.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms nq ON d.query_id = nq.vec_id
+       |  JOIN norms nc ON d.cand_id = nc.vec_id
+       |)
+       |SELECT query_id, rank, cand_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force exact cosine top-10 for 5 query vectors
+    "q37_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")),
+
+    // IVF-style probe: top-5 within the query's coarse cluster (label)
+    "q38_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 20), 5)
+        .orderBy("query_id", "rank"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_cosine_topk" -> topkSql("", "vec_id < 5", 10),
+    "q38_ivf_topk" -> topkSql("AND q.label = c.label", "vec_id < 20", 5)
+  )
+}
