@@ -15,7 +15,8 @@ object SparkEntry {
     (q.Relational.queries, q.Relational.oracles),
     (q.TextMiningQ.queries, q.TextMiningQ.oracles),
     (q.DedupQ.queries, q.DedupQ.oracles),
-    (q.SimilarityQ.queries, q.SimilarityQ.oracles)
+    (q.SimilarityQ.queries, q.SimilarityQ.oracles),
+    (q.TextAnalysisQ.queries, q.TextAnalysisQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

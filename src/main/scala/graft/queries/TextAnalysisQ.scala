@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis
+import Qx._
+
+/** Oracle-checked text-analysis queries. q39 mixes the (English-ish)
+  * documents table with the French synthetic report corpus so the
+  * language guess exercises both branches. */
+object TextAnalysisQ {
+
+  val queries: Map[String, Q] = Map(
+    // Language ID via stopword lexicons
+    "q39_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val fr = TextMiningQ.corpus(s, d).filter(col("doc_id") < 500)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      TextAnalysis.langId(docs.unionByName(fr))
+        .select(col("doc_id"), col("n_tokens"), col("n_en"), col("n_fr"),
+          col("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/alpha/type-token signals + fixed-weight score
+    "q40_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace vs BPE-ish lexer counts + per-source rollup
+    "q41_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("ws_total"),
+          sum(col("bpe_tokens")).as("bpe_total"))
+        .orderBy("source"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_lang_id" ->
+      s"""WITH ${TextMiningQ.corpusSql},
+         |mixed AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id < 500
+         |),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM mixed
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CASE WHEN tok IN ('the','a','of','and','in','to','is','on','for','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |         CAST(sum(CASE WHEN tok IN ('le','la','les','de','des','du','un','une','en','et') THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, n_en, n_fr,
+         |       CASE WHEN n_fr > n_en THEN 'fr' WHEN n_en > 0 THEN 'en' ELSE 'und' END AS lang_guess
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q40_quality_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(max(len(text)) AS BIGINT) AS n_chars,
+        |         count(*) AS n_tokens,
+        |         count(DISTINCT tok) AS n_distinct,
+        |         sum(len(tok)) AS sum_tok_len,
+        |         sum(CASE WHEN regexp_matches(tok, '^[a-z]+$') THEN 1 ELSE 0 END) AS n_alpha
+        |  FROM toks GROUP BY doc_id
+        |),
+        |ratios AS (
+        |  SELECT doc_id, n_chars, n_tokens, n_distinct,
+        |         sum_tok_len / n_tokens AS mean_tok_len,
+        |         n_alpha / n_tokens AS alpha_ratio,
+        |         n_distinct / n_tokens AS ttr
+        |  FROM agg
+        |)
+        |SELECT *,
+        |       (alpha_ratio * 0.5) + (ttr * 0.3) +
+        |       (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.2 ELSE 0.0 END) AS quality
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+
+    "q41_token_counts" ->
+      s"""WITH per_doc AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |         CAST(len(regexp_extract_all(text, '(${TextAnalysis.BpeIshRe})', 1)) AS BIGINT) AS bpe_tokens
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
+         |       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+  )
+}
