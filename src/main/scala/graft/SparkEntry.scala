@@ -16,7 +16,8 @@ object SparkEntry {
     (q.TextMiningQ.queries, q.TextMiningQ.oracles),
     (q.DedupQ.queries, q.DedupQ.oracles),
     (q.SimilarityQ.queries, q.SimilarityQ.oracles),
-    (q.TextAnalysisQ.queries, q.TextAnalysisQ.oracles)
+    (q.TextAnalysisQ.queries, q.TextAnalysisQ.oracles),
+    (q.StreamingQ.queries, q.StreamingQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice (SURVEY.md §2.9 T1–T3), mirroring the
+  * reference's only Spark program — the Kafka → CAST → foreachBatch →
+  * append micro-batch pipeline
+  * (/root/reference/spark_stream/spark_stream.py:206-226, sink
+  * :173-178, parse stage :159-171) — with the lake's file source in
+  * place of Kafka and a parquet append in place of Cassandra. The
+  * lifecycle is identical: unbounded source → lazy transform →
+  * `writeStream.foreachBatch(...).outputMode("append").start()` →
+  * `awaitTermination()`.
+  *
+  * `Trigger.AvailableNow` drains everything currently in the landing
+  * directory and stops — which makes the pipeline oracle-testable: the
+  * sink's final contents must equal the equivalent batch query. On a
+  * real cluster the same code runs with a continuous trigger and a
+  * Kafka source; only the builder line changes.
+  */
+object MicroBatch {
+
+  /** events schema for the file source. `ts` is declared LongType:
+    * the parquet carries TIMESTAMP(NANOS), which Spark 4 reads as raw
+    * nanos under spark.sql.legacy.parquet.nanosAsLong (see
+    * GraftSession); graft.Tables.events does the same. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val runId = new AtomicInteger(0)
+
+  /** Stage the events table into a fresh landing directory — the file
+    * source's analog of "messages currently in the topic". */
+  def stageEvents(sfDir: String): Path = {
+    val in = Files.createTempDirectory("graft-stream-in")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    in
+  }
+
+  /** Unbounded read over the landing dir (T1 source stage). */
+  def fileSource(spark: SparkSession, inDir: Path): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(inDir.toString)
+
+  /** T1+T2: run `transform` over the staged events stream, append each
+    * micro-batch to a parquet sink via foreachBatch, drain with
+    * AvailableNow, and return the sink's final contents. */
+  def appendRun(spark: SparkSession, sfDir: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val in = stageEvents(sfDir)
+    val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out.toString)
+    val q = transform(fileSource(spark, in)).writeStream
+      .foreachBatch(writeBatch)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+  }
+
+  /** Stateful streaming aggregation (engine extension per SURVEY §2.9):
+    * run `agg` (typically watermark + window groupBy) over the staged
+    * stream into a complete-mode memory sink and return the final
+    * table. */
+  def aggRun(spark: SparkSession, sfDir: String)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val in = stageEvents(sfDir)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val name = s"graft_stream_agg_${runId.incrementAndGet()}"
+    val q = agg(fileSource(spark, in)).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
