@@ -17,7 +17,8 @@ object SparkEntry {
     (q.DedupQ.queries, q.DedupQ.oracles),
     (q.SimilarityQ.queries, q.SimilarityQ.oracles),
     (q.TextAnalysisQ.queries, q.TextAnalysisQ.oracles),
-    (q.StreamingQ.queries, q.StreamingQ.oracles)
+    (q.StreamingQ.queries, q.StreamingQ.oracles),
+    (q.GridQ.queries, q.GridQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

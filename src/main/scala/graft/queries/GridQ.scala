@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Grid
+import Qx._
+
+/** Oracle-checked queries for the M6/J1 grid-reconstruction flagship.
+  *
+  * There is no OCR model on the JVM, so the ocr_lines relation is
+  * derived deterministically from `lineitem`: page = l_orderkey, the
+  * line's grid row = l_linenumber (unique per order), its column =
+  * l_suppkey % 4, confidence = l_partkey % 97, text = l_quantity. Cell
+  * boxes are exact (row strips at y = rid*40+[3,33], column strips at
+  * x = cid*100+[5,95]), which makes duplicate detections form exact
+  * overlap cliques: same-column lines share an identical vertical
+  * strip (IoU 1) while different columns are disjoint (IoU 0). Greedy
+  * NMS on such cliques provably keeps exactly the top-confidence
+  * member of each clique, so the DuckDB oracle can state the expected
+  * survivors relationally (argmax per clique) while the Spark side
+  * runs the real greedy algorithm. */
+object GridQ {
+
+  /** Synthetic ocr_lines: (page_id, line_id, cid, x1, y1, x2, y2,
+    * score, text). `l_linenumber` is not unique per order in this
+    * synthetic lake, so one deterministic lineitem is kept per
+    * (order, linenumber) to give every page unique line ids — the NMS
+    * identity key, like the reference's detection index. */
+  def ocrLines(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_partkey", "l_quantity")
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 320)
+      .withColumn("dedup_rn", row_number().over(w))
+      .filter(col("dedup_rn") === 1)
+      .select(
+      col("l_orderkey").cast("long").as("page_id"),
+      col("l_linenumber").cast("long").as("line_id"),
+      (col("l_suppkey") % 4).cast("long").as("cid"),
+      ((col("l_suppkey") % 4) * 100 + 5).cast("double").as("x1"),
+      (col("l_linenumber").cast("long") * 40 + 3).cast("double").as("y1"),
+      ((col("l_suppkey") % 4) * 100 + 95).cast("double").as("x2"),
+      (col("l_linenumber").cast("long") * 40 + 33).cast("double").as("y2"),
+      (col("l_partkey") % 97).cast("double").as("score"),
+      col("l_quantity").cast("long").cast("string").as("text"))
+  }
+
+  val ocrSql: String =
+    """ocr AS (
+      |  SELECT l_orderkey AS page_id, CAST(l_linenumber AS BIGINT) AS rid,
+      |         l_suppkey % 4 AS cid,
+      |         CAST(l_partkey % 97 AS DOUBLE) AS score,
+      |         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS text
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY l_orderkey, l_linenumber
+      |      ORDER BY l_suppkey, l_partkey, l_quantity) AS dedup_rn
+      |    FROM lineitem WHERE l_orderkey < 320
+      |  ) WHERE dedup_rn = 1
+      |)""".stripMargin
+
+  /** Shared expected-grid CTEs (rows survive as singleton cliques;
+    * column survivors are the per-clique argmax). */
+  val gridSql: String =
+    s"""$ocrSql,
+       |rows_ AS (
+       |  SELECT page_id, rid,
+       |         row_number() OVER (PARTITION BY page_id ORDER BY rid) AS row_idx
+       |  FROM ocr
+       |),
+       |cols_ AS (
+       |  SELECT page_id, cid,
+       |         row_number() OVER (PARTITION BY page_id ORDER BY cid) AS col_idx
+       |  FROM (
+       |    SELECT page_id, cid, rid,
+       |           row_number() OVER (PARTITION BY page_id, cid ORDER BY score DESC, rid) AS rn
+       |    FROM ocr
+       |  ) WHERE rn = 1
+       |),
+       |grid AS (
+       |  SELECT cl.page_id AS page_id, cl.row_idx AS row_idx,
+       |         cl.col_idx AS col_idx, COALESCE(o.text, '') AS text
+       |  FROM (
+       |    SELECT r.page_id AS page_id, r.row_idx AS row_idx, r.rid AS rid,
+       |           c.col_idx AS col_idx, c.cid AS cid
+       |    FROM rows_ r JOIN cols_ c ON r.page_id = c.page_id
+       |  ) cl
+       |  LEFT JOIN ocr o
+       |    ON cl.page_id = o.page_id AND cl.rid = o.rid AND cl.cid = o.cid
+       |)""".stripMargin
+
+  private val ImgW = 400d
+  private val ImgH = 330d
+
+  val queries: Map[String, Q] = Map(
+    // O5/M6 step 2 — greedy NMS survivors on the vertical axis
+    "q45_nms_columns" -> ((s, d) => {
+      val ocr = ocrLines(s, d)
+      val vert = ocr.select(col("page_id"), col("line_id"),
+        col("x1"), lit(0d).as("y1"), col("x2"), lit(ImgH).as("y2"), col("score"))
+      Grid.nmsSurvivors(vert)
+        .join(ocr, Seq("page_id", "line_id"))
+        .select(col("page_id"), col("cid"), col("line_id"), col("score"))
+        .orderBy("page_id", "cid")
+    }),
+
+    // M6/J1 — full grid reconstruction, exploded (row_idx, col_idx, text)
+    "q46_grid_cells" -> ((s, d) =>
+      Grid.reconstruct(ocrLines(s, d), ImgW, ImgH)
+        .orderBy("page_id", "row_idx", "col_idx")),
+
+    // M6 step 5 — pivot back to the R x C matrix shape
+    "q47_grid_matrix" -> ((s, d) =>
+      Grid.toMatrix(Grid.reconstruct(ocrLines(s, d), ImgW, ImgH), 4)
+        .orderBy("page_id", "row_idx"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_nms_columns" ->
+      s"""WITH $ocrSql
+         |SELECT page_id, cid, rid AS line_id, score FROM (
+         |  SELECT page_id, cid, rid, score,
+         |         row_number() OVER (PARTITION BY page_id, cid ORDER BY score DESC, rid) AS rn
+         |  FROM ocr
+         |) WHERE rn = 1 ORDER BY page_id, cid""".stripMargin,
+
+    "q46_grid_cells" ->
+      s"""WITH $gridSql
+         |SELECT page_id, row_idx, col_idx, text FROM grid
+         |ORDER BY page_id, row_idx, col_idx""".stripMargin,
+
+    "q47_grid_matrix" ->
+      s"""WITH $gridSql
+         |SELECT page_id, row_idx,
+         |       COALESCE(max(text) FILTER (WHERE col_idx = 1), '') AS c1,
+         |       COALESCE(max(text) FILTER (WHERE col_idx = 2), '') AS c2,
+         |       COALESCE(max(text) FILTER (WHERE col_idx = 3), '') AS c3,
+         |       COALESCE(max(text) FILTER (WHERE col_idx = 4), '') AS c4
+         |FROM grid GROUP BY page_id, row_idx ORDER BY page_id, row_idx""".stripMargin
+  )
+}
