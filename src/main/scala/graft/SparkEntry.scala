@@ -18,7 +18,8 @@ object SparkEntry {
     (q.SimilarityQ.queries, q.SimilarityQ.oracles),
     (q.TextAnalysisQ.queries, q.TextAnalysisQ.oracles),
     (q.StreamingQ.queries, q.StreamingQ.oracles),
-    (q.GridQ.queries, q.GridQ.oracles)
+    (q.GridQ.queries, q.GridQ.oracles),
+    (q.ParityQ.queries, q.ParityQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

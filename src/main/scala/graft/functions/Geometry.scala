@@ -80,9 +80,9 @@ object Geometry {
     val x2 = (cx + w / 2 + lit(pad)) * imgW
     val y2 = (cy + h / 2 + lit(pad)) * imgH
     Seq(
-      greatest(x1, lit(0d)).cast("long").as("x1"),
-      greatest(y1, lit(0d)).cast("long").as("y1"),
-      least(x2, imgW).cast("long").as("x2"),
-      least(y2, imgH).cast("long").as("y2"))
+      floor(greatest(x1, lit(0d))).cast("long").as("x1"),
+      floor(greatest(y1, lit(0d))).cast("long").as("y1"),
+      floor(least(x2, imgW)).cast("long").as("x2"),
+      floor(least(y2, imgH)).cast("long").as("y2"))
   }
 }

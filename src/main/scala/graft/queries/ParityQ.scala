@@ -1,0 +1,248 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ImageOps
+import Qx._
+
+/** Remaining reference-parity surface: CSV round-trip (S6–S8), the
+  * rows→Kafka producer projection (S10/F10), the deplot-output parse
+  * (M12, total on malformed rows), crop-bound clamps (F13/A4),
+  * null-guard filters (P11), first-non-empty selection (P5), the
+  * binaryFile directory scan (S13) with byte-op stubs (F16), the
+  * doc→pages generator (S12) and the composed find-KPI-page query
+  * (M9). */
+object ParityQ {
+
+  /** S12 — doc→pages one-to-many generator: fixed 200-char pages. */
+  def docPages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_pages", expr("n_chars div 200") + 1)
+      .select(col("doc_id"), col("text"), posexplode(expr("sequence(1, n_pages)")))
+      .select(col("doc_id"), col("col").cast("long").as("page_no"),
+        expr("substring(text, cast((col - 1) * 200 + 1 AS INT), 200)").as("page_text"))
+
+  val docPagesSql: String =
+    """pages AS (
+      |  SELECT doc_id, page_no, substring(text, (page_no - 1) * 200 + 1, 200) AS page_text
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           unnest(generate_series(1, CAST(n_chars // 200 + 1 AS BIGINT))) AS page_no
+      |    FROM documents
+      |  )
+      |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // S6/S8 — CSV write + read round-trip with header/quote options
+    // (GetData.py:32-35); the round-trip must reproduce the table
+    "q48_csv_roundtrip" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-csv").resolve("nation").toString
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").csv(tmp)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").option("quote", "\"").csv(tmp)
+        .orderBy("n_nationkey")
+    }),
+
+    // S10/F10 — rows→Kafka producer projection: deterministic key +
+    // to_json(struct("*")) value (GetData.py:113-126; uuid4 key
+    // replaced by a deterministic format_string so it is checkable)
+    "q49_to_json_producer" -> ((s, d) =>
+      Tables.nation(s, d)
+        .select(format_string("msg-%d", col("n_nationkey")).as("key"),
+          to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+            .as("value"))
+        .orderBy("key")),
+
+    // M12 — deplot linearized-table parse: split on <0x0A>, header at
+    // line 2, |-separated body, TOTAL on malformed rows (null fields
+    // instead of the reference's crash, activity_test.py:99-112,
+    // notePresentation.py:67-77)
+    "q50_deplot_parse" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id").as("doc_id"),
+          concat(
+            lit("TITLE Croissance <0x0A> annee | valeur <0x0A> "),
+            (col("event_id") % 30 + 1990).cast("string"), lit(" | "),
+            (col("user_id") % 90 + 1).cast("string"), lit(","),
+            (col("event_id") % 10).cast("string"), lit(" <0x0A> "),
+            (col("event_id") % 5 + 2020).cast("string"), lit(" | "),
+            (col("event_id") % 80 + 1).cast("string"),
+            lit(",5 <0x0A> badrow")).as("lin"))
+        .withColumn("lines", split(col("lin"), " <0x0A> "))
+        .select(col("doc_id"),
+          posexplode(slice(col("lines"), lit(3), size(col("lines")) - 2)))
+        .withColumn("fields", split(col("col"), " \\| "))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("row_idx"),
+          when(size(col("fields")) === 2, trim(element_at(col("fields"), 1)))
+            .as("annee"),
+          when(size(col("fields")) === 2,
+            regexp_replace(trim(element_at(col("fields"), 2)), ",", ".")
+              .cast("double")).as("valeur"))
+        .orderBy("doc_id", "row_idx")),
+
+    // F13/A4 — detection crop bounds with pad + greatest/least clamps
+    // (tableExtract.py:58-72) on synthetic normalized detections
+    "q51_box_clamps" -> ((s, d) => {
+      val det = Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          ((col("event_id") % 100) / lit(100.0)).as("cx"),
+          ((col("user_id") % 100) / lit(100.0)).as("cy"),
+          ((col("event_id") % 30 + 5) / lit(100.0)).as("w"),
+          ((col("user_id") % 25 + 5) / lit(100.0)).as("h"))
+      val b = graft.functions.Geometry.cropBounds(
+        col("cx"), col("cy"), col("w"), col("h"), lit(640d), lit(480d))
+      det.select((col("event_id") +: b): _*).orderBy("event_id")
+    }),
+
+    // P11 — null-guard: mask a column, then na.drop (the
+    // `if image is None: continue` analog, tableExtract.py:290-291)
+    "q52_null_guard" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("masked",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .na.drop(Seq("masked"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("masked")).as("total"))
+        .orderBy("event_type")),
+
+    // P5 — first-non-empty selection (budgetEco.py:76-78): first doc
+    // whose extracted hit-list is non-empty
+    "q53_first_nonempty" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hits", filter(split(col("text"), " "), w => w === "spark"))
+        .filter(size(col("hits")) > 0)
+        .orderBy("doc_id").limit(1)
+        .select(col("doc_id"), size(col("hits")).cast("long").as("n_hits"))),
+
+    // S13/F16 — binaryFile directory scan ordered by path + byte-op
+    // stubs; files staged from documents, doc_id parsed back from path
+    "q54_binary_scan" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-bin")
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          Files.write(dir.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      s.read.format("binaryFile").load(dir.toString)
+        .orderBy("path")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          length(ImageOps.resizeHalfUdf(col("content"))).cast("long").as("n_resized"))
+    }),
+
+    // engine extension — HLL approximate distinct (no DuckDB-identical
+    // sketch exists, so this entry is rows-only checked)
+    "q55_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // S12 — doc→pages generator (ocr.py:26-36 page expansion shape)
+    "q56_doc_pages" -> ((s, d) =>
+      docPages(s, d).filter(col("doc_id") < 200)
+        .orderBy("doc_id", "page_no")),
+
+    // M9/P4/O3 — composed find-KPI-page: reverse page scan, first hit
+    // (kpis_search.py:21-54)
+    "q57_kpi_page" -> ((s, d) =>
+      docPages(s, d)
+        .filter(lower(col("page_text")).contains("merge"))
+        .orderBy(desc("doc_id"), desc("page_no")).limit(1)
+        .select(col("doc_id"), col("page_no")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q48_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q49_to_json_producer" ->
+      """SELECT printf('msg-%d', n_nationkey) AS key,
+        |       CAST(to_json(struct_pack(n_nationkey := n_nationkey,
+        |                                n_name := n_name,
+        |                                n_regionkey := n_regionkey)) AS VARCHAR) AS value
+        |FROM nation ORDER BY key""".stripMargin,
+
+    "q50_deplot_parse" ->
+      """WITH src AS (
+        |  SELECT event_id AS doc_id,
+        |         'TITLE Croissance <0x0A> annee | valeur <0x0A> ' ||
+        |         CAST(event_id % 30 + 1990 AS VARCHAR) || ' | ' ||
+        |         CAST(user_id % 90 + 1 AS VARCHAR) || ',' ||
+        |         CAST(event_id % 10 AS VARCHAR) || ' <0x0A> ' ||
+        |         CAST(event_id % 5 + 2020 AS VARCHAR) || ' | ' ||
+        |         CAST(event_id % 80 + 1 AS VARCHAR) || ',5 <0x0A> badrow' AS lin
+        |  FROM events WHERE event_id < 2000
+        |),
+        |l AS (SELECT doc_id, string_split(lin, ' <0x0A> ') AS lines FROM src),
+        |body AS (
+        |  SELECT doc_id, lines, unnest(generate_series(3, len(lines))) AS i FROM l
+        |),
+        |rows_ AS (
+        |  SELECT doc_id, i - 2 AS row_idx, string_split(lines[i], ' | ') AS fields
+        |  FROM body
+        |)
+        |SELECT doc_id, row_idx,
+        |       CASE WHEN len(fields) = 2 THEN trim(fields[1]) END AS annee,
+        |       CASE WHEN len(fields) = 2
+        |            THEN CAST(replace(trim(fields[2]), ',', '.') AS DOUBLE) END AS valeur
+        |FROM rows_ ORDER BY doc_id, row_idx""".stripMargin,
+
+    "q51_box_clamps" ->
+      """SELECT event_id,
+        |       CAST(floor(greatest((cx - w/2 - 0.02) * 640, 0)) AS BIGINT) AS x1,
+        |       CAST(floor(greatest((cy - h/2 - 0.02) * 480, 0)) AS BIGINT) AS y1,
+        |       CAST(floor(least((cx + w/2 + 0.02) * 640, 640)) AS BIGINT) AS x2,
+        |       CAST(floor(least((cy + h/2 + 0.02) * 480, 480)) AS BIGINT) AS y2
+        |FROM (
+        |  SELECT event_id,
+        |         (event_id % 100) / 100.0 AS cx,
+        |         (user_id % 100) / 100.0 AS cy,
+        |         (event_id % 30 + 5) / 100.0 AS w,
+        |         (user_id % 25 + 5) / 100.0 AS h
+        |  FROM events WHERE event_id < 2000
+        |) ORDER BY event_id""".stripMargin,
+
+    "q52_null_guard" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("masked")} AS total
+         |FROM (
+         |  SELECT event_type,
+         |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS masked
+         |  FROM events
+         |) WHERE masked IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q53_first_nonempty" ->
+      """SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS n_hits
+        |  FROM documents
+        |) WHERE n_hits > 0 ORDER BY doc_id LIMIT 1""".stripMargin,
+
+    "q54_binary_scan" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_resized
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    // q55 intentionally has no oracle (HLL sketches are not
+    // cross-engine comparable) — the driver records a rows-only check.
+
+    "q56_doc_pages" ->
+      s"""WITH $docPagesSql
+         |SELECT doc_id, page_no, page_text FROM pages
+         |WHERE doc_id < 200 ORDER BY doc_id, page_no""".stripMargin,
+
+    "q57_kpi_page" ->
+      s"""WITH $docPagesSql
+         |SELECT doc_id, page_no FROM pages
+         |WHERE contains(lower(page_text), 'merge')
+         |ORDER BY doc_id DESC, page_no DESC LIMIT 1""".stripMargin
+  )
+}
