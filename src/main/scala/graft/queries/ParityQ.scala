@@ -62,26 +62,18 @@ object ParityQ {
     // instead of the reference's crash, activity_test.py:99-112,
     // notePresentation.py:67-77)
     "q50_deplot_parse" -> ((s, d) =>
-      Tables.events(s, d).filter(col("event_id") < 2000)
-        .select(col("event_id").as("doc_id"),
-          concat(
-            lit("TITLE Croissance <0x0A> annee | valeur <0x0A> "),
-            (col("event_id") % 30 + 1990).cast("string"), lit(" | "),
-            (col("user_id") % 90 + 1).cast("string"), lit(","),
-            (col("event_id") % 10).cast("string"), lit(" <0x0A> "),
-            (col("event_id") % 5 + 2020).cast("string"), lit(" | "),
-            (col("event_id") % 80 + 1).cast("string"),
-            lit(",5 <0x0A> badrow")).as("lin"))
-        .withColumn("lines", split(col("lin"), " <0x0A> "))
-        .select(col("doc_id"),
-          posexplode(slice(col("lines"), lit(3), size(col("lines")) - 2)))
-        .withColumn("fields", split(col("col"), " \\| "))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("row_idx"),
-          when(size(col("fields")) === 2, trim(element_at(col("fields"), 1)))
-            .as("annee"),
-          when(size(col("fields")) === 2,
-            regexp_replace(trim(element_at(col("fields"), 2)), ",", ".")
-              .cast("double")).as("valeur"))
+      graft.operators.Deplot.parseYearValue(
+        Tables.events(s, d).filter(col("event_id") < 2000)
+          .select(col("event_id").as("doc_id"),
+            concat(
+              lit("TITLE Croissance <0x0A> annee | valeur <0x0A> "),
+              (col("event_id") % 30 + 1990).cast("string"), lit(" | "),
+              (col("user_id") % 90 + 1).cast("string"), lit(","),
+              (col("event_id") % 10).cast("string"), lit(" <0x0A> "),
+              (col("event_id") % 5 + 2020).cast("string"), lit(" | "),
+              (col("event_id") % 80 + 1).cast("string"),
+              lit(",5 <0x0A> badrow")).as("lin")),
+        col("lin"), col("doc_id"))
         .orderBy("doc_id", "row_idx")),
 
     // F13/A4 — detection crop bounds with pad + greatest/least clamps

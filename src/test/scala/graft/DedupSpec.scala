@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta"), // near dup of 1
+    (4L, "totally different words here entirely now"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps the min doc_id and counts copies") {
+    val out = Dedup.exactDedup(corpus).orderBy("doc_id")
+      .select("doc_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("identical docs share identical minhash signatures") {
+    val sigs = Dedup.minhashSignature(Dedup.shingles(corpus))
+      .filter(col("doc_id") <= 2).collect()
+    assert(sigs.length === 2)
+    val s1 = sigs.find(_.getLong(0) == 1L).get
+    val s2 = sigs.find(_.getLong(0) == 2L).get
+    (1 until s1.length).foreach(i => assert(s1.getString(i) === s2.getString(i)))
+  }
+
+  test("LSH candidates include the exact pair and Jaccard verifies it at 1.0") {
+    val sh = Dedup.shingles(corpus)
+    val pairs = Dedup.jaccardVerify(
+      Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh)
+      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    // near dup 1-3: 4 of 5+... shingles shared -> high but < 1
+    assert(pairs.collect { case (1L, 3L, j) => j }.forall(j => j > 0.5 && j < 1.0))
+  }
+
+  test("simhash is a 16-char bit string, equal for identical docs") {
+    val out = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    assert(out(1L) === out(2L))
+  }
+
+  test("bottomKSketch is deterministic and equal for identical docs") {
+    val sk = Dedup.bottomKSketch(Dedup.shingles(corpus)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sk(1L) === sk(2L))
+    assert(sk(1L) !== sk(4L))
+  }
+}

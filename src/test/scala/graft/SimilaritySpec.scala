@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // vec 0 is the query; 1 = same direction (cos 1), 2 = orthogonal
+  // (cos 0), 3 = opposite (cos -1)
+  private val emb = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f), 0),
+    (1L, Seq(2f, 0f, 0f, 0f), 0),
+    (2L, Seq(0f, 3f, 0f, 0f), 0),
+    (3L, Seq(-1f, 0f, 0f, 0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("cosine top-k ranks by exact cosine with deterministic ties") {
+    val out = Similarity.cosineTopK(emb, _.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 1.0)))
+    assert(out(1) === ((2L, 0.0)))
+    assert(out(2) === ((3L, -1.0)))
+  }
+
+  test("ivf probe only scores the query's coarse bucket") {
+    val out = Similarity.ivfTopK(emb, _.filter(col("vec_id") === 0), 10)
+      .select("cand_id").as[Long].collect()
+    assert(out.toSet === Set(1L, 2L)) // label 0 only; vec 3 is in bucket 1
+  }
+}
