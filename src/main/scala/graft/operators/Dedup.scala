@@ -100,6 +100,27 @@ object Dedup {
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Composed near-dup pipeline: shingle → sign → band → candidate →
+    * verify. The shingle relation feeds six plan subtrees (both sides
+    * of the bucket join, both Jaccard probes, both size lookups).
+    * `cacheShingles` trades recompute for a materialized cache:
+    * measured at sf0.1 the recompute wins 2.4x (codegen pipelines are
+    * cheaper than serializing the exploded relation), so it defaults
+    * off; on a petabyte corpus where each recompute is a full scan of
+    * the raw text, turn it on — or better, checkpoint the shingle
+    * relation to the lake and run the pipeline from there. */
+  def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 12,
+                   bands: Int = 4, rows: Int = 3,
+                   minJaccard: Double = 0.6,
+                   cacheShingles: Boolean = false): DataFrame = {
+    val sh0 = shingles(docs, n)
+    val sh = if (cacheShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
+    val cands = candidatePairs(lshBands(minhashSignature(sh, k), bands, rows))
+    jaccardVerify(cands, sh).filter(col("jaccard") >= minJaccard)
+  }
+
   /** 16-bit SimHash as a bit string. Bit p of a token's md5 is "set"
     * when hex digit p is in [8..f] (the digit's high bit); the
     * fingerprint bit is the sign of the ±1 vote sum over the doc's

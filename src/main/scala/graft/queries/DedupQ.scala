@@ -63,15 +63,11 @@ object DedupQ {
     // MinHash + LSH near-dup pairs, Jaccard-verified. The full
     // shingle -> 12-seed signature -> 4x3 band bucket -> candidate
     // equi-join -> exact-Jaccard pipeline; never all-pairs.
-    "q34_minhash_pairs" -> ((s, d) => {
-      val sh = Dedup.shingles(dupDocs(s, d))
-      val cands = Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh)))
-      Dedup.jaccardVerify(cands, sh)
-        .filter(col("jaccard") >= 0.6)
+    "q34_minhash_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(dupDocs(s, d))
         .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
           col("n_inter"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     // 16-bit SimHash fingerprint per doc
     "q35_simhash" -> ((s, d) =>
