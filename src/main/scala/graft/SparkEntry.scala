@@ -19,7 +19,8 @@ object SparkEntry {
     (q.TextAnalysisQ.queries, q.TextAnalysisQ.oracles),
     (q.StreamingQ.queries, q.StreamingQ.oracles),
     (q.GridQ.queries, q.GridQ.oracles),
-    (q.ParityQ.queries, q.ParityQ.oracles)
+    (q.ParityQ.queries, q.ParityQ.oracles),
+    (q.ExtendedQ.queries, q.ExtendedQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,186 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Qx._
+
+/** Remaining SURVEY §2 surface: catalog DDL + degenerate append
+  * (S3/S5), lake-table stage handoff (S14), keyword-filtered crop
+  * selection (P6/M5), array-HOF aggregate mean (A1), OCR page-text
+  * assembly (M2/F2), layout figure-first (P7/M7/M13), and the
+  * session/sliding event-time windows the survey declares as streaming
+  * extensions (computed here in batch; the same expressions run under
+  * readStream). */
+object ExtendedQ {
+
+  val queries: Map[String, Q] = Map(
+    // S3/S5 — Spark-SQL DDL (the CQL-replacement seam) + bulk and
+    // single-row appends into the managed table, read back
+    "q58_table_ddl" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
+      s.sql("DROP TABLE IF EXISTS graft_lake.region_copy")
+      s.sql("CREATE TABLE graft_lake.region_copy (r_regionkey INT, r_name STRING) USING parquet")
+      Tables.region(s, d).write.mode("append").insertInto("graft_lake.region_copy")
+      import s.implicits._
+      Seq((99, "REGION_99")).toDF("r_regionkey", "r_name")
+        .write.mode("append").insertInto("graft_lake.region_copy")
+      s.table("graft_lake.region_copy").orderBy("r_regionkey")
+    }),
+
+    // S14 — /tmp file handoff replaced by a lake-table checkpoint
+    // between pipeline stages
+    "q59_stage_checkpoint" -> ((s, d) => {
+      val stage = Files.createTempDirectory("graft-stage").resolve("stage1").toString
+      Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(stage)
+      s.read.parquet(stage)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")
+    }),
+
+    // P6/M5 — keyword-filtered crop selection: first detection per
+    // page whose text matches (explode -> filter -> rn = 1)
+    "q60_crop_select" -> ((s, d) => {
+      val w = Window.partitionBy("page_id").orderBy("line_id")
+      GridQ.ocrLines(s, d)
+        .filter(col("text").contains("2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("page_id"), col("line_id"), col("text"))
+        .orderBy("page_id")
+    }),
+
+    // A1 — aggregate/transform HOF mean (the exploded-patch mean
+    // shape, ocr.py:80-89, kept entirely inside one projection)
+    "q61_hof_mean" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("aggregate(transform(split(text, ' '), w -> length(w)), 0, (acc, x) -> acc + x)")
+            .cast("long").as("sum_len"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("mean_len", col("sum_len") / col("n_tokens"))
+        .orderBy("doc_id")),
+
+    // M2/F2 — page text = OCR line texts joined in line order
+    "q62_page_text" -> ((s, d) =>
+      GridQ.ocrLines(s, d)
+        .groupBy(col("page_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(line_id, text))), s -> s.text)"),
+          " ").as("page_text"))
+        .orderBy("page_id")),
+
+    // P7/M7/M13 — layout-block Figure filter + first-figure-per-page
+    // (graphData.py:104, first-match at :156-158)
+    "q63_figure_first" -> ((s, d) => {
+      val w = Window.partitionBy("page_id").orderBy("block_id")
+      Tables.events(s, d).filter(col("event_id") < 5000)
+        .select((col("event_id") % 200).as("page_id"), col("event_id").as("block_id"),
+          element_at(
+            array(lit("Text"), lit("Title"), lit("List"), lit("Table"), lit("Figure")),
+            (col("event_id") % 5 + 1).cast("int")).as("block_type"))
+        .filter(col("block_type") === "Figure")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("page_id"), col("block_id"), col("block_type"))
+        .orderBy("page_id")
+    }),
+
+    // streaming-extension semantics in batch: session windows (1h gap)
+    "q64_session_window" -> ((s, d) =>
+      Tables.events(s, d).filter(col("user_id") < 30)
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start")),
+
+    // streaming-extension semantics in batch: sliding windows (2d / 1d)
+    "q65_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .count()
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("count").as("n"))
+        .orderBy("day", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q58_table_ddl" ->
+      """SELECT * FROM (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL
+        |  SELECT 99 AS r_regionkey, 'REGION_99' AS r_name
+        |) ORDER BY r_regionkey""".stripMargin,
+
+    "q59_stage_checkpoint" ->
+      s"""SELECT o_custkey, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_totalprice > 100000
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q60_crop_select" ->
+      s"""WITH ${GridQ.ocrSql}
+         |SELECT page_id, rid AS line_id, text FROM (
+         |  SELECT page_id, rid, text,
+         |         row_number() OVER (PARTITION BY page_id ORDER BY rid) AS rn
+         |  FROM ocr WHERE contains(text, '2')
+         |) WHERE rn = 1 ORDER BY page_id""".stripMargin,
+
+    "q61_hof_mean" ->
+      """SELECT doc_id,
+        |       CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT) AS sum_len,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS BIGINT)
+        |         / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q62_page_text" ->
+      s"""WITH ${GridQ.ocrSql}
+         |SELECT page_id, string_agg(text, ' ' ORDER BY rid) AS page_text
+         |FROM ocr GROUP BY page_id ORDER BY page_id""".stripMargin,
+
+    "q63_figure_first" ->
+      """SELECT page_id, block_id, block_type FROM (
+        |  SELECT page_id, block_id, block_type,
+        |         row_number() OVER (PARTITION BY page_id ORDER BY block_id) AS rn
+        |  FROM (
+        |    SELECT event_id % 200 AS page_id, event_id AS block_id,
+        |           (['Text', 'Title', 'List', 'Table', 'Figure'])[CAST(event_id % 5 + 1 AS INT)] AS block_type
+        |    FROM events WHERE event_id < 5000
+        |  ) WHERE block_type = 'Figure'
+        |) WHERE rn = 1 ORDER BY page_id""".stripMargin,
+
+    "q64_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |i AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q65_sliding_window" ->
+      """SELECT day, event_type, count(*) AS n FROM (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type FROM events
+        |  UNION ALL
+        |  SELECT strftime(date_trunc('day', ts) - INTERVAL 1 DAY, '%Y-%m-%d') AS day, event_type
+        |  FROM events
+        |) GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+  )
+}
