@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -84,4 +84,30 @@ object Similarity {
     val ex = exploded(emb)
     topK(score(queryPred(ex), ex, joinOnLabel = true), k)
   }
+
+  /** Embedding-cosine near-dup pairs (the dedup-by-embedding flavor):
+    * all unordered pairs within the same coarse bucket whose exact
+    * cosine clears `minCosine`. Bucketing keeps the pair space at
+    * sum-of-bucket² instead of n²; the per-pair dot product is the
+    * same decimal-exact map-side aggregation as top-k scoring. */
+  def embeddingNearDups(emb: DataFrame, minCosine: Double): DataFrame = {
+    val ex = exploded(emb)
+    val nrm = norms(ex)
+    val dots = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(sum(col("a.x") * col("b.x")).as("dot"))
+    dots
+      .join(nrm.select(col("vec_id"), col("norm2").as("na")), col("vec_a") === col("vec_id"))
+      .drop("vec_id")
+      .join(nrm.select(col("vec_id"), col("norm2").as("nb")), col("vec_b") === col("vec_id"))
+      .drop("vec_id")
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

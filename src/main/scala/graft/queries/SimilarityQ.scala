@@ -54,11 +54,40 @@ object SimilarityQ {
     // IVF-style probe: top-5 within the query's coarse cluster (label)
     "q38_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 20), 5)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // embedding-cosine near-dup pairs, bucketed by coarse cluster
+    "q66_embed_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.3)
+        .orderBy("vec_a", "vec_b"))
   )
 
   val oracles: Map[String, String] = Map(
     "q37_cosine_topk" -> topkSql("", "vec_id < 5", 10),
-    "q38_ivf_topk" -> topkSql("AND q.label = c.label", "vec_id < 20", 5)
+    "q38_ivf_topk" -> topkSql("AND q.label = c.label", "vec_id < 20", 5),
+    "q66_embed_neardup" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |),
+        |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b
+        |    ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id
+        |)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT d.vec_a AS vec_a, d.vec_b AS vec_b,
+        |         CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+        |         (sqrt(CAST(CAST(na.norm2 AS VARCHAR) AS DOUBLE)) *
+        |          sqrt(CAST(CAST(nb.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON d.vec_a = na.vec_id
+        |  JOIN norms nb ON d.vec_b = nb.vec_id
+        |) WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
   )
 }
