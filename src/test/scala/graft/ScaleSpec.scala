@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Scale-technique correctness: salting must be a pure plan rewrite
+  * (identical results to the plain join), bucketing must remove the
+  * join-time shuffle. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the plain join's result") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), graft.queries.Qx.dsum(col("o_totalprice")).as("t"))
+        .orderBy("c_mktsegment").collect().toSeq
+    val plain = summarize(orders.join(customer, Seq("o_custkey")))
+    val salted = summarize(Skew.saltedJoin(orders, customer, Seq("o_custkey"), 8))
+    assert(salted === plain)
+  }
+
+  test("salted left join preserves unmatched rows once") {
+    import spark.implicits._
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "w")
+    val out = Skew.saltedJoin(big, small, Seq("k"), 4, "left")
+      .orderBy("k").collect()
+    assert(out.length === 3)
+    assert(out.count(!_.isNullAt(2)) === 1)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_lake.customer_b")
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("graft_lake.orders_b")
+    Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("graft_lake.customer_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_lake.orders_b")
+        .join(spark.table("graft_lake.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}

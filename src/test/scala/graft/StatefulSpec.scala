@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Stateful
+
+/** Arbitrary stateful streaming (flatMapGroupsWithState) over a
+  * MemoryStream: state must persist across micro-batches. */
+class StatefulSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("runningCount accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = Stateful.runningCount(input.toDS().groupByKey(_._1))
+    val q = counts.writeStream.format("memory").queryName("stateful_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("a", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_counts").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // batch 1 emits a->2, b->1; batch 2 emits a->3 (state carried)
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 1L)))
+      assert(rows.contains(("a", 3L)))
+    } finally q.stop()
+  }
+
+  test("highWaterMark emits only on new maxima") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val marks = Stateful.highWaterMark(input.toDS().groupByKey(_._1).mapValues(_._2))
+    val q = marks.writeStream.format("memory").queryName("hwm")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 5L))
+      q.processAllAvailable()
+      input.addData(("a", 3L)) // below the mark: no emission
+      q.processAllAvailable()
+      input.addData(("a", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("hwm").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq.sorted === Seq(("a", 5L), ("a", 9L)))
+    } finally q.stop()
+  }
+}
