@@ -22,7 +22,12 @@ object ExtendedQ {
     "q58_table_ddl" -> ((s, d) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
       s.sql("DROP TABLE IF EXISTS graft_lake.region_copy")
-      s.sql("CREATE TABLE graft_lake.region_copy (r_regionkey INT, r_name STRING) USING parquet")
+      // explicit fresh LOCATION: the session catalog is in-memory (no
+      // Hive metastore here), so a leftover warehouse dir from an
+      // earlier JVM would otherwise collide with CREATE
+      val loc = Files.createTempDirectory("graft-ddl").resolve("region_copy")
+      s.sql("CREATE TABLE graft_lake.region_copy (r_regionkey INT, r_name STRING) " +
+        s"USING parquet LOCATION '$loc'")
       Tables.region(s, d).write.mode("append").insertInto("graft_lake.region_copy")
       import s.implicits._
       Seq((99, "REGION_99")).toDF("r_regionkey", "r_name")

@@ -38,11 +38,22 @@ class ScaleSpec extends AnyFunSuite {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
     spark.sql("DROP TABLE IF EXISTS graft_lake.orders_b")
     spark.sql("DROP TABLE IF EXISTS graft_lake.customer_b")
+    // the session catalog is in-memory: physical leftovers from an
+    // earlier JVM must be cleared or CREATE sees a stale location
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("orders_b", "customer_b").foreach { t =>
+      val p = java.nio.file.Paths.get(wh, "graft_lake.db", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite")
       .format("parquet").saveAsTable("graft_lake.orders_b")
     Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite")
       .format("parquet").saveAsTable("graft_lake.customer_b")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
