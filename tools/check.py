@@ -9,14 +9,28 @@ shipped engine.
 
 Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [names...]
 """
-import json, subprocess, sys, math
+import argparse, json, re, subprocess, sys, math
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/graft_verify"
-SKIP = "--skip-verify" in sys.argv
-ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument("args", nargs="*",
+                help="[sfdir] [outdir] [query names...] in any order; "
+                     "names are recognized by the qNN_ prefix")
+_p.add_argument("--skip-verify", action="store_true")
+# parse_known_args: argparse stops filling nargs="*" at an interspersed
+# flag, so positionals after --skip-verify land in the remainder
+_args, _extra = _p.parse_known_args()
+_bad = [a for a in _extra if a.startswith("-")]
+if _bad:
+    _p.error(f"unrecognized flags: {_bad}")
+# a query name is a name wherever it appears, never a directory
+_pos = list(_args.args) + _extra
+ONLY = [a for a in _pos if re.match(r"^q\d+_", a)]
+_dirs = [a for a in _pos if not re.match(r"^q\d+_", a)]
+SF = _dirs[0] if len(_dirs) > 0 else "/root/testdata/sf0.01"
+OUT = _dirs[1] if len(_dirs) > 1 else "/tmp/graft_verify"
+SKIP = _args.skip_verify
 
 if not SKIP:
     r = subprocess.run(
@@ -45,7 +59,9 @@ for name in names:
     if list(a.columns) != list(b.columns):
         fails.append(name); print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}"); continue
     if [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
-        print(f"WARN {name}: dtypes {list(map(str, a.dtypes))} vs {list(map(str, b.dtypes))}")
+        fails.append(name)
+        print(f"FAIL {name}: dtypes {list(map(str, a.dtypes))} vs {list(map(str, b.dtypes))}")
+        continue
     if len(a) != len(b):
         fails.append(name); print(f"FAIL {name}: rows {len(a)} vs {len(b)}"); continue
     a = a.sort_values(by=list(a.columns), ignore_index=True)
@@ -53,10 +69,11 @@ for name in names:
     bad = None
     for c in a.columns:
         av, bv = a[c], b[c]
+        numeric = str(a[c].dtype) != "object"
         neq = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv))
                if x != y and not (isinstance(x, float) and isinstance(y, float)
                                   and math.isnan(x) and math.isnan(y))
-               and str(x) != str(y)]
+               and (numeric or str(x) != str(y))]
         if neq:
             bad = (c, neq[:3]); break
     if bad:
