@@ -20,7 +20,8 @@ object SparkEntry {
     (q.StreamingQ.queries, q.StreamingQ.oracles),
     (q.GridQ.queries, q.GridQ.oracles),
     (q.ParityQ.queries, q.ParityQ.oracles),
-    (q.ExtendedQ.queries, q.ExtendedQ.oracles)
+    (q.ExtendedQ.queries, q.ExtendedQ.oracles),
+    (q.SurfaceQ.queries, q.SurfaceQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,207 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Qx._
+import graft.Tables
+
+/** Additional engine surface beyond the reference inventory: zip join
+  * (J4 explicit), order statistics, numerically-deterministic moment
+  * aggregates, window frames, ntile, a JSON source round-trip, and
+  * partitioned-table writes (static partition overwrite + partition
+  * pruning) — the lake-maintenance operations a production pipeline
+  * leans on. */
+object SurfaceQ {
+
+  val queries: Map[String, Q] = Map(
+    // J4 — zip join: positional pairing of two per-row arrays
+    "q67_arrays_zip" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          posexplode(arrays_zip(
+            sequence(lit(1L), lit(4L)),
+            array((col("event_id") % 7).cast("long"), (col("user_id") % 5).cast("long"),
+              (col("event_id") % 3).cast("long"), (col("user_id") % 2).cast("long")))))
+        .select(col("event_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col.0").as("x"), col("col.1").as("y"))
+        .withColumn("prod", col("x") * col("y"))
+        .orderBy("event_id", "idx")),
+
+    // order statistic — median over integral doubles ((a+b)/2 is exact)
+    "q68_median" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // deterministic moments: mean/stddev from exact decimal sums, the
+    // final arithmetic a fixed double expression tree on both engines
+    // (a plain stddev() is partial-aggregation-order dependent)
+    "q69_exact_stats" -> ((s, d) => {
+      val dec = DecimalType(18, 2)
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("s1"),
+          sum(col("value").cast(dec) * col("value").cast(dec)).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast("double") / col("n")).as("mean"),
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)).as("sd"))
+        .orderBy("event_type")
+    }),
+
+    // window frame — running sum (exact cents, < 2^53 so the per-row
+    // decimal->double cast is exact in both engines)
+    "q70_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double")
+            .as("running"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // lead/lag — per-user deltas in exact cents
+    "q71_lag_delta" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val v = col("value").cast(DecimalType(18, 2))
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          (v - lag(v, 1).over(w)).cast("double").as("delta"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ntile quartiles over a bounded top-k subset (a global ntile is a
+    // single-reducer sort by construction — bound it first)
+    "q72_ntile" -> ((s, d) => {
+      val top = Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(1000)
+      val w = Window.orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      top.withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("tile")
+    }),
+
+    // JSON-lines source round-trip (engine completeness; doubles
+    // round-trip via shortest-repr text)
+    "q73_json_scan" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-json").resolve("events").toString
+      Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("event_id LONG, event_type STRING, value DOUBLE").json(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // partitioned table + static partition overwrite (the lake
+    // compaction/backfill primitive)
+    "q75_partition_overwrite" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
+      s.sql("DROP TABLE IF EXISTS graft_lake.part_events")
+      val loc = Files.createTempDirectory("graft-part").resolve("part_events")
+      s.sql("CREATE TABLE graft_lake.part_events " +
+        "(event_id BIGINT, value DOUBLE, event_type STRING) " +
+        s"USING parquet PARTITIONED BY (event_type) LOCATION '$loc'")
+      Tables.events(s, d).select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("append").insertInto("graft_lake.part_events")
+      // backfill one partition from the upstream source (overwriting a
+      // table from itself is rejected — correctly — by the analyzer)
+      Tables.events(s, d).createOrReplaceTempView("events_src")
+      s.sql("""INSERT OVERWRITE TABLE graft_lake.part_events
+              |PARTITION (event_type = 'click')
+              |SELECT event_id, value FROM events_src
+              |WHERE event_type = 'click' AND event_id < 100""".stripMargin)
+      s.table("graft_lake.part_events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // partitioned write + partition-pruned read (PartitionFilters in
+    // the scan; only the matching directory is read)
+    "q76_partition_pruning" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-prune").resolve("events").toString
+      Tables.events(s, d).select(col("event_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(col("n"), col("total"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q67_arrays_zip" ->
+      """SELECT event_id, idx,
+        |       CAST(idx AS BIGINT) AS x,
+        |       list_value(event_id % 7, user_id % 5, event_id % 3, user_id % 2)[CAST(idx AS INT)] AS y,
+        |       CAST(idx AS BIGINT) *
+        |       list_value(event_id % 7, user_id % 5, event_id % 3, user_id % 2)[CAST(idx AS INT)] AS prod
+        |FROM (
+        |  SELECT event_id, user_id, unnest(generate_series(1, 4)) AS idx
+        |  FROM events WHERE event_id < 2000
+        |) ORDER BY event_id, idx""".stripMargin,
+
+    "q68_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q69_exact_stats" ->
+      """SELECT event_type, n,
+        |       s1d / n AS mean,
+        |       sqrt((s2d - s1d * s1d / n) / (n - 1)) AS sd
+        |FROM (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1d,
+        |         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2d
+        |  FROM events GROUP BY event_type
+        |) ORDER BY event_type""".stripMargin,
+
+    "q70_running_sum" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY user_id ORDER BY event_id
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+
+    "q71_lag_delta" ->
+      """SELECT user_id, event_id,
+        |       CAST(CAST(value AS DECIMAL(18,2)) -
+        |            lag(CAST(value AS DECIMAL(18,2))) OVER (
+        |              PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS delta
+        |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin,
+
+    "q72_ntile" ->
+      s"""SELECT tile, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM (
+         |  SELECT o_totalprice,
+         |         CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS tile
+         |  FROM (
+         |    SELECT o_orderkey, o_totalprice FROM orders
+         |    ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000
+         |  )
+         |) GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "q73_json_scan" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q75_partition_overwrite" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events
+         |WHERE event_type <> 'click' OR event_id < 100
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_partition_pruning" ->
+      s"""SELECT COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_type = 'click'""".stripMargin
+  )
+}
