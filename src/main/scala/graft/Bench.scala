@@ -12,9 +12,23 @@ import java.nio.file.{Files, Paths}
   *    query must not look like a fast success);
   *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
   *    /root/repo/bench_out.json) because sbt prefixes stdout with
-  *    [info]/[error], which broke the driver's parse in round 1.
+  *    [info]/[error], which broke the driver's parse in round 1;
+  *  - the stdout line keeps per-query timings only for the HEADLINE
+  *    subset so the whole line stays well under the driver's ~2 KB
+  *    stdout-tail capture (round 2 printed all 75 timings → the line
+  *    start fell outside the tail → "parsed": null again). The full
+  *    per-query map always goes to the bench-out file.
   */
 object Bench {
+
+  /** Representative queries across the engine surface: relational agg +
+    * star join, text-mining flagship, dedup (exact + MinHash-LSH),
+    * similarity (brute force + IVF), streaming, grid reconstruction. */
+  val headline: Seq[String] = Seq(
+    "q09_pricing_summary", "q11_star_join", "q31_mining_collect",
+    "q33_exact_dedup", "q34_minhash_pairs", "q37_cosine_topk",
+    "q38_ivf_topk", "q42_stream_append", "q44_stream_window",
+    "q46_grid_cells", "q66_embed_neardup")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -36,14 +50,25 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errs,"sf":${jstr(sfDir)}}"""
-    println(line)
+    def line(rs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(rs)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"sf":${jstr(sfDir)}}"""
+    // stdout: headline subset only — must fit inside the driver's tail.
+    // Written straight to fd 1: sbt's non-forked run swaps System.out
+    // for its logger, so a plain println comes out "[info] {...}" —
+    // unparseable as JSON (this, plus line length, is what produced
+    // "parsed": null in rounds 1 and 2).
+    val short = line(results.filter(r => headline.contains(r._1)))
+    val fd1 = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    fd1.println(short)
+    println(short) // sbt-logged copy for humans reading the build log
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
+    try Files.writeString(Paths.get(out), line(results) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")
     spark.stop()

@@ -34,7 +34,7 @@ object StreamingQ {
     "q44_stream_window" -> ((s, d) =>
       MicroBatch.aggRun(s, d) { stream =>
         stream
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .count()

@@ -101,6 +101,19 @@ object SurfaceQ {
         .orderBy("event_type")
     }),
 
+    // events.ts daily rollup — pins the ns→µs floor conversion
+    // (Tables.nsToUs) against the oracle: the formatted max(ts) hashes
+    // the exact microsecond value, not just the date bucket (ADVICE r2)
+    "q74_events_daily" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("users"), col("last_ts"))
+        .orderBy("day")),
+
     // partitioned table + static partition overwrite (the lake
     // compaction/backfill primitive)
     "q75_partition_overwrite" -> ((s, d) => {
@@ -193,6 +206,13 @@ object SurfaceQ {
     "q73_json_scan" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q74_events_daily" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT user_id) AS users,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q75_partition_overwrite" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
