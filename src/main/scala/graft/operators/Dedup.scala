@@ -30,8 +30,11 @@ object Dedup {
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Word n-gram shingles per doc WITH duplicates: (doc_id, shingle).
+    * No shuffle — a pure explode the downstream aggregation consumes
+    * map-side. Min/bottom-k style consumers are duplicate-insensitive
+    * and should use this form. */
+  def shinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     val lambda = (1 to n).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
     docs
       .withColumn("ws", split(col("text"), " "))
@@ -39,17 +42,32 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> $lambda)"))
           .as("shingle"))
-      .distinct()
   }
 
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). Needed
+    * only by set-semantics consumers (exact Jaccard); costs a full
+    * shuffle of the exploded relation. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesRaw(docs, n).distinct()
+
+  /** Seed i's hash: an 8-hex-char (32-bit) slice of the md5 shared by
+    * seeds 4*(i/4)..4*(i/4)+3 — k seeds cost ceil(k/4) distinct md5s
+    * per shingle (the repeated md5 calls collapse via subexpression
+    * elimination / codegen CSE). */
+  private def seedSlice(i: Int): Column =
+    substring(md5(concat(col("shingle"), lit(s"#${i / 4}"))), (i % 4) * 8 + 1, 8)
+
   /** k-seed MinHash signature, one row per doc with columns h0..h{k-1}.
-    * Seed i's hash of a shingle is md5(shingle || '#i'); the signature
-    * element is the min hex string. Computed as k conditional `min`
-    * aggregates in ONE groupBy — single shuffle, partial agg on the map
-    * side. */
+    * Seed i's hash of a shingle is an 8-hex-char slice of
+    * md5(shingle || '#<i/4>') — 4 seeds per md5, so the map-side CPU is
+    * 4x cheaper than one md5 per seed; a string `min` over uniform hex
+    * slices is still order-isomorphic to a numeric minhash, and the
+    * derivation is bit-reproducible in DuckDB. Computed as k `min`
+    * aggregates in ONE groupBy — partial agg on the map side, so the
+    * input may contain duplicate shingles (shinglesRaw) without a
+    * distinct shuffle: duplicates never change a min. */
   def minhashSignature(sh: DataFrame, k: Int = 12): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"h$i"))
+    val aggs = (0 until k).map(i => min(seedSlice(i)).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -117,7 +135,10 @@ object Dedup {
     val sh = if (cacheShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val cands = candidatePairs(lshBands(minhashSignature(sh, k), bands, rows))
+    // signature path: RAW shingles — min-agg is duplicate-insensitive,
+    // so the explode feeds partial map-side aggregation directly and the
+    // distinct shuffle stays off the LSH critical path entirely
+    val cands = candidatePairs(lshBands(minhashSignature(shinglesRaw(docs, n), k), bands, rows))
     jaccardVerify(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 

@@ -52,38 +52,67 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), col("cosine"))
   }
 
-  private def score(q: DataFrame, c: DataFrame, joinOnLabel: Boolean): DataFrame = {
-    val nq = norms(q).select(col("vec_id").as("query_id"), col("norm2").as("qn"))
-    val nc = norms(c).select(col("vec_id").as("cand_id"), col("norm2").as("cn"))
-    val cond =
-      if (joinOnLabel)
-        col("q.pos") === col("c.pos") && col("q.label") === col("c.label")
-      else col("q.pos") === col("c.pos")
-    val dots = broadcast(q.alias("q"))
-      .join(c.alias("c"), cond && col("q.vec_id") =!= col("c.vec_id"))
-      .groupBy(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+  /** Float prescreen: per query, the top (k + slack) candidate ids by
+    * the codegen'd native `cosine_similarity` loop over the raw array
+    * columns — one fused float pass per (query, candidate), no row
+    * explosion, queries broadcast, and `WindowGroupLimit` prunes to
+    * k + slack per query before the rank shuffle. Float error is
+    * ~1e-7 per cosine; `slack` survivors go to the exact rescore, so a
+    * true top-k member is lost only if > slack candidates sit within
+    * float error of the k-th cosine — with real embeddings the
+    * neighbor-gap is orders of magnitude wider. */
+  private def prescreen(emb: DataFrame, queryPred: DataFrame => DataFrame,
+                        joinOnLabel: Boolean, keep: Int): DataFrame = {
+    val cond0 = col("q.vec_id") =!= col("c.vec_id")
+    val cond = if (joinOnLabel) cond0 && col("q.label") === col("c.label") else cond0
+    val pre = broadcast(queryPred(emb).alias("q"))
+      .join(emb.alias("c"), cond)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
+        expr("cosine_similarity(q.embedding, c.embedding)").as("fcos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("fcos"), asc("cand_id"))
+    pre.withColumn("prerank", row_number().over(w))
+      .filter(col("prerank") <= keep)
+      .select(col("query_id"), col("cand_id"))
+  }
+
+  /** Decimal-exact cosine for the given (query_id, cand_id) pairs.
+    * Only the vectors that survive the prescreen are exploded — the
+    * exact path costs O(pairs x dim), not O(|queries| x |corpus| x
+    * dim). */
+  private def exactScore(pairs: DataFrame, emb: DataFrame): DataFrame = {
+    val ids = pairs.select(col("query_id").as("vec_id"))
+      .union(pairs.select(col("cand_id").as("vec_id"))).distinct()
+    val ex = exploded(emb.join(broadcast(ids), "vec_id"))
+    val nrm = norms(ex)
+    val dots = broadcast(pairs.alias("p"))
+      .join(ex.alias("q"), col("p.query_id") === col("q.vec_id"))
+      .join(ex.alias("c"),
+        col("p.cand_id") === col("c.vec_id") && col("q.pos") === col("c.pos"))
+      .groupBy(col("p.query_id").as("query_id"), col("p.cand_id").as("cand_id"))
       .agg(sum(col("q.x") * col("c.x")).as("dot"))
     dots
-      .join(broadcast(nq), "query_id")
-      .join(nc, "cand_id")
+      .join(broadcast(nrm.select(col("vec_id"), col("norm2").as("qn"))),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(broadcast(nrm.select(col("vec_id"), col("norm2").as("cn"))),
+        col("cand_id") === col("vec_id")).drop("vec_id")
       .select(col("query_id"), col("cand_id"),
         (col("dot").cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
           .as("cosine"))
   }
 
-  /** Brute-force exact cosine top-k for the given query vec_ids. */
-  def cosineTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int): DataFrame = {
-    val ex = exploded(emb)
-    topK(score(queryPred(ex), ex, joinOnLabel = false), k)
-  }
+  /** Exact cosine top-k for the given query vec_ids: float prescreen
+    * over the whole corpus, decimal-exact rescore + rank of the
+    * survivors. */
+  def cosineTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+                 slack: Int = 20): DataFrame =
+    topK(exactScore(prescreen(emb, queryPred, joinOnLabel = false, k + slack), emb), k)
 
   /** IVF-style probe: score only candidates in the query's coarse
     * cluster (`label`). */
-  def ivfTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int): DataFrame = {
-    val ex = exploded(emb)
-    topK(score(queryPred(ex), ex, joinOnLabel = true), k)
-  }
+  def ivfTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+              slack: Int = 20): DataFrame =
+    topK(exactScore(prescreen(emb, queryPred, joinOnLabel = true, k + slack), emb), k)
 
   /** Embedding-cosine near-dup pairs (the dedup-by-embedding flavor):
     * all unordered pairs within the same coarse bucket whose exact

@@ -45,9 +45,13 @@ object DedupQ {
        |  )
        |)""".stripMargin
 
+  // seed i = 8-hex-char slice of the md5 shared by the 4 seeds in its
+  // group — mirrors Dedup.seedSlice exactly
   private val seedIdx = 0 until 12
   private val sigColsSql =
-    seedIdx.map(i => s"min(md5(shingle || '#$i')) AS h$i").mkString(",\n         ")
+    seedIdx.map(i =>
+      s"min(substring(md5(shingle || '#${i / 4}'), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(",\n         ")
   private val bandSelectsSql = (0 until 4).map { b =>
     val parts = (0 until 3).map(r => s"h${b * 3 + r}").mkString(" || ")
     s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sigs"

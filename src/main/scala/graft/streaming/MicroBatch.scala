@@ -76,19 +76,30 @@ object MicroBatch {
     * run `agg` (typically watermark + window groupBy) over the staged
     * stream into a complete-mode memory sink and return the final
     * table. */
-  def aggRun(spark: SparkSession, sfDir: String)(
+  def aggRun(spark: SparkSession, sfDir: String,
+             statePartitions: Int = 8)(
       agg: DataFrame => DataFrame): DataFrame = {
     val in = stageEvents(sfDir)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val name = s"graft_stream_agg_${runId.incrementAndGet()}"
-    val q = agg(fileSource(spark, in)).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // One state store instance is created, committed, and checkpointed
+    // per shuffle partition every micro-batch; for a windowed agg whose
+    // state is small the store count should track state size, not CPU
+    // count (the session default of one-per-core is a batch-shuffle
+    // setting). The partition count is pinned into the checkpoint at
+    // first run, so set it only for the stream's lifetime.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = agg(fileSource(spark, in)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
