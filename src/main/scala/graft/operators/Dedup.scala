@@ -162,6 +162,51 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
+  /** Positioned k-gram hashes: (doc_id, pos, h) with pos 1-based and
+    * h an 8-hex-char slice of the gram's md5 — the hash stream a
+    * winnowing fingerprint selects from. */
+  def gramHashes(docs: DataFrame, k: Int = 4): DataFrame = {
+    val lambda = (1 to k).map(j => s"element_at(ws, i + ${j - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(ws) - ${k - 1}), i -> $lambda)")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        substring(md5(col("col")), 1, 8).as("h"))
+  }
+
+  /** Winnowing fingerprint (the MOSS scheme, Schleimer et al. 2003):
+    * slide a w-window over the k-gram hash stream and keep each
+    * window's minimum hash — guaranteeing any match of length
+    * >= w+k-1 shares a fingerprint, with an expected density of
+    * 2/(w+1). Selection is defined relationally so both engines agree
+    * bit-for-bit: per window start s, the selected gram is the
+    * LOWEST POSITION attaining the window minimum; the fingerprint
+    * set is the distinct (pos, hash) selections.
+    *
+    * Plan shape: one window-frame min per gram (no shuffle beyond the
+    * doc_id partitioning), then a doc_id-equi band join to resolve the
+    * argmin — co-partitioned by doc at scale, never cross-doc. */
+  def winnowFingerprint(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = gramHashes(docs, k)
+    val fw = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val wins = grams
+      .withColumn("np", count(lit(1)).over(fw))
+      .withColumn("wmin", min(col("h")).over(fw))
+      .filter(col("np") === w) // full windows only
+      .select(col("doc_id"), col("pos").as("s"), col("wmin"))
+    wins.alias("w")
+      .join(grams.alias("g"),
+        col("g.doc_id") === col("w.doc_id") &&
+          col("g.pos").between(col("w.s"), col("w.s") + (w - 1)) &&
+          col("g.h") === col("w.wmin"))
+      .groupBy(col("w.doc_id").as("doc_id"), col("w.s").as("s"))
+      .agg(min(col("g.pos")).as("fp_pos"), min(col("w.wmin")).as("h"))
+      .select(col("doc_id"), col("fp_pos"), col("h"))
+      .distinct()
+  }
+
   /** Bottom-k sketch fingerprint: md5 of the k lexicographically
     * smallest shingle hashes. `WindowGroupLimit` prunes to k per doc
     * before the final shuffle. */

@@ -114,6 +114,16 @@ object Similarity {
               slack: Int = 20): DataFrame =
     topK(exactScore(prescreen(emb, queryPred, joinOnLabel = true, k + slack), emb), k)
 
+  /** Int8-style quantization of the embedding column: symmetric scale,
+    * floor(x*scale + 0.5) rounding (floor is bit-identical across
+    * engines, unlike round's half-even/half-up divergence), clamped to
+    * [-127, 127]. At 100 TB this is the memory/bandwidth lever for ANN:
+    * 4 bytes/dim float32 -> 1 byte/dim, integer-exact dot products. */
+  def quantize(emb: DataFrame, scale: Double = 64.0): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      expr(s"transform(embedding, x -> CAST(greatest(-127.0D, least(127.0D, " +
+        s"floor(CAST(x AS DOUBLE) * ${scale}D + 0.5D))) AS BIGINT))").as("qv"))
+
   /** Embedding-cosine near-dup pairs (the dedup-by-embedding flavor):
     * all unordered pairs within the same coarse bucket whose exact
     * cosine clears `minCosine`. Two stages:

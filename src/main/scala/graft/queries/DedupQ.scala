@@ -82,7 +82,32 @@ object DedupQ {
     "q36_bottomk_sketch" -> ((s, d) =>
       Dedup.bottomKSketch(
         Dedup.shingles(Tables.documents(s, d).filter(col("doc_id") < 200)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Winnowing (rolling-hash) fingerprint per doc: count + digest of
+    // the selected (pos, hash) set
+    "q77_winnow_fingerprint" -> ((s, d) =>
+      Dedup.winnowFingerprint(Tables.documents(s, d).filter(col("doc_id") < 300))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          md5(concat_ws(",",
+            array_sort(collect_list(concat(col("h"), lit(":"), col("fp_pos").cast("string"))))))
+            .as("digest"))
+        .orderBy("doc_id")),
+
+    // Standalone pairwise n-gram Jaccard (doc i vs doc i+100): the
+    // exact set-similarity measure, without the LSH candidate stage
+    "q78_ngram_jaccard" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val pairs = base.alias("a")
+        .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") + 100)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      Dedup.jaccardVerify(pairs, Dedup.shingles(base))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +186,69 @@ object DedupQ {
         |  FROM (SELECT doc_id, md5(shingle) AS h FROM shingles)
         |)
         |SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS sketch
-        |FROM ranked WHERE rn <= 8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ranked WHERE rn <= 8 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // winnowing: per window start s (full windows only), select the
+    // lowest position attaining the window min; distinct selections
+    "q77_winnow_fingerprint" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos,
+        |         substring(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8) AS h
+        |  FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |          FROM documents WHERE doc_id < 300)
+        |    WHERE len(ws) >= 4
+        |  )
+        |),
+        |wins AS (
+        |  SELECT doc_id, pos AS s,
+        |         min(h)   OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |         count(*) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS np
+        |  FROM grams
+        |),
+        |sel AS (
+        |  SELECT w.doc_id AS doc_id, w.s AS s, min(g.pos) AS fp_pos, min(w.wmin) AS h
+        |  FROM (SELECT * FROM wins WHERE np = 4) w
+        |  JOIN grams g ON g.doc_id = w.doc_id
+        |              AND g.pos BETWEEN w.s AND w.s + 3
+        |              AND g.h = w.wmin
+        |  GROUP BY w.doc_id, w.s
+        |),
+        |fps AS (SELECT DISTINCT doc_id, fp_pos, h FROM sel)
+        |SELECT doc_id, count(*) AS n_fp,
+        |       md5(string_agg(h || ':' || CAST(fp_pos AS VARCHAR), ','
+        |             ORDER BY h || ':' || CAST(fp_pos AS VARCHAR))) AS digest
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q78_ngram_jaccard" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base)
+        |    WHERE len(ws) >= 3
+        |  )
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 100
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN shingles sa ON p.doc_a = sa.doc_id
+        |  JOIN shingles sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        |  GROUP BY p.doc_a, p.doc_b
+        |)
+        |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, za.n AS n_a, zb.n AS n_b,
+        |       i.n_inter AS n_inter,
+        |       i.n_inter / (za.n + zb.n - i.n_inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON i.doc_a = za.doc_id
+        |JOIN sizes zb ON i.doc_b = zb.doc_id
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin
   )
 }

@@ -59,7 +59,18 @@ object SimilarityQ {
     // embedding-cosine near-dup pairs, bucketed by coarse cluster
     "q66_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.3)
-        .orderBy("vec_a", "vec_b"))
+        .orderBy("vec_a", "vec_b")),
+
+    // Int8 quantization + integer-exact dot products between
+    // consecutive vectors (HOF zip_with/aggregate — no explode)
+    "q79_embed_quantize" -> ((s, d) => {
+      val q8 = Similarity.quantize(Tables.embeddings(s, d).filter(col("vec_id") < 300))
+      q8.alias("a").join(q8.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(col("a.vec_id").as("vec_id"),
+          expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("qdot"),
+          expr("aggregate(a.qv, 0L, (acc, v) -> acc + v * v)").as("qnorm2"))
+        .orderBy("vec_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +99,23 @@ object SimilarityQ {
         |  FROM dots d
         |  JOIN norms na ON d.vec_a = na.vec_id
         |  JOIN norms nb ON d.vec_b = nb.vec_id
-        |) WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+        |) WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q79_embed_quantize" ->
+      """WITH q8 AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(greatest(-127.0, least(127.0,
+        |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 300
+        |),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, a.qv AS qa, b.qv AS qb
+        |  FROM q8 a JOIN q8 b ON b.vec_id = a.vec_id + 1
+        |),
+        |ex AS (SELECT vec_id, qa, qb, unnest(generate_series(1, len(qa))) AS i FROM pairs)
+        |SELECT vec_id,
+        |       CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS qdot,
+        |       CAST(SUM(qa[i] * qa[i]) AS BIGINT) AS qnorm2
+        |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

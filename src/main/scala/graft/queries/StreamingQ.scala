@@ -41,7 +41,49 @@ object StreamingQ {
       }
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("count").as("n"))
-        .orderBy("day", "event_type"))
+        .orderBy("day", "event_type")),
+
+    // Streaming dedup under an at-least-once source: the landing dir
+    // holds TWO copies of every record, maxFilesPerTrigger=1 forces the
+    // redelivery into a LATER micro-batch, and
+    // dropDuplicatesWithinWatermark's cross-batch state (plus the
+    // watermark's late-row drop) must reduce the sink to exactly one
+    // row per event_id — the oracle is the plain batch table.
+    "q80_stream_dedup" -> ((s, d) =>
+      MicroBatch.appendRun(s, d, copies = 2, maxFilesPerTrigger = Some(1),
+        statePartitions = Some(8)) { stream =>
+        stream
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("ts", "2 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_type"), col("value"))
+      }
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")),
+
+    // Stream-stream inner join: two unbounded sources, both
+    // watermarked, equi-join on event_id with an event-time range
+    // bound (the state-retention contract) — every event matches
+    // exactly its own redelivery-free counterpart.
+    "q81_stream_stream_join" -> ((s, d) =>
+      MicroBatch.joinRun(s, d) { (left, right) =>
+        val a = left
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val b = right
+          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("b_ts", "1 hour")
+          .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+        a.join(b,
+          col("event_id") === col("b_id") &&
+            col("b_ts").between(
+              col("ts") - expr("INTERVAL 1 MINUTE"),
+              col("ts") + expr("INTERVAL 1 MINUTE")))
+          .select(col("event_id"), col("event_type"), col("value"))
+      }
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,6 +94,11 @@ object StreamingQ {
     "q44_stream_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |       count(*) AS n
-        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q80_stream_dedup" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q81_stream_stream_join" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id"
   )
 }

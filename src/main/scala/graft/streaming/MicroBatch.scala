@@ -39,36 +39,87 @@ object MicroBatch {
 
   private val runId = new AtomicInteger(0)
 
-  /** Stage the events table into a fresh landing directory — the file
-    * source's analog of "messages currently in the topic". */
-  def stageEvents(sfDir: String): Path = {
+  /** Stage `copies` copies of the events table into a fresh landing
+    * directory — the file source's analog of "messages currently in the
+    * topic". copies > 1 models an at-least-once upstream that
+    * redelivers the same records. */
+  def stageEvents(sfDir: String, copies: Int = 1): Path = {
     val in = Files.createTempDirectory("graft-stream-in")
-    Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve("events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    (1 to copies).foreach { i =>
+      Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve(s"events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     in
   }
 
-  /** Unbounded read over the landing dir (T1 source stage). */
-  def fileSource(spark: SparkSession, inDir: Path): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(inDir.toString)
+  /** Unbounded read over the landing dir (T1 source stage).
+    * maxFilesPerTrigger splits the drain into multiple micro-batches —
+    * needed to genuinely exercise cross-batch state. */
+  def fileSource(spark: SparkSession, inDir: Path,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(inDir.toString)
+  }
+
+  /** Run `body` with spark.sql.shuffle.partitions pinned to `n` (state
+    * store instances are one-per-shuffle-partition-per-batch; for small
+    * streaming state the count should track state size, not cores). */
+  private def withStatePartitions[T](spark: SparkSession, n: Option[Int])(body: => T): T =
+    n match {
+      case None => body
+      case Some(p) =>
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** T1+T2: run `transform` over the staged events stream, append each
     * micro-batch to a parquet sink via foreachBatch, drain with
-    * AvailableNow, and return the sink's final contents. */
-  def appendRun(spark: SparkSession, sfDir: String)(
+    * AvailableNow, and return the sink's final contents. Pass
+    * statePartitions when the transform is stateful (dedup, join). */
+  def appendRun(spark: SparkSession, sfDir: String, copies: Int = 1,
+                maxFilesPerTrigger: Option[Int] = None,
+                statePartitions: Option[Int] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
+    val in = stageEvents(sfDir, copies)
+    val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out.toString)
+    withStatePartitions(spark, statePartitions) {
+      val q = transform(fileSource(spark, in, maxFilesPerTrigger)).writeStream
+        .foreachBatch(writeBatch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString)
+  }
+
+  /** Stream-stream inner join (engine extension per SURVEY §2.9): two
+    * independent unbounded sources over the same landing dir, each
+    * watermarked by the caller, joined with an equi + event-time-range
+    * condition, drained through a foreachBatch append sink. */
+  def joinRun(spark: SparkSession, sfDir: String,
+              statePartitions: Option[Int] = Some(8))(
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val in = stageEvents(sfDir)
     val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch: (Dataset[Row], Long) => Unit =
       (batch, _) => batch.write.mode("append").parquet(out.toString)
-    val q = transform(fileSource(spark, in)).writeStream
-      .foreachBatch(writeBatch)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = join(fileSource(spark, in), fileSource(spark, in)).writeStream
+        .foreachBatch(writeBatch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out.toString)
   }
 
@@ -82,15 +133,7 @@ object MicroBatch {
     val in = stageEvents(sfDir)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val name = s"graft_stream_agg_${runId.incrementAndGet()}"
-    // One state store instance is created, committed, and checkpointed
-    // per shuffle partition every micro-batch; for a windowed agg whose
-    // state is small the store count should track state size, not CPU
-    // count (the session default of one-per-core is a batch-shuffle
-    // setting). The partition count is pinned into the checkpoint at
-    // first run, so set it only for the stream's lifetime.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
+    withStatePartitions(spark, Some(statePartitions)) {
       val q = agg(fileSource(spark, in)).writeStream
         .format("memory")
         .queryName(name)
@@ -99,7 +142,7 @@ object MicroBatch {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 }

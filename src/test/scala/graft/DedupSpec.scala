@@ -56,4 +56,32 @@ class DedupSpec extends AnyFunSuite {
     assert(sk(1L) === sk(2L))
     assert(sk(1L) !== sk(4L))
   }
+
+  private val longDoc = Seq(
+    (10L, (1 to 40).map(i => s"w${i % 17}").mkString(" ")),
+    (11L, (1 to 40).map(i => s"w${i % 17}").mkString(" "))) // identical
+    .toDF("doc_id", "text")
+
+  test("winnowing guarantee: every full w-window contains a fingerprint") {
+    val k = 4; val w = 4
+    val nGrams = 40 - k + 1
+    val fps = Dedup.winnowFingerprint(longDoc, k, w)
+      .filter(col("doc_id") === 10L)
+      .select("fp_pos").collect().map(_.getInt(0)).toSet
+    assert(fps.forall(p => p >= 1 && p <= nGrams))
+    // the Schleimer et al. coverage invariant: each window of w
+    // consecutive gram positions holds at least one selected gram
+    (1 to nGrams - w + 1).foreach { s =>
+      assert((s until s + w).exists(fps.contains),
+        s"window starting at $s has no fingerprint")
+    }
+  }
+
+  test("winnowing fingerprints are equal for identical docs") {
+    val by = Dedup.winnowFingerprint(longDoc).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
+    assert(by(10L) === by(11L))
+    assert(by(10L).nonEmpty)
+  }
 }

@@ -31,4 +31,14 @@ class SimilaritySpec extends AnyFunSuite {
       .select("cand_id").as[Long].collect()
     assert(out.toSet === Set(1L, 2L)) // label 0 only; vec 3 is in bucket 1
   }
+
+  test("int8 quantization: floor(x*scale + 0.5) rounding with clamps") {
+    val one = Seq((1L, Seq(0.5f, -3.0f, 0.01f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val qv = Similarity.quantize(one, scale = 64.0)
+      .select("qv").as[Seq[Long]].head()
+    // 0.5*64+0.5=32.5 -> 32; -3*64 clamps to -127; 0.01f*64+0.5~1.14 -> 1;
+    // 5*64 clamps to 127
+    assert(qv === Seq(32L, -127L, 1L, 127L))
+  }
 }

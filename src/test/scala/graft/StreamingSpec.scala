@@ -39,4 +39,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length > 0)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("stream dedup collapses an at-least-once redelivery to the batch table") {
+    val streamed = MicroBatch.appendRun(spark, sf, copies = 2,
+      maxFilesPerTrigger = Some(1), statePartitions = Some(4)) { s =>
+      s.withColumn("ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"))
+    }
+    val n = Tables.events(spark, sf).count()
+    assert(streamed.count() === n) // one row per event despite 2 deliveries
+    assert(streamed.distinct().count() === n)
+  }
+
+  test("stream-stream time-bounded self join matches every event once") {
+    val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
+      val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val b = r.withColumn("b_ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("b_ts", "1 hour")
+        .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+      a.join(b, col("event_id") === col("b_id") &&
+        col("b_ts").between(col("ts") - expr("INTERVAL 1 MINUTE"),
+          col("ts") + expr("INTERVAL 1 MINUTE")))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }
+    val batch = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    assert(joined.count() === batch.count())
+    assert(joined.orderBy("event_id").collect().toSeq ===
+      batch.orderBy("event_id").collect().toSeq)
+  }
 }
