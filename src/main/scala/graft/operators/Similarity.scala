@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -113,6 +113,30 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
               slack: Int = 20): DataFrame =
     topK(exactScore(prescreen(emb, queryPred, joinOnLabel = true, k + slack), emb), k)
+
+  /** Sign-bit LSH bucket key: the first `bits` dimensions' signs as a
+    * bit string. A cosine-LSH family (each coordinate axis is a
+    * hyperplane); vectors in the same bucket agree on `bits` sign
+    * tests, so near-parallel vectors collide with high probability.
+    * Deterministic and engine-portable — no RNG. */
+  def signBucket(bits: Int = 16): Column =
+    expr(s"concat_ws('', transform(slice(embedding, 1, $bits), " +
+      "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))")
+
+  /** LSH-bucketed ANN: candidates share the query's sign-bit bucket
+    * (a groupBy-shaped equi-join — the corpus is hash-partitioned by
+    * bucket, never all-pairs), then the few survivors get the
+    * decimal-exact rescore + rank. Complements [[ivfTopK]] (coarse
+    * labels) with a self-deriving bucket function. */
+  def lshTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+              bits: Int = 16): DataFrame = {
+    val withB = emb.withColumn("bucket", signBucket(bits))
+    val pairs = broadcast(queryPred(withB).alias("q"))
+      .join(withB.alias("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+    topK(exactScore(pairs, emb), k)
+  }
 
   /** Int8-style quantization of the embedding column: symmetric scale,
     * floor(x*scale + 0.5) rounding (floor is bit-identical across

@@ -61,6 +61,13 @@ object SimilarityQ {
       Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.3)
         .orderBy("vec_a", "vec_b")),
 
+    // Sign-bit LSH-bucketed ANN: bucket equi-join + exact rescore,
+    // top-3 per query among same-bucket candidates
+    "q82_lsh_ann" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 100),
+        k = 3, bits = 6)
+        .orderBy("query_id", "rank")),
+
     // Int8 quantization + integer-exact dot products between
     // consecutive vectors (HOF zip_with/aggregate — no explode)
     "q79_embed_quantize" -> ((s, d) => {
@@ -100,6 +107,47 @@ object SimilarityQ {
         |  JOIN norms na ON d.vec_a = na.vec_id
         |  JOIN norms nb ON d.vec_b = nb.vec_id
         |) WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q82_lsh_ann" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |),
+        |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+        |b AS (
+        |  SELECT vec_id,
+        |         array_to_string(list_transform(embedding[1:6],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings
+        |),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 100
+        |),
+        |dots AS (
+        |  SELECT p.query_id AS query_id, p.cand_id AS cand_id, sum(q.x * c.x) AS dot
+        |  FROM pairs p
+        |  JOIN ex q ON p.query_id = q.vec_id
+        |  JOIN ex c ON p.cand_id = c.vec_id AND q.pos = c.pos
+        |  GROUP BY p.query_id, p.cand_id
+        |),
+        |scored AS (
+        |  SELECT d.query_id AS query_id, d.cand_id AS cand_id,
+        |         CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+        |         (sqrt(CAST(CAST(nq.norm2 AS VARCHAR) AS DOUBLE)) *
+        |          sqrt(CAST(CAST(nc.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+        |  FROM dots d
+        |  JOIN norms nq ON d.query_id = nq.vec_id
+        |  JOIN norms nc ON d.cand_id = nc.vec_id
+        |)
+        |SELECT query_id, rank, cand_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q79_embed_quantize" ->
       """WITH q8 AS (

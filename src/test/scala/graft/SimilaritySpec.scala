@@ -32,6 +32,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSet === Set(1L, 2L)) // label 0 only; vec 3 is in bucket 1
   }
 
+  test("sign-bit LSH only scores same-bucket candidates") {
+    // signs of the first 2 dims: vecs 0,1,2 -> "11" (0 counts as +);
+    // vec 3 -> "01" lands in its own bucket
+    val out = Similarity.lshTopK(emb, _.filter(col("vec_id") === 0), 10, bits = 2)
+      .select("cand_id").as[Long].collect()
+    assert(out.toSet === Set(1L, 2L))
+  }
+
   test("int8 quantization: floor(x*scale + 0.5) rounding with clamps") {
     val one = Seq((1L, Seq(0.5f, -3.0f, 0.01f, 5.0f), 0))
       .toDF("vec_id", "embedding", "label")
