@@ -21,7 +21,8 @@ object SparkEntry {
     (q.GridQ.queries, q.GridQ.oracles),
     (q.ParityQ.queries, q.ParityQ.oracles),
     (q.ExtendedQ.queries, q.ExtendedQ.oracles),
-    (q.SurfaceQ.queries, q.SurfaceQ.oracles)
+    (q.SurfaceQ.queries, q.SurfaceQ.oracles),
+    (q.CorpusQ.queries, q.CorpusQ.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators (builder north-star: the ops a
+  * large-scale LLM data pipeline runs between raw documents and
+  * training shards).
+  *
+  * Scale design:
+  *  - Split assignment is a pure map over a content-independent hash —
+  *    no shuffle, stable under re-partitioning and re-runs, and the
+  *    same document always lands in the same split on any cluster.
+  *  - Shard packing is one window pass (running token sum) — a single
+  *    shuffle on the ordering key.
+  *  - Decontamination is a bucketed semi-join on shingles — pair count
+  *    scales with actual n-gram collisions, never |train| x |bench|.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment from a hash of the
+    * document id. The first two hex chars of md5 partition [0,256) by
+    * lexicographic range: < 'cd' (0..204) → train (~80%), < 'e6'
+    * (205..229) → val (~10%), rest → test. Hex-string comparison is
+    * engine-portable; no RNG, no shuffle. */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    docs.withColumn("split",
+      when(h < "cd", lit("train")).when(h < "e6", lit("val")).otherwise(lit("test")))
+  }
+
+  /** Concat-then-chunk shard packing (the fixed-context pretraining
+    * layout): documents are laid head-to-tail in `orderCol` order and
+    * the stream is cut every `budget` tokens; a document's shard is
+    * the chunk its first token falls in.
+    *
+    * The global prefix sum is computed as a distributed scan, NOT a
+    * single global window (which would funnel the corpus through one
+    * partition): a coarse `orderCol div bucketSize` bucket gives (1) a
+    * parallel within-bucket running-sum window and (2) a tiny
+    * per-bucket totals relation whose own running sum is each bucket's
+    * starting offset, broadcast back. Identical result to the global
+    * cumsum at any parallelism. */
+  def shardPack(docs: DataFrame, budget: Long, orderCol: String = "doc_id",
+                bucketSize: Long = 1000L): DataFrame = {
+    val sized = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", floor(col(orderCol) / bucketSize))
+    val inBucket = Window.partitionBy("bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bucketTotals = sized.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val overBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("bucket_off",
+        coalesce(sum(col("bucket_tokens")).over(overBuckets), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
+    sized
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start_off",
+        col("bucket_off") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+      .withColumn("shard_id", floor(col("start_off") / budget))
+      .drop("bucket", "bucket_off")
+  }
+
+  /** Distinct word n-gram shingles, reused from the dedup stack. */
+  private def sh(docs: DataFrame, n: Int): DataFrame = Dedup.shingles(docs, n)
+
+  /** Benchmark decontamination: for each training document, the number
+    * of benchmark documents it shares at least one n-gram with (GPT-3
+    * style n-gram collision check). The shingle equi-join buckets by
+    * n-gram content; only colliding grams ever meet. */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 8): DataFrame =
+    sh(train, n).alias("t")
+      .join(sh(bench, n).alias("b"), col("t.shingle") === col("b.shingle"))
+      .groupBy(col("t.doc_id").as("doc_id"))
+      .agg(countDistinct(col("b.doc_id")).as("n_bench_hits"),
+        countDistinct(col("t.shingle")).as("n_shared_grams"))
+}

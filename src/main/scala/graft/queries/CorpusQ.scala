@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Qx._
+import graft.Tables
+import graft.operators.Corpus
+
+/** Training-corpus preparation queries (north-star LLM-pipeline ops):
+  * deterministic split assignment, concat-then-chunk shard packing,
+  * and benchmark decontamination. */
+object CorpusQ {
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic hash split: ~80/10/10 train/val/test from the
+    // md5 of the doc id — no RNG, no shuffle, stable across re-runs
+    "q83_hash_split" -> ((s, d) =>
+      Corpus.splitAssign(Tables.documents(s, d))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("checksum"))
+        .orderBy("split")),
+
+    // Concat-then-chunk shard packing at a 2048-token budget; the
+    // global prefix sum runs as a distributed two-level scan
+    "q85_shard_pack" -> ((s, d) =>
+      Corpus.shardPack(Tables.documents(s, d), budget = 2048L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("shard_id")),
+
+    // GPT-3-style decontamination: training docs sharing any 4-gram
+    // with the benchmark slice, with hit counts
+    "q86_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Corpus.contamination(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
+        docs.filter(col("doc_id") < 20), n = 4)
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q83_hash_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS checksum
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "q85_shard_pack" ->
+      """WITH sized AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |              - n_tokens AS BIGINT) AS start_off
+        |  FROM sized
+        |)
+        |SELECT CAST(floor(start_off / 2048) AS BIGINT) AS shard_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    "q86_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+        |  FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 4
+        |  )
+        |),
+        |t AS (SELECT * FROM sh WHERE doc_id >= 100 AND doc_id < 400),
+        |b AS (SELECT * FROM sh WHERE doc_id < 20)
+        |SELECT t.doc_id AS doc_id,
+        |       COUNT(DISTINCT b.doc_id) AS n_bench_hits,
+        |       COUNT(DISTINCT t.shingle) AS n_shared_grams
+        |FROM t JOIN b ON t.shingle = b.shingle
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+  )
+}

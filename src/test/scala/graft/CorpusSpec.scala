@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splitAssign is total, deterministic, and id-stable") {
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Corpus.splitAssign(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Corpus.splitAssign(docs).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~80/10/10: train dominates, every split non-empty at n=500
+    val byN = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byN("train") > byN("val") && byN("train") > byN("test"))
+    assert(byN.values.forall(_ > 0))
+  }
+
+  test("shardPack cuts the concatenated stream at exact token offsets") {
+    // 6 docs x 10 tokens, budget 25: starts 0,10,20,30,40,50 ->
+    // shards 0,0,0,1,1,2
+    val docs = (0L until 6L)
+      .map(i => (i, (1 to 10).map(t => s"t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Corpus.shardPack(docs, budget = 25L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("distributed scan equals the global prefix sum at any bucket size") {
+    val docs = (0L until 100L)
+      .map(i => (i, (0 to (i % 7).toInt).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    def packed(bucketSize: Long) =
+      Corpus.shardPack(docs, budget = 13L, bucketSize = bucketSize)
+        .select("doc_id", "start_off", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(packed(3L) === packed(1000000L)) // many buckets == one bucket
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram") {
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "xx the quick brown fox yy"), // shares 4-gram "the quick brown fox"
+      (11L, "totally unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.contamination(train, bench, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((10L, 1L)))
+  }
+}
