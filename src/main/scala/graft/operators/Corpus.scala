@@ -65,6 +65,18 @@ object Corpus {
       .drop("bucket", "bucket_off")
   }
 
+  /** Per-source quota cap (the data-mixing primitive: at most `quota`
+    * documents per source/domain, deterministic order). Spark plans
+    * this as `WindowGroupLimit` — pruned to quota per key BEFORE the
+    * shuffle, so the exchange carries at most quota x |sources| rows. */
+  def quotaCap(docs: DataFrame, sourceCol: String, quota: Int,
+               orderCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(orderCol)
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .drop("rn")
+  }
+
   /** Distinct word n-gram shingles, reused from the dedup stack. */
   private def sh(docs: DataFrame, n: Int): DataFrame = Dedup.shingles(docs, n)
 

@@ -19,6 +19,15 @@ object CorpusQ {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("checksum"))
         .orderBy("split")),
 
+    // Per-source quota cap: at most 50 events per type, deterministic
+    // order — WindowGroupLimit prunes before the shuffle
+    "q84_quota_cap" -> ((s, d) =>
+      Corpus.quotaCap(Tables.events(s, d), "event_type", 50, "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), dsum(col("value")).as("total"),
+          max(col("event_id")).as("last_kept"))
+        .orderBy("event_type")),
+
     // Concat-then-chunk shard packing at a 2048-token budget; the
     // global prefix sum runs as a distributed two-level scan
     "q85_shard_pack" -> ((s, d) =>
@@ -45,6 +54,16 @@ object CorpusQ {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS checksum
         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "q84_quota_cap" ->
+      s"""SELECT event_type, COUNT(*) AS n_kept, ${sqlDsum("value")} AS total,
+         |       MAX(event_id) AS last_kept
+         |FROM (
+         |  SELECT event_type, event_id, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+         |  FROM events
+         |) WHERE rn <= 50
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q85_shard_pack" ->
       """WITH sized AS (
