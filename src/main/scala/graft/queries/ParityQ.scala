@@ -128,6 +128,34 @@ object ParityQ {
           length(ImageOps.resizeHalfUdf(col("content"))).cast("long").as("n_resized"))
     }),
 
+    // multimodal frame-sampling: treat the binary column as fixed-size
+    // frame planes (64-byte frames), sample every 4th frame, and
+    // feature each sampled frame with md5 — the slice is the BUILT-IN
+    // substring on binary (codegen'd, no UDF); the oracle recomputes
+    // the same slices from the staged text. The video/audio analog of
+    // the reference's page expansion: one row per (asset, frame).
+    "q87_frame_sample" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-frames")
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          Files.write(dir.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      val fs = 64
+      s.read.format("binaryFile").load(dir.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("content"),
+          floor(length(col("content")) / fs).cast("int").as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("content"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(expr(s"substring(content, frame_idx * $fs + 1, $fs)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // engine extension — HLL approximate distinct (no DuckDB-identical
     // sketch exists, so this entry is rows-only checked)
     "q55_approx_distinct" -> ((s, d) =>
@@ -222,6 +250,17 @@ object ParityQ {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_resized
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q87_frame_sample" ->
+      """WITH assets AS (
+        |  SELECT doc_id, text, CAST(strlen(text) // 64 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 50
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |       md5(substring(text, i * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text, unnest(generate_series(0, n_frames - 1, 4)) AS i
+        |      FROM assets WHERE n_frames > 0)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q55 intentionally has no oracle (HLL sketches are not
     // cross-engine comparable) — the driver records a rows-only check.
