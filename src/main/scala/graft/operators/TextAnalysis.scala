@@ -71,4 +71,22 @@ object TextAnalysis {
       size(split(col("text"), " ")).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit(s"($BpeIshRe)")))
         .cast("long").as("bpe_tokens"))
+
+  /** Corpus-frequency quality proxy (the LM-perplexity stand-in that
+    * needs no model): score a document by the average corpus frequency
+    * of its token occurrences. Two shuffles — the unigram count and
+    * the per-doc sum; the unigram table is vocabulary-sized and
+    * broadcast back. Integer sums + one final IEEE division keep it
+    * bit-reproducible (a log-prob variant would hit libm divergence
+    * across engines). */
+  def unigramQuality(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    toks.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .withColumn("mean_freq",
+        col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -35,7 +35,14 @@ object TextAnalysisQ {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ws_tokens")).as("ws_total"),
           sum(col("bpe_tokens")).as("bpe_total"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Corpus-frequency quality proxy (LM-free perplexity stand-in)
+    "q88_unigram_quality" -> ((s, d) =>
+      TextAnalysis.unigramQuality(Tables.documents(s, d))
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("mean_freq"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -94,6 +101,18 @@ object TextAnalysisQ {
          |SELECT source, count(*) AS n_docs,
          |       CAST(sum(ws_tokens) AS BIGINT) AS ws_total,
          |       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total
-         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "q88_unigram_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+        |SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+        |       CAST(CAST(SUM(f.freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
+        |FROM toks t JOIN freq f ON t.tok = f.tok
+        |WHERE t.doc_id < 500
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
   )
 }
