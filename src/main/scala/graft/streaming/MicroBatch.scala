@@ -104,7 +104,7 @@ object MicroBatch {
     * watermarked by the caller, joined with an equi + event-time-range
     * condition, drained through a foreachBatch append sink. */
   def joinRun(spark: SparkSession, sfDir: String,
-              statePartitions: Option[Int] = Some(8))(
+              statePartitions: Option[Int] = Some(4))(
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val in = stageEvents(sfDir)
     val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
