@@ -77,6 +77,19 @@ object Corpus {
       .drop("rn")
   }
 
+  /** Deterministic uniform-ish sample: n rows per group in md5-of-id
+    * order. The hash order is content-independent and stable across
+    * runs/partitionings — the reproducible substitute for
+    * `TABLESAMPLE`/rand() sampling in a pipeline that must be
+    * re-runnable; plans as `WindowGroupLimit` like [[quotaCap]]. */
+  def hashSample(df: DataFrame, groupCol: String, n: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
   /** Distinct word n-gram shingles, reused from the dedup stack. */
   private def sh(docs: DataFrame, n: Int): DataFrame = Dedup.shingles(docs, n)
 

@@ -218,4 +218,30 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))).as("sketch"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch — the
+    * cross-engine-reproducible alternative to HLL (whose register
+    * layout is engine-private, see q55): hash each key with a Knuth
+    * multiplicative hash into [0, 2^31), keep the k smallest per
+    * group (`WindowGroupLimit`-pruned before the shuffle), and
+    * estimate |distinct| = (k-1) * 2^31 / h_k. Plain integer + IEEE
+    * arithmetic — bit-identical in any engine; mergeable at scale the
+    * same way HLL is (union = k smallest of the union). */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 64): DataFrame = {
+    val m = 2147483648L // 2^31
+    val hashed = df
+      .select(col(groupCol), col(keyCol))
+      .distinct()
+      .withColumn("h", (col(keyCol) * lit(2654435761L)) % lit(m))
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double")) // exact below k
+          .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) / col("h_k").cast("double")))
+  }
 }

@@ -36,6 +36,13 @@ object CorpusQ {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("shard_id")),
 
+    // Deterministic hash-order sampling: 10 events per type, stable
+    // across runs — the reproducible TABLESAMPLE substitute
+    "q90_hash_sample" -> ((s, d) =>
+      Corpus.hashSample(Tables.events(s, d), "event_type", 10, "event_id")
+        .select(col("event_type"), col("event_id"))
+        .orderBy("event_type", "event_id")),
+
     // GPT-3-style decontamination: training docs sharing any 4-gram
     // with the benchmark slice, with hit counts
     "q86_contamination" -> ((s, d) => {
@@ -79,6 +86,14 @@ object CorpusQ {
         |SELECT CAST(floor(start_off / 2048) AS BIGINT) AS shard_id,
         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    "q90_hash_sample" ->
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events
+        |) WHERE rn <= 10 ORDER BY event_type, event_id""".stripMargin,
 
     "q86_contamination" ->
       """WITH sh AS (

@@ -95,6 +95,19 @@ object DedupQ {
             .as("digest"))
         .orderBy("doc_id")),
 
+    // KMV distinct-count sketch vs exact: the cross-engine-checkable
+    // approximate-distinct (q55's HLL is rows-only because its
+    // registers are engine-private; KMV is plain arithmetic)
+    "q89_kmv_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Dedup.kmvDistinct(ev, "event_type", "user_id", k = 16)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")), "event_type")
+        .select(col("event_type"), col("h_k"), col("n_kept"),
+          col("est_distinct"), col("exact_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Standalone pairwise n-gram Jaccard (doc i vs doc i+100): the
     // exact set-similarity measure, without the LSH candidate stage
     "q78_ngram_jaccard" -> ((s, d) => {
@@ -220,6 +233,23 @@ object DedupQ {
         |       md5(string_agg(h || ':' || CAST(fp_pos AS VARCHAR), ','
         |             ORDER BY h || ':' || CAST(fp_pos AS VARCHAR))) AS digest
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q89_kmv_distinct" ->
+      """WITH dk AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type, (user_id * 2654435761) % 2147483648 AS h FROM dk),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT event_type, MAX(h) AS h_k, COUNT(*) AS n_kept
+        |      FROM r WHERE rn <= 16 GROUP BY event_type),
+        |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |      FROM events GROUP BY event_type)
+        |SELECT s.event_type AS event_type, s.h_k AS h_k, s.n_kept AS n_kept,
+        |       CASE WHEN s.n_kept < 16 THEN CAST(s.n_kept AS DOUBLE)
+        |            ELSE 15.0 * 2147483648.0 / CAST(s.h_k AS DOUBLE) END AS est_distinct,
+        |       x.exact_distinct AS exact_distinct
+        |FROM s JOIN x ON s.event_type = x.event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q78_ngram_jaccard" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

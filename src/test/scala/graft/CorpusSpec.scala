@@ -45,6 +45,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(packed(3L) === packed(1000000L)) // many buckets == one bucket
   }
 
+  test("hashSample returns exactly n per group, stable across calls") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "grp")
+    def sample() = Corpus.hashSample(df, "grp", 7, "doc_id")
+      .select("grp", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = sample()
+    assert(s1.groupBy(_._1).view.mapValues(_.size).toMap === Map("a" -> 7, "b" -> 7))
+    assert(s1 === sample())
+  }
+
+  test("kmvDistinct is exact below k and estimates above k") {
+    val df = (0L until 2000L).map(i => (i, if (i < 5) "small" else "big"))
+      .map { case (i, g) => (g, if (g == "small") i else i % 700) }
+      .toDF("grp", "key")
+    val out = graft.operators.Dedup.kmvDistinct(df, "grp", "key", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("small") === ((5L, 5.0))) // below k: exact
+    val (kept, est) = out("big")
+    assert(kept === 64L)
+    assert(est > 700 * 0.5 && est < 700 * 2.0, s"estimate $est far from 700")
+  }
+
   test("contamination flags exactly the docs sharing an n-gram") {
     val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
