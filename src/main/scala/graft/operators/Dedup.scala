@@ -219,6 +219,24 @@ object Dedup {
       .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))).as("sketch"))
   }
 
+  /** SimHash near-dup pairs: bucket by the fingerprint's first
+    * `prefixBits` bits (identical docs always collide — their
+    * fingerprints are equal), then verify candidates with the native
+    * codegen'd `hamming_distance` expression inside the join residual.
+    * Bucketing keeps the pair space at sum-of-bucket², the standard
+    * SimHash-table trick (Manku et al., WWW'07 uses 4 rotated tables;
+    * one prefix table suffices for the engine surface). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      prefixBits: Int = 8): DataFrame = {
+    val b = simhash(docs).withColumn("bucket", substring(col("simhash"), 1, prefixBits))
+    b.alias("a")
+      .join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          expr(s"hamming_distance(a.simhash, b.simhash) <= $maxHamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("hamming_distance(a.simhash, b.simhash)").as("hamming"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch — the
     * cross-engine-reproducible alternative to HLL (whose register
     * layout is engine-private, see q55): hash each key with a Knuth

@@ -45,6 +45,14 @@ object DedupQ {
        |  )
        |)""".stripMargin
 
+  // SimHash vote/bit SQL shared by the q35 and q91 oracles — mirrors
+  // Dedup.simhash exactly
+  private val simhashVotesSql = (1 to 16).map(p =>
+    s"sum(CASE WHEN substring(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
+    .mkString(",\n         ")
+  private val simhashBitsSql = (1 to 16).map(p =>
+    s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
   // seed i = 8-hex-char slice of the md5 shared by the 4 seeds in its
   // group — mirrors Dedup.seedSlice exactly
   private val seedIdx = 0 until 12
@@ -94,6 +102,12 @@ object DedupQ {
             array_sort(collect_list(concat(col("h"), lit(":"), col("fp_pos").cast("string"))))))
             .as("digest"))
         .orderBy("doc_id")),
+
+    // SimHash near-dup pairs: prefix-bucketed candidates verified by
+    // the native hamming_distance expression (codegen'd in the join)
+    "q91_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(dupDocs(s, d).filter(col("doc_id") % 100000 < 200), maxHamming = 1)
+        .orderBy("doc_a", "doc_b")),
 
     // KMV distinct-count sketch vs exact: the cross-engine-checkable
     // approximate-distinct (q55's HLL is rows-only because its
@@ -163,12 +177,7 @@ object DedupQ {
          |WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.6
          |ORDER BY i.doc_a, i.doc_b""".stripMargin,
 
-    "q35_simhash" -> {
-      val votes = (1 to 16).map(p =>
-        s"sum(CASE WHEN substring(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$p")
-        .mkString(",\n         ")
-      val bits = (1 to 16).map(p => s"CASE WHEN s$p > 0 THEN '1' ELSE '0' END")
-        .mkString(" || ")
+    "q35_simhash" ->
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, tok FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -177,12 +186,33 @@ object DedupQ {
          |),
          |votes AS (
          |  SELECT doc_id,
-         |         $votes
+         |         $simhashVotesSql
          |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
          |  GROUP BY doc_id
          |)
-         |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
-    },
+         |SELECT doc_id, $simhashBitsSql AS simhash FROM votes ORDER BY doc_id""".stripMargin,
+
+    "q91_simhash_neardup" ->
+      s"""WITH $dupDocsSql,
+         |corpus AS (SELECT doc_id, text FROM dup_docs WHERE doc_id % 100000 < 200),
+         |toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+         |  )
+         |),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $simhashVotesSql
+         |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+         |  GROUP BY doc_id
+         |),
+         |sims AS (SELECT doc_id, $simhashBitsSql AS simhash FROM votes),
+         |b AS (SELECT doc_id, simhash, substring(simhash, 1, 8) AS bucket FROM sims)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |       hamming(a.simhash, c.simhash) AS hamming
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+         |WHERE hamming(a.simhash, c.simhash) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q36_bottomk_sketch" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
