@@ -114,6 +114,23 @@ object SurfaceQ {
           col("n"), col("users"), col("last_ts"))
         .orderBy("day")),
 
+    // event-time RANGE frame: per user, how many events (and how much
+    // value) landed in the preceding hour — the batch analog of the
+    // fraud-style sliding lookback. The frame is a range on epoch
+    // micros, so it is value-based (an hour), not row-based.
+    "q92_time_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("v_last_hour"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // partitioned table + static partition overwrite (the lake
     // compaction/backfill primitive)
     "q75_partition_overwrite" -> ((s, d) => {
@@ -213,6 +230,17 @@ object SurfaceQ {
         |       COUNT(DISTINCT user_id) AS users,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q92_time_range_frame" ->
+      """SELECT user_id, event_id,
+        |       COUNT(*) OVER w AS n_last_hour,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_last_hour
+        |FROM (SELECT user_id, event_id, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |      FROM events WHERE user_id < 20)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q75_partition_overwrite" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
