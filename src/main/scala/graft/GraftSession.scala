@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
   *
   * - `nanosAsLong`: the `events` table carries TIMESTAMP(NANOS) parquet,
   *   which Spark 4 otherwise refuses to read; `Tables.events` converts
-  *   the raw nanos back to a microsecond timestamp (matching DuckDB's
-  *   ns→µs truncation).
+  *   the raw nanos back to a microsecond timestamp (floor division,
+  *   matching DuckDB's ns→µs conversion — see `Tables.nsToUs`).
   * - AQE on: runtime coalescing + skew-join handling — the behaviors we
   *   rely on at real cluster scale.
   * - shuffle.partitions = local core count (not 200) for local runs; on

@@ -62,6 +62,19 @@ object StreamingQ {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")),
 
+    // Arbitrary stateful streaming as a gated query: per-user running
+    // count via flatMapGroupsWithState (custom state, not a windowed
+    // agg). The single-batch drain emits each key's final count once,
+    // so the sink equals the batch group-by.
+    "q93_stateful_count" -> ((s, d) =>
+      MicroBatch.updateRun(s, d) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful
+          .runningCount(stream.select(col("user_id")).as[Long].groupByKey(identity))
+          .toDF("user_id", "n")
+      }
+        .orderBy("user_id")),
+
     // Stream-stream inner join: two unbounded sources, both
     // watermarked, equi-join on event_id with an event-time range
     // bound (the state-retention contract) — every event matches
@@ -99,6 +112,8 @@ object StreamingQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q81_stream_stream_join" ->
-      "SELECT event_id, event_type, value FROM events ORDER BY event_id"
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "q93_stateful_count" ->
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id"
   )
 }

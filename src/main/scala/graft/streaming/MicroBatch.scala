@@ -99,6 +99,31 @@ object MicroBatch {
     spark.read.parquet(out.toString)
   }
 
+  /** Update-mode drain for arbitrary-stateful transforms
+    * (`flatMapGroupsWithState` emits updated rows, not appends): every
+    * micro-batch's emissions land in the parquet sink via foreachBatch.
+    * With a single-batch drain each key emits exactly once, so the
+    * final sink equals the batch aggregate — oracle-checkable. */
+  def updateRun(spark: SparkSession, sfDir: String,
+                statePartitions: Option[Int] = Some(8))(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val in = stageEvents(sfDir)
+    val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val writeBatch: (Dataset[Row], Long) => Unit =
+      (batch, _) => batch.write.mode("append").parquet(out.toString)
+    withStatePartitions(spark, statePartitions) {
+      val q = transform(fileSource(spark, in)).writeStream
+        .foreachBatch(writeBatch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString)
+  }
+
   /** Stream-stream inner join (engine extension per SURVEY §2.9): two
     * independent unbounded sources over the same landing dir, each
     * watermarked by the caller, joined with an equi + event-time-range
