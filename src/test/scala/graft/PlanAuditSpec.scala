@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated scale-guard: no query may plan a CartesianProduct or a
+  * BroadcastNestedLoopJoin — the two shapes that stop scaling with
+  * input size. Every join in the engine must be hash- or
+  * sort-merge-joinable (equi keys, possibly with arithmetic
+  * residuals). Runs on the physical plan at sf0.001.
+  *
+  * Side-effecting queries (streaming drains, DDL, staged writes) are
+  * excluded: building their DataFrame executes the pipeline, and their
+  * join structure is already covered by the equivalent batch queries.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val sideEffecting = Set(
+    "q42_stream_append", "q43_stream_json_flatten", "q44_stream_window",
+    "q48_csv_roundtrip", "q54_binary_scan", "q58_table_ddl",
+    "q59_stage_checkpoint", "q64_session_window", "q65_sliding_window",
+    "q73_json_scan", "q75_partition_overwrite", "q76_partition_pruning",
+    "q80_stream_dedup", "q81_stream_stream_join", "q87_frame_sample",
+    "q93_stateful_count")
+
+  /** q37 is the deliberate brute-force baseline: its prescreen scores
+    * a BOUNDED broadcast query set against every corpus vector, and a
+    * BroadcastNestedLoopJoin with the bounded side as build is exactly
+    * that scan — linear in the corpus, not quadratic. Every scale-path
+    * variant (q38 IVF, q82 LSH, q66 bucketed near-dup) must stay
+    * nested-loop-free. */
+  private val allowedBnlj = Set("q37_cosine_topk")
+
+  test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
+    val plans = names.map { name =>
+      name -> SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+    }.toMap
+    val offenders = plans.toSeq.sortBy(_._1).flatMap { case (name, plan) =>
+      val bad = Seq("CartesianProduct") ++
+        (if (allowedBnlj(name)) Nil else Seq("BroadcastNestedLoopJoin"))
+      bad.filter(plan.contains).map(op => s"$name: $op")
+    }
+    assert(offenders.isEmpty, s"scale-hostile operators found:\n${offenders.mkString("\n")}")
+    // the ANN scale paths specifically must be bucketed equi-joins
+    Seq("q38_ivf_topk", "q82_lsh_ann", "q66_embed_neardup").foreach { n =>
+      assert(!plans(n).contains("BroadcastNestedLoopJoin"), s"$n lost its bucketing")
+    }
+    assert(names.size > 70) // the audit actually covered the surface
+  }
+}
