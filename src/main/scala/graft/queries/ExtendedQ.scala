@@ -48,6 +48,45 @@ object ExtendedQ {
         .orderBy("o_custkey")
     }),
 
+    // lake maintenance — schema evolution: two parquet batches with
+    // different column sets read back under mergeSchema; the late
+    // column is null for early rows
+    "q94_schema_merge" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-evolve").resolve("t").toString
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_id") < 5000)
+        .select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(dir)
+      ev.filter(col("event_id") >= 5000)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          dsum(coalesce(col("value"), lit(0d))).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // lake maintenance — small-file compaction: a fragmented write
+    // (one file per shuffle partition) rewritten into 4 files;
+    // contents must be identical, file count must actually shrink
+    "q95_compaction" -> ((s, d) => {
+      val frag = Files.createTempDirectory("graft-frag").resolve("t").toString
+      val compact = Files.createTempDirectory("graft-compact").resolve("t").toString
+      Tables.events(s, d).repartition(32, col("event_id"))
+        .write.mode("overwrite").parquet(frag)
+      val before = s.read.parquet(frag)
+      before.coalesce(4).write.mode("overwrite").parquet(compact)
+      val nFrag = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+      val nComp = new java.io.File(compact).listFiles().count(_.getName.endsWith(".parquet"))
+      require(nComp < nFrag, s"compaction did not shrink files: $nFrag -> $nComp")
+      s.read.parquet(compact)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -129,6 +168,16 @@ object ExtendedQ {
       s"""SELECT o_custkey, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_totalprice > 100000
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q94_schema_merge" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |       COUNT(CASE WHEN event_id >= 5000 THEN value END) AS n_with_value,
+         |       ${sqlDsum("CASE WHEN event_id >= 5000 THEN value ELSE 0 END")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q95_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q60_crop_select" ->
       s"""WITH ${GridQ.ocrSql}
