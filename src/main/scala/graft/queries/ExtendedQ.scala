@@ -87,6 +87,45 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // lake maintenance — CDC apply / MERGE emulation in pure Spark
+    // (the Delta-less upsert): base ⟂ changes via anti-join on the
+    // key, then union the upserts; deletes are changes with no new row
+    "q96_cdc_apply" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      // deterministic change set: delete ids ending in 7, upsert ids
+      // ending in 3 with value*2 and type 'patched'
+      val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
+      val upserts = base.filter(col("event_id") % 10 === 3)
+        .select(col("event_id"), lit("patched").as("event_type"),
+          (col("value") * 2).as("value"))
+      val changedKeys = deletes.union(upserts.select(col("event_id")))
+      val applied = base.join(changedKeys, Seq("event_id"), "left_anti")
+        .unionByName(upserts)
+      applied
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // lake maintenance — versioned snapshots (poor-man's time travel):
+    // v1 and v2 are immutable directory versions; reading v1 after v2
+    // exists must return the original table
+    "q97_snapshot_read" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-versions")
+      val v1 = root.resolve("v=1").toString
+      val v2 = root.resolve("v=2").toString
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      base.write.mode("overwrite").parquet(v1)
+      base.filter(col("event_id") % 10 =!= 7).write.mode("overwrite").parquet(v2)
+      s.read.parquet(v2).count() // v2 is committed and readable...
+      s.read.parquet(v1)         // ...but v1 still serves the old rows
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -168,6 +207,21 @@ object ExtendedQ {
       s"""SELECT o_custkey, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_totalprice > 100000
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q96_cdc_apply" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM (
+         |  SELECT event_id, event_type, value FROM events
+         |  WHERE event_id % 10 <> 7 AND event_id % 10 <> 3
+         |  UNION ALL
+         |  SELECT event_id, 'patched' AS event_type, value * 2 AS value
+         |  FROM events WHERE event_id % 10 = 3
+         |)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q97_snapshot_read" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q94_schema_merge" ->
       s"""SELECT event_type, COUNT(*) AS n,

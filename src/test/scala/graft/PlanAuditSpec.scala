@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q59_stage_checkpoint", "q64_session_window", "q65_sliding_window",
     "q73_json_scan", "q75_partition_overwrite", "q76_partition_pruning",
     "q80_stream_dedup", "q81_stream_stream_join", "q87_frame_sample",
-    "q93_stateful_count", "q94_schema_merge", "q95_compaction")
+    "q93_stateful_count", "q94_schema_merge", "q95_compaction",
+    "q97_snapshot_read")
 
   /** q37 is the deliberate brute-force baseline: its prescreen scores
     * a BOUNDED broadcast query set against every corpus vector, and a
