@@ -87,6 +87,18 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // skew mitigation as a gated query: the salted join must be
+    // result-identical to the plain equi-join (salting is a plan
+    // rewrite, not new semantics)
+    "q98_salted_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"), nSalts = 8)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("o_custkey")),
+
     // lake maintenance — CDC apply / MERGE emulation in pure Spark
     // (the Delta-less upsert): base ⟂ changes via anti-join on the
     // key, then union the upserts; deletes are changes with no new row
@@ -207,6 +219,12 @@ object ExtendedQ {
       s"""SELECT o_custkey, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_totalprice > 100000
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q98_salted_join" ->
+      s"""SELECT o.o_custkey AS o_custkey, COUNT(*) AS n,
+         |       ${sqlDsum("l.l_extendedprice")} AS total
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q96_cdc_apply" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
