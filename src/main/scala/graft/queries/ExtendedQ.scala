@@ -99,6 +99,30 @@ object ExtendedQ {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy("o_custkey")),
 
+    // bucketed co-located join as a gated query: both sides bucketed
+    // 8 ways on the join key, so the join runs shuffle-free (the
+    // no-Exchange property is asserted in ScaleSpec; here the gate
+    // proves the results are identical to the plain join)
+    "q99_bucketed_join" -> ((s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
+      s.sql("DROP TABLE IF EXISTS graft_lake.orders_bq")
+      s.sql("DROP TABLE IF EXISTS graft_lake.customer_bq")
+      val root = Files.createTempDirectory("graft-bucket")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", root.resolve("orders_bq").toString)
+        .mode("overwrite").format("parquet").saveAsTable("graft_lake.orders_bq")
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", root.resolve("customer_bq").toString)
+        .mode("overwrite").format("parquet").saveAsTable("graft_lake.customer_bq")
+      s.table("graft_lake.orders_bq")
+        .join(s.table("graft_lake.customer_bq"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // lake maintenance — CDC apply / MERGE emulation in pure Spark
     // (the Delta-less upsert): base ⟂ changes via anti-join on the
     // key, then union the upserts; deletes are changes with no new row
@@ -225,6 +249,12 @@ object ExtendedQ {
          |       ${sqlDsum("l.l_extendedprice")} AS total
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |GROUP BY o.o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q99_bucketed_join" ->
+      s"""SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n,
+         |       ${sqlDsum("o.o_totalprice")} AS total
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q96_cdc_apply" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total

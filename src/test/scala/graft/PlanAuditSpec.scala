@@ -23,7 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_json_scan", "q75_partition_overwrite", "q76_partition_pruning",
     "q80_stream_dedup", "q81_stream_stream_join", "q87_frame_sample",
     "q93_stateful_count", "q94_schema_merge", "q95_compaction",
-    "q97_snapshot_read")
+    "q97_snapshot_read", "q99_bucketed_join")
 
   /** q37 is the deliberate brute-force baseline: its prescreen scores
     * a BOUNDED broadcast query set against every corpus vector, and a
