@@ -131,7 +131,14 @@ object Dedup {
                    bands: Int = 4, rows: Int = 3,
                    minJaccard: Double = 0.6,
                    cacheShingles: Boolean = false): DataFrame = {
-    val sh0 = shingles(docs, n)
+    // verify path: hash-compressed shingles — the exact-Jaccard stages
+    // only need shingle IDENTITY, so each shingle is replaced by a
+    // 64-bit md5 slice BEFORE the distinct shuffle (fixed 16 bytes on
+    // the wire instead of the n-gram string; collisions are ~2^-64 per
+    // pair and, being derived identically in the oracle, deterministic)
+    val sh0 = shinglesRaw(docs, n)
+      .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("shingle"))
+      .distinct()
     val sh = if (cacheShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0

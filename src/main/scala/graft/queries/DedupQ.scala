@@ -160,12 +160,18 @@ object DedupQ {
          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id < b.doc_id
          |),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |-- verify stages run over hash-compressed shingle ids, mirroring
+         |-- Dedup.nearDupPairs' 64-bit md5-slice substitution
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle
+         |  FROM shingles
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
          |inter AS (
          |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
          |  FROM cand p
-         |  JOIN shingles sa ON p.doc_a = sa.doc_id
-         |  JOIN shingles sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  JOIN hsh sa ON p.doc_a = sa.doc_id
+         |  JOIN hsh sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
          |  GROUP BY p.doc_a, p.doc_b
          |)
          |SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, za.n AS n_a, zb.n AS n_b,
