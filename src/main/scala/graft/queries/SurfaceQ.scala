@@ -114,6 +114,18 @@ object SurfaceQ {
           col("n"), col("users"), col("last_ts"))
         .orderBy("day")),
 
+    // exact interpolated quartiles (type-7): Spark's exact `percentile`
+    // vs DuckDB's quantile_cont — integer-valued measures make every
+    // interpolation dyadic-exact, so the doubles hash-match
+    "q100_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // event-time RANGE frame: per user, how many events (and how much
     // value) landed in the preceding hour — the batch analog of the
     // fraud-style sliding lookback. The frame is a range on epoch
@@ -230,6 +242,14 @@ object SurfaceQ {
         |       COUNT(DISTINCT user_id) AS users,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q100_quantiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS q25,
+        |       quantile_cont(l_quantity, 0.5)  AS q50,
+        |       quantile_cont(l_quantity, 0.75) AS q75,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q92_time_range_frame" ->
       """SELECT user_id, event_id,
