@@ -40,6 +40,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.toSet === Set(1L, 2L))
   }
 
+  test("prescreen slack cutoff does not change the exact top-k (real embeddings)") {
+    val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    def run(slack: Int) =
+      Similarity.cosineTopK(emb, _.filter(col("vec_id") < 3), k = 5, slack = slack)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // slack = corpus size keeps every candidate -> exact by construction
+    val exhaustive = run(100000)
+    assert(run(20) === exhaustive)
+    assert(exhaustive.nonEmpty)
+  }
+
   test("int8 quantization: floor(x*scale + 0.5) rounding with clamps") {
     val one = Seq((1L, Seq(0.5f, -3.0f, 0.01f, 5.0f), 0))
       .toDF("vec_id", "embedding", "label")
