@@ -99,6 +99,27 @@ object ExtendedQ {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy("o_custkey")),
 
+    // SQL front-end end-to-end: the same engine driven entirely
+    // through spark.sql over registered views — multi-CTE pipeline
+    // with a join, a window, and an aggregate; proves the textual
+    // surface (incl. Catalyst planning of the registered views) works
+    // exactly like the DataFrame API
+    "q101_sql_pipeline" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      s.sql(
+        """WITH ranked AS (
+          |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+          |         row_number() OVER (PARTITION BY c.c_mktsegment
+          |                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+          |  FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          |)
+          |SELECT c_mktsegment, COUNT(*) AS n,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_total
+          |FROM ranked WHERE rk <= 10
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // bucketed co-located join as a gated query: both sides bucketed
     // 8 ways on the join key, so the join runs shuffle-free (the
     // no-Exchange property is asserted in ScaleSpec; here the gate
@@ -249,6 +270,18 @@ object ExtendedQ {
          |       ${sqlDsum("l.l_extendedprice")} AS total
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |GROUP BY o.o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q101_sql_pipeline" ->
+      """WITH ranked AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY c.c_mktsegment
+        |                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_total
+        |FROM ranked WHERE rk <= 10
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q99_bucketed_join" ->
       s"""SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n,
