@@ -72,6 +72,44 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(s"($BpeIshRe)")))
         .cast("long").as("bpe_tokens"))
 
+  /** BM25-style keyword relevance ranking (the principled upgrade of
+    * the reference's substring keyword search, kpis_search.py): tf
+    * saturation with document-length normalization, and a LOG-FREE
+    * rational idf — (N - df + 0.5)/(df + 0.5) — which preserves the
+    * idf ordering while keeping every operation plain IEEE arithmetic,
+    * so scores are bit-reproducible across engines (log() would hit
+    * libm divergence). One corpus scan per term for df, one for tf;
+    * the per-term stats are scalars broadcast into the scoring
+    * projection. */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("len", size(col("ws")).cast("double"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("len")) / count(lit(1))).as("avg_len"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        size(filter(col("ws"), w => w === t)).cast("double"))
+    }
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1d).otherwise(0d)).as(s"df$i"))
+    val dfs = withTf.agg(dfCols.head, dfCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+    val termScores = terms.indices.map { i =>
+      val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      val tfSat = (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avg_len")))
+      idf * tfSat
+    }
+    scored
+      .withColumn("score", termScores.reduce(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Corpus-frequency quality proxy (the LM-perplexity stand-in that
     * needs no model): score a document by the average corpus frequency
     * of its token occurrences. Two shuffles — the unigram count and

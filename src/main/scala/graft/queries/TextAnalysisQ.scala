@@ -42,7 +42,11 @@ object TextAnalysisQ {
       TextAnalysis.unigramQuality(Tables.documents(s, d))
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("mean_freq"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BM25-style keyword relevance (log-free rational idf), top 20
+    "q102_bm25_rank" -> ((s, d) =>
+      TextAnalysis.bm25Rank(Tables.documents(s, d), Seq("spark", "join"), topK = 20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +117,35 @@ object TextAnalysisQ {
         |       CAST(CAST(SUM(f.freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
         |FROM toks t JOIN freq f ON t.tok = f.tok
         |WHERE t.doc_id < 500
-        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // arithmetic mirrored term-by-term against TextAnalysis.bm25Rank:
+    // same literals, same parenthesization, score = s0 + s1
+    "q102_bm25_rank" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w = 'join')) AS DOUBLE) AS tf1
+        |  FROM documents
+        |),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         SUM(len) / COUNT(*) AS avg_len,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |       ((n_docs - df0 + 0.5) / (df0 + 0.5)) *
+        |       ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len / avg_len))) +
+        |       ((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+        |       ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len / avg_len))) AS score
+        |FROM base, stats
+        |WHERE ((n_docs - df0 + 0.5) / (df0 + 0.5)) *
+        |      ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len / avg_len))) +
+        |      ((n_docs - df1 + 0.5) / (df1 + 0.5)) *
+        |      ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len / avg_len))) > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }
