@@ -226,6 +226,36 @@ object Dedup {
       .agg(md5(concat_ws("", array_sort(collect_list(col("h"))))).as("sketch"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise matches into dedup CLUSTERS (keep one doc per cluster).
+    * Min-label propagation: each vertex repeatedly adopts the minimum
+    * label in its neighborhood; after `iterations` rounds every label
+    * has propagated `iterations` hops, which covers any component
+    * whose diameter is below that bound (duplicate clusters are
+    * near-cliques — chains longer than a handful of hops do not occur
+    * in practice; raise the bound or switch to pointer-doubling for
+    * adversarial graphs). Each round is one bucketed join + min-agg —
+    * the GraphX-free formulation that runs on plain DataFrames. */
+  def dedupClusters(pairs: DataFrame, iterations: Int = 8): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // materialize the edge list once: every iteration references it, and
+    // without truncating lineage each round would re-derive the whole
+    // upstream pair-mining DAG (iterative algorithms on DataFrames must
+    // checkpoint between rounds — same rule as GraphX/Pregel)
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val verts = sym.select(col("u").as("id")).distinct()
+    var labels = verts.withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "vid"), col("v") === col("vid"))
+        .groupBy(col("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** SimHash near-dup pairs: bucket by the fingerprint's first
     * `prefixBits` bits (identical docs always collide — their
     * fingerprints are equal), then verify candidates with the native

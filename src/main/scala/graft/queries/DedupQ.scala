@@ -109,6 +109,14 @@ object DedupQ {
       Dedup.simhashNearDups(dupDocs(s, d).filter(col("doc_id") % 100000 < 200), maxHamming = 1)
         .orderBy("doc_a", "doc_b")),
 
+    // Near-dup clusters: connected components over the MinHash pairs
+    // (min-label propagation) — pairwise matches become keep-one
+    // dedup groups
+    "q103_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(
+        Dedup.nearDupPairs(dupDocs(s, d)).select(col("doc_a"), col("doc_b")))
+        .orderBy("doc_id")),
+
     // KMV distinct-count sketch vs exact: the cross-engine-checkable
     // approximate-distinct (q55's HLL is rows-only because its
     // registers are engine-private; KMV is plain arithmetic)
@@ -269,6 +277,53 @@ object DedupQ {
         |       md5(string_agg(h || ':' || CAST(fp_pos AS VARCHAR), ','
         |             ORDER BY h || ':' || CAST(fp_pos AS VARCHAR))) AS digest
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same pipeline as q34 up to `pairs`, then transitive closure via
+    // a recursive CTE; MIN over all reachable labels == component min
+    "q103_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sigs AS (
+         |  SELECT doc_id,
+         |         $sigColsSql
+         |  FROM shingles GROUP BY doc_id
+         |),
+         |bands AS (
+         |  $bandSelectsSql
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id
+         |),
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle
+         |  FROM shingles
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
+         |  FROM cand p
+         |  JOIN hsh sa ON p.doc_a = sa.doc_id
+         |  JOIN hsh sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY p.doc_a, p.doc_b
+         |),
+         |pairs AS (
+         |  SELECT i.doc_a AS u, i.doc_b AS v
+         |  FROM inter i
+         |  JOIN sizes za ON i.doc_a = za.doc_id
+         |  JOIN sizes zb ON i.doc_b = zb.doc_id
+         |  WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.6
+         |),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+         |reach AS (
+         |  SELECT u AS id, u AS lbl FROM edges
+         |  UNION
+         |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+         |)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q89_kmv_distinct" ->
       """WITH dk AS (SELECT DISTINCT event_type, user_id FROM events),

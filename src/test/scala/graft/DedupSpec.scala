@@ -57,6 +57,15 @@ class DedupSpec extends AnyFunSuite {
     assert(sk(1L) !== sk(4L))
   }
 
+  test("dedupClusters labels every component with its min id") {
+    // components: {1,2,3,4} (a chain), {10,11}, isolated pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   private val longDoc = Seq(
     (10L, (1 to 40).map(i => s"w${i % 17}").mkString(" ")),
     (11L, (1 to 40).map(i => s"w${i % 17}").mkString(" "))) // identical
