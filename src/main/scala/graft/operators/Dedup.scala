@@ -246,12 +246,23 @@ object Dedup {
       .localCheckpoint(true)
     val verts = sym.select(col("u").as("id")).distinct()
     var labels = verts.withColumn("lbl", col("id")).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "vid"), col("v") === col("vid"))
         .groupBy(col("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      labels = labels.join(nbrMin, col("id") === col("nid"), "left")
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      // fixpoint test on the two checkpointed label sets — duplicate
+      // clusters are near-cliques, so this usually stops after 2-3
+      // rounds instead of burning the full iteration budget
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "olbl"), "id")
+        .filter(col("lbl") =!= col("olbl"))
+        .head(1).isEmpty
+      labels = next
+      i += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
