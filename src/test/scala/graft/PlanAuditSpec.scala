@@ -23,15 +23,20 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_json_scan", "q75_partition_overwrite", "q76_partition_pruning",
     "q80_stream_dedup", "q81_stream_stream_join", "q87_frame_sample",
     "q93_stateful_count", "q94_schema_merge", "q95_compaction",
-    "q97_snapshot_read", "q99_bucketed_join")
+    "q97_snapshot_read", "q99_bucketed_join",
+    "q103_dedup_clusters") // localCheckpoint runs jobs at plan build
 
-  /** q37 is the deliberate brute-force baseline: its prescreen scores
-    * a BOUNDED broadcast query set against every corpus vector, and a
-    * BroadcastNestedLoopJoin with the bounded side as build is exactly
-    * that scan — linear in the corpus, not quadratic. Every scale-path
-    * variant (q38 IVF, q82 LSH, q66 bucketed near-dup) must stay
-    * nested-loop-free. */
-  private val allowedBnlj = Set("q37_cosine_topk")
+  /** Justified BroadcastNestedLoopJoins — both are bounded-build-side
+    * scans, linear in the big side:
+    *  - q37: the deliberate brute-force baseline; its prescreen scores
+    *    a BOUNDED broadcast query set against every corpus vector.
+    *    Every scale-path variant (q38 IVF, q82 LSH, q66 bucketed
+    *    near-dup) must stay nested-loop-free.
+    *  - q102: SINGLE-ROW broadcast scalar relations (corpus stats /
+    *    document frequencies) cross-joined into the scoring
+    *    projection — the declarative form of "embed these scalars",
+    *    O(corpus) by construction. */
+  private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
