@@ -114,6 +114,29 @@ object SurfaceQ {
           col("n"), col("users"), col("last_ts"))
         .orderBy("day")),
 
+    // z-score outlier flagging (the training-data outlier-removal
+    // filter): per-type mean/sd from exact decimal sums (order
+    // independent), events beyond 3 sigma flagged; the moments join
+    // back as a broadcast scalar-per-group
+    "q104_outliers" -> ((s, d) => {
+      val dec = DecimalType(18, 2)
+      val moments = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("s1"),
+          sum(col("value").cast(dec) * col("value").cast(dec)).as("s2"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)).as("sd"))
+      Tables.events(s, d)
+        .join(broadcast(moments), "event_type")
+        .filter(abs(col("value") - col("mu")) > lit(3.0) * col("sd"))
+        .select(col("event_type"), col("event_id"), col("value"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // exact interpolated quartiles (type-7): Spark's exact `percentile`
     // vs DuckDB's quantile_cont — integer-valued measures make every
     // interpolation dyadic-exact, so the doubles hash-match
@@ -242,6 +265,23 @@ object SurfaceQ {
         |       COUNT(DISTINCT user_id) AS users,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q104_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |         s1d / n AS mu,
+        |         sqrt((s2d - s1d * s1d / n) / (n - 1)) AS sd
+        |  FROM (
+        |    SELECT event_type, COUNT(*) AS n,
+        |           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1d,
+        |           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2d
+        |    FROM events GROUP BY event_type
+        |  )
+        |)
+        |SELECT e.event_type AS event_type, e.event_id AS event_id, e.value AS value
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs(e.value - m.mu) > 3.0 * m.sd
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q100_quantiles" ->
       """SELECT l_returnflag,
