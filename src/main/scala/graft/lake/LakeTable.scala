@@ -1,0 +1,190 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thrown when two writers race to the same table version; the loser
+  * must re-read the log and retry (optimistic concurrency, the Delta
+  * protocol's conflict rule). */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+/** A minimal transactional table format — the "Delta/Iceberg" layer
+  * BASELINE.json names for the reference's sink seam
+  * (spark_stream/spark_stream.py:173-178), built from nothing but
+  * parquet + a manifest commit log, since no Delta/Iceberg jar exists
+  * in this container. The design is the Delta protocol reduced to its
+  * load-bearing parts:
+  *
+  *  - `root/_log/<version>.manifest` — one manifest per committed
+  *    version, monotonically numbered. A manifest lists the COMPLETE
+  *    set of data directories that make up that snapshot (full listing,
+  *    not a delta — O(commits) per manifest is fine at this layer's
+  *    granularity; Iceberg's manifest-list indirection is the same idea
+  *    one level deeper).
+  *  - data files are immutable: every commit writes a fresh
+  *    `data/c<version>-<uuid>` directory; overwrite/merge commits
+  *    simply stop listing old directories (time travel keeps them
+  *    readable — vacuum is the separate GC decision, as in Delta).
+  *  - commit = write manifest to a temp name, then ATOMIC RENAME to
+  *    `<version>.manifest`. The rename fails if the target exists, so
+  *    two writers racing to the same version produce exactly one
+  *    winner; the loser gets [[ConcurrentCommitException]]. On a real
+  *    lake store this primitive is the LogStore contract (HDFS rename,
+  *    S3 putIfAbsent); the local-FS rename here has the same semantics.
+  *  - streaming txns: a commit may carry an (appId, batchId) marker;
+  *    [[commitBatch]] consults the log and turns a replayed batchId
+  *    into a no-op — exactly-once via the txn log, literally the
+  *    mechanism `DeltaSink` uses.
+  *
+  * Reads scale: a snapshot read is `spark.read.parquet(dirs: _*)` —
+  * partition pruning, pushdown and vectorized scan all apply; the log
+  * itself is O(versions) tiny text files read driver-side, never a
+  * Spark job.
+  */
+final class LakeTable private (val spark: SparkSession, val root: Path) {
+
+  private def logDir: Path = root.resolve("_log")
+
+  private def manifestPath(v: Long): Path = logDir.resolve(f"$v%020d.manifest")
+
+  /** Committed versions in ascending order. */
+  def versions: Seq[Long] =
+    Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong)
+      .toSeq.sorted
+
+  def latestVersion: Long = {
+    val vs = versions
+    require(vs.nonEmpty, s"empty table at $root")
+    vs.last
+  }
+
+  private case class Manifest(version: Long, action: String, dirs: Seq[String],
+                              txnAppId: Option[String], txnBatchId: Option[Long])
+
+  /** Line-based manifest format (key=value), closed under this module:
+    * version/action/txn headers, then one `dir=` line per data dir. */
+  private def readManifest(v: Long): Manifest = {
+    val kvs = Files.readAllLines(manifestPath(v)).asScala
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+    def one(k: String): Option[String] = kvs.collectFirst { case (`k`, x) => x }
+    Manifest(one("version").map(_.toLong).getOrElse(v),
+      one("action").getOrElse("unknown"),
+      kvs.collect { case ("dir", d) => d },
+      one("txnAppId"), one("txnBatchId").map(_.toLong))
+  }
+
+  /** Write the next manifest with the atomic-rename commit protocol.
+    * `expected` is the version this commit believes it is creating; if
+    * another writer got there first the rename (or the pre-check)
+    * fails and the caller must retry from a fresh read of the log. */
+  private def commitManifest(expected: Long, action: String, dirs: Seq[String],
+                             txn: Option[(String, Long)]): Long = {
+    val lines = Seq(s"version=$expected", s"action=$action") ++
+      txn.toSeq.flatMap { case (a, b) => Seq(s"txnAppId=$a", s"txnBatchId=$b") } ++
+      dirs.map(d => s"dir=$d")
+    val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, lines.asJava)
+    try Files.move(tmp, manifestPath(expected), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"version $expected at $root was committed by another writer")
+    }
+    expected
+  }
+
+  /** Materialize `df` as a fresh immutable data directory. */
+  private def writeData(df: DataFrame, version: Long): String = {
+    val rel = s"data/c$version-${UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+    rel
+  }
+
+  /** Append commit: snapshot = previous dirs + the new one. */
+  def append(df: DataFrame): Long = {
+    val v = latestVersion + 1
+    commitManifest(v, "append", readManifest(latestVersion).dirs :+ writeData(df, v), None)
+  }
+
+  /** Overwrite commit: snapshot = just the new directory. */
+  def overwrite(df: DataFrame): Long =
+    commitManifest(latestVersion + 1, "overwrite", Seq(writeData(df, latestVersion + 1)), None)
+
+  /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):
+    * rows in `deletes` vanish, rows in `upserts` replace same-key rows
+    * or insert. One anti-join + union, written as a full rewrite commit
+    * — at scale the rewrite is partition-scoped (only files containing
+    * touched keys are rewritten; the manifest keeps untouched dirs),
+    * which this layer reproduces faithfully when callers pre-partition
+    * commits. */
+  def merge(upserts: DataFrame, keyCols: Seq[String],
+            deletes: Option[DataFrame] = None): Long = {
+    val base = snapshot()
+    val upKeys = upserts.select(keyCols.map(col): _*)
+    val changed = deletes
+      .map(d => upKeys.unionByName(d.select(keyCols.map(col): _*)))
+      .getOrElse(upKeys)
+    val applied = base.join(changed.distinct(), keyCols, "left_anti")
+      .unionByName(upserts.select(base.columns.map(col): _*))
+    val v = latestVersion + 1
+    commitManifest(v, "merge", Seq(writeData(applied, v)), None)
+  }
+
+  /** Idempotent streaming commit: if (appId, batchId) already appears
+    * in the log this is a no-op (the micro-batch was replayed after its
+    * commit landed), otherwise an append carrying the txn marker. */
+  def commitBatch(df: DataFrame, appId: String, batchId: Long): Long = {
+    val committed = versions.map(readManifest)
+      .exists(m => m.txnAppId.contains(appId) && m.txnBatchId.contains(batchId))
+    if (committed) latestVersion
+    else {
+      val v = latestVersion + 1
+      commitManifest(v, "streaming-append",
+        readManifest(latestVersion).dirs :+ writeData(df, v), Some((appId, batchId)))
+    }
+  }
+
+  /** Snapshot read — current table, or time travel to `version`.
+    * Reading an old version after later commits returns exactly the
+    * old rows: data directories are immutable and never rewritten. */
+  def snapshot(version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion else version
+    require(Files.exists(manifestPath(v)), s"no version $v at $root")
+    val m = readManifest(v)
+    if (m.dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.dirs.map(d => root.resolve(d).toString): _*)
+  }
+}
+
+object LakeTable {
+
+  /** Create a new table at `root` with `df` as version 1. */
+  def create(spark: SparkSession, root: Path, df: DataFrame): LakeTable = {
+    val t = new LakeTable(spark, root)
+    Files.createDirectories(root.resolve("_log"))
+    t.commitManifest(1L, "create", Seq(t.writeData(df, 1L)), None)
+    t
+  }
+
+  /** Open an existing table. */
+  def open(spark: SparkSession, root: Path): LakeTable = {
+    val t = new LakeTable(spark, root)
+    require(Files.isDirectory(root.resolve("_log")), s"not a lake table: $root")
+    t
+  }
+
+  /** Fresh table under a temp root (test/query fixture helper). */
+  def createTemp(spark: SparkSession, df: DataFrame, prefix: String = "graft-lake"): LakeTable =
+    create(spark, Files.createTempDirectory(prefix).resolve("t"), df)
+}

@@ -74,6 +74,28 @@ object MicroBatch {
         try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** Idempotent exactly-once foreachBatch writer (VERDICT r3 #2): each
+    * micro-batch lands in its own `batch=<batchId>` directory with
+    * OVERWRITE semantics, mirroring how Delta's transaction log keys
+    * commits by (queryId, batchId). Structured Streaming guarantees a
+    * replayed micro-batch reuses its original batchId (that is the
+    * checkpoint contract), so a retry — after a sink crash, an executor
+    * loss mid-write, or a duplicate foreachBatch invocation — simply
+    * rewrites the same directory instead of appending a second copy.
+    * The blind `mode("append")` this replaces was at-least-once:
+    * duplicates on any retry. Reference seam:
+    * spark_stream/spark_stream.py:173-178 (Cassandra append, where
+    * exactly-once comes from primary-key upsert instead). */
+  def batchWriter(out: Path): (Dataset[Row], Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(out.resolve(s"batch=$batchId").toString)
+
+  /** Final sink contents: the union of all committed batch directories.
+    * Partition discovery turns `batch=<id>` into a column; dropping it
+    * restores the logical sink schema. */
+  def readSink(spark: SparkSession, out: Path): DataFrame =
+    spark.read.parquet(out.toString).drop("batch")
+
   /** T1+T2: run `transform` over the staged events stream, append each
     * micro-batch to a parquet sink via foreachBatch, drain with
     * AvailableNow, and return the sink's final contents. Pass
@@ -85,8 +107,7 @@ object MicroBatch {
     val in = stageEvents(sfDir, copies)
     val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val writeBatch: (Dataset[Row], Long) => Unit =
-      (batch, _) => batch.write.mode("append").parquet(out.toString)
+    val writeBatch = batchWriter(out)
     withStatePartitions(spark, statePartitions) {
       val q = transform(fileSource(spark, in, maxFilesPerTrigger)).writeStream
         .foreachBatch(writeBatch)
@@ -96,7 +117,7 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out.toString)
+    readSink(spark, out)
   }
 
   /** Update-mode drain for arbitrary-stateful transforms
@@ -110,8 +131,7 @@ object MicroBatch {
     val in = stageEvents(sfDir)
     val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val writeBatch: (Dataset[Row], Long) => Unit =
-      (batch, _) => batch.write.mode("append").parquet(out.toString)
+    val writeBatch = batchWriter(out)
     withStatePartitions(spark, statePartitions) {
       val q = transform(fileSource(spark, in)).writeStream
         .foreachBatch(writeBatch)
@@ -121,7 +141,7 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out.toString)
+    readSink(spark, out)
   }
 
   /** Stream-stream inner join (engine extension per SURVEY §2.9): two
@@ -134,8 +154,7 @@ object MicroBatch {
     val in = stageEvents(sfDir)
     val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val writeBatch: (Dataset[Row], Long) => Unit =
-      (batch, _) => batch.write.mode("append").parquet(out.toString)
+    val writeBatch = batchWriter(out)
     withStatePartitions(spark, statePartitions) {
       val q = join(fileSource(spark, in), fileSource(spark, in)).writeStream
         .foreachBatch(writeBatch)
@@ -145,7 +164,7 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out.toString)
+    readSink(spark, out)
   }
 
   /** Stateful streaming aggregation (engine extension per SURVEY §2.9):
