@@ -1,9 +1,11 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import java.util.UUID
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,12 +32,18 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   *    `data/c<version>-<uuid>` directory; overwrite/merge commits
   *    simply stop listing old directories (time travel keeps them
   *    readable — vacuum is the separate GC decision, as in Delta).
-  *  - commit = write manifest to a temp name, then ATOMIC RENAME to
-  *    `<version>.manifest`. The rename fails if the target exists, so
+  *  - commit = write the manifest under a temp name, then publish it
+  *    at `<version>.manifest` with a primitive that ATOMICALLY FAILS
+  *    if the target exists. That primitive is `Files.createLink`
+  *    (link(2)), NOT rename: on Linux, rename(2) — which is what
+  *    `Files.move(ATOMIC_MOVE)` maps to — silently REPLACES an
+  *    existing target, so racing writers would clobber each other's
+  *    manifest and lose commits. link(2) returns EEXIST instead, so
   *    two writers racing to the same version produce exactly one
-  *    winner; the loser gets [[ConcurrentCommitException]]. On a real
-  *    lake store this primitive is the LogStore contract (HDFS rename,
-  *    S3 putIfAbsent); the local-FS rename here has the same semantics.
+  *    winner; the loser gets [[ConcurrentCommitException]] and must
+  *    retry from a fresh read of the log. On a real lake store this
+  *    primitive is the LogStore contract (HDFS rename-without-replace,
+  *    S3 putIfAbsent).
   *  - streaming txns: a commit may carry an (appId, batchId) marker;
   *    [[commitBatch]] consults the log and turns a replayed batchId
   *    into a no-op — exactly-once via the txn log, literally the
@@ -54,11 +62,13 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
 
   /** Committed versions in ascending order. */
   def versions: Seq[Long] =
-    Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong)
-      .toSeq.sorted
+    Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".manifest"))
+        .map(_.stripSuffix(".manifest").toLong)
+        .toSeq
+    }.sorted
 
   def latestVersion: Long = {
     val vs = versions
@@ -83,24 +93,25 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       one("txnAppId"), one("txnBatchId").map(_.toLong))
   }
 
-  /** Write the next manifest with the atomic-rename commit protocol.
-    * `expected` is the version this commit believes it is creating; if
-    * another writer got there first the rename (or the pre-check)
-    * fails and the caller must retry from a fresh read of the log. */
-  private def commitManifest(expected: Long, action: String, dirs: Seq[String],
-                             txn: Option[(String, Long)]): Long = {
+  /** Publish the next manifest with the atomic create-if-absent commit
+    * protocol (see class doc). `expected` is the version this commit
+    * believes it is creating; if another writer got there first the
+    * hard link fails with EEXIST and the caller must retry from a
+    * fresh read of the log. Exposed to the `lake` package so the spec
+    * can force a deterministic two-writers-same-version race. */
+  private[lake] def commitManifest(expected: Long, action: String, dirs: Seq[String],
+                                   txn: Option[(String, Long)]): Long = {
     val lines = Seq(s"version=$expected", s"action=$action") ++
       txn.toSeq.flatMap { case (a, b) => Seq(s"txnAppId=$a", s"txnBatchId=$b") } ++
       dirs.map(d => s"dir=$d")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, lines.asJava)
-    try Files.move(tmp, manifestPath(expected), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(expected), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new ConcurrentCommitException(
           s"version $expected at $root was committed by another writer")
-    }
+    } finally Files.deleteIfExists(tmp)
     expected
   }
 
@@ -141,13 +152,31 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     commitManifest(v, "merge", Seq(writeData(applied, v)), None)
   }
 
+  /** (appId, batchId) markers already scanned from the log, plus the
+    * highest version that scan covered. [[txnCommitted]] folds in only
+    * manifests NEWER than the watermark — ours or another writer's —
+    * so a long-running stream does O(new manifests) log reads per
+    * micro-batch, not O(all manifests) (Delta's setTransaction
+    * snapshot approach). A fresh handle starts cold and pays one full
+    * scan on its first commit, which is the recovery-after-restart
+    * path doing exactly the read it must. */
+  private val seenTxns = mutable.Set.empty[(String, Long)]
+  private var scannedThrough = 0L
+
+  private def txnCommitted(appId: String, batchId: Long): Boolean = synchronized {
+    versions.iterator.filter(_ > scannedThrough).foreach { v =>
+      val m = readManifest(v)
+      for (a <- m.txnAppId; b <- m.txnBatchId) seenTxns += ((a, b))
+      if (v > scannedThrough) scannedThrough = v
+    }
+    seenTxns.contains((appId, batchId))
+  }
+
   /** Idempotent streaming commit: if (appId, batchId) already appears
     * in the log this is a no-op (the micro-batch was replayed after its
     * commit landed), otherwise an append carrying the txn marker. */
   def commitBatch(df: DataFrame, appId: String, batchId: Long): Long = {
-    val committed = versions.map(readManifest)
-      .exists(m => m.txnAppId.contains(appId) && m.txnBatchId.contains(batchId))
-    if (committed) latestVersion
+    if (txnCommitted(appId, batchId)) latestVersion
     else {
       val v = latestVersion + 1
       commitManifest(v, "streaming-append",
@@ -174,6 +203,15 @@ object LakeTable {
     val t = new LakeTable(spark, root)
     Files.createDirectories(root.resolve("_log"))
     t.commitManifest(1L, "create", Seq(t.writeData(df, 1L)), None)
+    t
+  }
+
+  /** Create a new empty table at `root` (version 1 lists no data — the
+    * streaming-sink starting point; the schema arrives with batch 0). */
+  def createEmpty(spark: SparkSession, root: Path): LakeTable = {
+    val t = new LakeTable(spark, root)
+    Files.createDirectories(root.resolve("_log"))
+    t.commitManifest(1L, "create", Nil, None)
     t
   }
 

@@ -119,14 +119,17 @@ object Dedup {
   }
 
   /** Composed near-dup pipeline: shingle → sign → band → candidate →
-    * verify. The shingle relation feeds six plan subtrees (both sides
-    * of the bucket join, both Jaccard probes, both size lookups).
-    * `cacheShingles` trades recompute for a materialized cache:
-    * measured at sf0.1 the recompute wins 2.4x (codegen pipelines are
-    * cheaper than serializing the exploded relation), so it defaults
-    * off; on a petabyte corpus where each recompute is a full scan of
-    * the raw text, turn it on — or better, checkpoint the shingle
-    * relation to the lake and run the pipeline from there. */
+    * verify. Two shingle relations exist on purpose: the signature
+    * path explodes RAW shingles (min-agg is duplicate-insensitive, so
+    * skipping the distinct saves its shuffle), while the verify path
+    * builds a DISTINCT hash-compressed shingle relation that feeds the
+    * exact-Jaccard probes and both size lookups. `cacheShingles`
+    * persists only that verify relation: measured at sf0.1 the
+    * recompute wins 2.4x (codegen pipelines are cheaper than
+    * serializing the exploded relation), so it defaults off; on a
+    * petabyte corpus where each recompute is a full scan of the raw
+    * text, turn it on — or better, checkpoint the shingle relation to
+    * the lake and run the pipeline from there. */
   def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 12,
                    bands: Int = 4, rows: Int = 3,
                    minJaccard: Double = 0.6,
@@ -264,6 +267,14 @@ object Dedup {
       labels = next
       i += 1
     }
+    // never return silently-partial labels (VERDICT r4 #3): a component
+    // whose diameter exceeds the iteration budget would otherwise come
+    // back split into multiple clusters with no signal. At web scale,
+    // long near-dup chains do occur — the caller must raise the budget
+    // (or switch to pointer-doubling) rather than trust wrong labels.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge within $iterations iterations; " +
+        "raise the budget for long-chain components")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 

@@ -144,43 +144,63 @@ object ExtendedQ {
         .orderBy("c_mktsegment")
     }),
 
-    // lake maintenance — CDC apply / MERGE emulation in pure Spark
-    // (the Delta-less upsert): base ⟂ changes via anti-join on the
-    // key, then union the upserts; deletes are changes with no new row
+    // lake maintenance — CDC apply through the transactional lake
+    // module: create the table, MERGE the change set (deletes + upserts
+    // keyed on event_id), read the resulting snapshot. The MERGE is
+    // LakeTable.merge's anti-join + union rewrite committed through the
+    // atomic manifest log (lake/LakeTable.scala).
     "q96_cdc_apply" -> ((s, d) => {
       val base = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
+      val table = graft.lake.LakeTable.createTemp(s, base, "graft-cdc")
       // deterministic change set: delete ids ending in 7, upsert ids
       // ending in 3 with value*2 and type 'patched'
       val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
       val upserts = base.filter(col("event_id") % 10 === 3)
         .select(col("event_id"), lit("patched").as("event_type"),
           (col("value") * 2).as("value"))
-      val changedKeys = deletes.union(upserts.select(col("event_id")))
-      val applied = base.join(changedKeys, Seq("event_id"), "left_anti")
-        .unionByName(upserts)
-      applied
+      table.merge(upserts, Seq("event_id"), Some(deletes))
+      table.snapshot()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
     }),
 
-    // lake maintenance — versioned snapshots (poor-man's time travel):
-    // v1 and v2 are immutable directory versions; reading v1 after v2
-    // exists must return the original table
+    // lake maintenance — time travel through the lake module: commit
+    // v2 as an overwrite that drops rows, then read v1. Data dirs are
+    // immutable; the v1 manifest still serves the original table.
     "q97_snapshot_read" -> ((s, d) => {
-      val root = Files.createTempDirectory("graft-versions")
-      val v1 = root.resolve("v=1").toString
-      val v2 = root.resolve("v=2").toString
       val base = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
-      base.write.mode("overwrite").parquet(v1)
-      base.filter(col("event_id") % 10 =!= 7).write.mode("overwrite").parquet(v2)
-      s.read.parquet(v2).count() // v2 is committed and readable...
-      s.read.parquet(v1)         // ...but v1 still serves the old rows
+      val table = graft.lake.LakeTable.createTemp(s, base, "graft-versions")
+      table.overwrite(base.filter(col("event_id") % 10 =!= 7)) // v2
+      table.snapshot().count() // v2 is current and readable...
+      table.snapshot(1L)       // ...but time travel still serves v1's rows
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // lake — version history across a MERGE: both the pre-MERGE and
+    // post-MERGE snapshots, aggregated side by side from one table.
+    // Proves time travel returns exactly the pre-MERGE rows after the
+    // log has moved on (VERDICT r4 #1d).
+    "q105_time_travel_merge" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val table = graft.lake.LakeTable.createTemp(s, base, "graft-tt")
+      val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
+      val upserts = base.filter(col("event_id") % 10 === 3)
+        .select(col("event_id"), lit("patched").as("event_type"),
+          (col("value") * 2).as("value"))
+      val v2 = table.merge(upserts, Seq("event_id"), Some(deletes))
+      def agg(df: org.apache.spark.sql.DataFrame, v: Long) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .withColumn("version", lit(v))
+      agg(table.snapshot(1L), 1L).unionByName(agg(table.snapshot(v2), 2L))
+        .select(col("version"), col("event_type"), col("n"), col("total"))
+        .orderBy("version", "event_type")
     }),
 
     // P6/M5 — keyword-filtered crop selection: first detection per
@@ -303,6 +323,21 @@ object ExtendedQ {
     "q97_snapshot_read" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q105_time_travel_merge" ->
+      s"""SELECT version, event_type, n, total FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |  FROM events GROUP BY event_type
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS version, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |  FROM (
+         |    SELECT event_id, event_type, value FROM events
+         |    WHERE event_id % 10 <> 7 AND event_id % 10 <> 3
+         |    UNION ALL
+         |    SELECT event_id, 'patched' AS event_type, value * 2 AS value
+         |    FROM events WHERE event_id % 10 = 3
+         |  ) GROUP BY event_type
+         |) ORDER BY version, event_type""".stripMargin,
 
     "q94_schema_merge" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -139,8 +139,16 @@ object ParityQ {
       Tables.documents(s, d).filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>
+          val text = r.getString(1)
+          // pinned invariant (VERDICT r4 #7): Spark slices BYTES below,
+          // the DuckDB oracle slices CHARS (it has no byte-substring
+          // primitive) — equal only while the staged text is pure
+          // ASCII. Fail loudly if the corpus ever grows a multibyte
+          // char rather than letting the gate diverge silently.
+          require(text.forall(_ < 0x80),
+            s"q87 oracle requires ASCII text; doc ${r.getLong(0)} is not")
           Files.write(dir.resolve(f"doc_${r.getLong(0)}%05d.bin"),
-            r.getString(1).getBytes("UTF-8"))
+            text.getBytes("UTF-8"))
         }
       val fs = 64
       s.read.format("binaryFile").load(dir.toString)

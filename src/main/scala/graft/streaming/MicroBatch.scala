@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import graft.lake.LakeTable
+
 /** Structured Streaming slice (SURVEY.md §2.9 T1–T3), mirroring the
   * reference's only Spark program — the Kafka → CAST → foreachBatch →
   * append micro-batch pipeline
@@ -74,27 +76,26 @@ object MicroBatch {
         try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
-  /** Idempotent exactly-once foreachBatch writer (VERDICT r3 #2): each
-    * micro-batch lands in its own `batch=<batchId>` directory with
-    * OVERWRITE semantics, mirroring how Delta's transaction log keys
-    * commits by (queryId, batchId). Structured Streaming guarantees a
+  /** Idempotent exactly-once foreachBatch writer over a [[LakeTable]]
+    * (VERDICT r4 #1b: one idempotency mechanism — the txn log, not a
+    * parallel directory scheme). Structured Streaming guarantees a
     * replayed micro-batch reuses its original batchId (that is the
-    * checkpoint contract), so a retry — after a sink crash, an executor
-    * loss mid-write, or a duplicate foreachBatch invocation — simply
-    * rewrites the same directory instead of appending a second copy.
-    * The blind `mode("append")` this replaces was at-least-once:
-    * duplicates on any retry. Reference seam:
-    * spark_stream/spark_stream.py:173-178 (Cassandra append, where
-    * exactly-once comes from primary-key upsert instead). */
-  def batchWriter(out: Path): (Dataset[Row], Long) => Unit =
-    (batch, batchId) =>
-      batch.write.mode("overwrite").parquet(out.resolve(s"batch=$batchId").toString)
+    * checkpoint contract); `commitBatch` records an (appId, batchId)
+    * marker in the commit log and turns a replay — after a sink crash,
+    * an executor loss mid-write, or a duplicate foreachBatch
+    * invocation — into a no-op, literally `DeltaSink`'s mechanism.
+    * Reference seam: spark_stream/spark_stream.py:173-178 (Cassandra
+    * append, where exactly-once comes from primary-key upsert
+    * instead). foreachBatch runs driver-side, so capturing the table
+    * handle is safe (never serialized to executors). */
+  def batchWriter(table: LakeTable, appId: String): (Dataset[Row], Long) => Unit =
+    (batch, batchId) => { table.commitBatch(batch.toDF(), appId, batchId); () }
 
-  /** Final sink contents: the union of all committed batch directories.
-    * Partition discovery turns `batch=<id>` into a column; dropping it
-    * restores the logical sink schema. */
-  def readSink(spark: SparkSession, out: Path): DataFrame =
-    spark.read.parquet(out.toString).drop("batch")
+  /** Fresh lake-table sink under a temp root (version 1 is empty; each
+    * micro-batch is one streaming-append commit). */
+  def lakeSink(spark: SparkSession): LakeTable =
+    LakeTable.createEmpty(spark,
+      Files.createTempDirectory("graft-stream-out").resolve("sink"))
 
   /** T1+T2: run `transform` over the staged events stream, append each
     * micro-batch to a parquet sink via foreachBatch, drain with
@@ -105,9 +106,9 @@ object MicroBatch {
                 statePartitions: Option[Int] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
     val in = stageEvents(sfDir, copies)
-    val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
+    val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val writeBatch = batchWriter(out)
+    val writeBatch = batchWriter(sink, ckpt.toString)
     withStatePartitions(spark, statePartitions) {
       val q = transform(fileSource(spark, in, maxFilesPerTrigger)).writeStream
         .foreachBatch(writeBatch)
@@ -117,7 +118,7 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    readSink(spark, out)
+    sink.snapshot()
   }
 
   /** Update-mode drain for arbitrary-stateful transforms
@@ -129,9 +130,9 @@ object MicroBatch {
                 statePartitions: Option[Int] = Some(8))(
       transform: DataFrame => DataFrame): DataFrame = {
     val in = stageEvents(sfDir)
-    val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
+    val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val writeBatch = batchWriter(out)
+    val writeBatch = batchWriter(sink, ckpt.toString)
     withStatePartitions(spark, statePartitions) {
       val q = transform(fileSource(spark, in)).writeStream
         .foreachBatch(writeBatch)
@@ -141,7 +142,7 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    readSink(spark, out)
+    sink.snapshot()
   }
 
   /** Stream-stream inner join (engine extension per SURVEY §2.9): two
@@ -152,9 +153,9 @@ object MicroBatch {
               statePartitions: Option[Int] = Some(4))(
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val in = stageEvents(sfDir)
-    val out = Files.createTempDirectory("graft-stream-out").resolve("sink")
+    val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
-    val writeBatch = batchWriter(out)
+    val writeBatch = batchWriter(sink, ckpt.toString)
     withStatePartitions(spark, statePartitions) {
       val q = join(fileSource(spark, in), fileSource(spark, in)).writeStream
         .foreachBatch(writeBatch)
@@ -164,7 +165,7 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    readSink(spark, out)
+    sink.snapshot()
   }
 
   /** Stateful streaming aggregation (engine extension per SURVEY §2.9):

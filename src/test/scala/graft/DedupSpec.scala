@@ -66,6 +66,19 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupClusters signals non-convergence instead of partial labels") {
+    // a 7-node chain needs 6 min-propagation rounds; a 2-round budget
+    // must throw (VERDICT r4 #3), never return a silently-split
+    // component — then the same chain under a big-enough budget labels
+    // as one cluster
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](Dedup.dedupClusters(chain, iterations = 2))
+    assert(e.getMessage.contains("converge"))
+    val ok = Dedup.dedupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L) && ok.size === 7)
+  }
+
   private val longDoc = Seq(
     (10L, (1 to 40).map(i => s"w${i % 17}").mkString(" ")),
     (11L, (1 to 40).map(i => s"w${i % 17}").mkString(" "))) // identical

@@ -53,14 +53,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.distinct().count() === n)
   }
 
-  test("batchId-keyed sink is exactly-once under micro-batch replay") {
+  test("txn-log sink is exactly-once under micro-batch replay") {
     // Simulate the foreachBatch retry contract: Structured Streaming
     // re-invokes the sink function with the SAME batchId after a failed
-    // or torn commit. With the old mode("append") writer a replay
-    // doubled the rows; the batch=<id> overwrite writer must converge
-    // to exactly one copy no matter how often a batch is redelivered.
-    val out = java.nio.file.Files.createTempDirectory("graft-replay").resolve("sink")
-    val write = MicroBatch.batchWriter(out)
+    // or torn commit. The lake sink's (appId, batchId) txn markers must
+    // turn each replay into a no-op — exactly one copy of every batch
+    // no matter how often it is redelivered.
+    val sink = MicroBatch.lakeSink(spark)
+    val write = MicroBatch.batchWriter(sink, "replay-test")
     val ev = Tables.events(spark, sf)
     val b0 = ev.filter(col("event_id") % 2 === 0)
     val b1 = ev.filter(col("event_id") % 2 === 1)
@@ -68,10 +68,11 @@ class StreamingSpec extends AnyFunSuite {
     write(b1, 1L)
     write(b0, 0L) // replay of a committed batch (e.g. driver restart)
     write(b1, 1L) // replay of the other
-    val sunk = MicroBatch.readSink(spark, out)
+    val sunk = sink.snapshot()
     assert(sunk.count() === ev.count())
     assert(sunk.select("event_id").distinct().count() === ev.count())
     assert(sunk.schema.fieldNames.toSeq === ev.schema.fieldNames.toSeq)
+    assert(sink.latestVersion === 3L) // create + 2 commits, replays committed nothing
   }
 
   test("stream-stream time-bounded self join matches every event once") {

@@ -1,0 +1,116 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The transactional contract of the lake module (VERDICT r4 #1c):
+  * commit atomicity under races, exactly-once batch replay, and time
+  * travel across MERGE. Runs on sf0.001 events. */
+class LakeTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events = Tables.events(spark, sf)
+    .select(col("event_id"), col("event_type"), col("value"))
+
+  test("create / append / overwrite / snapshot versions") {
+    val base = events.filter(col("event_id") < 100)
+    val extra = events.filter(col("event_id").between(100, 199))
+    val t = LakeTable.createTemp(spark, base)
+    assert(t.latestVersion === 1L)
+    assert(t.snapshot().count() === base.count())
+    t.append(extra)
+    assert(t.latestVersion === 2L)
+    assert(t.snapshot().count() === base.count() + extra.count())
+    t.overwrite(extra)
+    assert(t.latestVersion === 3L)
+    assert(t.snapshot().count() === extra.count())
+    // time travel: every earlier version still serves its exact rows
+    assert(t.snapshot(1L).count() === base.count())
+    assert(t.snapshot(2L).count() === base.count() + extra.count())
+  }
+
+  test("MERGE applies upserts+deletes; time travel returns pre-MERGE rows") {
+    val base = events
+    val t = LakeTable.createTemp(spark, base)
+    val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
+    val upserts = base.filter(col("event_id") % 10 === 3)
+      .select(col("event_id"), lit("patched").as("event_type"),
+        (col("value") * 2).as("value"))
+    val v2 = t.merge(upserts, Seq("event_id"), Some(deletes))
+    val now = t.snapshot()
+    assert(now.count() === base.count() - deletes.count())
+    assert(now.filter(col("event_id") % 10 === 7).count() === 0)
+    assert(now.filter(col("event_id") % 10 === 3)
+      .filter(col("event_type") =!= "patched").count() === 0)
+    // the pre-MERGE snapshot is byte-identical to the original table
+    val v1 = t.snapshot(v2 - 1)
+    assert(v1.count() === base.count())
+    assert(v1.orderBy("event_id").collect().toSeq ===
+      base.orderBy("event_id").collect().toSeq)
+  }
+
+  test("two writers racing to the same version: exactly one winner") {
+    val df = events.limit(10)
+    val root = Files.createTempDirectory("graft-race").resolve("t")
+    val a = LakeTable.create(spark, root, df)
+    val b = LakeTable.open(spark, root)
+    // both handles believe they are creating version 2 — the atomic
+    // create-if-absent publish must admit exactly one
+    a.commitManifest(2L, "append", Nil, None)
+    val e = intercept[ConcurrentCommitException] {
+      b.commitManifest(2L, "append", Nil, None)
+    }
+    assert(e.getMessage.contains("version 2"))
+    assert(a.latestVersion === 2L)
+  }
+
+  test("concurrent appenders with retry all land; no commit is lost") {
+    val df = events.limit(20)
+    val t = LakeTable.createTemp(spark, df)
+    val nWriters = 6
+    val start = new CountDownLatch(1)
+    val threads = (1 to nWriters).map { _ =>
+      new Thread(() => {
+        start.await()
+        var done = false
+        while (!done) {
+          try { t.append(df); done = true }
+          catch { case _: ConcurrentCommitException => /* re-read log, retry */ }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    assert(t.latestVersion === 1L + nWriters) // every append got its own version
+    assert(t.snapshot().count() === df.count() * (1 + nWriters))
+  }
+
+  test("commitBatch is a no-op on replayed (appId, batchId)") {
+    val b0 = events.filter(col("event_id") % 2 === 0)
+    val b1 = events.filter(col("event_id") % 2 === 1)
+    val root = Files.createTempDirectory("graft-txn").resolve("t")
+    val t = LakeTable.createEmpty(spark, root)
+    t.commitBatch(b0, "app", 0L)
+    t.append(events.limit(5))      // a foreign commit advances the log...
+    t.commitBatch(b0, "app", 0L)   // ...replay still detected (incremental scan)
+    t.commitBatch(b1, "app", 1L)
+    assert(t.latestVersion === 4L) // create + batch0 + append + batch1
+    assert(t.snapshot().count() === b0.count() + 5 + b1.count())
+    // a FRESH handle (cold txn cache → full log scan, the
+    // recovery-after-driver-restart path) must also detect the replay
+    val t2 = LakeTable.open(spark, root)
+    t2.commitBatch(b0, "app", 0L)
+    t2.commitBatch(b1, "app", 1L)
+    assert(t2.latestVersion === 4L)
+    // a different appId with the same batchId is NOT a replay
+    t2.commitBatch(b1, "other-app", 1L)
+    assert(t2.latestVersion === 5L)
+  }
+}

@@ -75,7 +75,13 @@ for name in names:
         if isinstance(x, float) and isinstance(y, float):
             return x == y or (math.isnan(x) and math.isnan(y))
         if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
-            return np.array_equal(np.asarray(x), np.asarray(y))
+            ax, ay = np.asarray(x), np.asarray(y)
+            # float arrays: NaN must equal NaN (same carve-out as the
+            # scalar branch above); equal_nan raises TypeError on
+            # non-numeric dtypes, so guard on the dtype kind
+            if ax.dtype.kind == "f" or ay.dtype.kind == "f":
+                return np.array_equal(ax, ay, equal_nan=True)
+            return np.array_equal(ax, ay)
         return bool(x == y)
 
     bad = None
