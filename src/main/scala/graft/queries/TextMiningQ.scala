@@ -139,8 +139,67 @@ object TextMiningQ {
       TextMining.keywordTrim(
         TextMining.sentences(corpus(s, d).filter(col("doc_id") < 300)),
         "taux de chomage")
-        .orderBy("doc_id", "sent_idx"))
+        .orderBy("doc_id", "sent_idx")),
+
+    // End-to-end extract_data composition (budgetEco.py:81-88 →
+    // texteExtract.py:40-93): reverse-scan pages for the keyword
+    // (find_KPI_page, reverse=True ⇒ LAST matching page wins), take the
+    // first keyword sentence on that page trimmed 3 words before the
+    // keyword, then mine ONLY the trimmed sentence for signed values
+    // and as-of years. Chains the q57/q32/q27-q31 stages through one
+    // plan — the reference's most-used interactive journey — with no
+    // re-tokenization drift between stages.
+    "q106_extract_data" -> ((s, d) => {
+      val kw = "taux de chomage"
+      val pages = extractPages(s, d)
+      // stage 1 — find_KPI_page: highest page_no containing the keyword
+      val found = pages
+        .filter(lower(col("page_text")).contains(kw))
+        .groupBy(col("doc_id"))
+        .agg(max(col("page_no")).as("page_no"),
+          max_by(col("page_text"), col("page_no")).as("text"))
+      // stage 2 — first keyword sentence on the found page, trimmed
+      val trimmed = TextMining.keywordTrim(
+        TextMining.sentences(found.select(col("doc_id"), col("text"))), kw)
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("trimmed"), col("sent_idx")).as("text"))
+      // stage 3 — mine the trimmed sentence only (the reference mines
+      // trimmed_sent, never the whole page)
+      TextMining.mine(trimmed)
+        .join(found.select(col("doc_id"), col("page_no")), Seq("doc_id"))
+        .select(col("doc_id"), col("page_no"), col("year"), col("vals"))
+        .orderBy("doc_id", "year")
+    })
   )
+
+  /** Paged corpus for the composed extract_data query: 3 pages per doc.
+    * Page 1 mentions the keyword with no values (a wrong-direction scan
+    * would mine nothing), page 2 carries the keyword sentence with
+    * values, page 3 carries the keyword with DIFFERENT values for every
+    * third doc — so the reverse scan's last-match choice is visible in
+    * the mined output. */
+  def extractPages(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_id") < 2000).select(
+      col("event_id").as("doc_id"),
+      array(
+        lit("resume . le taux de chomage reste un sujet central . fin"),
+        concat(lit("selon le rapport le taux de chomage affiche une "),
+          when(col("event_id") % 2 === 0, lit("hausse")).otherwise(lit("baisse")),
+          lit(" de "), (col("user_id") % 90 + 1).cast("string"), lit(","),
+          (col("event_id") % 10).cast("string"),
+          lit("% en "), (col("event_id") % 30 + 1990).cast("string"),
+          lit(" contre "), (col("event_id") % 80 + 1).cast("string"),
+          lit("% auparavant")),
+        when(col("event_id") % 3 === 0,
+          concat(lit("en annexe le taux de chomage recule a "),
+            (col("event_id") % 40 + 1).cast("string"), lit(","),
+            (col("user_id") % 10).cast("string"),
+            lit("% en "), (col("event_id") % 8 + 2000).cast("string")))
+          .otherwise(lit("annexe statistique sans indicateur particulier"))
+      ).as("pages"))
+      .select(col("doc_id"), posexplode(col("pages")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_no"),
+        col("col").as("page_text"))
 
   val oracles: Map[String, String] = Map(
     "q27_sentences" ->
@@ -250,6 +309,105 @@ object TextMiningQ {
          |)
          |SELECT doc_id, sent_idx,
          |       array_to_string(words[greatest(kpos - 3, 1):], ' ') AS trimmed
-         |FROM hits WHERE kpos > 0 ORDER BY doc_id, sent_idx""".stripMargin
+         |FROM hits WHERE kpos > 0 ORDER BY doc_id, sent_idx""".stripMargin,
+
+    "q106_extract_data" ->
+      """WITH base AS (
+        |  SELECT event_id AS doc_id, user_id FROM events WHERE event_id < 2000
+        |),
+        |pages AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS page_no,
+        |         'resume . le taux de chomage reste un sujet central . fin' AS page_text
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT),
+        |         'selon le rapport le taux de chomage affiche une ' ||
+        |         CASE WHEN doc_id % 2 = 0 THEN 'hausse' ELSE 'baisse' END ||
+        |         ' de ' || CAST(user_id % 90 + 1 AS VARCHAR) || ',' ||
+        |         CAST(doc_id % 10 AS VARCHAR) ||
+        |         '% en ' || CAST(doc_id % 30 + 1990 AS VARCHAR) ||
+        |         ' contre ' || CAST(doc_id % 80 + 1 AS VARCHAR) || '% auparavant'
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT),
+        |         CASE WHEN doc_id % 3 = 0 THEN
+        |           'en annexe le taux de chomage recule a ' ||
+        |           CAST(doc_id % 40 + 1 AS VARCHAR) || ',' ||
+        |           CAST(user_id % 10 AS VARCHAR) ||
+        |           '% en ' || CAST(doc_id % 8 + 2000 AS VARCHAR)
+        |         ELSE 'annexe statistique sans indicateur particulier' END
+        |  FROM base
+        |),
+        |found AS (
+        |  SELECT doc_id, max(page_no) AS page_no,
+        |         max_by(page_text, page_no) AS text
+        |  FROM pages WHERE contains(lower(page_text), 'taux de chomage')
+        |  GROUP BY doc_id
+        |),
+        |sents0 AS (
+        |  SELECT doc_id, regexp_split_to_array(text, ' [.!?]+ ') AS ss FROM found
+        |),
+        |sents1 AS (
+        |  SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS sent_idx FROM sents0
+        |),
+        |sents AS (SELECT doc_id, sent_idx, ss[sent_idx] AS sentence FROM sents1),
+        |hits AS (
+        |  SELECT doc_id, sent_idx, string_split(sentence, ' ') AS words,
+        |         list_position(string_split(lower(sentence), ' '), 'taux') AS kpos
+        |  FROM sents WHERE contains(lower(sentence), 'taux de chomage')
+        |),
+        |trimmed AS (
+        |  SELECT doc_id,
+        |         min_by(array_to_string(words[greatest(kpos - 3, 1):], ' '), sent_idx) AS text
+        |  FROM hits WHERE kpos > 0 GROUP BY doc_id
+        |),
+        |toks0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM trimmed),
+        |toks1 AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM toks0
+        |),
+        |toks AS (SELECT doc_id, pos, ws[pos] AS tok FROM toks1),
+        |vals AS (
+        |  SELECT doc_id, pos AS v_pos,
+        |         CASE WHEN regexp_matches(tok, '^[0-9]+(,[0-9]+)?%$') THEN pos ELSE pos + 1 END AS v_end,
+        |         CASE WHEN regexp_matches(tok, '^[0-9]+(,[0-9]+)?%$') THEN tok
+        |              ELSE tok || ' ' || next_tok END AS value
+        |  FROM (SELECT *, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok FROM toks)
+        |  WHERE regexp_matches(tok, '^[0-9]+(,[0-9]+)?%$')
+        |     OR (regexp_matches(tok, '^[0-9]+(,[0-9]+)?$')
+        |         AND next_tok IN ('millions', 'dollars', 'bbl', '%', '$'))
+        |),
+        |yrs AS (
+        |  SELECT doc_id, pos AS y_pos, tok AS year
+        |  FROM toks WHERE regexp_matches(tok, '^[0-9]{4}$')
+        |),
+        |with_year AS (
+        |  SELECT v.doc_id, v.v_pos, v.value,
+        |         COALESCE(min_by(y.year, y.y_pos - v.v_end), 'NAN') AS year
+        |  FROM vals v
+        |  LEFT JOIN yrs y ON v.doc_id = y.doc_id AND y.y_pos > v.v_end
+        |  GROUP BY v.doc_id, v.v_pos, v.value
+        |),
+        |with_sign AS (
+        |  SELECT v.doc_id, v.v_pos, v.value,
+        |         CASE WHEN min_by(s.tok, v.v_pos - s.pos)
+        |                   IN ('hausse','augmentation','appreciation','excedent','accroissement') THEN '+'
+        |              WHEN min_by(s.tok, v.v_pos - s.pos)
+        |                   IN ('baisse','diminution','deficit') THEN '-'
+        |              ELSE '' END AS sign
+        |  FROM vals v
+        |  LEFT JOIN (
+        |    SELECT doc_id, pos, tok FROM toks
+        |    WHERE tok IN ('hausse','augmentation','appreciation','excedent',
+        |                  'accroissement','baisse','diminution','deficit')
+        |  ) s ON v.doc_id = s.doc_id AND s.pos BETWEEN v.v_pos - 25 AND v.v_pos - 1
+        |  GROUP BY v.doc_id, v.v_pos, v.value
+        |)
+        |SELECT a.doc_id AS doc_id, f.page_no AS page_no, a.year AS year,
+        |       array_to_string(list_sort(list(b.sign || a.value)), ',') AS vals
+        |FROM with_year a
+        |JOIN with_sign b ON a.doc_id = b.doc_id AND a.v_pos = b.v_pos AND a.value = b.value
+        |JOIN found f ON a.doc_id = f.doc_id
+        |GROUP BY a.doc_id, f.page_no, a.year
+        |ORDER BY doc_id, year""".stripMargin
   )
 }

@@ -80,4 +80,32 @@ class TextMiningSpec extends AnyFunSuite {
     assert(out(0) === "trois quatre cinq taux de chomage reste stable")
     assert(out(1) === "taux de chomage en tete")
   }
+
+  test("extract_data composition: reverse page pick -> trim -> mine") {
+    // The q106 chain on a hand-built 3-page doc (extract_data,
+    // texteExtract.py:40-93 with reverse=True): the keyword appears on
+    // pages 1 and 2 — the REVERSE scan must pick page 2, the trim must
+    // cut to 3 words before the keyword, and mining must see only the
+    // trimmed sentence (so page 1's values and the same page's
+    // post-sentence content never leak into the result).
+    val kw = "taux de chomage"
+    val pages = Seq(
+      (1L, 1L, "intro . le taux de chomage etait de 9% en 2001 . fin"),
+      (1L, 2L, "ensuite selon le rapport le taux de chomage marque une hausse de 4,2% en 2024 . annexe"),
+      (1L, 3L, "page sans indicateur")).toDF("doc_id", "page_no", "page_text")
+    val found = pages.filter(lower(col("page_text")).contains(kw))
+      .groupBy(col("doc_id"))
+      .agg(max(col("page_no")).as("page_no"),
+        max_by(col("page_text"), col("page_no")).as("text"))
+    assert(found.select("page_no").as[Long].head() === 2L)
+    val trimmed = TextMining.keywordTrim(
+      TextMining.sentences(found.select(col("doc_id"), col("text"))), kw)
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("trimmed"), col("sent_idx")).as("text"))
+    assert(trimmed.select("text").as[String].head() ===
+      "le rapport le taux de chomage marque une hausse de 4,2% en 2024")
+    val mined = TextMining.mine(trimmed).select("year", "vals").collect()
+    assert(mined.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("2024", "+4,2%"))) // page 1's 9%/2001 must not appear
+  }
 }
