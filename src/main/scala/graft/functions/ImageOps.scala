@@ -1,23 +1,42 @@
 package graft.functions
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
+
+/** Decoded-image metadata row (public top-level: Spark needs a public
+  * case class to derive the struct encoder for the UDF return type).
+  * `lumSum` is the integer Rec.601 luminance sum — per pixel
+  * 299*R + 587*G + 114*B (the ×1000 fixed-point weights) accumulated
+  * exactly in Long arithmetic, so cross-engine comparison never rides
+  * on float rounding. */
+case class ImageMeta(width: Int, height: Int, channels: Int, lumSum: Long)
 
 /** Multimodal binary-column operators (SURVEY.md §2.7 F16, §2.8 M1–M8
   * contracts; builder north-star "multimodal columns").
   *
   * Images/audio/video live in the lake as opaque `binary` columns with
   * typed metadata alongside (the `binaryFile` source provides path,
-  * length, content). The byte-level transforms here are real and
-  * deterministic; the codec-backed DECODE step is a clearly-marked
-  * stub (no image libraries exist in this container — see
-  * [[decodeStub]]) with the Spark-side plumbing (UDF signatures, batch
-  * shape, schema) kept production-shaped. The reference's originals:
-  * invert via bitwise_not (ocr.py:42-44), enhance/sharpen
-  * (ocr.py:91-99), resize by fractional factors (graphData.py:132-142).
+  * length, content). Two layers:
   *
-  * All of these are per-row byte transforms — embarrassingly parallel,
-  * no shuffle, and at cluster scale they run where the bytes live.
+  *  - byte-plane transforms (invert/resizeHalf/meanByte) — pure
+  *    per-row byte ops, no codec involved;
+  *  - REAL codec ops via the JDK's built-in `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP — zero external deps): [[decode]],
+  *    [[decodeMeta]], [[resizeHalfPng]]. These replace the r3/r4
+  *    `decodeStub`. The reference's originals: invert via bitwise_not
+  *    (ocr.py:42-44), enhance/sharpen (ocr.py:91-99), resize by
+  *    fractional factors (graphData.py:132-142).
+  *
+  * All of these are per-row transforms — embarrassingly parallel, no
+  * shuffle, and at cluster scale they run where the bytes live. In a
+  * real deployment the codec would read the raster buffer directly and
+  * initialize per-partition (like the reference's module-level model
+  * loads); per-pixel getRGB here keeps the code obvious at fixture
+  * scale.
   */
 object ImageOps {
 
@@ -35,15 +54,61 @@ object ImageOps {
   def meanByte(bytes: Array[Byte]): Double =
     if (bytes.isEmpty) 0d else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
 
-  /** STUB — codec decode. A real deployment decodes JPEG/PNG/audio
-    * frames here (per-partition codec init, like the reference's
-    * module-level model loads); this container has no codec libs, so
-    * the stub returns deterministic fake dimensions derived from the
-    * byte length. The contract (binary -> (width, height, channels))
-    * is what the downstream operators program against. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = bytes.length
-    (math.max(n % 640, 1), math.max(n % 480, 1), 3)
+  /** Codec decode via javax.imageio; None for undecodable bytes. */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+
+  /** Decode + measure: dimensions, channel count, and the exact
+    * integer luminance sum (see [[ImageMeta]]). */
+  def decodeMeta(bytes: Array[Byte]): Option[ImageMeta] =
+    decode(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      ImageMeta(w, h, img.getColorModel.getNumComponents, sum)
+    }
+
+  /** Real fx=0.5 resize (graphData.py:132-142): decode, scale to half
+    * dimensions (floor, min 1), re-encode PNG. None if undecodable. */
+  def resizeHalfPng(bytes: Array[Byte]): Option[Array[Byte]] =
+    decode(bytes).map { img =>
+      val w = math.max(img.getWidth / 2, 1)
+      val h = math.max(img.getHeight / 2, 1)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      encodePng(out)
+    }
+
+  /** Encode a BufferedImage as PNG bytes (fixture staging + re-encode). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Solid-color PNG fixture: every pixel (r, g, b). */
+  def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    encodePng(img)
   }
 
   // Column-function registrations (Scala UDFs over binary; a custom
@@ -52,4 +117,6 @@ object ImageOps {
   val resizeHalfUdf = udf(resizeHalf _)
   val meanByteUdf = udf(meanByte _)
   val isDark: Column => Column = c => meanByteUdf(c) < 100d
+  val decodeMetaUdf = udf(decodeMeta _)
+  val resizeHalfPngUdf = udf(resizeHalfPng _)
 }

@@ -128,6 +128,33 @@ object ParityQ {
           length(ImageOps.resizeHalfUdf(col("content"))).cast("long").as("n_resized"))
     }),
 
+    // F16 real-codec decode (javax.imageio, VERDICT r4 #6): stage
+    // solid-color PNG fixtures with dimensions/colors derived from
+    // doc_id, scan them back as binary, decode through the REAL PNG
+    // codec, and report dims + channels + exact integer luminance sum +
+    // the dimensions after a real decode→scale→re-encode resize. The
+    // oracle recomputes every output arithmetically from the generation
+    // params — any codec round-trip corruption breaks the hash match.
+    "q107_image_decode" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-png")
+      (0 until 40).foreach { id =>
+        Files.write(dir.resolve(f"img_$id%05d.png"),
+          ImageOps.solidPng(id % 7 + 2, id % 5 + 2,
+            id * 37 % 256, id * 59 % 256, id * 83 % 256))
+      }
+      val meta = ImageOps.decodeMetaUdf(col("content"))
+      val half = ImageOps.decodeMetaUdf(ImageOps.resizeHalfPngUdf(col("content")))
+      s.read.format("binaryFile").load(dir.toString)
+        .select(
+          regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+          meta.as("m"), half.as("hm"))
+        .select(col("doc_id"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.channels").as("channels"), col("m.lumSum").as("lum_sum"),
+          col("hm.width").as("half_width"), col("hm.height").as("half_height"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal frame-sampling: treat the binary column as fixed-size
     // frame planes (64-byte frames), sample every 4th frame, and
     // feature each sampled frame with md5 — the slice is the BUILT-IN
@@ -258,6 +285,18 @@ object ParityQ {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_resized
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "q107_image_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(doc_id % 7 + 2 AS INT) AS width,
+        |       CAST(doc_id % 5 + 2 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       CAST((299 * (doc_id * 37 % 256) + 587 * (doc_id * 59 % 256)
+        |             + 114 * (doc_id * 83 % 256))
+        |            * (doc_id % 7 + 2) * (doc_id % 5 + 2) AS BIGINT) AS lum_sum,
+        |       CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) AS half_width,
+        |       CAST(greatest((doc_id % 5 + 2) // 2, 1) AS INT) AS half_height
+        |FROM range(40) t(doc_id) ORDER BY doc_id""".stripMargin,
 
     "q87_frame_sample" ->
       """WITH assets AS (

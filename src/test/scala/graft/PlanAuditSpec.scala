@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q80_stream_dedup", "q81_stream_stream_join", "q87_frame_sample",
     "q93_stateful_count", "q94_schema_merge", "q95_compaction",
     "q96_cdc_apply", "q97_snapshot_read", "q99_bucketed_join",
-    "q105_time_travel_merge",
+    "q105_time_travel_merge", "q107_image_decode",
     "q103_dedup_clusters") // localCheckpoint runs jobs at plan build
 
   /** Justified BroadcastNestedLoopJoins — both are bounded-build-side
