@@ -184,6 +184,35 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** GC — Delta's VACUUM reduced to version-count retention: drop
+    * every manifest older than the newest `retainVersions`, then
+    * delete every data directory no retained manifest references.
+    * Time travel to vacuumed versions becomes impossible (and their
+    * (appId, batchId) txn markers expire with them — the same
+    * retention tradeoff Delta documents for setTransaction). Crash
+    * ordering is manifests-first: an interrupted vacuum can leave
+    * orphan data directories (harmless garbage, re-collected next
+    * run) but never a readable manifest pointing at deleted data.
+    * Returns (manifests dropped, data dirs deleted). */
+  def vacuum(retainVersions: Int = 1): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val vs = versions
+    val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
+    val keepDirs = keep.flatMap(v => readManifest(v).dirs).toSet
+    val dropDirs = drop.flatMap(v => readManifest(v).dirs).toSet -- keepDirs
+    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    dropDirs.foreach { d =>
+      val p = root.resolve(d)
+      if (Files.exists(p)) {
+        Using.resource(Files.walk(p)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }
+    }
+    (drop.size, dropDirs.size)
+  }
+
   /** Snapshot read — current table, or time travel to `version`.
     * Reading an old version after later commits returns exactly the
     * old rows: data directories are immutable and never rewritten. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-analysis operators for a training-data pipeline (builder
@@ -18,6 +19,39 @@ object TextAnalysis {
     * Broadcast-literal `isin` sets (J5 shape, texteExtract.py:117). */
   val EnStop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
   val FrStop = Seq("le", "la", "les", "de", "des", "du", "un", "une", "en", "et")
+
+  /** Gopher-style repetition signals (the duplicate-fraction family of
+    * quality filters from the Gopher corpus paper, re-expressed
+    * relationally): per doc, the duplicate-token fraction — computed
+    * as a pure projection via `array_distinct`, no explode — and the
+    * most frequent token bigram with its count (explode → count →
+    * per-doc top-1 under a `WindowGroupLimit`-pruned rank; ties break
+    * to the lexicographically smallest bigram so the result is
+    * deterministic). Repeated n-grams are the standard boilerplate
+    * predictor at corpus scale; both signals shuffle only on doc_id
+    * grain. Single-token docs have no bigram and drop out, matching
+    * the oracle. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        col("toks"))
+    val counts = base
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(expr("zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("bigram"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0d) - col("n_distinct") / col("n_tokens")).as("dup_tok_frac"),
+        col("bigram").as("top_bigram"), col("cnt").as("top_bigram_n"))
+  }
 
   /** Language ID: conditional stopword counts in one groupBy; guess is
     * 'fr'/'en' by majority, 'und' when neither lexicon hits. */

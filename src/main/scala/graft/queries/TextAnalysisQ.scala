@@ -46,7 +46,13 @@ object TextAnalysisQ {
 
     // BM25-style keyword relevance (log-free rational idf), top 20
     "q102_bm25_rank" -> ((s, d) =>
-      TextAnalysis.bm25Rank(Tables.documents(s, d), Seq("spark", "join"), topK = 20))
+      TextAnalysis.bm25Rank(Tables.documents(s, d), Seq("spark", "join"), topK = 20)),
+
+    // Gopher-style repetition quality filters: duplicate-token
+    // fraction + most-frequent bigram per doc
+    "q108_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +152,34 @@ object TextAnalysisQ {
         |      ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len / avg_len))) +
         |      ((n_docs - df1 + 0.5) / (df1 + 0.5)) *
         |      ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len / avg_len))) > 0
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q108_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |),
+        |b0 AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, toks
+        |  FROM t
+        |),
+        |bg AS (
+        |  SELECT doc_id, n_tokens, n_distinct, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM (SELECT doc_id, n_tokens, n_distinct, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i FROM b0)
+        |),
+        |bc AS (
+        |  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS cnt
+        |  FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram
+        |),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY cnt DESC, bigram) AS rn
+        |  FROM bc
+        |)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       CAST(1 AS DOUBLE) - (n_distinct / n_tokens) AS dup_tok_frac,
+        |       bigram AS top_bigram, cnt AS top_bigram_n
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -113,4 +113,30 @@ class LakeTableSpec extends AnyFunSuite {
     t2.commitBatch(b1, "other-app", 1L)
     assert(t2.latestVersion === 5L)
   }
+
+  test("vacuum retains the newest versions and deletes unreferenced data") {
+    val base = events.filter(col("event_id") < 100)
+    val extra = events.filter(col("event_id").between(100, 199))
+    val t = LakeTable.createTemp(spark, base)
+    t.append(extra)        // v2 = base + extra (shares v1's data dir)
+    t.overwrite(extra)     // v3 = extra only
+    val (droppedManifests, deletedDirs) = t.vacuum(retainVersions = 1)
+    assert(droppedManifests === 2)
+    assert(deletedDirs === 2) // v1's dir and v2's append dir: only v3's survives
+    assert(t.versions === Seq(3L))
+    assert(t.snapshot().count() === extra.count()) // current snapshot intact
+    intercept[IllegalArgumentException](t.snapshot(1L)) // time travel expired
+    // idempotent: nothing left to collect
+    assert(t.vacuum(retainVersions = 1) === ((0, 0)))
+  }
+
+  test("vacuum keeps data dirs still referenced by retained versions") {
+    val base = events.filter(col("event_id") < 100)
+    val extra = events.filter(col("event_id").between(100, 199))
+    val t = LakeTable.createTemp(spark, base)
+    t.append(extra) // v2 references v1's dir + its own
+    val (dropped, deleted) = t.vacuum(retainVersions = 1)
+    assert(dropped === 1 && deleted === 0) // v1's dir lives on inside v2
+    assert(t.snapshot().count() === base.count() + extra.count())
+  }
 }
