@@ -254,17 +254,17 @@ object Dedup {
     while (i < iterations && !converged) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "vid"), col("v") === col("vid"))
         .groupBy(col("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      // carry the previous label through the update so the fixpoint
+      // test is a filter on the checkpointed relation, not a second
+      // labels-vs-labels join per round
       val next = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("olbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      // fixpoint test on the two checkpointed label sets — duplicate
-      // clusters are near-cliques, so this usually stops after 2-3
-      // rounds instead of burning the full iteration budget
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "olbl"), "id")
-        .filter(col("lbl") =!= col("olbl"))
-        .head(1).isEmpty
-      labels = next
+      // fixpoint test — duplicate clusters are near-cliques, so this
+      // usually stops after 2-3 rounds instead of burning the budget
+      converged = next.filter(col("lbl") =!= col("olbl")).head(1).isEmpty
+      labels = next.select(col("id"), col("lbl"))
       i += 1
     }
     // never return silently-partial labels (VERDICT r4 #3): a component
