@@ -296,6 +296,45 @@ object Dedup {
         expr("hamming_distance(a.simhash, b.simhash)").as("hamming"))
   }
 
+  /** EXACT hamming near-dup pairs via the pigeonhole block join
+    * (Manku et al., WWW'07 §3, the multi-table scheme): partition the
+    * B-bit fingerprint into maxHamming+1 contiguous blocks — two
+    * fingerprints within hamming distance maxHamming must agree
+    * EXACTLY on at least one block (pigeonhole: maxHamming differing
+    * bits cannot touch all maxHamming+1 blocks). The union of
+    * per-block equi-joins is therefore a COMPLETE candidate set,
+    * unlike the single-prefix table ([[simhashNearDups]]), which
+    * misses pairs that differ inside the prefix. A pair collides once
+    * per agreeing block; the pair-level distinct collapses the
+    * duplicates before the codegen'd hamming verify emits the final
+    * pairs. Everything is a bucketed equi-join on (block idx, block
+    * bits) — candidate count is sum-of-bucket² per block, never
+    * all-pairs. */
+  def simhashNearDupsExact(docs: DataFrame, maxHamming: Int = 3,
+                           bits: Int = 16): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits, s"need at least 1 bit per block ($nBlocks blocks, $bits bits)")
+    val blockCols = (0 until nBlocks).map { i =>
+      val start = i * bits / nBlocks
+      val len = (i + 1) * bits / nBlocks - start
+      substring(col("simhash"), start + 1, len)
+    }
+    val blocks = simhash(docs)
+      .select(col("doc_id"), col("simhash"), posexplode(array(blockCols: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("blk"), col("col").as("blk_bits"))
+    blocks.alias("a")
+      .join(blocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_bits") === col("b.blk_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .filter(expr(s"hamming_distance(sh_a, sh_b) <= $maxHamming"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("hamming_distance(sh_a, sh_b)").as("hamming"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch — the
     * cross-engine-reproducible alternative to HLL (whose register
     * layout is engine-private, see q55): hash each key with a Knuth

@@ -109,6 +109,14 @@ object DedupQ {
       Dedup.simhashNearDups(dupDocs(s, d).filter(col("doc_id") % 100000 < 200), maxHamming = 1)
         .orderBy("doc_a", "doc_b")),
 
+    // EXACT simhash near-dups (pigeonhole block join): the oracle is
+    // the brute-force all-pairs hamming scan, so this gate proves the
+    // bucketed candidate set is COMPLETE, not just precise
+    "q109_simhash_exact" -> ((s, d) =>
+      Dedup.simhashNearDupsExact(
+        dupDocs(s, d).filter(col("doc_id") % 100000 < 200), maxHamming = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // Near-dup clusters: connected components over the MinHash pairs
     // (min-label propagation) — pairwise matches become keep-one
     // dedup groups
@@ -226,6 +234,30 @@ object DedupQ {
          |       hamming(a.simhash, c.simhash) AS hamming
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
          |WHERE hamming(a.simhash, c.simhash) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force all-pairs — deliberately NOT mirroring the block
+    // join: the oracle is the true semantic spec, so a hash match
+    // proves the pigeonhole candidate set misses nothing
+    "q109_simhash_exact" ->
+      s"""WITH $dupDocsSql,
+         |corpus AS (SELECT doc_id, text FROM dup_docs WHERE doc_id % 100000 < 200),
+         |toks AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+         |  )
+         |),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $simhashVotesSql
+         |  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+         |  GROUP BY doc_id
+         |),
+         |sims AS (SELECT doc_id, $simhashBitsSql AS simhash FROM votes)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |       hamming(a.simhash, c.simhash) AS hamming
+         |FROM sims a JOIN sims c ON a.doc_id < c.doc_id
+         |WHERE hamming(a.simhash, c.simhash) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q36_bottomk_sketch" ->

@@ -66,6 +66,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("exact simhash block join equals brute force (pigeonhole completeness)") {
+    // differential: the bucketed pigeonhole candidate set must find
+    // exactly the pairs an all-pairs hamming scan finds — including
+    // pairs whose fingerprints differ in the PREFIX bits, which the
+    // single-prefix table (simhashNearDups) can miss by design
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val k = 3
+    val exact = Dedup.simhashNearDupsExact(docs, maxHamming = k)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simhash(docs)
+    val brute = sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(s"hamming_distance(a.simhash, b.simhash) <= $k"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("hamming_distance(a.simhash, b.simhash)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty) // the fixture actually exercises matches
+    assert(exact === brute)
+  }
+
   test("dedupClusters signals non-convergence instead of partial labels") {
     // a 7-node chain needs 6 min-propagation rounds; a 2-round budget
     // must throw (VERDICT r4 #3), never return a silently-split
