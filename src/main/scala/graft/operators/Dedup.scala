@@ -236,10 +236,20 @@ object Dedup {
     * has propagated `iterations` hops, which covers any component
     * whose diameter is below that bound (duplicate clusters are
     * near-cliques — chains longer than a handful of hops do not occur
-    * in practice; raise the bound or switch to pointer-doubling for
-    * adversarial graphs). Each round is one bucketed join + min-agg —
-    * the GraphX-free formulation that runs on plain DataFrames. */
-  def dedupClusters(pairs: DataFrame, iterations: Int = 8): DataFrame = {
+    * in practice). For adversarial long-chain graphs set
+    * `pointerJumping`: each round then also flattens labels one level
+    * (lbl(u) <- lbl(lbl(u)), the path-halving step of
+    * pointer-jumping CC), so label coverage roughly DOUBLES per round
+    * instead of growing by one hop — a diameter-D component converges
+    * in O(log D) rounds at the cost of one extra self-join +
+    * checkpoint per round. Labels are always vertex ids inside the
+    * component (min over neighborhood labels, seeded with self), so
+    * flattening preserves the invariant and the fixpoint is identical:
+    * every vertex at the component min. Each round is bucketed
+    * joins + min-agg — the GraphX-free formulation on plain
+    * DataFrames. */
+  def dedupClusters(pairs: DataFrame, iterations: Int = 8,
+                    pointerJumping: Boolean = false): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     // materialize the edge list once: every iteration references it, and
     // without truncating lineage each round would re-derive the whole
@@ -257,10 +267,18 @@ object Dedup {
       // carry the previous label through the update so the fixpoint
       // test is a filter on the checkpointed relation, not a second
       // labels-vs-labels join per round
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+      val stepped = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"), col("lbl").as("olbl"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      val next =
+        if (!pointerJumping) stepped
+        else stepped.alias("x")
+          .join(stepped.select(col("id").as("pid"), col("lbl").as("plbl")).alias("p"),
+            col("x.lbl") === col("p.pid"), "left")
+          .select(col("x.id").as("id"), col("x.olbl").as("olbl"),
+            coalesce(col("p.plbl"), col("x.lbl")).as("lbl"))
+          .localCheckpoint(true)
       // fixpoint test — duplicate clusters are near-cliques, so this
       // usually stops after 2-3 rounds instead of burning the budget
       converged = next.filter(col("lbl") =!= col("olbl")).head(1).isEmpty

@@ -117,6 +117,17 @@ object DedupQ {
         dupDocs(s, d).filter(col("doc_id") % 100000 < 200), maxHamming = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // Pointer-jumping connected components on an adversarial graph:
+    // 10 interleaved 50-hop chains (edge u -> u+10). Min-label alone
+    // needs 50 rounds and throws at the cap; the path-halving variant
+    // converges in O(log D). Oracle: component min = id % 10, exactly.
+    "q110_chain_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(
+        Tables.events(s, d).filter(col("event_id") < 500)
+          .select(col("event_id").as("doc_a"), (col("event_id") + 10).as("doc_b")),
+        iterations = 12, pointerJumping = true)
+        .orderBy("doc_id")),
+
     // Near-dup clusters: connected components over the MinHash pairs
     // (min-label propagation) — pairwise matches become keep-one
     // dedup groups
@@ -259,6 +270,16 @@ object DedupQ {
          |FROM sims a JOIN sims c ON a.doc_id < c.doc_id
          |WHERE hamming(a.simhash, c.simhash) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // edges u -> u+10 over contiguous ids 0..509 partition the vertex
+    // set into residue classes mod 10; the component min IS id % 10 —
+    // closed form, no recursion needed
+    "q110_chain_clusters" ->
+      """SELECT id AS doc_id, id % 10 AS cluster FROM (
+        |  SELECT event_id AS id FROM events WHERE event_id < 500
+        |  UNION
+        |  SELECT event_id + 10 FROM events WHERE event_id < 500
+        |) ORDER BY doc_id""".stripMargin,
 
     "q36_bottomk_sketch" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

@@ -100,6 +100,16 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.values.toSet === Set(1L) && ok.size === 7)
   }
 
+  test("pointer jumping labels a 40-hop chain within a log-scale budget") {
+    // min-label alone covers one hop per round (40 rounds needed);
+    // path-halving doubles coverage — 8 rounds must suffice
+    val chain = (1L to 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException](Dedup.dedupClusters(chain, iterations = 8))
+    val ok = Dedup.dedupClusters(chain, iterations = 8, pointerJumping = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L) && ok.size === 41)
+  }
+
   private val longDoc = Seq(
     (10L, (1 to 40).map(i => s"w${i % 17}").mkString(" ")),
     (11L, (1 to 40).map(i => s"w${i % 17}").mkString(" "))) // identical
