@@ -20,6 +20,40 @@ object TextAnalysis {
   val EnStop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
   val FrStop = Seq("le", "la", "les", "de", "des", "du", "un", "une", "en", "et")
 
+  /** Count-min sketch over token frequencies — the heavy-hitter
+    * counterpart of [[graft.operators.Dedup.kmvDistinct]] in the
+    * cross-engine-reproducible sketch family (HLL stays rows-only,
+    * q55, because its registers are engine-private). `d` hash rows ×
+    * 256 buckets; the bucket key is the FIRST HEX PAIR of a seeded
+    * md5, kept as a string so the identical derivation runs in any
+    * engine — no numeric hex parsing. Estimate = min over rows of the
+    * bucket counter, which upper-bounds the true count by
+    * construction (every occurrence of a token lands in its bucket;
+    * collisions only add). Probes are the corpus's own top-k tokens
+    * (deterministic (count desc, token) order), so exact counts come
+    * from the same pass. Counters are d × 256 rows — broadcast-sized
+    * at any corpus scale; one explode + two shuffles total. */
+  def countMinTopK(docs: DataFrame, d: Int = 4, topK: Int = 20): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val stacked = toks.select(col("tok"),
+      posexplode(array((0 until d).map(i =>
+        substring(md5(concat(col("tok"), lit(s"#$i"))), 1, 2)): _*)))
+      .select(col("tok"), col("pos").as("row_i"), col("col").as("bucket"))
+    val counters = stacked.groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("tok")).limit(topK)
+    probes
+      .select(col("tok"), col("exact_n"),
+        posexplode(array((0 until d).map(i =>
+          substring(md5(concat(col("tok"), lit(s"#$i"))), 1, 2)): _*)))
+      .select(col("tok"), col("exact_n"), col("pos").as("row_i"), col("col").as("bucket"))
+      .join(counters, Seq("row_i", "bucket"), "left")
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .select(col("tok"), col("exact_n"), col("cms_est"))
+  }
+
   /** Gopher-style repetition signals (the duplicate-fraction family of
     * quality filters from the Gopher corpus paper, re-expressed
     * relationally): per doc, the duplicate-token fraction — computed

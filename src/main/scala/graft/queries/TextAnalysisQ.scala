@@ -52,7 +52,13 @@ object TextAnalysisQ {
     // fraction + most-frequent bigram per doc
     "q108_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Count-min heavy-hitter sketch vs exact counts for the corpus's
+    // top-20 tokens (estimate must upper-bound exact by construction)
+    "q111_countmin" -> ((s, d) =>
+      TextAnalysis.countMinTopK(Tables.documents(s, d))
+        .orderBy("tok"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +186,33 @@ object TextAnalysisQ {
         |SELECT doc_id, n_tokens, n_distinct,
         |       CAST(1 AS DOUBLE) - (n_distinct / n_tokens) AS dup_tok_frac,
         |       bigram AS top_bigram, cnt AS top_bigram_n
-        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q111_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |stacked AS (
+        |  SELECT tok, i AS row_i,
+        |         substring(md5(tok || '#' || CAST(i AS VARCHAR)), 1, 2) AS bucket
+        |  FROM (SELECT tok, unnest([0, 1, 2, 3]) AS i FROM toks)
+        |),
+        |counters AS (
+        |  SELECT row_i, bucket, COUNT(*) AS cnt FROM stacked GROUP BY row_i, bucket
+        |),
+        |probes AS (
+        |  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+        |  ORDER BY exact_n DESC, tok LIMIT 20
+        |),
+        |pb AS (
+        |  SELECT tok, exact_n, i AS row_i,
+        |         substring(md5(tok || '#' || CAST(i AS VARCHAR)), 1, 2) AS bucket
+        |  FROM (SELECT tok, exact_n, unnest([0, 1, 2, 3]) AS i FROM probes)
+        |)
+        |SELECT p.tok AS tok, p.exact_n AS exact_n,
+        |       MIN(COALESCE(c.cnt, 0)) AS cms_est
+        |FROM pb p LEFT JOIN counters c ON p.row_i = c.row_i AND p.bucket = c.bucket
+        |GROUP BY p.tok, p.exact_n
+        |ORDER BY tok""".stripMargin
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Unit tests for the corpus-analysis operators (the oracle gate
+  * covers them end-to-end; these pin the local invariants). */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("count-min estimate upper-bounds the exact count, exactly for lone buckets") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TextAnalysis.countMinTopK(docs, topK = 30).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.nonEmpty)
+    // CMS never undercounts
+    assert(out.forall { case (_, exact, est) => est >= exact })
+    // with 16 distinct tokens over 4x256 buckets collisions are
+    // overwhelmingly unlikely -> estimates are exact here
+    assert(out.forall { case (_, exact, est) => est === exact })
+    assert(out.find(_._1 == "a").get._2 === 4L)
+  }
+
+  test("repetition signals: dup fraction and deterministic top bigram") {
+    val docs = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[Double]("dup_tok_frac") === (1.0 - 3.0 / 5.0))
+    // bigrams: "x y"(2), "y x"(1), "y z"(1) -> top is "x y"
+    assert(r.getAs[String]("top_bigram") === "x y")
+    assert(r.getAs[Long]("top_bigram_n") === 2L)
+  }
+}
