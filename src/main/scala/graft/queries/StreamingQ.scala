@@ -96,7 +96,25 @@ object StreamingQ {
               col("ts") + expr("INTERVAL 1 MINUTE")))
           .select(col("event_id"), col("event_type"), col("value"))
       }
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Streaming commits are VERSIONED: two staged copies drained one
+    // file per micro-batch land as lake versions 2 and 3; time travel
+    // to the mid-stream version returns exactly the first batch (one
+    // copy of events), the final snapshot both. The composition of the
+    // lake's txn log with the streaming sink, oracle-gated.
+    "q112_stream_time_travel" -> ((s, d) => {
+      val t = MicroBatch.appendRunTable(s, d, copies = 2,
+        maxFilesPerTrigger = Some(1))(
+        _.select(col("event_id"), col("event_type"), col("value")))
+      def agg(df: org.apache.spark.sql.DataFrame, v: Long) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .withColumn("version", lit(v))
+      agg(t.snapshot(2L), 2L).unionByName(agg(t.snapshot(3L), 3L))
+        .select(col("version"), col("event_type"), col("n"), col("total"))
+        .orderBy("version", "event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +132,17 @@ object StreamingQ {
     "q81_stream_stream_join" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
     "q93_stateful_count" ->
-      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id"
+      "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "q112_stream_time_travel" ->
+      s"""SELECT version, event_type, n, total FROM (
+         |  SELECT CAST(2 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+         |         ${sqlDsum("value")} AS total
+         |  FROM events GROUP BY event_type
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+         |         ${sqlDsum("value")} AS total
+         |  FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+         |  GROUP BY event_type
+         |) ORDER BY version, event_type""".stripMargin
   )
 }

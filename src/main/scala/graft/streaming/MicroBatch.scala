@@ -97,14 +97,16 @@ object MicroBatch {
     LakeTable.createEmpty(spark,
       Files.createTempDirectory("graft-stream-out").resolve("sink"))
 
-  /** T1+T2: run `transform` over the staged events stream, append each
-    * micro-batch to a parquet sink via foreachBatch, drain with
-    * AvailableNow, and return the sink's final contents. Pass
-    * statePartitions when the transform is stateful (dedup, join). */
-  def appendRun(spark: SparkSession, sfDir: String, copies: Int = 1,
-                maxFilesPerTrigger: Option[Int] = None,
-                statePartitions: Option[Int] = None)(
-      transform: DataFrame => DataFrame): DataFrame = {
+  /** T1+T2: run `transform` over the staged events stream, commit each
+    * micro-batch to a fresh lake-table sink via foreachBatch, drain
+    * with AvailableNow, and return the sink table — every micro-batch
+    * is one versioned commit, so callers can time-travel the stream's
+    * history. Pass statePartitions when the transform is stateful
+    * (dedup, join). */
+  def appendRunTable(spark: SparkSession, sfDir: String, copies: Int = 1,
+                     maxFilesPerTrigger: Option[Int] = None,
+                     statePartitions: Option[Int] = None)(
+      transform: DataFrame => DataFrame): LakeTable = {
     val in = stageEvents(sfDir, copies)
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
@@ -118,8 +120,16 @@ object MicroBatch {
         .start()
       q.awaitTermination()
     }
-    sink.snapshot()
+    sink
   }
+
+  /** [[appendRunTable]]'s final sink contents. */
+  def appendRun(spark: SparkSession, sfDir: String, copies: Int = 1,
+                maxFilesPerTrigger: Option[Int] = None,
+                statePartitions: Option[Int] = None)(
+      transform: DataFrame => DataFrame): DataFrame =
+    appendRunTable(spark, sfDir, copies, maxFilesPerTrigger, statePartitions)(transform)
+      .snapshot()
 
   /** Update-mode drain for arbitrary-stateful transforms
     * (`flatMapGroupsWithState` emits updated rows, not appends): every
