@@ -203,6 +203,23 @@ object ExtendedQ {
         .orderBy("version", "event_type")
     }),
 
+    // lake — vacuum under the gate: after GC of the old versions the
+    // live snapshot must be byte-identical to the pre-vacuum state
+    // (only history disappears, never current data)
+    "q113_vacuum_read" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val table = graft.lake.LakeTable.createTemp(s, base, "graft-vac")
+      table.append(base.filter(col("event_id") % 10 === 0)) // v2
+      table.overwrite(base.filter(col("event_id") % 10 =!= 7)) // v3
+      val (dropped, deleted) = table.vacuum(retainVersions = 1)
+      require(dropped == 2 && deleted >= 1, s"vacuum did nothing: $dropped/$deleted")
+      table.snapshot()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -338,6 +355,11 @@ object ExtendedQ {
          |    FROM events WHERE event_id % 10 = 3
          |  ) GROUP BY event_type
          |) ORDER BY version, event_type""".stripMargin,
+
+    "q113_vacuum_read" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 10 <> 7
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q94_schema_merge" ->
       s"""SELECT event_type, COUNT(*) AS n,
