@@ -20,6 +20,29 @@ object TextAnalysis {
   val EnStop = Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
   val FrStop = Seq("le", "la", "les", "de", "des", "du", "un", "une", "en", "et")
 
+  /** PII patterns for [[piiScrub]] — lookaround-free on purpose so the
+    * identical patterns run under Java regex (Spark) and RE2 (DuckDB
+    * oracle). */
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "0[0-9]{9}"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before release: replace email addresses and phone-shaped
+    * numbers with typed placeholders and report per-doc match counts
+    * (the audit trail). Pure codegen'd regexp projections — no UDFs,
+    * no shuffle; emails are redacted FIRST so a phone-like digit run
+    * inside an address is counted once, as an email. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("clean"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"))
+
   /** Count-min sketch over token frequencies — the heavy-hitter
     * counterpart of [[graft.operators.Dedup.kmvDistinct]] in the
     * cross-engine-reproducible sketch family (HLL stays rows-only,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.TextAnalysis
@@ -58,8 +59,29 @@ object TextAnalysisQ {
     // top-20 tokens (estimate must upper-bound exact by construction)
     "q111_countmin" -> ((s, d) =>
       TextAnalysis.countMinTopK(Tables.documents(s, d))
-        .orderBy("tok"))
+        .orderBy("tok")),
+
+    // PII scrubbing over a synthesized contact-bearing corpus (the
+    // lake's documents are digit-free, so emails/phones are derived
+    // from events ints — identically in the oracle)
+    "q114_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(piiCorpus(s, d))
+        .orderBy("doc_id"))
   )
+
+  /** Contact-bearing corpus for q114: one email, one phone-shaped
+    * number, and one safe numeric ref per doc, all derived from
+    * events integer columns. */
+  def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("event_id") < 2000).select(
+      col("event_id").as("doc_id"),
+      concat(
+        lit("contact user"), col("user_id").cast("string"),
+        lit("@mail"), (col("event_id") % 7).cast("string"),
+        lit(".com tel 0"),
+        lpad(((col("event_id") * 37) % 1000000000).cast("string"), 9, "0"),
+        lit(" ref "), col("event_id").cast("string"),
+        lit(" fin")).as("text"))
 
   val oracles: Map[String, String] = Map(
     "q39_lang_id" ->
@@ -213,6 +235,29 @@ object TextAnalysisQ {
         |       MIN(COALESCE(c.cnt, 0)) AS cms_est
         |FROM pb p LEFT JOIN counters c ON p.row_i = c.row_i AND p.bucket = c.bucket
         |GROUP BY p.tok, p.exact_n
-        |ORDER BY tok""".stripMargin
+        |ORDER BY tok""".stripMargin,
+
+    "q114_pii_scrub" ->
+      """WITH corpus AS (
+        |  SELECT event_id AS doc_id,
+        |    'contact user' || CAST(user_id AS VARCHAR) ||
+        |    '@mail' || CAST(event_id % 7 AS VARCHAR) ||
+        |    '.com tel 0' ||
+        |    lpad(CAST((event_id * 37) % 1000000000 AS VARCHAR), 9, '0') ||
+        |    ' ref ' || CAST(event_id AS VARCHAR) || ' fin' AS text
+        |  FROM events WHERE event_id < 2000
+        |),
+        |redacted AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g')
+        |           AS no_email
+        |  FROM corpus
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(no_email, '0[0-9]{9}', '<PHONE>', 'g') AS clean,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(no_email, '0[0-9]{9}')) AS BIGINT) AS n_phones
+        |FROM redacted ORDER BY doc_id""".stripMargin
   )
 }

@@ -25,6 +25,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.find(_._1 == "a").get._2 === 4L)
   }
 
+  test("piiScrub redacts emails before phones and counts each once") {
+    val docs = Seq(
+      (1L, "write to bob99@corp.io or call 0612345678 today"),
+      (2L, "no contact info here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean") ===
+      "write to <EMAIL> or call <PHONE> today")
+    assert(out(0).getAs[Long]("n_emails") === 1L)
+    assert(out(0).getAs[Long]("n_phones") === 1L)
+    assert(out(1).getAs[String]("clean") === "no contact info here at all")
+    assert(out(1).getAs[Long]("n_emails") === 0L && out(1).getAs[Long]("n_phones") === 0L)
+  }
+
   test("repetition signals: dup fraction and deterministic top bigram") {
     val docs = Seq((1L, "x y x y z")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs).collect().head
