@@ -149,7 +149,21 @@ object Dedup {
     // so the explode feeds partial map-side aggregation directly and the
     // distinct shuffle stays off the LSH critical path entirely
     val cands = candidatePairs(lshBands(minhashSignature(shinglesRaw(docs, n), k), bands, rows))
-    jaccardVerify(cands, sh).filter(col("jaccard") >= minJaccard)
+    // size-ratio prescreen: Jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose size ratio is already below the threshold cannot pass
+    // the final filter — drop it BEFORE the verify stage explodes the
+    // pair into its full shingle sets. Costs two joins against the
+    // doc-level sizes relation (tiny, broadcastable); the 1e-9 slop
+    // keeps mathematical borderline pairs, which the exact filter
+    // below re-checks, so results are unchanged by construction.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pruned = cands
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("pre_na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("pre_nb")), "doc_b")
+      .filter(least(col("pre_na"), col("pre_nb")).cast("double") /
+        greatest(col("pre_na"), col("pre_nb")) >= minJaccard - 1e-9)
+      .select(col("doc_a"), col("doc_b"))
+    jaccardVerify(pruned, sh).filter(col("jaccard") >= minJaccard)
   }
 
   /** 16-bit SimHash as a bit string. Bit p of a token's md5 is "set"
