@@ -75,6 +75,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.latestVersion === 3L) // create + 2 commits, replays committed nothing
   }
 
+  test("restarting a drained query from its checkpoint commits nothing new") {
+    // end-to-end recovery semantics: a second start() of the same
+    // query (same checkpoint, same landing dir, same sink table) must
+    // find no new files and leave the sink byte-identical — the
+    // checkpoint + txn-log pair is what makes restarts safe in
+    // production, not just the foreachBatch-level replay simulation.
+    import org.apache.spark.sql.streaming.Trigger
+    val in = MicroBatch.stageEvents(sf)
+    val sink = MicroBatch.lakeSink(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt")
+    def drainOnce(): Unit = {
+      val q = MicroBatch.fileSource(spark, in)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch(MicroBatch.batchWriter(sink, ckpt.toString))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    val v1 = sink.latestVersion
+    val n1 = sink.snapshot().count()
+    drainOnce() // restart: same checkpoint, nothing new to process
+    assert(sink.latestVersion === v1)
+    assert(sink.snapshot().count() === n1)
+    assert(n1 === Tables.events(spark, sf).count())
+  }
+
   test("stream-stream time-bounded self join matches every event once") {
     val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
       val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
