@@ -12,7 +12,7 @@ import Qx._
   * rows→Kafka producer projection (S10/F10), the deplot-output parse
   * (M12, total on malformed rows), crop-bound clamps (F13/A4),
   * null-guard filters (P11), first-non-empty selection (P5), the
-  * binaryFile directory scan (S13) with byte-op stubs (F16), the
+  * binaryFile directory scan (S13) with byte-plane ops (F16), the
   * doc→pages generator (S12) and the composed find-KPI-page query
   * (M9). */
 object ParityQ {
@@ -110,8 +110,9 @@ object ParityQ {
         .orderBy("doc_id").limit(1)
         .select(col("doc_id"), size(col("hits")).cast("long").as("n_hits"))),
 
-    // S13/F16 — binaryFile directory scan ordered by path + byte-op
-    // stubs; files staged from documents, doc_id parsed back from path
+    // S13/F16 — binaryFile directory scan ordered by path + byte-plane
+    // ops; files staged from documents, doc_id parsed back from path
+    // (real codec decode is q107, functions/ImageOps.decodeMeta)
     "q54_binary_scan" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft-bin")
       Tables.documents(s, d).filter(col("doc_id") < 50)
