@@ -203,6 +203,22 @@ object ExtendedQ {
         .orderBy("version", "event_type")
     }),
 
+    // source format — ORC round-trip (the second columnar format the
+    // engine speaks natively besides parquet; same pushdown/pruning
+    // machinery, verified in PushdownSpec for parquet): write events
+    // as ORC, read back with a pushable filter, aggregate
+    "q115_orc_roundtrip" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-orc").resolve("events").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // lake — vacuum under the gate: after GC of the old versions the
     // live snapshot must be byte-identical to the pre-vacuum state
     // (only history disappears, never current data)
@@ -359,6 +375,11 @@ object ExtendedQ {
     "q113_vacuum_read" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 10 <> 7
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q115_orc_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 2 = 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q94_schema_merge" ->
