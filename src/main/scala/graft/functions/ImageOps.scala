@@ -54,9 +54,15 @@ object ImageOps {
   def meanByte(bytes: Array[Byte]): Double =
     if (bytes.isEmpty) 0d else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
 
-  /** Codec decode via javax.imageio; None for undecodable bytes. */
+  /** Codec decode via javax.imageio; None for null, undecodable, or
+    * TRUNCATED bytes (ImageIO.read returns null for unknown formats
+    * but THROWS on data that dies mid-chunk — at corpus scale a total
+    * decode is the difference between a quarantined row and a dead
+    * job). */
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
-    Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    if (bytes == null) None
+    else scala.util.Try(Option(ImageIO.read(new ByteArrayInputStream(bytes))))
+      .toOption.flatten
 
   /** Decode + measure: dimensions, channel count, and the exact
     * integer luminance sum (see [[ImageMeta]]). */

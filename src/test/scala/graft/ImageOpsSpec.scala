@@ -41,8 +41,12 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(m.lumSum === 2040000L)
   }
 
-  test("decodeMeta returns None for undecodable bytes") {
+  test("decodeMeta returns None for undecodable, truncated, or null bytes") {
     assert(ImageOps.decodeMeta("not a png".getBytes).isEmpty)
+    // PNG magic + IHDR start, then EOF mid-chunk: ImageIO throws here
+    // rather than returning null — decode must swallow it
+    assert(ImageOps.decodeMeta(png4x4.take(20)).isEmpty)
+    assert(ImageOps.decodeMeta(null).isEmpty)
   }
 
   test("resizeHalfPng halves dimensions and preserves solid color") {
