@@ -203,6 +203,21 @@ object ExtendedQ {
         .orderBy("version", "event_type")
     }),
 
+    // relational reshaping — pivot to a wide per-user metrics frame,
+    // then unpivot (melt) back to long: the round trip must reproduce
+    // the plain group-by exactly (absent combos surface as nulls in
+    // the wide frame and are dropped on the way back)
+    "q116_pivot_roundtrip" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n").isNotNull)
+        .orderBy("user_id", "event_type")
+    }),
+
     // source format — ORC round-trip (the second columnar format the
     // engine speaks natively besides parquet; same pushdown/pruning
     // machinery, verified in PushdownSpec for parquet): write events
@@ -381,6 +396,11 @@ object ExtendedQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 2 = 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q116_pivot_roundtrip" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q94_schema_merge" ->
       s"""SELECT event_type, COUNT(*) AS n,
