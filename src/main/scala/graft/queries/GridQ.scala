@@ -113,7 +113,27 @@ object GridQ {
     // M6 step 5 — pivot back to the R x C matrix shape
     "q47_grid_matrix" -> ((s, d) =>
       Grid.toMatrix(Grid.reconstruct(ocrLines(s, d), ImgW, ImgH), 4)
-        .orderBy("page_id", "row_idx"))
+        .orderBy("page_id", "row_idx")),
+
+    // End-to-end extract_table composition (budgetEco.py:72-78 →
+    // tableExtract.main with reverse=True): assemble per-page text,
+    // reverse-scan for the KPI token (LAST matching page wins), then
+    // grid-reconstruct ONLY that page and return its matrix — the
+    // table-extraction twin of q106's text journey. Token-boundary
+    // containment via space padding, identical in the oracle.
+    "q117_extract_table" -> ((s, d) => {
+      val kpi = "17"
+      val ocr = ocrLines(s, d)
+      val pageText = ocr.groupBy(col("page_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(line_id, text))), s -> s.text)"),
+          " ").as("page_text"))
+      val target = pageText
+        .filter(concat(lit(" "), col("page_text"), lit(" ")).contains(s" $kpi "))
+        .agg(max(col("page_id")).as("page_id")) // reverse scan: first from the end
+      Grid.toMatrix(Grid.reconstruct(ocr.join(target, "page_id"), ImgW, ImgH), 4)
+        .orderBy("row_idx")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +157,24 @@ object GridQ {
          |       COALESCE(max(text) FILTER (WHERE col_idx = 2), '') AS c2,
          |       COALESCE(max(text) FILTER (WHERE col_idx = 3), '') AS c3,
          |       COALESCE(max(text) FILTER (WHERE col_idx = 4), '') AS c4
-         |FROM grid GROUP BY page_id, row_idx ORDER BY page_id, row_idx""".stripMargin
+         |FROM grid GROUP BY page_id, row_idx ORDER BY page_id, row_idx""".stripMargin,
+
+    "q117_extract_table" ->
+      s"""WITH $gridSql,
+         |pt AS (
+         |  SELECT page_id, string_agg(text, ' ' ORDER BY rid) AS page_text
+         |  FROM ocr GROUP BY page_id
+         |),
+         |target AS (
+         |  SELECT max(page_id) AS page_id FROM pt
+         |  WHERE contains(' ' || page_text || ' ', ' 17 ')
+         |)
+         |SELECT g.page_id AS page_id, g.row_idx AS row_idx,
+         |       COALESCE(max(g.text) FILTER (WHERE g.col_idx = 1), '') AS c1,
+         |       COALESCE(max(g.text) FILTER (WHERE g.col_idx = 2), '') AS c2,
+         |       COALESCE(max(g.text) FILTER (WHERE g.col_idx = 3), '') AS c3,
+         |       COALESCE(max(g.text) FILTER (WHERE g.col_idx = 4), '') AS c4
+         |FROM grid g JOIN target t ON g.page_id = t.page_id
+         |GROUP BY g.page_id, g.row_idx ORDER BY row_idx""".stripMargin
   )
 }
