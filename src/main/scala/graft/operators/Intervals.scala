@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed interval-overlap (range) join — the operator family
+  * Spark lacks natively (a naive `a.s < b.e AND b.s < a.e` condition
+  * plans as a nested-loop/cartesian, which PlanAuditSpec bans).
+  *
+  * Bucket decomposition: an interval [s, e] is exploded to every
+  * width-W bucket it touches; two overlapping intervals necessarily
+  * touch a common bucket, so the equi-join on the bucket id is a
+  * COMPLETE candidate set with sum-of-bucket² cost (the same
+  * pigeonhole-style argument as `Dedup.simhashNearDupsExact`). A pair
+  * overlapping several buckets would surface once per shared bucket;
+  * instead of a distinct shuffle, the join keeps only the FIRST
+  * shared bucket — the one containing max(s_a, s_b), which both
+  * sides' explosions are guaranteed to emit — so each pair appears
+  * exactly once by construction (the standard grid-join dedup trick;
+  * same idea as emitting a spatial pair only from the cell of its
+  * intersection corner, `functions/Geometry.intersectionCell`).
+  *
+  * W trades explosion factor (intervals spanning many buckets)
+  * against bucket occupancy (many intervals per bucket); pick W near
+  * the typical interval length. Everything is one explode + one
+  * bucketed equi-join with codegen'd arithmetic residuals.
+  */
+object Intervals {
+
+  /** Overlap join over (id, s, e) relations with integer bounds,
+    * inclusive-exclusive [s, e). Emits one row per overlapping pair
+    * with the overlap length. Self-join callers pass the same relation
+    * twice and get each unordered pair once via the id inequality. */
+  def overlapJoin(a: DataFrame, b: DataFrame, bucket: Long,
+                  selfPairs: Boolean = false): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    def exploded(df: DataFrame, p: String) = df.select(
+      col("id").as(s"${p}_id"), col("s").as(s"${p}_s"), col("e").as(s"${p}_e"),
+      explode(sequence(expr(s"s div $bucket"), expr(s"(e - 1) div $bucket")))
+        .as(s"${p}_bkt"))
+    val idCond =
+      if (selfPairs) col("a_id") < col("b_id") else col("a_id") =!= col("b_id")
+    exploded(a, "a")
+      .join(exploded(b, "b"),
+        col("a_bkt") === col("b_bkt") && idCond &&
+          col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+          // first-shared-bucket dedup: only the bucket holding the
+          // overlap's left edge emits the pair
+          col("a_bkt") === expr(s"greatest(a_s, b_s) div $bucket"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap"))
+  }
+}

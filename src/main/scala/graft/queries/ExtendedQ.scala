@@ -203,6 +203,21 @@ object ExtendedQ {
         .orderBy("version", "event_type")
     }),
 
+    // range/interval overlap join — the named Spark-lacking operator,
+    // as a bucketed equi-join (never a nested loop; PlanAuditSpec
+    // walks this plan). Oracle is the brute-force theta join, so the
+    // hash match proves the bucket decomposition is complete AND the
+    // first-shared-bucket dedup emits each pair exactly once.
+    "q118_interval_join" -> ((s, d) => {
+      val ints = Tables.events(s, d).filter(col("event_id") < 1500)
+        .select(col("event_id").as("id"),
+          ((col("event_id") % 400) * 7).as("s"))
+        .withColumn("e", col("s") + (col("id") % 37) + 1)
+      graft.operators.Intervals.overlapJoin(ints, ints, bucket = 32,
+          selfPairs = true)
+        .orderBy("a_id", "b_id")
+    }),
+
     // relational reshaping — pivot to a wide per-user metrics frame,
     // then unpivot (melt) back to long: the round trip must reproduce
     // the plain group-by exactly (absent combos surface as nulls in
@@ -401,6 +416,18 @@ object ExtendedQ {
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q118_interval_join" ->
+      """WITH ints AS (
+        |  SELECT event_id AS id, (event_id % 400) * 7 AS s,
+        |         (event_id % 400) * 7 + (event_id % 37) + 1 AS e
+        |  FROM events WHERE event_id < 1500
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+        |FROM ints a JOIN ints b
+        |  ON a.id < b.id AND a.s < b.e AND b.s < a.e
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q94_schema_merge" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Intervals
+
+/** The bucketed interval join must equal the brute-force theta join —
+  * completeness (no shared-bucket miss) and exactly-once pair emission
+  * (first-shared-bucket dedup) in one differential check. */
+class IntervalsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ints(rows: (Long, Long, Long)*) = rows.toDF("id", "s", "e")
+
+  test("bucketed overlap join equals brute force across bucket widths") {
+    // spans from sub-bucket to many-bucket, touching edges, exact dups
+    val fx = ints((1L to 60L).map(i =>
+      (i, (i * 13) % 97, (i * 13) % 97 + (i % 29) + 1)): _*)
+    val brute = fx.alias("a").join(fx.alias("b"),
+      col("a.id") < col("b.id") &&
+        col("a.s") < col("b.e") && col("b.s") < col("a.e"))
+      .select(col("a.id"), col("b.id"),
+        (least(col("a.e"), col("b.e")) - greatest(col("a.s"), col("b.s"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    for (w <- Seq(1L, 4L, 32L, 1000L)) {
+      val got = Intervals.overlapJoin(fx, fx, bucket = w, selfPairs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute, s"bucket=$w")
+    }
+  }
+
+  test("touching intervals ([0,5) and [5,9)) do not overlap") {
+    val out = Intervals.overlapJoin(
+      ints((1L, 0L, 5L), (2L, 5L, 9L)), ints((1L, 0L, 5L), (2L, 5L, 9L)),
+      bucket = 4, selfPairs = true).collect()
+    assert(out.isEmpty)
+  }
+}
