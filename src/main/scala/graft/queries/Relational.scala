@@ -228,9 +228,12 @@ object Relational {
         .orderBy("bucket")),
 
     // P10 — limit/head preview
+    // (l_orderkey, l_linenumber) is NOT unique in this lake (testdata
+    // quirk), so the sort must be total or the limit-5 row set is
+    // engine-ambiguous under ties — first diverged at sf0.1
     "q23_limit" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
         .limit(5)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
@@ -364,7 +367,8 @@ object Relational {
          |       COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q23_limit" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey LIMIT 5"),
     "q24_isin" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |WHERE event_type IN ('signup', 'error') GROUP BY event_type ORDER BY event_type""".stripMargin,
