@@ -7,8 +7,9 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Thrown when two writers race to the same table version; the loser
   * must re-read the log and retry (optimistic concurrency, the Delta
@@ -77,10 +78,17 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
   }
 
   private case class Manifest(version: Long, action: String, dirs: Seq[String],
-                              txnAppId: Option[String], txnBatchId: Option[Long])
+                              txnAppId: Option[String], txnBatchId: Option[Long],
+                              carryTxns: Seq[(String, Long)], schemaJson: Option[String]) {
+    /** Every (appId, batchId) marker this manifest vouches for: its own
+      * commit marker plus any markers carried forward by a vacuum. */
+    def allTxns: Seq[(String, Long)] = carryTxns ++ txnAppId.zip(txnBatchId).toList
+  }
 
   /** Line-based manifest format (key=value), closed under this module:
-    * version/action/txn headers, then one `dir=` line per data dir. */
+    * version/action/txn/schema headers, then one `dir=` line per data
+    * dir and one `carry=<appId>:<batchId>` line per inherited txn
+    * marker (batchId after the LAST colon — appIds may contain them). */
   private def readManifest(v: Long): Manifest = {
     val kvs = Files.readAllLines(manifestPath(v)).asScala
       .filter(_.contains("=")).map { l =>
@@ -90,7 +98,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     Manifest(one("version").map(_.toLong).getOrElse(v),
       one("action").getOrElse("unknown"),
       kvs.collect { case ("dir", d) => d },
-      one("txnAppId"), one("txnBatchId").map(_.toLong))
+      one("txnAppId"), one("txnBatchId").map(_.toLong),
+      kvs.collect { case ("carry", c) =>
+        val i = c.lastIndexOf(':'); (c.substring(0, i), c.substring(i + 1).toLong)
+      },
+      one("schema"))
   }
 
   /** Publish the next manifest with the atomic create-if-absent commit
@@ -100,9 +112,13 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * fresh read of the log. Exposed to the `lake` package so the spec
     * can force a deterministic two-writers-same-version race. */
   private[lake] def commitManifest(expected: Long, action: String, dirs: Seq[String],
-                                   txn: Option[(String, Long)]): Long = {
+                                   txn: Option[(String, Long)],
+                                   schemaJson: Option[String] = None,
+                                   carry: Seq[(String, Long)] = Nil): Long = {
     val lines = Seq(s"version=$expected", s"action=$action") ++
       txn.toSeq.flatMap { case (a, b) => Seq(s"txnAppId=$a", s"txnBatchId=$b") } ++
+      schemaJson.map(j => s"schema=$j").toSeq ++
+      carry.sorted.map { case (a, b) => s"carry=$a:$b" } ++
       dirs.map(d => s"dir=$d")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, lines.asJava)
@@ -125,12 +141,14 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
   /** Append commit: snapshot = previous dirs + the new one. */
   def append(df: DataFrame): Long = {
     val v = latestVersion + 1
-    commitManifest(v, "append", readManifest(latestVersion).dirs :+ writeData(df, v), None)
+    commitManifest(v, "append", readManifest(latestVersion).dirs :+ writeData(df, v),
+      None, Some(df.schema.json))
   }
 
   /** Overwrite commit: snapshot = just the new directory. */
   def overwrite(df: DataFrame): Long =
-    commitManifest(latestVersion + 1, "overwrite", Seq(writeData(df, latestVersion + 1)), None)
+    commitManifest(latestVersion + 1, "overwrite", Seq(writeData(df, latestVersion + 1)),
+      None, Some(df.schema.json))
 
   /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):
     * rows in `deletes` vanish, rows in `upserts` replace same-key rows
@@ -149,54 +167,122 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val applied = base.join(changed.distinct(), keyCols, "left_anti")
       .unionByName(upserts.select(base.columns.map(col): _*))
     val v = latestVersion + 1
-    commitManifest(v, "merge", Seq(writeData(applied, v)), None)
+    commitManifest(v, "merge", Seq(writeData(applied, v)), None, Some(applied.schema.json))
   }
 
-  /** (appId, batchId) markers already scanned from the log, plus the
+  /** Per-appId HIGHEST committed batchId scanned from the log, plus the
     * highest version that scan covered. [[txnCommitted]] folds in only
     * manifests NEWER than the watermark — ours or another writer's —
     * so a long-running stream does O(new manifests) log reads per
     * micro-batch, not O(all manifests) (Delta's setTransaction
     * snapshot approach). A fresh handle starts cold and pays one full
     * scan on its first commit, which is the recovery-after-restart
-    * path doing exactly the read it must. */
-  private val seenTxns = mutable.Set.empty[(String, Long)]
+    * path doing exactly the read it must.
+    *
+    * The cache is a Map(appId -> max batchId), NOT a set of every
+    * (appId, batchId) pair ever seen: micro-batch ids are monotonic
+    * within an appId, so "batchId <= max committed" IS the replay
+    * test (the check `DeltaSink` makes), and the cache stays O(apps)
+    * over an unbounded stream instead of O(commits). */
+  private val seenTxns = mutable.Map.empty[String, Long]
   private var scannedThrough = 0L
 
-  private def txnCommitted(appId: String, batchId: Long): Boolean = synchronized {
+  /** Scan the log up to its current head; returns (is (appId, batchId)
+    * already committed, head version the answer is valid THROUGH). A
+    * commit based on this answer must target exactly head + 1: if any
+    * other commit lands in between, head + 1 exists and the atomic
+    * publish fails — which is what makes check-then-commit race-free. */
+  private def txnScan(appId: String, batchId: Long): (Boolean, Long) = synchronized {
     versions.iterator.filter(_ > scannedThrough).foreach { v =>
       val m = readManifest(v)
-      for (a <- m.txnAppId; b <- m.txnBatchId) seenTxns += ((a, b))
+      m.allTxns.foreach { case (a, b) =>
+        if (seenTxns.getOrElse(a, Long.MinValue) < b) seenTxns(a) = b
+      }
       if (v > scannedThrough) scannedThrough = v
     }
-    seenTxns.contains((appId, batchId))
+    (seenTxns.get(appId).exists(_ >= batchId), scannedThrough)
   }
 
   /** Idempotent streaming commit: if (appId, batchId) already appears
     * in the log this is a no-op (the micro-batch was replayed after its
-    * commit landed), otherwise an append carrying the txn marker. */
-  def commitBatch(df: DataFrame, appId: String, batchId: Long): Long = {
-    if (txnCommitted(appId, batchId)) latestVersion
-    else {
-      val v = latestVersion + 1
-      commitManifest(v, "streaming-append",
-        readManifest(latestVersion).dirs :+ writeData(df, v), Some((appId, batchId)))
+    * commit landed), otherwise an append carrying the txn marker.
+    *
+    * Losing a version race does NOT fail the stream: the loser
+    * re-reads the log (the winner may even have been a replayed twin
+    * of this very batch, which the fresh [[txnCommitted]] check then
+    * catches) and retries against the new head, up to `maxRetries`
+    * before propagating [[ConcurrentCommitException]]. The data
+    * directory is written once and reused across retries — a retry
+    * only re-publishes the manifest. */
+  def commitBatch(df: DataFrame, appId: String, batchId: Long,
+                  maxRetries: Int = 10): Long = {
+    val schemaJson = Some(df.schema.json)
+    var dataDir: Option[String] = None
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (committed, head) = txnScan(appId, batchId)
+      if (committed) return head
+      val dir = dataDir.getOrElse { val d = writeData(df, head + 1); dataDir = Some(d); d }
+      try return commitManifest(head + 1, "streaming-append",
+        readManifest(head).dirs :+ dir, Some((appId, batchId)), schemaJson)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+        // loop: rescan from the new head — the winner may even have
+        // been a replayed twin of this very batch
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** GC — Delta's VACUUM reduced to version-count retention: drop
     * every manifest older than the newest `retainVersions`, then
     * delete every data directory no retained manifest references.
-    * Time travel to vacuumed versions becomes impossible (and their
-    * (appId, batchId) txn markers expire with them — the same
-    * retention tradeoff Delta documents for setTransaction). Crash
+    * Time travel to vacuumed versions becomes impossible. Crash
     * ordering is manifests-first: an interrupted vacuum can leave
-    * orphan data directories (harmless garbage, re-collected next
-    * run) but never a readable manifest pointing at deleted data.
-    * Returns (manifests dropped, data dirs deleted). */
+    * orphan data directories (harmless garbage, never referenced by
+    * any readable manifest) but never a readable manifest pointing at
+    * deleted data.
+    *
+    * Exactly-once survives vacuum: if a to-be-dropped manifest holds
+    * the HIGHEST batchId for some appId (i.e. its (appId, batchId)
+    * replay marker would expire with it), vacuum first commits a fresh
+    * `vacuum` manifest — same data dirs as the current snapshot, plus
+    * `carry=` lines recording every appId's max batchId across the
+    * whole log — and then drops relative to that new head. A stream
+    * that restarts with a cold handle after vacuum still sees every
+    * marker it needs, so a replayed batch stays a no-op
+    * ([[LakeTableSpec]] pins this). Vacuum participates in the normal
+    * optimistic-commit protocol: losing a race to a concurrent writer
+    * throws [[ConcurrentCommitException]]; re-run the vacuum.
+    *
+    * RETENTION CONTRACT for readers: vacuum deletes data files that
+    * only dropped versions reference. A reader holding a DataFrame
+    * from `snapshot(v)` for a dropped `v` is NOT protected — its scan
+    * fails with missing-file errors once vacuum deletes the
+    * directories (Spark reads are lazy; the manifest read at plan
+    * time does not pin files on disk). Size `retainVersions` to cover
+    * the longest-running reader, exactly as Delta sizes its retention
+    * interval. Returns (manifests dropped, data dirs deleted). */
   def vacuum(retainVersions: Int = 1): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")
-    val vs = versions
+    val vs0 = versions
+    val manifests0 = vs0.map(readManifest)
+    def maxTxns(ms: Seq[Manifest]): Map[String, Long] =
+      ms.flatMap(_.allTxns).groupMapReduce(_._1)(_._2)(math.max)
+    val dropCount0 = math.max(vs0.size - retainVersions, 0)
+    val (dropM, keepM) = manifests0.splitAt(dropCount0)
+    val expiring = maxTxns(dropM).exists { case (a, b) =>
+      maxTxns(keepM).getOrElse(a, Long.MinValue) < b
+    }
+    val vs = if (!expiring) vs0 else {
+      val head = manifests0.last
+      val v = vs0.last + 1
+      commitManifest(v, "vacuum", head.dirs, None, head.schemaJson,
+        maxTxns(manifests0).toSeq)
+      vs0 :+ v
+    }
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
     val keepDirs = keep.flatMap(v => readManifest(v).dirs).toSet
     val dropDirs = drop.flatMap(v => readManifest(v).dirs).toSet -- keepDirs
@@ -215,13 +301,33 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
 
   /** Snapshot read — current table, or time travel to `version`.
     * Reading an old version after later commits returns exactly the
-    * old rows: data directories are immutable and never rewritten. */
+    * old rows: data directories are immutable and never rewritten.
+    *
+    * A snapshot with no data (a drained stream that never saw input,
+    * or a table created empty) is still TYPED: every data commit
+    * persists its schema in the manifest, and `createEmpty` accepts
+    * one up front — so downstream column references resolve against an
+    * empty result instead of failing on a zero-column DataFrame. Only
+    * a schema-less empty table (created empty with no declared schema,
+    * never written) degrades to `spark.emptyDataFrame`. */
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion else version
     require(Files.exists(manifestPath(v)), s"no version $v at $root")
     val m = readManifest(v)
-    if (m.dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.dirs.map(d => root.resolve(d).toString): _*)
+    if (m.dirs.nonEmpty)
+      spark.read.parquet(m.dirs.map(d => root.resolve(d).toString): _*)
+    else {
+      // latest schema declared at or before v, if any commit has one
+      val schemaJson = m.schemaJson.orElse(
+        versions.filter(_ < v).sorted.reverse.iterator
+          .map(readManifest(_).schemaJson).collectFirst { case Some(j) => j })
+      schemaJson match {
+        case Some(j) =>
+          val schema = DataType.fromJson(j).asInstanceOf[StructType]
+          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        case None => spark.emptyDataFrame
+      }
+    }
   }
 }
 
@@ -231,16 +337,20 @@ object LakeTable {
   def create(spark: SparkSession, root: Path, df: DataFrame): LakeTable = {
     val t = new LakeTable(spark, root)
     Files.createDirectories(root.resolve("_log"))
-    t.commitManifest(1L, "create", Seq(t.writeData(df, 1L)), None)
+    t.commitManifest(1L, "create", Seq(t.writeData(df, 1L)), None, Some(df.schema.json))
     t
   }
 
   /** Create a new empty table at `root` (version 1 lists no data — the
-    * streaming-sink starting point; the schema arrives with batch 0). */
-  def createEmpty(spark: SparkSession, root: Path): LakeTable = {
+    * streaming-sink starting point). Pass `schema` so a read of the
+    * still-empty table returns a TYPED empty DataFrame; without it the
+    * schema arrives with the first data commit, and reads before that
+    * degrade to a zero-column result. */
+  def createEmpty(spark: SparkSession, root: Path,
+                  schema: Option[StructType] = None): LakeTable = {
     val t = new LakeTable(spark, root)
     Files.createDirectories(root.resolve("_log"))
-    t.commitManifest(1L, "create", Nil, None)
+    t.commitManifest(1L, "create", Nil, None, schema.map(_.json))
     t
   }
 

@@ -30,11 +30,23 @@ object Intervals {
   /** Overlap join over (id, s, e) relations with integer bounds,
     * inclusive-exclusive [s, e). Emits one row per overlapping pair
     * with the overlap length. Self-join callers pass the same relation
-    * twice and get each unordered pair once via the id inequality. */
+    * twice and get each unordered pair once via the id inequality.
+    *
+    * Degenerate intervals (e <= s, empty under [s, e)) are FILTERED
+    * before the explosion: `sequence(s div W, (e-1) div W)` on such a
+    * row would generate a DESCENDING bucket list (Spark's default step
+    * is -1), exploding garbage candidates that can surface with
+    * overlap = 0 — the filter enforces the contract instead.
+    *
+    * LIMIT: Spark's `sequence()` caps at 10000 elements, so a single
+    * interval may span at most 10000 buckets — pick `bucket` >=
+    * max(e - s) / 10000 (near the TYPICAL interval length is the
+    * right cost tradeoff anyway; see class doc). Spans past the cap
+    * fail loudly at runtime rather than dropping pairs. */
   def overlapJoin(a: DataFrame, b: DataFrame, bucket: Long,
                   selfPairs: Boolean = false): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
-    def exploded(df: DataFrame, p: String) = df.select(
+    def exploded(df: DataFrame, p: String) = df.filter(col("s") < col("e")).select(
       col("id").as(s"${p}_id"), col("s").as(s"${p}_s"), col("e").as(s"${p}_e"),
       explode(sequence(expr(s"s div $bucket"), expr(s"(e - 1) div $bucket")))
         .as(s"${p}_bkt"))

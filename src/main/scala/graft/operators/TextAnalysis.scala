@@ -204,15 +204,19 @@ object TextAnalysis {
   /** Corpus-frequency quality proxy (the LM-perplexity stand-in that
     * needs no model): score a document by the average corpus frequency
     * of its token occurrences. Two shuffles — the unigram count and
-    * the per-doc sum; the unigram table is vocabulary-sized and
-    * broadcast back. Integer sums + one final IEEE division keep it
-    * bit-reproducible (a log-prob variant would hit libm divergence
-    * across engines). */
+    * the per-doc sum. The unigram table is corpus-derived and therefore
+    * UNBOUNDED at web scale (typos, URLs, numbers run to billions of
+    * distinct tokens), so it carries NO broadcast hint: AQE broadcasts
+    * it when its runtime size is genuinely small and falls back to a
+    * shuffled hash join otherwise — a forced hint here would bypass
+    * AQE's size check and OOM the driver on a real corpus. Integer
+    * sums + one final IEEE division keep it bit-reproducible (a
+    * log-prob variant would hit libm divergence across engines). */
   def unigramQuality(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-    toks.join(broadcast(freq), "tok")
+    toks.join(freq, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
       .withColumn("mean_freq",

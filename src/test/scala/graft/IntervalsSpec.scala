@@ -37,4 +37,14 @@ class IntervalsSpec extends AnyFunSuite {
       bucket = 4, selfPairs = true).collect()
     assert(out.isEmpty)
   }
+
+  test("degenerate intervals (e <= s) are filtered, never emit pairs") {
+    // [7,7) is empty and [9,3) is inverted: without the s < e guard the
+    // descending sequence() would still explode them into buckets and
+    // they could surface with overlap = 0 against [0,100)
+    val fx = ints((1L, 0L, 100L), (2L, 7L, 7L), (3L, 9L, 3L), (4L, 50L, 60L))
+    val got = Intervals.overlapJoin(fx, fx, bucket = 8, selfPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 4L, 10L)))
+  }
 }

@@ -59,4 +59,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(names.size > 70) // the audit actually covered the surface
   }
+
+  test("q88 unigram join carries no forced broadcast on the corpus-derived vocab") {
+    // The unigram table is corpus-derived (unbounded at web scale): a
+    // forced broadcast hint would bypass AQE's size check and OOM the
+    // driver on a real corpus. Only AQE may decide to broadcast it.
+    val docs = graft.Tables.documents(spark, sf)
+    val analyzed = graft.operators.TextAnalysis.unigramQuality(docs)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "unigramQuality must not force-broadcast the vocabulary relation")
+  }
 }

@@ -3,6 +3,8 @@ package graft.lake
 import java.nio.file.Files
 import java.util.concurrent.CountDownLatch
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -128,6 +130,94 @@ class LakeTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.snapshot(1L)) // time travel expired
     // idempotent: nothing left to collect
     assert(t.vacuum(retainVersions = 1) === ((0, 0)))
+  }
+
+  test("empty snapshots are typed: schema persists in the manifest") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    // declared up front: a never-written sink still answers column refs
+    val t = LakeTable.createEmpty(spark,
+      Files.createTempDirectory("graft-schema").resolve("t"), Some(schema))
+    val empty = t.snapshot()
+    assert(empty.schema === schema)
+    assert(empty.select(col("event_id")).count() === 0)
+    // learned from the first data commit: an overwrite back to empty
+    // (vacuum-style truncation via merge of nothing) keeps the type
+    val t2 = LakeTable.createEmpty(spark,
+      Files.createTempDirectory("graft-schema2").resolve("t"))
+    t2.commitBatch(events.limit(3), "app", 0L)
+    assert(t2.snapshot().select(col("event_id")).count() === 3)
+    // time travel to the pre-schema create degrades to zero columns
+    assert(t2.snapshot(1L).schema.isEmpty)
+  }
+
+  test("vacuum carries txn markers forward: replay after vacuum is still a no-op") {
+    val b0 = events.filter(col("event_id") % 3 === 0)
+    val b1 = events.filter(col("event_id") % 3 === 1)
+    val b2 = events.filter(col("event_id") % 3 === 2)
+    val root = Files.createTempDirectory("graft-vactxn").resolve("t")
+    val t = LakeTable.createEmpty(spark, root)
+    t.commitBatch(b0, "app", 0L)
+    t.commitBatch(b1, "app", 1L)
+    t.commitBatch(b2, "app", 2L)
+    val total = t.snapshot().count()
+    // retain only the head: every txn-marked manifest would drop, so
+    // vacuum must publish a carry manifest before dropping
+    t.vacuum(retainVersions = 1)
+    assert(t.snapshot().count() === total)
+    // a FRESH handle (cold cache, the restart-after-vacuum path) must
+    // still see the markers and treat replays as no-ops
+    val t2 = LakeTable.open(spark, root)
+    val vBefore = t2.latestVersion
+    t2.commitBatch(b0, "app", 0L)
+    t2.commitBatch(b2, "app", 2L)
+    assert(t2.latestVersion === vBefore)
+    assert(t2.snapshot().count() === total)
+    // ...while the NEXT batch commits normally
+    t2.commitBatch(b0, "app", 3L)
+    assert(t2.snapshot().count() === total + b0.count())
+  }
+
+  test("retention contract: retained snapshot survives vacuum, vacuumed read fails loudly") {
+    val base = events.filter(col("event_id") < 100)
+    val extra = events.filter(col("event_id").between(100, 199))
+    val t = LakeTable.createTemp(spark, base)
+    t.overwrite(extra) // v2: v1's data dir is now referenced only by v1
+    val retained = t.snapshot()     // reader on the head: protected
+    val stale = t.snapshot(1L)      // reader on v1: NOT protected
+    assert(stale.count() === base.count()) // readable pre-vacuum
+    t.vacuum(retainVersions = 1)
+    assert(retained.count() === extra.count()) // head reader unaffected
+    // time travel to the vacuumed version fails loudly at the manifest
+    intercept[IllegalArgumentException](t.snapshot(1L))
+    // a pre-vacuum DataFrame over deleted files fails loudly at scan
+    intercept[Exception] {
+      val n = stale.count()
+      assert(n === base.count(), s"stale read silently served $n rows")
+    }
+  }
+
+  test("concurrent commitBatch writers with distinct appIds all land via retry") {
+    val df = events.limit(20)
+    val root = Files.createTempDirectory("graft-cbrace").resolve("t")
+    val t = LakeTable.createEmpty(spark, root)
+    val nWriters = 6
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to nWriters).map { i =>
+      new Thread(() => {
+        start.await()
+        try LakeTable.open(spark, root).commitBatch(df, s"app-$i", 0L)
+        catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"retry loop leaked: ${failures.asScala.map(_.getMessage)}")
+    assert(t.latestVersion === 1L + nWriters)
+    assert(t.snapshot().count() === df.count() * nWriters)
   }
 
   test("vacuum keeps data dirs still referenced by retained versions") {
