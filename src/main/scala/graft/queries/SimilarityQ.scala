@@ -45,6 +45,72 @@ object SimilarityQ {
        |  FROM scored
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** The deterministic k-means pipeline as DuckDB CTEs — the oracle
+    * twin of `Similarity.kmeansBuckets(k=8, rounds=2, train = vec_id %
+    * 5 = 0)`. Every step mirrors the Spark side bit-for-bit: int8
+    * quantization (floor rounding), md5-ordered seeds, BIGINT/BIGINT
+    * centroid means, and LEFT-TO-RIGHT `list_reduce` distance folds
+    * (== Spark's ordered `aggregate` HOF). Ends with CTE `afin`
+    * (vec_id, cluster). */
+  private val kmeansSql: String = {
+    def dist(rel: String, cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.vec_id, c.cid,
+         |         list_reduce(list_transform(generate_series(1, len(t.qv)),
+         |           i -> (t.qv[i] - c.c[i]) * (t.qv[i] - c.c[i])),
+         |           (acc, x) -> acc + x) AS d
+         |  FROM $rel t CROSS JOIN $cent c
+         |)""".stripMargin
+    def argmin(din: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM $din
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def update(assign: String, n: Int): String =
+      s"""e$n AS (
+         |  SELECT a.cid, t.qv, unnest(generate_series(1, len(t.qv))) AS i
+         |  FROM $assign a JOIN train t USING (vec_id)
+         |),
+         |u$n AS (
+         |  SELECT cid, i AS pos, CAST(SUM(qv[i]) AS BIGINT) / COUNT(*) AS cmean
+         |  FROM e$n GROUP BY cid, i
+         |),
+         |cent$n AS (SELECT cid, list(cmean ORDER BY pos) AS c FROM u$n GROUP BY cid)""".stripMargin
+    s"""quant AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(greatest(-127.0, least(127.0,
+       |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |train AS (SELECT vec_id, qv FROM quant WHERE vec_id % 5 = 0),
+       |seeds AS (
+       |  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+       |  FROM train ORDER BY h, vec_id LIMIT 8
+       |),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+       |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM seeds
+       |),
+       |${dist("train", "cent0", "d1")},
+       |${argmin("d1", "a1")},
+       |${update("a1", 1)},
+       |${dist("train", "cent1", "d2")},
+       |${argmin("d2", "a2")},
+       |${update("a2", 2)},
+       |${dist("quant", "cent2", "dfin")},
+       |afin AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dfin
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-10 for 5 query vectors
     "q37_cosine_topk" -> ((s, d) =>
@@ -68,6 +134,23 @@ object SimilarityQ {
         k = 3, bits = 6)
         .orderBy("query_id", "rank")),
 
+    // Deterministic k-means coarse quantizer: centroids trained on a
+    // hash-sample (vec_id % 5), full corpus assigned in one pass
+    "q119_kmeans_buckets" -> ((s, d) =>
+      Similarity.kmeansBuckets(Tables.embeddings(s, d), k = 8, rounds = 2,
+        trainPred = _.filter(col("vec_id") % 5 === 0))
+        .orderBy("vec_id")),
+
+    // The standalone IVF path: probe within the DERIVED k-means
+    // bucket — no precomputed label column involved
+    "q120_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val buckets = Similarity.kmeansBuckets(emb, k = 8, rounds = 2,
+        trainPred = _.filter(col("vec_id") % 5 === 0))
+      Similarity.ivfTopKWith(emb, buckets, _.filter(col("vec_id") < 20), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Int8 quantization + integer-exact dot products between
     // consecutive vectors (HOF zip_with/aggregate — no explode)
     "q79_embed_quantize" -> ((s, d) => {
@@ -82,6 +165,41 @@ object SimilarityQ {
 
   val oracles: Map[String, String] = Map(
     "q37_cosine_topk" -> topkSql("", "vec_id < 5", 10),
+
+    "q119_kmeans_buckets" ->
+      s"""WITH $kmeansSql
+         |SELECT vec_id, cluster FROM afin ORDER BY vec_id""".stripMargin,
+
+    "q120_ivf_kmeans" ->
+      s"""WITH $kmeansSql,
+         |ex AS (
+         |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
+         |         CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings) e
+         |  JOIN afin a USING (vec_id)
+         |),
+         |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+         |q AS (SELECT * FROM ex WHERE vec_id < 20),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+         |  FROM q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id AND q.label = c.label
+         |  GROUP BY q.vec_id, c.vec_id
+         |),
+         |scored AS (
+         |  SELECT d.query_id AS query_id, d.cand_id AS cand_id,
+         |         CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+         |         (sqrt(CAST(CAST(nq.norm2 AS VARCHAR) AS DOUBLE)) *
+         |          sqrt(CAST(CAST(nc.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+         |  FROM dots d
+         |  JOIN norms nq ON d.query_id = nq.vec_id
+         |  JOIN norms nc ON d.cand_id = nc.vec_id
+         |)
+         |SELECT query_id, rank, cand_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q38_ivf_topk" -> topkSql("AND q.label = c.label", "vec_id < 20", 5),
     "q66_embed_neardup" ->
       """WITH ex AS (

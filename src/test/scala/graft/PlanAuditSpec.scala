@@ -38,8 +38,13 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q102: SINGLE-ROW broadcast scalar relations (corpus stats /
     *    document frequencies) cross-joined into the scoring
     *    projection — the declarative form of "embed these scalars",
-    *    O(corpus) by construction. */
-  private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank")
+    *    O(corpus) by construction.
+    *  - q119/q120: the k-means quantizer broadcasts its K centroids
+    *    (k = 8 rows, a CONSTANT) against the training sample — the
+    *    assignment scan is O(corpus x k) by construction, which is
+    *    what nearest-centroid assignment costs anywhere. */
+  private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
+    "q119_kmeans_buckets", "q120_ivf_kmeans")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

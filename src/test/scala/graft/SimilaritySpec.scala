@@ -61,4 +61,35 @@ class SimilaritySpec extends AnyFunSuite {
     // 5*64 clamps to 127
     assert(qv === Seq(32L, -127L, 1L, 127L))
   }
+
+  test("kmeansBuckets: total assignment, bounded ids, partition-invariant") {
+    val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val out = Similarity.kmeansBuckets(emb, k = 4, rounds = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === n)                       // every vector assigned once
+    assert(out.map(_._1).distinct.length === n)
+    val used = out.map(_._2).toSet
+    assert(used.subsetOf((0L until 4L).toSet) && used.size > 1)
+    // hash-seeded + ordered folds + exact sums => the SAME assignment
+    // from any input partitioning (the determinism claim, tested)
+    val repart = Similarity.kmeansBuckets(emb.repartition(7), k = 4, rounds = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(repart === out)
+  }
+
+  test("kmeansBuckets trains on the sample but assigns the full corpus") {
+    val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val out = Similarity.kmeansBuckets(emb, k = 4, rounds = 1,
+      trainPred = _.filter(col("vec_id") % 5 === 0))
+    assert(out.count() === emb.count()) // non-sample vectors assigned too
+  }
+
+  test("ivfTopKWith probes the derived bucket only") {
+    // buckets put vec 3 alone; the query (vec 0) must never see it
+    val buckets = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L)).toDF("vec_id", "cluster")
+    val out = Similarity.ivfTopKWith(emb, buckets, _.filter(col("vec_id") === 0), 10)
+      .select("cand_id").as[Long].collect()
+    assert(out.toSet === Set(1L, 2L))
+  }
 }
