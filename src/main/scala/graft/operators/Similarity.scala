@@ -224,6 +224,51 @@ object Similarity {
     topK(exactScore(pairs, emb), k)
   }
 
+  /** All sign-buckets within Hamming distance <= `radius` of this
+    * row's `bucket` column (radius 0, 1 or 2) — pure string surgery
+    * over the '0'/'1' key, exactly reproducible in any engine. Probe
+    * count is 1 + bits + bits*(bits-1)/2 at radius 2: a CONSTANT
+    * per-query explosion factor. */
+  private def probeBuckets(bits: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 2, "radius 0..2 supported")
+    def flip(at: String) =
+      s"CASE WHEN substring(bucket, $at, 1) = '1' THEN '0' ELSE '1' END"
+    val flips1 = s"transform(sequence(1, $bits), i -> " +
+      s"concat(substring(bucket, 1, i - 1), ${flip("i")}, substring(bucket, i + 1, $bits)))"
+    val flips2 = s"flatten(transform(sequence(1, $bits), i -> " +
+      s"transform(filter(sequence(1, $bits), j -> j > i), j -> " +
+      s"concat(substring(bucket, 1, i - 1), ${flip("i")}, " +
+      s"substring(bucket, i + 1, j - i - 1), ${flip("j")}, substring(bucket, j + 1, $bits)))))"
+    radius match {
+      case 0 => expr("array(bucket)")
+      case 1 => expr(s"concat(array(bucket), $flips1)")
+      case _ => expr(s"concat(array(bucket), $flips1, $flips2)")
+    }
+  }
+
+  /** Multi-probe LSH ANN (VERDICT r5 #2: the single-bucket [[lshTopK]]
+    * is recall-limited — 0/64 candidates measured at 16 bits on a
+    * near-orthogonal corpus). The query side explodes to every bucket
+    * within Hamming `radius` of its own (the multi-probe trick: a true
+    * near-neighbor differs in few sign bits, so probing adjacent
+    * buckets recovers most of the recall a single bucket loses); the
+    * corpus side keeps its one bucket key, so this stays a bucketed
+    * equi-join — corpus hash-partitioned by bucket, query fan-out a
+    * constant 1 + b + b(b-1)/2 factor, never all-pairs. Each
+    * (query, cand) pair arises from exactly ONE probe (probe strings
+    * are distinct, the candidate has one bucket), so no dedup shuffle
+    * is needed. Survivors get the decimal-exact rescore + rank. */
+  def lshTopKMultiProbe(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+                        bits: Int = 16, radius: Int = 2): DataFrame = {
+    val withB = emb.withColumn("bucket", signBucket(bits))
+    val pairs = broadcast(
+      queryPred(withB).withColumn("probe", explode(probeBuckets(bits, radius))).alias("q"))
+      .join(withB.alias("c"),
+        col("q.probe") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+    topK(exactScore(pairs, emb), k)
+  }
+
   /** Int8-style quantization of the embedding column: symmetric scale,
     * floor(x*scale + 0.5) rounding (floor is bit-identical across
     * engines, unlike round's half-even/half-up divergence), clamped to

@@ -151,6 +151,14 @@ object SimilarityQ {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-probe LSH: the query probes every bucket within Hamming
+    // distance 2 of its own sign bucket — the recall fix over q82's
+    // single-bucket lookup, still a bucketed equi-join
+    "q121_lsh_multiprobe" -> ((s, d) =>
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, d),
+        _.filter(col("vec_id") < 50), k = 3, bits = 6, radius = 2)
+        .orderBy("query_id", "rank")),
+
     // Int8 quantization + integer-exact dot products between
     // consecutive vectors (HOF zip_with/aggregate — no explode)
     "q79_embed_quantize" -> ((s, d) => {
@@ -245,6 +253,62 @@ object SimilarityQ {
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 100
+        |),
+        |dots AS (
+        |  SELECT p.query_id AS query_id, p.cand_id AS cand_id, sum(q.x * c.x) AS dot
+        |  FROM pairs p
+        |  JOIN ex q ON p.query_id = q.vec_id
+        |  JOIN ex c ON p.cand_id = c.vec_id AND q.pos = c.pos
+        |  GROUP BY p.query_id, p.cand_id
+        |),
+        |scored AS (
+        |  SELECT d.query_id AS query_id, d.cand_id AS cand_id,
+        |         CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+        |         (sqrt(CAST(CAST(nq.norm2 AS VARCHAR) AS DOUBLE)) *
+        |          sqrt(CAST(CAST(nc.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+        |  FROM dots d
+        |  JOIN norms nq ON d.query_id = nq.vec_id
+        |  JOIN norms nc ON d.cand_id = nc.vec_id
+        |)
+        |SELECT query_id, rank, cand_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q121_lsh_multiprobe" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |),
+        |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+        |b AS (
+        |  SELECT vec_id,
+        |         array_to_string(list_transform(embedding[1:6],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings
+        |),
+        |probes AS (
+        |  SELECT vec_id, unnest(list_concat(list_concat(
+        |    [bucket],
+        |    list_transform(generate_series(1, 6), i ->
+        |      substr(bucket, 1, i - 1) ||
+        |      (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+        |      substr(bucket, i + 1, 6))),
+        |    flatten(list_transform(generate_series(1, 6), i ->
+        |      list_transform(list_filter(generate_series(1, 6), j -> j > i), j ->
+        |        substr(bucket, 1, i - 1) ||
+        |        (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+        |        substr(bucket, i + 1, j - i - 1) ||
+        |        (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END) ||
+        |        substr(bucket, j + 1, 6)))))) AS probe
+        |  FROM b WHERE vec_id < 50
+        |),
+        |pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM probes p JOIN b c ON p.probe = c.bucket AND p.vec_id <> c.vec_id
         |),
         |dots AS (
         |  SELECT p.query_id AS query_id, p.cand_id AS cand_id, sum(q.x * c.x) AS dot
