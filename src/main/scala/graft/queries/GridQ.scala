@@ -121,6 +121,37 @@ object GridQ {
     // grid-reconstruct ONLY that page and return its matrix — the
     // table-extraction twin of q106's text journey. Token-boundary
     // containment via space padding, identical in the oracle.
+    // Multi-grid pages (VERDICT r5 #6): the reference returns the
+    // FIRST keyword-matching crop on a page (tableExtract.py:76-91)
+    // while budgetEco.py:76-78 iterates pages — this query proves the
+    // two compose at n > 1 grids per page. Each page is split into
+    // two spatially independent grids (odd/even line_id); EVERY grid
+    // is reconstructed via a composite (page*10 + grid) key — one
+    // reconstruction pass over all grids of all pages, not a loop —
+    // then per page the FIRST grid (lowest grid_id) whose assembled
+    // text contains the KPI token wins (M5 first-crop + P5
+    // first-non-empty), and its cells are emitted.
+    "q122_multi_grid" -> ((s, d) => {
+      val kpi = "17"
+      val multi = ocrLines(s, d)
+        .withColumn("grid_id", (col("line_id") % 2).cast("long"))
+        .withColumn("page_id", col("page_id") * 10 + col("grid_id"))
+      val cells = Grid.reconstruct(multi, ImgW, ImgH)
+        .select(expr("page_id div 10").as("page_id"),
+          (col("page_id") % 10).as("grid_id"),
+          col("row_idx"), col("col_idx"), col("text"))
+      val gtext = cells.groupBy(col("page_id"), col("grid_id"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(row_idx, col_idx, text))), s -> s.text)"),
+          " ").as("blob"))
+      val chosen = gtext
+        .filter(concat(lit(" "), col("blob"), lit(" ")).contains(s" $kpi "))
+        .groupBy(col("page_id")).agg(min(col("grid_id")).as("grid_id"))
+      cells.join(chosen, Seq("page_id", "grid_id"))
+        .select(col("page_id"), col("grid_id"), col("row_idx"), col("col_idx"), col("text"))
+        .orderBy("page_id", "row_idx", "col_idx")
+    }),
+
     "q117_extract_table" -> ((s, d) => {
       val kpi = "17"
       val ocr = ocrLines(s, d)
@@ -158,6 +189,53 @@ object GridQ {
          |       COALESCE(max(text) FILTER (WHERE col_idx = 3), '') AS c3,
          |       COALESCE(max(text) FILTER (WHERE col_idx = 4), '') AS c4
          |FROM grid GROUP BY page_id, row_idx ORDER BY page_id, row_idx""".stripMargin,
+
+    "q122_multi_grid" ->
+      s"""WITH $ocrSql,
+         |ocr2 AS (SELECT page_id, rid % 2 AS grid_id, rid, cid, score, text FROM ocr),
+         |rows2 AS (
+         |  SELECT page_id, grid_id, rid,
+         |         row_number() OVER (PARTITION BY page_id, grid_id ORDER BY rid) AS row_idx
+         |  FROM ocr2
+         |),
+         |cols2 AS (
+         |  SELECT page_id, grid_id, cid,
+         |         row_number() OVER (PARTITION BY page_id, grid_id ORDER BY cid) AS col_idx
+         |  FROM (
+         |    SELECT page_id, grid_id, cid, rid,
+         |           row_number() OVER (PARTITION BY page_id, grid_id, cid
+         |                              ORDER BY score DESC, rid) AS rn
+         |    FROM ocr2
+         |  ) WHERE rn = 1
+         |),
+         |grid2 AS (
+         |  SELECT cl.page_id AS page_id, cl.grid_id AS grid_id, cl.row_idx AS row_idx,
+         |         cl.col_idx AS col_idx, COALESCE(o.text, '') AS text
+         |  FROM (
+         |    SELECT r.page_id AS page_id, r.grid_id AS grid_id, r.row_idx AS row_idx,
+         |           r.rid AS rid, c.col_idx AS col_idx, c.cid AS cid
+         |    FROM rows2 r JOIN cols2 c
+         |      ON r.page_id = c.page_id AND r.grid_id = c.grid_id
+         |  ) cl
+         |  LEFT JOIN ocr2 o
+         |    ON cl.page_id = o.page_id AND cl.grid_id = o.grid_id
+         |   AND cl.rid = o.rid AND cl.cid = o.cid
+         |),
+         |gtext AS (
+         |  SELECT page_id, grid_id,
+         |         string_agg(text, ' ' ORDER BY row_idx, col_idx) AS blob
+         |  FROM grid2 GROUP BY page_id, grid_id
+         |),
+         |chosen AS (
+         |  SELECT page_id, min(grid_id) AS grid_id FROM gtext
+         |  WHERE contains(' ' || blob || ' ', ' 17 ')
+         |  GROUP BY page_id
+         |)
+         |SELECT g.page_id AS page_id, g.grid_id AS grid_id,
+         |       g.row_idx AS row_idx, g.col_idx AS col_idx, g.text AS text
+         |FROM grid2 g JOIN chosen c
+         |  ON g.page_id = c.page_id AND g.grid_id = c.grid_id
+         |ORDER BY page_id, row_idx, col_idx""".stripMargin,
 
     "q117_extract_table" ->
       s"""WITH $gridSql,
