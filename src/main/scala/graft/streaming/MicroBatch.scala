@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -40,6 +41,45 @@ object MicroBatch {
     StructField("props", StringType)))
 
   private val runId = new AtomicInteger(0)
+
+  /** The wire schema a Kafka source presents (key/value are BINARY
+    * plus topic/partition/offset metadata — what
+    * `spark.readStream.format("kafka")` returns, and what the
+    * reference consumes at spark_stream.py:206-218). The S1 file
+    * source stands in for the connector in this container; any stream
+    * shaped like this goes through [[parseKafkaValues]] /
+    * [[parseKafkaOrders]] unchanged when the one builder line swaps. */
+  val kafkaRecordSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType)))
+
+  /** The reference's first parse stage (spark_stream.py:214 →
+    * messages_df): binary key/value cast to UTF-8 strings. */
+  def parseKafkaValues(records: DataFrame): DataFrame =
+    records.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** The order-payload schema of the reference's topic
+    * (spark_stream.py:160-166 — all fields kept as strings; typed
+    * casts happen downstream, q01-style). */
+  val orderJsonSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("order_date", StringType),
+    StructField("product_name", StringType),
+    StructField("quantity", StringType)))
+
+  /** The reference's full selection stage
+    * (create_selection_df_from_kafka, spark_stream.py:159-171): value
+    * bytes → string → from_json → flatten to columns. Malformed JSON
+    * yields null fields (from_json's PERMISSIVE default — the
+    * reference inherits exactly this behavior), so a poison message
+    * can never kill the stream. */
+  def parseKafkaOrders(records: DataFrame): DataFrame =
+    parseKafkaValues(records)
+      .select(from_json(col("value"), orderJsonSchema).as("data"))
+      .select(col("data.*"))
 
   /** Stage `copies` copies of the events table into a fresh landing
     * directory — the file source's analog of "messages currently in the
