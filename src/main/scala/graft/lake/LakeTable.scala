@@ -54,6 +54,17 @@ class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * partition pruning, pushdown and vectorized scan all apply; the log
   * itself is O(versions) tiny text files read driver-side, never a
   * Spark job.
+  *
+  * WIRE-FORMAT INTEROP (documented limitation): this is a faithful
+  * protocol REDUCTION of Delta/Iceberg, not their wire format — no
+  * Delta/Iceberg jar exists in this container, so nothing external
+  * can open these tables directly. Export is trivial by construction:
+  * every snapshot is plain parquet, so
+  * `snapshot(v).write.format("delta"|"iceberg").save(...)` on a
+  * cluster with the connector jars migrates any version (history
+  * replays version-by-version the same way); import is the reverse
+  * (`create(spark, root, deltaDf)`). The txn-marker replay contract
+  * maps 1:1 onto Delta's `txnAppId`/`txnVersion` options.
   */
 final class LakeTable private (val spark: SparkSession, val root: Path) {
 

@@ -21,25 +21,35 @@ import org.apache.spark.sql.types.DecimalType
   *    quantizer). Turns the scan into a bucketed equi-join — corpus
   *    partitioned by cluster, each query touches one bucket.
   *
-  * Numeric determinism: float elements are widened through
-  * DECIMAL(18,9); dot products and norms are exact decimal sums
-  * (order-independent), and only the final cosine division/sqrt is IEEE
-  * double — so results are bit-identical across engines and across any
-  * partitioning. A float `sum()` would be neither.
+  * Numeric determinism: float elements are quantized by the EXACT
+  * dyadic map floor(x * 2^30) — scaling by a power of two only shifts
+  * the exponent (no rounding), floor is exact, and the integral result
+  * is held as DECIMAL(18,0) — then dot products and norms are exact
+  * integer-decimal sums (order-independent), and only the final cosine
+  * division/sqrt is IEEE double (the 2^60 scale cancels), so results
+  * are bit-identical across engines and across any partitioning.
+  *
+  * Why not round-to-9-decimals (the round-5 design)? A float IS a
+  * dyadic rational, so its exact decimal expansion can land EXACTLY on
+  * a rounding tie (any float odd/2^10 ties at scale 9 — e.g.
+  * 0.1494140625, hit by vec 364 at sf0.1), and engines disagree on
+  * tie direction (Spark HALF_UP, DuckDB HALF_EVEN). floor of an
+  * exactly-scaled value has no ties, so no rounding-mode dependence
+  * exists at all. A float `sum()` would be partition-ordered and worse.
   */
 object Similarity {
 
-  private val dec = DecimalType(18, 9)
+  private val dec = DecimalType(18, 0)
+  private val Q = 1073741824.0d // 2^30: |x| < 4 stays within a long
 
-  /** (vec_id, label, pos, x) — one row per vector element, decimal.
-    * The float is widened to double BEFORE the decimal cast: float→
-    * decimal directly is engine-dependent (DuckDB goes through the
-    * float's shortest decimal repr), while double→decimal rounds the
-    * exact binary value identically everywhere. */
+  /** (vec_id, label, pos, x) — one row per vector element; x =
+    * floor(elem * 2^30) as an integral decimal (see class doc: the
+    * dyadic quantization is exact and tie-free, unlike any
+    * round-to-decimal). */
   def exploded(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .select(col("vec_id"), col("label"), col("pos"),
-        col("col").cast("double").cast(dec).as("x"))
+        floor(col("col").cast("double") * lit(Q)).cast(dec).as("x"))
 
   /** Exact squared norms per vector (decimal, order-independent). */
   def norms(ex: DataFrame): DataFrame =
@@ -246,6 +256,23 @@ object Similarity {
     }
   }
 
+  /** Float prescreen over an EXPLICIT candidate-pair relation: fused
+    * `cosine_similarity` per pair (no row explosion), then a
+    * `WindowGroupLimit`-pruned top (k + slack) per query — the same
+    * float-then-exact contract as [[prescreen]], for paths that
+    * generate their own candidates (multi-probe, external ANN). */
+  private def prescreenPairs(pairs: DataFrame, emb: DataFrame, keep: Int): DataFrame = {
+    val pre = pairs
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("cosine_similarity(qe, ce)").as("fcos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("fcos"), asc("cand_id"))
+    pre.withColumn("prerank", row_number().over(w))
+      .filter(col("prerank") <= keep)
+      .select(col("query_id"), col("cand_id"))
+  }
+
   /** Multi-probe LSH ANN (VERDICT r5 #2: the single-bucket [[lshTopK]]
     * is recall-limited — 0/64 candidates measured at 16 bits on a
     * near-orthogonal corpus). The query side explodes to every bucket
@@ -257,16 +284,20 @@ object Similarity {
     * constant 1 + b + b(b-1)/2 factor, never all-pairs. Each
     * (query, cand) pair arises from exactly ONE probe (probe strings
     * are distinct, the candidate has one bucket), so no dedup shuffle
-    * is needed. Survivors get the decimal-exact rescore + rank. */
+    * is needed. Candidates go through the float prescreen (multi-probe
+    * multiplies the candidate set ~probe-count-fold, so pruning to
+    * k + slack BEFORE the exploded decimal rescore is what keeps the
+    * exact path off the fan-out); survivors get the decimal-exact
+    * rescore + rank. */
   def lshTopKMultiProbe(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
-                        bits: Int = 16, radius: Int = 2): DataFrame = {
+                        bits: Int = 16, radius: Int = 2, slack: Int = 20): DataFrame = {
     val withB = emb.withColumn("bucket", signBucket(bits))
     val pairs = broadcast(
       queryPred(withB).withColumn("probe", explode(probeBuckets(bits, radius))).alias("q"))
       .join(withB.alias("c"),
         col("q.probe") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
-    topK(exactScore(pairs, emb), k)
+    topK(exactScore(prescreenPairs(pairs, emb, k + slack), emb), k)
   }
 
   /** Int8-style quantization of the embedding column: symmetric scale,
@@ -296,6 +327,20 @@ object Similarity {
     * the prescreen keeps the exploded exact path off the quadratic
     * part. Measured at sf0.1 this is the difference between scoring
     * ~1.2M exploded pairs and ~100. */
+  /** [[embeddingNearDups]] with DERIVED buckets: joins a
+    * [[kmeansBuckets]] assignment in as the coarse bucket, so the
+    * near-dup path — like [[ivfTopKWith]] — stands alone on embedding
+    * tables that ship no precomputed cluster column. NOTE the recall
+    * contract is the IVF one: only same-bucket pairs are compared
+    * (near-dups split across a k-means boundary are missed; raise
+    * `rounds`/lower k, or run the exact [[embeddingNearDups]] on the
+    * label-free corpus when completeness matters more than cost). */
+  def embeddingNearDupsWith(emb: DataFrame, buckets: DataFrame, minCosine: Double,
+                            margin: Double = 0.01): DataFrame =
+    embeddingNearDups(
+      emb.drop("label").join(buckets.withColumnRenamed("cluster", "label"), "vec_id"),
+      minCosine, margin)
+
   def embeddingNearDups(emb: DataFrame, minCosine: Double,
                         margin: Double = 0.01): DataFrame = {
     val pre = emb.alias("a")

@@ -13,7 +13,7 @@ object SimilarityQ {
   private def exSql(pred: String): String =
     s"""ex AS (
        |  SELECT vec_id, label, i AS pos,
-       |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
        |  FROM (SELECT vec_id, label, embedding,
        |               unnest(generate_series(1, len(embedding))) AS i
        |        FROM embeddings)
@@ -142,13 +142,30 @@ object SimilarityQ {
         .orderBy("vec_id")),
 
     // The standalone IVF path: probe within the DERIVED k-means
-    // bucket — no precomputed label column involved
+    // bucket — no precomputed label column involved. The assignment is
+    // localCheckpoint-materialized first: the probe fans the bucketed
+    // relation out ~5x (prescreen q+c sides, exact rescore, norms),
+    // and re-deriving the whole Lloyd DAG per reference is the
+    // difference between 7.0 s and ~2 s at sf0.1 (in production the
+    // assignment would be a lake table; the checkpoint is its
+    // in-session stand-in)
     "q120_ivf_kmeans" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val buckets = Similarity.kmeansBuckets(emb, k = 8, rounds = 2,
-        trainPred = _.filter(col("vec_id") % 5 === 0))
+        trainPred = _.filter(col("vec_id") % 5 === 0)).localCheckpoint(true)
       Similarity.ivfTopKWith(emb, buckets, _.filter(col("vec_id") < 20), 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Embedding near-dup over DERIVED k-means buckets: the q66 path
+    // with no precomputed label column — the last label dependence
+    // removed from the similarity family
+    "q123_neardup_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val buckets = Similarity.kmeansBuckets(emb, k = 8, rounds = 2,
+        trainPred = _.filter(col("vec_id") % 5 === 0)).localCheckpoint(true)
+      Similarity.embeddingNearDupsWith(emb, buckets, 0.3)
+        .orderBy("vec_a", "vec_b")
     }),
 
     // Multi-probe LSH: the query probes every bucket within Hamming
@@ -182,7 +199,7 @@ object SimilarityQ {
       s"""WITH $kmeansSql,
          |ex AS (
          |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
-         |         CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+         |         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
          |  FROM (SELECT vec_id, embedding,
          |               unnest(generate_series(1, len(embedding))) AS i
          |        FROM embeddings) e
@@ -212,7 +229,7 @@ object SimilarityQ {
     "q66_embed_neardup" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,
-        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
         |  FROM (SELECT vec_id, label, embedding,
         |               unnest(generate_series(1, len(embedding))) AS i
         |        FROM embeddings)
@@ -237,7 +254,7 @@ object SimilarityQ {
     "q82_lsh_ann" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,
-        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
         |  FROM (SELECT vec_id, label, embedding,
         |               unnest(generate_series(1, len(embedding))) AS i
         |        FROM embeddings)
@@ -275,10 +292,37 @@ object SimilarityQ {
         |  FROM scored
         |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    "q123_neardup_kmeans" ->
+      s"""WITH $kmeansSql,
+         |ex AS (
+         |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
+         |         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings) e
+         |  JOIN afin a USING (vec_id)
+         |),
+         |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b
+         |    ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id
+         |)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT d.vec_a AS vec_a, d.vec_b AS vec_b,
+         |         CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+         |         (sqrt(CAST(CAST(na.norm2 AS VARCHAR) AS DOUBLE)) *
+         |          sqrt(CAST(CAST(nb.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+         |  FROM dots d
+         |  JOIN norms na ON d.vec_a = na.vec_id
+         |  JOIN norms nb ON d.vec_b = nb.vec_id
+         |) WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
     "q121_lsh_multiprobe" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,
-        |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS x
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
         |  FROM (SELECT vec_id, label, embedding,
         |               unnest(generate_series(1, len(embedding))) AS i
         |        FROM embeddings)

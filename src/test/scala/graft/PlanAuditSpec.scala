@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q96_cdc_apply", "q97_snapshot_read", "q99_bucketed_join",
     "q105_time_travel_merge", "q107_image_decode", "q113_vacuum_read",
     "q115_orc_roundtrip",
-    "q103_dedup_clusters", "q110_chain_clusters") // localCheckpoint runs jobs at plan build
+    "q103_dedup_clusters", "q110_chain_clusters",
+    "q120_ivf_kmeans", "q123_neardup_kmeans") // localCheckpoint runs jobs at plan build
 
   /** Justified BroadcastNestedLoopJoins — both are bounded-build-side
     * scans, linear in the big side:
