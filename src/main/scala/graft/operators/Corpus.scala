@@ -91,6 +91,29 @@ object Corpus {
   }
 
   /** Distinct word n-gram shingles, reused from the dedup stack. */
+  /** Context-window chunking — the "pack documents into fixed-size
+    * training windows" op every LLM pipeline runs between cleaning and
+    * shard packing: per document, token windows of `window` tokens
+    * starting every `stride` tokens (stride < window ⇒ overlap, the
+    * standard continuation-context trick; the final windows are
+    * shorter tails so no token is dropped). One projection + one
+    * explode — no shuffle at all: each document expands independently,
+    * so the op streams at scan speed at any corpus size and the output
+    * inherits the input partitioning. Emits (doc_id, win_idx, start,
+    * n_win_tokens, win_text). */
+  def tokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(expr(s"sequence(1, size(ws), $stride)")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("win_idx"),
+        col("col").cast("long").as("start"),
+        expr(s"size(slice(ws, col, $window))").cast("long").as("n_win_tokens"),
+        expr(s"concat_ws(' ', slice(ws, col, $window))").as("win_text"))
+  }
+
   private def sh(docs: DataFrame, n: Int): DataFrame = Dedup.shingles(docs, n)
 
   /** Benchmark decontamination: for each training document, the number

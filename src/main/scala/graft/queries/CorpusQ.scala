@@ -43,6 +43,14 @@ object CorpusQ {
         .select(col("event_type"), col("event_id"))
         .orderBy("event_type", "event_id")),
 
+    // Context-window chunking: 32-token windows every 16 tokens
+    // (50% overlap) — the pack-into-training-windows op; no shuffle,
+    // full assignment with shorter tails so no token is dropped
+    "q124_token_windows" -> ((s, d) =>
+      Corpus.tokenWindows(Tables.documents(s, d).filter(col("doc_id") < 100),
+        window = 32, stride = 16)
+        .orderBy("doc_id", "win_idx")),
+
     // GPT-3-style decontamination: training docs sharing any 4-gram
     // with the benchmark slice, with hit counts
     "q86_contamination" -> ((s, d) => {
@@ -55,6 +63,22 @@ object CorpusQ {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_token_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 100
+        |),
+        |st AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws), 16)) AS start
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT) AS win_idx,
+        |       CAST(start AS BIGINT) AS start,
+        |       CAST(len(ws[start : least(start + 31, len(ws))]) AS BIGINT) AS n_win_tokens,
+        |       array_to_string(ws[start : least(start + 31, len(ws))], ' ') AS win_text
+        |FROM st ORDER BY doc_id, win_idx""".stripMargin,
+
     "q83_hash_split" ->
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'

@@ -67,6 +67,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(est > 700 * 0.5 && est < 700 * 2.0, s"estimate $est far from 700")
   }
 
+  test("tokenWindows: non-overlapping windows tile the document exactly") {
+    val docs = Seq((1L, (1 to 70).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Corpus.tokenWindows(docs, window = 32, stride = 32)
+      .orderBy("doc_id", "win_idx").collect()
+    // stride = window => concatenating windows restores the text
+    val rebuilt = out.groupBy(_.getLong(0)).view.mapValues(
+      _.sortBy(_.getLong(1)).map(_.getString(4)).mkString(" ")).toMap
+    assert(rebuilt === Map(1L -> (1 to 70).map(i => s"t$i").mkString(" "),
+      2L -> "a b c", 3L -> "solo"))
+    // sizes: full windows then the tail; never over the budget
+    assert(out.forall(_.getLong(3) <= 32))
+    assert(out.filter(_.getLong(0) == 1L).map(_.getLong(3)).toSeq === Seq(32L, 32L, 6L))
+  }
+
+  test("tokenWindows: overlapping stride repeats continuation context") {
+    val docs = Seq((1L, (1 to 40).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.tokenWindows(docs, window = 16, stride = 8)
+      .orderBy("win_idx").collect()
+    // starts advance by the stride and the windows overlap by half
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 9L, 17L, 25L, 33L))
+    val w1 = out(0).getString(4).split(" ")
+    val w2 = out(1).getString(4).split(" ")
+    assert(w1.takeRight(8).toSeq === w2.take(8).toSeq)
+  }
+
   test("contamination flags exactly the docs sharing an n-gram") {
     val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
