@@ -310,6 +310,28 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** Canonical-document selection per dedup cluster — the "keep the
+    * best duplicate" decision that follows clustering in every dedup
+    * pipeline: within each cluster the canonical document is the
+    * longest (token count), ties to the smallest doc_id (first-seen
+    * wins for exact copies). One doc_id-keyed join + one shuffle on
+    * cluster; both window functions share the cluster partitioning, so
+    * the plan carries a single exchange. Emits (cluster, canonical_id,
+    * n_tokens, n_members). */
+  def canonicalDocs(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val stats = clusters.join(docs, "doc_id")
+      .select(col("cluster"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val members = Window.partitionBy("cluster")
+    val rank = Window.partitionBy("cluster").orderBy(desc("n_tokens"), asc("doc_id"))
+    stats
+      .withColumn("n_members", count(lit(1)).over(members))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_id"),
+        col("n_tokens"), col("n_members"))
+  }
+
   /** SimHash near-dup pairs: bucket by the fingerprint's first
     * `prefixBits` bits (identical docs always collide — their
     * fingerprints are equal), then verify candidates with the native

@@ -201,6 +201,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Vocabulary building + OOV rate — the tokenizer-prep op: the top
+    * `vocabSize` tokens by corpus frequency (ties to the
+    * lexicographically smallest token, so the vocabulary is
+    * deterministic) and each document's out-of-vocabulary token rate
+    * against it. Unlike the unbounded unigram relation of
+    * [[unigramQuality]], the vocabulary here is CAPPED by construction
+    * — top-N of a groupBy — so it is broadcastable at any corpus size
+    * and the per-doc join is a broadcast hash join by design, not by
+    * luck. Emits (doc_id, n_tokens, n_oov, oov_rate). */
+  def oovRate(docs: DataFrame, vocabSize: Int = 30): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Corpus-frequency quality proxy (the LM-perplexity stand-in that
     * needs no model): score a document by the average corpus frequency
     * of its token occurrences. Two shuffles — the unigram count and

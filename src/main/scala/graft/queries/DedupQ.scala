@@ -65,6 +65,56 @@ object DedupQ {
     s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
+  /** The full MinHash→LSH→verify→connected-components pipeline as
+    * CTEs ending in `labels` (doc_id, cluster) — the oracle twin of
+    * `dedupClusters(nearDupPairs(dupDocs))`, shared by q103 and q126.
+    * Must follow a WITH RECURSIVE (the `reach` transitive closure). */
+  private val clusterLabelsSql: String =
+    s"""$shinglesSql,
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigColsSql
+       |  FROM shingles GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelectsSql
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |),
+       |hsh AS (
+       |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle
+       |  FROM shingles
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
+       |  FROM cand p
+       |  JOIN hsh sa ON p.doc_a = sa.doc_id
+       |  JOIN hsh sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY p.doc_a, p.doc_b
+       |),
+       |pairs AS (
+       |  SELECT i.doc_a AS u, i.doc_b AS v
+       |  FROM inter i
+       |  JOIN sizes za ON i.doc_a = za.doc_id
+       |  JOIN sizes zb ON i.doc_b = zb.doc_id
+       |  WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.6
+       |),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+       |reach AS (
+       |  SELECT u AS id, u AS lbl FROM edges
+       |  UNION
+       |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+       |),
+       |labels AS (
+       |  SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+       |)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash group, keep min doc_id, report copies
     "q33_exact_dedup" -> ((s, d) =>
@@ -135,6 +185,16 @@ object DedupQ {
       Dedup.dedupClusters(
         Dedup.nearDupPairs(dupDocs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
+
+    // Keep-best-duplicate: the canonical document per dedup cluster
+    // (longest, ties to first-seen) — the decision step that follows
+    // clustering in every dedup pipeline
+    "q126_canonical_docs" -> ((s, d) => {
+      val docs = dupDocs(s, d)
+      val clusters = Dedup.dedupClusters(
+        Dedup.nearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+      Dedup.canonicalDocs(clusters, docs).orderBy("cluster")
+    }),
 
     // KMV distinct-count sketch vs exact: the cross-engine-checkable
     // approximate-distinct (q55's HLL is rows-only because its
@@ -334,49 +394,26 @@ object DedupQ {
     // same pipeline as q34 up to `pairs`, then transitive closure via
     // a recursive CTE; MIN over all reachable labels == component min
     "q103_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesSql,
-         |sigs AS (
-         |  SELECT doc_id,
-         |         $sigColsSql
-         |  FROM shingles GROUP BY doc_id
+      s"""WITH RECURSIVE $clusterLabelsSql
+         |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin,
+
+    "q126_canonical_docs" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |stats AS (
+         |  SELECT l.cluster AS cluster, l.doc_id AS doc_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM labels l JOIN dup_docs d ON l.doc_id = d.doc_id
          |),
-         |bands AS (
-         |  $bandSelectsSql
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a
-         |  JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id
-         |),
-         |hsh AS (
-         |  SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS shingle
-         |  FROM shingles
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, count(*) AS n_inter
-         |  FROM cand p
-         |  JOIN hsh sa ON p.doc_a = sa.doc_id
-         |  JOIN hsh sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
-         |  GROUP BY p.doc_a, p.doc_b
-         |),
-         |pairs AS (
-         |  SELECT i.doc_a AS u, i.doc_b AS v
-         |  FROM inter i
-         |  JOIN sizes za ON i.doc_a = za.doc_id
-         |  JOIN sizes zb ON i.doc_b = zb.doc_id
-         |  WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.6
-         |),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
-         |reach AS (
-         |  SELECT u AS id, u AS lbl FROM edges
-         |  UNION
-         |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+         |ranked AS (
+         |  SELECT cluster, doc_id, n_tokens,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM stats
          |)
-         |SELECT id AS doc_id, MIN(lbl) AS cluster
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+         |SELECT cluster, doc_id AS canonical_id, n_tokens,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "q89_kmv_distinct" ->
       """WITH dk AS (SELECT DISTINCT event_type, user_id FROM events),

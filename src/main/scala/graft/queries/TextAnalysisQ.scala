@@ -45,6 +45,12 @@ object TextAnalysisQ {
         .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("mean_freq"))
         .orderBy("doc_id")),
 
+    // Vocabulary build + per-doc OOV rate: top-30 vocab by (freq desc,
+    // token) — bounded by construction, broadcastable at any scale
+    "q125_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(Tables.documents(s, d), vocabSize = 30)
+        .orderBy("doc_id")),
+
     // BM25-style keyword relevance (log-free rational idf), top 20
     "q102_bm25_rank" -> ((s, d) =>
       TextAnalysis.bm25Rank(Tables.documents(s, d), Seq("spark", "join"), topK = 20)),
@@ -151,6 +157,23 @@ object TextAnalysisQ {
         |       CAST(CAST(SUM(f.freq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_freq
         |FROM toks t JOIN freq f ON t.tok = f.tok
         |WHERE t.doc_id < 500
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q125_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+        |    ORDER BY freq DESC, tok LIMIT 30
+        |  )
+        |)
+        |SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / COUNT(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     // arithmetic mirrored term-by-term against TextAnalysis.bm25Rank:

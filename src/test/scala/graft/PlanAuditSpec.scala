@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q105_time_travel_merge", "q107_image_decode", "q113_vacuum_read",
     "q115_orc_roundtrip",
     "q103_dedup_clusters", "q110_chain_clusters",
-    "q120_ivf_kmeans", "q123_neardup_kmeans") // localCheckpoint runs jobs at plan build
+    "q120_ivf_kmeans", "q123_neardup_kmeans",
+    "q126_canonical_docs") // localCheckpoint runs jobs at plan build
 
   /** Justified BroadcastNestedLoopJoins — both are bounded-build-side
     * scans, linear in the big side:
