@@ -103,6 +103,20 @@ object StreamingQ {
     // to the mid-stream version returns exactly the first batch (one
     // copy of events), the final snapshot both. The composition of the
     // lake's txn log with the streaming sink, oracle-gated.
+    // Corpus hygiene IN the stream: documents arriving continuously
+    // are PII-scrubbed and token-counted in-flight (every stage is a
+    // projection — `TextAnalysis.piiScrub` applies unchanged to a
+    // streaming frame — so the pipeline is append-mode streamable with
+    // no state store at all) and land in the lake sink exactly-once.
+    // The "release gate as a streaming job" composition a training-data
+    // pipeline actually runs.
+    "q127_stream_scrub" -> ((s, d) =>
+      MicroBatch.appendRun(s, d) { ev =>
+        val scrubbed = graft.operators.TextAnalysis.piiScrub(TextAnalysisQ.piiCorpusFrom(ev))
+        scrubbed.select(col("doc_id"), col("clean"), col("n_emails"), col("n_phones"),
+          size(split(col("clean"), " ")).cast("long").as("ws_tokens"))
+      }.orderBy("doc_id")),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -133,8 +147,33 @@ object StreamingQ {
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
     "q93_stateful_count" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "q127_stream_scrub" ->
+      """WITH corpus AS (
+        |  SELECT event_id AS doc_id,
+        |    'contact user' || CAST(user_id AS VARCHAR) ||
+        |    '@mail' || CAST(event_id % 7 AS VARCHAR) ||
+        |    '.com tel 0' ||
+        |    lpad(CAST((event_id * 37) % 1000000000 AS VARCHAR), 9, '0') ||
+        |    ' ref ' || CAST(event_id AS VARCHAR) || ' fin' AS text
+        |  FROM events WHERE event_id < 2000
+        |),
+        |redacted AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g')
+        |           AS no_email
+        |  FROM corpus
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(no_email, '0[0-9]{9}', '<PHONE>', 'g') AS clean,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(no_email, '0[0-9]{9}')) AS BIGINT) AS n_phones,
+        |       CAST(len(string_split(regexp_replace(no_email, '0[0-9]{9}', '<PHONE>', 'g'), ' '))
+        |         AS BIGINT) AS ws_tokens
+        |FROM redacted ORDER BY doc_id""".stripMargin,
+
     "q112_stream_time_travel" ->
-      s"""SELECT version, event_type, n, total FROM (
+s"""SELECT version, event_type, n, total FROM (
          |  SELECT CAST(2 AS BIGINT) AS version, event_type, COUNT(*) AS n,
          |         ${sqlDsum("value")} AS total
          |  FROM events GROUP BY event_type

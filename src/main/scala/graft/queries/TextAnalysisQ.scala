@@ -75,11 +75,12 @@ object TextAnalysisQ {
         .orderBy("doc_id"))
   )
 
-  /** Contact-bearing corpus for q114: one email, one phone-shaped
+  /** Contact-bearing corpus for q114/q127: one email, one phone-shaped
     * number, and one safe numeric ref per doc, all derived from
-    * events integer columns. */
-  def piiCorpus(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).filter(col("event_id") < 2000).select(
+    * events integer columns. Pure projection, so it applies unchanged
+    * to the BATCH events table and the STREAMING events source. */
+  def piiCorpusFrom(events: DataFrame): DataFrame =
+    events.filter(col("event_id") < 2000).select(
       col("event_id").as("doc_id"),
       concat(
         lit("contact user"), col("user_id").cast("string"),
@@ -88,6 +89,9 @@ object TextAnalysisQ {
         lpad(((col("event_id") * 37) % 1000000000).cast("string"), 9, "0"),
         lit(" ref "), col("event_id").cast("string"),
         lit(" fin")).as("text"))
+
+  def piiCorpus(s: SparkSession, d: String): DataFrame =
+    piiCorpusFrom(Tables.events(s, d))
 
   val oracles: Map[String, String] = Map(
     "q39_lang_id" ->
