@@ -186,6 +186,32 @@ object DedupQ {
         Dedup.nearDupPairs(dupDocs(s, d)).select(col("doc_a"), col("doc_b")))
         .orderBy("doc_id")),
 
+    // The END-TO-END training-data pipeline as ONE declarative DAG:
+    // near-dup clustering (which subsumes exact dedup — identical docs
+    // share every minhash band) → canonical per cluster + untouched
+    // singletons → token-count quality floor → deterministic hash
+    // split → per-split counts. Every stage is an existing operator;
+    // the composition is what a real corpus release runs, and the
+    // oracle replays the whole DAG in SQL.
+    "q128_training_pipeline" -> ((s, d) => {
+      val docs = dupDocs(s, d)
+      val clusters = Dedup.dedupClusters(
+        Dedup.nearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+      val canon = Dedup.canonicalDocs(clusters, docs)
+        .select(col("canonical_id").as("doc_id"))
+      val singletons = docs.join(clusters, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      val kept = canon.unionByName(singletons).join(docs, "doc_id")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 10)
+      graft.operators.Corpus.splitAssign(kept)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy("split")
+    }),
+
     // Keep-best-duplicate: the canonical document per dedup cluster
     // (longest, ties to first-seen) — the decision step that follows
     // clustering in every dedup pipeline
@@ -396,6 +422,39 @@ object DedupQ {
     "q103_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterLabelsSql
          |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin,
+
+    "q128_training_pipeline" ->
+      s"""WITH RECURSIVE $clusterLabelsSql,
+         |stats AS (
+         |  SELECT l.cluster AS cluster, l.doc_id AS doc_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM labels l JOIN dup_docs d ON l.doc_id = d.doc_id
+         |),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY cluster
+         |                     ORDER BY n_tokens DESC, doc_id) AS rn
+         |    FROM stats
+         |  ) WHERE rn = 1
+         |),
+         |singletons AS (
+         |  SELECT doc_id FROM dup_docs
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+         |),
+         |kept AS (
+         |  SELECT d.doc_id AS doc_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id FROM canon UNION ALL SELECT doc_id FROM singletons) k
+         |  JOIN dup_docs d ON k.doc_id = d.doc_id
+         |  WHERE len(string_split(d.text, ' ')) >= 10
+         |)
+         |SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(doc_id) AS BIGINT) AS checksum
+         |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q126_canonical_docs" ->
       s"""WITH RECURSIVE $clusterLabelsSql,

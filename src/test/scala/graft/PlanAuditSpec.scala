@@ -29,7 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q115_orc_roundtrip",
     "q103_dedup_clusters", "q110_chain_clusters",
     "q120_ivf_kmeans", "q123_neardup_kmeans",
-    "q126_canonical_docs") // localCheckpoint runs jobs at plan build
+    "q126_canonical_docs", "q128_training_pipeline") // localCheckpoint runs jobs at plan build
 
   /** Justified BroadcastNestedLoopJoins — both are bounded-build-side
     * scans, linear in the big side:
