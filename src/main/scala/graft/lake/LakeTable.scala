@@ -242,6 +242,16 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
           if (attempt >= maxRetries) throw e
         // loop: rescan from the new head — the winner may even have
         // been a replayed twin of this very batch
+        case e: java.nio.file.NoSuchFileException =>
+          // A concurrent vacuum(retainVersions=1) can commit its carry
+          // manifest AND drop `head`'s manifest between our txnScan and
+          // the readManifest here. The table is fine — vacuum's head
+          // carries every dir and txn marker — so treat it exactly like
+          // a lost commit race: rescan from the new head and retry.
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new ConcurrentCommitException(
+              s"manifest for version vanished under a concurrent vacuum: ${e.getMessage}")
       }
     }
     throw new IllegalStateException("unreachable")

@@ -100,7 +100,15 @@ object Corpus {
     * explode — no shuffle at all: each document expands independently,
     * so the op streams at scan speed at any corpus size and the output
     * inherits the input partitioning. Emits (doc_id, win_idx, start,
-    * n_win_tokens, win_text). */
+    * n_win_tokens, win_text).
+    *
+    * LIMIT (fail-loud contract, same as `Intervals.overlapJoin`): the
+    * window starts come from `sequence(1, n_tokens, stride)`, and
+    * Spark caps a generated sequence at 10000 elements — a single
+    * document longer than ~10000 x `stride` tokens fails the query at
+    * runtime (it does NOT silently truncate). At stride 512 that is a
+    * ~5M-token document; pre-split such outliers (one `substring`
+    * pass) or raise `stride`. */
   def tokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     docs

@@ -157,7 +157,7 @@ object Similarity {
   def kmeansBuckets(emb: DataFrame, k: Int = 8, rounds: Int = 2,
                     trainPred: DataFrame => DataFrame = identity,
                     scale: Double = 64.0): DataFrame = {
-    val quant = quantize(emb, scale).select(col("vec_id"), col("qv"))
+    val quant = quantizeVec(emb, scale)
     val train = trainPred(quant)
     val seeds = train
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
@@ -306,9 +306,19 @@ object Similarity {
     * [-127, 127]. At 100 TB this is the memory/bandwidth lever for ANN:
     * 4 bytes/dim float32 -> 1 byte/dim, integer-exact dot products. */
   def quantize(emb: DataFrame, scale: Double = 64.0): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      expr(s"transform(embedding, x -> CAST(greatest(-127.0D, least(127.0D, " +
-        s"floor(CAST(x AS DOUBLE) * ${scale}D + 0.5D))) AS BIGINT))").as("qv"))
+    emb.select(col("vec_id"), col("label"), qvCol(scale))
+
+  /** Label-free quantization — only (vec_id, embedding) required, so
+    * [[kmeansBuckets]] (which advertises a standalone path for tables
+    * that ship no precomputed cluster/label column) really does run on
+    * a bare embedding table instead of throwing on the `label`
+    * projection. */
+  def quantizeVec(emb: DataFrame, scale: Double = 64.0): DataFrame =
+    emb.select(col("vec_id"), qvCol(scale))
+
+  private def qvCol(scale: Double): Column =
+    expr(s"transform(embedding, x -> CAST(greatest(-127.0D, least(127.0D, " +
+      s"floor(CAST(x AS DOUBLE) * ${scale}D + 0.5D))) AS BIGINT))").as("qv")
 
   /** Embedding-cosine near-dup pairs (the dedup-by-embedding flavor):
     * all unordered pairs within the same coarse bucket whose exact

@@ -78,6 +78,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repart === out)
   }
 
+  test("kmeansBuckets runs on a bare (vec_id, embedding) table — no label column") {
+    val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val bare = emb.select("vec_id", "embedding") // what a user's corpus ships
+    val out = Similarity.kmeansBuckets(bare, k = 4, rounds = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // and the assignment is identical to the labeled table's (label is ignored)
+    val labeled = Similarity.kmeansBuckets(emb, k = 4, rounds = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === labeled && out.nonEmpty)
+  }
+
   test("kmeansBuckets trains on the sample but assigns the full corpus") {
     val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
     val out = Similarity.kmeansBuckets(emb, k = 4, rounds = 1,
