@@ -134,4 +134,53 @@ object Corpus {
       .groupBy(col("t.doc_id").as("doc_id"))
       .agg(countDistinct(col("b.doc_id")).as("n_bench_hits"),
         countDistinct(col("t.shingle")).as("n_shared_grams"))
+
+  /** Bloom hash j of the `shingle` column: hex chars
+    * [j*hexChars, (j+1)*hexChars) of ONE md5 — k slot keys for the
+    * price of a single hash (md5 diffusion makes disjoint slices
+    * behave as independent hash functions), and the same substring
+    * arithmetic is bit-reproducible in any engine with md5. The slot
+    * space is the 16^hexChars hex strings of length hexChars. */
+  private def bloomPos(j: Int, hexChars: Int): Column =
+    substring(md5(col("shingle")), j * hexChars + 1, hexChars)
+
+  /** Bloom-filter candidate generation for decontamination: training
+    * documents whose n-gram set MIGHT intersect the benchmark's, with
+    * NO false negatives (every truly contaminated doc survives; a
+    * false-positive rate of ~fill^k sends a few clean docs onward).
+    *
+    * Why this exists next to [[contamination]]: the exact shingle join
+    * must ship the full benchmark n-gram set to the corpus — an
+    * unbounded bag of strings. The bloom side ships only the k slot-key
+    * relations, each CAPPED at 16^hexChars rows (65 536 at the default)
+    * no matter how many benchmarks accumulate, so the broadcast stays
+    * broadcastable forever and the 100 TB corpus side is NEVER
+    * shuffled: the membership test is k successive broadcast LEFT SEMI
+    * joins (map-side filters); the only shuffle is the final distinct
+    * over surviving doc_ids. An n-gram passes iff ALL k of its slots
+    * are occupied by the benchmark set — the textbook bloom AND. */
+  def bloomCandidates(train: DataFrame, bench: DataFrame, n: Int = 4,
+                      hexChars: Int = 4, k: Int = 3): DataFrame = {
+    require(k >= 1 && k * hexChars <= 32, "k slices must fit one md5")
+    val bsh = sh(bench, n).select(col("shingle"))
+    val surviving = (0 until k).foldLeft(Dedup.shinglesRaw(train, n)) { (acc, j) =>
+      val slots = bsh.select(bloomPos(j, hexChars).as("slot")).distinct()
+      acc.join(broadcast(slots), bloomPos(j, hexChars) === col("slot"), "left_semi")
+    }
+    surviving.select(col("doc_id")).distinct()
+  }
+
+  /** Bloom-prefiltered decontamination: [[bloomCandidates]] first, then
+    * the exact n-gram join on the survivors only. Because bloom has no
+    * false negatives the result is EXACTLY the contaminated set — the
+    * filter only changes what the expensive join ever touches. Emits
+    * (doc_id, n_shared_grams) for each contaminated training doc. */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame, n: Int = 4,
+                         hexChars: Int = 4, k: Int = 3): DataFrame = {
+    val cands = bloomCandidates(train, bench, n, hexChars, k)
+    sh(train.join(cands, Seq("doc_id"), "left_semi"), n)
+      .join(sh(bench, n).select(col("shingle")).distinct(), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

@@ -59,6 +59,21 @@ object CorpusQ {
         docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
         docs.filter(col("doc_id") < 20), n = 4)
         .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination: the benchmark n-gram set is
+    // compressed into k broadcast slot-key relations (each capped at
+    // 16^4 rows regardless of benchmark size), the corpus side passes
+    // k broadcast semi-joins with zero shuffles, and only the bloom
+    // survivors reach the exact join. No false negatives, so the
+    // output equals the exact contaminated set — the oracle is the
+    // plain n-gram join, proving the prefilter loses nothing.
+    "q129_bloom_prefilter" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Corpus.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
+        docs.filter(col("doc_id") < 20), n = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -133,6 +148,23 @@ object CorpusQ {
         |SELECT t.doc_id AS doc_id,
         |       COUNT(DISTINCT b.doc_id) AS n_bench_hits,
         |       COUNT(DISTINCT t.shingle) AS n_shared_grams
+        |FROM t JOIN b ON t.shingle = b.shingle
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefilter has no false negatives, so the verified output
+    // is exactly the contaminated set — oracle = the exact join.
+    "q129_bloom_prefilter" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+        |  FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 4
+        |  )
+        |),
+        |t AS (SELECT * FROM sh WHERE doc_id >= 100 AND doc_id < 400),
+        |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+        |SELECT t.doc_id AS doc_id, COUNT(*) AS n_shared_grams
         |FROM t JOIN b ON t.shingle = b.shingle
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
   )

@@ -103,4 +103,36 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out === Seq((10L, 1L)))
   }
+
+  test("bloom prefilter: no false negatives, and it actually filters") {
+    val docs = Tables.documents(TestSpark.spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+    val bench = docs.filter(col("doc_id") < 20)
+    val truth = Corpus.contamination(train, bench, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cands = Corpus.bloomCandidates(train, bench, n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(cands), "bloom dropped a truly contaminated doc")
+    // the prefilter must be a filter: survivors well below the corpus
+    val nTrain = train.count()
+    assert(cands.size < nTrain, s"bloom passed everything (${cands.size}/$nTrain)")
+    // and the verified output equals the exact join bit-for-bit
+    val exact = Corpus.contamination(train, bench, n = 4)
+      .select("doc_id", "n_shared_grams").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = Corpus.bloomDecontaminate(train, bench, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloomed === exact)
+  }
+
+  test("bloom membership test runs as broadcast semi-joins, no corpus shuffle") {
+    val docs = Tables.documents(TestSpark.spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val plan = Corpus.bloomCandidates(
+      docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 20), n = 4)
+      .queryExecution.executedPlan.toString
+    // the k slot-key probes are broadcast LEFT SEMI hash joins
+    assert("BroadcastHashJoin .* LeftSemi".r.findAllIn(plan).size >= 3, plan)
+  }
 }
