@@ -414,4 +414,39 @@ object Dedup {
         when(col("n_kept") < k, col("n_kept").cast("double")) // exact below k
           .otherwise(lit((k - 1).toDouble) * lit(m.toDouble) / col("h_k").cast("double")))
   }
+
+  /** Passage-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * shape, at chunk granularity since the corpus carries no newlines):
+    * cut each document into NON-overlapping `chunk`-token passages, drop
+    * every passage whose exact text occurs in >= `minDocs` distinct
+    * documents (cookie banners, navigation, license headers — the
+    * cross-site boilerplate plague of web corpora), and reassemble the
+    * survivors in document order. Documents reduced to nothing (pure
+    * boilerplate) disappear from the output.
+    *
+    * Scale shape: chunking is a shuffle-free explode
+    * ([[Corpus.tokenWindows]] with stride = window); the passage
+    * frequency table is ONE groupBy on a 32-hex passage hash (bounded
+    * shuffle key however long the passage); the boilerplate relation —
+    * only passages repeated across >= minDocs docs — is orders of
+    * magnitude smaller than the corpus, so the removal LEFT ANTI join
+    * is AQE-broadcastable (not forced: on adversarial corpora it
+    * degrades gracefully to a shuffle join); reassembly is one groupBy
+    * per doc. Emits (doc_id, n_kept, clean_text). */
+  def passageDedup(docs: DataFrame, chunk: Int, minDocs: Int): DataFrame = {
+    val chunks = Corpus.tokenWindows(docs, chunk, chunk)
+      .withColumn("ph", md5(col("win_text")))
+    val boiler = chunks
+      .groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("ph"))
+    chunks
+      .join(boiler, Seq("ph"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(win_idx, win_text))), s -> s.win_text)"),
+          " ").as("clean_text"))
+  }
 }

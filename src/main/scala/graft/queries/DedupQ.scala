@@ -247,6 +247,22 @@ object DedupQ {
         .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
           col("n_inter"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Passage-level boilerplate removal (CCNet line-dedup at chunk
+    // granularity): a fixed 8-token "cookie banner" is planted on
+    // every third document; the 8-token chunking makes it exactly
+    // chunk #1 of those docs, the cross-doc frequency table flags it
+    // (plus any natural short-tail repeats), and reassembly returns
+    // each doc's surviving text in order
+    "q130_passage_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("standard cookie banner accept terms privacy policy notice "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.passageDedup(docs, chunk = 8, minDocs = 5)
+        .orderBy("doc_id")
     })
   )
 
@@ -519,6 +535,31 @@ object DedupQ {
         |FROM inter i
         |JOIN sizes za ON i.doc_a = za.doc_id
         |JOIN sizes zb ON i.doc_b = zb.doc_id
-        |ORDER BY i.doc_a, i.doc_b""".stripMargin
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q130_passage_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(CASE WHEN doc_id % 3 = 0
+        |           THEN 'standard cookie banner accept terms privacy policy notice ' || text
+        |           ELSE text END, ' ') AS ws
+        |  FROM documents
+        |),
+        |st AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws), 8)) AS start FROM t
+        |),
+        |ch AS (
+        |  SELECT doc_id,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT) AS win_idx,
+        |         array_to_string(ws[start : least(start + 7, len(ws))], ' ') AS win_text
+        |  FROM st
+        |),
+        |boiler AS (
+        |  SELECT win_text FROM ch GROUP BY win_text HAVING COUNT(DISTINCT doc_id) >= 5
+        |)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |       string_agg(win_text, ' ' ORDER BY win_idx) AS clean_text
+        |FROM ch WHERE win_text NOT IN (SELECT win_text FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

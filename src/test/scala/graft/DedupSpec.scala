@@ -137,4 +137,26 @@ class DedupSpec extends AnyFunSuite {
     assert(by(10L) === by(11L))
     assert(by(10L).nonEmpty)
   }
+
+  test("passageDedup strips the shared header and keeps unique passages in order") {
+    // 4-token chunks; docs 1..3 share the same 4-token header followed
+    // by distinct bodies; doc 4 is untouched; doc 5 is PURE boilerplate
+    val header = "accept our cookie policy"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$header iota kappa lambda mu"),
+      (3L, s"$header nu xi omicron pi"),
+      (4L, "rho sigma tau upsilon phi chi psi omega"),
+      (5L, header))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, chunk = 4, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out === Array(
+      (1L, 2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, 1L, "iota kappa lambda mu"),
+      (3L, 1L, "nu xi omicron pi"),
+      (4L, 2L, "rho sigma tau upsilon phi chi psi omega")))
+    // doc 5 (all boilerplate) is gone entirely
+  }
 }
