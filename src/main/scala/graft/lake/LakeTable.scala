@@ -90,16 +90,27 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
 
   private case class Manifest(version: Long, action: String, dirs: Seq[String],
                               txnAppId: Option[String], txnBatchId: Option[Long],
-                              carryTxns: Seq[(String, Long)], schemaJson: Option[String]) {
+                              carryTxns: Seq[(String, Long)], schemaJson: Option[String],
+                              stats: Seq[String]) {
     /** Every (appId, batchId) marker this manifest vouches for: its own
       * commit marker plus any markers carried forward by a vacuum. */
     def allTxns: Seq[(String, Long)] = carryTxns ++ txnAppId.zip(txnBatchId).toList
+
+    /** Stats payloads for dirs still listed in THIS manifest (an
+      * overwrite stops listing old dirs; their stats expire with them). */
+    def liveStats: Seq[String] = {
+      val live = dirs.toSet
+      stats.filter(s => live.contains(s.takeWhile(_ != '|')))
+    }
   }
 
   /** Line-based manifest format (key=value), closed under this module:
     * version/action/txn/schema headers, then one `dir=` line per data
-    * dir and one `carry=<appId>:<batchId>` line per inherited txn
-    * marker (batchId after the LAST colon — appIds may contain them). */
+    * dir, one `carry=<appId>:<batchId>` line per inherited txn marker
+    * (batchId after the LAST colon — appIds may contain them), and one
+    * `stat=<dir>|<col>|<dtype>|<min>|<max>` line per recorded
+    * per-directory column range (the Delta add-file stats idea at this
+    * layer's commit granularity). */
   private def readManifest(v: Long): Manifest = {
     val kvs = Files.readAllLines(manifestPath(v)).asScala
       .filter(_.contains("=")).map { l =>
@@ -113,7 +124,8 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       kvs.collect { case ("carry", c) =>
         val i = c.lastIndexOf(':'); (c.substring(0, i), c.substring(i + 1).toLong)
       },
-      one("schema"))
+      one("schema"),
+      kvs.collect { case ("stat", s) => s })
   }
 
   /** Publish the next manifest with the atomic create-if-absent commit
@@ -125,11 +137,13 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
   private[lake] def commitManifest(expected: Long, action: String, dirs: Seq[String],
                                    txn: Option[(String, Long)],
                                    schemaJson: Option[String] = None,
-                                   carry: Seq[(String, Long)] = Nil): Long = {
+                                   carry: Seq[(String, Long)] = Nil,
+                                   stats: Seq[String] = Nil): Long = {
     val lines = Seq(s"version=$expected", s"action=$action") ++
       txn.toSeq.flatMap { case (a, b) => Seq(s"txnAppId=$a", s"txnBatchId=$b") } ++
       schemaJson.map(j => s"schema=$j").toSeq ++
       carry.sorted.map { case (a, b) => s"carry=$a:$b" } ++
+      stats.map(s => s"stat=$s") ++
       dirs.map(d => s"dir=$d")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, lines.asJava)
@@ -149,17 +163,49 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     rel
   }
 
-  /** Append commit: snapshot = previous dirs + the new one. */
-  def append(df: DataFrame): Long = {
+  /** Per-directory min/max column ranges for the data-skipping index,
+    * computed by aggregating the FRESHLY WRITTEN parquet (one bounded
+    * scan of the new files only — on a real lake store the same
+    * numbers come for free from the parquet footers; the `.head()` is
+    * a single driver-side row, not a collect loop). Null min/max
+    * (all-null column) is recorded as empty — a range predicate can
+    * never match it, so such a dir prunes. Values containing the `|`
+    * field delimiter are not recorded (the dir simply stays
+    * unprunable on that column — safe over-approximation). */
+  private def computeStats(rel: String, statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty) return Nil
+    val df = spark.read.parquet(root.resolve(rel).toString)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val mn = Option(row.getString(2 * i)).getOrElse("")
+      val mx = Option(row.getString(2 * i + 1)).getOrElse("")
+      if (mn.contains("|") || mx.contains("|") || c.contains("|")) None
+      else Some(s"$rel|$c|${types(c)}|$mn|$mx")
+    }
+  }
+
+  /** Append commit: snapshot = previous dirs + the new one. Pass
+    * `statsCols` to record the new directory's min/max ranges for
+    * those columns in the manifest (see [[scanPruned]]); earlier
+    * directories keep whatever stats their own commits recorded. */
+  def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     val v = latestVersion + 1
-    commitManifest(v, "append", readManifest(latestVersion).dirs :+ writeData(df, v),
-      None, Some(df.schema.json))
+    val prev = readManifest(latestVersion)
+    val dir = writeData(df, v)
+    commitManifest(v, "append", prev.dirs :+ dir,
+      None, Some(df.schema.json), stats = prev.liveStats ++ computeStats(dir, statsCols))
   }
 
   /** Overwrite commit: snapshot = just the new directory. */
-  def overwrite(df: DataFrame): Long =
-    commitManifest(latestVersion + 1, "overwrite", Seq(writeData(df, latestVersion + 1)),
-      None, Some(df.schema.json))
+  def overwrite(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+    val v = latestVersion + 1
+    val dir = writeData(df, v)
+    commitManifest(v, "overwrite", Seq(dir),
+      None, Some(df.schema.json), stats = computeStats(dir, statsCols))
+  }
 
   /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):
     * rows in `deletes` vanish, rows in `upserts` replace same-key rows
@@ -169,7 +215,8 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * which this layer reproduces faithfully when callers pre-partition
     * commits. */
   def merge(upserts: DataFrame, keyCols: Seq[String],
-            deletes: Option[DataFrame] = None): Long = {
+            deletes: Option[DataFrame] = None,
+            statsCols: Seq[String] = Nil): Long = {
     val base = snapshot()
     val upKeys = upserts.select(keyCols.map(col): _*)
     val changed = deletes
@@ -178,7 +225,9 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val applied = base.join(changed.distinct(), keyCols, "left_anti")
       .unionByName(upserts.select(base.columns.map(col): _*))
     val v = latestVersion + 1
-    commitManifest(v, "merge", Seq(writeData(applied, v)), None, Some(applied.schema.json))
+    val dir = writeData(applied, v)
+    commitManifest(v, "merge", Seq(dir), None, Some(applied.schema.json),
+      stats = computeStats(dir, statsCols))
   }
 
   /** Per-appId HIGHEST committed batchId scanned from the log, plus the
@@ -226,16 +275,24 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * directory is written once and reused across retries — a retry
     * only re-publishes the manifest. */
   def commitBatch(df: DataFrame, appId: String, batchId: Long,
-                  maxRetries: Int = 10): Long = {
+                  maxRetries: Int = 10, statsCols: Seq[String] = Nil): Long = {
     val schemaJson = Some(df.schema.json)
     var dataDir: Option[String] = None
+    var dirStats: Seq[String] = Nil
     var attempt = 0
     while (attempt < maxRetries) {
       val (committed, head) = txnScan(appId, batchId)
       if (committed) return head
-      val dir = dataDir.getOrElse { val d = writeData(df, head + 1); dataDir = Some(d); d }
-      try return commitManifest(head + 1, "streaming-append",
-        readManifest(head).dirs :+ dir, Some((appId, batchId)), schemaJson)
+      val dir = dataDir.getOrElse {
+        val d = writeData(df, head + 1); dataDir = Some(d)
+        dirStats = computeStats(d, statsCols); d
+      }
+      try {
+        val prev = readManifest(head) // may vanish under concurrent vacuum, caught below
+        return commitManifest(head + 1, "streaming-append",
+          prev.dirs :+ dir, Some((appId, batchId)), schemaJson,
+          stats = prev.liveStats ++ dirStats)
+      }
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -301,7 +358,7 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       val head = manifests0.last
       val v = vs0.last + 1
       commitManifest(v, "vacuum", head.dirs, None, head.schemaJson,
-        maxTxns(manifests0).toSeq)
+        maxTxns(manifests0).toSeq, stats = head.liveStats)
       vs0 :+ v
     }
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
@@ -331,6 +388,56 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * empty result instead of failing on a zero-column DataFrame. Only
     * a schema-less empty table (created empty with no declared schema,
     * never written) degrades to `spark.emptyDataFrame`. */
+  /** The data-skipping decision: which of `version`'s directories can
+    * contain a row with `colName` in [lo, hi]? A directory survives
+    * unless its recorded min/max range PROVABLY excludes the interval;
+    * directories with no recorded stat for the column always survive
+    * (skipping is strictly an over-approximation — never wrong, only
+    * sometimes not helpful). An empty recorded range (all-null column)
+    * prunes: a range predicate cannot match null. Numeric columns
+    * compare as doubles (exact for the integral range lakes index);
+    * string columns compare lexicographically against the string form
+    * of the bounds. Returns (surviving dirs, total dirs). */
+  def prunedDirs(colName: String, lo: Any, hi: Any,
+                 version: Long = -1L): (Seq[String], Int) = {
+    val v = if (version < 0) latestVersion else version
+    val m = readManifest(v)
+    val byDir: Map[String, (String, String, String)] = m.stats.flatMap { s =>
+      s.split("\\|", -1) match {
+        case Array(dir, c, dtype, mn, mx) if c == colName => Some(dir -> ((dtype, mn, mx)))
+        case _ => None
+      }
+    }.toMap
+    val numeric = Set("byte", "short", "integer", "long", "float", "double", "date")
+    val surviving = m.dirs.filter { dir =>
+      byDir.get(dir) match {
+        case None => true // no stat recorded — must read
+        case Some((_, "", _)) | Some((_, _, "")) => false // all-null column
+        case Some((dtype, mn, mx)) if numeric.contains(dtype) || dtype.startsWith("decimal") =>
+          !(mx.toDouble < lo.toString.toDouble || mn.toDouble > hi.toString.toDouble)
+        case Some((_, mn, mx)) => // string order
+          !(mx < lo.toString || mn > hi.toString)
+      }
+    }
+    (surviving, m.dirs.size)
+  }
+
+  /** Stats-pruned snapshot read: only the directories [[prunedDirs]]
+    * keeps are opened — the manifest-level analog of parquet row-group
+    * skipping, and the reason a 100 TB table with range-correlated
+    * commits (streaming appends by time, z-ordered rewrites) answers a
+    * narrow range query by touching a handful of files. The caller
+    * still applies the actual predicate; pruning only removes
+    * directories that provably hold no matching row, so the filtered
+    * result is identical to filtering the full snapshot. */
+  def scanPruned(colName: String, lo: Any, hi: Any,
+                 version: Long = -1L): DataFrame = {
+    val (dirs, _) = prunedDirs(colName, lo, hi, version)
+    if (dirs.nonEmpty)
+      spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
+    else snapshot(if (version < 0) latestVersion else version).limit(0)
+  }
+
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion else version
     require(Files.exists(manifestPath(v)), s"no version $v at $root")
@@ -355,10 +462,13 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
 object LakeTable {
 
   /** Create a new table at `root` with `df` as version 1. */
-  def create(spark: SparkSession, root: Path, df: DataFrame): LakeTable = {
+  def create(spark: SparkSession, root: Path, df: DataFrame,
+             statsCols: Seq[String] = Nil): LakeTable = {
     val t = new LakeTable(spark, root)
     Files.createDirectories(root.resolve("_log"))
-    t.commitManifest(1L, "create", Seq(t.writeData(df, 1L)), None, Some(df.schema.json))
+    val dir = t.writeData(df, 1L)
+    t.commitManifest(1L, "create", Seq(dir), None, Some(df.schema.json),
+      stats = t.computeStats(dir, statsCols))
     t
   }
 
@@ -383,6 +493,7 @@ object LakeTable {
   }
 
   /** Fresh table under a temp root (test/query fixture helper). */
-  def createTemp(spark: SparkSession, df: DataFrame, prefix: String = "graft-lake"): LakeTable =
-    create(spark, Files.createTempDirectory(prefix).resolve("t"), df)
+  def createTemp(spark: SparkSession, df: DataFrame, prefix: String = "graft-lake",
+                 statsCols: Seq[String] = Nil): LakeTable =
+    create(spark, Files.createTempDirectory(prefix).resolve("t"), df, statsCols)
 }

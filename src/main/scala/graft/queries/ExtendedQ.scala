@@ -266,6 +266,32 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // lake — data skipping via per-commit min/max column stats: five
+    // appends each covering a disjoint eid_mod range record their
+    // ranges in the manifest; a narrow range read must open exactly
+    // ONE of the five directories (the require gates it at every SF),
+    // and the pruned scan + predicate equals the plain filtered scan
+    // the oracle runs. This is the manifest-level half of the skipping
+    // story (parquet row-group min/max is the other half, PushdownSpec)
+    "q131_stats_skip" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), (col("event_id") % 1000).as("eid_mod"),
+          col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        base.filter(col("eid_mod") < 200), "graft-skip", statsCols = Seq("eid_mod"))
+      (1 to 4).foreach { i =>
+        t.append(base.filter(col("eid_mod") >= i * 200 && col("eid_mod") < (i + 1) * 200),
+          statsCols = Seq("eid_mod"))
+      }
+      val (kept, total) = t.prunedDirs("eid_mod", 450, 549)
+      require(kept.size == 1 && total == 5, s"skipping failed: ${kept.size}/$total")
+      t.scanPruned("eid_mod", 450, 549)
+        .filter(col("eid_mod") >= 450 && col("eid_mod") <= 549)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -405,6 +431,11 @@ object ExtendedQ {
     "q113_vacuum_read" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 10 <> 7
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q131_stats_skip" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 1000 BETWEEN 450 AND 549
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q115_orc_roundtrip" ->

@@ -229,4 +229,61 @@ class LakeTableSpec extends AnyFunSuite {
     assert(dropped === 1 && deleted === 0) // v1's dir lives on inside v2
     assert(t.snapshot().count() === base.count() + extra.count())
   }
+
+  test("stats skipping: pruned scan equals full scan, provably-excluded dirs skipped") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 100),
+      statsCols = Seq("event_id"))
+    (1 to 4).foreach { i =>
+      t.append(events.filter(col("event_id") >= i * 100 && col("event_id") < (i + 1) * 100),
+        statsCols = Seq("event_id"))
+    }
+    val (kept, total) = t.prunedDirs("event_id", 250, 260)
+    assert(total === 5 && kept.size === 1)
+    val pruned = t.scanPruned("event_id", 250, 260)
+      .filter(col("event_id").between(250, 260))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val full = t.snapshot()
+      .filter(col("event_id").between(250, 260))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(pruned === full && pruned.nonEmpty)
+    // a range outside every dir prunes everything and returns a TYPED empty
+    val (none, _) = t.prunedDirs("event_id", 10000, 20000)
+    assert(none.isEmpty)
+    assert(t.scanPruned("event_id", 10000, 20000).count() === 0)
+    assert(t.scanPruned("event_id", 10000, 20000).columns.contains("event_id"))
+  }
+
+  test("stats survive append carry, overwrite expiry, vacuum carry, and no-stat dirs read") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 100),
+      statsCols = Seq("event_id"))
+    // an append WITHOUT stats: its dir must always survive pruning
+    t.append(events.filter(col("event_id").between(100, 199)))
+    val (kept, total) = t.prunedDirs("event_id", 0, 10)
+    assert(total === 2 && kept.size === 2, "statless dir must be unprunable")
+    // append WITH stats carries the older stats forward
+    t.append(events.filter(col("event_id").between(200, 299)), statsCols = Seq("event_id"))
+    val (kept2, total2) = t.prunedDirs("event_id", 250, 299)
+    assert(total2 === 3 && kept2.size === 2, s"expected statless+matching dirs, got $kept2")
+    // overwrite expires every old stat; only the new dir's stats remain
+    t.overwrite(events.filter(col("event_id") < 50), statsCols = Seq("event_id"))
+    val (kept3, total3) = t.prunedDirs("event_id", 200, 299)
+    assert(total3 === 1 && kept3.isEmpty, "overwrite must expire old stats and prune")
+    // vacuum carries live stats into its carry manifest (if one is made)
+    t.append(events.filter(col("event_id").between(50, 99)), statsCols = Seq("event_id"))
+    t.vacuum(retainVersions = 1)
+    val (kept4, total4) = t.prunedDirs("event_id", 75, 80)
+    assert(total4 === 2 && kept4.size === 1, "stats must survive vacuum")
+  }
+
+  test("string-column stats prune lexicographic ranges") {
+    val byType = events.filter(col("event_type") < "m")
+    val t = LakeTable.createTemp(spark, byType, statsCols = Seq("event_type"))
+    t.append(events.filter(col("event_type") >= "m"), statsCols = Seq("event_type"))
+    val (kept, total) = t.prunedDirs("event_type", "c", "f")
+    assert(total === 2 && kept.size === 1)
+    val pruned = t.scanPruned("event_type", "c", "f")
+      .filter(col("event_type").between("c", "f")).count()
+    val full = t.snapshot().filter(col("event_type").between("c", "f")).count()
+    assert(pruned === full && pruned > 0)
+  }
 }
