@@ -292,6 +292,25 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // z-order layout arithmetic: Morton-interleave two scattered
+    // dimensions and aggregate per curve segment (z >> 28) — min/max
+    // of BOTH source dimensions stay narrow within a segment, which
+    // is what makes z-sorted lake files prunable on either column
+    // (ZOrderSpec demonstrates the 2-D pruning on a real LakeTable;
+    // this query gates the bit arithmetic against DuckDB's shifts)
+    "q132_zorder_layout" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(
+        ((col("event_id") * 40503) % 65536).as("x"),
+        ((col("user_id") * 48271 + col("event_id")) % 65536).as("y"))
+      pts.withColumn("z", graft.functions.ZOrder.interleave(col("x"), col("y")))
+        .groupBy(shiftright(col("z"), 28).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          sum(col("z")).as("z_sum"))
+        .orderBy("bucket")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -437,6 +456,21 @@ object ExtendedQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 1000 BETWEEN 450 AND 549
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q132_zorder_layout" ->
+      s"""WITH pts AS (
+         |  SELECT (event_id * 40503) % 65536 AS x,
+         |         (user_id * 48271 + event_id) % 65536 AS y
+         |  FROM events
+         |),
+         |zc AS (
+         |  SELECT x, y, ${graft.functions.ZOrder.sqlInterleave("x", "y")} AS z FROM pts
+         |)
+         |SELECT CAST((z >> 28) AS BIGINT) AS bucket, COUNT(*) AS n,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y,
+         |       CAST(SUM(z) AS BIGINT) AS z_sum
+         |FROM zc GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q115_orc_roundtrip" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total

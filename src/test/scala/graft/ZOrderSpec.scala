@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrder
+import graft.lake.LakeTable
+
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("column interleave matches the reference bit-twiddle, edges included") {
+    val samples = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 2L), (21845L, 43690L), (12345L, 54321L), (256L, 255L))
+    val out = samples.toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) =>
+      assert(z === ZOrder.interleaveRef(x, y), s"($x, $y)")
+    }
+    // full coverage of the 32-bit output space at the corners
+    assert(ZOrder.interleaveRef(65535L, 65535L) === 0xFFFFFFFFL)
+    assert(ZOrder.interleaveRef(65535L, 0L) === 0x55555555L)
+  }
+
+  test("interleave is a bijection on the 256x256 grid") {
+    val zs = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+      .select(ZOrder.interleave(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === 65536)
+    assert(zs.min === 0L && zs.max === 65535L) // 8-bit inputs fill 16 bits exactly
+  }
+
+  test("z-sorted lake layout prunes range predicates on BOTH dimensions") {
+    // 256x256 grid, z-sorted, cut into 16 contiguous curve segments:
+    // each segment is a 64x64 tile, so every file has a narrow min/max
+    // on x AND y — a single-column sort only achieves that for its
+    // leading column.
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+      .withColumn("z", ZOrder.interleave(col("x"), col("y")))
+    val slices = (0 until 16).map(i =>
+      grid.filter(col("z") >= i * 4096 && col("z") < (i + 1) * 4096))
+    val t = LakeTable.createTemp(spark, slices.head, "graft-zorder",
+      statsCols = Seq("x", "y"))
+    slices.tail.foreach(s => t.append(s, statsCols = Seq("x", "y")))
+    // a 64-wide predicate on either dimension opens 4 of 16 files
+    val (keptX, totalX) = t.prunedDirs("x", 0, 63)
+    val (keptY, totalY) = t.prunedDirs("y", 192, 255)
+    assert(totalX === 16 && keptX.size === 4, s"x pruning: ${keptX.size}/16")
+    assert(totalY === 16 && keptY.size === 4, s"y pruning: ${keptY.size}/16")
+    // and the pruned read is exact
+    val pruned = t.scanPruned("x", 0, 63).filter(col("x") <= 63).count()
+    assert(pruned === 64L * 256L) // every x<=63 row lives in the 4 kept tiles
+  }
+}
