@@ -377,6 +377,32 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     (drop.size, dropDirs.size)
   }
 
+  /** Row-level diff between two committed versions: what a reader of
+    * `v1` must apply to arrive at `v2` — rows tagged `added` (in v2,
+    * not v1) and `removed` (in v1, not v2), multiset semantics via
+    * exceptAll so duplicate rows diff by count.
+    *
+    * The manifest makes this INCREMENTAL: data directories are
+    * immutable, so any dir listed by both versions contributes the
+    * same multiset to each side and cancels exactly — only the
+    * symmetric difference of the dir sets is ever read. An append's
+    * diff scans just the appended directory (CDC-read for free);
+    * only rewrite commits (overwrite/merge) pay a full compare. Both
+    * versions must share a schema (diff across an incompatible
+    * schema change is not meaningful row-wise). */
+  def diff(v1: Long, v2: Long): DataFrame = {
+    val m1 = readManifest(v1)
+    val m2 = readManifest(v2)
+    val shared = m1.dirs.toSet intersect m2.dirs.toSet
+    def read(dirs: Seq[String]): DataFrame =
+      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
+      else snapshot(v2).limit(0)
+    val only1 = read(m1.dirs.filterNot(shared))
+    val only2 = read(m2.dirs.filterNot(shared))
+    only2.exceptAll(only1).withColumn("change", lit("added"))
+      .unionByName(only1.exceptAll(only2).withColumn("change", lit("removed")))
+  }
+
   /** Snapshot read — current table, or time travel to `version`.
     * Reading an old version after later commits returns exactly the
     * old rows: data directories are immutable and never rewritten.

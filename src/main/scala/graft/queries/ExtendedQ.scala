@@ -292,6 +292,26 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // lake — row-level version diff (CDC read): what changed between
+    // the pre-MERGE and post-MERGE snapshots. Immutable dirs make the
+    // diff incremental (shared dirs cancel without being read); the
+    // oracle recomputes the added/removed multisets from the fixture's
+    // closed-form change set
+    "q133_version_diff" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-diff")
+      val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
+      val upserts = base.filter(col("event_id") % 10 === 3)
+        .select(col("event_id"), lit("patched").as("event_type"),
+          (col("value") * 2).as("value"))
+      val v2 = t.merge(upserts, Seq("event_id"), Some(deletes))
+      t.diff(1L, v2)
+        .groupBy(col("change"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("change", "event_type")
+    }),
+
     // z-order layout arithmetic: Morton-interleave two scattered
     // dimensions and aggregate per curve segment (z >> 28) — min/max
     // of BOTH source dimensions stay narrow within a segment, which
@@ -456,6 +476,22 @@ object ExtendedQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 1000 BETWEEN 450 AND 549
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q133_version_diff" ->
+      s"""WITH base AS (SELECT event_id, event_type, value FROM events),
+         |added AS (
+         |  SELECT 'patched' AS event_type, value * 2 AS value
+         |  FROM base WHERE event_id % 10 = 3
+         |),
+         |removed AS (
+         |  SELECT event_type, value FROM base WHERE event_id % 10 IN (3, 7)
+         |)
+         |SELECT 'added' AS change, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM added GROUP BY event_type
+         |UNION ALL
+         |SELECT 'removed' AS change, event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM removed GROUP BY event_type
+         |ORDER BY change, event_type""".stripMargin,
 
     "q132_zorder_layout" ->
       s"""WITH pts AS (

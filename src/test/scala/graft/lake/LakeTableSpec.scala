@@ -275,6 +275,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(total4 === 2 && kept4.size === 1, "stats must survive vacuum")
   }
 
+  test("diff: append diffs to exactly the appended rows; identical versions diff empty") {
+    val base = events.filter(col("event_id") < 100)
+    val extra = events.filter(col("event_id").between(100, 149))
+    val t = LakeTable.createTemp(spark, base)
+    t.append(extra) // v2
+    val d12 = t.diff(1L, 2L).collect()
+    assert(d12.forall(_.getString(3) === "added"))
+    assert(d12.length === extra.count())
+    // reversed direction flips added to removed
+    val d21 = t.diff(2L, 1L).collect()
+    assert(d21.forall(_.getString(3) === "removed") && d21.length === d12.length)
+    assert(t.diff(2L, 2L).count() === 0)
+    // a merge diff reports both sides
+    val dels = base.filter(col("event_id") % 10 === 1).select(col("event_id"))
+    val v3 = t.merge(events.limit(0), Seq("event_id"), Some(dels))
+    val d23 = t.diff(2L, v3).groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d23 === Map("removed" -> dels.count()))
+  }
+
   test("string-column stats prune lexicographic ranges") {
     val byType = events.filter(col("event_type") < "m")
     val t = LakeTable.createTemp(spark, byType, statsCols = Seq("event_type"))
