@@ -72,9 +72,16 @@ object Similarity {
     * float error of the k-th cosine — with real embeddings the
     * neighbor-gap is orders of magnitude wider. */
   private def prescreen(emb: DataFrame, queryPred: DataFrame => DataFrame,
-                        joinOnLabel: Boolean, keep: Int): DataFrame = {
-    val cond0 = col("q.vec_id") =!= col("c.vec_id")
-    val cond = if (joinOnLabel) cond0 && col("q.label") === col("c.label") else cond0
+                        joinOnLabel: Boolean, keep: Int): DataFrame =
+    prescreenCond(emb, queryPred,
+      if (joinOnLabel) col("q.label") === col("c.label") else lit(true), keep)
+
+  /** Prescreen with an arbitrary extra candidate predicate (aliases
+    * `q`/`c` are in scope) — the generalization [[hardNegatives]]
+    * needs for its different-label constraint. */
+  private def prescreenCond(emb: DataFrame, queryPred: DataFrame => DataFrame,
+                            extra: Column, keep: Int): DataFrame = {
+    val cond = col("q.vec_id") =!= col("c.vec_id") && extra
     val pre = broadcast(queryPred(emb).alias("q"))
       .join(emb.alias("c"), cond)
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"),
@@ -123,6 +130,20 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
               slack: Int = 20): DataFrame =
     topK(exactScore(prescreen(emb, queryPred, joinOnLabel = true, k + slack), emb), k)
+
+  /** Hard-negative mining (the contrastive-training counterpart of
+    * top-k retrieval): per query, the k MOST similar candidates whose
+    * `label` DIFFERS from the query's — the near-miss examples a
+    * bi-encoder trains against (in-batch random negatives are too
+    * easy; the hard ones sit just across the decision boundary).
+    * Same machinery and scale shape as [[cosineTopK]]: broadcast
+    * queries, fused float prescreen over the corpus with the
+    * different-label predicate inside the scan, decimal-exact rescore
+    * of the k+slack survivors. */
+  def hardNegatives(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+                    slack: Int = 20): DataFrame =
+    topK(exactScore(
+      prescreenCond(emb, queryPred, col("q.label") =!= col("c.label"), k + slack), emb), k)
 
   /** Deterministic k-means coarse quantizer — derives the IVF bucket
     * column for ANY embedding table (VERDICT r5 #1: [[ivfTopK]] on the

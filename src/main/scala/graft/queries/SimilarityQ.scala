@@ -122,6 +122,15 @@ object SimilarityQ {
       Similarity.ivfTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 20), 5)
         .orderBy("query_id", "rank")),
 
+    // Hard-negative mining for contrastive training: per query, the 5
+    // most similar DIFFERENT-label vectors (the near-misses a
+    // bi-encoder learns the most from). Oracle is the brute-force
+    // all-pairs score with the label inequality — the hash match
+    // proves the prescreen loses no true hard negative
+    "q134_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), _.filter(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")),
+
     // embedding-cosine near-dup pairs, bucketed by coarse cluster
     "q66_embed_neardup" -> ((s, d) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, d), 0.3)
@@ -226,6 +235,7 @@ object SimilarityQ {
          |  FROM scored
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q38_ivf_topk" -> topkSql("AND q.label = c.label", "vec_id < 20", 5),
+    "q134_hard_negatives" -> topkSql("AND q.label <> c.label", "vec_id < 10", 5),
     "q66_embed_neardup" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,

@@ -44,9 +44,12 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q119/q120: the k-means quantizer broadcasts its K centroids
     *    (k = 8 rows, a CONSTANT) against the training sample — the
     *    assignment scan is O(corpus x k) by construction, which is
-    *    what nearest-centroid assignment costs anywhere. */
+    *    what nearest-centroid assignment costs anywhere.
+    *  - q134: hard-negative mining shares q37's prescreen (bounded
+    *    broadcast query set, non-equi different-label condition) —
+    *    one linear corpus scan per query batch by design. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
-    "q119_kmeans_buckets", "q120_ivf_kmeans")
+    "q119_kmeans_buckets", "q120_ivf_kmeans", "q134_hard_negatives")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

@@ -78,6 +78,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repart === out)
   }
 
+  test("hardNegatives: k per query, no same-label candidate, similarity-ordered") {
+    val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(emb, _.filter(col("vec_id") < 10), 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 50) // 10 queries x 5 negatives
+    out.foreach { case (q, _, c, _) =>
+      assert(labels(q) !== labels(c), s"same-label candidate $c for query $q")
+    }
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      val cos = rs.sortBy(_._2).map(_._4)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "not similarity-ordered")
+    }
+  }
+
   test("kmeansBuckets runs on a bare (vec_id, embedding) table — no label column") {
     val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
     val bare = emb.select("vec_id", "embedding") // what a user's corpus ships
