@@ -34,7 +34,8 @@ object Bench {
     "q38_ivf_topk", "q42_stream_append", "q44_stream_window",
     "q46_grid_cells", "q66_embed_neardup",
     "q103_dedup_clusters", "q110_chain_clusters", "q117_extract_table",
-    "q118_interval_join", "q120_ivf_kmeans")
+    "q118_interval_join", "q120_ivf_kmeans",
+    "q129_bloom_prefilter", "q130_passage_dedup", "q134_hard_negatives")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Median-of-N repetitions (VERDICT r3 #6): at 104 queries, single

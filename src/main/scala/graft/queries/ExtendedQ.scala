@@ -312,6 +312,52 @@ object ExtendedQ {
         .orderBy("change", "event_type")
     }),
 
+    // lake — INCREMENTAL aggregate maintenance: the v2 aggregate is
+    // produced from the v1 aggregate plus signed deltas over
+    // diff(v1, v2) — v2 itself is never rescanned (at 100 TB the diff
+    // reads only rewritten dirs; an append's delta reads one dir).
+    // All totals stay in exact decimal space until one final double
+    // cast, so the incrementally-maintained result is bit-identical
+    // to the oracle's full recompute of v2
+    "q135_incremental_agg" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-inc")
+      val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
+      val upserts = base.filter(col("event_id") % 10 === 3)
+        .select(col("event_id"), lit("patched").as("event_type"),
+          (col("value") * 2).as("value"))
+      val v2 = t.merge(upserts, Seq("event_id"), Some(deletes))
+      val aggV1 = t.snapshot(1L).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n1"), sum(col("value").cast(dec)).as("t1"))
+      val delta = t.diff(1L, v2).groupBy(col("event_type"))
+        .agg(sum(when(col("change") === "added", 1L).otherwise(-1L)).as("dn"),
+          sum(when(col("change") === "added", col("value").cast(dec))
+            .otherwise(-col("value").cast(dec))).as("dt"))
+      aggV1.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("t1"), lit(0).cast(dec)) + coalesce(col("dt"), lit(0).cast(dec)))
+            .cast("double").as("total"))
+        .filter(col("n") > 0)
+        .orderBy("event_type")
+    }),
+
+    // integer-exact PageRank over a deterministic link graph derived
+    // from events (src = user, dst = scattered target): 3 damped
+    // rounds, every quantity a BIGINT at the 10^12 scale, every
+    // division integer — bit-identical in any engine, no IEEE
+    // accumulation anywhere. The oracle unrolls the same 3 rounds as
+    // chained CTEs
+    "q136_pagerank" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst"))
+      graft.operators.LinkAnalysis.pageRankInt(edges, iters = 3)
+        .orderBy("node")
+    }),
+
     // z-order layout arithmetic: Morton-interleave two scattered
     // dimensions and aggregate per curve segment (z >> 28) — min/max
     // of BOTH source dimensions stay narrow within a segment, which
@@ -400,7 +446,33 @@ object ExtendedQ {
         .orderBy("day", "event_type"))
   )
 
+  /** The q136 oracle: the same integer-exact PageRank rounds unrolled
+    * as chained CTEs (DuckDB `//` = Spark `DIV` on positive BIGINTs;
+    * SUM promotes to HUGEINT, cast back). */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src, (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+        |  FROM events
+        |),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |s0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT n.node,
+         |         CAST(150000000000 + (85 * COALESCE(i$i.insum, 0)) // 100 AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(s.score // o.od) AS insum
+         |    FROM e JOIN od o ON e.src = o.src JOIN s${i - 1} s ON e.src = s.node
+         |    GROUP BY e.dst
+         |  ) i$i ON n.node = i$i.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") + s"\nSELECT node, score FROM s$iters ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q136_pagerank" -> pagerankSql(3),
     "q58_table_ddl" ->
       """SELECT * FROM (
         |  SELECT r_regionkey, r_name FROM region
@@ -476,6 +548,16 @@ object ExtendedQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 1000 BETWEEN 450 AND 549
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q135_incremental_agg" ->
+      s"""WITH v2 AS (
+         |  SELECT event_type, value FROM events WHERE event_id % 10 NOT IN (3, 7)
+         |  UNION ALL
+         |  SELECT 'patched' AS event_type, value * 2 AS value
+         |  FROM events WHERE event_id % 10 = 3
+         |)
+         |SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM v2 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q133_version_diff" ->
       s"""WITH base AS (SELECT event_id, event_type, value FROM events),

@@ -275,6 +275,21 @@ class LakeTableSpec extends AnyFunSuite {
     assert(total4 === 2 && kept4.size === 1, "stats must survive vacuum")
   }
 
+  test("streaming commitBatch records stats: micro-batches prune like time slices") {
+    val t = LakeTable.createEmpty(spark, Files.createTempDirectory("graft-sstat").resolve("t"))
+    (0 to 2).foreach { b =>
+      t.commitBatch(events.filter(col("event_id") >= b * 100 && col("event_id") < (b + 1) * 100),
+        "app-stats", b, statsCols = Seq("event_id"))
+    }
+    // a narrow range opens exactly one micro-batch's directory — the
+    // streaming-append-by-time skipping pattern
+    val (kept, total) = t.prunedDirs("event_id", 150, 160)
+    assert(total === 3 && kept.size === 1)
+    val n = t.scanPruned("event_id", 150, 160)
+      .filter(col("event_id").between(150, 160)).count()
+    assert(n === 11)
+  }
+
   test("diff: append diffs to exactly the appended rows; identical versions diff empty") {
     val base = events.filter(col("event_id") < 100)
     val extra = events.filter(col("event_id").between(100, 149))
