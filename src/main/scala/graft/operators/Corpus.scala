@@ -102,24 +102,34 @@ object Corpus {
     * inherits the input partitioning. Emits (doc_id, win_idx, start,
     * n_win_tokens, win_text).
     *
-    * LIMIT (fail-loud contract, same as `Intervals.overlapJoin`): the
-    * window starts come from `sequence(1, n_tokens, stride)`, and
-    * Spark caps a generated sequence at 10000 elements — a single
-    * document longer than ~10000 x `stride` tokens fails the query at
-    * runtime (it does NOT silently truncate). At stride 512 that is a
-    * ~5M-token document; pre-split such outliers (one `substring`
-    * pass) or raise `stride`. */
+    * Spark caps a generated `sequence` at 10000 elements, so the
+    * window starts are produced TWO-LEVEL: an outer explode of
+    * 5000-start blocks and an inner explode of the starts inside each
+    * block — ceil(n/stride) can reach 5000 x 10000 = 50M windows per
+    * document before hitting any engine limit (a >25G-token single
+    * document at stride 512 — far past anything a corpus holds). The
+    * window index is pure arithmetic on the start, not a window
+    * function, so the op stays shuffle-free. */
   def tokenWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    val B = 5000 // starts per outer block
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
-        posexplode(expr(s"sequence(1, size(ws), $stride)")))
+        // outer: block index o = 0 .. (n_starts-1) DIV B, where starts
+        // count from 1 by stride up to size(ws)
+        explode(expr(s"sequence(0, ((size(ws) - 1) DIV $stride) DIV $B)")).as("o"))
+      .select(col("doc_id"), col("ws"),
+        // inner: the <= B starts of block o, clipped to the document
+        explode(expr(
+          s"sequence(1 + o * $B * $stride, " +
+            s"least(size(ws), 1 + (o * $B + ${B - 1}) * $stride), $stride)"))
+          .as("start"))
       .select(col("doc_id"),
-        (col("pos") + 1).cast("long").as("win_idx"),
-        col("col").cast("long").as("start"),
-        expr(s"size(slice(ws, col, $window))").cast("long").as("n_win_tokens"),
-        expr(s"concat_ws(' ', slice(ws, col, $window))").as("win_text"))
+        (expr(s"(start - 1) DIV $stride") + 1).cast("long").as("win_idx"),
+        col("start").cast("long").as("start"),
+        expr(s"size(slice(ws, start, $window))").cast("long").as("n_win_tokens"),
+        expr(s"concat_ws(' ', slice(ws, start, $window))").as("win_text"))
   }
 
   private def sh(docs: DataFrame, n: Int): DataFrame = Dedup.shingles(docs, n)

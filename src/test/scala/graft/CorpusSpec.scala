@@ -104,6 +104,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out === Seq((10L, 1L)))
   }
 
+  test("tokenWindows clears the 10000-element sequence cap (two-level expansion)") {
+    // 25000 tokens at stride 2 -> 12500 starts: a single sequence()
+    // would exceed Spark's 10000-element cap and fail at runtime
+    val doc = Seq((1L, (1 to 25000).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.tokenWindows(doc, window = 4, stride = 2)
+      .agg(count(lit(1)), min(col("start")), max(col("start")),
+        countDistinct(col("win_idx"))).collect()(0)
+    assert(out.getLong(0) === 12500L)
+    assert(out.getLong(1) === 1L && out.getLong(2) === 24999L)
+    assert(out.getLong(3) === 12500L) // win_idx stays a contiguous rank
+  }
+
   test("bloom prefilter: no false negatives, and it actually filters") {
     val docs = Tables.documents(TestSpark.spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
