@@ -187,16 +187,49 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** Schema evolution at commit time (the Delta mergeSchema shape,
+    * automatic for appends): the declared table schema is the previous
+    * declared schema plus any NEW columns the batch brings; a column
+    * present in both must keep its type (fail loud — silent type
+    * coercion corrupts a lake). Reads resolve against the DECLARED
+    * schema, so rows written before a column existed surface it as
+    * null. */
+  private def mergeSchemas(prev: Option[StructType], next: StructType): StructType =
+    prev match {
+      case None => next
+      case Some(p) =>
+        val byName = p.fields.map(f => f.name -> f).toMap
+        next.fields.foreach { f =>
+          byName.get(f.name).foreach { pf =>
+            require(pf.dataType == f.dataType,
+              s"incompatible schema evolution on '${f.name}': ${pf.dataType} vs ${f.dataType}")
+          }
+        }
+        StructType(p.fields ++ next.fields.filterNot(f => byName.contains(f.name)))
+    }
+
+  /** Declared schema in force at `v`: the version's own schema header,
+    * or the newest one before it. */
+  private def declaredSchema(v: Long): Option[StructType] =
+    (readManifest(v).schemaJson.iterator ++
+      versions.filter(_ < v).sorted.reverse.iterator
+        .flatMap(readManifest(_).schemaJson))
+      .nextOption()
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
   /** Append commit: snapshot = previous dirs + the new one. Pass
     * `statsCols` to record the new directory's min/max ranges for
     * those columns in the manifest (see [[scanPruned]]); earlier
-    * directories keep whatever stats their own commits recorded. */
+    * directories keep whatever stats their own commits recorded.
+    * The declared schema auto-evolves by column addition
+    * ([[mergeSchemas]]). */
   def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
     val v = latestVersion + 1
     val prev = readManifest(latestVersion)
     val dir = writeData(df, v)
+    val evolved = mergeSchemas(declaredSchema(latestVersion), df.schema)
     commitManifest(v, "append", prev.dirs :+ dir,
-      None, Some(df.schema.json), stats = prev.liveStats ++ computeStats(dir, statsCols))
+      None, Some(evolved.json), stats = prev.liveStats ++ computeStats(dir, statsCols))
   }
 
   /** Overwrite commit: snapshot = just the new directory. */
@@ -276,7 +309,6 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * only re-publishes the manifest. */
   def commitBatch(df: DataFrame, appId: String, batchId: Long,
                   maxRetries: Int = 10, statsCols: Seq[String] = Nil): Long = {
-    val schemaJson = Some(df.schema.json)
     var dataDir: Option[String] = None
     var dirStats: Seq[String] = Nil
     var attempt = 0
@@ -289,8 +321,9 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       }
       try {
         val prev = readManifest(head) // may vanish under concurrent vacuum, caught below
+        val evolved = mergeSchemas(declaredSchema(head), df.schema)
         return commitManifest(head + 1, "streaming-append",
-          prev.dirs :+ dir, Some((appId, batchId)), schemaJson,
+          prev.dirs :+ dir, Some((appId, batchId)), Some(evolved.json),
           stats = prev.liveStats ++ dirStats)
       }
       catch {
@@ -468,19 +501,22 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val v = if (version < 0) latestVersion else version
     require(Files.exists(manifestPath(v)), s"no version $v at $root")
     val m = readManifest(v)
-    if (m.dirs.nonEmpty)
-      spark.read.parquet(m.dirs.map(d => root.resolve(d).toString): _*)
-    else {
-      // latest schema declared at or before v, if any commit has one
-      val schemaJson = m.schemaJson.orElse(
-        versions.filter(_ < v).sorted.reverse.iterator
-          .map(readManifest(_).schemaJson).collectFirst { case Some(j) => j })
-      schemaJson match {
-        case Some(j) =>
-          val schema = DataType.fromJson(j).asInstanceOf[StructType]
-          spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-        case None => spark.emptyDataFrame
+    // Reads resolve against the DECLARED schema (nullable — files
+    // written before a column evolved in simply lack it and surface
+    // null), the Delta/Iceberg schema-from-log rule. This also skips
+    // footer-based schema inference entirely: at 100 TB, opening one
+    // footer per file just to agree on a schema is its own job.
+    val declared = declaredSchema(v)
+      .map(s => StructType(s.fields.map(_.copy(nullable = true))))
+    if (m.dirs.nonEmpty) {
+      val paths = m.dirs.map(d => root.resolve(d).toString)
+      declared match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
       }
+    } else declared match {
+      case Some(s) => spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      case None => spark.emptyDataFrame
     }
   }
 }

@@ -344,6 +344,24 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // lake — schema evolution through the commit log: v1 writes two
+    // columns, the append brings a third; the declared schema merges
+    // at commit (Delta mergeSchema shape) and the snapshot resolves
+    // against the LOG schema, so pre-evolution rows surface the new
+    // column as null — no footer-based mergeSchema scan anywhere
+    "q137_schema_evolution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 2 === 0).select(col("event_id"), col("value")),
+        "graft-evolve2")
+      t.append(ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("value"), col("event_type")))
+      t.snapshot()
+        .groupBy(coalesce(col("event_type"), lit("pre-evolution")).as("etype"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("etype")
+    }),
+
     // integer-exact PageRank over a deterministic link graph derived
     // from events (src = user, dst = scattered target): 3 damped
     // rounds, every quantity a BIGINT at the 10^12 scale, every
@@ -473,6 +491,12 @@ object ExtendedQ {
 
   val oracles: Map[String, String] = Map(
     "q136_pagerank" -> pagerankSql(3),
+
+    "q137_schema_evolution" ->
+      s"""SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+         |            ELSE 'pre-evolution' END AS etype,
+         |       COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY etype ORDER BY etype""".stripMargin,
     "q58_table_ddl" ->
       """SELECT * FROM (
         |  SELECT r_regionkey, r_name FROM region

@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q96_cdc_apply", "q97_snapshot_read", "q99_bucketed_join",
     "q105_time_travel_merge", "q107_image_decode", "q113_vacuum_read",
     "q115_orc_roundtrip", "q131_stats_skip", "q133_version_diff",
-    "q135_incremental_agg",
+    "q135_incremental_agg", "q137_schema_evolution",
     "q103_dedup_clusters", "q110_chain_clusters",
     "q120_ivf_kmeans", "q123_neardup_kmeans",
     "q126_canonical_docs", "q128_training_pipeline") // localCheckpoint runs jobs at plan build

@@ -275,6 +275,27 @@ class LakeTableSpec extends AnyFunSuite {
     assert(total4 === 2 && kept4.size === 1, "stats must survive vacuum")
   }
 
+  test("schema evolution: appended columns surface as null on old rows; types locked") {
+    val t = LakeTable.createTemp(spark,
+      events.filter(col("event_id") < 100).select(col("event_id"), col("value")))
+    t.append(events.filter(col("event_id").between(100, 199))
+      .select(col("event_id"), col("value"), col("event_type")))
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq === Seq("event_id", "value", "event_type"))
+    assert(snap.filter(col("event_type").isNull).count() === 100)
+    assert(snap.filter(col("event_type").isNotNull).count() === 100)
+    // time travel shows the PRE-evolution schema
+    assert(t.snapshot(1L).columns.toSeq === Seq("event_id", "value"))
+    // a later subset append reads back with the evolved superset schema
+    t.append(events.filter(col("event_id").between(200, 249)).select(col("event_id")))
+    assert(t.snapshot().columns.toSeq === Seq("event_id", "value", "event_type"))
+    assert(t.snapshot().filter(col("value").isNull).count() === 50)
+    // incompatible type change fails loud
+    val bad = events.filter(col("event_id") < 10)
+      .select(col("event_id"), col("event_type").as("value"))
+    assertThrows[IllegalArgumentException](t.append(bad))
+  }
+
   test("streaming commitBatch records stats: micro-batches prune like time slices") {
     val t = LakeTable.createEmpty(spark, Files.createTempDirectory("graft-sstat").resolve("t"))
     (0 to 2).foreach { b =>
