@@ -145,6 +145,22 @@ object Similarity {
     topK(exactScore(
       prescreenCond(emb, queryPred, col("q.label") =!= col("c.label"), k + slack), emb), k)
 
+  /** Element-wise mean embedding per group (mean pooling / centroid
+    * construction — chunk vectors → document vector, cluster members
+    * → centroid). One groupBy of the dyadic-exact exploded relation on
+    * (group, pos): map-side partial sums bound the shuffle at
+    * |groups| x dim rows however large the corpus. The mean is the
+    * exact decimal sum divided once in IEEE doubles — bit-identical
+    * at any partitioning and in any engine (a float sum would be
+    * partition-ordered). Emits (group, pos, n_vecs, mean_val) with
+    * 0-based pos. */
+  def meanPool(emb: DataFrame, groupCol: String = "label"): DataFrame =
+    exploded(emb)
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("x")).cast("double") / (lit(Q) * count(lit(1)).cast("double")))
+          .as("mean_val"))
+
   /** Deterministic k-means coarse quantizer — derives the IVF bucket
     * column for ANY embedding table (VERDICT r5 #1: [[ivfTopK]] on the
     * testdata's `label` column was not a standalone scale path; this

@@ -28,4 +28,28 @@ object Skew {
       explode(array((0 until nSalts).map(s => lit(s)): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Two-phase salted aggregation for hot GROUP BY keys: phase 1
+    * aggregates on (key, salt) — the hot key's rows spread over
+    * `nSalts` reducers — phase 2 re-aggregates the per-salt partials
+    * on the key alone (at most `nSalts` rows per key, trivially
+    * cheap). Only decomposable aggregates compose this way; count and
+    * sum are provided (sum-of-counts, sum-of-sums). Note Spark's own
+    * map-side partial aggregation already bounds each TASK's
+    * contribution to one row per (task, key); explicit salting is the
+    * lever when a single reducer's MERGE of those partials is the
+    * bottleneck (billions of partials for one key) or when the
+    * aggregate sits behind an exchange AQE cannot split. Same result
+    * as the plain groupBy at any salt count — q139 gates it against
+    * the unsalted oracle. */
+  def saltedAgg(df: DataFrame, key: String, nSalts: Int,
+                countAs: String, sumCol: String, sumAs: String): DataFrame = {
+    require(nSalts > 0)
+    df
+      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(sumCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as(countAs), sum(col("__s")).as(sumAs))
+  }
 }

@@ -99,6 +99,18 @@ object ExtendedQ {
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy("o_custkey")),
 
+    // skew mitigation for hot GROUP BY keys: two-phase salted
+    // aggregation (partials on (key, salt), merge on key) must be
+    // result-identical to the plain groupBy — sums ride an exact
+    // decimal so the two-phase reassociation cannot drift
+    "q139_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedAgg(
+        Tables.events(s, d).select(col("event_type"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v")),
+        "event_type", nSalts = 8, countAs = "n", sumCol = "v", sumAs = "total_dec")
+        .select(col("event_type"), col("n"), col("total_dec").cast("double").as("total"))
+        .orderBy("event_type")),
+
     // SQL front-end end-to-end: the same engine driven entirely
     // through spark.sql over registered views — multi-CTE pipeline
     // with a join, a window, and an aggregate; proves the textual
@@ -514,6 +526,10 @@ object ExtendedQ {
          |       ${sqlDsum("l.l_extendedprice")} AS total
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |GROUP BY o.o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q139_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q101_sql_pipeline" ->
       """WITH ranked AS (

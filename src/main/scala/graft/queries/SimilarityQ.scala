@@ -122,6 +122,17 @@ object SimilarityQ {
       Similarity.ivfTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 20), 5)
         .orderBy("query_id", "rank")),
 
+    // Mean pooling / centroid construction: element-wise mean vector
+    // per label group from the dyadic-exact exploded relation — the
+    // chunk-vectors -> document-vector (and cluster -> centroid) op;
+    // one bounded shuffle of |labels| x dim partials
+    "q140_mean_pool" -> ((s, d) =>
+      Similarity.meanPool(Tables.embeddings(s, d))
+        .select(col("label").cast("long").as("label"),
+          (col("pos") + 1).cast("long").as("pos"),
+          col("n_vecs"), col("mean_val"))
+        .orderBy("label", "pos")),
+
     // Hard-negative mining for contrastive training: per query, the 5
     // most similar DIFFERENT-label vectors (the near-misses a
     // bi-encoder learns the most from). Oracle is the brute-force
@@ -236,6 +247,20 @@ object SimilarityQ {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q38_ivf_topk" -> topkSql("AND q.label = c.label", "vec_id < 20", 5),
     "q134_hard_negatives" -> topkSql("AND q.label <> c.label", "vec_id < 10", 5),
+
+    "q140_mean_pool" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |       COUNT(*) AS n_vecs,
+        |       CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) /
+        |       (1073741824.0 * COUNT(*)) AS mean_val
+        |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q66_embed_neardup" ->
       """WITH ex AS (
         |  SELECT vec_id, label, i AS pos,

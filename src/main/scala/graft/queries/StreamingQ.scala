@@ -117,6 +117,26 @@ object StreamingQ {
           size(split(col("clean"), " ")).cast("long").as("ws_tokens"))
       }.orderBy("doc_id")),
 
+    // In-stream benchmark decontamination: each micro-batch maps its
+    // events to corpus documents, runs the bloom-prefiltered
+    // decontamination against the STATIC benchmark slice (full batch
+    // API inside foreachBatch — the production per-batch hygiene
+    // idiom), and commits only the clean documents. The final sink
+    // must equal the batch answer: corpus minus contaminated
+    "q138_stream_decontaminate" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 20)
+      MicroBatch.appendRunPerBatch(s, d) { ev =>
+        val corpus = ev.select((col("event_id") % 500).as("doc_id")).distinct()
+          .join(docs, "doc_id")
+          .filter(col("doc_id") >= 100 && col("doc_id") < 400)
+        val contaminated = graft.operators.Corpus
+          .bloomDecontaminate(corpus, bench, n = 4)
+          .select(col("doc_id"))
+        corpus.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      }.distinct().orderBy("doc_id")
+    }),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -147,6 +167,23 @@ object StreamingQ {
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
     "q93_stateful_count" ->
       "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "q138_stream_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+        |  FROM (
+        |    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 4
+        |  )
+        |),
+        |t AS (SELECT * FROM sh WHERE doc_id >= 100 AND doc_id < 400),
+        |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+        |contaminated AS (SELECT DISTINCT t.doc_id FROM t JOIN b ON t.shingle = b.shingle)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 400
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
+
     "q127_stream_scrub" ->
       """WITH corpus AS (
         |  SELECT event_id AS doc_id,

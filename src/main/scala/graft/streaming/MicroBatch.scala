@@ -171,6 +171,32 @@ object MicroBatch {
     appendRunTable(spark, sfDir, copies, maxFilesPerTrigger, statePartitions)(transform)
       .snapshot()
 
+  /** Per-micro-batch BATCH transform (the foreachBatch idiom every
+    * production stream uses for work the streaming planner can't
+    * express in append mode — unwatermarked distinct, corpus joins,
+    * decontamination): `transform` runs INSIDE foreachBatch with the
+    * full batch API against each micro-batch, and the result commits
+    * through the lake txn log with the same exactly-once (appId,
+    * batchId) replay contract as [[batchWriter]]. */
+  def appendRunPerBatch(spark: SparkSession, sfDir: String, copies: Int = 1,
+                        maxFilesPerTrigger: Option[Int] = None)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val in = stageEvents(sfDir, copies)
+    val sink = lakeSink(spark)
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val appId = s"graft-perbatch-${runId.incrementAndGet()}"
+    val q = fileSource(spark, in, maxFilesPerTrigger).writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink.commitBatch(transform(batch.toDF()), appId, batchId); ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sink.snapshot()
+  }
+
   /** Update-mode drain for arbitrary-stateful transforms
     * (`flatMapGroupsWithState` emits updated rows, not appends): every
     * micro-batch's emissions land in the parquet sink via foreachBatch.

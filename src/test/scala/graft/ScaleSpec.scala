@@ -24,6 +24,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("salted aggregation equals the plain groupBy at every salt count") {
+    val ev = Tables.events(spark, sf).select(col("event_type"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("t"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    Seq(1, 8, 31).foreach { salts =>
+      val out = Skew.saltedAgg(ev, "event_type", salts, "n", "v", "t")
+        .select(col("event_type"), col("n"), col("t").cast("double").as("t"))
+        .orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(out === plain, s"salts=$salts")
+    }
+  }
+
   test("salted left join preserves unmatched rows once") {
     import spark.implicits._
     val big = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")

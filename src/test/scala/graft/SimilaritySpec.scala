@@ -78,6 +78,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repart === out)
   }
 
+  test("meanPool: identical vectors pool to themselves, mixed pool to the average") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.meanPool(emb).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((0, 0)) === ((2L, 1.0)) && out((0, 1)) === ((2L, 0.0)))
+    assert(out((1, 0)) === ((2L, 0.5)) && out((1, 1)) === ((2L, 0.5)))
+  }
+
   test("hardNegatives: k per query, no same-label candidate, similarity-ordered") {
     val emb = Tables.embeddings(TestSpark.spark, "/root/testdata/sf0.001")
     val labels = emb.select("vec_id", "label").collect()
