@@ -104,6 +104,27 @@ object Relational {
         .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")),
 
+    // TPC-H Q3 shape (shipping priority): filtered broadcast dim →
+    // fact join with both date predicates pushed to the scans →
+    // revenue per open order → top 10 under a TOTAL tie order
+    // (revenue desc, then date, then the unique order key)
+    "q141_shipping_priority" -> ((s, d) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -305,6 +326,19 @@ object Relational {
       s"""SELECT c_mktsegment, ${sqlDsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q141_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |       o_orderpriority
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q11_star_join" ->
       s"""SELECT r_name, n_name,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
