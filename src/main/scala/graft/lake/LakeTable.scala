@@ -427,9 +427,24 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val m1 = readManifest(v1)
     val m2 = readManifest(v2)
     val shared = m1.dirs.toSet intersect m2.dirs.toSet
+    // Both sides resolve against the MERGED declared schema so a diff
+    // across a schema evolution is well-formed: pre-evolution rows
+    // surface the evolved columns as null, exactly as snapshot() reads
+    // them (a raw footer read would make exceptAll fail on arity).
+    val merged = (declaredSchema(v1), declaredSchema(v2)) match {
+      case (Some(a), Some(b)) => Some(StructType(
+        mergeSchemas(Some(a), b).fields.map(_.copy(nullable = true))))
+      case (a, b) => a.orElse(b)
+    }
     def read(dirs: Seq[String]): DataFrame =
-      if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
-      else snapshot(v2).limit(0)
+      if (dirs.isEmpty) snapshot(v2).limit(0)
+      else {
+        val paths = dirs.map(d => root.resolve(d).toString)
+        merged match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+      }
     val only1 = read(m1.dirs.filterNot(shared))
     val only2 = read(m2.dirs.filterNot(shared))
     only2.exceptAll(only1).withColumn("change", lit("added"))
@@ -491,10 +506,18 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * result is identical to filtering the full snapshot. */
   def scanPruned(colName: String, lo: Any, hi: Any,
                  version: Long = -1L): DataFrame = {
-    val (dirs, _) = prunedDirs(colName, lo, hi, version)
-    if (dirs.nonEmpty)
-      spark.read.parquet(dirs.map(d => root.resolve(d).toString): _*)
-    else snapshot(if (version < 0) latestVersion else version).limit(0)
+    val v = if (version < 0) latestVersion else version
+    val (dirs, _) = prunedDirs(colName, lo, hi, v)
+    if (dirs.isEmpty) snapshot(v).limit(0)
+    else {
+      // same declared-schema resolution as snapshot(), so a pruned
+      // read of an evolved table surfaces evolved columns correctly
+      val paths = dirs.map(d => root.resolve(d).toString)
+      declaredSchema(v).map(s => StructType(s.fields.map(_.copy(nullable = true)))) match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    }
   }
 
   def snapshot(version: Long = -1L): DataFrame = {

@@ -296,6 +296,18 @@ class LakeTableSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.append(bad))
   }
 
+  test("diff across a schema evolution aligns on the merged declared schema") {
+    val t = LakeTable.createTemp(spark,
+      events.filter(col("event_id") < 100).select(col("event_id"), col("value")))
+    t.append(events.filter(col("event_id").between(100, 149))
+      .select(col("event_id"), col("value"), col("event_type"))) // evolves schema
+    val d = t.diff(1L, 2L)
+    assert(d.columns.toSeq === Seq("event_id", "value", "event_type", "change"))
+    val rows = d.collect()
+    assert(rows.length === 50 && rows.forall(_.getString(3) === "added"))
+    assert(rows.forall(r => !r.isNullAt(2))) // appended rows carry the new column
+  }
+
   test("streaming commitBatch records stats: micro-batches prune like time slices") {
     val t = LakeTable.createEmpty(spark, Files.createTempDirectory("graft-sstat").resolve("t"))
     (0 to 2).foreach { b =>
