@@ -245,4 +245,37 @@ object TextAnalysis {
       .withColumn("mean_freq",
         col("sum_freq").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** Per-class precision/recall/F1 over (pred, truth) pairs — the
+    * evaluation harness every classifier-shaped pipeline stage
+    * (language ID, quality gates, layout detection) needs next to it.
+    * Two single-shuffle aggregations (by predicted class, by true
+    * class) full-outer-joined on the class, so classes that are only
+    * ever predicted or only ever true still appear, with zero counts.
+    * Ratios are one long/long IEEE division each and F1 one fixed
+    * expression tree — deterministic across engines/partitionings.
+    * Emits (cls, n_pred, n_true, tp, precision, recall, f1); precision
+    * is null for never-predicted classes, recall for never-true ones. */
+  def classifierEval(pairs: DataFrame, predCol: String = "pred",
+                     truthCol: String = "truth"): DataFrame = {
+    val byPred = pairs.groupBy(col(predCol).as("cls"))
+      .agg(count(lit(1)).as("n_pred"),
+        sum(when(col(predCol) === col(truthCol), 1L).otherwise(0L)).as("tp"))
+    val byTruth = pairs.groupBy(col(truthCol).as("cls"))
+      .agg(count(lit(1)).as("n_true"))
+    byPred.join(byTruth, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, col("tp") / col("n_pred")))
+      .withColumn("recall",
+        when(col("n_true") > 0, col("tp") / col("n_true")))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          (col("precision") + col("recall")) > 0,
+          (lit(2) * col("precision") * col("recall")) /
+            (col("precision") + col("recall"))))
+  }
 }

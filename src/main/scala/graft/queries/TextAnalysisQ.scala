@@ -28,6 +28,19 @@ object TextAnalysisQ {
       TextAnalysis.qualityScore(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // Evaluation harness: per-class precision/recall/F1 of the langId
+    // heuristic against the documents table's ground-truth lang column
+    // — the metrics stage every classifier-shaped pipeline op needs;
+    // classes only predicted (und) or only true (de/es/zh) still
+    // appear with null precision/recall respectively
+    "q142_langid_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextAnalysis.langId(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("lang_guess").as("pred"))
+        .join(docs.select(col("doc_id"), col("lang").as("truth")), "doc_id")
+      TextAnalysis.classifierEval(pairs).orderBy("cls")
+    }),
+
     // Token counting: whitespace vs BPE-ish lexer counts + per-source rollup
     "q41_token_counts" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d))
@@ -113,6 +126,45 @@ object TextAnalysisQ {
          |SELECT doc_id, n_tokens, n_en, n_fr,
          |       CASE WHEN n_fr > n_en THEN 'fr' WHEN n_en > 0 THEN 'en' ELSE 'und' END AS lang_guess
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q142_langid_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN tok IN ('the','a','of','and','in','to','is','on','for','with') THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |         CAST(sum(CASE WHEN tok IN ('le','la','les','de','des','du','un','une','en','et') THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
+        |  FROM toks GROUP BY doc_id
+        |),
+        |pt AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN a.n_fr > a.n_en THEN 'fr'
+        |              WHEN a.n_en > 0 THEN 'en' ELSE 'und' END AS pred,
+        |         d.lang AS truth
+        |  FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+        |),
+        |bp AS (
+        |  SELECT pred AS cls, COUNT(*) AS n_pred,
+        |         CAST(SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM pt GROUP BY pred
+        |),
+        |bt AS (SELECT truth AS cls, COUNT(*) AS n_true FROM pt GROUP BY truth),
+        |j AS (
+        |  SELECT COALESCE(bp.cls, bt.cls) AS cls,
+        |         COALESCE(bp.n_pred, 0) AS n_pred,
+        |         COALESCE(bt.n_true, 0) AS n_true,
+        |         COALESCE(bp.tp, 0) AS tp
+        |  FROM bp FULL OUTER JOIN bt ON bp.cls = bt.cls
+        |)
+        |SELECT cls, n_pred, n_true, tp,
+        |       CASE WHEN n_pred > 0 THEN tp / n_pred END AS precision,
+        |       CASE WHEN n_true > 0 THEN tp / n_true END AS recall,
+        |       CASE WHEN n_pred > 0 AND n_true > 0
+        |                 AND (tp / n_pred) + (tp / n_true) > 0
+        |            THEN (2 * (tp / n_pred) * (tp / n_true)) /
+        |                 ((tp / n_pred) + (tp / n_true)) END AS f1
+        |FROM j ORDER BY cls""".stripMargin,
 
     "q40_quality_score" ->
       """WITH toks AS (

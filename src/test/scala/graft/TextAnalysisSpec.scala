@@ -48,4 +48,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[String]("top_bigram") === "x y")
     assert(r.getAs[Long]("top_bigram_n") === 2L)
   }
+
+  test("classifierEval: tp/precision/recall/f1 incl. one-sided classes") {
+    val pairs = Seq(
+      ("en", "en"), ("en", "en"), ("en", "fr"), // en: 3 predicted, 2 right
+      ("fr", "fr"),                             // fr: 1 predicted right, 2 true
+      ("und", "de"))                            // und never true; de never predicted
+      .toDF("pred", "truth")
+    val out = TextAnalysis.classifierEval(pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))).toMap
+    assert(out("en") === ((3L, 2L, 2L, Some(2.0 / 3), Some(1.0),
+      Some((2 * (2.0 / 3) * 1.0) / (2.0 / 3 + 1.0))))) // f1 = 0.8
+    assert(out("fr") === ((1L, 2L, 1L, Some(1.0), Some(0.5),
+      Some((2 * 1.0 * 0.5) / 1.5))))
+    assert(out("und") === ((1L, 0L, 0L, Some(0.0), None, None)))
+    assert(out("de") === ((0L, 1L, 0L, None, Some(0.0), None)))
+  }
 }
