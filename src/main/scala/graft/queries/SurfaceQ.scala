@@ -166,6 +166,30 @@ object SurfaceQ {
         .orderBy("user_id", "event_id")
     }),
 
+    // gap-based batch sessionization (the classic clickstream op, and
+    // q64's batch-side complement): a new session opens after >30 min
+    // of per-user silence; ids come from lag + running sum under a
+    // TOTAL (ts, event_id) order, windows partitioned per user — no
+    // global window anywhere
+    "q143_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+            .when(lag(col("ts_us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("t_start"),
+          max(col("ts_us")).as("t_end"),
+          dsum(col("value")).as("total"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // partitioned table + static partition overwrite (the lake
     // compaction/backfill primitive)
     "q75_partition_overwrite" -> ((s, d) => {
@@ -301,6 +325,29 @@ object SurfaceQ {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q143_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value,
+         |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events
+         |),
+         |m AS (
+         |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+         |                   OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |),
+         |s AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |            ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |            AS session_idx
+         |  FROM m
+         |)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |       MIN(ts_us) AS t_start, MAX(ts_us) AS t_end,
+         |       ${sqlDsum("value")} AS total
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
 
     "q75_partition_overwrite" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
