@@ -168,10 +168,15 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * scan of the new files only — on a real lake store the same
     * numbers come for free from the parquet footers; the `.head()` is
     * a single driver-side row, not a collect loop). Null min/max
-    * (all-null column) is recorded as empty — a range predicate can
-    * never match it, so such a dir prunes. Values containing the `|`
-    * field delimiter are not recorded (the dir simply stays
-    * unprunable on that column — safe over-approximation). */
+    * (all-null column) is recorded as the empty field — a range
+    * predicate can never match it, so such a dir prunes. The empty
+    * field is RESERVED for that all-null sentinel: a column whose true
+    * min/max IS the empty string is simply not recorded (the dir stays
+    * unprunable on that column — safe over-approximation), otherwise
+    * prunedDirs would silently drop its rows. Values containing the
+    * `|` field delimiter or a line break (which would split the
+    * line-based manifest and inject phantom dir=/version= entries) are
+    * likewise not recorded. */
   private def computeStats(rel: String, statsCols: Seq[String]): Seq[String] = {
     if (statsCols.isEmpty) return Nil
     val df = spark.read.parquet(root.resolve(rel).toString)
@@ -179,11 +184,18 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string"), max(col(c)).cast("string")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def unsafe(s: String): Boolean =
+      s.isEmpty || s.contains("|") || s.contains("\n") || s.contains("\r")
     statsCols.zipWithIndex.flatMap { case (c, i) =>
-      val mn = Option(row.getString(2 * i)).getOrElse("")
-      val mx = Option(row.getString(2 * i + 1)).getOrElse("")
-      if (mn.contains("|") || mx.contains("|") || c.contains("|")) None
-      else Some(s"$rel|$c|${types(c)}|$mn|$mx")
+      val mnOpt = Option(row.getString(2 * i))
+      val mxOpt = Option(row.getString(2 * i + 1))
+      (mnOpt, mxOpt) match {
+        case _ if c.contains("|") || c.contains("\n") || c.contains("\r") => None
+        case (None, None) => Some(s"$rel|$c|${types(c)}||") // all-null sentinel
+        case (Some(mn), Some(mx)) if unsafe(mn) || unsafe(mx) => None
+        case (Some(mn), Some(mx)) => Some(s"$rel|$c|${types(c)}|$mn|$mx")
+        case _ => None // min null iff max null; never reached
+      }
     }
   }
 
@@ -437,8 +449,15 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       case (a, b) => a.orElse(b)
     }
     def read(dirs: Seq[String]): DataFrame =
-      if (dirs.isEmpty) snapshot(v2).limit(0)
-      else {
+      if (dirs.isEmpty) {
+        // Build the empty side from the MERGED schema too — an empty
+        // placeholder at v2's declared schema would arity-mismatch the
+        // non-empty side when diffing backward across a schema
+        // evolution (v1 wider than v2).
+        val s = merged.map(m => StructType(m.fields.map(_.copy(nullable = true))))
+          .getOrElse(snapshot(v2).schema)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+      } else {
         val paths = dirs.map(d => root.resolve(d).toString)
         merged match {
           case Some(s) => spark.read.schema(s).parquet(paths: _*)
@@ -482,7 +501,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         case _ => None
       }
     }.toMap
-    val numeric = Set("byte", "short", "integer", "long", "float", "double", "date")
+    // "date" is deliberately NOT numeric: computeStats stores dates as
+    // Spark's string cast ("yyyy-MM-dd"), whose fixed-width ISO form
+    // compares correctly lexicographically in the string branch —
+    // treating it as numeric would throw NumberFormatException at read.
+    val numeric = Set("byte", "short", "integer", "long", "float", "double")
     val surviving = m.dirs.filter { dir =>
       byDir.get(dir) match {
         case None => true // no stat recorded — must read

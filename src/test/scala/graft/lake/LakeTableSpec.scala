@@ -354,4 +354,71 @@ class LakeTableSpec extends AnyFunSuite {
     val full = t.snapshot().filter(col("event_type").between("c", "f")).count()
     assert(pruned === full && pruned > 0)
   }
+
+  test("date-column stats prune via lexicographic ISO order (no NumberFormatException)") {
+    val dated = events.select(col("event_id"),
+      to_date(concat(lit("2024-0"), (col("event_id") % 9 + 1).cast("string"), lit("-15")))
+        .as("d"))
+    val early = dated.filter(col("d") < "2024-05-01")
+    val late = dated.filter(col("d") >= "2024-05-01")
+    val t = LakeTable.createTemp(spark, early, statsCols = Seq("d"))
+    t.append(late, statsCols = Seq("d"))
+    // dates are stored as "yyyy-MM-dd" strings; pruning must compare
+    // lexicographically, not parse them as doubles
+    val (kept, total) = t.prunedDirs("d", "2024-06-01", "2024-07-31")
+    assert(total === 2 && kept.size === 1)
+    val pruned = t.scanPruned("d", "2024-06-01", "2024-07-31")
+      .filter(col("d").between("2024-06-01", "2024-07-31")).count()
+    val full = t.snapshot().filter(col("d").between("2024-06-01", "2024-07-31")).count()
+    assert(pruned === full && pruned > 0)
+  }
+
+  test("empty-string min/max is not confused with the all-null sentinel") {
+    import spark.implicits._
+    // dir 1: true min IS the empty string — must NOT prune anywhere
+    val withEmpty = Seq((1L, ""), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val t = LakeTable.createTemp(spark, withEmpty, statsCols = Seq("s"))
+    // dir 2: all-null column — MUST prune on any range
+    val allNull = Seq((4L, null: String), (5L, null: String)).toDF("id", "s")
+    t.append(allNull, statsCols = Seq("s"))
+    val (kept, total) = t.prunedDirs("s", "", "a")
+    assert(total === 2 && kept.size === 1) // all-null dir pruned, empty-string dir kept
+    // the contract: pruned scan identical to filtering the full snapshot
+    val pruned = t.scanPruned("s", "", "a").filter(col("s").between("", "a")).count()
+    val full = t.snapshot().filter(col("s").between("", "a")).count()
+    assert(pruned === full && pruned === 1) // the "" row survives
+  }
+
+  test("stat values containing newlines never corrupt the manifest") {
+    import spark.implicits._
+    val evil = Seq((1L, "x\ndir=evil\nversion=99"), (2L, "zz")).toDF("id", "s")
+    val t = LakeTable.createTemp(spark, evil, statsCols = Seq("s", "id"))
+    // manifest stays well-formed: one version, one data dir, snapshot intact
+    assert(t.versions === Seq(1L))
+    assert(t.snapshot().count() === 2)
+    // the string column is simply unprunable (stat skipped); id still prunes
+    val (keptS, _) = t.prunedDirs("s", "a", "b")
+    assert(keptS.size === 1)
+    val (keptId, _) = t.prunedDirs("id", 100, 200)
+    assert(keptId.isEmpty)
+  }
+
+  test("diff backward across a schema evolution when one side's dirs are empty") {
+    import spark.implicits._
+    val v1df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val t = LakeTable.createTemp(spark, v1df)
+    // v2 widens the schema via append (shared dir cancels, so the
+    // v1-only side is EMPTY): previously the empty-side placeholder
+    // resolved the narrow v1 schema while the non-empty side read with
+    // the merged one, and exceptAll failed on arity
+    t.append(Seq((3L, "c", 1.5)).toDF("id", "s", "score")) // v2: schema +score
+    val d = t.diff(2L, 1L)
+    assert(d.columns.toSeq === Seq("id", "s", "score", "change"))
+    val rows = d.collect()
+    assert(rows.length === 1 && rows.head.getString(3) === "removed" &&
+      rows.head.getLong(0) === 3L)
+    // and the forward direction across the same evolution
+    val fwd = t.diff(1L, 2L).collect()
+    assert(fwd.length === 1 && fwd.head.getString(3) === "added")
+  }
 }
