@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The Delta wire-format bridge (VERDICT r7 next #1): an exported table
+  * must be a spec-conformant Delta log any external reader can open,
+  * and a foreign minimal Delta log must open as a lake snapshot. */
+class DeltaInteropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events = Tables.events(spark, sf)
+    .select(col("event_id"), col("event_type"), col("value"))
+
+  test("export writes a conformant v0 log: protocol, metaData, one add per file") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 200))
+    val dest = Files.createTempDirectory("graft-delta").resolve("t")
+    val nFiles = DeltaInterop.exportSnapshot(t, dest)
+    val logFile = dest.resolve("_delta_log").resolve("0" * 20 + ".json")
+    assert(Files.exists(logFile))
+    val m = new ObjectMapper()
+    val actions = Files.readAllLines(logFile).asScala.map(m.readTree)
+    // exactly one protocol action, at the lowest version pair
+    val protos = actions.filter(_.has("protocol"))
+    assert(protos.size === 1)
+    assert(protos.head.get("protocol").get("minReaderVersion").asInt === 1)
+    assert(protos.head.get("protocol").get("minWriterVersion").asInt === 2)
+    // exactly one metaData whose schemaString is the snapshot's schema
+    val metas = actions.filter(_.has("metaData"))
+    assert(metas.size === 1)
+    val md = metas.head.get("metaData")
+    assert(md.get("format").get("provider").asText === "parquet")
+    val declared = DataType.fromJson(md.get("schemaString").asText)
+      .asInstanceOf[StructType]
+    assert(declared.fieldNames.toSeq === Seq("event_id", "event_type", "value"))
+    // one add per parquet part file, with real sizes and relative paths
+    val adds = actions.filter(_.has("add")).map(_.get("add"))
+    assert(adds.size === nFiles && nFiles > 0)
+    adds.foreach { a =>
+      val p = dest.resolve(a.get("path").asText)
+      assert(Files.exists(p), s"add path missing: ${a.get("path").asText}")
+      assert(Files.size(p) === a.get("size").asLong)
+      assert(a.get("dataChange").asBoolean)
+      assert(a.get("partitionValues").isObject)
+    }
+  }
+
+  test("export/readDelta round-trip preserves rows exactly") {
+    val base = events.filter(col("event_id") < 500)
+    val t = LakeTable.createTemp(spark, base)
+    t.append(events.filter(col("event_id").between(500, 799)))
+    val dest = Files.createTempDirectory("graft-delta").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest)
+    val back = DeltaInterop.readDelta(spark, dest)
+    assert(back.schema.fieldNames.toSeq === t.snapshot().schema.fieldNames.toSeq)
+    assert(back.exceptAll(t.snapshot()).count() === 0)
+    assert(t.snapshot().exceptAll(back).count() === 0)
+  }
+
+  test("export carries the evolved declared schema; old rows read as null") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c", 1.5)).toDF("id", "s", "score"))
+    val dest = Files.createTempDirectory("graft-delta").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest)
+    val back = DeltaInterop.readDelta(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "s", "score"))
+    assert(back.filter(col("score").isNull).count() === 2)
+    // foreign readers see the evolved column IN THE FILES, not just the
+    // log: a raw parquet read of the exported files has all 3 columns
+    val raw = spark.read.parquet(dest.toString)
+    assert(raw.columns.sorted.toSeq === Seq("id", "s", "score").sorted.toSeq)
+  }
+
+  test("foreign minimal Delta log with add+remove replays to the live set") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-foreign").resolve("t")
+    Files.createDirectories(root.resolve("_delta_log"))
+    // two data files written as a foreign writer would: plain parquet
+    def onePart(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(Files.list(tmp)) { s =>
+        s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      Files.copy(part, root.resolve(name))
+      Files.size(root.resolve(name))
+    }
+    val s1 = onePart(Seq((1L, "x"), (2L, "y")).toDF("id", "s"), "f1.parquet")
+    val s2 = onePart(Seq((3L, "z")).toDF("id", "s"), "f2.parquet")
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json
+      .replace("\"", "\\\"")
+    // commit 0: protocol + metaData + add f1
+    Files.write(root.resolve("_delta_log").resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"foreign-1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":0,"dataChange":true}}"""
+    ).asJava)
+    // commit 1: add f2, remove f1 (a foreign overwrite)
+    Files.write(root.resolve("_delta_log").resolve("0" * 19 + "1.json"), Seq(
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$s2,"modificationTime":0,"dataChange":true}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}"""
+    ).asJava)
+    val df = DeltaInterop.readDelta(spark, root)
+    assert(df.columns.toSeq === Seq("id", "s"))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "z")))
+    // and the same table imports as a lake snapshot
+    val lakeRoot = Files.createTempDirectory("graft-imp").resolve("t")
+    val lt = DeltaInterop.importDelta(spark, root, lakeRoot)
+    assert(lt.snapshot().collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+}
