@@ -97,6 +97,52 @@ object ImageOps {
       encodePng(out)
     }
 
+  /** 64-bit perceptual difference hash (dHash) over the decoded
+    * luminance plane, returned as a 64-char '0'/'1' fingerprint — the
+    * same bit-string alphabet as SimHash, so the codegen'd
+    * `hamming_distance` expression and the Manku pigeonhole block join
+    * apply to images unchanged (VERDICT r7 next #2: make multimodal
+    * columns feed the dedup stack).
+    *
+    * Deterministic by construction — no interpolation anywhere: sample
+    * a 9×8 grid at nearest pixels (x = gx·W/9, y = gy·H/8, integer
+    * floor), take the exact integer Rec.601 luminance at each sample,
+    * and emit bit (gy·8 + gx) = 1 iff lum(gx+1, gy) > lum(gx, gy).
+    * Integer sampling + integer luminance means the hash is exactly
+    * reproducible by any engine from the raw pixels (the q145 oracle
+    * recomputes it in SQL), unlike the usual area-averaged resize whose
+    * rounding is library-private. Robust to exactly what dHash is
+    * robust to: re-encoding, brightness-preserving noise between
+    * samples, small gradient shifts. None for undecodable bytes. */
+  def dHash64(bytes: Array[Byte]): Option[String] =
+    decode(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+          lum(gy)(gx) = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          gx += 1
+        }
+        gy += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          sb.append(if (lum(gy)(gx + 1) > lum(gy)(gx)) '1' else '0')
+          gx += 1
+        }
+        gy += 1
+      }
+      sb.toString
+    }
+
   /** Encode a BufferedImage as PNG bytes (fixture staging + re-encode). */
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -125,4 +171,5 @@ object ImageOps {
   val isDark: Column => Column = c => meanByteUdf(c) < 100d
   val decodeMetaUdf = udf(decodeMeta _)
   val resizeHalfPngUdf = udf(resizeHalfPng _)
+  val dHash64Udf = udf(dHash64 _)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ImageOps
+
+/** Perceptual image near-duplicate detection — the multimodal leg of
+  * the dedup stack (VERDICT r7 next #2). Text dedup fingerprints tokens
+  * (SimHash, [[Dedup.simhashNearDupsExact]]); images fingerprint the
+  * decoded luminance plane with dHash ([[ImageOps.dHash64]]). Both land
+  * in the same 64-char '0'/'1' fingerprint alphabet, so the same
+  * codegen'd `hamming_distance` verify and the same Manku pigeonhole
+  * completeness argument carry over unchanged.
+  *
+  * Scale shape: hashing is a per-row decode (embarrassingly parallel,
+  * runs where the bytes live — never ship 100 TB of pixels to a
+  * shuffle; the 8-byte fingerprint is the only thing that moves).
+  * Candidate generation is the exact-recall block equi-join: split the
+  * 64-bit fingerprint into maxHamming+1 contiguous blocks — two images
+  * within the radius must agree exactly on at least one block
+  * (pigeonhole), so the union of per-block equi-joins is a COMPLETE
+  * candidate set, verified per pair by the codegen'd hamming filter.
+  * Candidate count is sum-of-bucket² per block, never all-pairs.
+  */
+object ImageDedup {
+
+  /** (id, dhash) for every decodable image; undecodable rows drop out
+    * (the quarantine decision belongs to the caller's scrub pass). */
+  def dHashes(images: DataFrame, idCol: String = "img_id",
+              bytesCol: String = "content"): DataFrame =
+    images
+      .select(col(idCol).as("img_id"), ImageOps.dHash64Udf(col(bytesCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** Exact-recall near-dup pairs over a hashed relation (img_id, dhash):
+    * every pair within `maxHamming` bit flips, found by the pigeonhole
+    * block join + codegen'd hamming verify. Emits
+    * (img_a, img_b, hamming) with img_a < img_b. */
+  def nearDupPairs(hashed: DataFrame, maxHamming: Int = 4,
+                   bits: Int = 64): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits, s"need at least 1 bit per block ($nBlocks blocks, $bits bits)")
+    val blockCols = (0 until nBlocks).map { i =>
+      val start = i * bits / nBlocks
+      val len = (i + 1) * bits / nBlocks - start
+      substring(col("dhash"), start + 1, len)
+    }
+    val blocks = hashed
+      .select(col("img_id"), col("dhash"), posexplode(array(blockCols: _*)))
+      .select(col("img_id"), col("dhash"),
+        col("pos").as("blk"), col("col").as("blk_bits"))
+    blocks.alias("a")
+      .join(blocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_bits") === col("b.blk_bits") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+        col("a.dhash").as("dh_a"), col("b.dhash").as("dh_b"))
+      .distinct()
+      .filter(expr(s"hamming_distance(dh_a, dh_b) <= $maxHamming"))
+      .select(col("img_a"), col("img_b"),
+        expr("hamming_distance(dh_a, dh_b)").as("hamming"))
+  }
+
+  /** End-to-end: decode → dHash → exact-recall pairs. */
+  def imageNearDups(images: DataFrame, maxHamming: Int = 4,
+                    idCol: String = "img_id", bytesCol: String = "content"): DataFrame =
+    nearDupPairs(dHashes(images, idCol, bytesCol), maxHamming)
+}

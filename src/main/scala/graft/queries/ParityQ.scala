@@ -212,8 +212,62 @@ object ParityQ {
       docPages(s, d)
         .filter(lower(col("page_text")).contains("merge"))
         .orderBy(desc("doc_id"), desc("page_no")).limit(1)
-        .select(col("doc_id"), col("page_no")))
+        .select(col("doc_id"), col("page_no"))),
+
+    // perceptual image dedup (VERDICT r7 next #2): 100 real PNGs — 40
+    // base patterns, 40 twins perturbed only BETWEEN dHash sample
+    // points (hash-identical), 20 twins perturbed at exactly two
+    // sampled cells (<= 4 bit flips) — staged to disk, decoded through
+    // the real javax.imageio codec, dHashed, and paired by the
+    // exact-recall pigeonhole block join. The oracle replays the hash
+    // arithmetic closed-form from the fixture's pixel formula and
+    // brute-forces ALL pairs, so the hash gate proves (a) the codec
+    // path preserves pixels bit-exactly and (b) the block join misses
+    // nothing
+    "q145_image_neardup" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-phash")
+      (0 until 100).foreach { id =>
+        Files.write(dir.resolve(f"img_$id%05d.png"), phashFixturePng(id))
+      }
+      val hashed = graft.operators.ImageDedup.dHashes(
+        s.read.format("binaryFile").load(dir.toString)
+          .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+            .cast("long").as("img_id"), col("content")))
+      graft.operators.ImageDedup.nearDupPairs(hashed, maxHamming = 4)
+        .orderBy("img_a", "img_b")
+    })
   )
+
+  /** q145 fixture pixel formula (closed-form so the DuckDB oracle can
+    * replay the hash from arithmetic alone): 18×16 grayscale PNG.
+    * Bases (img 0-39): v = (base·131 + x·7 + y·13) mod 251. Variant 1
+    * (img 40-79, base = img-40): +50 at odd coordinates only — dHash
+    * samples even coordinates, so the hash is IDENTICAL. Variant 2
+    * (img 80-99, base = img-80): +100 at sampled cells (6,4) and
+    * (10,12) — each flips at most 2 adjacent comparison bits, so
+    * hamming(base, variant2) <= 4 by construction. */
+  private[graft] def phashFixtureV(img: Int, x: Int, y: Int): Int = {
+    val core = ((img % 40) * 131 + x * 7 + y * 13) % 251
+    if (img >= 40 && img < 80 && (x % 2 == 1 || y % 2 == 1)) (core + 50) % 251
+    else if (img >= 80 && ((x == 6 && y == 4) || (x == 10 && y == 12))) (core + 100) % 251
+    else core
+  }
+
+  private[graft] def phashFixturePng(img: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val v = phashFixtureV(img, x, y)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    ImageOps.encodePng(im)
+  }
 
   val oracles: Map[String, String] = Map(
     "q48_csv_roundtrip" ->
@@ -322,6 +376,39 @@ object ParityQ {
       s"""WITH $docPagesSql
          |SELECT doc_id, page_no FROM pages
          |WHERE contains(lower(page_text), 'merge')
-         |ORDER BY doc_id DESC, page_no DESC LIMIT 1""".stripMargin
+         |ORDER BY doc_id DESC, page_no DESC LIMIT 1""".stripMargin,
+
+    // brute-force all-pairs from the closed-form pixel formula —
+    // deliberately NOT mirroring the block join (same discipline as the
+    // q109 oracle): dHash samples pixel (2gx, 2gy), where the fixture
+    // value is core = (base*131 + x*7 + y*13) % 251 (variant 1's odd-
+    // coordinate perturbation never lands on a sampled pixel; variant
+    // 2 adds 100 at sampled cells (3,2) and (5,6))
+    "q145_image_neardup" ->
+      """WITH grid AS (
+        |  SELECT i.img_id, a.gx, b.gy,
+        |         CASE WHEN i.img_id >= 80
+        |                   AND ((a.gx = 3 AND b.gy = 2) OR (a.gx = 5 AND b.gy = 6))
+        |              THEN ((i.img_id % 40) * 131 + (2*a.gx) * 7 + (2*b.gy) * 13 + 100) % 251
+        |              ELSE ((i.img_id % 40) * 131 + (2*a.gx) * 7 + (2*b.gy) * 13) % 251
+        |         END AS v
+        |  FROM range(100) i(img_id), range(9) a(gx), range(8) b(gy)
+        |),
+        |bits AS (
+        |  SELECT g1.img_id, g1.gy, g1.gx,
+        |         CASE WHEN g2.v > g1.v THEN '1' ELSE '0' END AS bit
+        |  FROM grid g1
+        |  JOIN grid g2 ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
+        |  WHERE g1.gx < 8
+        |),
+        |hashes AS (
+        |  SELECT img_id, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+        |  FROM bits GROUP BY img_id
+        |)
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |       hamming(a.dhash, b.dhash) AS hamming
+        |FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+        |WHERE hamming(a.dhash, b.dhash) <= 4
+        |ORDER BY img_a, img_b""".stripMargin
   )
 }
