@@ -388,6 +388,25 @@ object ExtendedQ {
         .orderBy("node")
     }),
 
+    // PageRank TO CONVERGENCE (VERDICT r7 next #5) on a closed-form
+    // ring+star graph: tol = Some(0) is a true integer fixpoint (exact
+    // BIGINT deltas, no epsilon), the budget fail-loud. Ring nodes are
+    // a fixpoint from the start (od = in = 1 keeps score at Scale:
+    // 0.15S + 0.85S exact at the 10^12 scale); star leaves drop to the
+    // base term after round 1; the center stabilizes in round 2 at
+    // Base + 85*Base (100 leaves, the DIV 100 cancelling exactly), so
+    // round 3 proves the fixpoint and the loop stops well inside the
+    // budget. The oracle states the closed-form fixpoint directly
+    "q146_pagerank_converged" -> ((s, d) => {
+      val ring = s.range(50)
+        .select(col("id").as("src"), ((col("id") + 1) % 50).as("dst"))
+      val star = s.range(100, 200)
+        .select(col("id").as("src"), lit(99L).as("dst"))
+      graft.operators.LinkAnalysis.pageRankInt(
+        ring.union(star), iters = 8, tol = Some(0L))
+        .orderBy("node")
+    }),
+
     // z-order layout arithmetic: Morton-interleave two scattered
     // dimensions and aggregate per curve segment (z >> 28) — min/max
     // of BOTH source dimensions stay narrow within a segment, which
@@ -745,6 +764,18 @@ object ExtendedQ {
 
     "q144_delta_roundtrip" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the integer fixpoint in closed form: ring nodes hold Scale
+    // (10^12); star leaves hold the base term 0.15*Scale; the center
+    // holds Base + (85 * 100 * Base) DIV 100 = 86 * Base
+    "q146_pagerank_converged" ->
+      """SELECT node, score FROM (
+        |  SELECT i AS node, CAST(1000000000000 AS BIGINT) AS score FROM range(50) t(i)
+        |  UNION ALL
+        |  SELECT CAST(99 AS BIGINT) AS node, CAST(86 * 150000000000 AS BIGINT) AS score
+        |  UNION ALL
+        |  SELECT i AS node, CAST(150000000000 AS BIGINT) AS score FROM range(100, 200) t(i)
+        |) ORDER BY node""".stripMargin
   )
 }
