@@ -125,6 +125,46 @@ object Relational {
           col("o_orderpriority"))
     }),
 
+    // TPC-H Q5 shape (VERDICT r7 next #8) — the join-order stress: 6
+    // tables, with the local-supplier condition c_nationkey =
+    // s_nationkey making it a genuine multi-way join, not a star. The
+    // scale plan: region→nation collapses to a 5-row broadcast dim;
+    // customer and supplier are SEMI-JOIN REDUCED by it before
+    // touching the fact side (only ASIA rows survive — at 100 TB that
+    // reduction is the difference between shuffling 1/5th of customer
+    // and all of it); the one big shuffle is lineitem⋈orders on
+    // orderkey; the reduced customer/supplier sides broadcast. The
+    // equality chain c_nationkey = s_nationkey rides the supplier join
+    // as a residual — never a cross product
+    "q148_local_supplier_revenue" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -326,6 +366,21 @@ object Relational {
       s"""SELECT c_mktsegment, ${sqlDsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q148_local_supplier_revenue" ->
+      s"""SELECT n_name,
+         |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders   ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "q141_shipping_priority" ->
       s"""SELECT l_orderkey,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
