@@ -276,23 +276,10 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < iterations && !converged) {
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "vid"), col("v") === col("vid"))
-        .groupBy(col("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
-      // carry the previous label through the update so the fixpoint
-      // test is a filter on the checkpointed relation, not a second
-      // labels-vs-labels join per round
-      val stepped = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), col("lbl").as("olbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+      val stepped = ccNbrStep(sym, labels).localCheckpoint(true)
       val next =
         if (!pointerJumping) stepped
-        else stepped.alias("x")
-          .join(stepped.select(col("id").as("pid"), col("lbl").as("plbl")).alias("p"),
-            col("x.lbl") === col("p.pid"), "left")
-          .select(col("x.id").as("id"), col("x.olbl").as("olbl"),
-            coalesce(col("p.plbl"), col("x.lbl")).as("lbl"))
-          .localCheckpoint(true)
+        else ccJumpStep(stepped).localCheckpoint(true)
       // fixpoint test — duplicate clusters are near-cliques, so this
       // usually stops after 2-3 rounds instead of burning the budget
       converged = next.filter(col("lbl") =!= col("olbl")).head(1).isEmpty
@@ -309,6 +296,30 @@ object Dedup {
         "raise the budget for long-chain components")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
+
+  /** One un-checkpointed min-label CC round: each vertex adopts the
+    * minimum label in its neighborhood, carrying the previous label as
+    * `olbl` so the loop's fixpoint test is a filter, not a second
+    * join. Extracted so `PlanAuditSpec` can walk the round's physical
+    * plan — the loop checkpoints this relation, which executes at plan
+    * build and would otherwise hide the shape from the audit
+    * (VERDICT r7 wrong #2). */
+  private[graft] def ccNbrStep(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = sym.join(labels.withColumnRenamed("id", "vid"), col("v") === col("vid"))
+      .groupBy(col("u").as("nid")).agg(min(col("lbl")).as("nlbl"))
+    labels.join(nbrMin, col("id") === col("nid"), "left")
+      .select(col("id"), col("lbl").as("olbl"),
+        least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+  }
+
+  /** The un-checkpointed path-halving step (lbl(u) <- lbl(lbl(u))):
+    * one label-keyed self equi-join. */
+  private[graft] def ccJumpStep(stepped: DataFrame): DataFrame =
+    stepped.alias("x")
+      .join(stepped.select(col("id").as("pid"), col("lbl").as("plbl")).alias("p"),
+        col("x.lbl") === col("p.pid"), "left")
+      .select(col("x.id").as("id"), col("x.olbl").as("olbl"),
+        coalesce(col("p.plbl"), col("x.lbl")).as("lbl"))
 
   /** Canonical-document selection per dedup cluster — the "keep the
     * best duplicate" decision that follows clustering in every dedup

@@ -57,19 +57,7 @@ object LinkAnalysis {
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      val contrib = e
-        .join(outdeg, "src")
-        .join(scores.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("score DIV od").as("c"))
-      val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("insum"))
-      // carry the previous score through the update so the fixpoint
-      // test is a filter on the checkpointed relation (dedupClusters
-      // pattern), not a second scores-vs-scores join per round
-      val next = scores.withColumnRenamed("score", "oscore")
-        .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"), col("oscore"),
-          (lit(Base) + expr("(85 * coalesce(insum, 0L)) DIV 100")).as("score"))
-        .localCheckpoint(true)
+      val next = prRound(e, outdeg, scores).localCheckpoint(true)
       tol.foreach { t =>
         converged = next.filter(abs(col("score") - col("oscore")) > t).head(1).isEmpty
       }
@@ -80,5 +68,23 @@ object LinkAnalysis {
       s"pageRankInt did not converge within $iters iterations " +
         s"(tol=${tol.get}); raise the budget")
     scores
+  }
+
+  /** One un-checkpointed PageRank round: edges ⋈ outdeg ⋈ scores on
+    * src, groupBy(dst) sum, damped update — carrying the previous
+    * score as `oscore` so the loop's fixpoint test is a filter.
+    * Extracted so `PlanAuditSpec` can walk the round's physical plan
+    * (the loop checkpoints it, which executes at plan build). */
+  private[graft] def prRound(e: DataFrame, outdeg: DataFrame,
+                             scores: DataFrame): DataFrame = {
+    val contrib = e
+      .join(outdeg, "src")
+      .join(scores.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), expr("score DIV od").as("c"))
+    val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("insum"))
+    scores.withColumnRenamed("score", "oscore")
+      .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), col("oscore"),
+        (lit(Base) + expr("(85 * coalesce(insum, 0L)) DIV 100")).as("score"))
   }
 }
