@@ -107,17 +107,107 @@ object DeltaInterop {
     files.size
   }
 
+  /** Export the table's FULL HISTORY as a Delta log: lake version
+    * 1..N becomes Delta commit 0..N-1, each carrying add actions for
+    * the data files its manifest newly lists and remove actions for
+    * files it stops listing (an overwrite/merge in lake terms), plus a
+    * fresh metaData action whenever the declared schema evolved. Data
+    * files are HARD-LINKED, not rewritten — they are immutable on both
+    * sides, so history export is metadata-speed no matter the table
+    * size. A Delta reader's time travel to commit v then returns
+    * exactly `table.snapshot(v+1)`: files written before a schema
+    * evolution lack the evolved columns, and Delta fills them as null
+    * from the log schema — the identical rule [[LakeTable.snapshot]]
+    * applies. Returns the number of Delta commits written. */
+  def exportHistory(table: LakeTable, destRoot: Path): Int = {
+    val versions = table.versions
+    Files.createDirectories(destRoot.resolve("_delta_log"))
+    val m = mapper
+    val tableId = UUID.randomUUID().toString // stable across this export's commits
+    var prevDirs = Set.empty[String]
+    var prevSchemaJson: Option[String] = None
+    versions.zipWithIndex.foreach { case (v, commitIdx) =>
+      val (dirs, schema) = table.versionState(v)
+      val actions = Seq.newBuilder[String]
+      if (commitIdx == 0) {
+        val protocol = m.createObjectNode()
+        protocol.putObject("protocol")
+          .put("minReaderVersion", 1).put("minWriterVersion", 2)
+        actions += m.writeValueAsString(protocol)
+      }
+      val schemaJson = schema.map(_.json)
+      if (schemaJson != prevSchemaJson) {
+        schemaJson.foreach { sj =>
+          val meta = m.createObjectNode()
+          val md = meta.putObject("metaData")
+          md.put("id", tableId)
+          md.putObject("format").put("provider", "parquet").putObject("options")
+          md.put("schemaString", sj)
+          md.putArray("partitionColumns")
+          md.putObject("configuration")
+          actions += m.writeValueAsString(meta)
+          prevSchemaJson = schemaJson
+        }
+      }
+      def partFiles(dir: String): Seq[Path] = {
+        val p = table.root.resolve(dir)
+        Using.resource(Files.list(p)) { s =>
+          s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+        }
+      }
+      def encPath(rel: String): String =
+        rel.split('/').map(URLEncoder.encode(_, UTF_8.name())).mkString("/")
+      dirs.filterNot(prevDirs).foreach { dir =>
+        partFiles(dir).foreach { f =>
+          val rel = s"$dir/${f.getFileName}"
+          val destFile = destRoot.resolve(rel)
+          Files.createDirectories(destFile.getParent)
+          if (!Files.exists(destFile)) {
+            // hard link when dest shares the filesystem, copy otherwise
+            try Files.createLink(destFile, f)
+            catch { case _: java.nio.file.FileSystemException =>
+              Files.copy(f, destFile) }
+          }
+          val a = m.createObjectNode()
+          val add = a.putObject("add")
+          add.put("path", encPath(rel))
+          add.putObject("partitionValues")
+          add.put("size", Files.size(f))
+          add.put("modificationTime", Files.getLastModifiedTime(f).toMillis)
+          add.put("dataChange", true)
+          actions += m.writeValueAsString(a)
+        }
+      }
+      prevDirs.diff(dirs.toSet).foreach { dir =>
+        partFiles(dir).foreach { f =>
+          val a = m.createObjectNode()
+          val rm = a.putObject("remove")
+          rm.put("path", encPath(s"$dir/${f.getFileName}"))
+          rm.put("deletionTimestamp", 0L)
+          rm.put("dataChange", true)
+          actions += m.writeValueAsString(a)
+        }
+      }
+      Files.write(logPath(destRoot, commitIdx.toLong), actions.result().asJava)
+      prevDirs = dirs.toSet
+    }
+    versions.size
+  }
+
   /** The state a log replay arrives at: live file paths (relative,
     * decoded) in first-add order and the last metaData's schema. */
   private[lake] case class DeltaState(liveFiles: Seq[String], schema: Option[StructType])
 
-  private[lake] def replayLog(root: Path): DeltaState = {
+  private[lake] def replayLog(root: Path, upTo: Long = Long.MaxValue): DeltaState = {
     val logDir = root.resolve("_delta_log")
     require(Files.isDirectory(logDir), s"not a Delta table: $root")
     val versionFiles = Using.resource(Files.list(logDir)) { s =>
       s.iterator().asScala
         .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
+        .filter(_.getFileName.toString.stripSuffix(".json").toLong <= upTo)
     }
     require(versionFiles.nonEmpty, s"empty Delta log at $root")
     val m = mapper
@@ -140,9 +230,11 @@ object DeltaInterop {
   }
 
   /** Open a Delta-format table (ours or foreign) as a DataFrame: replay
-    * the JSON log, read the live files with the log's schema. */
-  def readDelta(spark: SparkSession, root: Path): DataFrame = {
-    val st = replayLog(root)
+    * the JSON log, read the live files with the log's schema. Pass
+    * `version` to time-travel: the replay stops at that commit. */
+  def readDelta(spark: SparkSession, root: Path,
+                version: Long = Long.MaxValue): DataFrame = {
+    val st = replayLog(root, version)
     val schema = st.schema.getOrElse(
       throw new IllegalArgumentException(s"Delta log at $root carries no metaData"))
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))

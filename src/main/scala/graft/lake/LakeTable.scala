@@ -543,6 +543,12 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** The complete data-directory listing of `version` (relative paths)
+    * and its declared schema — the inputs a wire-format exporter needs
+    * to replay history ([[DeltaInterop.exportHistory]]). */
+  private[lake] def versionState(v: Long): (Seq[String], Option[StructType]) =
+    (readManifest(v).dirs, declaredSchema(v))
+
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion else version
     require(Files.exists(manifestPath(v)), s"no version $v at $root")

@@ -82,6 +82,33 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(raw.columns.sorted.toSeq === Seq("id", "s", "score").sorted.toSeq)
   }
 
+  test("exportHistory: every lake version time-travels identically through the Delta log") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 100)) // v1
+    t.append(events.filter(col("event_id").between(100, 199))) // v2
+    t.overwrite(events.filter(col("event_id") < 50)) // v3: emits removes
+    t.append(Seq((999999L, "evolved", 1.0, 42L))
+      .toDF("event_id", "event_type", "value", "extra")) // v4: schema +extra
+    val dest = Files.createTempDirectory("graft-dhist").resolve("t")
+    val nCommits = DeltaInterop.exportHistory(t, dest)
+    assert(nCommits === 4)
+    // Delta commit v replays to exactly lake snapshot(v+1) — including
+    // across the overwrite's removes and the schema evolution
+    (1L to 4L).foreach { v =>
+      val lake = t.snapshot(v)
+      val delta = DeltaInterop.readDelta(spark, dest, v - 1)
+      assert(delta.columns.toSeq === lake.columns.toSeq, s"version $v schema")
+      assert(delta.exceptAll(lake).count() === 0, s"version $v extra rows")
+      assert(lake.exceptAll(delta).count() === 0, s"version $v missing rows")
+    }
+    // pre-evolution commit reads with the narrow schema
+    assert(DeltaInterop.readDelta(spark, dest, 2L).columns.toSeq ===
+      Seq("event_id", "event_type", "value"))
+    // the latest replay surfaces the evolved column, null on old rows
+    val latest = DeltaInterop.readDelta(spark, dest)
+    assert(latest.filter(col("extra").isNull).count() === 50)
+  }
+
   test("foreign minimal Delta log with add+remove replays to the live set") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-foreign").resolve("t")
