@@ -214,6 +214,38 @@ object ParityQ {
         .orderBy(desc("doc_id"), desc("page_no")).limit(1)
         .select(col("doc_id"), col("page_no"))),
 
+    // temporal asset fingerprint (the audio/video leg of multimodal
+    // dedup): 40 staged binary assets + 20 planted twins whose last
+    // 200 bytes were rewritten — a tail edit flips only the trailing
+    // energy-comparison bits, so each twin pairs with its original
+    // through the prefix-bucketed hamming join while unrelated assets
+    // (random ~50% bit agreement, and almost never equal frame
+    // counts) stay apart. The oracle replays frame slicing, exact
+    // byte-sum energies, and the bit string from the staged text —
+    // proving the binary substring/HOF path computes exactly the
+    // declared arithmetic
+    "q150_asset_fingerprint" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-assets")
+      Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          val text = r.getString(1)
+          require(text.forall(_ < 0x80),
+            s"q150 oracle requires ASCII text; doc ${r.getLong(0)} is not")
+          Files.write(dir.resolve(f"asset_${r.getLong(0)}%05d.bin"),
+            text.getBytes("UTF-8"))
+          if (r.getLong(0) < 20 && text.length > 400)
+            Files.write(dir.resolve(f"asset_${r.getLong(0) + 1000}%05d.bin"),
+              (text.dropRight(200) + "x" * 200).getBytes("UTF-8"))
+        }
+      val assets = s.read.format("binaryFile").load(dir.toString)
+        .select(regexp_extract(col("path"), "asset_(\\d+)\\.bin", 1)
+          .cast("long").as("asset_id"), col("content"))
+      val fps = graft.operators.AssetFingerprint.temporalFingerprint(assets)
+      graft.operators.AssetFingerprint.nearDupPairs(fps, maxHamming = 8)
+        .orderBy("asset_a", "asset_b")
+    }),
+
     // perceptual image dedup (VERDICT r7 next #2): 100 real PNGs — 40
     // base patterns, 40 twins perturbed only BETWEEN dHash sample
     // points (hash-identical), 20 twins perturbed at exactly two
@@ -377,6 +409,53 @@ object ParityQ {
          |SELECT doc_id, page_no FROM pages
          |WHERE contains(lower(page_text), 'merge')
          |ORDER BY doc_id DESC, page_no DESC LIMIT 1""".stripMargin,
+
+    // frame slicing, exact byte-sum energies, comparison bits, and the
+    // brute-force pair join replayed from the staged text (unicode() =
+    // byte value under the pinned ASCII invariant)
+    "q150_asset_fingerprint" ->
+      """WITH assets AS (
+        |  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS asset_id,
+        |         substring(text, 1, strlen(text) - 200) || repeat('x', 200) AS text
+        |  FROM documents WHERE doc_id < 20 AND strlen(text) > 400
+        |),
+        |fr AS (
+        |  SELECT asset_id, CAST(strlen(text) // 64 AS INT) AS n_frames, text
+        |  FROM assets WHERE strlen(text) // 64 >= 2
+        |),
+        |frames AS (
+        |  SELECT asset_id, n_frames, i, substring(text, i * 64 + 1, 64) AS f
+        |  FROM (SELECT asset_id, n_frames, text,
+        |               unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1)) AS i
+        |        FROM fr)
+        |),
+        |chars AS (
+        |  SELECT asset_id, n_frames, i, f, unnest(generate_series(1, strlen(f))) AS j
+        |  FROM frames
+        |),
+        |en AS (
+        |  SELECT asset_id, n_frames, i, SUM(unicode(substring(f, j, 1))) AS e
+        |  FROM chars GROUP BY asset_id, n_frames, i
+        |),
+        |bits AS (
+        |  SELECT a.asset_id, a.n_frames, a.i,
+        |         CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+        |  FROM en a JOIN en b ON b.asset_id = a.asset_id AND b.i = a.i + 1
+        |),
+        |fp AS (
+        |  SELECT asset_id, MAX(n_frames) AS n_frames,
+        |         string_agg(bit, '' ORDER BY i) AS fp
+        |  FROM bits GROUP BY asset_id
+        |)
+        |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |       hamming(a.fp, b.fp) AS hamming, CAST(a.n_frames AS INT) AS n_frames
+        |FROM fp a JOIN fp b
+        |  ON a.asset_id < b.asset_id AND a.n_frames = b.n_frames
+        | AND substring(a.fp, 1, 8) = substring(b.fp, 1, 8)
+        | AND hamming(a.fp, b.fp) <= 8
+        |ORDER BY asset_a, asset_b""".stripMargin,
 
     // brute-force all-pairs from the closed-form pixel formula —
     // deliberately NOT mirroring the block join (same discipline as the

@@ -137,6 +137,27 @@ object StreamingQ {
       }.distinct().orderBy("doc_id")
     }),
 
+    // INCREMENTAL sketch maintenance (the streaming face of q147's
+    // mergeability): each micro-batch commits its own fixed-splitter
+    // quantile sketch to the lake — kilobytes per batch however large
+    // the batch — and the read side merges the accumulated fragments
+    // by per-bucket addition. Because the merge is exactly lossless,
+    // the streamed-and-merged quantiles equal a global batch compute,
+    // which is what the oracle replays (two drained copies of events)
+    "q149_stream_quantile" -> ((s, d) => {
+      val width = 2000L // $20.00 splitters, in cents
+      val sketches = MicroBatch.appendRunPerBatch(s, d, copies = 2,
+        maxFilesPerTrigger = Some(1)) { ev =>
+        graft.operators.Quantiles.sketch(
+          ev.select(col("event_type"), col("value")),
+          Seq("event_type"), "value", width)
+      }
+      graft.operators.Quantiles.quantileEdges(
+        graft.operators.Quantiles.mergeAll(sketches, Nil),
+        Seq("event_type"), Seq(50, 95), width)
+        .orderBy("event_type")
+    }),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -208,6 +229,33 @@ object StreamingQ {
         |       CAST(len(string_split(regexp_replace(no_email, '0[0-9]{9}', '<PHONE>', 'g'), ' '))
         |         AS BIGINT) AS ws_tokens
         |FROM redacted ORDER BY doc_id""".stripMargin,
+
+    // the global compute over the doubled drain — equal to the
+    // streamed per-batch sketches merged, because merging is lossless
+    "q149_stream_quantile" ->
+      """WITH ev2 AS (
+        |  SELECT event_type, value FROM events
+        |  UNION ALL
+        |  SELECT event_type, value FROM events
+        |),
+        |cents AS (
+        |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM ev2
+        |),
+        |sk AS (
+        |  SELECT event_type, c // 2000 AS bucket, COUNT(*) AS cnt
+        |  FROM cents GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT event_type, bucket, cnt,
+        |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM sk
+        |)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST((MIN(CASE WHEN cum >= (n*50+99)//100 THEN bucket END)+1) * 2000 AS DOUBLE)/100 AS q50_est,
+        |       CAST((MIN(CASE WHEN cum >= (n*95+99)//100 THEN bucket END)+1) * 2000 AS DOUBLE)/100 AS q95_est
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (
