@@ -470,6 +470,23 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       .unionByName(only1.exceptAll(only2).withColumn("change", lit("removed")))
   }
 
+  /** Change feed — the CDC read across a version RANGE: every row
+    * change in (vFrom, vTo], tagged with the version that introduced
+    * it (`version`, `change` ∈ added/removed). A union of per-step
+    * [[diff]]s, so it inherits diff's incrementality: immutable shared
+    * dirs cancel unread, an append step costs one directory scan, and
+    * only rewrite commits (overwrite/merge) pay a compare — the shape
+    * that lets a downstream consumer tail a 100 TB table by reading
+    * just what each commit touched (Delta's CDF without the extra
+    * `_change_data` files: our commits are coarse enough to re-derive
+    * changes from the data itself). */
+  def changeFeed(vFrom: Long, vTo: Long): DataFrame = {
+    require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
+    (vFrom until vTo)
+      .map(v => diff(v, v + 1).withColumn("version", lit(v + 1)))
+      .reduce(_ unionByName _)
+  }
+
   /** Snapshot read — current table, or time travel to `version`.
     * Reading an old version after later commits returns exactly the
     * old rows: data directories are immutable and never rewritten.

@@ -388,6 +388,25 @@ object ExtendedQ {
         .orderBy("node")
     }),
 
+    // lake — CHANGE FEED across a version range: the CDC read a
+    // downstream consumer tails instead of rescanning snapshots. One
+    // append (reads only the appended dir) + one delete-only merge
+    // (full-rewrite compare), each change tagged with its introducing
+    // version; the oracle states the closed-form change set
+    "q151_change_feed" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        base.filter(col("event_id") % 4 =!= 0), "graft-cdc")
+      t.append(base.filter(col("event_id") % 4 === 0)) // v2: adds
+      val deletes = base.filter(col("event_id") % 10 === 7).select(col("event_id"))
+      t.merge(base.limit(0), Seq("event_id"), Some(deletes)) // v3: removes
+      t.changeFeed(1L, 3L)
+        .groupBy(col("version"), col("change"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("version", "change", "event_type")
+    }),
+
     // PageRank TO CONVERGENCE (VERDICT r7 next #5) on a closed-form
     // ring+star graph: tol = Some(0) is a true integer fixpoint (exact
     // BIGINT deltas, no epsilon), the budget fail-loud. Ring nodes are
@@ -765,6 +784,20 @@ object ExtendedQ {
     "q144_delta_roundtrip" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the closed-form change set: v2 adds the %4==0 rows; v3's
+    // delete-only merge removes the %10==7 rows (the lake state at v2
+    // is ALL events, so the removed set is exactly that filter)
+    "q151_change_feed" ->
+      s"""SELECT version, change, event_type, n, total FROM (
+         |  SELECT CAST(2 AS BIGINT) AS version, 'added' AS change, event_type,
+         |         COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |  FROM events WHERE event_id % 4 = 0 GROUP BY event_type
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT) AS version, 'removed' AS change, event_type,
+         |         COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |  FROM events WHERE event_id % 10 = 7 GROUP BY event_type
+         |) ORDER BY version, change, event_type""".stripMargin,
 
     // the integer fixpoint in closed form: ring nodes hold Scale
     // (10^12); star leaves hold the base term 0.15*Scale; the center

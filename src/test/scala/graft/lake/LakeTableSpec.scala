@@ -403,6 +403,20 @@ class LakeTableSpec extends AnyFunSuite {
     assert(keptId.isEmpty)
   }
 
+  test("changeFeed tags each change with its introducing version") {
+    val base = events.filter(col("event_id") < 100)
+    val t = LakeTable.createTemp(spark, base)
+    t.append(events.filter(col("event_id").between(100, 149))) // v2
+    val dels = base.filter(col("event_id") % 10 === 1).select(col("event_id"))
+    t.merge(events.limit(0), Seq("event_id"), Some(dels)) // v3
+    val feed = t.changeFeed(1L, 3L)
+      .groupBy("version", "change").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(feed === Map((2L, "added") -> 50L, (3L, "removed") -> dels.count()))
+    // a single-step feed equals diff with the version column
+    assert(t.changeFeed(2L, 3L).drop("version").exceptAll(t.diff(2L, 3L)).count() === 0)
+  }
+
   test("diff backward across a schema evolution when one side's dirs are empty") {
     import spark.implicits._
     val v1df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
