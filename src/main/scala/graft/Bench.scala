@@ -38,7 +38,8 @@ object Bench {
     "q126_canonical_docs", "q128_training_pipeline",
     "q129_bloom_prefilter", "q130_passage_dedup", "q134_hard_negatives",
     "q144_delta_roundtrip", "q145_image_neardup", "q147_quantile_sketch",
-    "q148_local_supplier_revenue")
+    "q148_local_supplier_revenue", "q149_stream_quantile",
+    "q150_asset_fingerprint", "q151_change_feed")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Median-of-N repetitions (VERDICT r3 #6): at 104 queries, single

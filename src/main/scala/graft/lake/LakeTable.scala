@@ -484,7 +484,9 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
     (vFrom until vTo)
       .map(v => diff(v, v + 1).withColumn("version", lit(v + 1)))
-      .reduce(_ unionByName _)
+      // steps that straddle a schema evolution differ in width; the
+      // union null-fills pre-evolution steps, same as snapshot reads
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Snapshot read — current table, or time travel to `version`.

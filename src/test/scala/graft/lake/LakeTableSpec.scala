@@ -417,6 +417,20 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.changeFeed(2L, 3L).drop("version").exceptAll(t.diff(2L, 3L)).count() === 0)
   }
 
+  test("changeFeed straddling a schema evolution null-fills the narrow steps") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "a")).toDF("id", "s"))
+    t.append(Seq((2L, "b")).toDF("id", "s")) // v2: narrow add
+    t.append(Seq((3L, "c", 7.5)).toDF("id", "s", "score")) // v3: widened add
+    val feed = t.changeFeed(1L, 3L)
+    assert(feed.columns.toSet === Set("id", "s", "change", "score", "version"))
+    val rows = feed.orderBy("version").collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq === Seq(2L, 3L))
+    assert(rows.forall(_.getString(2) === "added"))
+    assert(rows.head.isNullAt(rows.head.fieldIndex("score"))) // narrow step null-fills
+    assert(rows.last.getDouble(rows.last.fieldIndex("score")) === 7.5)
+  }
+
   test("diff backward across a schema evolution when one side's dirs are empty") {
     import spark.implicits._
     val v1df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
