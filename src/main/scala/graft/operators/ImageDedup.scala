@@ -66,4 +66,50 @@ object ImageDedup {
   def imageNearDups(images: DataFrame, maxHamming: Int = 4,
                     idCol: String = "img_id", bytesCol: String = "content"): DataFrame =
     nearDupPairs(dHashes(images, idCol, bytesCol), maxHamming)
+
+  /** The block join over DISTINCT fingerprints: (dh_a, dh_b, hamming)
+    * with dh_a < dh_b. This is the scale lever the round-8 probe
+    * measured (PERF.md): per-bucket occupancy — and with it the
+    * quadratic candidate term — tracks DISTINCT hashes, not images,
+    * and exact re-uploads (identical bytes → identical fingerprint)
+    * are the dominant duplicate mode in a web image corpus. */
+  def hashNearDupPairs(hashed: DataFrame, maxHamming: Int = 4,
+                       bits: Int = 64): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits, s"need at least 1 bit per block ($nBlocks blocks, $bits bits)")
+    val blockCols = (0 until nBlocks).map { i =>
+      val start = i * bits / nBlocks
+      val len = (i + 1) * bits / nBlocks - start
+      substring(col("dhash"), start + 1, len)
+    }
+    val blocks = hashed.select(col("dhash")).distinct()
+      .select(col("dhash"), posexplode(array(blockCols: _*)))
+      .select(col("dhash"), col("pos").as("blk"), col("col").as("blk_bits"))
+    blocks.alias("a")
+      .join(blocks.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_bits") === col("b.blk_bits") &&
+          col("a.dhash") < col("b.dhash"))
+      .select(col("a.dhash").as("dh_a"), col("b.dhash").as("dh_b"))
+      .distinct()
+      .filter(expr(s"hamming_distance(dh_a, dh_b) <= $maxHamming"))
+      .select(col("dh_a"), col("dh_b"),
+        expr("hamming_distance(dh_a, dh_b)").as("hamming"))
+  }
+
+  /** Image dedup CLUSTERS at scale: connected components over distinct
+    * fingerprints (labels are the component-min fingerprint), mapped
+    * back to images by one hash-keyed join. Exact-duplicate images
+    * collapse onto one hash vertex before the quadratic candidate
+    * stage ever sees them; images whose hash pairs with nothing keep
+    * their own hash as a singleton cluster. Emits (img_id, cluster). */
+  def imageClusters(images: DataFrame, maxHamming: Int = 4, iterations: Int = 8,
+                    idCol: String = "img_id", bytesCol: String = "content"): DataFrame = {
+    val h = dHashes(images, idCol, bytesCol)
+    val pairs = hashNearDupPairs(h, maxHamming)
+    val hashClusters = Dedup.dedupClusters(
+      pairs.select(col("dh_a").as("doc_a"), col("dh_b").as("doc_b")), iterations)
+      .withColumnRenamed("doc_id", "dhash")
+    h.join(hashClusters, Seq("dhash"), "left")
+      .select(col("img_id"), coalesce(col("cluster"), col("dhash")).as("cluster"))
+  }
 }

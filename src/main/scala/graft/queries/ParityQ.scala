@@ -214,6 +214,26 @@ object ParityQ {
         .orderBy(desc("doc_id"), desc("page_no")).limit(1)
         .select(col("doc_id"), col("page_no"))),
 
+    // image dedup CLUSTERS at scale: CC over DISTINCT fingerprints
+    // (exact re-uploads collapse onto one hash vertex before the
+    // quadratic candidate stage — the round-8 probe's production
+    // lever), labels = component-min fingerprint, mapped back to
+    // images by one hash join. Same staged fixture as q145; the
+    // oracle computes the transitive closure over distinct hashes
+    // with a recursive CTE — proving the checkpointed min-label
+    // propagation lands on exactly the true components
+    "q152_image_clusters" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-phash-cc")
+      (0 until 100).foreach { id =>
+        Files.write(dir.resolve(f"img_$id%05d.png"), phashFixturePng(id))
+      }
+      val images = s.read.format("binaryFile").load(dir.toString)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+          .cast("long").as("img_id"), col("content"))
+      graft.operators.ImageDedup.imageClusters(images, maxHamming = 4)
+        .orderBy("img_id")
+    }),
+
     // temporal asset fingerprint (the audio/video leg of multimodal
     // dedup): 40 staged binary assets + 20 planted twins whose last
     // 200 bytes were rewritten — a tail edit flips only the trailing
@@ -456,6 +476,44 @@ object ParityQ {
         | AND substring(a.fp, 1, 8) = substring(b.fp, 1, 8)
         | AND hamming(a.fp, b.fp) <= 8
         |ORDER BY asset_a, asset_b""".stripMargin,
+
+    // true components by recursive transitive closure over distinct
+    // hashes — deliberately NOT mirroring the iterative min-label
+    // propagation (the oracle is the semantic spec)
+    "q152_image_clusters" ->
+      """WITH RECURSIVE grid AS (
+        |  SELECT i.img_id, a.gx, b.gy,
+        |         CASE WHEN i.img_id >= 80
+        |                   AND ((a.gx = 3 AND b.gy = 2) OR (a.gx = 5 AND b.gy = 6))
+        |              THEN ((i.img_id % 40) * 131 + (2*a.gx) * 7 + (2*b.gy) * 13 + 100) % 251
+        |              ELSE ((i.img_id % 40) * 131 + (2*a.gx) * 7 + (2*b.gy) * 13) % 251
+        |         END AS v
+        |  FROM range(100) i(img_id), range(9) a(gx), range(8) b(gy)
+        |),
+        |bits AS (
+        |  SELECT g1.img_id, g1.gy, g1.gx,
+        |         CASE WHEN g2.v > g1.v THEN '1' ELSE '0' END AS bit
+        |  FROM grid g1
+        |  JOIN grid g2 ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
+        |  WHERE g1.gx < 8
+        |),
+        |hashes AS (
+        |  SELECT img_id, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+        |  FROM bits GROUP BY img_id
+        |),
+        |dh AS (SELECT DISTINCT dhash FROM hashes),
+        |e AS (
+        |  SELECT a.dhash AS u, b.dhash AS v FROM dh a JOIN dh b
+        |  ON a.dhash <> b.dhash AND hamming(a.dhash, b.dhash) <= 4
+        |),
+        |reach(u, v) AS (
+        |  SELECT dhash, dhash FROM dh
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        |),
+        |cl AS (SELECT u AS dhash, MIN(v) AS cluster FROM reach GROUP BY u)
+        |SELECT h.img_id, c.cluster FROM hashes h JOIN cl c ON h.dhash = c.dhash
+        |ORDER BY img_id""".stripMargin,
 
     // brute-force all-pairs from the closed-form pixel formula —
     // deliberately NOT mirroring the block join (same discipline as the

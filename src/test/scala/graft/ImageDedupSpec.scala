@@ -70,6 +70,35 @@ class ImageDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("imageClusters: exact-dup images collapse onto hash vertices; planted components form") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (i.toLong, ParityQ.phashFixturePng(i)))
+    val clusters = ImageDedup.imageClusters(rows.toDF("img_id", "content"), maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clusters.size === 100)
+    // variant-1 twins share the base's hash, so always the base's cluster
+    (0 until 40).foreach(b => assert(clusters(b) === clusters(b + 40), s"base $b twin"))
+    // variant-2 edits sit within 4 bits of the base, so CC joins them
+    (0 until 20).foreach(b => assert(clusters(b) === clusters(b + 80), s"base $b edit"))
+    // the label is the component-min fingerprint: a member's own hash
+    val hashes = ImageDedup.dHashes(rows.toDF("img_id", "content"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    clusters.foreach { case (_, lbl) =>
+      assert(hashes.values.exists(_ === lbl), "cluster label must be a member hash")
+    }
+  }
+
+  test("hashNearDupPairs equals nearDupPairs collapsed to hash granularity") {
+    import spark.implicits._
+    val hs = (0 until 100).map(i => (i.toLong, fixtureHash(i))).toDF("img_id", "dhash")
+    val byHash = ImageDedup.hashNearDupPairs(hs, maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val fromPairs = ImageDedup.nearDupPairs(hs, maxHamming = 4)
+      .collect().map { r => (fixtureHash(r.getLong(0).toInt), fixtureHash(r.getLong(1).toInt)) }
+      .collect { case (a, b) if a != b => if (a < b) (a, b) else (b, a) }.toSet
+    assert(byHash === fromPairs)
+  }
+
   test("end-to-end imageNearDups over binary rows matches the staged pipeline") {
     import spark.implicits._
     val rows = (0 until 60).map(i => (i.toLong, ParityQ.phashFixturePng(i)))

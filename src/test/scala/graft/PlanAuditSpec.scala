@@ -36,7 +36,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q103_dedup_clusters", "q110_chain_clusters",
     "q120_ivf_kmeans", "q123_neardup_kmeans",
     "q126_canonical_docs", "q128_training_pipeline",
-    "q146_pagerank_converged")
+    "q146_pagerank_converged", "q152_image_clusters")
 
   /** Justified BroadcastNestedLoopJoins — both are bounded-build-side
     * scans, linear in the big side:
