@@ -77,6 +77,29 @@ object Corpus {
       .drop("rn")
   }
 
+  /** TOKEN-budget quota per source — [[quotaCap]] measured in the unit
+    * a training mixture is actually specified in ("20B tokens of web,
+    * 5B of code"), since document lengths vary by orders of magnitude
+    * and a row quota over- or under-shoots the token target. Greedy
+    * prefix in deterministic md5-of-id order: a doc survives iff the
+    * running token total through it stays within `budget`, so the kept
+    * set is stable across runs and partitionings and the budget is a
+    * hard cap. Emits the input plus (n_toks, cum_toks).
+    *
+    * Scale shape: one window per source (sources parallelize; within a
+    * source the running sum is the sequential scan it must be — at web
+    * scale, pre-filter each source to ~budget/avg_toks × slack rows
+    * with [[hashSample]] before the exact pass so the window input is
+    * bounded). */
+  def tokenQuotaCap(docs: DataFrame, sourceCol: String, budget: Long,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("n_toks", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+  }
+
   /** Deterministic uniform-ish sample: n rows per group in md5-of-id
     * order. The hash order is content-independent and stable across
     * runs/partitionings — the reproducible substitute for

@@ -28,6 +28,15 @@ object CorpusQ {
           max(col("event_id")).as("last_kept"))
         .orderBy("event_type")),
 
+    // TOKEN-budget mixture quota: the unit a training mix is specified
+    // in — greedy md5-ordered prefix per source under a hard 2000-token
+    // cap (row quotas over/undershoot when doc lengths vary)
+    "q153_token_quota" -> ((s, d) =>
+      Corpus.tokenQuotaCap(Tables.documents(s, d), "source", 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+        .orderBy("source")),
+
     // Concat-then-chunk shard packing at a 2048-token budget; the
     // global prefix sum runs as a distributed two-level scan
     "q85_shard_pack" -> ((s, d) =>
@@ -110,6 +119,22 @@ object CorpusQ {
          |  FROM events
          |) WHERE rn <= 50
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q153_token_quota" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT source, n_toks,
+        |         SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+        |  FROM t
+        |)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |FROM c WHERE cum <= 2000
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q85_shard_pack" ->
       """WITH sized AS (

@@ -138,6 +138,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(bloomed === exact)
   }
 
+  test("tokenQuotaCap: hard token budget, deterministic under repartitioning") {
+    val docs = Tables.documents(TestSpark.spark, "/root/testdata/sf0.001")
+    val capped = Corpus.tokenQuotaCap(docs, "source", 1500L)
+    val maxCum = capped.groupBy(col("source"))
+      .agg(max(col("cum_toks")).as("m")).collect()
+    assert(maxCum.nonEmpty && maxCum.forall(_.getLong(1) <= 1500L))
+    val kept = capped.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val keptShuffled = Corpus.tokenQuotaCap(docs.repartition(7), "source", 1500L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === keptShuffled && kept.nonEmpty)
+  }
+
   test("bloom membership test runs as broadcast semi-joins, no corpus shuffle") {
     val docs = Tables.documents(TestSpark.spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
