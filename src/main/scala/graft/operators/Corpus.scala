@@ -100,6 +100,24 @@ object Corpus {
       .filter(col("cum_toks") <= budget)
   }
 
+  /** Epoch upsampling — mixture weights realized as replication: each
+    * source's documents appear `epochs(source)` times (default 1),
+    * tagged with a 1-based `epoch` index so downstream shuffling/
+    * packing can distinguish repeats. This is how per-source mixture
+    * weights ("2 epochs of wiki, 1 of web") become a physical corpus;
+    * a shuffle-free per-row explode, deterministic by construction —
+    * no sampling, so the realized token ratio is exact. */
+  def upsampleEpochs(docs: DataFrame, epochs: Map[String, Int],
+                     sourceCol: String = "source"): DataFrame = {
+    require(epochs.values.forall(_ >= 1), "epoch counts must be >= 1")
+    val weights = typedLit(epochs)
+    docs
+      .withColumn("n_epochs", coalesce(element_at(weights, col(sourceCol)), lit(1)))
+      .select(docs.columns.map(col) :+ posexplode(expr("sequence(1, n_epochs)")): _*)
+      .withColumnRenamed("col", "epoch")
+      .drop("pos")
+  }
+
   /** Deterministic uniform-ish sample: n rows per group in md5-of-id
     * order. The hash order is content-independent and stable across
     * runs/partitionings — the reproducible substitute for

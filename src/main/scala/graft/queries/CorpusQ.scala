@@ -28,6 +28,19 @@ object CorpusQ {
           max(col("event_id")).as("last_kept"))
         .orderBy("event_type")),
 
+    // epoch upsampling: mixture weights realized as exact replication
+    // (2 epochs of src0, 3 of src1, 1 elsewhere) — the deterministic
+    // alternative to weighted sampling, so the token ratio is exact
+    "q154_epoch_upsample" -> ((s, d) =>
+      Corpus.upsampleEpochs(Tables.documents(s, d),
+        Map("src0" -> 2, "src1" -> 3))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          sum(col("epoch").cast("long")).as("epoch_checksum"))
+        .orderBy("source")),
+
     // TOKEN-budget mixture quota: the unit a training mix is specified
     // in — greedy md5-ordered prefix per source under a hard 2000-token
     // cap (row quotas over/undershoot when doc lengths vary)
@@ -119,6 +132,22 @@ object CorpusQ {
          |  FROM events
          |) WHERE rn <= 50
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q154_epoch_upsample" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, text,
+        |         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3 ELSE 1 END AS n_epochs
+        |  FROM documents
+        |),
+        |rep AS (
+        |  SELECT source, doc_id, text, unnest(generate_series(1, n_epochs)) AS epoch
+        |  FROM w
+        |)
+        |SELECT source, COUNT(*) AS n_rows,
+        |       COUNT(DISTINCT doc_id) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(epoch) AS BIGINT) AS epoch_checksum
+        |FROM rep GROUP BY source ORDER BY source""".stripMargin,
 
     "q153_token_quota" ->
       """WITH t AS (
