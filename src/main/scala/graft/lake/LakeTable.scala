@@ -359,6 +359,50 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Idempotent streaming MERGE — the CDC-apply sink (the Delta
+    * streaming `MERGE INTO` shape): per micro-batch, rows in `deletes`
+    * vanish and rows in `upserts` replace same-key rows or insert,
+    * committed with the same (appId, batchId) replay contract as
+    * [[commitBatch]]. A replayed batch is a NO-OP even after later
+    * commits changed the keys it touched — the txn log, not content
+    * idempotence, is what guarantees exactly-once.
+    *
+    * Unlike [[commitBatch]], a retry after a lost race RECOMPUTES the
+    * applied frame against the new head: a merge's output depends on
+    * the base snapshot, so reusing the previously written directory
+    * would resurrect rows the winning commit changed. The loser's
+    * orphaned data directory is unreferenced garbage, exactly what an
+    * interrupted vacuum leaves — harmless, collected by any later
+    * cleanup. */
+  def mergeBatch(upserts: DataFrame, keyCols: Seq[String],
+                 appId: String, batchId: Long,
+                 deletes: Option[DataFrame] = None,
+                 maxRetries: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val (committed, head) = txnScan(appId, batchId)
+      if (committed) return head
+      try {
+        val base = snapshot(head)
+        val upKeys = upserts.select(keyCols.map(col): _*)
+        val changed = deletes
+          .map(d => upKeys.unionByName(d.select(keyCols.map(col): _*)))
+          .getOrElse(upKeys)
+        val applied = base.join(changed.distinct(), keyCols, "left_anti")
+          .unionByName(upserts.select(base.columns.map(col): _*))
+        val v = head + 1
+        val dir = writeData(applied, v)
+        return commitManifest(v, "streaming-merge", Seq(dir),
+          Some((appId, batchId)), Some(applied.schema.json))
+      } catch {
+        case _: ConcurrentCommitException | _: java.nio.file.NoSuchFileException =>
+          attempt += 1 // rescan; the winner may be this batch's replayed twin
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"mergeBatch lost $maxRetries races for ($appId, $batchId) at $root")
+  }
+
   /** GC — Delta's VACUUM reduced to version-count retention: drop
     * every manifest older than the newest `retainVersions`, then
     * delete every data directory no retained manifest references.

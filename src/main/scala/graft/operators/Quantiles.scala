@@ -46,6 +46,9 @@ object Quantiles {
     require(widthCents > 0, "bucket width must be positive")
     df.select(groupCols.map(col) :+
         (col(valueCol).cast(DecimalType(18, 2)) * 100).cast("long").as("cents"): _*)
+      // nulls carry no rank — and engines disagree on null ordering in
+      // windows, so a null bucket would poison cross-engine equality
+      .filter(col("cents").isNotNull)
       .select(groupCols.map(col) :+ expr(s"cents DIV $widthCents").as("bucket"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Tables
 import graft.streaming.MicroBatch
 import Qx._
 
@@ -137,6 +138,57 @@ object StreamingQ {
       }.distinct().orderBy("doc_id")
     }),
 
+    // STREAM-STATIC join in the streaming planner (not foreachBatch):
+    // the unbounded event stream inner-joins a static dimension — the
+    // enrichment shape every production stream runs; the static side
+    // re-resolves per micro-batch, AQE/broadcast as in batch
+    "q155_stream_static_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      MicroBatch.appendRun(s, d) { ev =>
+        ev.join(dim, ev("user_id") === dim("c_custkey"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("c_mktsegment"))
+      }
+        .groupBy(col("event_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type", "c_mktsegment")
+    }),
+
+    // streaming CDC MERGE — per micro-batch upserts + deletes applied
+    // through the lake's idempotent mergeBatch (the Delta streaming
+    // MERGE INTO shape, exactly-once via (appId, batchId) txn markers;
+    // replay safety is pinned in LakeTableSpec). Two identical drained
+    // copies make the second batch a pure re-apply, so the final
+    // snapshot equals one application of the change set
+    "q156_stream_cdc_merge" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-smerge")
+      val in = MicroBatch.stageEvents(d, copies = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-smerge-ckpt")
+      val q = MicroBatch.fileSource(s, in, maxFilesPerTrigger = Some(1))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          val ups = batch.filter(col("event_id") % 10 === 3)
+            .select(col("event_id"), lit("patched").as("event_type"),
+              (col("value") * 2).as("value"))
+          val dels = batch.filter(col("event_id") % 10 === 7)
+            .select(col("event_id"))
+          t.mergeBatch(ups, Seq("event_id"), "graft-cdc-stream", bid, Some(dels))
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      t.snapshot()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // INCREMENTAL sketch maintenance (the streaming face of q147's
     // mergeability): each micro-batch commits its own fixed-splitter
     // quantile sketch to the lake — kilobytes per batch however large
@@ -229,6 +281,22 @@ object StreamingQ {
         |       CAST(len(string_split(regexp_replace(no_email, '0[0-9]{9}', '<PHONE>', 'g'), ' '))
         |         AS BIGINT) AS ws_tokens
         |FROM redacted ORDER BY doc_id""".stripMargin,
+
+    "q155_stream_static_join" ->
+      s"""SELECT event_type, c_mktsegment, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY event_type, c_mktsegment
+         |ORDER BY event_type, c_mktsegment""".stripMargin,
+
+    // one application of the change set: deletes drop, upserts replace
+    "q156_stream_cdc_merge" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM (
+         |  SELECT event_type, value FROM events WHERE event_id % 10 NOT IN (3, 7)
+         |  UNION ALL
+         |  SELECT 'patched' AS event_type, value * 2 AS value
+         |  FROM events WHERE event_id % 10 = 3
+         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the global compute over the doubled drain — equal to the
     // streamed per-batch sketches merged, because merging is lossless

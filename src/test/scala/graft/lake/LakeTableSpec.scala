@@ -403,6 +403,29 @@ class LakeTableSpec extends AnyFunSuite {
     assert(keptId.isEmpty)
   }
 
+  test("mergeBatch: exactly-once via the txn log, not content idempotence") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    // batch 0 sets id 1 -> 100
+    t.mergeBatch(Seq((1L, 100.0)).toDF("id", "v"), Seq("id"), "app-m", 0L)
+    // batch 1 sets id 1 -> 200 and deletes id 2
+    t.mergeBatch(Seq((1L, 200.0)).toDF("id", "v"), Seq("id"), "app-m", 1L,
+      deletes = Some(Seq(Tuple1(2L)).toDF("id")))
+    def state() = t.snapshot().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() === Map(1L -> 200.0))
+    val head = t.latestVersion
+    // REPLAY batch 0 after batch 1 landed: must be a no-op — the txn
+    // log, not content, is what prevents resurrecting v=100
+    t.mergeBatch(Seq((1L, 100.0)).toDF("id", "v"), Seq("id"), "app-m", 0L)
+    assert(t.latestVersion === head)
+    assert(state() === Map(1L -> 200.0))
+    // a COLD handle on the same table also refuses the replay
+    val cold = LakeTable.open(spark, t.root)
+    cold.mergeBatch(Seq((1L, 100.0)).toDF("id", "v"), Seq("id"), "app-m", 1L)
+    assert(cold.latestVersion === head)
+    assert(state() === Map(1L -> 200.0))
+  }
+
   test("changeFeed tags each change with its introducing version") {
     val base = events.filter(col("event_id") < 100)
     val t = LakeTable.createTemp(spark, base)
