@@ -197,8 +197,10 @@ object DeltaInterop {
   }
 
   /** The state a log replay arrives at: live file paths (relative,
-    * decoded) in first-add order and the last metaData's schema. */
-  private[lake] case class DeltaState(liveFiles: Seq[String], schema: Option[StructType])
+    * decoded) in first-add order, the last metaData's schema, and its
+    * partition columns. */
+  private[lake] case class DeltaState(liveFiles: Seq[String], schema: Option[StructType],
+                                      partitionColumns: Seq[String])
 
   private[lake] def replayLog(root: Path, upTo: Long = Long.MaxValue): DeltaState = {
     val logDir = root.resolve("_delta_log")
@@ -213,12 +215,18 @@ object DeltaInterop {
     val m = mapper
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
     versionFiles.foreach { vf =>
       Files.readAllLines(vf).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node = m.readTree(line)
         if (node.has("metaData")) {
-          val ss = node.get("metaData").get("schemaString").asText()
-          schema = Some(DataType.fromJson(ss).asInstanceOf[StructType])
+          val md = node.get("metaData")
+          schema = Some(DataType.fromJson(md.get("schemaString").asText())
+            .asInstanceOf[StructType])
+          partCols =
+            if (md.has("partitionColumns"))
+              md.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
+            else Nil
         }
         if (node.has("add"))
           live += URLDecoder.decode(node.get("add").get("path").asText(), UTF_8.name())
@@ -226,7 +234,7 @@ object DeltaInterop {
           live -= URLDecoder.decode(node.get("remove").get("path").asText(), UTF_8.name())
       }
     }
-    DeltaState(live.toSeq, schema)
+    DeltaState(live.toSeq, schema, partCols)
   }
 
   /** Open a Delta-format table (ours or foreign) as a DataFrame: replay
@@ -235,6 +243,12 @@ object DeltaInterop {
   def readDelta(spark: SparkSession, root: Path,
                 version: Long = Long.MaxValue): DataFrame = {
     val st = replayLog(root, version)
+    // a partitioned table's partition values live in add.partitionValues
+    // and the directory layout, NOT in the files — reading it flat would
+    // silently drop/null those columns. Fail loud instead.
+    require(st.partitionColumns.isEmpty,
+      s"partitioned Delta tables are not supported (partitionColumns=" +
+        s"${st.partitionColumns.mkString(",")} at $root)")
     val schema = st.schema.getOrElse(
       throw new IllegalArgumentException(s"Delta log at $root carries no metaData"))
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))

@@ -141,6 +141,18 @@ class DeltaInteropSpec extends AnyFunSuite {
     val df = DeltaInterop.readDelta(spark, root)
     assert(df.columns.toSeq === Seq("id", "s"))
     assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "z")))
+    // a PARTITIONED foreign table must fail loud, not read flat: its
+    // partition values live in the layout, not the files
+    val partRoot = Files.createTempDirectory("graft-part-delta").resolve("t")
+    Files.createDirectories(partRoot.resolve("_delta_log"))
+    Files.write(partRoot.resolve("_delta_log").resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"foreign-2","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["s"],"configuration":{}}}"""
+    ).asJava)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, partRoot)
+    }
+    assert(e.getMessage.contains("partitioned Delta tables"))
     // and the same table imports as a lake snapshot
     val lakeRoot = Files.createTempDirectory("graft-imp").resolve("t")
     val lt = DeltaInterop.importDelta(spark, root, lakeRoot)
