@@ -109,6 +109,18 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(latest.filter(col("extra").isNull).count() === 50)
   }
 
+  test("exportHistory after vacuum: the surviving versions renumber from commit 0") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 50))
+    t.append(events.filter(col("event_id").between(50, 99)))
+    t.overwrite(events.filter(col("event_id") < 30)) // v3
+    t.vacuum(retainVersions = 1) // only v3 survives
+    val dest = Files.createTempDirectory("graft-dvac").resolve("t")
+    assert(DeltaInterop.exportHistory(t, dest) === 1)
+    val back = DeltaInterop.readDelta(spark, dest)
+    assert(back.count() === 30)
+    assert(back.exceptAll(t.snapshot()).count() === 0)
+  }
+
   test("foreign minimal Delta log with add+remove replays to the live set") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-foreign").resolve("t")

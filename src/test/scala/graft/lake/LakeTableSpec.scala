@@ -426,6 +426,36 @@ class LakeTableSpec extends AnyFunSuite {
     assert(state() === Map(1L -> 200.0))
   }
 
+  test("two mergeBatch writers racing: both land, states serialize") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, 0.0), (2L, 0.0)).toDF("id", "v"))
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val threads = Seq(
+      ("A", Seq((1L, 100.0)).toDF("id", "v"), 5L),
+      ("B", Seq((1L, 200.0)).toDF("id", "v"), 6L)).map { case (name, ups, bid) =>
+      new Thread(() => {
+        start.await()
+        // separate handles: each pays its own txn scan, like two executors
+        try LakeTable.open(spark, t.root).mergeBatch(ups, Seq("id"), "app-race", bid)
+        catch { case e: Throwable => results.put(name, e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(results.isEmpty, s"a merge writer failed: $results")
+    // both commits landed (one of them after retrying a lost race)
+    assert(t.latestVersion === 3L)
+    // the final state is ONE of the two serialized orders, never a blend
+    val v1 = t.snapshot().filter(col("id") === 1L).collect().head.getDouble(1)
+    assert(v1 === 100.0 || v1 === 200.0)
+    // and both replay markers are in force on a cold handle
+    val cold = LakeTable.open(spark, t.root)
+    cold.mergeBatch(Seq((1L, 999.0)).toDF("id", "v"), Seq("id"), "app-race", 5L)
+    cold.mergeBatch(Seq((1L, 999.0)).toDF("id", "v"), Seq("id"), "app-race", 6L)
+    assert(t.latestVersion === 3L)
+    assert(t.snapshot().filter(col("id") === 1L).collect().head.getDouble(1) === v1)
+  }
+
   test("changeFeed tags each change with its introducing version") {
     val base = events.filter(col("event_id") < 100)
     val t = LakeTable.createTemp(spark, base)
