@@ -379,6 +379,7 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
                  deletes: Option[DataFrame] = None,
                  maxRetries: Int = 10): Long = {
     var attempt = 0
+    var lastRace: Throwable = null
     while (attempt < maxRetries) {
       val (committed, head) = txnScan(appId, batchId)
       if (committed) return head
@@ -395,12 +396,32 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         return commitManifest(v, "streaming-merge", Seq(dir),
           Some((appId, batchId)), Some(applied.schema.json))
       } catch {
-        case _: ConcurrentCommitException | _: java.nio.file.NoSuchFileException =>
+        case e @ (_: ConcurrentCommitException | _: java.nio.file.NoSuchFileException) =>
+          lastRace = e
           attempt += 1 // rescan; the winner may be this batch's replayed twin
+        case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.startsWith("no version") =>
+          // snapshot(head)'s manifest-existence require fires when a
+          // concurrent vacuum(retainVersions=1) dropped head between
+          // txnScan and the read — the same lost race commitBatch sees
+          // as NoSuchFileException; rescan rather than fail the stream
+          lastRace = e
+          attempt += 1
+        case e: org.apache.spark.SparkException if e.getMessage != null &&
+            e.getMessage.contains("FAILED_READ_FILE") =>
+          // the scan-side face of the same races: the head snapshot's
+          // file listing went stale mid-merge (concurrent vacuum per
+          // the RETENTION CONTRACT, or a stale shared FileStatusCache
+          // entry). Everything is re-derived from the fresh head on
+          // retry, so rescanning is safe; a persistent read failure
+          // still surfaces below once retries exhaust.
+          lastRace = e
+          attempt += 1
       }
     }
     throw new ConcurrentCommitException(
-      s"mergeBatch lost $maxRetries races for ($appId, $batchId) at $root")
+      s"mergeBatch lost $maxRetries races for ($appId, $batchId) at $root" +
+        Option(lastRace).map(e => s" (last: ${e.getMessage})").getOrElse(""))
   }
 
   /** GC — Delta's VACUUM reduced to version-count retention: drop

@@ -33,8 +33,12 @@ import org.apache.spark.sql.types.DecimalType
   * over the bounded sketch, never the data. This is the shape that
   * lets 1000 executors sketch 100 TB locally and ship kilobytes.
   *
-  * Precondition: values must be non-negative (integer DIV truncates
-  * toward zero; the lake's money/measure columns all are).
+  * Bucketing is exact FLOOR division (`(cents - pmod(cents, w)) DIV w`),
+  * not truncating `DIV`: truncation toward zero would fold cents in
+  * (-w, 0) into bucket 0 together with [0, w), silently corrupting
+  * counts and edges on any column with negative values (r8 wrong #2).
+  * With floor division bucket b covers exactly [b·w, (b+1)·w) over the
+  * whole signed domain — `QuantileProps` pins this with negative data.
   */
 object Quantiles {
 
@@ -49,7 +53,11 @@ object Quantiles {
       // nulls carry no rank — and engines disagree on null ordering in
       // windows, so a null bucket would poison cross-engine equality
       .filter(col("cents").isNotNull)
-      .select(groupCols.map(col) :+ expr(s"cents DIV $widthCents").as("bucket"): _*)
+      // exact floor division: pmod is the non-negative remainder, so the
+      // numerator is the largest multiple of the width <= cents and the
+      // DIV is exact — correct buckets for negative values too
+      .select(groupCols.map(col) :+
+        expr(s"(cents - pmod(cents, $widthCents)) DIV $widthCents").as("bucket"): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }

@@ -45,6 +45,16 @@ object DedupQ {
         "graft-clusters")
     ).snapshot()
 
+  /** Force the shared cluster artifact for (session, sf dir) — bench
+    * hygiene (VERDICT r8 next #8): the ~3 s mining DAG is paid here,
+    * visibly and exactly once, so `graft.Bench` can report it as its
+    * own `staging` metric instead of burying it in whichever of
+    * q103/q126/q128 happens to run first. */
+  def stageArtifacts(s: SparkSession, d: String): Unit = {
+    clustersArtifact(s, d)
+    ()
+  }
+
   val dupDocsSql: String =
     """dup_docs AS (
       |  SELECT doc_id, text FROM documents

@@ -287,6 +287,32 @@ object ParityQ {
             .cast("long").as("img_id"), col("content")))
       graft.operators.ImageDedup.nearDupPairs(hashed, maxHamming = 4)
         .orderBy("img_a", "img_b")
+    }),
+
+    // canonical image selection — the q128 keep-best DAG on the
+    // multimodal leg (VERDICT r8 next #6): the q152 fixture plus 20
+    // TWO-X UPSCALES of bases 0-19 (ids 200-219; nearest-neighbor 2×
+    // preserves every dHash sample point, so each upscale joins its
+    // base's cluster with an IDENTICAL hash), clustered, then one
+    // image kept per cluster by highest decoded resolution with ties
+    // to the smallest id — upscaled members win their clusters, pure
+    // 18×16 clusters keep their min id. The oracle replays clusters
+    // by recursive closure and the keep-best window from the fixture's
+    // closed-form resolution, so the hash gate proves the decode →
+    // cluster → select DAG end to end
+    "q159_canonical_images" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft-phash-canon")
+      (0 until 100).foreach { id =>
+        Files.write(dir.resolve(f"img_$id%05d.png"), phashFixturePng(id))
+      }
+      (0 until 20).foreach { k =>
+        Files.write(dir.resolve(f"img_${200 + k}%05d.png"), phashFixtureUpscalePng(k))
+      }
+      val images = s.read.format("binaryFile").load(dir.toString)
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+          .cast("long").as("img_id"), col("content"))
+      graft.operators.ImageDedup.canonicalImages(images, maxHamming = 4)
+        .orderBy("cluster")
     })
   )
 
@@ -303,6 +329,27 @@ object ParityQ {
     if (img >= 40 && img < 80 && (x % 2 == 1 || y % 2 == 1)) (core + 50) % 251
     else if (img >= 80 && ((x == 6 && y == 4) || (x == 10 && y == 12))) (core + 100) % 251
     else core
+  }
+
+  /** q159 fixture: nearest-neighbor 2× upscale of base pattern `k`
+    * (36×32, pixel (x,y) = base value at (x/2, y/2)). dHash samples
+    * (gx·36/9, gy·32/8) = (4gx, 4gy) → base pixel (2gx, 2gy) — the
+    * exact cells the 18×16 original samples — so the upscale's hash is
+    * IDENTICAL to its base's and it joins the base's cluster. */
+  private[graft] def phashFixtureUpscalePng(k: Int): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        val v = phashFixtureV(k, x / 2, y / 2)
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    ImageOps.encodePng(im)
   }
 
   private[graft] def phashFixturePng(img: Int): Array[Byte] = {
@@ -521,6 +568,60 @@ object ParityQ {
     // value is core = (base*131 + x*7 + y*13) % 251 (variant 1's odd-
     // coordinate perturbation never lands on a sampled pixel; variant
     // 2 adds 100 at sampled cells (3,2) and (5,6))
+    // q159: the q152 closure extended with the 20 upscaled twins
+    // (whose hashes equal their bases by the sample-point argument in
+    // phashFixtureUpscalePng) plus the keep-best window — resolution
+    // is closed-form from the id (>=200 → 36×32, else 18×16)
+    "q159_canonical_images" ->
+      """WITH RECURSIVE imgs AS (
+        |  SELECT i AS img_id FROM range(100) t(i)
+        |  UNION ALL
+        |  SELECT i AS img_id FROM range(200, 220) t(i)
+        |),
+        |grid AS (
+        |  SELECT i.img_id, a.gx, b.gy,
+        |         CASE WHEN i.img_id >= 80 AND i.img_id < 100
+        |                   AND ((a.gx = 3 AND b.gy = 2) OR (a.gx = 5 AND b.gy = 6))
+        |              THEN ((i.img_id % 40) * 131 + (2*a.gx) * 7 + (2*b.gy) * 13 + 100) % 251
+        |              ELSE ((i.img_id % 40) * 131 + (2*a.gx) * 7 + (2*b.gy) * 13) % 251
+        |         END AS v
+        |  FROM imgs i, range(9) a(gx), range(8) b(gy)
+        |),
+        |bits AS (
+        |  SELECT g1.img_id, g1.gy, g1.gx,
+        |         CASE WHEN g2.v > g1.v THEN '1' ELSE '0' END AS bit
+        |  FROM grid g1
+        |  JOIN grid g2 ON g2.img_id = g1.img_id AND g2.gy = g1.gy AND g2.gx = g1.gx + 1
+        |  WHERE g1.gx < 8
+        |),
+        |hashes AS (
+        |  SELECT img_id, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+        |  FROM bits GROUP BY img_id
+        |),
+        |dh AS (SELECT DISTINCT dhash FROM hashes),
+        |e AS (
+        |  SELECT a.dhash AS u, b.dhash AS v FROM dh a JOIN dh b
+        |  ON a.dhash <> b.dhash AND hamming(a.dhash, b.dhash) <= 4
+        |),
+        |reach(u, v) AS (
+        |  SELECT dhash, dhash FROM dh
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+        |),
+        |cl AS (SELECT u AS dhash, MIN(v) AS cluster FROM reach GROUP BY u),
+        |sel AS (
+        |  SELECT c.cluster, h.img_id,
+        |         CASE WHEN h.img_id >= 200 THEN 36 ELSE 18 END AS width,
+        |         CASE WHEN h.img_id >= 200 THEN 32 ELSE 16 END AS height,
+        |         COUNT(*) OVER (PARTITION BY c.cluster) AS n_members,
+        |         ROW_NUMBER() OVER (PARTITION BY c.cluster
+        |           ORDER BY CASE WHEN h.img_id >= 200 THEN 1152 ELSE 288 END DESC,
+        |                    h.img_id) AS rn
+        |  FROM hashes h JOIN cl c ON h.dhash = c.dhash
+        |)
+        |SELECT cluster, img_id AS canonical_img, width, height, n_members
+        |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
     "q145_image_neardup" ->
       """WITH grid AS (
         |  SELECT i.img_id, a.gx, b.gy,

@@ -210,6 +210,39 @@ object StreamingQ {
         .orderBy("event_type")
     }),
 
+    // Stream-stream LEFT OUTER join (VERDICT r8 next #5): q81's shape
+    // with leftOuter — unmatched left rows emit with null right columns
+    // once the watermark proves no match can still arrive. The right
+    // stream drops the first two event-time days, so every unmatched
+    // row sits far below the final watermark (max event time − 1 h) and
+    // the AvailableNow drain's closing no-data batch deterministically
+    // flushes all of them; the oracle is the plain batch LEFT JOIN.
+    // The cut is fixture metadata (min event date + 2 days) computed
+    // once from the static table — the stream filter is a literal.
+    "q158_stream_outer_join" -> ((s, d) => {
+      val cutDate = Tables.events(s, d)
+        .agg(date_add(min(to_date(col("ts"))), 2)).head().getDate(0)
+      MicroBatch.joinRun(s, d) { (left, right) =>
+        val a = left
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val b = right
+          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("b_ts", "1 hour")
+          .filter(to_date(col("b_ts")) >= lit(cutDate))
+          .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+        a.join(b,
+          col("event_id") === col("b_id") &&
+            col("b_ts").between(
+              col("ts") - expr("INTERVAL 1 MINUTE"),
+              col("ts") + expr("INTERVAL 1 MINUTE")),
+          "left_outer")
+          .select(col("event_id"), col("event_type"), col("value"))
+      }
+        .orderBy("event_id")
+    }),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -324,6 +357,16 @@ object StreamingQ {
         |       CAST((MIN(CASE WHEN cum >= (n*50+99)//100 THEN bucket END)+1) * 2000 AS DOUBLE)/100 AS q50_est,
         |       CAST((MIN(CASE WHEN cum >= (n*95+99)//100 THEN bucket END)+1) * 2000 AS DOUBLE)/100 AS q95_est
         |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the batch LEFT JOIN the drained sink must equal: right side =
+    // events from day 3 on (the streamed filter), left side = all
+    "q158_stream_outer_join" ->
+      """SELECT e.event_id, e.event_type, r.value
+        |FROM events e LEFT JOIN (
+        |  SELECT event_id, value FROM events
+        |  WHERE CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)
+        |) r ON e.event_id = r.event_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (

@@ -19,8 +19,11 @@ import org.scalacheck.Prop.forAll
   * DuckDB. These properties justify the arithmetic for ALL inputs. */
 object QuantileProps extends Properties("QuantileSketch") {
 
+  // floor division, not truncating / — matches the Spark impl's
+  // (cents - pmod(cents, w)) DIV w, so bucket b covers [b·w, (b+1)·w)
+  // over the whole SIGNED domain (r8 wrong #2)
   private def sketch(cents: Seq[Long], w: Long): Map[Long, Long] =
-    cents.groupBy(_ / w).view.mapValues(_.size.toLong).toMap
+    cents.groupBy(Math.floorDiv(_, w)).view.mapValues(_.size.toLong).toMap
 
   private def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
     (a.keySet ++ b.keySet).map(k =>
@@ -36,8 +39,11 @@ object QuantileProps extends Properties("QuantileSketch") {
     (crossing + 1) * w
   }
 
+  // the domain includes NEGATIVE cents: floor-division bucketing must
+  // hold on signed data (truncating DIV would fold (-w, 0) into the
+  // [0, w) bucket and break both properties)
   private val gen = for {
-    cents <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000000L))
+    cents <- Gen.nonEmptyListOf(Gen.chooseNum(-10000000L, 10000000L))
     w <- Gen.chooseNum(1L, 100000L)
     pct <- Gen.chooseNum(1, 100)
     seed <- Gen.chooseNum(2, 7)

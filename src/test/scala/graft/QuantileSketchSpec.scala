@@ -46,6 +46,32 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(merged === global)
   }
 
+  test("negative values bucket by floor division: edges stay exact on signed data") {
+    import spark.implicits._
+    // balances straddling zero, including the (-width, 0) strip that a
+    // truncating DIV would fold into bucket 0 (r8 wrong #2)
+    val vals = Seq(-1234.56, -499.99, -0.01, -500.0, -0.5, 0.0, 0.01,
+      123.45, 499.99, 500.0, 777.77, -750.25)
+    val df = vals.zipWithIndex.map { case (v, i) => (s"g${i % 2}", v) }
+      .toDF("g", "balance")
+    val sk = Quantiles.sketch(df, Seq("g"), "balance", Width)
+    // every bucket b must cover [b*w, (b+1)*w): recompute from raw data
+    val expected = vals.zipWithIndex
+      .map { case (v, i) => (s"g${i % 2}", Math.floorDiv(Math.round(v * 100), Width)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(asMap(sk) === expected)
+    // and the extracted edges keep the deterministic bound on signed data
+    val est = Quantiles.quantileEdges(sk, Seq("g"), Seq(50), Width)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    vals.zipWithIndex.groupBy(t => s"g${t._2 % 2}").foreach { case (g, vs) =>
+      val sorted = vs.map(_._1).sorted
+      val target = (sorted.length.toLong * 50 + 99) / 100
+      val trueQ = sorted(target.toInt - 1)
+      val e = est(g)
+      assert(e > trueQ && e - trueQ <= Width / 100.0, s"$g: edge $e vs true $trueQ")
+    }
+  }
+
   test("quantile edges obey the deterministic rank and value bounds") {
     val est = Quantiles.quantileEdges(
       Quantiles.sketch(li, Seq("l_returnflag"), "l_extendedprice", Width),

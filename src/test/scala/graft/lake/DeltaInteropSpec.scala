@@ -153,21 +153,156 @@ class DeltaInteropSpec extends AnyFunSuite {
     val df = DeltaInterop.readDelta(spark, root)
     assert(df.columns.toSeq === Seq("id", "s"))
     assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "z")))
-    // a PARTITIONED foreign table must fail loud, not read flat: its
-    // partition values live in the layout, not the files
+    // an empty PARTITIONED foreign table reads as a typed empty frame
+    // with the partition column present
     val partRoot = Files.createTempDirectory("graft-part-delta").resolve("t")
     Files.createDirectories(partRoot.resolve("_delta_log"))
     Files.write(partRoot.resolve("_delta_log").resolve("0" * 20 + ".json"), Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"foreign-2","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["s"],"configuration":{}}}"""
     ).asJava)
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.readDelta(spark, partRoot)
-    }
-    assert(e.getMessage.contains("partitioned Delta tables"))
+    val pdf = DeltaInterop.readDelta(spark, partRoot)
+    assert(pdf.columns.toSeq === Seq("id", "s") && pdf.count() === 0)
     // and the same table imports as a lake snapshot
     val lakeRoot = Files.createTempDirectory("graft-imp").resolve("t")
     val lt = DeltaInterop.importDelta(spark, root, lakeRoot)
     assert(lt.snapshot().collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("partitioned export round-trips, null partitions included, with typed partition columns") {
+    import spark.implicits._
+    val base = events.filter(col("event_id") < 400)
+      // a null-valued partition strip exercises __HIVE_DEFAULT_PARTITION__
+      .withColumn("event_type",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type")))
+    val t = LakeTable.createTemp(spark, base)
+    val dest = Files.createTempDirectory("graft-pdelta").resolve("t")
+    val n = DeltaInterop.exportSnapshot(t, dest, partitionBy = Seq("event_type"))
+    assert(n > 0)
+    // the log records the partition columns and per-add partition values
+    val m = new ObjectMapper()
+    val actions = Files.readAllLines(dest.resolve("_delta_log").resolve("0" * 20 + ".json"))
+      .asScala.map(m.readTree)
+    val md = actions.find(_.has("metaData")).get.get("metaData")
+    assert(md.get("partitionColumns").elements().asScala.map(_.asText()).toSeq === Seq("event_type"))
+    val adds = actions.filter(_.has("add")).map(_.get("add"))
+    assert(adds.forall(_.get("partitionValues").has("event_type")))
+    assert(adds.exists(_.get("partitionValues").get("event_type").isNull))
+    // replay reconstructs the partition column — typed, nulls preserved
+    val back = DeltaInterop.readDelta(spark, dest)
+    assert(back.schema("event_type").dataType === base.schema("event_type").dataType)
+    assert(back.exceptAll(t.snapshot()).count() === 0)
+    assert(t.snapshot().exceptAll(back).count() === 0)
+    // a filter on the partition column prunes to that branch's rows only
+    val one = back.filter(col("event_type") === "click")
+    assert(one.count() === base.filter(col("event_type") === "click").count())
+  }
+
+  test("checkpoint-truncated log: fails loud without the checkpoint, replays exactly with it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cktrunc").resolve("t")
+    Files.createDirectories(root.resolve("_delta_log"))
+    def onePart(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(Files.list(tmp)) { s =>
+        s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      Files.copy(part, root.resolve(name))
+      Files.size(root.resolve(name))
+    }
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    val s1 = onePart(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "f1.parquet")
+    val s2 = onePart(Seq((3L, "c")).toDF("id", "s"), "f2.parquet")
+    val s3 = onePart(Seq((4L, "d")).toDF("id", "s"), "f3.parquet")
+    Files.write(root.resolve("_delta_log").resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"ck-1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":0,"dataChange":true}}"""
+    ).asJava)
+    Files.write(root.resolve("_delta_log").resolve("0" * 19 + "1.json"), Seq(
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":$s2,"modificationTime":0,"dataChange":true}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}"""
+    ).asJava)
+    // checkpoint at version 1 (live = f2), then a JSON tail commit 2
+    val ckv = DeltaInterop.writeCheckpoint(spark, root)
+    assert(ckv === 1L)
+    Files.write(root.resolve("_delta_log").resolve("0" * 19 + "2.json"), Seq(
+      s"""{"add":{"path":"f3.parquet","partitionValues":{},"size":$s3,"modificationTime":0,"dataChange":true}}"""
+    ).asJava)
+    // production log cleanup: delete the JSON commits the checkpoint covers
+    Files.delete(root.resolve("_delta_log").resolve("0" * 20 + ".json"))
+    Files.delete(root.resolve("_delta_log").resolve("0" * 19 + "1.json"))
+    // replay seeds from the checkpoint + JSON tail: exactly f2 + f3
+    val rows = DeltaInterop.readDelta(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows === Seq((3L, "c"), (4L, "d")))
+    // time travel below the checkpoint is gone with the JSON — loud
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root, 0L)
+    }
+    assert(e1.getMessage.contains("truncated"))
+    // time travel past the last commit is a caller bug — loud
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root, 3L)
+    }
+    assert(e2.getMessage.contains("no commit 3"))
+    // without the checkpoint the same truncated log must REFUSE, not
+    // silently replay the tail (the r8 correctness hazard)
+    Files.delete(root.resolve("_delta_log").resolve(f"${1L}%020d.checkpoint.parquet"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e3.getMessage.contains("truncated"))
+  }
+
+  test("checkpointed full log replays identically through either path") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 100))
+    t.append(events.filter(col("event_id").between(100, 199)))
+    t.overwrite(events.filter(col("event_id") < 60))
+    val dest = Files.createTempDirectory("graft-ckfull").resolve("t")
+    DeltaInterop.exportHistory(t, dest)
+    val viaJson = DeltaInterop.readDelta(spark, dest).collect().length
+    DeltaInterop.writeCheckpoint(spark, dest)
+    val viaCk = DeltaInterop.readDelta(spark, dest)
+    assert(viaCk.count().toInt === viaJson)
+    assert(viaCk.exceptAll(t.snapshot()).count() === 0)
+    assert(t.snapshot().exceptAll(viaCk).count() === 0)
+  }
+
+  test("protocol gate: a reader-features table is rejected, not misread") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-proto").resolve("t")
+    Files.createDirectories(root.resolve("_delta_log"))
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    Files.write(root.resolve("_delta_log").resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"dv-1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""
+    ).asJava)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, root)
+    }
+    assert(e.getMessage.contains("minReaderVersion=3"))
+  }
+
+  test("paths use RFC-2396 percent encoding: '+' stays literal, space becomes %20") {
+    assert(DeltaInterop.encodePath("dir x/a b+c.parquet") === "dir%20x/a%20b+c.parquet")
+    assert(DeltaInterop.decodePath("dir%20x/a%20b+c.parquet") === "dir x/a b+c.parquet")
+    // a foreign writer's un-encoded literal '+' survives decode intact
+    // (URLDecoder would have turned it into a space — the r8 advisor bug)
+    assert(DeltaInterop.decodePath("a+b.parquet") === "a+b.parquet")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.decodePath("s3://bucket/elsewhere.parquet")
+    }
+    assert(e.getMessage.contains("absolute"))
+  }
+
+  test("exportHistory refuses a schema-less first version") {
+    val t = LakeTable.createEmpty(spark,
+      Files.createTempDirectory("graft-noschema").resolve("t"), schema = None)
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.exportHistory(t, Files.createTempDirectory("graft-nsdest").resolve("t"))
+    }
+    assert(e.getMessage.contains("no declared schema"))
   }
 }
