@@ -557,6 +557,29 @@ object ExtendedQ {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // lake — ICEBERG wire-format round trip (VERDICT r8 next #4, the
+    // second half of BASELINE.json:7's "Delta/Iceberg"): export a lake
+    // snapshot as a spec-shaped v1 Iceberg table (parquet + JSON table
+    // metadata + Avro manifest list + Avro manifest, no connector jar —
+    // avro ships with Spark), then read it back through the real
+    // metadata chain: version-hint → metadata.json → snapshot →
+    // manifest list → manifests → live files with the DECLARED schema.
+    // The oracle recomputes the aggregate from the source rows, so the
+    // hash gate proves the whole chain loses nothing
+    "q160_iceberg_roundtrip" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_id") % 3 === 0)
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-icex")
+      val dest = Files.createTempDirectory("graft-iceberg-q").resolve("t")
+      val nFiles = graft.lake.IcebergInterop.exportSnapshot(t, dest)
+      require(nFiles > 0, "iceberg export wrote no data files")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -812,6 +835,11 @@ object ExtendedQ {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 5 = 0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q160_iceberg_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 3 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the closed-form change set: v2 adds the %4==0 rows; v3's
     // delete-only merge removes the %10==7 rows (the lake state at v2

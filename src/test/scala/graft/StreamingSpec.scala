@@ -105,6 +105,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n1 === Tables.events(spark, sf).count())
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows with nulls after watermark expiry") {
+    // right side drops the first two event-time days, so those left
+    // rows have no match and sit far below the final watermark — the
+    // closing no-data batch must flush every one of them into the sink
+    // with a NULL right column (q158's oracle pins the exact rows;
+    // this pins the emission mechanics)
+    val batch = Tables.events(spark, sf)
+    val cutDate = batch.agg(date_add(min(to_date(col("ts"))), 2)).head().getDate(0)
+    val expectedUnmatched = batch.filter(to_date(col("ts")) < lit(cutDate)).count()
+    assert(expectedUnmatched > 0, "fixture must span more than two days")
+    val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
+      val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val b = r.withColumn("b_ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("b_ts", "1 hour")
+        .filter(to_date(col("b_ts")) >= lit(cutDate))
+        .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+      a.join(b, col("event_id") === col("b_id") &&
+        col("b_ts").between(col("ts") - expr("INTERVAL 1 MINUTE"),
+          col("ts") + expr("INTERVAL 1 MINUTE")), "left_outer")
+        .select(col("event_id"), col("event_type"), col("value"))
+    }
+    assert(joined.count() === batch.count())
+    assert(joined.filter(col("value").isNull).count() === expectedUnmatched)
+  }
+
   test("stream-stream time-bounded self join matches every event once") {
     val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
       val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))

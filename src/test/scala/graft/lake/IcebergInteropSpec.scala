@@ -1,0 +1,196 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The Iceberg wire-format bridge (VERDICT r8 next #4 — the second half
+  * of BASELINE.json:7's "Delta/Iceberg"): an exported table must be a
+  * spec-shaped v1 Iceberg table (metadata JSON + Avro manifest list +
+  * Avro manifest with field-id props), and the read path must replay
+  * foreign metadata the way an Iceberg reader does, refusing the
+  * constructs it cannot honor (partition specs, delete manifests,
+  * nested types) instead of misreading them. */
+class IcebergInteropSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events = Tables.events(spark, sf)
+    .select(col("event_id"), col("event_type"), col("value"))
+
+  test("export writes spec-shaped v1 metadata: schema ids, snapshot, manifest chain") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 300))
+    val dest = Files.createTempDirectory("graft-iceberg").resolve("t")
+    val n = IcebergInterop.exportSnapshot(t, dest)
+    assert(n > 0)
+    val metaDir = dest.resolve("metadata")
+    assert(Files.readString(metaDir.resolve("version-hint.text")).trim === "1")
+    val meta = new ObjectMapper().readTree(
+      Files.readString(metaDir.resolve("v1.metadata.json")))
+    assert(meta.get("format-version").asInt === 1)
+    val fields = meta.get("schema").get("fields").elements().asScala.toSeq
+    assert(fields.map(_.get("name").asText) === Seq("event_id", "event_type", "value"))
+    assert(fields.map(_.get("id").asInt) === Seq(1, 2, 3))
+    val snapId = meta.get("current-snapshot-id").asLong
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong == snapId).get
+    // manifest list → manifest → one live entry per data file, all
+    // with field-id-annotated Avro schemas
+    val list = IcebergInterop.readAvro(
+      java.nio.file.Paths.get(snap.get("manifest-list").asText.stripPrefix("file://")))
+    assert(list.size === 1)
+    assert(list.head.getSchema.getField("manifest_path").getObjectProp("field-id").toString === "500")
+    assert(list.head.get("added_data_files_count").toString.toInt === n)
+    val entries = IcebergInterop.readAvro(java.nio.file.Paths.get(
+      list.head.get("manifest_path").toString.stripPrefix("file://")))
+    assert(entries.size === n)
+    entries.foreach { e =>
+      assert(e.get("status").toString.toInt === 1)
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(df.get("file_format").toString === "PARQUET")
+      assert(df.getSchema.getField("file_path").getObjectProp("field-id").toString === "100")
+      val p = java.nio.file.Paths.get(df.get("file_path").toString.stripPrefix("file://"))
+      assert(Files.exists(p))
+      assert(Files.size(p) === df.get("file_size_in_bytes").toString.toLong)
+    }
+  }
+
+  test("export/readIceberg round-trip preserves rows and schema exactly") {
+    val base = events.filter(col("event_id") < 500)
+    val t = LakeTable.createTemp(spark, base)
+    t.append(events.filter(col("event_id").between(500, 799)))
+    val dest = Files.createTempDirectory("graft-iceberg").resolve("t")
+    IcebergInterop.exportSnapshot(t, dest)
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.schema.fieldNames.toSeq === t.snapshot().schema.fieldNames.toSeq)
+    assert(back.exceptAll(t.snapshot()).count() === 0)
+    assert(t.snapshot().exceptAll(back).count() === 0)
+    // and the import path lands it as a lake table
+    val lt = IcebergInterop.importIceberg(spark, dest,
+      Files.createTempDirectory("graft-iceimp").resolve("t"))
+    assert(lt.snapshot().count() === t.snapshot().count())
+  }
+
+  test("evolved schema exports: old rows surface the new column as null") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c", 1.5)).toDF("id", "s", "score"))
+    val dest = Files.createTempDirectory("graft-iceberg").resolve("t")
+    IcebergInterop.exportSnapshot(t, dest)
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "s", "score"))
+    assert(back.filter(col("score").isNull).count() === 2)
+  }
+
+  test("manifest-entry status DELETED drops the file from the scan") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "keep")).toDF("id", "s"))
+    val dest = Files.createTempDirectory("graft-iceberg").resolve("t")
+    IcebergInterop.exportSnapshot(t, dest)
+    // hand-append a DELETED entry pointing at the same file: a reader
+    // honoring status must still return only the live rows... build a
+    // second manifest holding the same file with status 2 and splice it
+    // into a fresh manifest list — the scan must then be empty
+    val metaDir = dest.resolve("metadata")
+    val meta = new ObjectMapper().readTree(Files.readString(metaDir.resolve("v1.metadata.json")))
+    val snap = meta.get("snapshots").elements().asScala.next()
+    val listPath = java.nio.file.Paths.get(
+      snap.get("manifest-list").asText.stripPrefix("file://"))
+    val oldList = IcebergInterop.readAvro(listPath)
+    val manifestPath = java.nio.file.Paths.get(
+      oldList.head.get("manifest_path").toString.stripPrefix("file://"))
+    val entries = IcebergInterop.readAvro(manifestPath)
+    val tombstoned = metaDir.resolve("manifest-tombstone.avro")
+    scala.util.Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergInterop.manifestEntrySchema))) { w =>
+      w.create(IcebergInterop.manifestEntrySchema, tombstoned.toFile)
+      entries.foreach { e =>
+        val copy = new GenericData.Record(IcebergInterop.manifestEntrySchema)
+        copy.put("status", 2) // DELETED
+        copy.put("snapshot_id", e.get("snapshot_id"))
+        copy.put("data_file", e.get("data_file"))
+        w.append(copy)
+      }
+    }
+    // rewrite the manifest list in place to point at the tombstone manifest
+    scala.util.Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergInterop.manifestListSchema))) { w =>
+      w.create(IcebergInterop.manifestListSchema, listPath.toFile)
+      val m = new GenericData.Record(IcebergInterop.manifestListSchema)
+      m.put("manifest_path", s"file://$tombstoned")
+      m.put("manifest_length", Files.size(tombstoned))
+      m.put("partition_spec_id", 0)
+      m.put("added_snapshot_id", snap.get("snapshot-id").asLong)
+      m.put("added_data_files_count", 0)
+      m.put("existing_data_files_count", 0)
+      m.put("deleted_data_files_count", entries.size)
+      w.append(m)
+    }
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.count() === 0)
+    assert(back.columns.toSeq === Seq("id", "s")) // schema survives an empty scan
+  }
+
+  test("fail-loud boundaries: partitioned specs, nested types, bad format versions") {
+    import spark.implicits._
+    // nested column type refuses at export
+    val bad = LakeTable.createTemp(spark,
+      Seq((1L, Seq("a", "b"))).toDF("id", "tags"))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergInterop.exportSnapshot(bad, Files.createTempDirectory("graft-icebad").resolve("t"))
+    }
+    assert(e1.getMessage.contains("primitive columns only"))
+    // partitioned foreign table refuses at read
+    val t = LakeTable.createTemp(spark, Seq((1L, "x")).toDF("id", "s"))
+    val dest = Files.createTempDirectory("graft-icepart").resolve("t")
+    IcebergInterop.exportSnapshot(t, dest)
+    val metaPath = dest.resolve("metadata").resolve("v1.metadata.json")
+    val m = new ObjectMapper()
+    val meta = m.readTree(Files.readString(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val spec = meta.get("partition-specs").get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val pf = spec.putArray("fields").addObject()
+    pf.put("name", "s"); pf.put("transform", "identity")
+    pf.put("source-id", 2); pf.put("field-id", 1000)
+    Files.writeString(metaPath, m.writeValueAsString(meta))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, dest)
+    }
+    assert(e2.getMessage.contains("partitioned Iceberg tables"))
+    // unknown format version refuses
+    meta.put("format-version", 3)
+    Files.writeString(metaPath, m.writeValueAsString(meta))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, dest)
+    }
+    assert(e3.getMessage.contains("format-version"))
+  }
+
+  test("empty table (no current snapshot) reads as a typed empty frame") {
+    val root = Files.createTempDirectory("graft-iceempty").resolve("t")
+    Files.createDirectories(root.resolve("metadata"))
+    Files.writeString(root.resolve("metadata").resolve("v1.metadata.json"),
+      """{"format-version":1,"table-uuid":"u","location":"file:///x",
+        |"last-updated-ms":0,"last-column-id":2,
+        |"schema":{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"s","required":false,"type":"string"}]},
+        |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+        |"properties":{},"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+    Files.writeString(root.resolve("metadata").resolve("version-hint.text"), "1")
+    val df = IcebergInterop.readIceberg(spark, root)
+    assert(df.columns.toSeq === Seq("id", "s"))
+    assert(df.count() === 0)
+  }
+}

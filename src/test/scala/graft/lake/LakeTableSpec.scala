@@ -431,16 +431,22 @@ class LakeTableSpec extends AnyFunSuite {
     val t = LakeTable.createTemp(spark, Seq((1L, 0.0), (2L, 0.0)).toDF("id", "v"))
     val start = new CountDownLatch(1)
     val results = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    // DISTINCT appIds: two independent streams merging into one table.
+    // (With a shared appId the batchIds form ONE monotonic sequence, so
+    // whichever of 5/6 lands second-with-a-smaller-id is BY CONTRACT an
+    // already-applied replay and must no-op — that ordering-dependent
+    // outcome made the original same-appId version of this test flaky.)
     val threads = Seq(
-      ("A", Seq((1L, 100.0)).toDF("id", "v"), 5L),
-      ("B", Seq((1L, 200.0)).toDF("id", "v"), 6L)).map { case (name, ups, bid) =>
-      new Thread(() => {
-        start.await()
-        // separate handles: each pays its own txn scan, like two executors
-        try LakeTable.open(spark, t.root).mergeBatch(ups, Seq("id"), "app-race", bid)
-        catch { case e: Throwable => results.put(name, e) }
-      })
-    }
+      ("A", "app-race-A", Seq((1L, 100.0)).toDF("id", "v"), 5L),
+      ("B", "app-race-B", Seq((1L, 200.0)).toDF("id", "v"), 6L))
+      .map { case (name, app, ups, bid) =>
+        new Thread(() => {
+          start.await()
+          // separate handles: each pays its own txn scan, like two executors
+          try LakeTable.open(spark, t.root).mergeBatch(ups, Seq("id"), app, bid)
+          catch { case e: Throwable => results.put(name, e) }
+        })
+      }
     threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
     assert(results.isEmpty, s"a merge writer failed: $results")
     // both commits landed (one of them after retrying a lost race)
@@ -450,10 +456,17 @@ class LakeTableSpec extends AnyFunSuite {
     assert(v1 === 100.0 || v1 === 200.0)
     // and both replay markers are in force on a cold handle
     val cold = LakeTable.open(spark, t.root)
-    cold.mergeBatch(Seq((1L, 999.0)).toDF("id", "v"), Seq("id"), "app-race", 5L)
-    cold.mergeBatch(Seq((1L, 999.0)).toDF("id", "v"), Seq("id"), "app-race", 6L)
+    cold.mergeBatch(Seq((1L, 999.0)).toDF("id", "v"), Seq("id"), "app-race-A", 5L)
+    cold.mergeBatch(Seq((1L, 999.0)).toDF("id", "v"), Seq("id"), "app-race-B", 6L)
     assert(t.latestVersion === 3L)
     assert(t.snapshot().filter(col("id") === 1L).collect().head.getDouble(1) === v1)
+    // the same-appId ordering contract, pinned EXPLICITLY: after both
+    // merges, a smaller batchId under an existing appId is a replay
+    // no-op even though that batch never wrote (monotonic batchIds are
+    // Structured Streaming's checkpoint guarantee — two writers must
+    // not share an appId)
+    cold.mergeBatch(Seq((1L, 777.0)).toDF("id", "v"), Seq("id"), "app-race-B", 2L)
+    assert(t.latestVersion === 3L)
   }
 
   test("changeFeed tags each change with its introducing version") {
