@@ -37,13 +37,21 @@ import org.apache.spark.sql.types._
   *    METADATA declares — never footer inference, the same
   *    schema-from-log rule as [[LakeTable.snapshot]] / [[DeltaInterop]].
   *
+  * Partitioned tables: Iceberg's hidden partitioning means data files
+  * carry the partition SOURCE COLUMNS physically (the partition spec
+  * serves pruning, not storage), so a partitioned table reads
+  * correctly as a flat scan with the declared schema — verified
+  * against a real file footer, because hive-MIGRATED (`add_files`)
+  * data may physically lack those columns and would otherwise read as
+  * silent nulls. Export supports identity specs (per-tuple data dirs,
+  * typed partition records in the manifest).
+  *
   * Fail-loud boundaries (the r8 Delta discipline — refuse rather than
   * misread): format-version must be 1 or 2 without row-level deletes
   * (a v2 table whose manifests carry delete files would silently
-  * resurrect deleted rows), the partition spec must be unpartitioned
-  * (Iceberg data files do NOT hold partition columns when the
-  * transform is identity-on-hidden metadata), and only primitive
-  * column types convert.
+  * resurrect deleted rows), partition source-ids must resolve in the
+  * current schema, migrated files missing partition columns refuse,
+  * and only primitive column types convert.
   */
 object IcebergInterop {
 
@@ -131,9 +139,7 @@ object IcebergInterop {
       field("deleted_data_files_count", p(S.INT), 506)
     ).asJava)
 
-  private[lake] val manifestEntrySchema: AvroSchema = {
-    val partition = AvroSchema.createRecord(
-      "r102", null, "org.apache.iceberg", false, Seq.empty[AvroSchema.Field].asJava)
+  private[lake] def manifestEntrySchemaWith(partition: AvroSchema): AvroSchema = {
     val dataFile = AvroSchema.createRecord(
       "r2", null, "org.apache.iceberg", false, Seq(
         field("file_path", p(S.STRING), 100),
@@ -151,47 +157,114 @@ object IcebergInterop {
       ).asJava)
   }
 
+  private[lake] val manifestEntrySchema: AvroSchema =
+    manifestEntrySchemaWith(AvroSchema.createRecord(
+      "r102", null, "org.apache.iceberg", false, Seq.empty[AvroSchema.Field].asJava))
+
   // ---- export ------------------------------------------------------------
 
+  /** Avro type for an identity-partition field in the manifest's
+    * partition record (always nullable per the spec). */
+  private def partitionAvroType(dt: DataType): AvroSchema = dt match {
+    case IntegerType | ShortType | ByteType => p(AvroSchema.Type.INT)
+    case LongType => p(AvroSchema.Type.LONG)
+    case StringType => p(AvroSchema.Type.STRING)
+    case DoubleType => p(AvroSchema.Type.DOUBLE)
+    case FloatType => p(AvroSchema.Type.FLOAT)
+    case BooleanType => p(AvroSchema.Type.BOOLEAN)
+    case other => throw new IllegalArgumentException(
+      s"unsupported identity-partition column type for Iceberg export: $other")
+  }
+
   /** Export `table`'s snapshot at `version` (default: latest) as a
-    * standalone unpartitioned Iceberg v1 table at `destRoot`
+    * standalone Iceberg v1 table at `destRoot`
     * (parquet files under `data/`, then manifest + manifest list +
     * v1.metadata.json + version-hint.text under `metadata/`). Returns the number of
     * data files. Same re-materialization rule as
     * [[DeltaInterop.exportSnapshot]]: rows pass through the DECLARED
-    * schema so exported files carry evolved columns physically. */
-  def exportSnapshot(table: LakeTable, destRoot: Path, version: Long = -1L): Int = {
+    * schema so exported files carry evolved columns physically.
+    *
+    * Pass `identityPartitionBy` to export an IDENTITY-partitioned
+    * table: one data directory per distinct tuple, a typed partition
+    * record on every manifest entry, and the identity spec in the
+    * metadata. Unlike Delta/hive, the data files keep the partition
+    * SOURCE COLUMNS physically (Iceberg's hidden-partitioning rule —
+    * partition metadata serves pruning, not storage), which is exactly
+    * what lets [[readIceberg]] scan them flat. */
+  def exportSnapshot(table: LakeTable, destRoot: Path, version: Long = -1L,
+                     identityPartitionBy: Seq[String] = Nil): Int = {
     val df = table.snapshot(version)
     df.schema.fields.foreach(f => toIcebergType(f.dataType)) // fail loud up front
+    require(identityPartitionBy.forall(df.columns.contains),
+      s"partition columns ${identityPartitionBy.mkString(",")} not all in " +
+        df.columns.mkString(","))
     val dataDir = destRoot.resolve("data")
-    df.write.mode("error").parquet(dataDir.toString)
     val metaDir = destRoot.resolve("metadata")
     Files.createDirectories(metaDir)
-    val parts = Using.resource(Files.list(dataDir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
-    }
+
+    // data files: flat write, or one directory per distinct partition
+    // tuple (collected driver-side — partition tuples are bounded by
+    // design, the same assumption every table-format writer makes)
+    val parts: Seq[(Path, Seq[Any])] =
+      if (identityPartitionBy.isEmpty) {
+        df.write.mode("error").parquet(dataDir.toString)
+        Using.resource(Files.list(dataDir)) { s =>
+          s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString).map(f => f -> Seq.empty[Any])
+        }
+      } else {
+        import org.apache.spark.sql.functions.col
+        val tuples = df.select(identityPartitionBy.map(col): _*).distinct()
+          .collect().map(_.toSeq).toSeq.sortBy(_.map(String.valueOf).mkString("|"))
+        tuples.zipWithIndex.flatMap { case (tuple, i) =>
+          val dir = dataDir.resolve(f"p$i%05d")
+          val slice = identityPartitionBy.zip(tuple).foldLeft(df) { case (d, (c, v)) =>
+            if (v == null) d.filter(col(c).isNull)
+            else d.filter(col(c) <=> org.apache.spark.sql.functions.lit(v))
+          }
+          slice.write.mode("error").parquet(dir.toString)
+          Using.resource(Files.list(dir)) { s =>
+            s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .toSeq.sortBy(_.getFileName.toString).map(f => f -> tuple)
+          }
+        }
+      }
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
     val nowMs = Files.getLastModifiedTime(destRoot).toMillis
+
+    // the manifest-entry schema for THIS table: the spec's fixed ids
+    // plus a typed partition record (field-ids 1000+i per the spec)
+    val partitionSchema: AvroSchema =
+      if (identityPartitionBy.isEmpty)
+        AvroSchema.createRecord("r102", null, "org.apache.iceberg", false,
+          Seq.empty[AvroSchema.Field].asJava)
+      else
+        AvroSchema.createRecord("r102", null, "org.apache.iceberg", false,
+          identityPartitionBy.zipWithIndex.map { case (c, i) =>
+            field(c, optional(partitionAvroType(df.schema(c).dataType)), 1000 + i)
+          }.asJava)
+    val entrySchema = manifestEntrySchemaWith(partitionSchema)
 
     // manifest: one ADDED entry per data file, absolute file: URIs
     // (Iceberg stores fully-qualified paths)
     val manifestPath = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
     Using.resource(new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](manifestEntrySchema))) { w =>
-      w.create(manifestEntrySchema, manifestPath.toFile)
-      parts.foreach { f =>
+      new GenericDatumWriter[GenericRecord](entrySchema))) { w =>
+      w.create(entrySchema, manifestPath.toFile)
+      parts.foreach { case (f, tuple) =>
         val dfr = new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema())
+          entrySchema.getField("data_file").schema())
         dfr.put("file_path", s"file://${f.toAbsolutePath}")
         dfr.put("file_format", "PARQUET")
-        dfr.put("partition", new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema().getField("partition").schema()))
+        val pr = new GenericData.Record(partitionSchema)
+        identityPartitionBy.zip(tuple).foreach { case (c, v) => pr.put(c, v) }
+        dfr.put("partition", pr)
         dfr.put("record_count", -1L) // unknown here; readers trust the scan
         dfr.put("file_size_in_bytes", Files.size(f))
         dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
-        val e = new GenericData.Record(manifestEntrySchema)
+        val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)
         e.put("data_file", dfr)
@@ -234,13 +307,22 @@ object IcebergInterop {
       fn.put("required", !f.nullable)
       fn.put("type", toIcebergType(f.dataType))
     }
-    root.putArray("partition-spec") // legacy v1 field: unpartitioned
-    root.put("default-spec-id", 0)
+    val colId = df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val legacySpec = root.putArray("partition-spec") // legacy v1 field
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
-    root.put("last-partition-id", 999)
+    val specFieldsArr = spec0.putArray("fields")
+    identityPartitionBy.zipWithIndex.foreach { case (c, i) =>
+      Seq(legacySpec.addObject(), specFieldsArr.addObject()).foreach { fn =>
+        fn.put("name", c)
+        fn.put("transform", "identity")
+        fn.put("source-id", colId(c))
+        fn.put("field-id", 1000 + i)
+      }
+    }
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999 + math.max(identityPartitionBy.size, 1))
     root.put("default-sort-order-id", 0)
     val orders = root.putArray("sort-orders")
     val order0 = orders.addObject()
@@ -326,8 +408,16 @@ object IcebergInterop {
       }
     val sparkSchema = parseSchema(schemaNode)
     val nullable = StructType(sparkSchema.fields.map(_.copy(nullable = true)))
-    // partition spec: refuse anything but unpartitioned — partition
-    // values live in metadata, not the files (same rule as Delta)
+    // Partition specs: unlike Delta/hive, Iceberg data files carry the
+    // partition SOURCE COLUMNS physically (hidden partitioning — the
+    // spec's partition metadata serves pruning, not storage), so a
+    // partitioned table reads correctly as a flat scan with the full
+    // schema. Two guards keep that honest: only transforms whose
+    // source columns provably exist (any transform of a schema column
+    // qualifies — we verify against a real data file footer below,
+    // because hive-MIGRATED tables may have files that physically lack
+    // the partition columns and would silently read as null), and the
+    // source-id must resolve in the current schema.
     val specFields: Seq[JsonNode] =
       if (meta.has("partition-specs")) {
         val defId = if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt() else 0
@@ -337,9 +427,15 @@ object IcebergInterop {
       } else if (meta.has("partition-spec"))
         meta.get("partition-spec").elements().asScala.toSeq
       else Nil
-    require(specFields.isEmpty,
-      s"partitioned Iceberg tables are not supported (spec fields: " +
-        s"${specFields.map(_.get("name").asText()).mkString(",")} at $root)")
+    val fieldIdToName: Map[Int, String] =
+      schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val partitionSourceCols: Seq[String] = specFields.map { sf =>
+      val srcId = sf.get("source-id").asInt()
+      fieldIdToName.getOrElse(srcId, throw new IllegalArgumentException(
+        s"partition spec field ${sf.get("name").asText()} references unknown " +
+          s"source-id $srcId at $root"))
+    }
     val curSnap = if (meta.has("current-snapshot-id")) meta.get("current-snapshot-id").asLong() else -1L
     if (curSnap == -1L)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
@@ -376,8 +472,21 @@ object IcebergInterop {
     }
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
-    else
+    else {
+      if (partitionSourceCols.nonEmpty) {
+        // hive-migration guard: one footer read proves the partition
+        // source columns physically exist in the data (an Iceberg-native
+        // writer always stores them; `add_files`-migrated hive data does
+        // not, and a flat scan would silently null those columns)
+        val sample = spark.read.parquet(files.head.toString).schema.fieldNames.toSet
+        val missing = partitionSourceCols.filterNot(sample.contains)
+        require(missing.isEmpty,
+          s"partitioned Iceberg table at $root has data files physically " +
+            s"missing partition source columns ${missing.mkString(",")} " +
+            "(hive-migrated layout) — refusing rather than reading nulls")
+      }
       spark.read.schema(nullable).parquet(files.map(_.toString).sorted: _*)
+    }
   }
 
   /** Import an Iceberg table as a fresh [[LakeTable]] at `lakeRoot`. */

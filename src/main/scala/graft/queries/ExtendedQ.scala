@@ -580,6 +580,29 @@ object ExtendedQ {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // lake — IDENTITY-PARTITIONED Iceberg round trip (q157's shape on
+    // the Iceberg side): per-tuple data directories + typed partition
+    // records in the manifest + the identity spec in the metadata; the
+    // read is a FLAT scan because Iceberg's hidden partitioning keeps
+    // partition source columns physically in the files (guarded
+    // against hive-migrated layouts by a footer check). The oracle
+    // recomputes from the source rows, proving the partition column
+    // survives the round trip value-identical
+    "q161_iceberg_partitioned" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 7 === 0)
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-icepx")
+      val dest = Files.createTempDirectory("graft-icepart-q").resolve("t")
+      val n = graft.lake.IcebergInterop.exportSnapshot(t, dest,
+        identityPartitionBy = Seq("o_orderpriority"))
+      require(n > 0, "partitioned iceberg export wrote no data files")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -840,6 +863,11 @@ object ExtendedQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 3 = 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q161_iceberg_partitioned" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 7 = 0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the closed-form change set: v2 adds the %4==0 rows; v3's
     // delete-only merge removes the %10==7 rows (the lake state at v2

@@ -150,7 +150,9 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.exportSnapshot(bad, Files.createTempDirectory("graft-icebad").resolve("t"))
     }
     assert(e1.getMessage.contains("primitive columns only"))
-    // partitioned foreign table refuses at read
+    // a declared spec whose files DO carry the source column reads fine
+    // (hidden partitioning) — pinned properly in the partitioned test;
+    // here: a spec whose source-id resolves to nothing refuses
     val t = LakeTable.createTemp(spark, Seq((1L, "x")).toDF("id", "s"))
     val dest = Files.createTempDirectory("graft-icepart").resolve("t")
     IcebergInterop.exportSnapshot(t, dest)
@@ -161,13 +163,13 @@ class IcebergInteropSpec extends AnyFunSuite {
     val spec = meta.get("partition-specs").get(0)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val pf = spec.putArray("fields").addObject()
-    pf.put("name", "s"); pf.put("transform", "identity")
-    pf.put("source-id", 2); pf.put("field-id", 1000)
+    pf.put("name", "ghost"); pf.put("transform", "identity")
+    pf.put("source-id", 99); pf.put("field-id", 1000)
     Files.writeString(metaPath, m.writeValueAsString(meta))
     val e2 = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, dest)
     }
-    assert(e2.getMessage.contains("partitioned Iceberg tables"))
+    assert(e2.getMessage.contains("unknown source-id 99"))
     // unknown format version refuses
     meta.put("format-version", 3)
     Files.writeString(metaPath, m.writeValueAsString(meta))
@@ -175,6 +177,70 @@ class IcebergInteropSpec extends AnyFunSuite {
       IcebergInterop.readIceberg(spark, dest)
     }
     assert(e3.getMessage.contains("format-version"))
+  }
+
+  test("identity-partitioned export/read: per-tuple dirs, typed partition records, flat scan") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 600))
+    val dest = Files.createTempDirectory("graft-icepart2").resolve("t")
+    val n = IcebergInterop.exportSnapshot(t, dest,
+      identityPartitionBy = Seq("event_type"))
+    assert(n > 0)
+    // the metadata declares the identity spec
+    val meta = new ObjectMapper().readTree(
+      Files.readString(dest.resolve("metadata").resolve("v1.metadata.json")))
+    val sf0 = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(sf0.get("name").asText === "event_type")
+    assert(sf0.get("transform").asText === "identity")
+    // every manifest entry carries a typed partition record whose value
+    // matches a real event_type
+    val snap = meta.get("snapshots").elements().asScala.next()
+    val list = IcebergInterop.readAvro(java.nio.file.Paths.get(
+      snap.get("manifest-list").asText.stripPrefix("file://")))
+    val entries = IcebergInterop.readAvro(java.nio.file.Paths.get(
+      list.head.get("manifest_path").toString.stripPrefix("file://")))
+    val types = events.filter(col("event_id") < 600)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    entries.foreach { e =>
+      val part = e.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord]
+      assert(types.contains(part.get("event_type").toString))
+    }
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("event_type").toString)
+      .toSet === types)
+    // the flat scan returns every row WITH the partition column —
+    // hidden partitioning keeps source columns in the files
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.exceptAll(t.snapshot()).count() === 0)
+    assert(t.snapshot().exceptAll(back).count() === 0)
+  }
+
+  test("hive-migrated layout (files missing partition columns) refuses, not nulls") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    val dest = Files.createTempDirectory("graft-icemig").resolve("t")
+    IcebergInterop.exportSnapshot(t, dest, identityPartitionBy = Seq("s"))
+    // simulate add_files migration: strip the partition column from the
+    // physical files (rewrite each data file without it, same name)
+    scala.util.Using.resource(Files.walk(dest.resolve("data"))) { st =>
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }.foreach { f =>
+      val tmp = Files.createTempDirectory("graft-icemig-rw")
+      spark.read.parquet(f.toString).drop("s")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(Files.list(tmp)) { s =>
+        s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      Files.copy(part, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop the Hadoop LocalFileSystem checksum sidecar the original
+      // write left behind — it no longer matches the replaced bytes
+      Files.deleteIfExists(f.getParent.resolve(s".${f.getFileName}.crc"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, dest).count()
+    }
+    assert(e.getMessage.contains("hive-migrated"))
   }
 
   test("empty table (no current snapshot) reads as a typed empty frame") {
