@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 
 import org.apache.avro.{Schema => AvroSchema, SchemaBuilder}
 import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableFileInput}
@@ -344,6 +345,178 @@ object IcebergInterop {
     parts.size
   }
 
+  /** Export the table's FULL HISTORY as one Iceberg table: lake version
+    * v becomes snapshot-id v, so Iceberg snapshot time travel ≡
+    * `table.snapshot(v)`. The layout exploits the lake's immutability
+    * exactly like [[DeltaInterop.exportHistory]]:
+    *
+    *  - data files are HARD-LINKED per lake data directory
+    *    (metadata-speed regardless of table size);
+    *  - ONE MANIFEST PER DATA DIRECTORY, written once when the dir
+    *    first appears — a snapshot's manifest list then simply
+    *    references the manifests of its live dirs, which is Iceberg's
+    *    own manifest-reuse design (an overwrite drops whole manifests
+    *    from the list, no rewrite);
+    *  - schema evolution exports as the `schemas` list with a
+    *    per-snapshot `schema-id` (the metadata's top-level `schema`
+    *    stays the latest, for readers that only look there), so time
+    *    travel to a pre-evolution snapshot sees the narrow schema,
+    *    matching [[LakeTable.snapshot]].
+    *
+    * Returns the number of snapshots written. */
+  def exportHistory(table: LakeTable, destRoot: Path): Int = {
+    val versions = table.versions
+    val metaDir = destRoot.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val m = mapper
+    // distinct declared schemas in version order → schema-ids
+    val schemaJsonByVersion: Map[Long, Option[String]] =
+      versions.map(v => v -> table.versionState(v)._2.map(_.json)).toMap
+    require(schemaJsonByVersion(versions.head).nonEmpty,
+      s"cannot export history of $table: first surviving version has no " +
+        "declared schema — commit data (or create with a schema) first")
+    val distinctSchemas: Seq[String] =
+      versions.flatMap(v => schemaJsonByVersion(v)).distinct
+    val schemaId: Map[String, Int] = distinctSchemas.zipWithIndex.toMap
+    // one manifest per data dir, created on first appearance
+    case class ManifestRef(path: Path, nFiles: Int, addedSnapshot: Long)
+    val manifestByDir = scala.collection.mutable.LinkedHashMap.empty[String, ManifestRef]
+    def writeManifestFor(dir: String, snapshotId: Long): ManifestRef = {
+      val src = table.root.resolve(dir)
+      val parts = Using.resource(Files.list(src)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
+      // hard-link (copy across filesystems) the immutable data files
+      val destDir = destRoot.resolve("data").resolve(dir.stripPrefix("data/"))
+      Files.createDirectories(destDir)
+      val linked = parts.map { f =>
+        val d = destDir.resolve(f.getFileName)
+        if (!Files.exists(d)) {
+          try Files.createLink(d, f)
+          catch { case _: java.nio.file.FileSystemException => Files.copy(f, d) }
+        }
+        d
+      }
+      val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+      Using.resource(new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestEntrySchema))) { w =>
+        w.create(manifestEntrySchema, mp.toFile)
+        linked.foreach { f =>
+          val dfr = new GenericData.Record(
+            manifestEntrySchema.getField("data_file").schema())
+          dfr.put("file_path", s"file://${f.toAbsolutePath}")
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", new GenericData.Record(manifestEntrySchema
+            .getField("data_file").schema().getField("partition").schema()))
+          dfr.put("record_count", -1L)
+          dfr.put("file_size_in_bytes", Files.size(f))
+          dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
+          val e = new GenericData.Record(manifestEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("data_file", dfr)
+          w.append(e)
+        }
+      }
+      ManifestRef(mp, linked.size, snapshotId)
+    }
+    // per version: ensure manifests exist for its dirs, write its
+    // manifest list over exactly the live set
+    val listByVersion = versions.map { v =>
+      val (dirs, _) = table.versionState(v)
+      dirs.foreach { d =>
+        if (!manifestByDir.contains(d)) manifestByDir(d) = writeManifestFor(d, v)
+      }
+      val lp = metaDir.resolve(s"snap-$v-${UUID.randomUUID()}.avro")
+      Using.resource(new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestListSchema))) { w =>
+        w.create(manifestListSchema, lp.toFile)
+        dirs.foreach { d =>
+          val ref = manifestByDir(d)
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", s"file://${ref.path.toAbsolutePath}")
+          r.put("manifest_length", Files.size(ref.path))
+          r.put("partition_spec_id", 0)
+          r.put("added_snapshot_id", ref.addedSnapshot)
+          r.put("added_data_files_count", ref.nFiles)
+          r.put("existing_data_files_count", 0)
+          r.put("deleted_data_files_count", 0)
+          w.append(r)
+        }
+      }
+      v -> lp
+    }
+    // metadata JSON: schemas list + per-snapshot schema-id
+    val nowMs = Files.getLastModifiedTime(destRoot).toMillis
+    val root = m.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", UUID.randomUUID().toString)
+    root.put("location", s"file://${destRoot.toAbsolutePath}")
+    root.put("last-updated-ms", nowMs)
+    def schemaNodeOf(json: String, id: Int) = {
+      val fields = DataType.fromJson(json).asInstanceOf[StructType].fields
+      val n = m.createObjectNode()
+      n.put("type", "struct")
+      n.put("schema-id", id)
+      val arr = n.putArray("fields")
+      fields.zipWithIndex.foreach { case (f, i) =>
+        val fn = arr.addObject()
+        fn.put("id", i + 1)
+        fn.put("name", f.name)
+        fn.put("required", false)
+        fn.put("type", toIcebergType(f.dataType))
+      }
+      n
+    }
+    val latestJson = versions.reverse.flatMap(v => schemaJsonByVersion(v)).head
+    root.put("last-column-id",
+      DataType.fromJson(latestJson).asInstanceOf[StructType].fields.length)
+    root.set[ObjectNode]("schema", schemaNodeOf(latestJson, schemaId(latestJson)))
+    root.put("current-schema-id", schemaId(latestJson))
+    val schemasArr = root.putArray("schemas")
+    distinctSchemas.foreach(j => schemasArr.add(schemaNodeOf(j, schemaId(j))))
+    root.putArray("partition-spec")
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val orders = root.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    root.putObject("properties")
+    root.put("current-snapshot-id", versions.last)
+    val snapsArr = root.putArray("snapshots")
+    var lastSchema: Option[String] = None
+    versions.zip(listByVersion).foreach { case (v, (_, lp)) =>
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", v)
+      if (v != versions.head) sn.put("parent-snapshot-id", v - 1)
+      sn.put("timestamp-ms", nowMs)
+      sn.putObject("summary").put("operation", "append")
+      sn.put("manifest-list", s"file://${lp.toAbsolutePath}")
+      // schema at this snapshot: last declared at or before v
+      val sj = schemaJsonByVersion(v).orElse(lastSchema)
+      sj.foreach { j => sn.put("schema-id", schemaId(j)); lastSchema = Some(j) }
+    }
+    val logArr = root.putArray("snapshot-log")
+    versions.foreach { v =>
+      val le = logArr.addObject()
+      le.put("timestamp-ms", nowMs)
+      le.put("snapshot-id", v)
+    }
+    root.putArray("metadata-log")
+    Files.writeString(metaDir.resolve("v1.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    versions.size
+  }
+
   // ---- read --------------------------------------------------------------
 
   private[lake] def readAvro(path: Path): Seq[GenericRecord] =
@@ -390,22 +563,37 @@ object IcebergInterop {
   }
 
   /** Open an Iceberg table (ours or foreign) as a DataFrame: metadata
-    * JSON → current snapshot → manifest list → manifests → live
-    * parquet files, read with the schema the metadata declares. */
-  def readIceberg(spark: SparkSession, root: Path): DataFrame = {
+    * JSON → snapshot → manifest list → manifests → live parquet files,
+    * read with the schema the metadata declares. Pass `snapshotId` to
+    * time-travel: the scan resolves that snapshot's manifest list and
+    * its `schema-id` when the metadata carries one (so a pre-evolution
+    * snapshot reads with its own narrower schema — the
+    * [[LakeTable.snapshot]] rule); an unknown id throws. */
+  def readIceberg(spark: SparkSession, root: Path,
+                  snapshotId: Long = -1L): DataFrame = {
     val meta = mapper.readTree(Files.readString(currentMetadata(root)))
     val fv = meta.get("format-version").asInt()
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv at $root")
-    // schema: v1 carries "schema"; v2 carries "schemas" + current-schema-id
+    val requestedSnap: Option[JsonNode] =
+      if (snapshotId == -1L) None
+      else Some(meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == snapshotId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $snapshotId at $root")))
+    // schema precedence: the requested snapshot's schema-id → the
+    // schemas list; else top-level "schema"; else current-schema-id
+    def schemaById(id: Int): JsonNode =
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == id)
+        .getOrElse(throw new IllegalArgumentException(
+          s"schema-id $id not in schemas list at $root"))
     val schemaNode =
-      if (meta.has("schema")) meta.get("schema")
-      else {
-        val cur = meta.get("current-schema-id").asInt()
-        meta.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt() == cur)
-          .getOrElse(throw new IllegalArgumentException(
-            s"current-schema-id $cur not in schemas list at $root"))
-      }
+      requestedSnap.filter(s => s.has("schema-id") && meta.has("schemas"))
+        .map(s => schemaById(s.get("schema-id").asInt()))
+        .getOrElse {
+          if (meta.has("schema")) meta.get("schema")
+          else schemaById(meta.get("current-schema-id").asInt())
+        }
     val sparkSchema = parseSchema(schemaNode)
     val nullable = StructType(sparkSchema.fields.map(_.copy(nullable = true)))
     // Partition specs: unlike Delta/hive, Iceberg data files carry the
@@ -437,12 +625,13 @@ object IcebergInterop {
           s"source-id $srcId at $root"))
     }
     val curSnap = if (meta.has("current-snapshot-id")) meta.get("current-snapshot-id").asLong() else -1L
-    if (curSnap == -1L)
+    if (requestedSnap.isEmpty && curSnap == -1L)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
-    val snap = meta.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == curSnap)
-      .getOrElse(throw new IllegalArgumentException(
-        s"current-snapshot-id $curSnap not in snapshots list at $root"))
+    val snap = requestedSnap.getOrElse(
+      meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curSnap)
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-snapshot-id $curSnap not in snapshots list at $root")))
     require(snap.has("manifest-list"),
       s"snapshot $curSnap carries no manifest-list at $root (v1 'manifests' " +
         "inline lists are not supported)")

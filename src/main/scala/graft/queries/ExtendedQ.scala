@@ -603,6 +603,32 @@ object ExtendedQ {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // lake — Iceberg SNAPSHOT TIME TRAVEL over an exported history
+    // (q112/q133's shape through the Iceberg wire format): lake
+    // version v becomes snapshot-id v, one manifest per immutable data
+    // dir (reused across manifest lists, never rewritten — Iceberg's
+    // own design), data files hard-linked. Reading snapshots 1 and 2
+    // must reproduce the two lake states exactly; the oracle states
+    // both in closed form
+    "q162_iceberg_time_travel" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        base.filter(col("event_id") % 2 === 0), "graft-icett") // v1: evens
+      t.append(base.filter(col("event_id") % 2 === 1)) // v2: all
+      val dest = Files.createTempDirectory("graft-icett-q").resolve("t")
+      require(graft.lake.IcebergInterop.exportHistory(t, dest) == 2,
+        "expected 2 snapshots")
+      def agg(df: org.apache.spark.sql.DataFrame, v: Long) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .withColumn("version", lit(v))
+      agg(graft.lake.IcebergInterop.readIceberg(s, dest, 1L), 1L)
+        .unionByName(agg(graft.lake.IcebergInterop.readIceberg(s, dest, 2L), 2L))
+        .select(col("version"), col("event_type"), col("n"), col("total"))
+        .orderBy("version", "event_type")
     })
   )
 
@@ -868,6 +894,17 @@ object ExtendedQ {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 7 = 0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q162_iceberg_time_travel" ->
+      s"""SELECT version, event_type, n, total FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+         |         ${sqlDsum("value")} AS total
+         |  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS version, event_type, COUNT(*) AS n,
+         |         ${sqlDsum("value")} AS total
+         |  FROM events GROUP BY event_type
+         |) ORDER BY version, event_type""".stripMargin,
 
     // the closed-form change set: v2 adds the %4==0 rows; v3's
     // delete-only merge removes the %10==7 rows (the lake state at v2

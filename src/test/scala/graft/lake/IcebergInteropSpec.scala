@@ -243,6 +243,48 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hive-migrated"))
   }
 
+  test("exportHistory: every lake version time-travels identically via snapshot-id") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 100)) // v1
+    t.append(events.filter(col("event_id").between(100, 199))) // v2
+    t.overwrite(events.filter(col("event_id") < 50)) // v3: drops manifests
+    t.append(Seq((999999L, "evolved", 1.0, 42L))
+      .toDF("event_id", "event_type", "value", "extra")) // v4: schema +extra
+    val dest = Files.createTempDirectory("graft-icehist").resolve("t")
+    assert(IcebergInterop.exportHistory(t, dest) === 4)
+    (1L to 4L).foreach { v =>
+      val lake = t.snapshot(v)
+      val ice = IcebergInterop.readIceberg(spark, dest, snapshotId = v)
+      assert(ice.columns.toSeq === lake.columns.toSeq, s"snapshot $v schema")
+      assert(ice.exceptAll(lake).count() === 0, s"snapshot $v extra rows")
+      assert(lake.exceptAll(ice).count() === 0, s"snapshot $v missing rows")
+    }
+    // pre-evolution snapshot reads with the NARROW schema via its schema-id
+    assert(IcebergInterop.readIceberg(spark, dest, 2L).columns.toSeq ===
+      Seq("event_id", "event_type", "value"))
+    // default read = current snapshot = latest lake version
+    val cur = IcebergInterop.readIceberg(spark, dest)
+    assert(cur.filter(col("extra").isNull).count() === 50)
+    // unknown snapshot throws
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, dest, 99L)
+    }
+    assert(e.getMessage.contains("no snapshot 99"))
+    // manifest REUSE: v1's data-dir manifest appears in multiple
+    // manifest lists rather than being rewritten per snapshot
+    val meta = new ObjectMapper().readTree(
+      Files.readString(dest.resolve("metadata").resolve("v1.metadata.json")))
+    val listsOfManifests = meta.get("snapshots").elements().asScala.toSeq.map { sn =>
+      IcebergInterop.readAvro(java.nio.file.Paths.get(
+        sn.get("manifest-list").asText.stripPrefix("file://")))
+        .map(_.get("manifest_path").toString).toSet
+    }
+    // v2's list contains v1's manifest (append keeps prior dirs live)
+    assert(listsOfManifests(1).intersect(listsOfManifests(0)).nonEmpty)
+    // v3's overwrite drops both earlier manifests from its list
+    assert(listsOfManifests(2).intersect(listsOfManifests(0)).isEmpty)
+  }
+
   test("empty table (no current snapshot) reads as a typed empty frame") {
     val root = Files.createTempDirectory("graft-iceempty").resolve("t")
     Files.createDirectories(root.resolve("metadata"))
