@@ -198,6 +198,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(one.count() === base.filter(col("event_type") === "click").count())
   }
 
+  test("partitioned read: a partition-column filter prunes to one scan branch") {
+    // the per-tuple union attaches each partition value as a literal, so
+    // a filter on the partition column constant-folds non-matching
+    // branches to false and Catalyst prunes them — partition pruning
+    // survives the union. Pinned on the optimized plan: exactly one
+    // parquet scan relation remains out of five.
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val t = LakeTable.createTemp(spark, base)
+    val dest = Files.createTempDirectory("graft-pprune").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest, partitionBy = Seq("o_orderpriority"))
+    val all = DeltaInterop.readDelta(spark, dest)
+    assert(all.select("o_orderpriority").distinct().count() === 5)
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+          if r.getClass.getSimpleName.contains("DataSourceV2") => r
+      }.size
+    assert(scanCount(all) === 5)
+    val one = all.filter(col("o_orderpriority") === "1-URGENT")
+    assert(scanCount(one) === 1,
+      s"expected branch pruning to one scan, plan:\n${one.queryExecution.optimizedPlan}")
+    assert(one.count() === base.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("checkpoint-truncated log: fails loud without the checkpoint, replays exactly with it") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-cktrunc").resolve("t")
