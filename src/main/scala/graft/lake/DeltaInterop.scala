@@ -356,6 +356,34 @@ object DeltaInterop {
     v
   }
 
+  /** Log retention — the writer-side counterpart of checkpoint-seeded
+    * replay: delete every JSON commit at or below the newest
+    * checkpoint, EXCEPT the latest `retainCommits` (readers replaying
+    * a recent version hint may still want a short JSON tail). Refuses
+    * to run when no checkpoint exists — deleting history without one
+    * is exactly the truncation [[replayLog]] fails loud on. Returns
+    * the number of JSON commits deleted. */
+  def cleanupLog(root: Path, retainCommits: Int = 10): Int = {
+    require(retainCommits >= 0, "retainCommits must be >= 0")
+    val logDir = root.resolve("_delta_log")
+    require(Files.isDirectory(logDir), s"not a Delta table: $root")
+    val names = Using.resource(Files.list(logDir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString).toSeq
+    }
+    val ckVers = names.collect { case CkSingle(v) => v.toLong } ++
+      names.collect { case CkPart(v) => v.toLong }
+    require(ckVers.nonEmpty,
+      s"refusing to clean up $root: no checkpoint exists, so deleting JSON " +
+        "commits would truncate the only replayable history (write one with " +
+        "writeCheckpoint first)")
+    val ck = ckVers.max
+    val jsonVers = names.collect { case JsonFile(v) => v.toLong }.sorted
+    val keepFrom = jsonVers.takeRight(retainCommits).headOption.getOrElse(Long.MaxValue)
+    val drop = jsonVers.filter(v => v <= ck && v < keepFrom)
+    drop.foreach(v => Files.delete(logPath(root, v)))
+    drop.size
+  }
+
   // ---- replay ------------------------------------------------------------
 
   private[lake] case class LiveFile(path: String,

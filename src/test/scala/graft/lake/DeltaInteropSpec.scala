@@ -282,6 +282,32 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("truncated"))
   }
 
+  test("cleanupLog: retention deletes only checkpoint-covered commits, refuses without one") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 60))
+    t.append(events.filter(col("event_id").between(60, 119)))
+    t.overwrite(events.filter(col("event_id") < 40))
+    val dest = Files.createTempDirectory("graft-dclean").resolve("t")
+    DeltaInterop.exportHistory(t, dest) // commits 0,1,2
+    // no checkpoint yet: cleanup must refuse, history stays intact
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.cleanupLog(dest)
+    }
+    assert(e.getMessage.contains("no checkpoint"))
+    val before = DeltaInterop.readDelta(spark, dest).count()
+    // checkpoint at latest, retain a 1-commit JSON tail, clean the rest
+    DeltaInterop.writeCheckpoint(spark, dest)
+    assert(DeltaInterop.cleanupLog(dest, retainCommits = 1) === 2)
+    // the table still replays exactly (checkpoint-seeded)
+    assert(DeltaInterop.readDelta(spark, dest).count() === before)
+    // and a second cleanup is a no-op
+    assert(DeltaInterop.cleanupLog(dest, retainCommits = 1) === 0)
+    // time travel below the deleted history is gone — loud, not wrong
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, dest, 0L)
+    }
+    assert(e2.getMessage.contains("truncated"))
+  }
+
   test("checkpointed full log replays identically through either path") {
     val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 100))
     t.append(events.filter(col("event_id").between(100, 199)))
