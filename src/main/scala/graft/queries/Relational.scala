@@ -165,6 +165,92 @@ object Relational {
         .orderBy(desc("revenue"), col("n_name"))
     }),
 
+    // TPC-H Q18 shape (large-volume customer). The scale plan: the
+    // HAVING subquery is ONE map-side-combinable shuffle over lineitem
+    // (sum l_quantity by orderkey), and the surviving hot-order set is
+    // tiny by construction (the 300-qty threshold sits near the
+    // distribution's tail) — so everything downstream of that agg rides
+    // broadcasts: hot-orders ⋈ orders is a broadcast hash join, and the
+    // reduced orders side (a few hundred rows even at 100 TB SFs)
+    // broadcasts into customer instead of shuffling 1.5M×SF customers
+    "q163_large_volume_customer" -> ((s, d) => {
+      val hot = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val hotOrders = Tables.orders(s, d)
+        .join(broadcast(hot), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+      Tables.customer(s, d)
+        .join(broadcast(hotOrders), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue; p_container →
+    // p_brand here — the testdata part table carries no container
+    // column). The correlated scalar subquery (0.2×avg per part)
+    // becomes an aggregate-then-join: filtered part is a broadcast
+    // semi-reduction on the lineitem SCAN (only Brand#23 rows survive
+    // the join), the per-part cap is one small agg over that reduced
+    // slice, and the cap joins back by broadcast. Both sides compute
+    // the cap as 0.2×(exact-decimal sum ÷ count) — one IEEE multiply
+    // and divide, bit-identical across engines
+    "q164_small_qty_revenue" -> ((s, d) => {
+      val brandParts = broadcast(
+        Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey")))
+      val li = Tables.lineitem(s, d)
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val caps = li.groupBy(col("l_partkey").as("cap_partkey"))
+        .agg((lit(0.2) * (sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast("double") / count(lit(1)))).as("qty_cap"))
+      li.join(broadcast(caps), col("l_partkey") === col("cap_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting; the testdata
+    // lineitem has no receipt/commit dates, so "late" is shipdate >
+    // orderdate + 90 days). The spec's EXISTS + NOT-EXISTS pair would
+    // be TWO self-joins of the biggest table; the scale-correct rewrite
+    // is ONE shuffle by orderkey computing per-order supplier counts
+    // (distinct suppliers, distinct LATE suppliers), then the waiting
+    // condition is just n_supp > 1 AND n_late = 1 AND this supplier is
+    // the late one — semantics identical (counting distinct
+    // (order,supplier) pairs), shuffle count 3 → 1. Supplier⋈nation is
+    // a broadcast dim at any scale
+    "q165_suppliers_waiting" -> ((s, d) => {
+      val wl = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val perOrder = wl.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      val lateSupp = broadcast(
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      wl.filter(col("late")).select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(lateSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -394,6 +480,52 @@ object Relational {
          |  AND l_shipdate > TIMESTAMP '1998-06-01'
          |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q163_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_totalprice, sum_qty
+        |FROM customer
+        |JOIN (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, sum_qty
+        |  FROM orders
+        |  JOIN (
+        |    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+        |  ) ON o_orderkey = l_orderkey
+        |) ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    "q164_small_qty_revenue" ->
+      s"""SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN (
+         |  SELECT l_partkey AS cap_partkey,
+         |         0.2 * (${sqlDsum("l_quantity")} / COUNT(*)) AS qty_cap
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_brand = 'Brand#23'
+         |  GROUP BY l_partkey
+         |) ON l_partkey = cap_partkey
+         |WHERE p_brand = 'Brand#23' AND l_quantity < qty_cap""".stripMargin,
+    "q165_suppliers_waiting" ->
+      """WITH wl AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey AS po_orderkey,
+        |         COUNT(DISTINCT l_suppkey) AS n_supp,
+        |         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM wl GROUP BY l_orderkey
+        |)
+        |SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM wl WHERE late)
+        |JOIN per_order ON l_orderkey = po_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q11_star_join" ->
       s"""SELECT r_name, n_name,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
