@@ -47,12 +47,20 @@ import org.apache.spark.sql.types._
   * silent nulls. Export supports identity specs (per-tuple data dirs,
   * typed partition records in the manifest).
   *
+  * v2 row-level deletes: POSITION deletes are fully supported on both
+  * sides — [[exportSnapshotV2]] writes spec-shaped position-delete
+  * files (file_path + pos with the spec's reserved column ids) under a
+  * content=1 delete manifest, and the read path subtracts them with a
+  * distributed anti-join on (normalized path, `_metadata.row_index`).
+  * Position deletes name exact immutable data-file paths, so path+pos
+  * equality is complete without sequence-number ordering.
+  *
   * Fail-loud boundaries (the r8 Delta discipline — refuse rather than
-  * misread): format-version must be 1 or 2 without row-level deletes
-  * (a v2 table whose manifests carry delete files would silently
-  * resurrect deleted rows), partition source-ids must resolve in the
-  * current schema, migrated files missing partition columns refuse,
-  * and only primitive column types convert.
+  * misread): format-version must be 1 or 2, EQUALITY deletes (content
+  * = 2, which do need sequence-number-ordered value matching) refuse
+  * rather than resurrect rows, partition source-ids must resolve in
+  * the current schema, migrated files missing partition columns
+  * refuse, and only primitive column types convert.
   */
 object IcebergInterop {
 
@@ -140,6 +148,25 @@ object IcebergInterop {
       field("deleted_data_files_count", p(S.INT), 506)
     ).asJava)
 
+  /** v2 manifest_file: adds `content` (0 = data, 1 = deletes; spec
+    * field-id 517) and the sequence-number pair (515/516). The Avro
+    * field NAMES keep the v1 spellings (`added_data_files_count` …) —
+    * that is what the reference Java implementation writes; readers
+    * bind by field-id. */
+  private[lake] val manifestListSchemaV2: AvroSchema = AvroSchema.createRecord(
+    "manifest_file", null, "org.apache.iceberg", false, Seq(
+      field("manifest_path", p(S.STRING), 500),
+      field("manifest_length", p(S.LONG), 501),
+      field("partition_spec_id", p(S.INT), 502),
+      field("content", p(S.INT), 517),
+      field("sequence_number", p(S.LONG), 515),
+      field("min_sequence_number", p(S.LONG), 516),
+      field("added_snapshot_id", p(S.LONG), 503),
+      field("added_data_files_count", p(S.INT), 504),
+      field("existing_data_files_count", p(S.INT), 505),
+      field("deleted_data_files_count", p(S.INT), 506)
+    ).asJava)
+
   private[lake] def manifestEntrySchemaWith(partition: AvroSchema): AvroSchema = {
     val dataFile = AvroSchema.createRecord(
       "r2", null, "org.apache.iceberg", false, Seq(
@@ -161,6 +188,31 @@ object IcebergInterop {
   private[lake] val manifestEntrySchema: AvroSchema =
     manifestEntrySchemaWith(AvroSchema.createRecord(
       "r102", null, "org.apache.iceberg", false, Seq.empty[AvroSchema.Field].asJava))
+
+  /** v2 manifest_entry: data_file gains `content` (spec field-id 134;
+    * 0 = data, 1 = position deletes, 2 = equality deletes) and the
+    * entry gains optional sequence numbers (inherited when null). */
+  private[lake] val manifestEntrySchemaV2: AvroSchema = {
+    val dataFile = AvroSchema.createRecord(
+      "r2", null, "org.apache.iceberg", false, Seq(
+        field("content", p(S.INT), 134),
+        field("file_path", p(S.STRING), 100),
+        field("file_format", p(S.STRING), 101),
+        field("partition", AvroSchema.createRecord(
+          "r102", null, "org.apache.iceberg", false,
+          Seq.empty[AvroSchema.Field].asJava), 102),
+        field("record_count", p(S.LONG), 103),
+        field("file_size_in_bytes", p(S.LONG), 104)
+      ).asJava)
+    AvroSchema.createRecord(
+      "manifest_entry", null, "org.apache.iceberg", false, Seq(
+        field("status", p(S.INT), 0),
+        field("snapshot_id", optional(p(S.LONG)), 1),
+        field("sequence_number", optional(p(S.LONG)), 3),
+        field("file_sequence_number", optional(p(S.LONG)), 4),
+        field("data_file", dataFile, 2)
+      ).asJava)
+  }
 
   // ---- export ------------------------------------------------------------
 
@@ -343,6 +395,187 @@ object IcebergInterop {
       m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     Files.writeString(metaDir.resolve("version-hint.text"), "1")
     parts.size
+  }
+
+  /** Canonical form for data-file path equality: any `file:` URI or
+    * plain path → one absolute `/…` path. Position deletes reference
+    * data files by EXACT path string, so both the delete-file writer
+    * and the reader's anti-join normalize through this. */
+  private[lake] def normPathCol(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+
+  /** Spec column ids for position-delete files (Iceberg spec §Position
+    * Delete Files): 2147483546 = file_path, 2147483545 = pos. Spark
+    * writes them into the parquet footer via the `parquet.field.id`
+    * field metadata (fieldId.write is on by default), so real readers
+    * can bind the columns by id. */
+  private val DeleteFileIdFilePath = 2147483546L
+  private val DeleteFileIdPos = 2147483545L
+
+  /** Export `table`'s snapshot as an Iceberg **v2** table with
+    * row-level POSITION DELETES: all snapshot rows are written as data
+    * files, and the rows matching `deleteWhere` are then marked
+    * deleted via a position-delete file (`file_path` + `pos` per the
+    * spec, spec column-ids in the parquet footer) referenced from a
+    * delete manifest (`content` = 1 in the manifest list). A v2 reader
+    * — including [[readIceberg]] — must subtract those positions; a
+    * reader that ignores delete manifests would resurrect the rows,
+    * which is exactly why [[readIceberg]] refuses manifests it cannot
+    * apply.
+    *
+    * The scale path on both sides is Spark's parquet metadata columns:
+    * positions come from `_metadata.file_path`/`_metadata.row_index`
+    * on a distributed scan (no driver-side row handling), and the
+    * reader applies deletes as a distributed anti-join on the same
+    * pair. Position deletes name exact immutable file paths, so
+    * path+pos equality is sufficient regardless of sequence numbers —
+    * those are still written spec-correct (everything at sequence 1).
+    *
+    * Returns (dataFiles, deletedRows). */
+  def exportSnapshotV2(table: LakeTable, destRoot: Path,
+                       deleteWhere: org.apache.spark.sql.Column,
+                       version: Long = -1L): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = table.snapshot(version)
+    df.schema.fields.foreach(f => toIcebergType(f.dataType)) // fail loud up front
+    val spark = df.sparkSession
+    val dataDir = destRoot.resolve("data")
+    val metaDir = destRoot.resolve("metadata")
+    Files.createDirectories(metaDir)
+    df.write.mode("error").parquet(dataDir.toString)
+    val parts = Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+
+    // positions of to-delete rows, computed distributed from the
+    // written files themselves (row_index IS the Iceberg position:
+    // 0-based ordinal within the data file)
+    val deletesDir = destRoot.resolve("deletes")
+    val fpMeta = new MetadataBuilder().putLong("parquet.field.id", DeleteFileIdFilePath).build()
+    val posMeta = new MetadataBuilder().putLong("parquet.field.id", DeleteFileIdPos).build()
+    spark.read.parquet(dataDir.toString)
+      .filter(deleteWhere)
+      .select(
+        concat(lit("file://"), normPathCol(col("_metadata.file_path")))
+          .as("file_path", fpMeta),
+        col("_metadata.row_index").as("pos", posMeta))
+      .repartition(1) // deletes are a small fraction of a snapshot; one sorted file
+      .sortWithinPartitions("file_path", "pos")
+      .write.mode("error").parquet(deletesDir.toString)
+    val deleteParts = Using.resource(Files.list(deletesDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+    val nDeleted = spark.read.parquet(deletesDir.toString).count()
+
+    val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
+    val nowMs = Files.getLastModifiedTime(destRoot).toMillis
+    val partitionRecord = new GenericData.Record(manifestEntrySchemaV2
+      .getField("data_file").schema().getField("partition").schema())
+
+    def writeManifestV2(files: Seq[Path], content: Int, recordCount: Long): Path = {
+      val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+      Using.resource(new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestEntrySchemaV2))) { w =>
+        w.create(manifestEntrySchemaV2, mp.toFile)
+        files.foreach { f =>
+          val dfr = new GenericData.Record(
+            manifestEntrySchemaV2.getField("data_file").schema())
+          dfr.put("content", content)
+          dfr.put("file_path", s"file://${f.toAbsolutePath}")
+          dfr.put("file_format", "PARQUET")
+          dfr.put("partition", partitionRecord)
+          dfr.put("record_count", recordCount)
+          dfr.put("file_size_in_bytes", Files.size(f))
+          val e = new GenericData.Record(manifestEntrySchemaV2)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", 1L)
+          e.put("file_sequence_number", 1L)
+          e.put("data_file", dfr)
+          w.append(e)
+        }
+      }
+      mp
+    }
+    val dataManifest = writeManifestV2(parts, content = 0, recordCount = -1L)
+    val deleteManifest = writeManifestV2(deleteParts, content = 1, recordCount = nDeleted)
+
+    // v2 manifest list: the delete manifest rides with content = 1
+    val listPath = metaDir.resolve(s"snap-$snapshotId-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchemaV2))) { w =>
+      w.create(manifestListSchemaV2, listPath.toFile)
+      Seq((dataManifest, 0, parts.size), (deleteManifest, 1, deleteParts.size))
+        .foreach { case (mp, content, n) =>
+          val m = new GenericData.Record(manifestListSchemaV2)
+          m.put("manifest_path", s"file://${mp.toAbsolutePath}")
+          m.put("manifest_length", Files.size(mp))
+          m.put("partition_spec_id", 0)
+          m.put("content", content)
+          m.put("sequence_number", 1L)
+          m.put("min_sequence_number", 1L)
+          m.put("added_snapshot_id", snapshotId)
+          m.put("added_data_files_count", n)
+          m.put("existing_data_files_count", 0)
+          m.put("deleted_data_files_count", 0)
+          w.append(m)
+        }
+    }
+
+    // v2 table metadata: format-version 2 requires last-sequence-number,
+    // schemas + current-schema-id, and per-snapshot sequence-number
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", UUID.randomUUID().toString)
+    root.put("location", s"file://${destRoot.toAbsolutePath}")
+    root.put("last-sequence-number", 1L)
+    root.put("last-updated-ms", nowMs)
+    root.put("last-column-id", df.schema.fields.length)
+    val schemaNode = m.createObjectNode()
+    schemaNode.put("type", "struct")
+    schemaNode.put("schema-id", 0)
+    val fieldsArr = schemaNode.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", toIcebergType(f.dataType))
+    }
+    root.put("current-schema-id", 0)
+    root.putArray("schemas").add(schemaNode)
+    val specs = root.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.put("default-sort-order-id", 0)
+    val orders = root.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", snapshotId)
+    snap.put("sequence-number", 1L)
+    snap.put("timestamp-ms", nowMs)
+    snap.put("schema-id", 0)
+    snap.putObject("summary").put("operation", "overwrite")
+    snap.put("manifest-list", s"file://${listPath.toAbsolutePath}")
+    root.putArray("snapshot-log")
+    root.putArray("metadata-log")
+    Files.writeString(metaDir.resolve("v1.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    (parts.size, nDeleted)
   }
 
   /** Export the table's FULL HISTORY as one Iceberg table: lake version
@@ -636,27 +869,51 @@ object IcebergInterop {
       s"snapshot $curSnap carries no manifest-list at $root (v1 'manifests' " +
         "inline lists are not supported)")
     val manifests = readAvro(resolveLoc(root, snap.get("manifest-list").asText()))
-    val files = manifests.flatMap { mf =>
-      // v2 manifest lists carry content: 1 = DELETE manifests (row-level
-      // deletes). Reading past them would resurrect deleted rows.
-      // (GenericRecord.get THROWS on absent fields — probe the writer
-      // schema first; v1 files have no content field at all.)
-      val content =
-        if (mf.getSchema.getField("content") == null) 0
-        else Option(mf.get("content")).map(_.toString.toInt).getOrElse(0)
-      require(content == 0,
-        s"Iceberg v2 delete manifests are not supported at $root — refusing " +
-          "rather than resurrecting deleted rows")
-      readAvro(resolveLoc(root, mf.get("manifest_path").toString)).flatMap { entry =>
-        val status = entry.get("status").toString.toInt
-        if (status == 2) None // DELETED
-        else {
-          val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
-          val fmt = dataFile.get("file_format").toString
-          require(fmt.equalsIgnoreCase("PARQUET"),
-            s"unsupported Iceberg data file format $fmt at $root")
-          Some(resolveLoc(root, dataFile.get("file_path").toString))
-        }
+    // v2 manifest lists carry content: 0 = data manifests, 1 = DELETE
+    // manifests (row-level deletes). (GenericRecord.get THROWS on
+    // absent fields — probe the writer schema first; v1 files have no
+    // content field at all.)
+    def listContent(mf: GenericRecord): Int =
+      if (mf.getSchema.getField("content") == null) 0
+      else Option(mf.get("content")).map(_.toString.toInt).getOrElse(0)
+    manifests.foreach { mf =>
+      val c = listContent(mf)
+      require(c == 0 || c == 1,
+        s"unknown manifest content=$c in manifest list at $root — refusing")
+    }
+    def liveEntries(mf: GenericRecord): Seq[GenericRecord] =
+      readAvro(resolveLoc(root, mf.get("manifest_path").toString))
+        .filter(_.get("status").toString.toInt != 2) // 2 = DELETED entry
+    def fileContent(dataFile: GenericRecord): Int =
+      if (dataFile.getSchema.getField("content") == null) 0
+      else Option(dataFile.get("content")).map(_.toString.toInt).getOrElse(0)
+    def pathOf(dataFile: GenericRecord, kind: String): Path = {
+      val fmt = dataFile.get("file_format").toString
+      require(fmt.equalsIgnoreCase("PARQUET"),
+        s"unsupported Iceberg $kind file format $fmt at $root")
+      resolveLoc(root, dataFile.get("file_path").toString)
+    }
+    val (deleteMfs, dataMfs) = manifests.partition(listContent(_) == 1)
+    val files = dataMfs.flatMap { mf =>
+      liveEntries(mf).map { entry =>
+        val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
+        require(fileContent(dataFile) == 0,
+          s"delete file inside a DATA manifest at $root — refusing")
+        pathOf(dataFile, "data")
+      }
+    }
+    // Position-delete files (spec: columns file_path + pos) subtract
+    // exact (data-file path, row ordinal) pairs. Equality deletes
+    // (content = 2) need sequence-number-ordered value matching — out
+    // of scope, refuse rather than resurrect rows.
+    val deleteFiles = deleteMfs.flatMap { mf =>
+      liveEntries(mf).map { entry =>
+        val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
+        val c = fileContent(dataFile)
+        require(c == 1,
+          s"unsupported Iceberg delete content=$c at $root (only position " +
+            "deletes are supported) — refusing rather than resurrecting rows")
+        pathOf(dataFile, "delete")
       }
     }
     if (files.isEmpty)
@@ -674,7 +931,26 @@ object IcebergInterop {
             s"missing partition source columns ${missing.mkString(",")} " +
             "(hive-migrated layout) — refusing rather than reading nulls")
       }
-      spark.read.schema(nullable).parquet(files.map(_.toString).sorted: _*)
+      val base = spark.read.schema(nullable).parquet(files.map(_.toString).sorted: _*)
+      if (deleteFiles.isEmpty) base
+      else {
+        // apply position deletes as a distributed anti-join on the
+        // normalized (path, row ordinal) pair — row_index is Iceberg's
+        // position by definition (0-based ordinal in the data file).
+        // Paths are exact immutable file names, so path+pos equality is
+        // sufficient independent of sequence numbers. The delete side
+        // is small relative to the data (AQE broadcasts it at runtime).
+        import org.apache.spark.sql.functions.col
+        val dels = spark.read
+          .parquet(deleteFiles.map(_.toString).sorted: _*)
+          .select(normPathCol(col("file_path")).as("__gf_path"),
+            col("pos").cast("long").as("__gf_pos"))
+        base
+          .withColumn("__gf_path", normPathCol(col("_metadata.file_path")))
+          .withColumn("__gf_pos", col("_metadata.row_index"))
+          .join(dels, Seq("__gf_path", "__gf_pos"), "left_anti")
+          .drop("__gf_path", "__gf_pos")
+      }
     }
   }
 

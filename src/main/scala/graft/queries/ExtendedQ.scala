@@ -629,6 +629,31 @@ object ExtendedQ {
         .unionByName(agg(graft.lake.IcebergInterop.readIceberg(s, dest, 2L), 2L))
         .select(col("version"), col("event_type"), col("n"), col("total"))
         .orderBy("version", "event_type")
+    }),
+
+    // lake — Iceberg v2 POSITION DELETES round trip: export writes the
+    // snapshot's rows as data files plus a spec-shaped position-delete
+    // file (file_path + pos with the reserved column ids, content=1
+    // delete manifest, sequence numbers in the v2 metadata) for every
+    // row matching the predicate; the read applies the deletes as a
+    // distributed anti-join on (path, `_metadata.row_index`). The
+    // oracle recomputes the aggregate from the source with the inverse
+    // predicate, so the hash gate proves delete application is exact —
+    // no resurrected rows, no over-deletion
+    "q166_iceberg_pos_deletes" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_id") % 3 === 1)
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-icev2x")
+      val dest = Files.createTempDirectory("graft-icev2-q").resolve("t")
+      val (nFiles, nDeleted) = graft.lake.IcebergInterop.exportSnapshotV2(
+        t, dest, col("event_type") === "error")
+      require(nFiles > 0 && nDeleted > 0,
+        s"expected data files and deleted rows, got ($nFiles, $nDeleted)")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -894,6 +919,11 @@ object ExtendedQ {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 7 = 0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q166_iceberg_pos_deletes" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q162_iceberg_time_travel" ->
       s"""SELECT version, event_type, n, total FROM (

@@ -285,6 +285,94 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(listsOfManifests(2).intersect(listsOfManifests(0)).isEmpty)
   }
 
+  test("v2 position deletes: export subtracts exactly the matching rows on read") {
+    val base = events.filter(col("event_id") < 400)
+    val t = LakeTable.createTemp(spark, base)
+    val dest = Files.createTempDirectory("graft-icev2").resolve("t")
+    val (nData, nDeleted) =
+      IcebergInterop.exportSnapshotV2(t, dest, col("event_type") === "error")
+    assert(nData > 0)
+    val expectedDeleted = base.filter(col("event_type") === "error").count()
+    assert(nDeleted === expectedDeleted && nDeleted > 0)
+    // metadata is v2 with sequence numbers
+    val meta = new ObjectMapper().readTree(
+      Files.readString(dest.resolve("metadata").resolve("v1.metadata.json")))
+    assert(meta.get("format-version").asInt === 2)
+    assert(meta.get("last-sequence-number").asLong === 1L)
+    // manifest list carries one data (content 0) + one delete (content 1) manifest
+    val snap = meta.get("snapshots").elements().asScala.next()
+    val list = IcebergInterop.readAvro(java.nio.file.Paths.get(
+      snap.get("manifest-list").asText.stripPrefix("file://")))
+    assert(list.map(_.get("content").toString.toInt).sorted === Seq(0, 1))
+    // the delete parquet is spec-shaped: file_path + pos, sorted, with
+    // the reserved column ids in the footer metadata
+    val delDir = dest.resolve("deletes")
+    val delDf = spark.read.parquet(delDir.toString)
+    assert(delDf.columns.toSeq === Seq("file_path", "pos"))
+    val delRows = delDf.orderBy("file_path", "pos").collect()
+    assert(delRows.length === nDeleted)
+    assert(delRows.forall(_.getString(0).startsWith("file:///")))
+    // read applies the deletes: survivors only, exactly
+    val back = IcebergInterop.readIceberg(spark, dest)
+    val expected = base.filter(!(col("event_type") === "error"))
+    assert(back.count() === expected.count())
+    assert(back.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(back).count() === 0)
+  }
+
+  test("v2 position deletes: empty delete set reads the full snapshot") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val dest = Files.createTempDirectory("graft-icev2e").resolve("t")
+    val (_, nDeleted) = IcebergInterop.exportSnapshotV2(t, dest, lit(false))
+    assert(nDeleted === 0L)
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("v2 equality deletes refuse rather than resurrect rows") {
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val dest = Files.createTempDirectory("graft-icev2q").resolve("t")
+    IcebergInterop.exportSnapshotV2(t, dest, col("id") === 1L)
+    // rewrite the DELETE manifest's entries to claim equality deletes
+    // (data_file.content = 2) — the reader must refuse, because applying
+    // them positionally would be wrong and ignoring them resurrects rows
+    val meta = new ObjectMapper().readTree(
+      Files.readString(dest.resolve("metadata").resolve("v1.metadata.json")))
+    val snap = meta.get("snapshots").elements().asScala.next()
+    val listPath = java.nio.file.Paths.get(
+      snap.get("manifest-list").asText.stripPrefix("file://"))
+    val list = IcebergInterop.readAvro(listPath)
+    val delMf = list.find(_.get("content").toString.toInt == 1).get
+    val delMfPath = java.nio.file.Paths.get(
+      delMf.get("manifest_path").toString.stripPrefix("file://"))
+    val entries = IcebergInterop.readAvro(delMfPath)
+    scala.util.Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](IcebergInterop.manifestEntrySchemaV2))) { w =>
+      w.create(IcebergInterop.manifestEntrySchemaV2, delMfPath.toFile)
+      entries.foreach { e =>
+        val old = e.get("data_file").asInstanceOf[GenericRecord]
+        val df2 = new GenericData.Record(
+          IcebergInterop.manifestEntrySchemaV2.getField("data_file").schema())
+        df2.put("content", 2) // EQUALITY
+        Seq("file_path", "file_format", "partition", "record_count",
+          "file_size_in_bytes").foreach(f => df2.put(f, old.get(f)))
+        val copy = new GenericData.Record(IcebergInterop.manifestEntrySchemaV2)
+        copy.put("status", 1)
+        copy.put("snapshot_id", e.get("snapshot_id"))
+        copy.put("sequence_number", 1L)
+        copy.put("file_sequence_number", 1L)
+        copy.put("data_file", df2)
+        w.append(copy)
+      }
+    }
+    val err = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, dest)
+    }
+    assert(err.getMessage.contains("content=2"))
+  }
+
   test("empty table (no current snapshot) reads as a typed empty frame") {
     val root = Files.createTempDirectory("graft-iceempty").resolve("t")
     Files.createDirectories(root.resolve("metadata"))
