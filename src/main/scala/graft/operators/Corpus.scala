@@ -100,6 +100,45 @@ object Corpus {
       .filter(col("cum_toks") <= budget)
   }
 
+  /** Temperature-scaled domain mixing at α = 0.5 — the "square-root
+    * sampling" every multilingual/multi-domain pipeline uses to flatten
+    * a skewed source distribution: keep-counts proportional to
+    * √(source size), sitting between natural sampling (α = 1, head
+    * domains dominate) and uniform (α = 0, tail domains over-repeat).
+    * The realized per-source count is target_i = budget·w_i ÷ Σw_j with
+    * w_i = ⌊√c_i · 10⁶⌋, and the kept rows are the md5-of-id-ordered
+    * prefix of each source (the [[hashSample]] order).
+    *
+    * Determinism is engineered in two places: √ is IEEE-exact (unlike
+    * pow, whose libm differs across engines — that is why α is fixed at
+    * ½ rather than a parameter), and the weight normalization runs in
+    * INTEGER arithmetic (floor-scaled weights, integer multiply-divide)
+    * so no float ever crosses a summation whose order an engine could
+    * choose. Requires budget·max(w) < 2⁶³ (budget up to ~10⁹ at web
+    * scale source sizes — beyond that, scale the 10⁶ factor down).
+    *
+    * Scale shape: the weight table is |sources| rows (broadcast); the
+    * corpus side is one WindowGroupLimit-style per-source prefix —
+    * the same single shuffle [[quotaCap]] costs. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, budget: Long,
+                     idCol: String = "doc_id"): DataFrame = {
+    val weights = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("src_n"))
+      .withColumn("w", floor(sqrt(col("src_n").cast("double")) * 1e6).cast("long"))
+    // Σw over the bounded |sources|-row relation (single-partition
+    // window is fine here — it is a dimension table by construction)
+    val targets = weights
+      .withColumn("w_total", sum(col("w")).over(Window.partitionBy(lit(1))))
+      .withColumn("target", expr(s"($budget * w) DIV w_total"))
+      .select(col(sourceCol).as("t_source"), col("target"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(targets), col(sourceCol) === col("t_source"))
+      .filter(col("rn") <= col("target"))
+      .drop("rn", "t_source")
+  }
+
   /** Epoch upsampling — mixture weights realized as replication: each
     * source's documents appear `epochs(source)` times (default 1),
     * tagged with a 1-based `epoch` index so downstream shuffling/

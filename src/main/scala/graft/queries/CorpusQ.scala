@@ -50,6 +50,21 @@ object CorpusQ {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
         .orderBy("source")),
 
+    // Temperature-scaled (α=0.5, square-root) domain mixing: keep
+    // budget·√c_i/Σ√c_j docs per source in deterministic md5 order —
+    // the between-uniform-and-natural mixture multilingual pipelines
+    // use. Exactness engineering: √ is IEEE-exact and the weight
+    // normalization is all-integer, so targets are bit-identical on
+    // any engine; the output exposes per-source kept counts + targets
+    "q167_temperature_mix" -> ((s, d) =>
+      Corpus.temperatureMix(Tables.documents(s, d), "source", budget = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(col("target")).as("target"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("doc_id")).as("checksum"))
+        .orderBy("source")),
+
     // Concat-then-chunk shard packing at a 2048-token budget; the
     // global prefix sum runs as a distributed two-level scan
     "q85_shard_pack" -> ((s, d) =>
@@ -122,6 +137,29 @@ object CorpusQ {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS checksum
         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+
+    "q167_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS src_n FROM documents GROUP BY source
+        |), weights AS (
+        |  SELECT source, CAST(floor(sqrt(src_n) * 1000000) AS BIGINT) AS w
+        |  FROM counts
+        |), targets AS (
+        |  SELECT source,
+        |         CAST((300 * w) // (SELECT SUM(w) FROM weights) AS BIGINT) AS target
+        |  FROM weights
+        |), ranked AS (
+        |  SELECT source, doc_id, text,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.source, COUNT(*) AS n_kept, MAX(t.target) AS target,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(doc_id) AS BIGINT) AS checksum
+        |FROM ranked r JOIN targets t ON r.source = t.source
+        |WHERE rn <= target
+        |GROUP BY r.source ORDER BY r.source""".stripMargin,
 
     "q84_quota_cap" ->
       s"""SELECT event_type, COUNT(*) AS n_kept, ${sqlDsum("value")} AS total,

@@ -55,6 +55,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(s1 === sample())
   }
 
+  test("temperatureMix flattens a skewed source distribution toward sqrt weights") {
+    // sources sized 900 / 100: natural ratio 9:1, sqrt ratio 3:1 —
+    // the α=0.5 targets must realize the flattened ratio
+    val docs = ((0L until 900L).map(i => (i, "big", s"doc $i")) ++
+      (900L until 1000L).map(i => (i, "small", s"doc $i")))
+      .toDF("doc_id", "source", "text")
+    val kept = Corpus.temperatureMix(docs, "source", budget = 400L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_big = floor(30*1e6), w_small = floor(10*1e6); targets = 300/100
+    assert(kept === Map("big" -> 300L, "small" -> 100L))
+    // determinism: the kept doc set is identical across invocations
+    val ids1 = Corpus.temperatureMix(docs, "source", 400L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Corpus.temperatureMix(docs.repartition(7), "source", 400L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
   test("kmvDistinct is exact below k and estimates above k") {
     val df = (0L until 2000L).map(i => (i, if (i < 5) "small" else "big"))
       .map { case (i, g) => (g, if (g == "small") i else i % 700) }

@@ -77,6 +77,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(names.size > 70) // the audit actually covered the surface
   }
 
+  test("TPC-H heavyweights keep their claimed join strategies") {
+    // q163 (Q18): after the one lineitem agg, everything must ride
+    // broadcasts — a sort-merge join anywhere means the hot-order
+    // reduction failed to propagate. q164 (Q17): both the brand-part
+    // reduction and the per-part cap join must broadcast. q165 (Q21):
+    // the lineitem⋈orders shuffle is the one legitimate big join; the
+    // supplier⋈nation dim must still broadcast.
+    def plan(n: String) =
+      SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+    val q163 = plan("q163_large_volume_customer")
+    assert(!q163.contains("SortMergeJoin"), "q163 must be broadcast-only")
+    assert(q163.contains("BroadcastHashJoin"))
+    val q164 = plan("q164_small_qty_revenue")
+    assert(!q164.contains("SortMergeJoin"), "q164 must be broadcast-only")
+    assert(q164.contains("BroadcastHashJoin"))
+    val q165 = plan("q165_suppliers_waiting")
+    assert(q165.contains("BroadcastHashJoin"), "q165 lost its broadcast dims")
+  }
+
   test("q88 unigram join carries no forced broadcast on the corpus-derived vocab") {
     // The unigram table is corpus-derived (unbounded at web scale): a
     // forced broadcast hint would bypass AQE's size check and OOM the
