@@ -400,6 +400,27 @@ object Relational {
         .na.fill(0L)
         .orderBy("l_returnflag")),
 
+    // analytic-function suite rounding out the window surface beyond
+    // row_number/rank (q08/q15) and running frames (q70–q72): lag,
+    // lead, percent_rank, cume_dist, nth_value in one pass. Cross-
+    // engine exactness: the window order is TOTAL (price, then the
+    // unique orderkey), and percent_rank/cume_dist are single IEEE
+    // divisions of exact integer rank/count — bit-identical anywhere
+    "q169_analytic_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // cube (engine extension beyond rollup)
     "q26_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -598,6 +619,20 @@ object Relational {
         |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
         |       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q169_analytic_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(o_totalprice, 2) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS second_price
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q26_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS st,
         |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS prio,

@@ -243,6 +243,43 @@ object StreamingQ {
         .orderBy("event_id")
     }),
 
+    // FULL-outer watermarked stream-stream join (q158's left-outer
+    // completed to both sides): old rows are parity-filtered on each
+    // side (left drops old id%3==0 rows, right drops old even rows),
+    // so the drain must emit matched rows, left-only rows (null value)
+    // AND right-only rows (null event_type) — the state store has to
+    // hold and expire BOTH sides on watermark. Unmatched rows exist
+    // only in OLD event time (before cutDate) by construction, because
+    // an outer row can only emit once the watermark passes its join
+    // window — an unmatched row within the final watermark delay of
+    // the stream's end would stay in state forever (the q158 rule).
+    // Oracle: the same FULL JOIN stated in batch SQL
+    "q168_stream_full_outer_join" -> ((s, d) => {
+      val cutDate = Tables.events(s, d)
+        .agg(date_add(min(to_date(col("ts"))), 2)).head().getDate(0)
+      MicroBatch.joinRun(s, d) { (left, right) =>
+        val a = left
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("ts", "1 hour")
+          .filter(col("event_id") % 3 =!= 0 || to_date(col("ts")) >= lit(cutDate))
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val b = right
+          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("b_ts", "1 hour")
+          .filter(col("event_id") % 2 =!= 0 || to_date(col("b_ts")) >= lit(cutDate))
+          .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+        a.join(b,
+          col("event_id") === col("b_id") &&
+            col("b_ts").between(
+              col("ts") - expr("INTERVAL 1 MINUTE"),
+              col("ts") + expr("INTERVAL 1 MINUTE")),
+          "full_outer")
+          .select(coalesce(col("event_id"), col("b_id")).as("event_id"),
+            col("event_type"), col("value"))
+      }
+        .orderBy("event_id")
+    }),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -367,6 +404,18 @@ object StreamingQ {
         |  WHERE CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)
         |) r ON e.event_id = r.event_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "q168_stream_full_outer_join" ->
+      """SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+        |       l.event_type, r.value
+        |FROM (SELECT event_id, event_type FROM events
+        |      WHERE event_id % 3 <> 0
+        |         OR CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)) l
+        |FULL JOIN (SELECT event_id, value FROM events
+        |      WHERE event_id % 2 <> 0
+        |         OR CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)) r
+        |ON l.event_id = r.event_id
+        |ORDER BY event_id""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (

@@ -132,6 +132,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(col("value").isNull).count() === expectedUnmatched)
   }
 
+  test("stream-stream FULL OUTER join flushes unmatched rows from BOTH sides") {
+    // left drops OLD id%3==0 rows, right drops OLD even rows (recent
+    // rows pass both filters unconditionally so nothing unmatched is
+    // left stranded inside the final watermark delay) — the drain must
+    // emit left-only rows (null value), right-only rows (null
+    // event_type) and the matched remainder (q168's oracle pins exact
+    // rows; this pins that both state-store sides expire and emit)
+    val batch = Tables.events(spark, sf)
+    val cutDate = batch.agg(date_add(min(to_date(col("ts"))), 2)).head().getDate(0)
+    val old = batch.filter(to_date(col("ts")) < lit(cutDate))
+    val expectLeftOnly = old.filter(col("event_id") % 3 =!= 0 && col("event_id") % 2 === 0).count()
+    val expectRightOnly = old.filter(col("event_id") % 3 === 0 && col("event_id") % 2 =!= 0).count()
+    val expectDropped = old.filter(col("event_id") % 6 === 0).count()
+    assert(expectLeftOnly > 0 && expectRightOnly > 0, "fixture must populate both outer sides")
+    val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
+      val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_id") % 3 =!= 0 || to_date(col("ts")) >= lit(cutDate))
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val b = r.withColumn("b_ts", timestamp_micros(Tables.nsToUs))
+        .withWatermark("b_ts", "1 hour")
+        .filter(col("event_id") % 2 =!= 0 || to_date(col("b_ts")) >= lit(cutDate))
+        .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+      a.join(b, col("event_id") === col("b_id") &&
+        col("b_ts").between(col("ts") - expr("INTERVAL 1 MINUTE"),
+          col("ts") + expr("INTERVAL 1 MINUTE")), "full_outer")
+        .select(coalesce(col("event_id"), col("b_id")).as("event_id"),
+          col("event_type"), col("value"))
+    }
+    assert(joined.count() === batch.count() - expectDropped)
+    assert(joined.filter(col("value").isNull).count() === expectLeftOnly)
+    assert(joined.filter(col("event_type").isNull).count() === expectRightOnly)
+  }
+
   test("stream-stream time-bounded self join matches every event once") {
     val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
       val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
