@@ -251,6 +251,116 @@ object Relational {
         .limit(100)
     }),
 
+    // TPC-H Q22 shape (global acquaintance; the testdata customer has
+    // no phone, so "country code" is c_nationkey, and every customer
+    // has SOME order, so the anti-join target is the post-2000 order
+    // slice). The scale plan: the scalar AVG subquery collapses to a
+    // ONE-ROW broadcast (a cross join against one row is free at any
+    // scale); the anti join is the one real shuffle — customer against
+    // the date-filtered orders projected to o_custkey, where Spark
+    // dedups the build side; the avg itself is exact-decimal sum ÷
+    // count, one IEEE division, bit-identical cross-engine
+    "q171_global_acquaintance" -> ((s, d) => {
+      val codes = Seq(1L, 5L, 9L, 13L, 17L, 21L, 24L)
+      val cust = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(codes: _*))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier; the testdata has no partsupp,
+    // so the supplier-part offer relation derives from lineitem:
+    // cost = MIN extendedprice ever charged by that supplier for that
+    // part — exact, no arithmetic). The correlated MIN subquery becomes
+    // aggregate-then-rejoin: lineitem is reduced by TWO broadcasts
+    // (filtered part, European suppliers) BEFORE its one shuffle on
+    // (partkey, suppkey); the per-part min is a second map-side-
+    // combinable agg of the already-tiny offers; the rejoin on
+    // (partkey, cost = min) keeps ties like the spec query. At 100 TB
+    // the only big exchange is the first agg, and both dims stay
+    // broadcast-sized (part is filtered, supplier is region-filtered)
+    "q172_min_cost_supplier" -> ((s, d) => {
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_type"), col("p_size")))
+      val euroSupp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+      val offers = Tables.lineitem(s, d)
+        .join(broadcast(parts.select(col("p_partkey").as("fp_partkey"))),
+          col("l_partkey") === col("fp_partkey"))
+        .join(broadcast(euroSupp.select(col("s_suppkey").as("fs_suppkey"))),
+          col("l_suppkey") === col("fs_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+        .agg(min(col("cost")).as("min_cost"))
+      offers
+        .join(minCost,
+          col("l_partkey") === col("mc_partkey") && col("cost") === col("min_cost"))
+        .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_type"), col("cost"))
+        .orderBy(desc("s_acctbal"), col("s_name"), col("p_partkey"))
+    }),
+
+    // TPC-H Q20 shape (excess stock; no partsupp, so "availability" is
+    // the 1995 shipped volume per (part, supplier) and the correlated
+    // half-of-shipped threshold comes from the 1996 slice). The scale
+    // plan: ONE broadcast of the name-filtered part list reduces
+    // lineitem before BOTH aggs; the two aggs share the same
+    // (partkey, suppkey) shuffle key, so their join is co-partitioned
+    // — no third exchange; the surviving supplier keys ride a LEFT
+    // SEMI into the region-filtered supplier dim, which never
+    // materializes duplicates. Region filter (not single nation) so
+    // every SF keeps survivors
+    "q173_excess_stock" -> ((s, d) => {
+      val coldParts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").startsWith("cold")).select(col("p_partkey")))
+      val li = Tables.lineitem(s, d)
+        .join(coldParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_shipdate"))
+      def slice(lo: String, hi: String) =
+        li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"))
+      val avail = slice("1995-01-01", "1996-01-01")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("avail"))
+      val shipped = slice("1996-01-01", "1997-01-01")
+        .groupBy(col("l_partkey").as("sh_partkey"), col("l_suppkey").as("sh_suppkey"))
+        .agg(dsum(col("l_quantity")).as("shipped"))
+      val excess = avail.join(shipped,
+          col("l_partkey") === col("sh_partkey") &&
+            col("l_suppkey") === col("sh_suppkey"))
+        .filter(col("avail") > lit(0.5) * col("shipped"))
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -547,6 +657,73 @@ object Relational {
         |WHERE n_supp > 1 AND n_late = 1
         |GROUP BY s_name, n_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q171_global_acquaintance" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+         |  FROM customer
+         |  WHERE c_nationkey IN (1,5,9,13,17,21,24) AND c_acctbal > 0.0
+         |)
+         |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+         |       ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer, pos
+         |WHERE c_nationkey IN (1,5,9,13,17,21,24) AND c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
+    "q172_min_cost_supplier" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, p_type, p_size FROM part
+        |  WHERE p_size <= 15 AND p_type = 'SMALL'
+        |), euro AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), offers AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem
+        |  JOIN parts ON l_partkey = p_partkey
+        |  JOIN euro ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey, l_suppkey
+        |), mc AS (
+        |  SELECT l_partkey AS mc_partkey, MIN(cost) AS min_cost
+        |  FROM offers GROUP BY l_partkey
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+        |FROM offers
+        |JOIN mc ON l_partkey = mc_partkey AND cost = min_cost
+        |JOIN euro ON l_suppkey = s_suppkey
+        |JOIN parts ON l_partkey = p_partkey
+        |ORDER BY s_acctbal DESC, s_name, p_partkey""".stripMargin,
+    "q173_excess_stock" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE 'cold%'
+         |), avail AS (
+         |  SELECT l_partkey, l_suppkey, ${sqlDsum("l_quantity")} AS avail
+         |  FROM li
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1996-01-01'
+         |  GROUP BY l_partkey, l_suppkey
+         |), sh AS (
+         |  SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+         |         ${sqlDsum("l_quantity")} AS shipped
+         |  FROM li
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  GROUP BY l_partkey, l_suppkey
+         |)
+         |SELECT s_name, s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |  AND EXISTS (SELECT 1 FROM avail
+         |              JOIN sh ON l_partkey = sh_partkey AND l_suppkey = sh_suppkey
+         |              WHERE avail > 0.5 * shipped AND l_suppkey = s_suppkey)
+         |ORDER BY s_name""".stripMargin,
     "q11_star_join" ->
       s"""SELECT r_name, n_name,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,

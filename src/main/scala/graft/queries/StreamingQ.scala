@@ -280,6 +280,29 @@ object StreamingQ {
         .orderBy("event_id")
     }),
 
+    // IN-STREAM sessionization (q64 runs the same semantics in batch):
+    // session_window through the streaming session-state operator, with
+    // the drain split into 3 micro-batches hash-interleaved on event_id
+    // so sessions OPEN, CLOSE AND RE-MERGE across batches — batch 2
+    // routinely lands a row in the time gap between two sessions batch
+    // 1 already emitted, and the state store must merge them back into
+    // one. Complete mode (like q44) keeps every session revisable, so
+    // the final table equals batch sessionization and stays
+    // hash-checkable against the gaps-and-islands oracle
+    "q170_stream_sessions" -> ((s, d) =>
+      MicroBatch.aggRun(s, d, splitParts = Some(3)) { stream =>
+        stream
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          .filter(col("user_id") < 50)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      }
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n"), col("total"))
+        .orderBy("user_id", "session_start")),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -416,6 +439,24 @@ object StreamingQ {
         |         OR CAST(ts AS DATE) >= (SELECT MIN(CAST(ts AS DATE)) + 2 FROM events)) r
         |ON l.event_id = r.event_id
         |ORDER BY event_id""".stripMargin,
+
+    "q170_stream_sessions" ->
+s"""WITH m AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+         |  FROM events WHERE user_id < 50
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |),
+         |i AS (
+         |  SELECT user_id, ts, value,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m
+         |)
+         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       count(*) AS n, ${sqlDsum("value")} AS total
+         |FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (

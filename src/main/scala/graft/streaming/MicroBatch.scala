@@ -94,6 +94,19 @@ object MicroBatch {
     in
   }
 
+  /** Stage the events table as `parts` parquet files hash-split on
+    * event_id, so `maxFilesPerTrigger=1` turns the drain into `parts`
+    * micro-batches whose rows interleave in event time — the
+    * adversarial arrival order for cross-batch aggregation state
+    * (every batch reopens sessions the previous batch thought closed). */
+  def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int): Path = {
+    val in = Files.createTempDirectory("graft-stream-in")
+    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(parts, org.apache.spark.sql.functions.col("event_id"))
+      .write.mode("overwrite").parquet(in.toString)
+    in
+  }
+
   /** Unbounded read over the landing dir (T1 source stage).
     * maxFilesPerTrigger splits the drain into multiple micro-batches —
     * needed to genuinely exercise cross-batch state. */
@@ -249,13 +262,14 @@ object MicroBatch {
     * stream into a complete-mode memory sink and return the final
     * table. */
   def aggRun(spark: SparkSession, sfDir: String,
-             statePartitions: Int = 8)(
+             statePartitions: Int = 8,
+             splitParts: Option[Int] = None)(
       agg: DataFrame => DataFrame): DataFrame = {
-    val in = stageEvents(sfDir)
+    val in = splitParts.fold(stageEvents(sfDir))(stageEventsSplit(spark, sfDir, _))
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val name = s"graft_stream_agg_${runId.incrementAndGet()}"
     withStatePartitions(spark, Some(statePartitions)) {
-      val q = agg(fileSource(spark, in)).writeStream
+      val q = agg(fileSource(spark, in, splitParts.map(_ => 1))).writeStream
         .format("memory")
         .queryName(name)
         .outputMode("complete")

@@ -54,9 +54,12 @@ class PlanAuditSpec extends AnyFunSuite {
     *    what nearest-centroid assignment costs anywhere.
     *  - q134: hard-negative mining shares q37's prescreen (bounded
     *    broadcast query set, non-equi different-label condition) —
-    *    one linear corpus scan per query batch by design. */
+    *    one linear corpus scan per query batch by design.
+    *  - q171: TPC-H Q22's scalar AVG subquery — a ONE-ROW broadcast
+    *    cross-joined into the customer scan (q102's pattern); the
+    *    real joins (anti join on custkey) are hash joins. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
-    "q119_kmeans_buckets", "q134_hard_negatives")
+    "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
@@ -94,6 +97,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q164.contains("BroadcastHashJoin"))
     val q165 = plan("q165_suppliers_waiting")
     assert(q165.contains("BroadcastHashJoin"), "q165 lost its broadcast dims")
+    // q172 (Q2): lineitem must be broadcast-reduced by BOTH dims before
+    // its one (partkey, suppkey) shuffle; the min-cost rejoin may
+    // shuffle (minCost is corpus-derived), but no dim may sort-merge.
+    val q172 = plan("q172_min_cost_supplier")
+    assert(q172.contains("BroadcastHashJoin"), "q172 lost its broadcast dims")
+    // q173 (Q20): the two year-slice aggs share the (partkey, suppkey)
+    // shuffle key, the part filter broadcasts, and the supplier side
+    // ends in a semi join — never a duplicate-producing inner.
+    val q173 = plan("q173_excess_stock")
+    assert(q173.contains("BroadcastHashJoin"), "q173 lost its broadcast dims")
+    assert(q173.contains("LeftSemi"), "q173 supplier membership must be a semi join")
   }
 
   test("q88 unigram join carries no forced broadcast on the corpus-derived vocab") {
