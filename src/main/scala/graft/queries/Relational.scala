@@ -361,6 +361,130 @@ object Relational {
         .orderBy("s_name")
     }),
 
+    // TPC-H Q7 shape (volume shipping; region pairs instead of nation
+    // pairs — the sf0.001 fixture has nations with zero suppliers, and
+    // the plan is identical). Both direction pairs survive via the
+    // inequality residual on the two broadcast-attached region labels.
+    // The scale plan: customer and supplier are broadcast-reduced to
+    // the two regions BEFORE the fact join; the one big shuffle is
+    // lineitem⋈orders on orderkey with the ship-date range pushed to
+    // the lineitem scan
+    "q174_volume_shipping" -> ((s, d) => {
+      val rn = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name").isin("EUROPE", "AMERICA"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
+      val supp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region")))
+      val cust = broadcast(Tables.customer(s, d)
+        .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("r_name").as("cust_region")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_region") =!= col("cust_region"))
+        .groupBy(col("supp_region"), col("cust_region"), col("l_year"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    }),
+
+    // TPC-H Q8 shape (market share): one region's share of a part
+    // type's volume in another region's market, by order year. The
+    // conditional-sum ÷ total-sum ratio is TWO exact decimal sums and
+    // ONE IEEE division per group — bit-identical cross-engine. Scale:
+    // lineitem is broadcast-reduced by the type-filtered part before
+    // the orderkey shuffle; customer broadcast carries the market
+    // filter; the supplier broadcast carries the region label the
+    // numerator conditions on
+    "q175_market_share" -> ((s, d) => {
+      val ecoParts = broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey")))
+      val amCust = broadcast(Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey")))
+      val suppRegion = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("r_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region")))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(ecoParts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amCust, col("o_custkey") === col("c_custkey"))
+        .join(suppRegion, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg((dsum6(when(col("supp_region") === "EUROPE", vol).otherwise(lit(0.0)))
+          / dsum6(vol)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep every supplier tying the maximum. The scalar MAX is a
+    // one-row broadcast (q171's pattern) filtered against the same agg
+    // — never a global sort; the surviving winner set (typically one
+    // row) broadcasts into the supplier dim, not the other way around
+    "q176_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      val winners = rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+      Tables.supplier(s, d)
+        .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape (supplier counts per part attribute; the offer
+    // relation derives from lineitem's distinct (part, supplier)
+    // pairs). The NOT-IN excluded-supplier set becomes a LEFT ANTI
+    // against a broadcast key list; distinct pairs are ONE shuffle on
+    // (partkey, suppkey); the attribute-filtered part broadcasts; the
+    // COUNT DISTINCT regroup is the only other exchange
+    "q177_parts_supplier_count" -> ((s, d) => {
+      val excluded = broadcast(Tables.supplier(s, d)
+        .filter(col("s_suppkey") % 4 === 0).select(col("s_suppkey")))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#13" && col("p_size") <= 25)
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -724,6 +848,76 @@ object Relational {
          |              JOIN sh ON l_partkey = sh_partkey AND l_suppkey = sh_suppkey
          |              WHERE avail > 0.5 * shipped AND l_suppkey = s_suppkey)
          |ORDER BY s_name""".stripMargin,
+    "q174_volume_shipping" ->
+      s"""SELECT supp_region, cust_region, l_year,
+         |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM (
+         |  SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+         |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |         l_extendedprice, l_discount
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |    AND sr.r_name IN ('EUROPE', 'AMERICA')
+         |    AND cr.r_name IN ('EUROPE', 'AMERICA')
+         |    AND sr.r_name <> cr.r_name
+         |)
+         |GROUP BY supp_region, cust_region, l_year
+         |ORDER BY supp_region, cust_region, l_year""".stripMargin,
+    "q175_market_share" ->
+      """SELECT o_year,
+        |       CAST(SUM(CAST(CASE WHEN supp_region = 'EUROPE'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                       AS DECIMAL(28,6))) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         l_extendedprice, l_discount, sr.r_name AS supp_region
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+        |  WHERE p_type = 'ECONOMY' AND cr.r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q176_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q177_parts_supplier_count" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_suppkey % 4 = 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q11_star_join" ->
       s"""SELECT r_name, n_name,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,

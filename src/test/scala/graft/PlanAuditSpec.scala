@@ -57,9 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     *    one linear corpus scan per query batch by design.
     *  - q171: TPC-H Q22's scalar AVG subquery — a ONE-ROW broadcast
     *    cross-joined into the customer scan (q102's pattern); the
-    *    real joins (anti join on custkey) are hash joins. */
+    *    real joins (anti join on custkey) are hash joins.
+    *  - q176: TPC-H Q15's scalar MAX — same one-row broadcast cross
+    *    join against the per-supplier revenue agg. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
-    "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance")
+    "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
+    "q176_top_supplier")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
