@@ -7,7 +7,7 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -250,6 +250,61 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val dir = writeData(df, v)
     commitManifest(v, "overwrite", Seq(dir),
       None, Some(df.schema.json), stats = computeStats(dir, statsCols))
+  }
+
+  /** OPTIMIZE ZORDER — the public Delta Lake layout-maintenance idea
+    * on this lake's manifest: rewrite the live snapshot CLUSTERED by
+    * the Morton code of the two `zorderBy` columns
+    * ([[graft.functions.ZOrder.interleave]] over each column min-max
+    * normalized to 16 bits), cutting the output into `buckets`
+    * directories on the z-value's HIGH BITS — a deterministic grid
+    * decomposition (√buckets strips per dimension), no range sampling.
+    * Each directory then covers one small rectangle of the
+    * (c1, c2) space, so the committed per-directory min/max stats let
+    * [[prunedDirs]]/[[scanPruned]] skip most directories for a range
+    * predicate on EITHER column — the property a single-column sort
+    * only gives its leading column. Layout-only: the committed row
+    * multiset and declared schema are exactly the pre-optimize
+    * snapshot's (spec-pinned), and time travel to earlier versions is
+    * untouched (immutable dirs; the old layout ages out via vacuum).
+    *
+    * Scale shape: ONE range-free shuffle-less job — the z/bucket
+    * columns are projections, and `partitionBy` splits at write time;
+    * at 100 TB the same call runs per partition region so the rewrite
+    * granularity stays bounded. Null z-order keys normalize to bucket
+    * 0 (coalesce) rather than a hive default-partition dir. */
+  def optimizeZOrder(zorderBy: Seq[String], buckets: Int = 16): Long = {
+    require(zorderBy.size == 2,
+      "optimizeZOrder interleaves exactly two columns")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0 && buckets <= 65536,
+      s"buckets must be a power of two in [2, 65536], got $buckets")
+    val df = snapshot()
+    val Seq(c1, c2) = zorderBy
+    val bounds = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def norm(c: String, loIdx: Int): Column =
+      if (bounds.isNullAt(loIdx) || bounds.getDouble(loIdx) == bounds.getDouble(loIdx + 1))
+        lit(0L) // empty table or constant column: one-point dimension
+      else {
+        val (lo, hi) = (bounds.getDouble(loIdx), bounds.getDouble(loIdx + 1))
+        coalesce(((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+          .cast("long"), lit(0L))
+      }
+    val z = graft.functions.ZOrder.interleave(norm(c1, 0), norm(c2, 2))
+    val v = latestVersion + 1
+    val rel = s"data/z$v-${UUID.randomUUID().toString.take(8)}"
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    df.withColumn("__zb", shiftright(z, shift))
+      .write.partitionBy("__zb").mode("overwrite")
+      .parquet(root.resolve(rel).toString)
+    val dirs = Using.resource(Files.list(root.resolve(rel))) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__zb="))
+        .map(p => s"$rel/${p.getFileName}").toSeq.sorted
+    }
+    commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
+      stats = dirs.flatMap(dd => computeStats(dd, zorderBy)))
   }
 
   /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):

@@ -445,6 +445,32 @@ object ExtendedQ {
         .orderBy("bucket")
     }),
 
+    // lake — OPTIMIZE ZORDER as a user-callable maintenance op (q132
+    // gates the Morton arithmetic, ZOrderSpec pins the grid; this
+    // gates the END-TO-END rewrite): build a single-directory
+    // unclustered table over two decorrelated dimensions, z-optimize
+    // it into 16 stat-carrying directories, REQUIRE pruning now works
+    // on BOTH columns, and answer a 2-D range query through the pruned
+    // scan. The oracle replays the same predicate over the raw rows —
+    // hash identity proves the rewrite was layout-only
+    "q178_zorder_optimize" -> ((s, d) => {
+      val base = Tables.events(s, d).select(
+        col("event_id"), (col("event_id") % 1000).as("a"),
+        ((col("user_id") * 48271 + col("event_id")) % 1000).as("b"),
+        col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-zoq")
+      t.optimizeZOrder(Seq("a", "b"), buckets = 16)
+      val (keptA, total) = t.prunedDirs("a", 100, 199)
+      val (keptB, _) = t.prunedDirs("b", 100, 199)
+      require(keptA.size < total && keptB.size < total,
+        s"z-order pruning ineffective: a ${keptA.size}/$total, b ${keptB.size}/$total")
+      t.scanPruned("a", 100, 199)
+        .filter(col("a").between(100, 199) && col("b").between(100, 199))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -768,6 +794,13 @@ object ExtendedQ {
     "q131_stats_skip" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 1000 BETWEEN 450 AND 549
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q178_zorder_optimize" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events
+         |WHERE event_id % 1000 BETWEEN 100 AND 199
+         |  AND (user_id * 48271 + event_id) % 1000 BETWEEN 100 AND 199
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q135_incremental_agg" ->

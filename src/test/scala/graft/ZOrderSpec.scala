@@ -55,4 +55,31 @@ class ZOrderSpec extends AnyFunSuite {
     val pruned = t.scanPruned("x", 0, 63).filter(col("x") <= 63).count()
     assert(pruned === 64L * 256L) // every x<=63 row lives in the 4 kept tiles
   }
+
+  test("optimizeZOrder: layout-only rewrite, 2-D pruning from the public API, time travel intact") {
+    // start from ONE unclustered directory (row-major order: x varies
+    // fastest, so a plain single-dir table prunes nothing); the
+    // maintenance call must produce the 4x4 grid decomposition with
+    // stats, leave the row multiset bit-identical, and keep the
+    // pre-optimize version readable
+    val rows = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"),
+        col("id").as("payload"))
+    val t = LakeTable.createTemp(spark, rows, "graft-zopt")
+    val vBefore = t.latestVersion
+    val before = rows.collect().map(_.toSeq).sortBy(_.toString)
+    t.optimizeZOrder(Seq("x", "y"), buckets = 16)
+    assert(t.snapshot().collect().map(_.toSeq).sortBy(_.toString) === before)
+    assert(t.snapshot().schema === rows.schema.copy(fields =
+      rows.schema.fields.map(_.copy(nullable = true))))
+    // x in [0,63] and y in [192,255] each normalize inside ONE 16-bit
+    // quarter-strip, so exactly 4 of the 16 grid cells survive each
+    val (keptX, total) = t.prunedDirs("x", 0, 63)
+    val (keptY, _) = t.prunedDirs("y", 192, 255)
+    assert(total === 16 && keptX.size === 4, s"x pruning: ${keptX.size}/$total")
+    assert(keptY.size === 4, s"y pruning: ${keptY.size}/$total")
+    assert(t.scanPruned("x", 0, 63).filter(col("x") <= 63).count() === 64L * 256L)
+    // the pre-optimize layout is still time-travelable
+    assert(t.snapshot(vBefore).count() === 65536L)
+  }
 }
