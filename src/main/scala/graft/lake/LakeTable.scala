@@ -280,6 +280,19 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       s"buckets must be a power of two in [2, 65536], got $buckets")
     val df = snapshot()
     val Seq(c1, c2) = zorderBy
+    // fail loud on non-numeric keys: casting e.g. a string column to
+    // double yields null, which would silently send EVERY row to
+    // bucket 0 — a "successful" optimize that clusters nothing
+    val numeric = Set("byte", "short", "integer", "long", "float", "double")
+    zorderBy.foreach { c =>
+      val f = df.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"z-order column $c not in table schema"))
+      require(numeric.contains(f.dataType.typeName) ||
+        f.dataType.typeName.startsWith("decimal"),
+        s"z-order column $c has non-numeric type ${f.dataType.typeName}; " +
+          "only numeric columns normalize to the 16-bit Morton lanes")
+    }
     val bounds = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()

@@ -82,4 +82,19 @@ class ZOrderSpec extends AnyFunSuite {
     // the pre-optimize layout is still time-travelable
     assert(t.snapshot(vBefore).count() === 65536L)
   }
+
+  test("optimizeZOrder fails loud on non-numeric and missing z-order columns") {
+    // a string key would cast to null -> every row in bucket 0: a
+    // "successful" optimize that clusters nothing. Refuse instead.
+    val rows = spark.range(16)
+      .select(col("id").as("x"), concat(lit("k"), col("id")).as("label"))
+    val t = LakeTable.createTemp(spark, rows, "graft-zbad")
+    val e1 = intercept[IllegalArgumentException](
+      t.optimizeZOrder(Seq("x", "label")))
+    assert(e1.getMessage.contains("non-numeric"))
+    val e2 = intercept[IllegalArgumentException](
+      t.optimizeZOrder(Seq("x", "nope")))
+    assert(e2.getMessage.contains("not in table schema"))
+    assert(t.latestVersion === 1L) // no partial commit either way
+  }
 }
