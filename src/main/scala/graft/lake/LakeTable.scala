@@ -235,21 +235,25 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * directories keep whatever stats their own commits recorded.
     * The declared schema auto-evolves by column addition
     * ([[mergeSchemas]]). */
-  def append(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def append(df: DataFrame, statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val v = latestVersion + 1
     val prev = readManifest(latestVersion)
     val dir = writeData(df, v)
     val evolved = mergeSchemas(declaredSchema(latestVersion), df.schema)
     commitManifest(v, "append", prev.dirs :+ dir,
-      None, Some(evolved.json), stats = prev.liveStats ++ computeStats(dir, statsCols))
+      None, Some(evolved.json),
+      stats = prev.liveStats ++ computeStats(dir, statsCols) ++ computeBloom(dir, bloomCols))
   }
 
   /** Overwrite commit: snapshot = just the new directory. */
-  def overwrite(df: DataFrame, statsCols: Seq[String] = Nil): Long = {
+  def overwrite(df: DataFrame, statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
     val v = latestVersion + 1
     val dir = writeData(df, v)
     commitManifest(v, "overwrite", Seq(dir),
-      None, Some(df.schema.json), stats = computeStats(dir, statsCols))
+      None, Some(df.schema.json),
+      stats = computeStats(dir, statsCols) ++ computeBloom(dir, bloomCols))
   }
 
   /** OPTIMIZE ZORDER — the public Delta Lake layout-maintenance idea
@@ -682,17 +686,112 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
   def scanPruned(colName: String, lo: Any, hi: Any,
                  version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion else version
-    val (dirs, _) = prunedDirs(colName, lo, hi, v)
+    readDirs(prunedDirs(colName, lo, hi, v)._1, v)
+  }
+
+  /** Read a directory subset of `v` with the same declared-schema
+    * resolution as snapshot(), so a pruned read of an evolved table
+    * surfaces evolved columns correctly. */
+  private def readDirs(dirs: Seq[String], v: Long): DataFrame =
     if (dirs.isEmpty) snapshot(v).limit(0)
     else {
-      // same declared-schema resolution as snapshot(), so a pruned
-      // read of an evolved table surfaces evolved columns correctly
       val paths = dirs.map(d => root.resolve(d).toString)
       declaredSchema(v).map(s => StructType(s.fields.map(_.copy(nullable = true)))) match {
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
     }
+
+  // ---- Bloom-filter directory stats (equality-predicate skipping) ----
+  //
+  // The complement to the min/max range index: a point lookup on a
+  // high-cardinality column (doc_id in a 100 TB corpus) gains nothing
+  // from ranges when every directory spans the whole key space, but a
+  // per-directory Bloom filter answers "is this exact value possibly
+  // here?" in O(k) bit probes — the public Delta Lake bloom-filter
+  // index idea, carried on this lake's manifest stat lines. Encoding:
+  // `dir|bloom:<col>|bloom<m>|<hex>|<hex>` — the pseudo-column prefix
+  // keeps bloom lines invisible to the range-pruning lookup, m is the
+  // bit width, and the hex bitset repeats in both value fields so no
+  // line ever carries the all-null empty-field sentinel. Equality is
+  // on the value's STRING form (both build and probe hash
+  // xxhash64(cast(v AS STRING), seed) through the same Spark codepath,
+  // so build/probe can never disagree on type widening). Directories
+  // whose per-directory distinct count exceeds 512 record NO bloom —
+  // an over-saturated filter prunes nothing but costs bytes, so the
+  // honest move is staying unprunable (safe over-approximation),
+  // exactly like an unrecorded min/max.
+
+  private val bloomSeeds = 0 until 4
+
+  private def bloomPositionCols(value: Column, m: Int): Seq[Column] =
+    bloomSeeds.map(i => pmod(xxhash64(value.cast("string"), lit(i)), lit(m.toLong)))
+
+  private def computeBloom(rel: String, bloomCols: Seq[String]): Seq[String] = {
+    if (bloomCols.isEmpty) return Nil
+    val df = spark.read.parquet(root.resolve(rel).toString)
+    val present = df.schema.fieldNames.toSet
+    bloomCols.flatMap { c =>
+      if (!present.contains(c) || c.contains("|") || c.contains("\n") || c.contains("\r")) None
+      else {
+        val vals = df.select(col(c).cast("string").as("v")).na.drop().distinct()
+        val ndv = vals.count()
+        if (ndv == 0 || ndv > 512) None
+        else {
+          val m = math.max(64, Integer.highestOneBit((8 * ndv.toInt) - 1) << 1)
+          val bits = new java.math.BigInteger("0")
+          val positions = vals
+            .select(explode(array(bloomPositionCols(col("v"), m): _*)).as("p"))
+            .distinct().collect().map(_.getLong(0).toInt)
+          val set = positions.foldLeft(bits)((b, p) => b.setBit(p))
+          val hex = set.toString(16)
+          Some(s"$rel|bloom:$c|bloom$m|$hex|$hex")
+        }
+      }
+    }
+  }
+
+  /** Which of `version`'s directories can contain a row whose
+    * `colName` equals `value` (string-form equality)? Directories
+    * without a bloom stat for the column always survive. Never a
+    * false negative: the bloom records every distinct value the
+    * directory holds. */
+  def prunedDirsEq(colName: String, value: Any,
+                   version: Long = -1L): (Seq[String], Int) = {
+    val v = if (version < 0) latestVersion else version
+    val m = readManifest(v)
+    val byDir: Map[String, (Int, java.math.BigInteger)] = m.stats.flatMap { s =>
+      s.split("\\|", -1) match {
+        case Array(dir, c, dtype, hx, _) if c == s"bloom:$colName" &&
+          dtype.startsWith("bloom") =>
+          Some(dir -> ((dtype.stripPrefix("bloom").toInt, new java.math.BigInteger(hx, 16))))
+        case _ => None
+      }
+    }.toMap
+    // probe positions through the SAME Spark hash codepath as the
+    // build, once per distinct bit width
+    val widths = byDir.values.map(_._1).toSet
+    val posByWidth: Map[Int, Seq[Int]] = widths.map { w =>
+      w -> spark.range(1)
+        .select(bloomPositionCols(lit(value.toString), w): _*)
+        .head().toSeq.map(_.asInstanceOf[Long].toInt)
+    }.toMap
+    val surviving = m.dirs.filter { dir =>
+      byDir.get(dir) match {
+        case None => true // no bloom recorded — must read
+        case Some((w, bits)) => posByWidth(w).forall(bits.testBit)
+      }
+    }
+    (surviving, m.dirs.size)
+  }
+
+  /** Bloom-pruned snapshot read: the equality analog of
+    * [[scanPruned]]. The caller still applies the predicate; pruning
+    * only removes directories that provably lack the value. */
+  def scanPrunedEq(colName: String, value: Any,
+                   version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion else version
+    readDirs(prunedDirsEq(colName, value, v)._1, v)
   }
 
   /** The complete data-directory listing of `version` (relative paths)
@@ -729,12 +828,13 @@ object LakeTable {
 
   /** Create a new table at `root` with `df` as version 1. */
   def create(spark: SparkSession, root: Path, df: DataFrame,
-             statsCols: Seq[String] = Nil): LakeTable = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): LakeTable = {
     val t = new LakeTable(spark, root)
     Files.createDirectories(root.resolve("_log"))
     val dir = t.writeData(df, 1L)
     t.commitManifest(1L, "create", Seq(dir), None, Some(df.schema.json),
-      stats = t.computeStats(dir, statsCols))
+      stats = t.computeStats(dir, statsCols) ++ t.computeBloom(dir, bloomCols))
     t
   }
 
@@ -760,6 +860,7 @@ object LakeTable {
 
   /** Fresh table under a temp root (test/query fixture helper). */
   def createTemp(spark: SparkSession, df: DataFrame, prefix: String = "graft-lake",
-                 statsCols: Seq[String] = Nil): LakeTable =
-    create(spark, Files.createTempDirectory(prefix).resolve("t"), df, statsCols)
+                 statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): LakeTable =
+    create(spark, Files.createTempDirectory(prefix).resolve("t"), df, statsCols, bloomCols)
 }

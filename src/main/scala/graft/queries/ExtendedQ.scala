@@ -471,6 +471,32 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // lake — bloom-filter point-lookup skipping (the equality analog
+    // of q131's range skipping, the public Delta bloom-index idea):
+    // five appended directories hold DISJOINT key ranges, each commit
+    // records a per-directory bloom over the key, and the point probe
+    // must prune to (nearly) one directory before reading. The oracle
+    // replays the equality predicate over the raw rows — hash identity
+    // proves skipping never loses a matching row
+    "q179_bloom_point_lookup" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("event_id"),
+        (col("event_id") % 500).as("k"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s, base.filter(col("k") < 100),
+        "graft-bpl", bloomCols = Seq("k"))
+      (1 to 4).foreach { i =>
+        t.append(base.filter(col("k") >= i * 100 && col("k") < (i + 1) * 100),
+          bloomCols = Seq("k"))
+      }
+      val (kept, total) = t.prunedDirsEq("k", 237L)
+      require(kept.size < total,
+        s"bloom pruning ineffective: ${kept.size}/$total")
+      t.scanPrunedEq("k", 237L)
+        .filter(col("k") === 237)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // P6/M5 — keyword-filtered crop selection: first detection per
     // page whose text matches (explode -> filter -> rn = 1)
     "q60_crop_select" -> ((s, d) => {
@@ -801,6 +827,11 @@ object ExtendedQ {
          |FROM events
          |WHERE event_id % 1000 BETWEEN 100 AND 199
          |  AND (user_id * 48271 + event_id) % 1000 BETWEEN 100 AND 199
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q179_bloom_point_lookup" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 500 = 237
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q135_incremental_agg" ->

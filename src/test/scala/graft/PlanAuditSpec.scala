@@ -29,7 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q105_time_travel_merge", "q107_image_decode", "q113_vacuum_read",
     "q115_orc_roundtrip", "q131_stats_skip", "q133_version_diff",
     "q135_incremental_agg", "q137_schema_evolution", "q151_change_feed",
-    "q178_zorder_optimize",
+    "q178_zorder_optimize", "q179_bloom_point_lookup",
     // localCheckpoint executes at plan build, so the whole-query plans
     // below are unavailable pre-execution — their stage DAGs are
     // machine-audited pre-checkpoint in the dedicated test instead
