@@ -485,6 +485,123 @@ object Relational {
           col("p_size"))
     }),
 
+    // TPC-H Q4 shape (order priority checking; no commit/receipt dates
+    // in the testdata, so "late" is shipdate > orderdate + 60 days).
+    // The EXISTS is a LEFT SEMI from orders into the join-keyed
+    // lineitem — one shuffle on orderkey, no duplicate inflation, then
+    // a tiny priority rollup
+    "q180_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val late = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q6 shape (forecast revenue): the pure scan-aggregate — all
+    // three predicates and the two-column projection must reach the
+    // parquet scan (PushdownSpec-style PushedFilters), one exchange
+    // for the single-row result. Discount bounds are exact decimal
+    // literals compared on the raw doubles
+    "q181_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to
+    // returns per customer in a quarter, top 20. One lineitem⋈orders
+    // shuffle with both date and returnflag pushed to the scans; the
+    // per-customer agg's survivors broadcast into customer and its
+    // nation dim — never a shuffle of the full customer table
+    "q182_returned_items" -> ((s, d) => {
+      val lost = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("o_custkey"))
+        .limit(20)
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(lost), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution, ZEROS
+    // INCLUDED — the left outer join is the point): per-customer order
+    // counts over a filtered orders slice, then the count-of-counts
+    // histogram. Two shuffles by construction (custkey, then the tiny
+    // histogram regroup); the orders filter rides the scan
+    "q183_customer_distribution" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): conditional-sum ratio over
+    // one month — q175's arithmetic on a single row. The type label
+    // rides the broadcast part dim into the date-filtered lineitem scan
+    "q184_promo_effect" -> ((s, d) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          dsum6(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
+          dsum6(vol)).as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // an OR of three (brand, size-range, quantity-range) conjunctions
+    // — the pushdown stress. The part dim broadcasts with the
+    // OR-reduced predicate applied BEFORE the join; the residual
+    // quantity conjunction evaluates per joined row
+    "q185_disjunctive_revenue" -> ((s, d) => {
+      val p = broadcast(Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+        .select(col("p_partkey"), col("p_brand")))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -918,6 +1035,67 @@ object Relational {
         |                        WHERE s_suppkey % 4 = 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q180_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q181_forecast_revenue" ->
+      s"""SELECT ${sqlDsum6("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q182_returned_items" ->
+      s"""SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN (
+         |  SELECT o_custkey,
+         |         ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate <  TIMESTAMP '1996-04-01'
+         |  GROUP BY o_custkey
+         |  ORDER BY revenue DESC, o_custkey LIMIT 20
+         |) ON c_custkey = o_custkey
+         |ORDER BY revenue DESC, c_custkey""".stripMargin,
+    "q183_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |             WHERE o_orderpriority <> '1-URGENT')
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q184_promo_effect" ->
+      """SELECT 100.0 *
+        |       CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                          THEN l_extendedprice * (1 - l_discount)
+        |                          ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                       AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
+    "q185_disjunctive_revenue" ->
+      s"""SELECT ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q11_star_join" ->
       s"""SELECT r_name, n_name,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
