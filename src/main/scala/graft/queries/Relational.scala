@@ -602,6 +602,56 @@ object Relational {
           .as("revenue"))
     }),
 
+    // TPC-H Q9 shape (product-type profit; no partsupp supplycost in
+    // the testdata, so the cost leg is p_retailprice·quantity·0.1 —
+    // same arithmetic shape, sourced from the part dim the join
+    // already carries). Scale plan: the name-filtered part broadcast
+    // reduces lineitem FIRST, supplier⋈nation broadcasts, the one big
+    // shuffle is the orderkey join for the year, then a tiny
+    // (nation, year) rollup
+    "q186_product_profit" -> ((s, d) => {
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val suppNation = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      Tables.lineitem(s, d)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"))
+        .orderBy(col("n_name"), desc("o_year"))
+    }),
+
+    // TPC-H Q11 shape (value concentration; the supplier-part value
+    // relation derives from lineitem). The HAVING threshold is a
+    // scalar subquery — a ONE-ROW broadcast against the per-nation
+    // aggregate (rows = nation count, trivially small), so the only
+    // real exchange is the supplier-key rollup of lineitem
+    "q187_value_concentration" -> ((s, d) => {
+      val suppNation = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val byNation = Tables.lineitem(s, d)
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum6(col("l_extendedprice")).as("total_value"))
+      val threshold = byNation
+        .agg(((dsum6(col("total_value")) / count(lit(1))) * lit(1.05)).as("cut"))
+      byNation.crossJoin(broadcast(threshold))
+        .filter(col("total_value") > col("cut"))
+        .select(col("n_name"), col("total_value"))
+        .orderBy(desc("total_value"), col("n_name"))
+    }),
+
     // J — star join: fact × 4 broadcast dims, one shuffle for the final agg
     "q11_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -1096,6 +1146,30 @@ object Relational {
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q186_product_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       ${sqlDsum6("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q187_value_concentration" ->
+      s"""WITH by_nation AS (
+         |  SELECT n_name, ${sqlDsum6("l_extendedprice")} AS total_value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY n_name
+         |)
+         |SELECT n_name, total_value
+         |FROM by_nation
+         |WHERE total_value > (SELECT ${sqlDsum6("total_value")} / COUNT(*) * 1.05
+         |                     FROM by_nation)
+         |ORDER BY total_value DESC, n_name""".stripMargin,
     "q11_star_join" ->
       s"""SELECT r_name, n_name,
          |       ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,

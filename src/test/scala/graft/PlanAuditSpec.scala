@@ -60,10 +60,12 @@ class PlanAuditSpec extends AnyFunSuite {
     *    cross-joined into the customer scan (q102's pattern); the
     *    real joins (anti join on custkey) are hash joins.
     *  - q176: TPC-H Q15's scalar MAX — same one-row broadcast cross
-    *    join against the per-supplier revenue agg. */
+    *    join against the per-supplier revenue agg.
+    *  - q187: TPC-H Q11's scalar HAVING threshold — one-row broadcast
+    *    against the nation-count-sized aggregate. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
-    "q176_top_supplier")
+    "q176_top_supplier", "q187_value_concentration")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
