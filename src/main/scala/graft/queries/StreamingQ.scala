@@ -303,6 +303,27 @@ object StreamingQ {
           col("n"), col("total"))
         .orderBy("user_id", "session_start")),
 
+    // Spark 4 state-V2: per-user running (count, sum) through
+    // transformWithState's named ValueState on a RocksDB store, with
+    // the drain split into 3 hash-interleaved micro-batches so every
+    // later batch REOPENS state the earlier ones wrote. Each batch
+    // emits a key's updated totals; both are monotone, so max() over
+    // the update-mode sink is the final state — which must equal the
+    // plain batch group-by (the oracle) iff cross-batch state held
+    "q188_stateful_v2" -> ((s, d) =>
+      graft.streaming.Stateful.withRocksDBStateStore(s) {
+        MicroBatch.updateRun(s, d, splitParts = Some(3)) { stream =>
+          import s.implicits._
+          graft.streaming.Stateful.runningTotals(
+            stream.select(col("user_id"), col("event_id"))
+              .as[(Long, Long)].groupByKey(_._1))
+            .toDF("user_id", "n", "sum_id")
+        }
+      }
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"), max(col("sum_id")).as("sum_id"))
+        .orderBy("user_id")),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -457,6 +478,10 @@ s"""WITH m AS (
          |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          |       count(*) AS n, ${sqlDsum("value")} AS total
          |FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q188_stateful_v2" ->
+      """SELECT user_id, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (

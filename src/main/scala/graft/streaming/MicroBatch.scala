@@ -216,14 +216,15 @@ object MicroBatch {
     * With a single-batch drain each key emits exactly once, so the
     * final sink equals the batch aggregate — oracle-checkable. */
   def updateRun(spark: SparkSession, sfDir: String,
-                statePartitions: Option[Int] = Some(8))(
+                statePartitions: Option[Int] = Some(8),
+                splitParts: Option[Int] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val in = stageEvents(sfDir)
+    val in = splitParts.fold(stageEvents(sfDir))(stageEventsSplit(spark, sfDir, _))
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     withStatePartitions(spark, statePartitions) {
-      val q = transform(fileSource(spark, in)).writeStream
+      val q = transform(fileSource(spark, in, splitParts.map(_ => 1))).writeStream
         .foreachBatch(writeBatch)
         .outputMode("update")
         .option("checkpointLocation", ckpt.toString)

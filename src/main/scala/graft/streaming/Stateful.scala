@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful streaming (engine extension, SURVEY §2.9 note):
   * `flatMapGroupsWithState` wrappers for custom per-key state beyond
@@ -21,6 +22,49 @@ object Stateful {
         state.update(n)
         Iterator((key, n))
     }
+
+  /** Spark 4 state-V2 (`transformWithState`) per-key running totals —
+    * the modern replacement for `flatMapGroupsWithState`
+    * ([[runningCount]]): NAMED typed state slots ([[ValueState]] here;
+    * ListState/MapState/TTL/timers in the same handle API) resolved in
+    * `init`, RocksDB-backed at scale (changelog-checkpointed — state
+    * restore cost tracks the delta, not the store size). Accumulates
+    * (count, sum) per key and emits the key's updated totals once per
+    * micro-batch that touches it — both monotone, so a multi-batch
+    * drain reduces to the final value with `max`. */
+  class RunningTotals extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState("totals",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator.single((key, n, s))
+    }
+  }
+
+  /** [[RunningTotals]] applied to a keyed `(key, measure)` stream. */
+  def runningTotals(grouped: KeyValueGroupedDataset[Long, (Long, Long)])
+      : Dataset[(Long, Long, Long)] =
+    grouped.transformWithState(new RunningTotals, TimeMode.None(),
+      OutputMode.Update())(Encoders.product[(Long, Long, Long)])
+
+  /** transformWithState requires the RocksDB state store provider;
+    * scope it to `body` so the session's default (HDFS-backed) store
+    * keeps serving every other streaming query. */
+  def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Running max of a per-event Long measure, emitted on change only —
     * the "new high-water mark" pattern. */

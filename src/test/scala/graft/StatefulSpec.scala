@@ -29,6 +29,29 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state-V2 runningTotals accumulates across micro-batches (transformWithState)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Stateful.withRocksDBStateStore(spark) {
+      val input = MemoryStream[(Long, Long)]
+      val totals = Stateful.runningTotals(input.toDS().groupByKey(_._1))
+      val q = totals.writeStream.format("memory").queryName("twstate_totals")
+        .outputMode("update").start()
+      try {
+        input.addData((1L, 10L), (1L, 20L), (2L, 5L))
+        q.processAllAvailable()
+        input.addData((1L, 30L))
+        q.processAllAvailable()
+        val rows = spark.table("twstate_totals").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // batch 1: key 1 -> (2, 30), key 2 -> (1, 5); batch 2 reopens
+        // key 1's ValueState -> (3, 60)
+        assert(rows.contains((1L, 2L, 30L)) && rows.contains((2L, 1L, 5L)))
+        assert(rows.contains((1L, 3L, 60L)))
+      } finally q.stop()
+    }
+  }
+
   test("highWaterMark emits only on new maxima") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
