@@ -52,6 +52,45 @@ object Stateful {
     grouped.transformWithState(new RunningTotals, TimeMode.None(),
       OutputMode.Update())(Encoders.product[(Long, Long, Long)])
 
+  /** State-V2 event-time TIMERS: close a key's session when the
+    * watermark passes its last event + `gapMs`. Each input batch
+    * re-registers the key's single close timer (delete + register —
+    * the handle keeps every registered timer otherwise); when the
+    * watermark crosses it, `handleExpiredTimer` emits the final
+    * (key, count) and CLEARS the state, so a later event genuinely
+    * reopens the key from zero. This is the piece q188's totals don't
+    * exercise: state whose lifecycle the ENGINE ends, not the drain. */
+  class IdleSessionCloser(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long)] = _ // (count, lastTs)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState("sess",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      var (n, last) = if (sess.exists()) sess.get() else (0L, Long.MinValue)
+      rows.foreach { r => n += 1; last = math.max(last, r._2) }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      sess.update((n, last))
+      Iterator.empty // emission happens only at session close
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long)] = {
+      val out = if (sess.exists()) Iterator.single((key, sess.get()._1)) else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** [[IdleSessionCloser]] over a watermarked `(key, eventTimeMs)`
+    * stream (event-time mode — the input must carry a watermark). */
+  def idleSessions(grouped: KeyValueGroupedDataset[Long, (Long, Long)],
+                   gapMs: Long): Dataset[(Long, Long)] =
+    grouped.transformWithState(new IdleSessionCloser(gapMs), TimeMode.EventTime(),
+      OutputMode.Update())(Encoders.product[(Long, Long)])
+
   /** transformWithState requires the RocksDB state store provider;
     * scope it to `body` so the session's default (HDFS-backed) store
     * keeps serving every other streaming query. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Stateful
 
@@ -48,6 +49,45 @@ class StatefulSpec extends AnyFunSuite {
         // key 1's ValueState -> (3, 60)
         assert(rows.contains((1L, 2L, 30L)) && rows.contains((2L, 1L, 5L)))
         assert(rows.contains((1L, 3L, 60L)))
+      } finally q.stop()
+    }
+  }
+
+  test("state-V2 event-time timers close idle sessions and clear state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Stateful.withRocksDBStateStore(spark) {
+      val input = MemoryStream[(Long, Long)]
+      val t0 = 1700000000000L // any fixed epoch-millis base
+      val sessions = Stateful.idleSessions(
+        input.toDS().toDF("key", "tsMs")
+          .withColumn("ts", (col("tsMs") / 1000).cast("timestamp"))
+          .withWatermark("ts", "0 seconds")
+          .select(col("key"), col("tsMs"))
+          .as[(Long, Long)].groupByKey(_._1),
+        gapMs = 60000L) // 1-minute idle gap
+      val q = sessions.writeStream.format("memory").queryName("idle_sessions")
+        .outputMode("update").start()
+      try {
+        // key 1: two events close together; key 2: one event
+        input.addData((1L, t0), (1L, t0 + 10000L), (2L, t0 + 5000L))
+        q.processAllAvailable()
+        assert(spark.table("idle_sessions").isEmpty) // nothing closed yet
+        // an unrelated late-clock event pushes the watermark far past
+        // both idle deadlines -> both sessions close with final counts
+        input.addData((3L, t0 + 3600000L))
+        q.processAllAvailable()
+        val closed = spark.table("idle_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(closed === Set((1L, 2L), (2L, 1L)))
+        // key 1 reopens FROM ZERO (state was cleared at close)
+        input.addData((1L, t0 + 3600000L + 1000L))
+        q.processAllAvailable()
+        input.addData((4L, t0 + 7200000L))
+        q.processAllAvailable()
+        val after = spark.table("idle_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(after.contains((1L, 1L)), s"reopened session must count from zero, got $after")
       } finally q.stop()
     }
   }
