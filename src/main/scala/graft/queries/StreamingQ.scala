@@ -324,6 +324,34 @@ object StreamingQ {
         .agg(max(col("n")).as("n"), max(col("sum_id")).as("sum_id"))
         .orderBy("user_id")),
 
+    // State-V2 timer sessionization (q170's semantics, re-built on
+    // ListState + event-time TIMERS instead of session_window): open
+    // sessions are per-key state merged in exact microseconds, ONE
+    // timer per key at the earliest close deadline, and a session
+    // emits exactly once — when the watermark crosses last+gap (the
+    // engine ends the state's life, not the drain). The final no-data
+    // batch closes everything except sessions still inside the gap of
+    // the stream's maximum event time; the oracle applies the same
+    // watermark cut (floor-ms of max ts) to the gaps-and-islands
+    // rewrite, so the hash gate pins timer firing, state clearing AND
+    // the open-tail exclusion
+    "q189_stream_timer_sessions" -> ((s, d) =>
+      graft.streaming.Stateful.withRocksDBStateStore(s) {
+        MicroBatch.updateRun(s, d) { stream =>
+          import s.implicits._
+          graft.streaming.Stateful.timerSessions(
+            stream
+              .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+              .withWatermark("ts", "0 seconds")
+              .filter(col("user_id") < 50)
+              .select(col("user_id"), unix_micros(col("ts")).as("us"))
+              .as[(Long, Long)].groupByKey(_._1),
+            gapUs = 30L * 60L * 1000000L)
+            .toDF("user_id", "n")
+        }
+      }
+        .orderBy("user_id", "n")),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -482,6 +510,27 @@ s"""WITH m AS (
     "q188_stateful_v2" ->
       """SELECT user_id, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q189_stream_timer_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), i AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |), sess AS (
+        |  SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts
+        |  FROM i GROUP BY user_id, sid
+        |)
+        |SELECT user_id, n FROM sess
+        |WHERE epoch_us(CAST(last_ts AS TIMESTAMP)) + 1800000000
+        |      <= (epoch_us(CAST((SELECT MAX(ts) FROM events) AS TIMESTAMP)) // 1000) * 1000
+        |ORDER BY user_id, n""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful streaming (engine extension, SURVEY §2.9 note):
   * `flatMapGroupsWithState` wrappers for custom per-key state beyond
@@ -89,6 +89,61 @@ object Stateful {
   def idleSessions(grouped: KeyValueGroupedDataset[Long, (Long, Long)],
                    gapMs: Long): Dataset[(Long, Long)] =
     grouped.transformWithState(new IdleSessionCloser(gapMs), TimeMode.EventTime(),
+      OutputMode.Update())(Encoders.product[(Long, Long)])
+
+  /** True event-time sessionization on the raw state API — q170's
+    * `session_window` semantics re-built from [[ListState]] + TIMERS,
+    * with the session arithmetic in EXACT MICROSECONDS (the oracle's
+    * precision; the millisecond timer clock is only a wake-up, never a
+    * rounding of the decision). Open sessions per key live as
+    * (n, firstUs, lastUs) triples; each batch merges its points in
+    * (delta < gap joins, `session_window`'s convention), keeps ONE
+    * timer at the earliest close deadline, and emits nothing. When the
+    * watermark crosses a deadline, `handleExpiredTimer` emits (key, n)
+    * for every session with lastUs + gapUs <= floor_ms(watermark)·1000
+    * and re-arms for the remainder — so sessions still open at drain
+    * end are never emitted, the same cut an oracle can state. */
+  class EventTimeSessions(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var open: ListState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState("open",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    private def rearm(sessions: Seq[(Long, Long, Long)]): Unit = {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (sessions.nonEmpty)
+        getHandle.registerTimer((sessions.map(_._3).min + gapUs) / 1000L + 1L)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val points = rows.map(r => (1L, r._2, r._2)).toSeq
+      val prev = if (open.exists()) open.get().toSeq else Seq.empty
+      val merged = (prev ++ points).sortBy(_._2)
+        .foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((n, f, l) :: tail, (n2, f2, l2)) if f2 < l + gapUs =>
+            (n + n2, f, math.max(l, l2)) :: tail
+          case (acc, s) => s :: acc
+        }.reverse
+      open.put(merged.toArray)
+      rearm(merged)
+      Iterator.empty // sessions emit only when the engine closes them
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val sessions = if (open.exists()) open.get().toSeq else Seq.empty
+      val (closed, still) = sessions.partition(s => s._3 + gapUs <= wmUs)
+      if (still.isEmpty) open.clear() else open.put(still.toArray)
+      rearm(still)
+      closed.iterator.map(s => (key, s._1))
+    }
+  }
+
+  /** [[EventTimeSessions]] over a watermarked `(key, eventTimeUs)`
+    * stream (event-time mode). */
+  def timerSessions(grouped: KeyValueGroupedDataset[Long, (Long, Long)],
+                    gapUs: Long): Dataset[(Long, Long)] =
+    grouped.transformWithState(new EventTimeSessions(gapUs), TimeMode.EventTime(),
       OutputMode.Update())(Encoders.product[(Long, Long)])
 
   /** transformWithState requires the RocksDB state store provider;
