@@ -794,6 +794,29 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     readDirs(prunedDirsEq(colName, value, v)._1, v)
   }
 
+  /** Conjunctive pruning: intersect the surviving-directory sets of
+    * several range predicates and point predicates before one read —
+    * how a multi-dimensional predicate should drive a z-ordered
+    * layout (each dimension prunes its strips; the intersection is
+    * the predicate's rectangle, typically 1/buckets of the table
+    * where either dimension alone keeps √buckets/buckets). Still a
+    * strict over-approximation: every directory that could hold a
+    * row satisfying ALL predicates survives. */
+  def scanPrunedWhere(ranges: Seq[(String, Any, Any)],
+                      eqs: Seq[(String, Any)] = Nil,
+                      version: Long = -1L): DataFrame = {
+    val v = if (version < 0) latestVersion else version
+    val sets =
+      ranges.map { case (c, lo, hi) => prunedDirs(c, lo, hi, v)._1.toSet } ++
+        eqs.map { case (c, value) => prunedDirsEq(c, value, v)._1.toSet }
+    val dirs = sets match {
+      case Nil => readManifest(v).dirs.toSet
+      case ss  => ss.reduce(_ intersect _)
+    }
+    // keep manifest order for deterministic file listing
+    readDirs(readManifest(v).dirs.filter(dirs), v)
+  }
+
   /** The complete data-directory listing of `version` (relative paths)
     * and its declared schema — the inputs a wire-format exporter needs
     * to replay history ([[DeltaInterop.exportHistory]]). */

@@ -464,7 +464,7 @@ object ExtendedQ {
       val (keptB, _) = t.prunedDirs("b", 100, 199)
       require(keptA.size < total && keptB.size < total,
         s"z-order pruning ineffective: a ${keptA.size}/$total, b ${keptB.size}/$total")
-      t.scanPruned("a", 100, 199)
+      t.scanPrunedWhere(Seq(("a", 100, 199), ("b", 100, 199)))
         .filter(col("a").between(100, 199) && col("b").between(100, 199))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))

@@ -79,6 +79,12 @@ class ZOrderSpec extends AnyFunSuite {
     assert(total === 16 && keptX.size === 4, s"x pruning: ${keptX.size}/$total")
     assert(keptY.size === 4, s"y pruning: ${keptY.size}/$total")
     assert(t.scanPruned("x", 0, 63).filter(col("x") <= 63).count() === 64L * 256L)
+    // the 2-D predicate intersects both strip sets: ONE grid cell of
+    // 16 survives, and the read is still exact
+    val rect = t.scanPrunedWhere(Seq(("x", 0, 63), ("y", 192, 255)))
+      .filter(col("x") <= 63 && col("y") >= 192)
+    assert(rect.count() === 64L * 64L)
+    assert(keptX.toSet.intersect(keptY.toSet).size === 1)
     // the pre-optimize layout is still time-travelable
     assert(t.snapshot(vBefore).count() === 65536L)
   }
