@@ -156,7 +156,8 @@ object DeltaInterop {
     files.foreach { case (rel, partVals) =>
       actions += m.writeValueAsString(
         addAction(m, rel, partVals, Files.size(destRoot.resolve(rel)),
-          Files.getLastModifiedTime(destRoot.resolve(rel)).toMillis))
+          Files.getLastModifiedTime(destRoot.resolve(rel)).toMillis,
+          stats = Some(fileStats(table.spark, m, destRoot.resolve(rel)))))
     }
     Files.createDirectories(destRoot.resolve("_delta_log"))
     Files.write(logPath(destRoot, 0L), actions.result().asJava)
@@ -201,7 +202,8 @@ object DeltaInterop {
 
   private def addAction(m: ObjectMapper, rel: String,
                         partVals: Seq[(String, Option[String])],
-                        size: Long, modTime: Long): ObjectNode = {
+                        size: Long, modTime: Long,
+                        stats: Option[String] = None): ObjectNode = {
     val n = m.createObjectNode()
     val add = n.putObject("add")
     add.put("path", encodePath(rel))
@@ -212,7 +214,54 @@ object DeltaInterop {
     add.put("size", size)
     add.put("modificationTime", modTime)
     add.put("dataChange", true)
+    stats.foreach(add.put("stats", _))
     n
+  }
+
+  /** Per-file `add.stats` JSON — the public Delta skipping-stats field
+    * (`numRecords` + `minValues`/`maxValues`/`nullCount` maps) real
+    * readers use for file pruning. A production writer lifts these
+    * from the parquet footer it just wrote; here it is one bounded
+    * scan of the new file. Only numeric / string / boolean leaf
+    * columns are recorded (per-column stats are OPTIONAL in the spec —
+    * partial stats are conformant; timestamps, binary and nested
+    * types are skipped rather than guessed at a serialization). */
+  private def fileStats(spark: SparkSession, m: ObjectMapper,
+                        file: Path): String = {
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit,
+      max => fmax, min => fmin, sum => fsum}
+    val df = spark.read.parquet(file.toString)
+    val eligible = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType if !f.dataType.isInstanceOf[DecimalType] => true
+      case StringType | BooleanType => true
+      case _ => false
+    })
+    val aggs = fcount(flit(1)) +: eligible.flatMap(f => Seq(
+      fmin(col(f.name)), fmax(col(f.name)),
+      fsum(col(f.name).isNull.cast("long"))))
+    val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    val n = m.createObjectNode()
+    n.put("numRecords", row.getLong(0))
+    val (mins, maxs, nulls) =
+      (n.putObject("minValues"), n.putObject("maxValues"), n.putObject("nullCount"))
+    def putTyped(o: ObjectNode, k: String, v: Any): Unit = v match {
+      case null => // all-null column: omit min/max (spec-legal)
+      case b: Boolean => o.put(k, b)
+      case b: Byte => o.put(k, b.toInt)
+      case s: Short => o.put(k, s.toInt)
+      case i: Int => o.put(k, i)
+      case l: Long => o.put(k, l)
+      case f: Float => o.put(k, f)
+      case d: Double => o.put(k, d)
+      case s: String => o.put(k, s)
+      case other => o.put(k, other.toString)
+    }
+    eligible.zipWithIndex.foreach { case (f, i) =>
+      putTyped(mins, f.name, row.get(1 + 3 * i))
+      putTyped(maxs, f.name, row.get(2 + 3 * i))
+      nulls.put(f.name, row.getLong(3 + 3 * i))
+    }
+    m.writeValueAsString(n)
   }
 
   /** Export the table's FULL HISTORY as a Delta log: lake version

@@ -55,6 +55,31 @@ class DeltaInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("exported add actions carry spec-shaped file stats that match the data") {
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 300))
+    val dest = Files.createTempDirectory("graft-delta-stats").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest)
+    val m = new ObjectMapper()
+    val logFile = dest.resolve("_delta_log").resolve("0" * 20 + ".json")
+    val adds = Files.readAllLines(logFile).asScala.map(m.readTree)
+      .filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    var totalRecords = 0L
+    adds.foreach { a =>
+      assert(a.has("stats"), "every exported add must carry stats")
+      val st = m.readTree(a.get("stats").asText)
+      val df = spark.read.parquet(dest.resolve(a.get("path").asText).toString)
+      totalRecords += st.get("numRecords").asLong
+      assert(st.get("numRecords").asLong === df.count())
+      val truth = df.agg(min(col("event_id")), max(col("event_id")),
+        sum(col("event_id").isNull.cast("long"))).head()
+      assert(st.get("minValues").get("event_id").asLong === truth.getLong(0))
+      assert(st.get("maxValues").get("event_id").asLong === truth.getLong(1))
+      assert(st.get("nullCount").get("event_id").asLong === truth.getLong(2))
+    }
+    assert(totalRecords === t.snapshot().count())
+  }
+
   test("export/readDelta round-trip preserves rows exactly") {
     val base = events.filter(col("event_id") < 500)
     val t = LakeTable.createTemp(spark, base)
