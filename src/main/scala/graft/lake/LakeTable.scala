@@ -758,6 +758,10 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * directory holds. */
   def prunedDirsEq(colName: String, value: Any,
                    version: Long = -1L): (Seq[String], Int) = {
+    // SQL equality with NULL is never true, and blooms only ever
+    // record non-null values — a null probe is a caller bug, not a
+    // lookup; fail loud instead of NPE-ing in toString
+    require(value != null, "bloom point lookup requires a non-null value")
     val v = if (version < 0) latestVersion else version
     val m = readManifest(v)
     val byDir: Map[String, (Int, java.math.BigInteger)] = m.stats.flatMap { s =>

@@ -37,6 +37,13 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(t.scanPrunedEq("key", 99999L).filter(col("key") === 99999).count() === 0)
   }
 
+  test("null point lookup is refused, not NPE'd") {
+    val t = LakeTable.createTemp(spark, mk(0, 10), "graft-bloom-null",
+      bloomCols = Seq("key"))
+    val e = intercept[IllegalArgumentException](t.prunedDirsEq("key", null))
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("over-saturated directories record no bloom and stay readable") {
     // ndv 1000 > 512: the honest move is NO filter (unprunable, safe)
     // rather than a saturated one that prunes nothing but costs bytes

@@ -89,6 +89,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(t.snapshot(vBefore).count() === 65536L)
   }
 
+  test("optimizeZOrder on an empty table commits an empty typed snapshot") {
+    val schemaSrc = spark.range(1)
+      .select(col("id").as("x"), col("id").as("y"))
+    val t = LakeTable.createTemp(spark, schemaSrc.limit(0), "graft-zempty")
+    t.optimizeZOrder(Seq("x", "y"), buckets = 4)
+    assert(t.snapshot().count() === 0L)
+    assert(t.snapshot().columns.toSeq === Seq("x", "y")) // still typed
+  }
+
   test("optimizeZOrder fails loud on non-numeric and missing z-order columns") {
     // a string key would cast to null -> every row in bucket 0: a
     // "successful" optimize that clusters nothing. Refuse instead.
