@@ -38,6 +38,27 @@ class PushdownSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("q181 (TPC-H Q6 shape): every predicate reaches the scan, schema pruned to 4 columns") {
+    // the pure scan-aggregate lives or dies on pushdown — at 100 TB
+    // this is the difference between reading 4 columns of the
+    // date-matching row groups and reading the whole fact table.
+    // (toString elides long PushedFilters lists, so read the scan
+    // node's metadata, which carries the full strings.)
+    val df = SparkEntry.queries("q181_forecast_revenue")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan in the plan"))
+    val pushed = scan.metadata("PushedFilters")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(p => assert(pushed.contains(p), pushed))
+    val readSchema = scan.metadata("ReadSchema")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").foreach(c =>
+      assert(readSchema.contains(c), readSchema))
+    Seq("l_orderkey", "l_partkey", "l_returnflag").foreach(c =>
+      assert(!readSchema.contains(c), readSchema))
+  }
+
   test("equality filter on a join key pushes down on both join sides") {
     val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 1000)
     val l = Tables.lineitem(spark, sf).filter(col("l_orderkey") < 1000)
