@@ -556,6 +556,24 @@ object ExtendedQ {
           col("n"))
         .orderBy("user_id", "session_start")),
 
+    // streaming-extension semantics in batch: DYNAMIC-GAP session
+    // windows — the gap is a per-ROW expression (clicks/views cool off
+    // in 10 minutes, everything else holds the session for an hour),
+    // so a session's end is the RUNNING MAX of ts+gap(event), not
+    // last+constant. The oracle states exactly that: new session when
+    // ts >= max(ts+gap) over all preceding rows of the key
+    "q190_dynamic_sessions" -> ((s, d) =>
+      Tables.events(s, d).filter(col("user_id") < 30)
+        .groupBy(col("user_id"), session_window(col("ts"),
+          when(col("event_type").isin("click", "view"), "10 minutes")
+            .otherwise("1 hour")))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start")),
+
     // streaming-extension semantics in batch: sliding windows (2d / 1d)
     "q65_sliding_window" -> ((s, d) =>
       Tables.events(s, d)
@@ -948,6 +966,30 @@ object ExtendedQ {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |),
         |i AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q190_dynamic_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         ts + CASE WHEN event_type IN ('click', 'view')
+        |                   THEN INTERVAL 10 MINUTE
+        |                   ELSE INTERVAL 1 HOUR END AS win_end
+        |  FROM events WHERE user_id < 30
+        |), m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN max(win_end) OVER w IS NULL
+        |              OR ts >= max(win_end) OVER w THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), i AS (
         |  SELECT user_id, ts,
         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |                                ROWS UNBOUNDED PRECEDING) AS sid
