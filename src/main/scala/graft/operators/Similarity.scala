@@ -195,6 +195,16 @@ object Similarity {
                     trainPred: DataFrame => DataFrame = identity,
                     scale: Double = 64.0): DataFrame = {
     val quant = quantizeVec(emb, scale)
+    assignTo(quant, lloyd(quant, trainPred, k, rounds))
+      .withColumnRenamed("cid", "cluster")
+  }
+
+  /** The deterministic Lloyd trainer shared by [[kmeansBuckets]] and
+    * [[pqEncode]]: md5-ordered seeds (no RNG), exact integer means,
+    * `rounds` assign/update iterations over the training slice.
+    * Returns the k-row (cid, c) centroid relation. */
+  private def lloyd(quant: DataFrame, trainPred: DataFrame => DataFrame,
+                    k: Int, rounds: Int): DataFrame = {
     val train = trainPred(quant)
     val seeds = train
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
@@ -204,10 +214,79 @@ object Similarity {
     val cent0 = seeds
       .withColumn("cid", (row_number().over(seedW) - 1).cast("long"))
       .select(col("cid"), expr("transform(qv, x -> CAST(x AS DOUBLE))").as("c"))
-    val cent = (1 to rounds).foldLeft(cent0) { (c, _) =>
+    (1 to rounds).foldLeft(cent0) { (c, _) =>
       updateCentroids(assignTo(train, c).join(train, "vec_id"))
     }
-    assignTo(quant, cent).withColumnRenamed("cid", "cluster")
+  }
+
+  /** Product quantization (the billion-vector ANN standard): split the
+    * quantized embedding into `m` contiguous subspaces and train an
+    * INDEPENDENT k-codeword Lloyd codebook per subspace — same
+    * deterministic machinery as [[kmeansBuckets]], same training
+    * slice, seeds shared by vec_id order. Every vector encodes as its
+    * m nearest-codeword ids: dim doubles become m small ints (the
+    * 32–64× memory cut that lets a 100 TB corpus's index live in RAM).
+    * Returns (codes: (vec_id, sub, code), books: (sub, cid, c)). */
+  def pqEncode(emb: DataFrame, m: Int = 4, k: Int = 8, rounds: Int = 2,
+               trainPred: DataFrame => DataFrame = identity,
+               scale: Double = 64.0): (DataFrame, DataFrame) = {
+    val quant = quantizeVec(emb, scale)
+    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val w = dim / m
+    val parts = (0 until m).map { s =>
+      val sub = quant.select(col("vec_id"),
+        expr(s"slice(qv, ${s * w + 1}, $w)").as("qv"))
+      val books = lloyd(sub, trainPred, k, rounds)
+      (assignTo(sub, books)
+         .select(col("vec_id"), lit(s.toLong).as("sub"), col("cid").as("code")),
+       broadcast(books).select(lit(s.toLong).as("sub"), col("cid"), col("c")))
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): per query, the EXACT distance
+    * from its raw quantized subvectors to every codeword forms a
+    * (m·k)-row lookup table; a candidate's approximate distance is
+    * then the sum of m LUT hits on its codes — O(m) per pair instead
+    * of O(dim), the PQ linear scan. The LUT cross join is
+    * queries × (m·k) rows (bounded broadcast, the q102/q119
+    * allowance); the scoring join is a broadcast hash join on
+    * (sub, code). Per-subspace distances are FIXED-ORDER dimension
+    * folds (bit-identical cross-engine, the kmeans-assignment
+    * discipline); the m-way total goes through the decimal cast so the
+    * shuffle's summation order can't perturb it; ties break by
+    * cand_id. Compose with [[kmeansBuckets]] as the IVF coarse stage
+    * to bound the candidate set at scale. */
+  def pqTopK(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+             m: Int = 4, kCode: Int = 8, rounds: Int = 2,
+             trainPred: DataFrame => DataFrame = identity,
+             scale: Double = 64.0): DataFrame = {
+    val (codes, books) = pqEncode(emb, m, kCode, rounds, trainPred, scale)
+    val quant = quantizeVec(emb, scale)
+    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    val w = dim / m
+    val lut = queryPred(quant)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .crossJoin(books.withColumnRenamed("sub", "l_sub"))
+      .withColumn("d", expr(
+        s"aggregate(zip_with(slice(qv, CAST(l_sub * $w + 1 AS INT), $w), c, " +
+          "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
+          "0D, (acc, v) -> acc + v)"))
+      .select(col("query_id"), col("l_sub"), col("cid"), col("d"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("l_sub") && codes("code") === lut("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("dist"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Nearest-centroid assignment: (vec_id, cid). `cent` is k rows,

@@ -111,10 +111,104 @@ object SimilarityQ {
        |)""".stripMargin
   }
 
+  /** PQ oracle: the deterministic Lloyd chain replayed PER SUBSPACE
+    * over sliced int8 vectors, then the ADC lookup join — distances
+    * are fixed-order dimension folds and the m-way total goes through
+    * the decimal cast, mirroring `Similarity.pqTopK` exactly. */
+  private val pqSql: String = {
+    val m = 4; val w = 16; val k = 8
+    def dist(rel: String, cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.vec_id, c.cid,
+         |         list_reduce(list_transform(generate_series(1, len(t.qv)),
+         |           i -> (t.qv[i] - c.c[i]) * (t.qv[i] - c.c[i])),
+         |           (acc, x) -> acc + x) AS d
+         |  FROM $rel t CROSS JOIN $cent c
+         |)""".stripMargin
+    def argmin(din: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM $din
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def update(assign: String, trainRel: String, sub: Int, n: Int): String =
+      s"""e${n}_$sub AS (
+         |  SELECT a.cid, t.qv, unnest(generate_series(1, len(t.qv))) AS i
+         |  FROM $assign a JOIN $trainRel t USING (vec_id)
+         |),
+         |u${n}_$sub AS (
+         |  SELECT cid, i AS pos, CAST(SUM(qv[i]) AS BIGINT) / COUNT(*) AS cmean
+         |  FROM e${n}_$sub GROUP BY cid, i
+         |),
+         |cent${n}_$sub AS (SELECT cid, list(cmean ORDER BY pos) AS c FROM u${n}_$sub GROUP BY cid)""".stripMargin
+    def subChain(s: Int): String = {
+      val lo = s * w + 1; val hi = s * w + w
+      s"""quant_$s AS (SELECT vec_id, qv[$lo:$hi] AS qv FROM quant),
+         |train_$s AS (SELECT vec_id, qv FROM quant_$s WHERE vec_id % 5 = 0),
+         |seeds_$s AS (
+         |  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM train_$s ORDER BY h, vec_id LIMIT $k
+         |),
+         |cent0_$s AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+         |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM seeds_$s
+         |),
+         |${dist(s"train_$s", s"cent0_$s", s"d1_$s")},
+         |${argmin(s"d1_$s", s"a1_$s")},
+         |${update(s"a1_$s", s"train_$s", s, 1)},
+         |${dist(s"train_$s", s"cent1_$s", s"d2_$s")},
+         |${argmin(s"d2_$s", s"a2_$s")},
+         |${update(s"a2_$s", s"train_$s", s, 2)},
+         |${dist(s"quant_$s", s"cent2_$s", s"dfin_$s")},
+         |${argmin(s"dfin_$s", s"codes_$s")},
+         |lut_$s AS (
+         |  SELECT t.vec_id AS query_id, c.cid,
+         |         list_reduce(list_transform(generate_series(1, len(t.qv)),
+         |           i -> (t.qv[i] - c.c[i]) * (t.qv[i] - c.c[i])),
+         |           (acc, x) -> acc + x) AS d
+         |  FROM (SELECT * FROM quant_$s WHERE vec_id < 20) t CROSS JOIN cent2_$s c
+         |),
+         |score_$s AS (
+         |  SELECT l.query_id, cd.vec_id AS cand_id, l.d
+         |  FROM codes_$s cd JOIN lut_$s l ON cd.cid = l.cid
+         |)""".stripMargin
+    }
+    s"""quant AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(greatest(-127.0, least(127.0,
+       |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |${(0 until m).map(subChain).mkString(",\n")},
+       |scores AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS dist
+       |  FROM (SELECT * FROM score_0 UNION ALL SELECT * FROM score_1
+       |        UNION ALL SELECT * FROM score_2 UNION ALL SELECT * FROM score_3)
+       |  WHERE query_id <> cand_id
+       |  GROUP BY query_id, cand_id
+       |)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-10 for 5 query vectors
     "q37_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(Tables.embeddings(s, d), _.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")),
+
+    // Product quantization (IVF-PQ's fine stage): 4 independent
+    // 8-codeword Lloyd codebooks over 16-dim subspaces, every vector
+    // encoded as 4 code ids, queries scored by the ADC lookup-table
+    // linear scan — O(m) per pair instead of O(dim), the technique
+    // that fits a billion-vector index in memory. Top-5 per query,
+    // ties by cand_id
+    "q191_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d),
+        _.filter(col("vec_id") < 20), k = 5, m = 4, kCode = 8, rounds = 2,
+        trainPred = _.filter(col("vec_id") % 5 === 0))
         .orderBy("query_id", "rank")),
 
     // IVF-style probe: top-5 within the query's coarse cluster (label)
@@ -214,6 +308,16 @@ object SimilarityQ {
     "q119_kmeans_buckets" ->
       s"""WITH $kmeansSql
          |SELECT vec_id, cluster FROM afin ORDER BY vec_id""".stripMargin,
+
+    "q191_pq_topk" ->
+      s"""WITH $pqSql
+         |SELECT query_id, cand_id, dist, rank FROM (
+         |  SELECT query_id, cand_id, dist,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY dist, cand_id) AS rank
+         |  FROM scores
+         |) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q120_ivf_kmeans" ->
       s"""WITH $kmeansSql,

@@ -64,10 +64,14 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q176: TPC-H Q15's scalar MAX — same one-row broadcast cross
     *    join against the per-supplier revenue agg.
     *  - q187: TPC-H Q11's scalar HAVING threshold — one-row broadcast
-    *    against the nation-count-sized aggregate. */
+    *    against the nation-count-sized aggregate.
+    *  - q191: PQ's ADC lookup table — the m·k-row codebook (32 rows, a
+    *    CONSTANT) cross-joined against the query set to build per-query
+    *    LUTs; the corpus-sized scoring join is a broadcast HASH join
+    *    on (sub, code). q119's centroid allowance, PQ flavor. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
-    "q176_top_supplier", "q187_value_concentration")
+    "q176_top_supplier", "q187_value_concentration", "q191_pq_topk")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
