@@ -269,7 +269,7 @@ object Similarity {
     val w = dim / m
     val lut = queryPred(quant)
       .select(col("vec_id").as("query_id"), col("qv"))
-      .crossJoin(books.withColumnRenamed("sub", "l_sub"))
+      .crossJoin(broadcast(books.withColumnRenamed("sub", "l_sub")))
       .withColumn("d", expr(
         s"aggregate(zip_with(slice(qv, CAST(l_sub * $w + 1 AS INT), $w), c, " +
           "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
@@ -278,6 +278,46 @@ object Similarity {
     val scored = codes
       .join(broadcast(lut),
         codes("sub") === lut("l_sub") && codes("code") === lut("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("dist"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** IVF-PQ — the production billion-vector configuration: the
+    * [[kmeansBuckets]] coarse quantizer bounds the candidate set to
+    * the query's cell (1/k of the corpus per query instead of all of
+    * it), and [[pqTopK]]'s ADC lookup-sum ranks only those survivors.
+    * The candidate-side coarse join is co-keyed on vec_id; the
+    * query-side cell ids ride the (bounded) LUT broadcast. */
+  def pqTopKIvf(emb: DataFrame, queryPred: DataFrame => DataFrame, k: Int,
+                m: Int = 4, kCode: Int = 8, rounds: Int = 2,
+                trainPred: DataFrame => DataFrame = identity,
+                scale: Double = 64.0): DataFrame = {
+    val (codes, books) = pqEncode(emb, m, kCode, rounds, trainPred, scale)
+    val coarse = kmeansBuckets(emb, kCode, rounds, trainPred, scale)
+    val quant = quantizeVec(emb, scale)
+    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    val w = dim / m
+    val lut = queryPred(quant)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .join(coarse.select(col("vec_id").as("query_id"),
+        col("cluster").as("q_cell")), "query_id")
+      .crossJoin(broadcast(books.withColumnRenamed("sub", "l_sub")))
+      .withColumn("d", expr(
+        s"aggregate(zip_with(slice(qv, CAST(l_sub * $w + 1 AS INT), $w), c, " +
+          "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
+          "0D, (acc, v) -> acc + v)"))
+      .select(col("query_id"), col("q_cell"), col("l_sub"), col("cid"), col("d"))
+    val scored = codes.join(coarse, "vec_id")
+      .join(broadcast(lut),
+        codes("sub") === lut("l_sub") && codes("code") === lut("cid") &&
+          col("cluster") === lut("q_cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(28, 6)))

@@ -176,22 +176,32 @@ object SimilarityQ {
          |  FROM codes_$s cd JOIN lut_$s l ON cd.cid = l.cid
          |)""".stripMargin
     }
-    s"""quant AS (
-       |  SELECT vec_id, list_transform(embedding,
-       |           x -> CAST(greatest(-127.0, least(127.0,
-       |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
-       |  FROM embeddings
-       |),
-       |${(0 until m).map(subChain).mkString(",\n")},
-       |scores AS (
-       |  SELECT query_id, cand_id,
-       |         CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS dist
-       |  FROM (SELECT * FROM score_0 UNION ALL SELECT * FROM score_1
-       |        UNION ALL SELECT * FROM score_2 UNION ALL SELECT * FROM score_3)
-       |  WHERE query_id <> cand_id
-       |  GROUP BY query_id, cand_id
-       |)""".stripMargin
+    (0 until m).map(subChain).mkString(",\n")
   }
+
+  /** The int8 quantization CTE (identical to kmeansSql's `quant` — the
+    * standalone prefix for PQ oracles that don't carry the coarse
+    * chain). */
+  private val pqQuantSql: String =
+    """quant AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |           x -> CAST(greatest(-127.0, least(127.0,
+      |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val pqUnionSql: String =
+    """SELECT * FROM score_0 UNION ALL SELECT * FROM score_1
+      |        UNION ALL SELECT * FROM score_2 UNION ALL SELECT * FROM score_3""".stripMargin
+
+  private val pqRankSql: String =
+    """SELECT query_id, cand_id, dist, rank FROM (
+      |  SELECT query_id, cand_id, dist,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY dist, cand_id) AS rank
+      |  FROM scores
+      |) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Brute-force exact cosine top-10 for 5 query vectors
@@ -207,6 +217,17 @@ object SimilarityQ {
     // ties by cand_id
     "q191_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d),
+        _.filter(col("vec_id") < 20), k = 5, m = 4, kCode = 8, rounds = 2,
+        trainPred = _.filter(col("vec_id") % 5 === 0))
+        .orderBy("query_id", "rank")),
+
+    // IVF-PQ (the production billion-vector configuration): the coarse
+    // k-means cell bounds each query's candidate set to ~1/k of the
+    // corpus, the PQ ADC lookup-sum ranks only those survivors —
+    // compose q119's quantizer with q191's codebooks, both stages
+    // replayed exactly by the oracle
+    "q192_ivf_pq" -> ((s, d) =>
+      Similarity.pqTopKIvf(Tables.embeddings(s, d),
         _.filter(col("vec_id") < 20), k = 5, m = 4, kCode = 8, rounds = 2,
         trainPred = _.filter(col("vec_id") % 5 === 0))
         .orderBy("query_id", "rank")),
@@ -310,14 +331,30 @@ object SimilarityQ {
          |SELECT vec_id, cluster FROM afin ORDER BY vec_id""".stripMargin,
 
     "q191_pq_topk" ->
-      s"""WITH $pqSql
-         |SELECT query_id, cand_id, dist, rank FROM (
-         |  SELECT query_id, cand_id, dist,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY dist, cand_id) AS rank
-         |  FROM scores
-         |) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $pqQuantSql,
+         |$pqSql,
+         |scores AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS dist
+         |  FROM ($pqUnionSql)
+         |  WHERE query_id <> cand_id
+         |  GROUP BY query_id, cand_id
+         |)
+         |$pqRankSql""".stripMargin,
+
+    "q192_ivf_pq" ->
+      s"""WITH $kmeansSql,
+         |$pqSql,
+         |scores AS (
+         |  SELECT query_id, cand_id,
+         |         CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS dist
+         |  FROM ($pqUnionSql) s
+         |  JOIN afin qa ON qa.vec_id = s.query_id
+         |  JOIN afin ca ON ca.vec_id = s.cand_id
+         |  WHERE query_id <> cand_id AND qa.cluster = ca.cluster
+         |  GROUP BY query_id, cand_id
+         |)
+         |$pqRankSql""".stripMargin,
 
     "q120_ivf_kmeans" ->
       s"""WITH $kmeansSql,

@@ -68,10 +68,12 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q191: PQ's ADC lookup table — the m·k-row codebook (32 rows, a
     *    CONSTANT) cross-joined against the query set to build per-query
     *    LUTs; the corpus-sized scoring join is a broadcast HASH join
-    *    on (sub, code). q119's centroid allowance, PQ flavor. */
+    *    on (sub, code). q119's centroid allowance, PQ flavor (q192
+    *    composes the same LUT with the coarse-cell restriction). */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
-    "q176_top_supplier", "q187_value_concentration", "q191_pq_topk")
+    "q176_top_supplier", "q187_value_concentration", "q191_pq_topk",
+    "q192_ivf_pq")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
