@@ -62,5 +62,10 @@ class BloomSkipSpec extends AnyFunSuite {
     val (kept, total) = t.prunedDirsEq("key", 50L)
     assert(total === 3 && kept.size === 2) // dir 1 (true) + no-bloom dir 3
     assert(t.scanPrunedEq("key", 250L).filter(col("key") === 250).count() === 1)
+    // dropping history must not drop the surviving dirs' bloom lines
+    t.vacuum(retainVersions = 1)
+    val (keptV, totalV) = t.prunedDirsEq("key", 50L)
+    assert(totalV === 3 && keptV.size === 2, s"bloom lost in vacuum: ${keptV.size}/$totalV")
+    assert(t.scanPrunedEq("key", 150L).filter(col("key") === 150).count() === 1)
   }
 }
