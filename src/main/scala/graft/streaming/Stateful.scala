@@ -111,8 +111,12 @@ object Stateful {
         Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
     private def rearm(sessions: Seq[(Long, Long, Long)]): Unit = {
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // FLOOR of the earliest deadline, not floor+1: a deadline exactly
+      // on a ms boundary must fire in the batch whose watermark equals
+      // it (the oracle's <= cut), and an early fire is harmless — the
+      // µs closure re-check keeps the session and re-arms
       if (sessions.nonEmpty)
-        getHandle.registerTimer((sessions.map(_._3).min + gapUs) / 1000L + 1L)
+        getHandle.registerTimer((sessions.map(_._3).min + gapUs) / 1000L)
     }
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
                                  timers: TimerValues): Iterator[(Long, Long)] = {
