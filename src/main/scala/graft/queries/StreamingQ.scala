@@ -352,6 +352,33 @@ object StreamingQ {
       }
         .orderBy("user_id", "n")),
 
+    // CHAINED stateful operators in ONE streaming query (stream-stream
+    // join -> tumbling-window aggregation, both through the state
+    // store): the join's range condition delays the watermark the
+    // downstream agg sees, so only day windows closed under the
+    // DELAYED watermark emit; the oracle applies the identical cut
+    "q193_stream_join_window" -> ((s, d) =>
+      MicroBatch.joinRun(s, d) { (left, right) =>
+        val a = left
+          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("ts", "1 hour")
+          .select(col("event_id"), col("ts"), col("event_type"))
+        val b = right
+          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withWatermark("b_ts", "1 hour")
+          .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
+        a.join(b,
+          col("event_id") === col("b_id") &&
+            col("b_ts").between(
+              col("ts") - expr("INTERVAL 1 MINUTE"),
+              col("ts") + expr("INTERVAL 1 MINUTE")))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      }
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("day", "event_type")),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -531,6 +558,19 @@ s"""WITH m AS (
         |WHERE epoch_us(CAST(last_ts AS TIMESTAMP)) + 1800000000
         |      <= (epoch_us(CAST((SELECT MAX(ts) FROM events) AS TIMESTAMP)) // 1000) * 1000
         |ORDER BY user_id, n""".stripMargin,
+
+    // emitted windows = those whose END clears the join-DELAYED
+    // watermark (global watermark minus the 1-minute join range);
+    // at day granularity that is exactly the 61-minute cut below for
+    // any stream whose max event time sits > 61 min past a midnight
+    "q193_stream_join_window" ->
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |       event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events
+         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+         |      <= (SELECT MAX(ts) FROM events) - INTERVAL 61 MINUTE
+         |GROUP BY 1, event_type
+         |ORDER BY day, event_type""".stripMargin,
 
     "q112_stream_time_travel" ->
 s"""SELECT version, event_type, n, total FROM (

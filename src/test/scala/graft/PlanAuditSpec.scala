@@ -26,6 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_stream_quantile", "q155_stream_static_join", "q156_stream_cdc_merge",
     "q158_stream_outer_join", "q168_stream_full_outer_join",
     "q170_stream_sessions", "q188_stateful_v2", "q189_stream_timer_sessions",
+    "q193_stream_join_window",
     "q93_stateful_count", "q94_schema_merge", "q95_compaction",
     "q96_cdc_apply", "q97_snapshot_read", "q99_bucketed_join",
     "q105_time_travel_merge", "q107_image_decode", "q113_vacuum_read",
