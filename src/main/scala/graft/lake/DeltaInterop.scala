@@ -259,7 +259,11 @@ object DeltaInterop {
     eligible.zipWithIndex.foreach { case (f, i) =>
       putTyped(mins, f.name, row.get(1 + 3 * i))
       putTyped(maxs, f.name, row.get(2 + 3 * i))
-      nulls.put(f.name, row.getLong(3 + 3 * i))
+      // SUM over zero rows is null, not 0 — an empty snapshot (a
+      // createEmpty'd table, a drained stream that never saw input)
+      // still writes a schema-only part file and must export
+      nulls.put(f.name,
+        if (row.isNullAt(3 + 3 * i)) 0L else row.getLong(3 + 3 * i))
     }
     m.writeValueAsString(n)
   }

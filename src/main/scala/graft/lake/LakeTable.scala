@@ -287,13 +287,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     // fail loud on non-numeric keys: casting e.g. a string column to
     // double yields null, which would silently send EVERY row to
     // bucket 0 — a "successful" optimize that clusters nothing
-    val numeric = Set("byte", "short", "integer", "long", "float", "double")
     zorderBy.foreach { c =>
       val f = df.schema.fields.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(
           s"z-order column $c not in table schema"))
-      require(numeric.contains(f.dataType.typeName) ||
-        f.dataType.typeName.startsWith("decimal"),
+      require(isNumericTypeName(f.dataType.typeName),
         s"z-order column $c has non-numeric type ${f.dataType.typeName}; " +
           "only numeric columns normalize to the 16-bit Morton lanes")
     }
@@ -647,6 +645,17 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * compare as doubles (exact for the integral range lakes index);
     * string columns compare lexicographically against the string form
     * of the bounds. Returns (surviving dirs, total dirs). */
+  /** Type names the skipping index compares NUMERICALLY — shared by
+    * [[prunedDirs]]' compare branch and [[optimizeZOrder]]'s key
+    * guard. "date" is deliberately NOT numeric: computeStats stores
+    * dates as Spark's string cast ("yyyy-MM-dd"), whose fixed-width
+    * ISO form compares correctly lexicographically in the string
+    * branch — treating it as numeric would throw
+    * NumberFormatException at read. */
+  private val numericTypeNames = Set("byte", "short", "integer", "long", "float", "double")
+  private def isNumericTypeName(t: String): Boolean =
+    numericTypeNames.contains(t) || t.startsWith("decimal")
+
   def prunedDirs(colName: String, lo: Any, hi: Any,
                  version: Long = -1L): (Seq[String], Int) = {
     val v = if (version < 0) latestVersion else version
@@ -657,16 +666,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         case _ => None
       }
     }.toMap
-    // "date" is deliberately NOT numeric: computeStats stores dates as
-    // Spark's string cast ("yyyy-MM-dd"), whose fixed-width ISO form
-    // compares correctly lexicographically in the string branch —
-    // treating it as numeric would throw NumberFormatException at read.
-    val numeric = Set("byte", "short", "integer", "long", "float", "double")
     val surviving = m.dirs.filter { dir =>
       byDir.get(dir) match {
         case None => true // no stat recorded — must read
         case Some((_, "", _)) | Some((_, _, "")) => false // all-null column
-        case Some((dtype, mn, mx)) if numeric.contains(dtype) || dtype.startsWith("decimal") =>
+        case Some((dtype, mn, mx)) if isNumericTypeName(dtype) =>
           !(mx.toDouble < lo.toString.toDouble || mn.toDouble > hi.toString.toDouble)
         case Some((_, mn, mx)) => // string order
           !(mx < lo.toString || mn > hi.toString)
@@ -772,12 +776,15 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         case _ => None
       }
     }.toMap
-    // probe positions through the SAME Spark hash codepath as the
-    // build, once per distinct bit width
+    // probe positions through the SAME Spark codepath as the build —
+    // including the CAST: the build hashed cast(col AS STRING), so the
+    // probe must hash the typed literal through the same cast, not the
+    // JVM toString (java.sql.Timestamp.toString appends '.0' where
+    // Spark's cast doesn't — a silent false negative otherwise)
     val widths = byDir.values.map(_._1).toSet
     val posByWidth: Map[Int, Seq[Int]] = widths.map { w =>
       w -> spark.range(1)
-        .select(bloomPositionCols(lit(value.toString), w): _*)
+        .select(bloomPositionCols(lit(value), w): _*)
         .head().toSeq.map(_.asInstanceOf[Long].toInt)
     }.toMap
     val surviving = m.dirs.filter { dir =>

@@ -231,7 +231,19 @@ object Similarity {
                trainPred: DataFrame => DataFrame = identity,
                scale: Double = 64.0): (DataFrame, DataFrame) = {
     val quant = quantizeVec(emb, scale)
-    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    pqEncodeQ(quant, vecDim(quant), m, k, rounds, trainPred)
+  }
+
+  /** One driver-side probe of the (schema-level) vector width. */
+  private def vecDim(quant: DataFrame): Int =
+    quant.select(size(col("qv"))).head().getInt(0)
+
+  /** [[pqEncode]] over an already-quantized relation — lets the top-k
+    * paths quantize and measure the embedding ONCE instead of
+    * repeating the lineage and the blocking dim probe per stage. */
+  private def pqEncodeQ(quant: DataFrame, dim: Int, m: Int, k: Int,
+                        rounds: Int, trainPred: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val w = dim / m
     val parts = (0 until m).map { s =>
@@ -263,9 +275,9 @@ object Similarity {
              m: Int = 4, kCode: Int = 8, rounds: Int = 2,
              trainPred: DataFrame => DataFrame = identity,
              scale: Double = 64.0): DataFrame = {
-    val (codes, books) = pqEncode(emb, m, kCode, rounds, trainPred, scale)
     val quant = quantizeVec(emb, scale)
-    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    val dim = vecDim(quant)
+    val (codes, books) = pqEncodeQ(quant, dim, m, kCode, rounds, trainPred)
     val w = dim / m
     val lut = queryPred(quant)
       .select(col("vec_id").as("query_id"), col("qv"))
@@ -299,10 +311,11 @@ object Similarity {
                 m: Int = 4, kCode: Int = 8, rounds: Int = 2,
                 trainPred: DataFrame => DataFrame = identity,
                 scale: Double = 64.0): DataFrame = {
-    val (codes, books) = pqEncode(emb, m, kCode, rounds, trainPred, scale)
-    val coarse = kmeansBuckets(emb, kCode, rounds, trainPred, scale)
     val quant = quantizeVec(emb, scale)
-    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    val dim = vecDim(quant)
+    val (codes, books) = pqEncodeQ(quant, dim, m, kCode, rounds, trainPred)
+    val coarse = assignTo(quant, lloyd(quant, trainPred, kCode, rounds))
+      .withColumnRenamed("cid", "cluster")
     val w = dim / m
     val lut = queryPred(quant)
       .select(col("vec_id").as("query_id"), col("qv"))

@@ -59,7 +59,14 @@ object Stateful {
     * watermark crosses it, `handleExpiredTimer` emits the final
     * (key, count) and CLEARS the state, so a later event genuinely
     * reopens the key from zero. This is the piece q188's totals don't
-    * exercise: state whose lifecycle the ENGINE ends, not the drain. */
+    * exercise: state whose lifecycle the ENGINE ends, not the drain.
+    *
+    * NOTE this is an idle-TIMEOUT demo, not a gap sessionizer: a
+    * batch's rows for a key all land in the OPEN session regardless of
+    * intra-batch gaps (only the watermark closes), so output depends
+    * on batching. [[EventTimeSessions]] is the batching-independent
+    * sessionizer — it splits on event-time gaps inside the batch too
+    * and is the one the oracle gates (q189). */
   class IdleSessionCloser(gapMs: Long)
       extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
     @transient private var sess: ValueState[(Long, Long)] = _ // (count, lastTs)

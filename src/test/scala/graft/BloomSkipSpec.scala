@@ -37,6 +37,21 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(t.scanPrunedEq("key", 99999L).filter(col("key") === 99999).count() === 0)
   }
 
+  test("typed probes hash through the Spark cast: timestamp lookup has no false negative") {
+    // java.sql.Timestamp.toString appends '.0' where Spark's
+    // cast-to-string doesn't — probing via the JVM string would miss
+    // every recorded value; the probe must go through lit(value)
+    val rows = spark.range(0, 50).select(col("id").as("key"),
+      expr("timestamp_micros(1700000000000000 + id * 60000000)").as("ts"))
+    val t = LakeTable.createTemp(spark, rows, "graft-bloom-ts",
+      bloomCols = Seq("ts"))
+    val probe = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 10 * 60))
+    val (kept, total) = t.prunedDirsEq("ts", probe)
+    assert(total === 1 && kept.size === 1, "timestamp probe lost the directory")
+    assert(t.scanPrunedEq("ts", probe).filter(col("key") === 10).count() === 1)
+  }
+
   test("null point lookup is refused, not NPE'd") {
     val t = LakeTable.createTemp(spark, mk(0, 10), "graft-bloom-null",
       bloomCols = Seq("key"))

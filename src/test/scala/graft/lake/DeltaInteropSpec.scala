@@ -80,6 +80,16 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(totalRecords === t.snapshot().count())
   }
 
+  test("exporting an EMPTY snapshot succeeds: stats handle the null SUM of zero rows") {
+    // Spark still writes a schema-only part file for an empty write;
+    // fileStats' nullCount SUM comes back null there and must export
+    // as 0, not NPE the whole call
+    val t = LakeTable.createTemp(spark, events.filter(col("event_id") < 0))
+    val dest = Files.createTempDirectory("graft-delta-empty").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest)
+    assert(DeltaInterop.readDelta(spark, dest).count() === 0L)
+  }
+
   test("export/readDelta round-trip preserves rows exactly") {
     val base = events.filter(col("event_id") < 500)
     val t = LakeTable.createTemp(spark, base)
