@@ -13,22 +13,42 @@ import scala.concurrent.duration.Duration
   * uniquely-named temp/catalog resources, so concurrency is safe. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional extra args: query-name prefixes to run (local debugging;
+    // the driver always passes exactly two args → full run).
+    val only: Option[Seq[String]] = if (args.length > 2) Some(args.drop(2).toSeq) else None
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val futures = SparkEntry.queries.toSeq.filter(q => selected(q._1)).map { case (name, fn) =>
       Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try run(name, fn)
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failed.add(name); ()
         }
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
+    // One sequential retry for anything that failed under concurrency:
+    // a query missing its parquet silently drops out of the round's
+    // correctness gate (the r9 q188 lesson), so a transient failure
+    // must never be the last word. Still-failing queries are loud.
+    failed.forEach { name =>
+      System.err.println(s"[verify] retrying $name sequentially")
+      try run(name, SparkEntry.queries(name))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED PERMANENTLY: $e")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -311,14 +311,13 @@ object StreamingQ {
     // the update-mode sink is the final state — which must equal the
     // plain batch group-by (the oracle) iff cross-batch state held
     "q188_stateful_v2" -> ((s, d) =>
-      graft.streaming.Stateful.withRocksDBStateStore(s) {
-        MicroBatch.updateRun(s, d, splitParts = Some(3)) { stream =>
-          import s.implicits._
-          graft.streaming.Stateful.runningTotals(
-            stream.select(col("user_id"), col("event_id"))
-              .as[(Long, Long)].groupByKey(_._1))
-            .toDF("user_id", "n", "sum_id")
-        }
+      MicroBatch.updateRun(s, d, splitParts = Some(3),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.runningTotals(
+          stream.select(col("user_id"), col("event_id"))
+            .as[(Long, Long)].groupByKey(_._1))
+          .toDF("user_id", "n", "sum_id")
       }
         .groupBy(col("user_id"))
         .agg(max(col("n")).as("n"), max(col("sum_id")).as("sum_id"))
@@ -336,19 +335,18 @@ object StreamingQ {
     // rewrite, so the hash gate pins timer firing, state clearing AND
     // the open-tail exclusion
     "q189_stream_timer_sessions" -> ((s, d) =>
-      graft.streaming.Stateful.withRocksDBStateStore(s) {
-        MicroBatch.updateRun(s, d) { stream =>
-          import s.implicits._
-          graft.streaming.Stateful.timerSessions(
-            stream
-              .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
-              .withWatermark("ts", "0 seconds")
-              .filter(col("user_id") < 50)
-              .select(col("user_id"), unix_micros(col("ts")).as("us"))
-              .as[(Long, Long)].groupByKey(_._1),
-            gapUs = 30L * 60L * 1000000L)
-            .toDF("user_id", "n")
-        }
+      MicroBatch.updateRun(s, d,
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.timerSessions(
+          stream
+            .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+            .withWatermark("ts", "0 seconds")
+            .filter(col("user_id") < 50)
+            .select(col("user_id"), unix_micros(col("ts")).as("us"))
+            .as[(Long, Long)].groupByKey(_._1),
+          gapUs = 30L * 60L * 1000000L)
+          .toDF("user_id", "n")
       }
         .orderBy("user_id", "n")),
 

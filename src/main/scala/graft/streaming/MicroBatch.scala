@@ -117,17 +117,24 @@ object MicroBatch {
     r.parquet(inDir.toString)
   }
 
-  /** Run `body` with spark.sql.shuffle.partitions pinned to `n` (state
-    * store instances are one-per-shuffle-partition-per-batch; for small
-    * streaming state the count should track state size, not cores). */
-  private def withStatePartitions[T](spark: SparkSession, n: Option[Int])(body: => T): T =
-    n match {
-      case None => body
-      case Some(p) =>
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-        try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
+  /** Per-run ISOLATED session: same SparkContext/SharedState, fresh
+    * SQLConf (builder-time configs — nanosAsLong, UTC, AQE — carry over
+    * via initialSessionOptions). Streaming runs need per-query conf
+    * (state partition count = state-store instances per batch, which
+    * should track state size not cores; a state-store provider class),
+    * and Verify executes queries CONCURRENTLY on one shared session —
+    * a set/restore toggle on shared conf races across threads. That
+    * race is exactly how q188 dropped out of CORRECTNESS_r09: another
+    * run's `finally` restore landed between q188's provider set and
+    * its stream start, and `transformWithState` refused the HDFS
+    * provider. An isolated session makes the race impossible. */
+  private def isolated(spark: SparkSession, statePartitions: Option[Int],
+                       conf: Map[String, String]): SparkSession = {
+    val s = spark.newSession()
+    statePartitions.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
 
   /** Idempotent exactly-once foreachBatch writer over a [[LakeTable]]
     * (VERDICT r4 #1b: one idempotency mechanism — the txn log, not a
@@ -164,15 +171,14 @@ object MicroBatch {
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
-    withStatePartitions(spark, statePartitions) {
-      val q = transform(fileSource(spark, in, maxFilesPerTrigger)).writeStream
-        .foreachBatch(writeBatch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val sess = isolated(spark, statePartitions, Map.empty)
+    val q = transform(fileSource(sess, in, maxFilesPerTrigger)).writeStream
+      .foreachBatch(writeBatch)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     sink
   }
 
@@ -217,21 +223,21 @@ object MicroBatch {
     * final sink equals the batch aggregate — oracle-checkable. */
   def updateRun(spark: SparkSession, sfDir: String,
                 statePartitions: Option[Int] = Some(8),
-                splitParts: Option[Int] = None)(
+                splitParts: Option[Int] = None,
+                conf: Map[String, String] = Map.empty)(
       transform: DataFrame => DataFrame): DataFrame = {
     val in = splitParts.fold(stageEvents(sfDir))(stageEventsSplit(spark, sfDir, _))
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
-    withStatePartitions(spark, statePartitions) {
-      val q = transform(fileSource(spark, in, splitParts.map(_ => 1))).writeStream
-        .foreachBatch(writeBatch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val sess = isolated(spark, statePartitions, conf)
+    val q = transform(fileSource(sess, in, splitParts.map(_ => 1))).writeStream
+      .foreachBatch(writeBatch)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     sink.snapshot()
   }
 
@@ -246,15 +252,14 @@ object MicroBatch {
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
-    withStatePartitions(spark, statePartitions) {
-      val q = join(fileSource(spark, in), fileSource(spark, in)).writeStream
-        .foreachBatch(writeBatch)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val sess = isolated(spark, statePartitions, Map.empty)
+    val q = join(fileSource(sess, in), fileSource(sess, in)).writeStream
+      .foreachBatch(writeBatch)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     sink.snapshot()
   }
 
@@ -269,16 +274,15 @@ object MicroBatch {
     val in = splitParts.fold(stageEvents(sfDir))(stageEventsSplit(spark, sfDir, _))
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val name = s"graft_stream_agg_${runId.incrementAndGet()}"
-    withStatePartitions(spark, Some(statePartitions)) {
-      val q = agg(fileSource(spark, in, splitParts.map(_ => 1))).writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
+    val sess = isolated(spark, Some(statePartitions), Map.empty)
+    val q = agg(fileSource(sess, in, splitParts.map(_ => 1))).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sess.table(name)
   }
 }

@@ -157,9 +157,20 @@ object Stateful {
     grouped.transformWithState(new EventTimeSessions(gapUs), TimeMode.EventTime(),
       OutputMode.Update())(Encoders.product[(Long, Long)])
 
-  /** transformWithState requires the RocksDB state store provider;
-    * scope it to `body` so the session's default (HDFS-backed) store
-    * keeps serving every other streaming query. */
+  /** transformWithState requires the RocksDB state store provider.
+    * Queries pass this through `MicroBatch.updateRun(conf = ...)`,
+    * which applies it on a per-run ISOLATED session — never on the
+    * shared one. (The r9 lesson: q188 vanished from the correctness
+    * gate because [[withRocksDBStateStore]]'s set/restore toggle on
+    * the shared session raced Verify's concurrent query threads.) */
+  val rocksDBConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Set/restore wrapper over a session's conf — ONLY safe when the
+    * caller owns the session and runs sequentially (unit specs). Query
+    * registrations must use [[rocksDBConf]] + the isolated-session
+    * path instead. */
   def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
