@@ -251,7 +251,12 @@ object DeltaInterop {
       case s: Short => o.put(k, s.toInt)
       case i: Int => o.put(k, i)
       case l: Long => o.put(k, l)
-      case f: Float => o.put(k, f)
+      // widen float → double BEFORE JSON: Jackson serializes a float
+      // at its shortest float repr ("0.1"), which a Delta reader
+      // parses as the DOUBLE 0.1 — not equal to (double)0.1f — so its
+      // data skipping could prune a file that holds a matching row
+      // (ADVICE r9). f.toDouble round-trips exactly.
+      case f: Float => o.put(k, f.toDouble)
       case d: Double => o.put(k, d)
       case s: String => o.put(k, s)
       case other => o.put(k, other.toString)

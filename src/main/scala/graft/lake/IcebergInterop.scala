@@ -119,6 +119,17 @@ object IcebergInterop {
   // Iceberg readers bind columns (names are a fallback). The numbers
   // are the spec's fixed ids.
 
+  /** Exact row count from the parquet FOOTER — no Spark job, no data
+    * read. The spec requires an accurate `record_count` per manifest
+    * entry (real readers — Spark-Iceberg, Trino — answer metadata-only
+    * COUNT(*) from it; ADVICE r9 flagged the -1 placeholder this
+    * replaces), and the footer already carries the value. */
+  private def parquetRowCount(f: Path): Long =
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri),
+        new org.apache.hadoop.conf.Configuration())))(_.getRecordCount)
+
   private def fid(f: AvroSchema.Field, id: Int): AvroSchema.Field = {
     f.addProp("field-id", id: Integer); f
   }
@@ -314,7 +325,7 @@ object IcebergInterop {
         val pr = new GenericData.Record(partitionSchema)
         identityPartitionBy.zip(tuple).foreach { case (c, v) => pr.put(c, v) }
         dfr.put("partition", pr)
-        dfr.put("record_count", -1L) // unknown here; readers trust the scan
+        dfr.put("record_count", parquetRowCount(f))
         dfr.put("file_size_in_bytes", Files.size(f))
         dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
         val e = new GenericData.Record(entrySchema)
@@ -476,7 +487,7 @@ object IcebergInterop {
     val partitionRecord = new GenericData.Record(manifestEntrySchemaV2
       .getField("data_file").schema().getField("partition").schema())
 
-    def writeManifestV2(files: Seq[Path], content: Int, recordCount: Long): Path = {
+    def writeManifestV2(files: Seq[Path], content: Int): Path = {
       val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
       Using.resource(new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](manifestEntrySchemaV2))) { w =>
@@ -488,7 +499,7 @@ object IcebergInterop {
           dfr.put("file_path", s"file://${f.toAbsolutePath}")
           dfr.put("file_format", "PARQUET")
           dfr.put("partition", partitionRecord)
-          dfr.put("record_count", recordCount)
+          dfr.put("record_count", parquetRowCount(f))
           dfr.put("file_size_in_bytes", Files.size(f))
           val e = new GenericData.Record(manifestEntrySchemaV2)
           e.put("status", 1) // ADDED
@@ -501,8 +512,8 @@ object IcebergInterop {
       }
       mp
     }
-    val dataManifest = writeManifestV2(parts, content = 0, recordCount = -1L)
-    val deleteManifest = writeManifestV2(deleteParts, content = 1, recordCount = nDeleted)
+    val dataManifest = writeManifestV2(parts, content = 0)
+    val deleteManifest = writeManifestV2(deleteParts, content = 1)
 
     // v2 manifest list: the delete manifest rides with content = 1
     val listPath = metaDir.resolve(s"snap-$snapshotId-${UUID.randomUUID()}.avro")
@@ -643,7 +654,7 @@ object IcebergInterop {
           dfr.put("file_format", "PARQUET")
           dfr.put("partition", new GenericData.Record(manifestEntrySchema
             .getField("data_file").schema().getField("partition").schema()))
-          dfr.put("record_count", -1L)
+          dfr.put("record_count", parquetRowCount(f))
           dfr.put("file_size_in_bytes", Files.size(f))
           dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
           val e = new GenericData.Record(manifestEntrySchema)
@@ -941,15 +952,21 @@ object IcebergInterop {
         // sufficient independent of sequence numbers. The delete side
         // is small relative to the data (AQE broadcasts it at runtime).
         import org.apache.spark.sql.functions.col
+        // collision-proof helper names: a table may legitimately carry
+        // a column named __gf_path/__gf_pos, and withColumn would
+        // silently overwrite then drop it (ADVICE r9) — suffix with a
+        // per-call UUID so no user column can collide
+        val tag = UUID.randomUUID().toString.replace("-", "").take(12)
+        val (pathCol, posCol) = (s"__gf_path_$tag", s"__gf_pos_$tag")
         val dels = spark.read
           .parquet(deleteFiles.map(_.toString).sorted: _*)
-          .select(normPathCol(col("file_path")).as("__gf_path"),
-            col("pos").cast("long").as("__gf_pos"))
+          .select(normPathCol(col("file_path")).as(pathCol),
+            col("pos").cast("long").as(posCol))
         base
-          .withColumn("__gf_path", normPathCol(col("_metadata.file_path")))
-          .withColumn("__gf_pos", col("_metadata.row_index"))
-          .join(dels, Seq("__gf_path", "__gf_pos"), "left_anti")
-          .drop("__gf_path", "__gf_pos")
+          .withColumn(pathCol, normPathCol(col("_metadata.file_path")))
+          .withColumn(posCol, col("_metadata.row_index"))
+          .join(dels, Seq(pathCol, posCol), "left_anti")
+          .drop(pathCol, posCol)
       }
     }
   }

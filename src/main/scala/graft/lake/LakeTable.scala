@@ -318,8 +318,24 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         .filter(p => p.getFileName.toString.startsWith("__zb="))
         .map(p => s"$rel/${p.getFileName}").toSeq.sorted
     }
+    // CARRY the table's pruning capability across the rewrite: every
+    // column with a min/max or bloom stat in the pre-optimize manifest
+    // keeps one in the optimized layout (recomputed per new directory
+    // — the old per-dir values don't transfer). Committing stats for
+    // only the two z-order keys would silently degrade point/range
+    // pruning on every other column to full reads (ADVICE r9).
+    val prior = readManifest(latestVersion).stats.map(_.split("\\|", -1))
+    val priorStatsCols = prior.collect {
+      case Array(_, c, _, _, _) if !c.startsWith("bloom:") => c
+    }.distinct
+    val priorBloomCols = prior.collect {
+      case Array(_, c, dt, _, _) if c.startsWith("bloom:") && dt.startsWith("bloom") =>
+        c.stripPrefix("bloom:")
+    }.distinct
+    val statsCols = (zorderBy ++ priorStatsCols).distinct
     commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
-      stats = dirs.flatMap(dd => computeStats(dd, zorderBy)))
+      stats = dirs.flatMap(dd =>
+        computeStats(dd, statsCols) ++ computeBloom(dd, priorBloomCols)))
   }
 
   /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):
@@ -777,15 +793,23 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       }
     }.toMap
     // probe positions through the SAME Spark codepath as the build —
-    // including the CAST: the build hashed cast(col AS STRING), so the
-    // probe must hash the typed literal through the same cast, not the
-    // JVM toString (java.sql.Timestamp.toString appends '.0' where
-    // Spark's cast doesn't — a silent false negative otherwise)
+    // including the CAST: the build hashed cast(col AS STRING) with
+    // col at its DECLARED type, so the probe literal first casts to
+    // that type, then to string. Without the intermediate cast a
+    // probe whose JVM type renders differently (Int 5 against a
+    // DoubleType column: "5" vs "5.0"; Timestamp.toString's '.0'
+    // suffix) hashes to different positions — a silent false negative
+    // that drops matching rows (ADVICE r9)
+    val probe = declaredSchema(v).flatMap(_.fields.find(_.name == colName)) match {
+      case Some(f) => lit(value).cast(f.dataType)
+      case None => lit(value)
+    }
     val widths = byDir.values.map(_._1).toSet
     val posByWidth: Map[Int, Seq[Int]] = widths.map { w =>
-      w -> spark.range(1)
-        .select(bloomPositionCols(lit(value), w): _*)
-        .head().toSeq.map(_.asInstanceOf[Long].toInt)
+      val r = spark.range(1).select(bloomPositionCols(probe, w): _*).head()
+      require(!r.anyNull,
+        s"bloom probe value $value does not cast to $colName's declared type")
+      w -> r.toSeq.map(_.asInstanceOf[Long].toInt)
     }.toMap
     val surviving = m.dirs.filter { dir =>
       byDir.get(dir) match {

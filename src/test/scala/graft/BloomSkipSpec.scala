@@ -52,6 +52,29 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(t.scanPrunedEq("ts", probe).filter(col("key") === 10).count() === 1)
   }
 
+  test("probe casts to the DECLARED column type: Int probe on a double column") {
+    // the bloom hashed cast(d AS STRING) → "5.0"; a raw Int probe
+    // would hash "5" and silently drop the matching directory
+    // (ADVICE r9) — the probe must first cast to the declared type
+    val rows = spark.range(0, 50).select(col("id").as("key"),
+      col("id").cast("double").as("d"))
+    val t = LakeTable.createTemp(spark, rows, "graft-bloom-int",
+      bloomCols = Seq("d"))
+    val (kept, total) = t.prunedDirsEq("d", 5)
+    assert(total === 1 && kept.size === 1, "int-vs-double probe lost the directory")
+    assert(t.scanPrunedEq("d", 5).filter(col("key") === 5).count() === 1)
+  }
+
+  test("a probe that cannot cast to the column type fails loud") {
+    // ANSI mode raises CAST_INVALID_INPUT from the typed cast itself —
+    // a loud, named failure instead of a silent false negative
+    val t = LakeTable.createTemp(spark, mk(0, 10), "graft-bloom-bad",
+      bloomCols = Seq("key"))
+    val e = intercept[Exception](t.prunedDirsEq("key", "not-a-number"))
+    assert(e.getMessage.contains("cannot be cast") ||
+      e.getMessage.contains("declared type"))
+  }
+
   test("null point lookup is refused, not NPE'd") {
     val t = LakeTable.createTemp(spark, mk(0, 10), "graft-bloom-null",
       bloomCols = Seq("key"))

@@ -89,6 +89,34 @@ class ZOrderSpec extends AnyFunSuite {
     assert(t.snapshot(vBefore).count() === 65536L)
   }
 
+  test("optimizeZOrder carries non-zorder stats and blooms across the rewrite") {
+    // the pre-optimize manifest records min/max on `c` and a bloom on
+    // `k`; the optimized layout must keep BOTH capabilities — stats
+    // recomputed per new directory, not silently dropped so that
+    // point/range pruning on other columns degrades to full reads
+    // (ADVICE r9)
+    val rows = spark.range(65536)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"),
+        (col("id") / 16384).cast("long").as("c"), (col("id") % 7).as("k"))
+    val t = LakeTable.createTemp(spark, rows, "graft-zcarry",
+      statsCols = Seq("c"), bloomCols = Seq("k"))
+    t.optimizeZOrder(Seq("x", "y"), buckets = 16)
+    // c correlates with y (c = y/64), so the z-grid prunes on c too
+    val (keptC, totalC) = t.prunedDirs("c", 0L, 0L)
+    assert(totalC === 16 && keptC.size < totalC,
+      s"c stats lost in optimize: ${keptC.size}/$totalC")
+    assert(t.scanPruned("c", 0L, 0L).filter(col("c") === 0).count() === 16384L)
+    // the bloom on k survives with no false negative (k is dense in
+    // every cell, so no pruning is expected — only correctness)
+    (0L to 6L).foreach { k =>
+      assert(t.scanPrunedEq("k", k).filter(col("k") === k).count() ===
+        rows.filter(col("k") === k).count(), s"k=$k lost after optimize")
+    }
+    // z-order keys themselves still prune (the original guarantee)
+    val (keptX, _) = t.prunedDirs("x", 0, 63)
+    assert(keptX.size === 4)
+  }
+
   test("optimizeZOrder on an empty table commits an empty typed snapshot") {
     val schemaSrc = spark.range(1)
       .select(col("id").as("x"), col("id").as("y"))

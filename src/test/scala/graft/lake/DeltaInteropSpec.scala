@@ -384,6 +384,29 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(e.getMessage.contains("absolute"))
   }
 
+  test("float min/max stats serialize widened to double (ADVICE r9)") {
+    // Jackson writes a raw float at its SHORTEST float repr ("0.1"),
+    // which a Delta reader parses as the double 0.1 — not equal to
+    // (double)0.1f — so the reader's data skipping could prune a file
+    // that actually holds the matching row. The export must widen
+    // f.toDouble so the JSON round-trips to the exact value Spark
+    // compares against.
+    import spark.implicits._
+    val t = LakeTable.createTemp(spark,
+      Seq((1L, 0.1f), (2L, 0.3f)).toDF("id", "f"))
+    val dest = Files.createTempDirectory("graft-delta-f32").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest)
+    val m = new ObjectMapper()
+    val logFile = dest.resolve("_delta_log").resolve("0" * 20 + ".json")
+    val adds = Files.readAllLines(logFile).asScala.map(m.readTree)
+      .filter(_.has("add")).map(_.get("add"))
+    val stats = adds.map(a => m.readTree(a.get("stats").asText))
+    val mins = stats.map(_.get("minValues").get("f").asDouble).min
+    val maxs = stats.map(_.get("maxValues").get("f").asDouble).max
+    assert(mins === 0.1f.toDouble, s"min $mins != ${0.1f.toDouble}")
+    assert(maxs === 0.3f.toDouble, s"max $maxs != ${0.3f.toDouble}")
+  }
+
   test("exportHistory refuses a schema-less first version") {
     val t = LakeTable.createEmpty(spark,
       Files.createTempDirectory("graft-noschema").resolve("t"), schema = None)

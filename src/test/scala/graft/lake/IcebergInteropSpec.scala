@@ -320,6 +320,70 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(expected.exceptAll(back).count() === 0)
   }
 
+  test("manifest entries carry exact per-file record_count, v1 and v2 (ADVICE r9)") {
+    // real readers (Spark-Iceberg, Trino) answer metadata-only
+    // COUNT(*) from record_count — a -1 placeholder gives them wrong
+    // counts even though graft's own reader ignores the field
+    def entryCounts(dest: java.nio.file.Path): Seq[(String, Int, Long)] = {
+      val meta = new ObjectMapper().readTree(
+        Files.readString(dest.resolve("metadata").resolve("v1.metadata.json")))
+      val snap = meta.get("snapshots").elements().asScala.next()
+      val list = IcebergInterop.readAvro(java.nio.file.Paths.get(
+        snap.get("manifest-list").asText.stripPrefix("file://")))
+      list.flatMap { m =>
+        IcebergInterop.readAvro(java.nio.file.Paths.get(
+          m.get("manifest_path").toString.stripPrefix("file://"))).map { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(df.getSchema.getField("content"))
+            .map(_ => df.get("content").toString.toInt).getOrElse(0)
+          (df.get("file_path").toString, content,
+            df.get("record_count").toString.toLong)
+        }
+      }
+    }
+    def verify(counts: Seq[(String, Int, Long)]): Unit = counts.foreach {
+      case (p, _, rc) =>
+        val actual = spark.read.parquet(p.stripPrefix("file://")).count()
+        assert(rc === actual, s"record_count $rc != $actual for $p")
+    }
+    val base = events.filter(col("event_id") < 400)
+    val t1 = LakeTable.createTemp(spark, base)
+    val d1 = Files.createTempDirectory("graft-icerc1").resolve("t")
+    IcebergInterop.exportSnapshot(t1, d1)
+    val c1 = entryCounts(d1)
+    verify(c1)
+    assert(c1.map(_._3).sum === base.count())
+    // v2: data entries (content 0) sum to the table, delete entries
+    // (content 1) sum to the deleted-row count
+    val t2 = LakeTable.createTemp(spark, base)
+    val d2 = Files.createTempDirectory("graft-icerc2").resolve("t")
+    val (_, nDeleted) =
+      IcebergInterop.exportSnapshotV2(t2, d2, col("event_type") === "error")
+    val c2 = entryCounts(d2)
+    verify(c2)
+    assert(c2.filter(_._2 == 0).map(_._3).sum === base.count())
+    assert(c2.filter(_._2 == 1).map(_._3).sum === nDeleted && nDeleted > 0)
+  }
+
+  test("position deletes survive user columns named __gf_path/__gf_pos") {
+    // the anti-join's helper columns must not collide with (and
+    // silently destroy) legitimately-named user columns (ADVICE r9)
+    import spark.implicits._
+    val df = Seq((1L, "keep", "pa", 100L), (2L, "drop", "pb", 200L),
+      (3L, "keep", "pc", 300L))
+      .toDF("id", "flag", "__gf_path", "__gf_pos")
+    val t = LakeTable.createTemp(spark, df)
+    val dest = Files.createTempDirectory("graft-icecol").resolve("t")
+    val (_, nDeleted) =
+      IcebergInterop.exportSnapshotV2(t, dest, col("flag") === "drop")
+    assert(nDeleted === 1L)
+    val back = IcebergInterop.readIceberg(spark, dest)
+    assert(back.columns.toSeq === Seq("id", "flag", "__gf_path", "__gf_pos"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, "pa", 100L), (3L, "pc", 300L)))
+  }
+
   test("v2 position deletes: empty delete set reads the full snapshot") {
     import spark.implicits._
     val t = LakeTable.createTemp(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
