@@ -278,18 +278,55 @@ object Similarity {
     val quant = quantizeVec(emb, scale)
     val dim = vecDim(quant)
     val (codes, books) = pqEncodeQ(quant, dim, m, kCode, rounds, trainPred)
+    pqScore(quant, dim, m, codes, books, None, queryPred, k)
+  }
+
+  /** [[pqTopK]] against a PRE-TRAINED index — the production shape:
+    * codebooks and codes are a staged artifact (trained once, stored,
+    * read by every query), so a call pays only the ADC probe. `codes`
+    * and `books` must come from [[pqEncode]] over the same embedding
+    * relation and scale (deterministic, so a parquet round trip
+    * preserves them bit-for-bit). */
+  def pqTopKWith(emb: DataFrame, codes: DataFrame, books: DataFrame,
+                 queryPred: DataFrame => DataFrame, k: Int,
+                 scale: Double = 64.0): DataFrame = {
+    val quant = quantizeVec(emb, scale)
+    pqScore(quant, vecDim(quant), mOf(books), codes, books, None, queryPred, k)
+  }
+
+  /** Subspace count recovered from a stored codebook relation — a
+    * driver probe on an m·k-row table. */
+  private def mOf(books: DataFrame): Int =
+    books.agg(max(col("sub"))).head().getLong(0).toInt + 1
+
+  /** The ADC scoring stage shared by the train-inline and
+    * staged-artifact paths; `coarse` (vec_id, cluster) restricts
+    * candidates to the query's coarse cell (IVF). */
+  private def pqScore(quant: DataFrame, dim: Int, m: Int, codes: DataFrame,
+                      books: DataFrame, coarse: Option[DataFrame],
+                      queryPred: DataFrame => DataFrame, k: Int): DataFrame = {
     val w = dim / m
-    val lut = queryPred(quant)
-      .select(col("vec_id").as("query_id"), col("qv"))
+    val qside = queryPred(quant).select(col("vec_id").as("query_id"), col("qv"))
+    val qCell = coarse.fold(qside)(c =>
+      qside.join(c.select(col("vec_id").as("query_id"),
+        col("cluster").as("q_cell")), "query_id"))
+    val lutCols = Seq(col("query_id")) ++
+      coarse.map(_ => col("q_cell")).toSeq ++
+      Seq(col("l_sub"), col("cid"), col("d"))
+    val lut = qCell
       .crossJoin(broadcast(books.withColumnRenamed("sub", "l_sub")))
       .withColumn("d", expr(
         s"aggregate(zip_with(slice(qv, CAST(l_sub * $w + 1 AS INT), $w), c, " +
           "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
           "0D, (acc, v) -> acc + v)"))
-      .select(col("query_id"), col("l_sub"), col("cid"), col("d"))
-    val scored = codes
-      .join(broadcast(lut),
-        codes("sub") === lut("l_sub") && codes("code") === lut("cid"))
+      .select(lutCols: _*)
+    val cand = coarse.fold(codes)(c => codes.join(c, "vec_id"))
+    val joinCond = coarse match {
+      case Some(_) => cand("sub") === lut("l_sub") && cand("code") === lut("cid") &&
+        col("cluster") === lut("q_cell")
+      case None => cand("sub") === lut("l_sub") && cand("code") === lut("cid")
+    }
+    val scored = cand.join(broadcast(lut), joinCond)
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id").as("cand_id"))
       .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
@@ -316,31 +353,30 @@ object Similarity {
     val (codes, books) = pqEncodeQ(quant, dim, m, kCode, rounds, trainPred)
     val coarse = assignTo(quant, lloyd(quant, trainPred, kCode, rounds))
       .withColumnRenamed("cid", "cluster")
-    val w = dim / m
-    val lut = queryPred(quant)
-      .select(col("vec_id").as("query_id"), col("qv"))
-      .join(coarse.select(col("vec_id").as("query_id"),
-        col("cluster").as("q_cell")), "query_id")
-      .crossJoin(broadcast(books.withColumnRenamed("sub", "l_sub")))
-      .withColumn("d", expr(
-        s"aggregate(zip_with(slice(qv, CAST(l_sub * $w + 1 AS INT), $w), c, " +
-          "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), " +
-          "0D, (acc, v) -> acc + v)"))
-      .select(col("query_id"), col("q_cell"), col("l_sub"), col("cid"), col("d"))
-    val scored = codes.join(coarse, "vec_id")
-      .join(broadcast(lut),
-        codes("sub") === lut("l_sub") && codes("code") === lut("cid") &&
-          col("cluster") === lut("q_cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
-      .agg(sum(col("d").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-        .cast("double").as("dist"))
-    val rankW = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    scored.withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("dist"),
-        col("rank").cast("long").as("rank"))
+    pqScore(quant, dim, m, codes, books, Some(coarse), queryPred, k)
   }
+
+  /** [[pqTopKIvf]] against a PRE-TRAINED index (staged codes, books
+    * and coarse centroids): the per-call work is one broadcast
+    * nearest-centroid assignment plus the ADC probe — the
+    * billion-vector query path, with every trained artifact read from
+    * storage. */
+  def pqTopKIvfWith(emb: DataFrame, codes: DataFrame, books: DataFrame,
+                    coarseCents: DataFrame, queryPred: DataFrame => DataFrame,
+                    k: Int, scale: Double = 64.0): DataFrame = {
+    val quant = quantizeVec(emb, scale)
+    val coarse = assignTo(quant, coarseCents).withColumnRenamed("cid", "cluster")
+    pqScore(quant, vecDim(quant), mOf(books), codes, books, Some(coarse),
+      queryPred, k)
+  }
+
+  /** The coarse-quantizer centroid relation (k rows) by itself — what
+    * an IVF index stores next to the PQ codebooks. Same deterministic
+    * Lloyd trainer as [[kmeansBuckets]]. */
+  def coarseCentroids(emb: DataFrame, k: Int = 8, rounds: Int = 2,
+                      trainPred: DataFrame => DataFrame = identity,
+                      scale: Double = 64.0): DataFrame =
+    lloyd(quantizeVec(emb, scale), trainPred, k, rounds)
 
   /** Nearest-centroid assignment: (vec_id, cid). `cent` is k rows,
     * broadcast; the argmin is a map-side partial `min(struct)` — no

@@ -10,6 +10,48 @@ import Qx._
   * DuckDB reproduces them bit-for-bit. */
 object SimilarityQ {
 
+  /** The PQ index as a STAGED ARTIFACT (VERDICT r9 next #3, the q103
+    * cluster-artifact pattern): q191 and q192 consume the identical
+    * trained index — m per-subspace codebooks, the corpus's m-code
+    * encoding, and the IVF coarse centroids. In production these are
+    * trained once and stored (the index IS the artifact; that's what
+    * makes a billion-vector ADC scan affordable), so the queries here
+    * read lake-staged relations and pay only the probe. Training is
+    * deterministic (md5-seeded Lloyd, exact integer means), so the
+    * parquet round trip is bit-exact and the oracles keep replaying
+    * the training chain from the raw table unchanged. Bench pays the
+    * training once via [[stageArtifacts]] and reports it under
+    * `staging`. */
+  private val stagedPq = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.lake.LakeTable, graft.lake.LakeTable, graft.lake.LakeTable)]()
+
+  private def pqArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val (codes, books, cents) =
+      stagedPq.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+        val emb = Tables.embeddings(s, d)
+        val trainPred = (df: org.apache.spark.sql.DataFrame) =>
+          df.filter(col("vec_id") % 5 === 0)
+        val (cod, bks) = Similarity.pqEncode(emb, m = 4, k = 8, rounds = 2,
+          trainPred = trainPred)
+        val cents = Similarity.coarseCentroids(emb, k = 8, rounds = 2,
+          trainPred = trainPred)
+        (graft.lake.LakeTable.createTemp(s, cod, "graft-pq-codes"),
+          graft.lake.LakeTable.createTemp(s, bks, "graft-pq-books"),
+          graft.lake.LakeTable.createTemp(s, cents, "graft-pq-cents"))
+      })
+    (codes.snapshot(), books.snapshot(), cents.snapshot())
+  }
+
+  /** Force the shared PQ index artifact for (session, sf dir) — bench
+    * hygiene: training cost lands in the `staging` metric, q191/q192
+    * report the ADC probe. */
+  def stageArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    pqArtifacts(s, d)
+    ()
+  }
+
   private def exSql(pred: String): String =
     s"""ex AS (
        |  SELECT vec_id, label, i AS pos,
@@ -215,22 +257,24 @@ object SimilarityQ {
     // linear scan — O(m) per pair instead of O(dim), the technique
     // that fits a billion-vector index in memory. Top-5 per query,
     // ties by cand_id
-    "q191_pq_topk" -> ((s, d) =>
-      Similarity.pqTopK(Tables.embeddings(s, d),
-        _.filter(col("vec_id") < 20), k = 5, m = 4, kCode = 8, rounds = 2,
-        trainPred = _.filter(col("vec_id") % 5 === 0))
-        .orderBy("query_id", "rank")),
+    "q191_pq_topk" -> ((s, d) => {
+      val (codes, books, _) = pqArtifacts(s, d)
+      Similarity.pqTopKWith(Tables.embeddings(s, d), codes, books,
+        _.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
 
     // IVF-PQ (the production billion-vector configuration): the coarse
     // k-means cell bounds each query's candidate set to ~1/k of the
     // corpus, the PQ ADC lookup-sum ranks only those survivors —
     // compose q119's quantizer with q191's codebooks, both stages
     // replayed exactly by the oracle
-    "q192_ivf_pq" -> ((s, d) =>
-      Similarity.pqTopKIvf(Tables.embeddings(s, d),
-        _.filter(col("vec_id") < 20), k = 5, m = 4, kCode = 8, rounds = 2,
-        trainPred = _.filter(col("vec_id") % 5 === 0))
-        .orderBy("query_id", "rank")),
+    "q192_ivf_pq" -> ((s, d) => {
+      val (codes, books, cents) = pqArtifacts(s, d)
+      Similarity.pqTopKIvfWith(Tables.embeddings(s, d), codes, books, cents,
+        _.filter(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
+    }),
 
     // IVF-style probe: top-5 within the query's coarse cluster (label)
     "q38_ivf_topk" -> ((s, d) =>
