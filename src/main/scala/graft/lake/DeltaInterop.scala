@@ -1,8 +1,10 @@
 package graft.lake
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import java.net.{URI, URISyntaxException}
 import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.UUID
+import java.util.zip.CRC32
 
 import scala.jdk.CollectionConverters._
 import scala.util.Using
@@ -10,8 +12,10 @@ import scala.util.Using
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, regexp_replace}
 import org.apache.spark.sql.types._
 
 /** Delta-Lake wire-format interop for [[LakeTable]] — the export/import
@@ -50,10 +54,32 @@ import org.apache.spark.sql.types._
   *     COMPLETE (starts at version 0, no gaps up to the target) and
   *     fail loud otherwise — truncated history is a correctness error,
   *     never a degraded read.
-  *  3. Enforce the protocol: `minReaderVersion` must be 1. Reader
-  *     features (column mapping, deletion vectors) silently change what
-  *     the files mean, so a table that requires them must be rejected,
-  *     not misread.
+  *  3. Enforce the protocol: `minReaderVersion` 1 always opens, and 3
+  *     opens when the table's `readerFeatures` are a subset of what we
+  *     implement — today exactly `deletionVectors` (see below). Any
+  *     OTHER reader feature (column mapping, v2 checkpoints, …)
+  *     silently changes what the files mean, so a table that requires
+  *     one is rejected, not misread; version 2 (implicit column
+  *     mapping) likewise.
+  *
+  * DELETION VECTORS (reader feature `deletionVectors`, the default for
+  * new tables written by current Delta writers — VERDICT r9 next #4):
+  * an `add` may carry a `deletionVector` descriptor marking a subset of
+  * the file's rows dead without rewriting the file. The vector is a
+  * 64-bit roaring bitmap of row indexes ("RoaringBitmapArray" portable
+  * serialization per PROTOCOL.md: 4-byte LE magic 1681511377, then the
+  * official portable Roaring64 layout — 8-byte LE bitmap count, per
+  * bitmap a 4-byte LE key + standard 32-bit roaring), stored inline
+  * (`i`, Z85-encoded in the descriptor), in a relative
+  * `deletion_vector_<uuid>.bin` file (`u`, prefix + Z85 uuid), or at an
+  * absolute path (`p`). On-disk DV files carry a 1-byte format version
+  * then `<size big-endian><data><CRC-32 big-endian>` per vector, the
+  * descriptor's `offset` pointing at the size word. The read path
+  * expands each file's bitmap on EXECUTORS (the driver touches only
+  * the kilobyte-scale compressed bytes) and subtracts positions with
+  * the same distributed (path, `_metadata.row_index`) anti-join
+  * [[IcebergInterop]] uses for position deletes; cardinality and CRC
+  * mismatches fail loud. [[exportSnapshotDV]] writes the same shape.
   *  4. Time travel past the last commit throws (mirrors
   *     [[LakeTable.snapshot]]'s version validation); time travel BELOW
   *     the oldest replayable state (checkpoint-truncated history)
@@ -100,6 +126,182 @@ object DeltaInterop {
     u.getPath.substring(1)
   }
 
+  // ---- deletion vectors --------------------------------------------------
+
+  /** The `deletionVector` field of an add action, verbatim. */
+  private[lake] case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+                                        offset: Option[Int], sizeInBytes: Int,
+                                        cardinality: Long)
+
+  // Z85 (the ZeroMQ base-85 alphabet) — what Delta uses to pack the DV
+  // file uuid (16 bytes -> 20 chars) and inline DV bytes into the
+  // descriptor string. 4 bytes <-> 5 chars, big-endian group value.
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  private[lake] def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0,
+      s"Z85 encodes 4-byte groups, got ${bytes.length} bytes")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) { sb.append(Z85Alphabet(((v / div) % 85).toInt)); div /= 85 }
+      i += 4
+    }
+    sb.toString
+  }
+
+  private[lake] def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0,
+      s"Z85 decodes 5-char groups, got length ${s.length}")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Decode(c.toInt) else -1
+        require(d >= 0, s"invalid Z85 character '$c' in deletion-vector path")
+        v = v * 85 + d
+        j += 1
+      }
+      var k = 0
+      while (k < 4) { out(o + k) = ((v >>> (8 * (3 - k))) & 0xff).toByte; k += 1 }
+      i += 5
+      o += 4
+    }
+    out
+  }
+
+  /** PROTOCOL.md's magic number prefixed to the portable Roaring64
+    * serialization inside a DV (little-endian on the wire). */
+  private[lake] val DvMagic = 1681511377
+
+  /** Serialize row positions as DV bitmap DATA (magic + portable
+    * Roaring64). Returns (bytes, cardinality). */
+  private[lake] def serializeDvData(positions: Iterator[Long]): (Array[Byte], Long) = {
+    val bm = new Roaring64NavigableMap()
+    positions.foreach(bm.addLong)
+    bm.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Integer.reverseBytes(DvMagic))
+    bm.serializePortable(out)
+    out.flush()
+    (bos.toByteArray, bm.getLongCardinality)
+  }
+
+  /** Inverse of [[serializeDvData]]: DV data bytes → sorted positions. */
+  private[lake] def deserializeDvData(data: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(data))
+    val magic = Integer.reverseBytes(in.readInt())
+    require(magic == DvMagic,
+      s"bad deletion-vector magic $magic (expected $DvMagic)")
+    val bm = new Roaring64NavigableMap()
+    bm.deserializePortable(in)
+    bm.toArray
+  }
+
+  /** Write one on-disk DV file at the table root holding every vector
+    * (1-byte version, then `<size BE><data><CRC-32 BE>` per vector) and
+    * return the descriptor path string (`u` storage: empty prefix +
+    * Z85 uuid) plus each vector's offset in input order. */
+  private def writeDvFile(root: Path, datas: Seq[Array[Byte]]): (String, Seq[Int]) = {
+    val uuid = UUID.randomUUID()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeByte(1) // DV file format version
+    val offsets = datas.map { d =>
+      val off = bos.size()
+      out.writeInt(d.length)
+      out.write(d)
+      val crc = new CRC32()
+      crc.update(d)
+      out.writeInt(crc.getValue.toInt)
+      off
+    }
+    out.flush()
+    Files.write(root.resolve(s"deletion_vector_$uuid.bin"), bos.toByteArray)
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    (z85Encode(bb.array()), offsets)
+  }
+
+  /** Resolve a descriptor to its DV data bytes (all three storage
+    * types), validating the stored size against the descriptor and the
+    * CRC-32 against the data. Driver-side by design: descriptors are
+    * log metadata and the compressed bytes are kilobytes; the O(rows)
+    * expansion to positions happens on executors. */
+  private[lake] def readDvData(root: Path, d: DvDescriptor): Array[Byte] =
+    d.storageType match {
+      case "i" =>
+        val data = z85Decode(d.pathOrInlineDv)
+        require(data.length >= d.sizeInBytes && data.length - d.sizeInBytes < 4,
+          s"inline deletion vector decodes to ${data.length} bytes, descriptor " +
+            s"says ${d.sizeInBytes}")
+        java.util.Arrays.copyOfRange(data, 0, d.sizeInBytes)
+      case "u" =>
+        val enc = d.pathOrInlineDv
+        require(enc.length >= 20, s"malformed deletion-vector uuid path: $enc")
+        val bb = java.nio.ByteBuffer.wrap(z85Decode(enc.takeRight(20)))
+        val uuid = new UUID(bb.getLong, bb.getLong)
+        val prefix = enc.dropRight(20)
+        val dir = if (prefix.isEmpty) root else root.resolve(prefix)
+        readDvAt(dir.resolve(s"deletion_vector_$uuid.bin"), d)
+      case "p" =>
+        readDvAt(java.nio.file.Paths.get(d.pathOrInlineDv), d)
+      case other => throw new IllegalArgumentException(
+        s"unknown deletion-vector storageType '$other'")
+    }
+
+  private def readDvAt(file: Path, d: DvDescriptor): Array[Byte] = {
+    require(Files.exists(file), s"deletion-vector file missing: $file")
+    val all = Files.readAllBytes(file)
+    require(all.nonEmpty && all(0) == 1,
+      s"unsupported deletion-vector file version ${if (all.isEmpty) -1 else all(0)} at $file")
+    val off = d.offset.getOrElse(throw new IllegalArgumentException(
+      s"deletion-vector descriptor for $file carries no offset"))
+    require(off >= 1 && off.toLong + 8 + d.sizeInBytes <= all.length,
+      s"deletion-vector offset $off out of bounds at $file (${all.length} bytes)")
+    val bb = java.nio.ByteBuffer.wrap(all)
+    val size = bb.getInt(off)
+    require(size == d.sizeInBytes,
+      s"deletion-vector size mismatch at $file: file says $size, " +
+        s"descriptor says ${d.sizeInBytes}")
+    val data = java.util.Arrays.copyOfRange(all, off + 4, off + 4 + size)
+    val crc = new CRC32()
+    crc.update(data)
+    require(crc.getValue.toInt == bb.getInt(off + 4 + size),
+      s"deletion-vector checksum mismatch at $file — refusing corrupt data")
+    data
+  }
+
+  /** Canonical absolute-path form shared by the DV anti-join's build
+    * (log paths) and probe (`_metadata.file_path` URIs) sides. */
+  private def normPathCol(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "^file:/+", "/")
+
+  /** The build-side twin of [[normPathCol]]: the percent-encoded
+    * absolute path of a local file, byte-for-byte the form Spark's
+    * `_metadata.file_path` reports (minus the `file:` scheme). A
+    * hive-partition directory may legally contain characters the URI
+    * form escapes (`o_col=NOT SPECIFIED` probes as `NOT%20SPECIFIED`),
+    * so keying either side of the DV match on the LITERAL filesystem
+    * path silently orphans that file's deletion vector — rows
+    * resurrect. Both sides must live in encoded space. */
+  private def uriRawPath(p: Path): String = p.toUri.getRawPath
+
   // ---- export ------------------------------------------------------------
 
   /** Export `table`'s snapshot at `version` (default: latest) as a
@@ -125,28 +327,7 @@ object DeltaInterop {
       s"partition columns ${partitionBy.mkString(",")} not all in ${df.columns.mkString(",")}")
     if (partitionBy.isEmpty) df.write.mode("error").parquet(destRoot.toString)
     else df.write.mode("error").partitionBy(partitionBy: _*).parquet(destRoot.toString)
-    // walk the written tree: relative path + the partition tuple its
-    // hive-style directory segments carry
-    val files: Seq[(String, Seq[(String, Option[String])])] =
-      Using.resource(Files.walk(destRoot)) { s =>
-        s.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .map { p =>
-            val rel = destRoot.relativize(p).toString
-            val segs = rel.split('/')
-            require(segs.length == partitionBy.length + 1,
-              s"unexpected layout depth for $rel (expected ${partitionBy.length} " +
-                "partition directories)")
-            val partVals = segs.dropRight(1).zip(partitionBy).map { case (seg, c) =>
-              val eq = seg.indexOf('=')
-              require(eq > 0 && seg.substring(0, eq) == c,
-                s"unexpected partition directory $seg for column $c")
-              c -> unescapeHive(seg.substring(eq + 1))
-            }
-            (rel, partVals.toSeq)
-          }
-          .toSeq.sortBy(_._1)
-      }
+    val files = walkDataFiles(destRoot, partitionBy)
     val m = mapper
     val actions = Seq.newBuilder[String]
     actions += m.writeValueAsString(protocolAction(m))
@@ -162,6 +343,110 @@ object DeltaInterop {
     Files.createDirectories(destRoot.resolve("_delta_log"))
     Files.write(logPath(destRoot, 0L), actions.result().asJava)
     files.size
+  }
+
+  /** Walk a freshly written parquet tree: relative path + the
+    * partition tuple its hive-style directory segments carry. */
+  private def walkDataFiles(destRoot: Path, partitionBy: Seq[String])
+      : Seq[(String, Seq[(String, Option[String])])] =
+    Using.resource(Files.walk(destRoot)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = destRoot.relativize(p).toString
+          val segs = rel.split('/')
+          require(segs.length == partitionBy.length + 1,
+            s"unexpected layout depth for $rel (expected ${partitionBy.length} " +
+              "partition directories)")
+          val partVals = segs.dropRight(1).zip(partitionBy).map { case (seg, c) =>
+            val eq = seg.indexOf('=')
+            require(eq > 0 && seg.substring(0, eq) == c,
+              s"unexpected partition directory $seg for column $c")
+            c -> unescapeHive(seg.substring(eq + 1))
+          }
+          (rel, partVals.toSeq)
+        }
+        .toSeq.sortBy(_._1)
+    }
+
+  /** Export `table`'s snapshot as a Delta table whose rows matching
+    * `deleteWhere` are dead via DELETION VECTORS — the modern writer
+    * shape (`delta.enableDeletionVectors` is the default for new
+    * tables): data files carry every row physically, the version-0 log
+    * marks the matching positions in per-file roaring bitmaps, and the
+    * protocol declares `minReaderVersion` 3 with readerFeatures
+    * `["deletionVectors"]` so pre-DV readers refuse instead of
+    * resurrecting rows.
+    *
+    * Scale shape: per-file bitmaps are built on EXECUTORS from
+    * `_metadata.row_index` (a distributed `groupByKey` over only the
+    * matching rows); the driver collects one compressed bitmap per
+    * file — kilobytes — and writes a single `deletion_vector_*.bin`
+    * holding all of them (`u` storage, offsets per file), which is
+    * exactly how production writers amortize DV storage. Returns
+    * (dataFiles, deletedRows). */
+  def exportSnapshotDV(table: LakeTable, destRoot: Path,
+                       deleteWhere: org.apache.spark.sql.Column,
+                       version: Long = -1L,
+                       partitionBy: Seq[String] = Nil): (Int, Long) = {
+    val df = table.snapshot(version)
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.mkString(",")} not all in ${df.columns.mkString(",")}")
+    if (partitionBy.isEmpty) df.write.mode("error").parquet(destRoot.toString)
+    else df.write.mode("error").partitionBy(partitionBy: _*).parquet(destRoot.toString)
+    val files = walkDataFiles(destRoot, partitionBy)
+    val spark = table.spark
+    // distributed bitmap build: executors see (file, row_index) pairs
+    // for matching rows only and emit one compressed bitmap per file
+    val dvByAbs: Seq[(String, Array[Byte], Long)] = spark.read
+      .parquet(destRoot.toString)
+      .filter(deleteWhere)
+      .select(normPathCol(col("_metadata.file_path")).as("p"),
+        col("_metadata.row_index").as("pos"))
+      .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (p, it) =>
+        val (bytes, n) = serializeDvData(it.map(_._2))
+        (p, bytes, n)
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+    val (dvPath, offsets) =
+      if (dvByAbs.isEmpty) ("", Seq.empty[Int])
+      else writeDvFile(destRoot, dvByAbs.map(_._2))
+    // dvByAbs keys are URI-encoded (probe-side form); walkDataFiles
+    // rels are literal filesystem names. Relativize in encoded space,
+    // then decode — relativizing the literal form instead silently
+    // drops the descriptor for any partition dir with an escaped char.
+    val rootPfx = {
+      val p = uriRawPath(destRoot.toAbsolutePath)
+      if (p.endsWith("/")) p else p + "/"
+    }
+    val descByRel: Map[String, DvDescriptor] =
+      dvByAbs.zip(offsets).map { case ((abs, bytes, n), off) =>
+        require(abs.startsWith(rootPfx),
+          s"deletion-vector file key $abs escapes export root $rootPfx")
+        decodePath(abs.stripPrefix(rootPfx)) ->
+          DvDescriptor("u", dvPath, Some(off), bytes.length, n)
+      }.toMap
+    val relSet = files.map(_._1).toSet
+    require(descByRel.keySet.subsetOf(relSet),
+      "deletion vectors computed for files absent from the export walk: " +
+        descByRel.keySet.diff(relSet).mkString(", "))
+    val m = mapper
+    val actions = Seq.newBuilder[String]
+    actions += m.writeValueAsString(protocolActionDV(m))
+    actions += m.writeValueAsString(
+      metaDataAction(m, UUID.randomUUID().toString, df.schema.json, partitionBy,
+        createdTime = Some(Files.getLastModifiedTime(destRoot).toMillis)))
+    files.foreach { case (rel, partVals) =>
+      actions += m.writeValueAsString(
+        addAction(m, rel, partVals, Files.size(destRoot.resolve(rel)),
+          Files.getLastModifiedTime(destRoot.resolve(rel)).toMillis,
+          dv = descByRel.get(rel)))
+    }
+    Files.createDirectories(destRoot.resolve("_delta_log"))
+    Files.write(logPath(destRoot, 0L), actions.result().asJava)
+    (files.size, dvByAbs.map(_._3).sum)
   }
 
   /** Spark writes hive partition directories with %XX-escaped special
@@ -185,6 +470,17 @@ object DeltaInterop {
     n
   }
 
+  /** Protocol for a DV-bearing table: versions (3, 7) with the feature
+    * declared in BOTH lists, per the spec's table-features rule. */
+  private def protocolActionDV(m: ObjectMapper): ObjectNode = {
+    val n = m.createObjectNode()
+    val p = n.putObject("protocol")
+    p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    p.putArray("readerFeatures").add("deletionVectors")
+    p.putArray("writerFeatures").add("deletionVectors")
+    n
+  }
+
   private def metaDataAction(m: ObjectMapper, id: String, schemaJson: String,
                              partCols: Seq[String],
                              createdTime: Option[Long] = None): ObjectNode = {
@@ -203,7 +499,8 @@ object DeltaInterop {
   private def addAction(m: ObjectMapper, rel: String,
                         partVals: Seq[(String, Option[String])],
                         size: Long, modTime: Long,
-                        stats: Option[String] = None): ObjectNode = {
+                        stats: Option[String] = None,
+                        dv: Option[DvDescriptor] = None): ObjectNode = {
     val n = m.createObjectNode()
     val add = n.putObject("add")
     add.put("path", encodePath(rel))
@@ -215,6 +512,14 @@ object DeltaInterop {
     add.put("modificationTime", modTime)
     add.put("dataChange", true)
     stats.foreach(add.put("stats", _))
+    dv.foreach { d =>
+      val dn = add.putObject("deletionVector")
+      dn.put("storageType", d.storageType)
+      dn.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(dn.put("offset", _))
+      dn.put("sizeInBytes", d.sizeInBytes)
+      dn.put("cardinality", d.cardinality)
+    }
     n
   }
 
@@ -366,6 +671,10 @@ object DeltaInterop {
     * only the JSON tail. Returns the checkpointed version. */
   def writeCheckpoint(spark: SparkSession, root: Path): Long = {
     val st = replayLog(spark, root)
+    require(st.liveFiles.forall(_.dv.isEmpty),
+      s"refusing to checkpoint $root: live files carry deletion vectors and " +
+        "this checkpoint writer does not serialize them — a DV-less " +
+        "checkpoint would silently resurrect deleted rows on replay")
     val v = st.version
     val schemaJson = st.schema.getOrElse(throw new IllegalArgumentException(
       s"cannot checkpoint $root: log carries no metaData")).json
@@ -446,7 +755,8 @@ object DeltaInterop {
 
   private[lake] case class LiveFile(path: String,
                                     partitionValues: Map[String, Option[String]],
-                                    size: Long, modificationTime: Long)
+                                    size: Long, modificationTime: Long,
+                                    dv: Option[DvDescriptor] = None)
 
   /** The state a log replay arrives at: live files (decoded relative
     * paths with their partition tuples) in deterministic order, the
@@ -458,11 +768,29 @@ object DeltaInterop {
                                       tableId: Option[String],
                                       version: Long)
 
-  private def requireProtocol(minReader: Int, root: Path): Unit =
-    require(minReader <= 1,
+  /** Reader features this module implements in full. A table whose
+    * protocol demands anything outside this set refuses to open. */
+  private[lake] val SupportedReaderFeatures = Set("deletionVectors")
+
+  private def requireProtocol(minReader: Int, feats: Set[String], root: Path): Unit =
+    if (minReader >= 3) {
+      val unsupported = feats -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"unsupported Delta reader features [${unsupported.mkString(",")}] at " +
+          s"$root (reader features change file semantics; refusing rather " +
+          "than misreading)")
+    } else require(minReader <= 1,
       s"unsupported Delta protocol at $root: minReaderVersion=$minReader " +
-        "(reader features such as column mapping or deletion vectors change " +
-        "file semantics; refusing rather than misreading)")
+        "(version 2 implies column mapping, which changes column semantics; " +
+        "refusing rather than misreading)")
+
+  private def requireProtocolNode(p: JsonNode, root: Path): Unit = {
+    val feats: Set[String] =
+      if (p.has("readerFeatures") && !p.get("readerFeatures").isNull)
+        p.get("readerFeatures").elements().asScala.map(_.asText()).toSet
+      else Set.empty
+    requireProtocol(p.get("minReaderVersion").asInt(), feats, root)
+  }
 
   private[lake] def replayLog(spark: SparkSession, root: Path,
                               upTo: Long = Long.MaxValue): DeltaState = {
@@ -521,7 +849,7 @@ object DeltaInterop {
       Files.readAllLines(logPath(root, v)).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node = m.readTree(line)
         if (node.has("protocol"))
-          requireProtocol(node.get("protocol").get("minReaderVersion").asInt(), root)
+          requireProtocolNode(node.get("protocol"), root)
         if (node.has("metaData")) {
           val md = node.get("metaData")
           schema = Some(DataType.fromJson(md.get("schemaString").asText())
@@ -535,9 +863,16 @@ object DeltaInterop {
         if (node.has("add")) {
           val a = node.get("add")
           val p = decodePath(a.get("path").asText())
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DvDescriptor(d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+              d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+          }
           live += p -> LiveFile(p, parsePartVals(a.get("partitionValues")),
             if (a.has("size")) a.get("size").asLong() else 0L,
-            if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L)
+            if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+            dv)
         }
         if (node.has("remove"))
           live -= decodePath(node.get("remove").get("path").asText())
@@ -554,10 +889,20 @@ object DeltaInterop {
                              files: Seq[String], version: Long): DeltaState = {
     val df = spark.read.parquet(files.map(f => logDir.resolve(f).toString): _*)
     val cols = df.columns.toSet
-    if (cols("protocol"))
+    def structFields(c: String): Set[String] =
+      df.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
+    if (cols("protocol")) {
+      val hasFeats = structFields("protocol").contains("readerFeatures")
       df.filter(col("protocol").isNotNull)
-        .select(col("protocol.minReaderVersion").cast("int")).collect()
-        .foreach(r => requireProtocol(r.getInt(0), root))
+        .select(col("protocol.minReaderVersion").cast("int"),
+          if (hasFeats) col("protocol.readerFeatures") else lit(null))
+        .collect()
+        .foreach { r =>
+          val feats =
+            if (r.isNullAt(1)) Set.empty[String] else r.getSeq[String](1).toSet
+          requireProtocol(r.getInt(0), feats, root)
+        }
+    }
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var tableId: Option[String] = None
@@ -574,17 +919,33 @@ object DeltaInterop {
     }
     val adds: Seq[LiveFile] =
       if (!cols("add")) Nil
-      else df.filter(col("add").isNotNull)
-        .select(col("add.path"), col("add.partitionValues"),
-          col("add.size"), col("add.modificationTime")).collect().toSeq
-        .map { r =>
-          val pv = Option(r.getMap[String, String](1))
-            .map(_.map { case (k, v) => k -> Option(v) }.toMap)
-            .getOrElse(Map.empty[String, Option[String]])
-          LiveFile(decodePath(r.getString(0)), pv, r.getLong(2),
-            if (r.isNullAt(3)) 0L else r.getLong(3))
-        }
-        .sortBy(_.path)
+      else {
+        val hasDv = structFields("add").contains("deletionVector")
+        df.filter(col("add").isNotNull)
+          .select(col("add.path"), col("add.partitionValues"),
+            col("add.size"), col("add.modificationTime"),
+            if (hasDv) col("add.deletionVector") else lit(null))
+          .collect().toSeq
+          .map { r =>
+            val pv = Option(r.getMap[String, String](1))
+              .map(_.map { case (k, v) => k -> Option(v) }.toMap)
+              .getOrElse(Map.empty[String, Option[String]])
+            val dv =
+              if (r.isNullAt(4)) None
+              else {
+                val s = r.getStruct(4)
+                Some(DvDescriptor(s.getAs[String]("storageType"),
+                  s.getAs[String]("pathOrInlineDv"),
+                  Option(s.getAs[Any]("offset"))
+                    .map(_.asInstanceOf[Number].intValue()),
+                  s.getAs[Number]("sizeInBytes").intValue(),
+                  s.getAs[Number]("cardinality").longValue()))
+              }
+            LiveFile(decodePath(r.getString(0)), pv, r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3), dv)
+          }
+          .sortBy(_.path)
+      }
     DeltaState(adds, schema, partCols, tableId, version)
   }
 
@@ -613,28 +974,67 @@ object DeltaInterop {
       throw new IllegalArgumentException(s"Delta log at $root carries no metaData"))
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     if (st.liveFiles.isEmpty)
-      spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
-    else if (st.partitionColumns.isEmpty)
-      spark.read.schema(nullable)
-        .parquet(st.liveFiles.map(f => root.resolve(f.path).toString): _*)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
+    // Deletion vectors: capture (path, row_index) helper columns at the
+    // SCAN (the metadata struct resolves only there), then one
+    // distributed anti-join against the expanded positions at the end.
+    // Collision-proof names — a user column may be called anything.
+    val hasDv = st.liveFiles.exists(_.dv.nonEmpty)
+    val tag = UUID.randomUUID().toString.replace("-", "").take(12)
+    val (pathCol, posCol) = (s"__gf_dvp_$tag", s"__gf_dvi_$tag")
+    def withDvCols(scan: DataFrame): DataFrame =
+      if (!hasDv) scan
+      else scan.withColumn(pathCol, normPathCol(col("_metadata.file_path")))
+        .withColumn(posCol, col("_metadata.row_index"))
+    val outCols: Seq[String] =
+      nullable.fieldNames.toSeq ++ (if (hasDv) Seq(pathCol, posCol) else Nil)
+    val scanned: DataFrame =
+      if (st.partitionColumns.isEmpty)
+        withDvCols(spark.read.schema(nullable)
+          .parquet(st.liveFiles.map(f => root.resolve(f.path).toString): _*))
+      else {
+        val partSet = st.partitionColumns.toSet
+        require(st.partitionColumns.forall(c => nullable.fieldNames.contains(c)),
+          s"partitionColumns ${st.partitionColumns.mkString(",")} missing from " +
+            s"schema ${nullable.fieldNames.mkString(",")} at $root")
+        val dataSchema = StructType(nullable.fields.filterNot(f => partSet(f.name)))
+        st.liveFiles
+          .groupBy(f => st.partitionColumns.map(c => f.partitionValues.getOrElse(c, None)))
+          .toSeq.sortBy(_._1.map(_.toString).mkString("|"))
+          .map { case (tuple, files) =>
+            val base = withDvCols(spark.read.schema(dataSchema)
+              .parquet(files.map(f => root.resolve(f.path).toString): _*))
+            st.partitionColumns.zip(tuple).foldLeft(base) { case (d, (c, ov)) =>
+              val t = nullable(nullable.fieldIndex(c)).dataType
+              d.withColumn(c, ov.map(s => lit(s).cast(t)).getOrElse(lit(null).cast(t)))
+            }.select(outCols.map(col): _*)
+          }
+          .reduce(_.unionByName(_))
+      }
+    if (!hasDv) scanned
     else {
-      val partSet = st.partitionColumns.toSet
-      require(st.partitionColumns.forall(c => nullable.fieldNames.contains(c)),
-        s"partitionColumns ${st.partitionColumns.mkString(",")} missing from " +
-          s"schema ${nullable.fieldNames.mkString(",")} at $root")
-      val dataSchema = StructType(nullable.fields.filterNot(f => partSet(f.name)))
-      st.liveFiles
-        .groupBy(f => st.partitionColumns.map(c => f.partitionValues.getOrElse(c, None)))
-        .toSeq.sortBy(_._1.map(_.toString).mkString("|"))
-        .map { case (tuple, files) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(files.map(f => root.resolve(f.path).toString): _*)
-          st.partitionColumns.zip(tuple).foldLeft(base) { case (d, (c, ov)) =>
-            val t = nullable(nullable.fieldIndex(c)).dataType
-            d.withColumn(c, ov.map(s => lit(s).cast(t)).getOrElse(lit(null).cast(t)))
-          }.select(nullable.fieldNames.map(col).toSeq: _*)
+      // driver resolves descriptors to compressed bytes (kilobytes per
+      // file); EXECUTORS expand bitmaps to positions — the O(deleted
+      // rows) work never lands on the driver
+      val dvBytes: Seq[(String, Array[Byte], Long)] =
+        st.liveFiles.flatMap { f =>
+          f.dv.map { d =>
+            (uriRawPath(root.resolve(f.path).toAbsolutePath),
+              readDvData(root, d), d.cardinality)
+          }
         }
-        .reduce(_.unionByName(_))
+      val delPos = spark.createDataset(dvBytes)(
+          Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+        .flatMap { case (p, bytes, card) =>
+          val pos = deserializeDvData(bytes)
+          require(pos.length.toLong == card,
+            s"deletion vector for $p declares cardinality $card but holds " +
+              s"${pos.length} positions — refusing")
+          pos.iterator.map(x => (p, x))
+        }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+        .toDF(pathCol, posCol)
+      scanned.join(delPos, Seq(pathCol, posCol), "left_anti")
+        .drop(pathCol, posCol)
     }
   }
 

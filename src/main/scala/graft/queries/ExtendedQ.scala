@@ -724,6 +724,33 @@ object ExtendedQ {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // lake — DELTA DELETION VECTORS (VERDICT r9 next #4): export a
+    // PARTITIONED Delta table whose adds carry DV descriptors (protocol
+    // 3/7 with readerFeatures=[deletionVectors] — the default output of
+    // current Delta writers), then read it back: log replay resolves
+    // each descriptor to its roaring bitmap and the deleted positions
+    // are subtracted by a distributed anti-join on
+    // (file_path, _metadata.row_index). o_orderpriority includes
+    // '4-NOT SPECIFIED' — a partition value the URI form of file_path
+    // escapes — so the hash gate also proves the encoded-space path
+    // matching (literal vs %20) loses no file's vector
+    "q194_delta_deletion_vectors" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 3 === 0)
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-dvx")
+      val dest = Files.createTempDirectory("graft-dv-q").resolve("t")
+      val (nFiles, nDeleted) = graft.lake.DeltaInterop.exportSnapshotDV(
+        t, dest, col("o_totalprice") > 200000.0,
+        partitionBy = Seq("o_orderpriority"))
+      require(nFiles > 0 && nDeleted > 0,
+        s"expected data files and DV-deleted rows, got ($nFiles, $nDeleted)")
+      graft.lake.DeltaInterop.readDelta(s, dest)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1030,6 +1057,11 @@ object ExtendedQ {
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events WHERE event_id % 3 = 1 AND event_type <> 'error'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q194_delta_deletion_vectors" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice <= 200000.0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q162_iceberg_time_travel" ->
       s"""SELECT version, event_type, n, total FROM (

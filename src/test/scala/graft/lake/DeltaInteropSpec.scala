@@ -357,19 +357,21 @@ class DeltaInteropSpec extends AnyFunSuite {
     assert(t.snapshot().exceptAll(viaCk).count() === 0)
   }
 
-  test("protocol gate: a reader-features table is rejected, not misread") {
+  test("protocol gate: an UNSUPPORTED reader feature is rejected, not misread") {
+    // deletionVectors alone now opens (DeltaDvSpec covers that path);
+    // anything beyond the supported feature set must still refuse.
     import spark.implicits._
     val root = Files.createTempDirectory("graft-proto").resolve("t")
     Files.createDirectories(root.resolve("_delta_log"))
     val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
     Files.write(root.resolve("_delta_log").resolve("0" * 20 + ".json"), Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
       s"""{"metaData":{"id":"dv-1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""
     ).asJava)
     val e = intercept[IllegalArgumentException] {
       DeltaInterop.readDelta(spark, root)
     }
-    assert(e.getMessage.contains("minReaderVersion=3"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("paths use RFC-2396 percent encoding: '+' stays literal, space becomes %20") {
