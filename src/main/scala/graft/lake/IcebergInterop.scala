@@ -47,17 +47,26 @@ import org.apache.spark.sql.types._
   * silent nulls. Export supports identity specs (per-tuple data dirs,
   * typed partition records in the manifest).
   *
-  * v2 row-level deletes: POSITION deletes are fully supported on both
-  * sides — [[exportSnapshotV2]] writes spec-shaped position-delete
-  * files (file_path + pos with the spec's reserved column ids) under a
-  * content=1 delete manifest, and the read path subtracts them with a
-  * distributed anti-join on (normalized path, `_metadata.row_index`).
-  * Position deletes name exact immutable data-file paths, so path+pos
-  * equality is complete without sequence-number ordering.
+  * v2 row-level deletes, BOTH flavors, on both sides:
+  *
+  *  - POSITION deletes (content = 1): [[exportSnapshotV2]] writes
+  *    spec-shaped position-delete files (file_path + pos with the
+  *    spec's reserved column ids) under a delete manifest, and the
+  *    read path subtracts them with a distributed anti-join on
+  *    (normalized path, `_metadata.row_index`). Position deletes name
+  *    exact immutable data-file paths, so path+pos equality is
+  *    complete without sequence-number ordering.
+  *  - EQUALITY deletes (content = 2, the Flink CDC output shape):
+  *    [[exportSnapshotV2CDC]] writes the upsert commit shape (one
+  *    commit carrying an equality-delete file AND the replacement
+  *    rows), and the read path applies each delete to data files whose
+  *    data sequence number is STRICTLY LOWER — one flat scan joined to
+  *    a broadcast (file → sequence) dimension plus an anti-join per
+  *    equality-ids group, not a scan per sequence.
   *
   * Fail-loud boundaries (the r8 Delta discipline — refuse rather than
-  * misread): format-version must be 1 or 2, EQUALITY deletes (content
-  * = 2, which do need sequence-number-ordered value matching) refuse
+  * misread): format-version must be 1 or 2, delete content beyond
+  * {1, 2} and equality deletes with no declared equality_ids refuse
   * rather than resurrect rows, partition source-ids must resolve in
   * the current schema, migrated files missing partition columns
   * refuse, and only primitive column types convert.
@@ -201,9 +210,13 @@ object IcebergInterop {
       "r102", null, "org.apache.iceberg", false, Seq.empty[AvroSchema.Field].asJava))
 
   /** v2 manifest_entry: data_file gains `content` (spec field-id 134;
-    * 0 = data, 1 = position deletes, 2 = equality deletes) and the
-    * entry gains optional sequence numbers (inherited when null). */
+    * 0 = data, 1 = position deletes, 2 = equality deletes) plus
+    * `equality_ids` (field-id 135, element-id 136 — the schema field
+    * ids an equality delete matches on), and the entry gains optional
+    * sequence numbers (inherited when null). */
   private[lake] val manifestEntrySchemaV2: AvroSchema = {
+    val eqIds = AvroSchema.createArray(p(S.INT))
+    eqIds.addProp("element-id", 136: Integer)
     val dataFile = AvroSchema.createRecord(
       "r2", null, "org.apache.iceberg", false, Seq(
         field("content", p(S.INT), 134),
@@ -213,7 +226,8 @@ object IcebergInterop {
           "r102", null, "org.apache.iceberg", false,
           Seq.empty[AvroSchema.Field].asJava), 102),
         field("record_count", p(S.LONG), 103),
-        field("file_size_in_bytes", p(S.LONG), 104)
+        field("file_size_in_bytes", p(S.LONG), 104),
+        field("equality_ids", optional(eqIds), 135)
       ).asJava)
     AvroSchema.createRecord(
       "manifest_entry", null, "org.apache.iceberg", false, Seq(
@@ -483,75 +497,104 @@ object IcebergInterop {
     val nDeleted = spark.read.parquet(deletesDir.toString).count()
 
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
-    val nowMs = Files.getLastModifiedTime(destRoot).toMillis
-    val partitionRecord = new GenericData.Record(manifestEntrySchemaV2
-      .getField("data_file").schema().getField("partition").schema())
-
-    def writeManifestV2(files: Seq[Path], content: Int): Path = {
-      val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
-      Using.resource(new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](manifestEntrySchemaV2))) { w =>
-        w.create(manifestEntrySchemaV2, mp.toFile)
-        files.foreach { f =>
-          val dfr = new GenericData.Record(
-            manifestEntrySchemaV2.getField("data_file").schema())
-          dfr.put("content", content)
-          dfr.put("file_path", s"file://${f.toAbsolutePath}")
-          dfr.put("file_format", "PARQUET")
-          dfr.put("partition", partitionRecord)
-          dfr.put("record_count", parquetRowCount(f))
-          dfr.put("file_size_in_bytes", Files.size(f))
-          val e = new GenericData.Record(manifestEntrySchemaV2)
-          e.put("status", 1) // ADDED
-          e.put("snapshot_id", snapshotId)
-          e.put("sequence_number", 1L)
-          e.put("file_sequence_number", 1L)
-          e.put("data_file", dfr)
-          w.append(e)
-        }
-      }
-      mp
-    }
-    val dataManifest = writeManifestV2(parts, content = 0)
-    val deleteManifest = writeManifestV2(deleteParts, content = 1)
+    val dataManifest = writeManifestV2File(metaDir, parts, content = 0,
+      snapshotId, seq = 1L)
+    val deleteManifest = writeManifestV2File(metaDir, deleteParts, content = 1,
+      snapshotId, seq = 1L)
 
     // v2 manifest list: the delete manifest rides with content = 1
     val listPath = metaDir.resolve(s"snap-$snapshotId-${UUID.randomUUID()}.avro")
+    writeManifestListV2(listPath, Seq(
+      ManifestRow(dataManifest, 0, 1L, parts.size, snapshotId),
+      ManifestRow(deleteManifest, 1, 1L, deleteParts.size, snapshotId)))
+
+    writeV2Metadata(destRoot, metaDir, df.schema, lastSeq = 1L,
+      snapshots = Seq((snapshotId, 1L, "overwrite", listPath)),
+      Files.getLastModifiedTime(destRoot).toMillis)
+    (parts.size, nDeleted)
+  }
+
+  /** One v2 manifest: one ADDED entry per file, explicit sequence
+    * numbers (real writers may leave them null and inherit — the
+    * reader supports both), `content` on every data_file record, and
+    * `equality_ids` when the files are equality deletes. */
+  private def writeManifestV2File(metaDir: Path, files: Seq[Path], content: Int,
+                                  snapshotId: Long, seq: Long,
+                                  equalityIds: Seq[Int] = Nil): Path = {
+    val partitionRecord = new GenericData.Record(manifestEntrySchemaV2
+      .getField("data_file").schema().getField("partition").schema())
+    val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestEntrySchemaV2))) { w =>
+      w.create(manifestEntrySchemaV2, mp.toFile)
+      files.foreach { f =>
+        val dfr = new GenericData.Record(
+          manifestEntrySchemaV2.getField("data_file").schema())
+        dfr.put("content", content)
+        dfr.put("file_path", s"file://${f.toAbsolutePath}")
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", partitionRecord)
+        dfr.put("record_count", parquetRowCount(f))
+        dfr.put("file_size_in_bytes", Files.size(f))
+        if (equalityIds.nonEmpty)
+          dfr.put("equality_ids", equalityIds.map(Int.box).asJava)
+        val e = new GenericData.Record(manifestEntrySchemaV2)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", dfr)
+        w.append(e)
+      }
+    }
+    mp
+  }
+
+  private case class ManifestRow(path: Path, content: Int, seq: Long,
+                                 nAdded: Int, snapshotId: Long)
+
+  private def writeManifestListV2(listPath: Path, rows: Seq[ManifestRow]): Unit =
     Using.resource(new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestListSchemaV2))) { w =>
       w.create(manifestListSchemaV2, listPath.toFile)
-      Seq((dataManifest, 0, parts.size), (deleteManifest, 1, deleteParts.size))
-        .foreach { case (mp, content, n) =>
-          val m = new GenericData.Record(manifestListSchemaV2)
-          m.put("manifest_path", s"file://${mp.toAbsolutePath}")
-          m.put("manifest_length", Files.size(mp))
-          m.put("partition_spec_id", 0)
-          m.put("content", content)
-          m.put("sequence_number", 1L)
-          m.put("min_sequence_number", 1L)
-          m.put("added_snapshot_id", snapshotId)
-          m.put("added_data_files_count", n)
-          m.put("existing_data_files_count", 0)
-          m.put("deleted_data_files_count", 0)
-          w.append(m)
-        }
+      rows.foreach { r =>
+        val m = new GenericData.Record(manifestListSchemaV2)
+        m.put("manifest_path", s"file://${r.path.toAbsolutePath}")
+        m.put("manifest_length", Files.size(r.path))
+        m.put("partition_spec_id", 0)
+        m.put("content", r.content)
+        m.put("sequence_number", r.seq)
+        m.put("min_sequence_number", r.seq)
+        m.put("added_snapshot_id", r.snapshotId)
+        m.put("added_data_files_count", r.nAdded)
+        m.put("existing_data_files_count", 0)
+        m.put("deleted_data_files_count", 0)
+        w.append(m)
+      }
     }
 
-    // v2 table metadata: format-version 2 requires last-sequence-number,
-    // schemas + current-schema-id, and per-snapshot sequence-number
+  /** v2 table metadata JSON: format-version 2 requires
+    * last-sequence-number, schemas + current-schema-id, and a
+    * per-snapshot sequence-number. `snapshots` are
+    * (snapshotId, sequenceNumber, operation, manifestListPath) in
+    * commit order; the last one becomes current. */
+  private def writeV2Metadata(destRoot: Path, metaDir: Path, schema: StructType,
+                              lastSeq: Long,
+                              snapshots: Seq[(Long, Long, String, Path)],
+                              nowMs: Long): Unit = {
     val m = mapper
     val root = m.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", UUID.randomUUID().toString)
     root.put("location", s"file://${destRoot.toAbsolutePath}")
-    root.put("last-sequence-number", 1L)
+    root.put("last-sequence-number", lastSeq)
     root.put("last-updated-ms", nowMs)
-    root.put("last-column-id", df.schema.fields.length)
+    root.put("last-column-id", schema.fields.length)
     val schemaNode = m.createObjectNode()
     schemaNode.put("type", "struct")
     schemaNode.put("schema-id", 0)
     val fieldsArr = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fieldsArr.addObject()
       fn.put("id", i + 1)
       fn.put("name", f.name)
@@ -572,21 +615,140 @@ object IcebergInterop {
     order0.put("order-id", 0)
     order0.putArray("fields")
     root.putObject("properties")
-    root.put("current-snapshot-id", snapshotId)
+    root.put("current-snapshot-id", snapshots.last._1)
     val snaps = root.putArray("snapshots")
-    val snap = snaps.addObject()
-    snap.put("snapshot-id", snapshotId)
-    snap.put("sequence-number", 1L)
-    snap.put("timestamp-ms", nowMs)
-    snap.put("schema-id", 0)
-    snap.putObject("summary").put("operation", "overwrite")
-    snap.put("manifest-list", s"file://${listPath.toAbsolutePath}")
+    snapshots.zipWithIndex.foreach { case ((id, seq, op, lp), i) =>
+      val snap = snaps.addObject()
+      snap.put("snapshot-id", id)
+      if (i > 0) snap.put("parent-snapshot-id", snapshots(i - 1)._1)
+      snap.put("sequence-number", seq)
+      snap.put("timestamp-ms", nowMs)
+      snap.put("schema-id", 0)
+      snap.putObject("summary").put("operation", op)
+      snap.put("manifest-list", s"file://${lp.toAbsolutePath}")
+    }
     root.putArray("snapshot-log")
     root.putArray("metadata-log")
     Files.writeString(metaDir.resolve("v1.metadata.json"),
       m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     Files.writeString(metaDir.resolve("version-hint.text"), "1")
-    (parts.size, nDeleted)
+  }
+
+  /** Export a CDC/upsert-shaped Iceberg v2 table with EQUALITY DELETES
+    * (`content` = 2) — the output shape of Flink CDC writers, and the
+    * delete flavor [[readIceberg]] refused until now:
+    *
+    *  - snapshot 1 (sequence 1): the table snapshot's rows as data files;
+    *  - snapshot 2 (sequence 2): ONE commit carrying both an
+    *    equality-delete file (the distinct `keyCols` tuples of rows
+    *    matching `deleteWhere`, plus every upsert row's key — CDC
+    *    upsert = delete + insert) and the `upserts` rows as new data
+    *    files.
+    *
+    * The spec's application rule makes this shape work: an equality
+    * delete applies only to data files whose data sequence number is
+    * STRICTLY LOWER than the delete's, so the seq-2 upsert rows survive
+    * the seq-2 delete that kills their seq-1 predecessors. A reader
+    * using `<=` would annihilate every upsert; one ignoring sequence
+    * numbers entirely would either do that or resurrect the old rows.
+    *
+    * The equality-delete parquet carries the key columns under their
+    * schema field ids (parquet footer metadata), and the manifest
+    * entry declares them via `equality_ids` (spec field-id 135).
+    *
+    * Pass `posDeleteWhere` to ALSO write a position-delete file against
+    * the sequence-1 data files in the same commit — a table carrying
+    * both delete flavors at once, the mixed shape compaction-lagged CDC
+    * tables have in production.
+    *
+    * Returns (dataFiles, deleteKeyRows). */
+  def exportSnapshotV2CDC(table: LakeTable, destRoot: Path,
+                          keyCols: Seq[String],
+                          deleteWhere: org.apache.spark.sql.Column,
+                          upserts: DataFrame,
+                          posDeleteWhere: Option[org.apache.spark.sql.Column] = None,
+                          version: Long = -1L): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val df = table.snapshot(version)
+    df.schema.fields.foreach(f => toIcebergType(f.dataType)) // fail loud up front
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"keyCols ${keyCols.mkString(",")} not all in ${df.columns.mkString(",")}")
+    require(upserts.schema.fieldNames.sameElements(df.schema.fieldNames),
+      s"upserts schema ${upserts.columns.mkString(",")} must match table " +
+        s"schema ${df.columns.mkString(",")}")
+    val spark = df.sparkSession
+    val metaDir = destRoot.resolve("metadata")
+    Files.createDirectories(metaDir)
+    def writeAndList(d: DataFrame, dir: Path): Seq[Path] = {
+      d.write.mode("error").parquet(dir.toString)
+      Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
+    }
+    val baseParts = writeAndList(df, destRoot.resolve("data").resolve("s1"))
+    val upsertParts = writeAndList(upserts.select(df.columns.map(col): _*),
+      destRoot.resolve("data").resolve("s2"))
+    // the equality-delete file: key tuples to kill at sequence 2, with
+    // the schema field ids in the parquet footer (spec binding)
+    val colId = df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val keyed = df.filter(deleteWhere).select(keyCols.map(col): _*)
+      .union(upserts.select(keyCols.map(col): _*))
+      .distinct()
+    val idMeta = keyCols.map(c =>
+      new MetadataBuilder().putLong("parquet.field.id", colId(c).toLong).build())
+    val delDf = keyed.select(keyCols.zip(idMeta).map { case (c, md) =>
+      col(c).as(c, md)
+    }: _*).repartition(1).sortWithinPartitions(keyCols.map(col): _*)
+    val eqParts = writeAndList(delDf, destRoot.resolve("deletes"))
+    val nDeleteKeys = spark.read.parquet(destRoot.resolve("deletes").toString).count()
+    // optional position-delete file against the seq-1 data files, same
+    // commit — the mixed-flavor shape (spec column ids in the footer)
+    val posParts: Seq[Path] = posDeleteWhere.toSeq.flatMap { w =>
+      import org.apache.spark.sql.functions.concat
+      import org.apache.spark.sql.functions.lit
+      val fpMeta = new MetadataBuilder()
+        .putLong("parquet.field.id", DeleteFileIdFilePath).build()
+      val posMeta = new MetadataBuilder()
+        .putLong("parquet.field.id", DeleteFileIdPos).build()
+      val dir = destRoot.resolve("posdeletes")
+      spark.read.parquet(destRoot.resolve("data").resolve("s1").toString)
+        .filter(w)
+        .select(
+          concat(lit("file://"), normPathCol(col("_metadata.file_path")))
+            .as("file_path", fpMeta),
+          col("_metadata.row_index").as("pos", posMeta))
+        .repartition(1).sortWithinPartitions("file_path", "pos")
+        .write.mode("error").parquet(dir.toString)
+      Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      }
+    }
+
+    val snap1 = math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
+    val snap2 = snap1 + 1
+    val m1 = writeManifestV2File(metaDir, baseParts, content = 0, snap1, seq = 1L)
+    val m2 = writeManifestV2File(metaDir, upsertParts, content = 0, snap2, seq = 2L)
+    val m3 = writeManifestV2File(metaDir, eqParts, content = 2, snap2, seq = 2L,
+      equalityIds = keyCols.map(colId))
+    val mPos = posDeleteWhere.map(_ =>
+      writeManifestV2File(metaDir, posParts, content = 1, snap2, seq = 2L))
+    val list1 = metaDir.resolve(s"snap-$snap1-${UUID.randomUUID()}.avro")
+    writeManifestListV2(list1, Seq(
+      ManifestRow(m1, 0, 1L, baseParts.size, snap1)))
+    val list2 = metaDir.resolve(s"snap-$snap2-${UUID.randomUUID()}.avro")
+    writeManifestListV2(list2, Seq(
+      ManifestRow(m1, 0, 1L, baseParts.size, snap1),
+      ManifestRow(m2, 0, 2L, upsertParts.size, snap2),
+      ManifestRow(m3, 1, 2L, eqParts.size, snap2)) ++
+      mPos.map(mp => ManifestRow(mp, 1, 2L, posParts.size, snap2)))
+    writeV2Metadata(destRoot, metaDir, df.schema, lastSeq = 2L,
+      snapshots = Seq((snap1, 1L, "append", list1), (snap2, 2L, "overwrite", list2)),
+      Files.getLastModifiedTime(destRoot).toMillis)
+    (baseParts.size + upsertParts.size, nDeleteKeys)
   }
 
   /** Export the table's FULL HISTORY as one Iceberg table: lake version
@@ -905,28 +1067,54 @@ object IcebergInterop {
       resolveLoc(root, dataFile.get("file_path").toString)
     }
     val (deleteMfs, dataMfs) = manifests.partition(listContent(_) == 1)
-    val files = dataMfs.flatMap { mf =>
+    // v2 sequence numbers: an entry carries its own, or INHERITS the
+    // manifest's (real writers leave added entries null); v1 has
+    // neither field and everything reads as sequence 0.
+    def listSeq(mf: GenericRecord): Long =
+      if (mf.getSchema.getField("sequence_number") == null) 0L
+      else Option(mf.get("sequence_number")).map(_.toString.toLong).getOrElse(0L)
+    def entrySeq(mf: GenericRecord)(entry: GenericRecord): Long =
+      if (entry.getSchema.getField("sequence_number") == null) listSeq(mf)
+      else Option(entry.get("sequence_number")).map(_.toString.toLong)
+        .getOrElse(listSeq(mf))
+    def equalityIdsOf(dataFile: GenericRecord): Seq[Int] =
+      if (dataFile.getSchema.getField("equality_ids") == null) Nil
+      else Option(dataFile.get("equality_ids"))
+        .map(_.asInstanceOf[java.util.List[_]].asScala.map(_.toString.toInt).toSeq)
+        .getOrElse(Nil)
+    val filesWithSeq: Seq[(Path, Long)] = dataMfs.flatMap { mf =>
       liveEntries(mf).map { entry =>
         val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
         require(fileContent(dataFile) == 0,
           s"delete file inside a DATA manifest at $root — refusing")
-        pathOf(dataFile, "data")
+        (pathOf(dataFile, "data"), entrySeq(mf)(entry))
       }
     }
-    // Position-delete files (spec: columns file_path + pos) subtract
-    // exact (data-file path, row ordinal) pairs. Equality deletes
-    // (content = 2) need sequence-number-ordered value matching — out
-    // of scope, refuse rather than resurrect rows.
-    val deleteFiles = deleteMfs.flatMap { mf =>
+    val files = filesWithSeq.map(_._1)
+    // Row-level delete files. POSITION deletes (content = 1, columns
+    // file_path + pos) subtract exact (data-file path, row ordinal)
+    // pairs — paths are exact immutable file names, so path+pos
+    // equality is complete independent of sequence numbers. EQUALITY
+    // deletes (content = 2, the Flink CDC output shape) kill every row
+    // matching the delete row on the declared equality_ids columns in
+    // data files whose data sequence number is STRICTLY LOWER than the
+    // delete's — the ordering is what lets one CDC commit delete a
+    // key's old row and insert its replacement at the same sequence.
+    val deleteRefs: Seq[(Path, Long, Int, Seq[Int])] = deleteMfs.flatMap { mf =>
       liveEntries(mf).map { entry =>
         val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
         val c = fileContent(dataFile)
-        require(c == 1,
-          s"unsupported Iceberg delete content=$c at $root (only position " +
-            "deletes are supported) — refusing rather than resurrecting rows")
-        pathOf(dataFile, "delete")
+        require(c == 1 || c == 2,
+          s"unsupported Iceberg delete content=$c at $root — refusing " +
+            "rather than resurrecting rows")
+        val ids = equalityIdsOf(dataFile)
+        if (c == 2) require(ids.nonEmpty,
+          s"equality delete file declares no equality_ids at $root — refusing")
+        (pathOf(dataFile, "delete"), entrySeq(mf)(entry), c, ids)
       }
     }
+    val posFiles = deleteRefs.filter(_._3 == 1).map(_._1)
+    val eqDeletes = deleteRefs.filter(_._3 == 2)
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
     else {
@@ -942,31 +1130,74 @@ object IcebergInterop {
             s"missing partition source columns ${missing.mkString(",")} " +
             "(hive-migrated layout) — refusing rather than reading nulls")
       }
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      // collision-proof helper names: a table may legitimately carry
+      // a column named __gf_path/__gf_pos, and withColumn would
+      // silently overwrite then drop it (ADVICE r9) — suffix with a
+      // per-call UUID so no user column can collide
+      val tag = UUID.randomUUID().toString.replace("-", "").take(12)
+      val (pathCol, posCol, seqCol) =
+        (s"__gf_path_$tag", s"__gf_pos_$tag", s"__gf_seq_$tag")
       val base = spark.read.schema(nullable).parquet(files.map(_.toString).sorted: _*)
-      if (deleteFiles.isEmpty) base
-      else {
-        // apply position deletes as a distributed anti-join on the
-        // normalized (path, row ordinal) pair — row_index is Iceberg's
-        // position by definition (0-based ordinal in the data file).
-        // Paths are exact immutable file names, so path+pos equality is
-        // sufficient independent of sequence numbers. The delete side
-        // is small relative to the data (AQE broadcasts it at runtime).
-        import org.apache.spark.sql.functions.col
-        // collision-proof helper names: a table may legitimately carry
-        // a column named __gf_path/__gf_pos, and withColumn would
-        // silently overwrite then drop it (ADVICE r9) — suffix with a
-        // per-call UUID so no user column can collide
-        val tag = UUID.randomUUID().toString.replace("-", "").take(12)
-        val (pathCol, posCol) = (s"__gf_path_$tag", s"__gf_pos_$tag")
-        val dels = spark.read
-          .parquet(deleteFiles.map(_.toString).sorted: _*)
-          .select(normPathCol(col("file_path")).as(pathCol),
-            col("pos").cast("long").as(posCol))
-        base
-          .withColumn(pathCol, normPathCol(col("_metadata.file_path")))
-          .withColumn(posCol, col("_metadata.row_index"))
-          .join(dels, Seq(pathCol, posCol), "left_anti")
-          .drop(pathCol, posCol)
+      // the _metadata pseudo-column resolves only directly on the scan
+      // relation — capture both helpers BEFORE any join touches the plan
+      val addMeta: DataFrame => DataFrame = d => d
+        .withColumn(pathCol, normPathCol(col("_metadata.file_path")))
+        .withColumn(posCol, col("_metadata.row_index"))
+      val applyPos: DataFrame => DataFrame = d =>
+        if (posFiles.isEmpty) d
+        else {
+          // distributed anti-join on the normalized (path, row ordinal)
+          // pair — row_index is Iceberg's position by definition. The
+          // delete side is small relative to the data (AQE broadcasts
+          // it at runtime).
+          val dels = spark.read
+            .parquet(posFiles.map(_.toString).sorted: _*)
+            .select(normPathCol(col("file_path")).as(pathCol),
+              col("pos").cast("long").as(posCol))
+          d.join(dels, Seq(pathCol, posCol), "left_anti")
+        }
+      if (eqDeletes.isEmpty) {
+        if (posFiles.isEmpty) base
+        else applyPos(addMeta(base)).drop(pathCol, posCol)
+      } else {
+        // ONE flat scan regardless of how many sequence numbers are
+        // live (a long-lived CDC table has one per commit — a
+        // scan-per-sequence union would be O(commits) plan branches):
+        // each row learns its file's data sequence number from a
+        // broadcast (path → seq) dimension built from the manifests the
+        // driver already holds, and every equality-delete group applies
+        // as a single anti-join whose condition is null-safe equality
+        // on the declared columns PLUS the strict `dataSeq < deleteSeq`
+        // residual. The dimension keys live in URI-encoded path space
+        // to match `_metadata.file_path` (the Delta DV lesson: a
+        // partition dir with a space probes as %20).
+        val dim = spark.createDataFrame(
+            filesWithSeq.map { case (p, s) => (p.toUri.getRawPath, s) })
+          .toDF(pathCol, seqCol)
+        val withSeq = applyPos(addMeta(base).join(broadcast(dim), Seq(pathCol)))
+        val subtracted = eqDeletes.groupBy(_._4).toSeq
+          .sortBy(_._1.mkString(","))
+          .foldLeft(withSeq) { case (d, (ids, dels)) =>
+            val names = ids.map(id => fieldIdToName.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"equality_ids references unknown field id $id at $root")))
+            val dtag = UUID.randomUUID().toString.replace("-", "").take(12)
+            val delSeqCol = s"__gf_dseq_$dtag"
+            val delCols = names.map(n => s"__gf_eq_${dtag}_$n")
+            // per-sequence reads unioned (delete files are few relative
+            // to data); rows carry their delete sequence as a literal
+            val delDf = dels.groupBy(_._2).toSeq.sortBy(_._1).map { case (s, fs) =>
+              spark.read.parquet(fs.map(_._1.toString).sorted.distinct: _*)
+                .select(names.map(col): _*).toDF(delCols: _*)
+                .withColumn(delSeqCol, lit(s))
+            }.reduce(_.unionByName(_))
+            val cond = names.zip(delCols)
+              .map { case (n, dn) => d(n) <=> delDf(dn) }
+              .reduce(_ && _) && (d(seqCol) < delDf(delSeqCol))
+            d.join(delDf, cond, "left_anti")
+          }
+        subtracted.drop(pathCol, posCol, seqCol)
       }
     }
   }

@@ -751,6 +751,34 @@ object ExtendedQ {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // lake — ICEBERG EQUALITY DELETES (VERDICT r9 next #5): export the
+    // Flink-CDC upsert shape — data at sequence 1, then ONE commit at
+    // sequence 2 carrying both an equality-delete file on event_id
+    // (errors + every upsert key) and the replacement rows. The reader
+    // applies equality deletes only to data files with a STRICTLY
+    // LOWER data sequence number, so the seq-2 upserts survive the
+    // seq-2 delete that kills their seq-1 predecessors; the oracle
+    // recomputes survivors + upserts from the source, so the hash gate
+    // proves the strict ordering (a <= reader loses every upsert; an
+    // ordering-blind one resurrects the old rows too)
+    "q195_iceberg_equality_deletes" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("event_id") % 4 === 1)
+      val upserts = base.filter(col("event_id") % 9 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-eqx")
+      val dest = Files.createTempDirectory("graft-eqdel-q").resolve("t")
+      val (nFiles, nKeys) = graft.lake.IcebergInterop.exportSnapshotV2CDC(
+        t, dest, Seq("event_id"), col("event_type") === "error", upserts)
+      require(nFiles > 0 && nKeys > 0,
+        s"expected data files and delete keys, got ($nFiles, $nKeys)")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -1062,6 +1090,15 @@ object ExtendedQ {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice <= 200000.0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q195_iceberg_equality_deletes" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total FROM (
+         |  SELECT event_type, value FROM events
+         |  WHERE event_id % 4 = 1 AND event_type <> 'error' AND event_id % 9 <> 0
+         |  UNION ALL
+         |  SELECT event_type, value + 1000.0 AS value FROM events
+         |  WHERE event_id % 4 = 1 AND event_id % 9 = 0
+         |) GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q162_iceberg_time_travel" ->
       s"""SELECT version, event_type, n, total FROM (

@@ -394,14 +394,15 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
-  test("v2 equality deletes refuse rather than resurrect rows") {
+  test("an equality delete with NO declared equality_ids refuses, not guesses") {
     import spark.implicits._
     val t = LakeTable.createTemp(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     val dest = Files.createTempDirectory("graft-icev2q").resolve("t")
     IcebergInterop.exportSnapshotV2(t, dest, col("id") === 1L)
     // rewrite the DELETE manifest's entries to claim equality deletes
-    // (data_file.content = 2) — the reader must refuse, because applying
-    // them positionally would be wrong and ignoring them resurrects rows
+    // (data_file.content = 2) with no equality_ids — there is nothing
+    // to match on, so the reader must refuse: applying positionally
+    // would be wrong and ignoring them resurrects rows
     val meta = new ObjectMapper().readTree(
       Files.readString(dest.resolve("metadata").resolve("v1.metadata.json")))
     val snap = meta.get("snapshots").elements().asScala.next()
@@ -434,7 +435,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException] {
       IcebergInterop.readIceberg(spark, dest)
     }
-    assert(err.getMessage.contains("content=2"))
+    assert(err.getMessage.contains("equality_ids"))
   }
 
   test("empty table (no current snapshot) reads as a typed empty frame") {
