@@ -239,6 +239,161 @@ object IcebergInterop {
       ).asJava)
   }
 
+  // ---- partition transforms ----------------------------------------------
+  // The spec's non-identity transforms (day, bucket[N], truncate[W]):
+  // column expressions for the export write path, driver-side literal
+  // evaluation for manifest pruning, and result types for the
+  // partition record. Iceberg's hidden partitioning keeps the SOURCE
+  // column physically in the data files, so reading a
+  // transform-partitioned table is a flat scan — the transforms only
+  // matter for writing partition metadata and for file-level pruning.
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** murmur3_x86_32, seed 0 — the public hash the Iceberg spec fixes
+    * for `bucket[N]` (Appendix B). Ints/longs hash their 8-byte
+    * little-endian form; strings their UTF-8 bytes. Pinned against the
+    * spec's own vectors in the test suite. */
+  private[lake] def murmur3(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = 0; var i = 0
+    val n4 = (data.length / 4) * 4
+    while (i < n4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    var j = data.length - 1
+    while (j >= n4) { k = (k << 8) | (data(j) & 0xff); j -= 1 }
+    if (data.length != n4) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  private def longLE(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** `bucket[n]` of a raw value (int/long promote to long; string uses
+    * UTF-8), per the spec: `(murmur3(v) & Int.MaxValue) % n`. */
+  private[lake] def icebergBucket(v: Any, n: Int): Int = {
+    val h = v match {
+      case i: Int => murmur3(longLE(i.toLong))
+      case l: Long => murmur3(longLE(l))
+      case s: String => murmur3(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case other => throw new IllegalArgumentException(
+        s"bucket transform unsupported for value class ${other.getClass.getName}")
+    }
+    (h & Int.MaxValue) % n
+  }
+
+  /** Canonical spec spelling ("day"; the legacy "days" alias parses). */
+  private[lake] def canonicalTransform(t: String): String =
+    if (t == "days") "day" else t
+
+  /** Result type of a transform applied to `src` (the partition
+    * record's column type). */
+  private[lake] def transformResultType(t: String, src: DataType): DataType =
+    canonicalTransform(t) match {
+      case "identity" => src
+      case "day" =>
+        require(src == DateType || src == TimestampType || src == TimestampNTZType,
+          s"day transform needs a date/timestamp source, got $src")
+        IntegerType // days from epoch (displayed as a date by readers)
+      case BucketRe(_) =>
+        require(src == IntegerType || src == LongType || src == StringType,
+          s"bucket transform supports int/long/string sources, got $src")
+        IntegerType
+      case TruncateRe(_) =>
+        require(src == IntegerType || src == LongType || src == StringType,
+          s"truncate transform supports int/long/string sources, got $src")
+        src
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform: $other")
+    }
+
+  /** The transform as a Column over the source column — the export
+    * write path (sessions run UTC, so date arithmetic is the spec's
+    * UTC day). Bucket needs the spec's exact murmur3, which no
+    * built-in computes — a UDF is acceptable here because this runs
+    * once per EXPORT, never on a query path. */
+  private[lake] def transformColumn(t: String, c: org.apache.spark.sql.Column,
+                                    src: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{datediff, lit, pmod, substring, to_date, udf}
+    canonicalTransform(t) match {
+      case "identity" => c
+      case "day" => datediff(to_date(c), lit("1970-01-01"))
+      case BucketRe(n) =>
+        val nb = n.toInt
+        src match {
+          case IntegerType => udf((v: Integer) =>
+            if (v == null) null else Int.box(icebergBucket(v.intValue, nb))).apply(c)
+          case LongType => udf((v: java.lang.Long) =>
+            if (v == null) null else Int.box(icebergBucket(v.longValue, nb))).apply(c)
+          case StringType => udf((v: String) =>
+            if (v == null) null else Int.box(icebergBucket(v, nb))).apply(c)
+          case other => throw new IllegalArgumentException(s"bucket on $other")
+        }
+      case TruncateRe(w) => src match {
+        case StringType => substring(c, 1, w.toInt)
+        case _ => (c - pmod(c, lit(w.toLong))).cast(src)
+      }
+    }
+  }
+
+  /** Driver-side transform of a pruning literal. Day accepts
+    * LocalDate / java.sql.Date / Instant / java.sql.Timestamp /
+    * ISO-8601 strings. */
+  private[lake] def transformLiteral(t: String, v: Any): Any =
+    canonicalTransform(t) match {
+      case "identity" => v
+      case "day" => v match {
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case i: java.time.Instant => Math.floorDiv(i.getEpochSecond, 86400L).toInt
+        case ts: java.sql.Timestamp =>
+          Math.floorDiv(ts.toInstant.getEpochSecond, 86400L).toInt
+        case s: String => java.time.LocalDate.parse(s).toEpochDay.toInt
+        case other => throw new IllegalArgumentException(
+          s"cannot interpret $other as a date for the day transform")
+      }
+      case BucketRe(n) => icebergBucket(v, n.toInt)
+      case TruncateRe(w) => v match {
+        case s: String => s.substring(0, math.min(w.toInt, s.length))
+        case i: Int => Math.floorDiv(i, w.toInt) * w.toInt
+        case l: Long => Math.floorDiv(l, w.toLong) * w.toLong
+        case other => throw new IllegalArgumentException(s"truncate on $other")
+      }
+    }
+
+  /** Order-preserving transforms admit range pruning; bucket admits
+    * only equality. */
+  private[lake] def transformOrderPreserving(t: String): Boolean =
+    canonicalTransform(t) match {
+      case "identity" | "day" => true
+      case TruncateRe(_) => true
+      case BucketRe(_) => false
+      case _ => false
+    }
+
+  /** Partition-field name convention for non-identity transforms
+    * (matches the reference Java writer: `ts_day`, `id_bucket`,
+    * `s_trunc`). */
+  private[lake] def partitionFieldName(src: String, t: String): String =
+    canonicalTransform(t) match {
+      case "identity" => src
+      case "day" => s"${src}_day"
+      case BucketRe(_) => s"${src}_bucket"
+      case TruncateRe(_) => s"${src}_trunc"
+    }
+
   // ---- export ------------------------------------------------------------
 
   /** Avro type for an identity-partition field in the manifest's
@@ -263,19 +418,32 @@ object IcebergInterop {
     * schema so exported files carry evolved columns physically.
     *
     * Pass `identityPartitionBy` to export an IDENTITY-partitioned
-    * table: one data directory per distinct tuple, a typed partition
-    * record on every manifest entry, and the identity spec in the
-    * metadata. Unlike Delta/hive, the data files keep the partition
-    * SOURCE COLUMNS physically (Iceberg's hidden-partitioning rule —
-    * partition metadata serves pruning, not storage), which is exactly
-    * what lets [[readIceberg]] scan them flat. */
+    * table, or `transformPartitionBy` as (sourceCol → transform) pairs
+    * — "identity", "day"/"days", "bucket[N]", "truncate[W]" — for the
+    * spec's hidden-partitioning transforms: one data directory per
+    * distinct TRANSFORMED tuple, a typed partition record on every
+    * manifest entry, and the transform spec in the metadata. Unlike
+    * Delta/hive, the data files keep the partition SOURCE COLUMNS
+    * physically (partition metadata serves pruning, not storage),
+    * which is exactly what lets [[readIceberg]] scan them flat and
+    * [[readIcebergPruned]] skip whole files from the manifests. */
   def exportSnapshot(table: LakeTable, destRoot: Path, version: Long = -1L,
-                     identityPartitionBy: Seq[String] = Nil): Int = {
+                     identityPartitionBy: Seq[String] = Nil,
+                     transformPartitionBy: Seq[(String, String)] = Nil): Int = {
     val df = table.snapshot(version)
     df.schema.fields.foreach(f => toIcebergType(f.dataType)) // fail loud up front
-    require(identityPartitionBy.forall(df.columns.contains),
-      s"partition columns ${identityPartitionBy.mkString(",")} not all in " +
+    require(identityPartitionBy.isEmpty || transformPartitionBy.isEmpty,
+      "pass identityPartitionBy or transformPartitionBy, not both")
+    // (sourceCol, transform) — identity partitioning is the transform
+    // special case, one code path
+    val pfields: Seq[(String, String)] =
+      identityPartitionBy.map(_ -> "identity") ++
+        transformPartitionBy.map { case (c, t) => c -> canonicalTransform(t) }
+    require(pfields.forall { case (c, _) => df.columns.contains(c) },
+      s"partition columns ${pfields.map(_._1).mkString(",")} not all in " +
         df.columns.mkString(","))
+    pfields.foreach { case (c, t) =>
+      transformResultType(t, df.schema(c).dataType) } // fail loud up front
     val dataDir = destRoot.resolve("data")
     val metaDir = destRoot.resolve("metadata")
     Files.createDirectories(metaDir)
@@ -284,7 +452,7 @@ object IcebergInterop {
     // tuple (collected driver-side — partition tuples are bounded by
     // design, the same assumption every table-format writer makes)
     val parts: Seq[(Path, Seq[Any])] =
-      if (identityPartitionBy.isEmpty) {
+      if (pfields.isEmpty) {
         df.write.mode("error").parquet(dataDir.toString)
         Using.resource(Files.list(dataDir)) { s =>
           s.iterator().asScala
@@ -293,14 +461,21 @@ object IcebergInterop {
         }
       } else {
         import org.apache.spark.sql.functions.col
-        val tuples = df.select(identityPartitionBy.map(col): _*).distinct()
+        // transformed partition values ride in tagged helper columns so
+        // the distinct/slice logic is one shape for every transform
+        val tcols = pfields.zipWithIndex.map { case ((c, t), i) =>
+          transformColumn(t, col(c), df.schema(c).dataType).as(s"__gf_pt_$i")
+        }
+        val tnames = pfields.indices.map(i => s"__gf_pt_$i")
+        val withT = df.select(df.columns.map(col) ++ tcols: _*)
+        val tuples = withT.select(tnames.map(col): _*).distinct()
           .collect().map(_.toSeq).toSeq.sortBy(_.map(String.valueOf).mkString("|"))
         tuples.zipWithIndex.flatMap { case (tuple, i) =>
           val dir = dataDir.resolve(f"p$i%05d")
-          val slice = identityPartitionBy.zip(tuple).foldLeft(df) { case (d, (c, v)) =>
+          val slice = tnames.zip(tuple).foldLeft(withT) { case (d, (c, v)) =>
             if (v == null) d.filter(col(c).isNull)
             else d.filter(col(c) <=> org.apache.spark.sql.functions.lit(v))
-          }
+          }.drop(tnames: _*)
           slice.write.mode("error").parquet(dir.toString)
           Using.resource(Files.list(dir)) { s =>
             s.iterator().asScala
@@ -314,14 +489,16 @@ object IcebergInterop {
 
     // the manifest-entry schema for THIS table: the spec's fixed ids
     // plus a typed partition record (field-ids 1000+i per the spec)
+    val pfieldNames = pfields.map { case (c, t) => partitionFieldName(c, t) }
     val partitionSchema: AvroSchema =
-      if (identityPartitionBy.isEmpty)
+      if (pfields.isEmpty)
         AvroSchema.createRecord("r102", null, "org.apache.iceberg", false,
           Seq.empty[AvroSchema.Field].asJava)
       else
         AvroSchema.createRecord("r102", null, "org.apache.iceberg", false,
-          identityPartitionBy.zipWithIndex.map { case (c, i) =>
-            field(c, optional(partitionAvroType(df.schema(c).dataType)), 1000 + i)
+          pfields.zip(pfieldNames).zipWithIndex.map { case (((c, t), n), i) =>
+            field(n, optional(partitionAvroType(
+              transformResultType(t, df.schema(c).dataType))), 1000 + i)
           }.asJava)
     val entrySchema = manifestEntrySchemaWith(partitionSchema)
 
@@ -337,7 +514,7 @@ object IcebergInterop {
         dfr.put("file_path", s"file://${f.toAbsolutePath}")
         dfr.put("file_format", "PARQUET")
         val pr = new GenericData.Record(partitionSchema)
-        identityPartitionBy.zip(tuple).foreach { case (c, v) => pr.put(c, v) }
+        pfieldNames.zip(tuple).foreach { case (n, v) => pr.put(n, v) }
         dfr.put("partition", pr)
         dfr.put("record_count", parquetRowCount(f))
         dfr.put("file_size_in_bytes", Files.size(f))
@@ -391,16 +568,16 @@ object IcebergInterop {
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     val specFieldsArr = spec0.putArray("fields")
-    identityPartitionBy.zipWithIndex.foreach { case (c, i) =>
+    pfields.zip(pfieldNames).zipWithIndex.foreach { case (((c, t), n), i) =>
       Seq(legacySpec.addObject(), specFieldsArr.addObject()).foreach { fn =>
-        fn.put("name", c)
-        fn.put("transform", "identity")
+        fn.put("name", n)
+        fn.put("transform", t)
         fn.put("source-id", colId(c))
         fn.put("field-id", 1000 + i)
       }
     }
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999 + math.max(identityPartitionBy.size, 1))
+    root.put("last-partition-id", 999 + math.max(pfields.size, 1))
     root.put("default-sort-order-id", 0)
     val orders = root.putArray("sort-orders")
     val order0 = orders.addObject()
@@ -976,7 +1153,38 @@ object IcebergInterop {
     * snapshot reads with its own narrower schema — the
     * [[LakeTable.snapshot]] rule); an unknown id throws. */
   def readIceberg(spark: SparkSession, root: Path,
-                  snapshotId: Long = -1L): DataFrame = {
+                  snapshotId: Long = -1L): DataFrame =
+    readIcebergImpl(spark, root, snapshotId, None)
+
+  /** [[readIceberg]] with MANIFEST-LEVEL FILE PRUNING on one partition
+    * source column: only data files whose partition value can contain
+    * `sourceCol` ∈ [lo, hi] are scanned — the spec's reason partition
+    * metadata exists. The transform is evaluated on the BOUNDS, not
+    * per row: order-preserving transforms (identity, day, truncate)
+    * keep files with partition value in [t(lo), t(hi)]; bucket admits
+    * only equality (pass lo == hi) and keeps files with value
+    * t(lo). Delete files are never pruned — a delete row that could
+    * match a surviving data row necessarily shares its partition
+    * value, so extra delete files cannot over-delete. Rows with a NULL
+    * source value live in null partitions and are pruned out (a
+    * non-null range cannot match them). The caller still applies its
+    * own row filter; pruning only bounds the file set. Pruning on a
+    * column the spec does not partition by throws rather than
+    * silently scanning everything. */
+  def readIcebergPruned(spark: SparkSession, root: Path, sourceCol: String,
+                        lo: Any, hi: Any, snapshotId: Long = -1L): DataFrame =
+    readIcebergImpl(spark, root, snapshotId, Some((sourceCol, lo, hi)))
+
+  /** Partition-value ordering for pruning comparisons (transform
+    * result types: int/long or string). */
+  private def cmpPV(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+
+  private def readIcebergImpl(spark: SparkSession, root: Path,
+                              snapshotId: Long,
+                              prune: Option[(String, Any, Any)]): DataFrame = {
     val meta = mapper.readTree(Files.readString(currentMetadata(root)))
     val fv = meta.get("format-version").asInt()
     require(fv == 1 || fv == 2, s"unsupported Iceberg format-version $fv at $root")
@@ -1030,6 +1238,39 @@ object IcebergInterop {
         s"partition spec field ${sf.get("name").asText()} references unknown " +
           s"source-id $srcId at $root"))
     }
+    // manifest pruning: compile [lo, hi] into a predicate over each
+    // entry's partition record, one check per spec field derived from
+    // the requested source column
+    val pruneEval: Option[GenericRecord => Boolean] =
+      prune.map { case (srcCol, lo, hi) =>
+        val nameToId = schemaNode.get("fields").elements().asScala
+          .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+        val srcId = nameToId.getOrElse(srcCol, throw new IllegalArgumentException(
+          s"prune column $srcCol not in the schema at $root"))
+        val pf = specFields.filter(_.get("source-id").asInt() == srcId)
+        require(pf.nonEmpty,
+          s"cannot prune on $srcCol: no partition spec field derives from it " +
+            s"at $root (a silent full scan would defeat the point)")
+        val checks: Seq[GenericRecord => Boolean] = pf.map { f =>
+          val t = f.get("transform").asText()
+          val name = f.get("name").asText()
+          if (!transformOrderPreserving(t)) require(lo == hi,
+            s"transform $t is not order-preserving: only equality pruning " +
+              "(lo == hi) is sound")
+          val tlo = transformLiteral(t, lo)
+          val thi = transformLiteral(t, hi)
+          require(cmpPV(tlo, thi) <= 0, s"empty prune range [$lo, $hi]")
+          (pr: GenericRecord) =>
+            if (pr.getSchema.getField(name) == null) true // older spec: keep
+            else pr.get(name) match {
+              case null => false // null partition — a non-null range can't match
+              case u: org.apache.avro.util.Utf8 =>
+                cmpPV(tlo, u.toString) <= 0 && cmpPV(u.toString, thi) <= 0
+              case v => cmpPV(tlo, v) <= 0 && cmpPV(v, thi) <= 0
+            }
+        }
+        (pr: GenericRecord) => checks.forall(_(pr))
+      }
     val curSnap = if (meta.has("current-snapshot-id")) meta.get("current-snapshot-id").asLong() else -1L
     if (requestedSnap.isEmpty && curSnap == -1L)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
@@ -1083,11 +1324,13 @@ object IcebergInterop {
         .map(_.asInstanceOf[java.util.List[_]].asScala.map(_.toString.toInt).toSeq)
         .getOrElse(Nil)
     val filesWithSeq: Seq[(Path, Long)] = dataMfs.flatMap { mf =>
-      liveEntries(mf).map { entry =>
+      liveEntries(mf).flatMap { entry =>
         val dataFile = entry.get("data_file").asInstanceOf[GenericRecord]
         require(fileContent(dataFile) == 0,
           s"delete file inside a DATA manifest at $root — refusing")
-        (pathOf(dataFile, "data"), entrySeq(mf)(entry))
+        val keep = pruneEval.forall(p =>
+          p(dataFile.get("partition").asInstanceOf[GenericRecord]))
+        if (keep) Some((pathOf(dataFile, "data"), entrySeq(mf)(entry))) else None
       }
     }
     val files = filesWithSeq.map(_._1)
