@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -41,6 +43,38 @@ object MicroBatch {
     StructField("props", StringType)))
 
   private val runId = new AtomicInteger(0)
+
+  /** Peak state-store footprint of one stateful operator across a
+    * run's micro-batches, from the engine's own progress reports
+    * (StateOperatorProgress). The numbers a capacity plan needs: state
+    * ROWS track keys/windows/buffered-horizon rows — never total
+    * events processed — and memory follows rows. */
+  final case class StateOpStats(operator: String, peakRows: Long,
+                                peakMemBytes: Long, batches: Int)
+
+  // Runs start and drain on the CALLING thread (start + awaitTermination),
+  // and Verify executes queries concurrently — a thread-local keeps one
+  // run's stats from clobbering another's (the q188 isolation lesson).
+  private val lastStats = new ThreadLocal[Seq[StateOpStats]]
+
+  /** State-operator stats of the most recent run helper invocation on
+    * THIS thread (empty for stateless runs). Specs use this to pin
+    * state budgets: re-running with 3× the events must not 3× the
+    * keyed-state rows. */
+  def lastRunStateStats: Seq[StateOpStats] = Option(lastStats.get).getOrElse(Nil)
+
+  private def recordStats(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastStats.set(
+      q.recentProgress.toSeq
+        .flatMap(p => p.stateOperators.toSeq)
+        .groupBy(_.operatorName)
+        .map { case (name, ps) =>
+          StateOpStats(name,
+            ps.map(_.numRowsTotal).max,
+            ps.map(_.memoryUsedBytes).max,
+            ps.size)
+        }
+        .toSeq.sortBy(_.operator))
 
   /** The wire schema a Kafka source presents (key/value are BINARY
     * plus topic/partition/offset metadata — what
@@ -99,11 +133,38 @@ object MicroBatch {
     * micro-batches whose rows interleave in event time — the
     * adversarial arrival order for cross-batch aggregation state
     * (every batch reopens sessions the previous batch thought closed). */
-  def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int): Path = {
+  def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int,
+                       copies: Int = 1): Path = {
     val in = Files.createTempDirectory("graft-stream-in")
-    spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    val one = spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    (1 to copies).map(_ => one).reduce(_ union _)
       .repartition(parts, org.apache.spark.sql.functions.col("event_id"))
       .write.mode("overwrite").parquet(in.toString)
+    in
+  }
+
+  /** Stage events as `parts` CHRONOLOGICAL files (file k holds the
+    * k-th event-time range), written sequentially with ordered names so
+    * `maxFilesPerTrigger=1` drains them in event-time order — the
+    * arrival pattern under which watermark-driven state EVICTION is
+    * observable mid-drain (a hash-split drain pushes the watermark to
+    * ~max in batch 1 and everything later arrives late). */
+  def stageEventsByTime(spark: SparkSession, sfDir: String, parts: Int,
+                        copies: Int = 1): Path = {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val one = spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    val all = (1 to copies).map(_ => one).reduce(_ union _)
+    val bucketed = all.withColumn("__gf_bucket",
+      ntile(parts).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    (1 to parts).foreach { i =>
+      val tmp = Files.createTempDirectory("graft-stream-bt")
+      bucketed.filter(col("__gf_bucket") === i).drop("__gf_bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet written for bucket $i"))
+      Files.move(part, in.resolve(f"part_$i%03d.parquet"))
+    }
     in
   }
 
@@ -179,6 +240,7 @@ object MicroBatch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStats(q)
     sink
   }
 
@@ -213,6 +275,7 @@ object MicroBatch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStats(q)
     sink.snapshot()
   }
 
@@ -224,9 +287,11 @@ object MicroBatch {
   def updateRun(spark: SparkSession, sfDir: String,
                 statePartitions: Option[Int] = Some(8),
                 splitParts: Option[Int] = None,
-                conf: Map[String, String] = Map.empty)(
+                conf: Map[String, String] = Map.empty,
+                copies: Int = 1)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val in = splitParts.fold(stageEvents(sfDir))(stageEventsSplit(spark, sfDir, _))
+    val in = splitParts.fold(stageEvents(sfDir, copies))(
+      stageEventsSplit(spark, sfDir, _, copies))
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
@@ -238,6 +303,7 @@ object MicroBatch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStats(q)
     sink.snapshot()
   }
 
@@ -246,20 +312,25 @@ object MicroBatch {
     * watermarked by the caller, joined with an equi + event-time-range
     * condition, drained through a foreachBatch append sink. */
   def joinRun(spark: SparkSession, sfDir: String,
-              statePartitions: Option[Int] = Some(4))(
+              statePartitions: Option[Int] = Some(4),
+              copies: Int = 1,
+              maxFilesPerTrigger: Option[Int] = None,
+              inDir: Option[Path] = None)(
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val in = stageEvents(sfDir)
+    val in = inDir.getOrElse(stageEvents(sfDir, copies))
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     val sess = isolated(spark, statePartitions, Map.empty)
-    val q = join(fileSource(sess, in), fileSource(sess, in)).writeStream
+    val q = join(fileSource(sess, in, maxFilesPerTrigger),
+      fileSource(sess, in, maxFilesPerTrigger)).writeStream
       .foreachBatch(writeBatch)
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStats(q)
     sink.snapshot()
   }
 
@@ -269,9 +340,11 @@ object MicroBatch {
     * table. */
   def aggRun(spark: SparkSession, sfDir: String,
              statePartitions: Int = 8,
-             splitParts: Option[Int] = None)(
+             splitParts: Option[Int] = None,
+             copies: Int = 1)(
       agg: DataFrame => DataFrame): DataFrame = {
-    val in = splitParts.fold(stageEvents(sfDir))(stageEventsSplit(spark, sfDir, _))
+    val in = splitParts.fold(stageEvents(sfDir, copies))(
+      stageEventsSplit(spark, sfDir, _, copies))
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val name = s"graft_stream_agg_${runId.incrementAndGet()}"
     val sess = isolated(spark, Some(statePartitions), Map.empty)
@@ -283,6 +356,7 @@ object MicroBatch {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    recordStats(q)
     sess.table(name)
   }
 }
