@@ -345,6 +345,68 @@ object DeltaInterop {
     files.size
   }
 
+  /** Export `table`'s snapshot as a COLUMN-MAPPED Delta table (modes
+    * "name" or "id") — the layout every renamed-or-dropped-column
+    * production table has: parquet files store generated PHYSICAL
+    * column names (`col-<uuid>`, plus parquet field ids for id-mode
+    * readers), `schemaString` keeps the logical names with
+    * `delta.columnMapping.physicalName`/`.id` per-field metadata,
+    * `configuration` declares the mode, and the protocol is the
+    * classic column-mapping pair (minReader 2 / minWriter 5). With
+    * `partitionBy`, hive directories and `add.partitionValues` key by
+    * the PHYSICAL name while `metaData.partitionColumns` stays
+    * logical — exactly the split a real reader must navigate. Returns
+    * the number of data files. */
+  def exportSnapshotMapped(table: LakeTable, destRoot: Path,
+                           mode: String = "name",
+                           partitionBy: Seq[String] = Nil,
+                           version: Long = -1L): Int = {
+    require(mode == "name" || mode == "id", s"unsupported mapping mode $mode")
+    val df = table.snapshot(version)
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.mkString(",")} not all in ${df.columns.mkString(",")}")
+    val fields = df.schema.fields
+    val physOf: Map[String, String] =
+      fields.map(f => f.name -> s"col-${UUID.randomUUID()}").toMap
+    val mappedSchema = StructType(fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName", physOf(f.name))
+        .build())
+    })
+    val physDf = df.select(fields.zipWithIndex.map { case (f, i) =>
+      // parquet field ids ride along so id-mode readers can bind by id
+      col(f.name).as(physOf(f.name),
+        new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+    }: _*)
+    val physParts = partitionBy.map(physOf)
+    if (physParts.isEmpty) physDf.write.mode("error").parquet(destRoot.toString)
+    else physDf.write.mode("error").partitionBy(physParts: _*).parquet(destRoot.toString)
+    val files = walkDataFiles(destRoot, physParts)
+    val m = mapper
+    val actions = Seq.newBuilder[String]
+    actions += {
+      val n = m.createObjectNode()
+      n.putObject("protocol").put("minReaderVersion", 2).put("minWriterVersion", 5)
+      m.writeValueAsString(n)
+    }
+    actions += m.writeValueAsString(
+      metaDataAction(m, UUID.randomUUID().toString, mappedSchema.json,
+        partitionBy, // LOGICAL names per the spec
+        createdTime = Some(Files.getLastModifiedTime(destRoot).toMillis),
+        configuration = Map(
+          "delta.columnMapping.mode" -> mode,
+          "delta.columnMapping.maxColumnId" -> fields.length.toString)))
+    files.foreach { case (rel, partVals) =>
+      actions += m.writeValueAsString(
+        addAction(m, rel, partVals, Files.size(destRoot.resolve(rel)),
+          Files.getLastModifiedTime(destRoot.resolve(rel)).toMillis))
+    }
+    Files.createDirectories(destRoot.resolve("_delta_log"))
+    Files.write(logPath(destRoot, 0L), actions.result().asJava)
+    files.size
+  }
+
   /** Walk a freshly written parquet tree: relative path + the
     * partition tuple its hive-style directory segments carry. */
   private def walkDataFiles(destRoot: Path, partitionBy: Seq[String])
@@ -483,7 +545,8 @@ object DeltaInterop {
 
   private def metaDataAction(m: ObjectMapper, id: String, schemaJson: String,
                              partCols: Seq[String],
-                             createdTime: Option[Long] = None): ObjectNode = {
+                             createdTime: Option[Long] = None,
+                             configuration: Map[String, String] = Map.empty): ObjectNode = {
     val n = m.createObjectNode()
     val md = n.putObject("metaData")
     md.put("id", id)
@@ -491,7 +554,8 @@ object DeltaInterop {
     md.put("schemaString", schemaJson)
     val pc = md.putArray("partitionColumns")
     partCols.foreach(pc.add)
-    md.putObject("configuration")
+    val cfg = md.putObject("configuration")
+    configuration.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
     createdTime.foreach(md.put("createdTime", _))
     n
   }
@@ -698,10 +762,11 @@ object DeltaInterop {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType))))))
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
+      Row(Row(if (st.configuration.contains("delta.columnMapping.mode")) 2 else 1, 2),
+        null, null) +:
         Row(null, Row(st.tableId.getOrElse(UUID.randomUUID().toString),
           Row("parquet", Map.empty[String, String]), schemaJson,
-          st.partitionColumns, Map.empty[String, String]), null) +:
+          st.partitionColumns, st.configuration), null) +:
         st.liveFiles.map { f =>
           Row(null, null, Row(encodePath(f.path),
             f.partitionValues.map { case (k, ov) => k -> ov.orNull },
@@ -760,29 +825,31 @@ object DeltaInterop {
 
   /** The state a log replay arrives at: live files (decoded relative
     * paths with their partition tuples) in deterministic order, the
-    * last metaData's schema / partition columns / table id, and the
-    * commit version the replay reached. */
+    * last metaData's schema / partition columns / table id /
+    * configuration, and the commit version the replay reached. */
   private[lake] case class DeltaState(liveFiles: Seq[LiveFile],
                                       schema: Option[StructType],
                                       partitionColumns: Seq[String],
                                       tableId: Option[String],
-                                      version: Long)
+                                      version: Long,
+                                      configuration: Map[String, String] = Map.empty)
 
   /** Reader features this module implements in full. A table whose
     * protocol demands anything outside this set refuses to open. */
-  private[lake] val SupportedReaderFeatures = Set("deletionVectors")
+  private[lake] val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def requireProtocol(minReader: Int, feats: Set[String], root: Path): Unit =
-    if (minReader >= 3) {
+    if (minReader == 3) {
       val unsupported = feats -- SupportedReaderFeatures
       require(unsupported.isEmpty,
         s"unsupported Delta reader features [${unsupported.mkString(",")}] at " +
           s"$root (reader features change file semantics; refusing rather " +
           "than misreading)")
-    } else require(minReader <= 1,
-      s"unsupported Delta protocol at $root: minReaderVersion=$minReader " +
-        "(version 2 implies column mapping, which changes column semantics; " +
-        "refusing rather than misreading)")
+    } else require(minReader <= 2,
+      // 1 = base protocol; 2 = legacy column mapping (mode read from
+      // metaData.configuration; the mapping itself is applied — or
+      // refused — in readDelta); anything newer is unknown semantics
+      s"unsupported Delta protocol at $root: minReaderVersion=$minReader")
 
   private def requireProtocolNode(p: JsonNode, root: Path): Unit = {
     val feats: Set[String] =
@@ -840,6 +907,7 @@ object DeltaInterop {
     var schema = seed.schema
     var partCols = seed.partitionColumns
     var tableId = seed.tableId
+    var configuration = seed.configuration
     def parsePartVals(pv: JsonNode): Map[String, Option[String]] =
       if (pv == null || !pv.isObject) Map.empty
       else pv.properties().asScala
@@ -859,6 +927,12 @@ object DeltaInterop {
             if (md.has("partitionColumns"))
               md.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
             else Nil
+          configuration =
+            if (md.has("configuration") && !md.get("configuration").isNull)
+              md.get("configuration").properties().asScala
+                .filterNot(_.getValue.isNull)
+                .map(e => e.getKey -> e.getValue.asText()).toMap
+            else Map.empty
         }
         if (node.has("add")) {
           val a = node.get("add")
@@ -878,7 +952,7 @@ object DeltaInterop {
           live -= decodePath(node.get("remove").get("path").asText())
       }
     }
-    DeltaState(live.values.toSeq, schema, partCols, tableId, target)
+    DeltaState(live.values.toSeq, schema, partCols, tableId, target, configuration)
   }
 
   /** Seed replay state from a checkpoint parquet: one `spark.read` of
@@ -906,15 +980,22 @@ object DeltaInterop {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var tableId: Option[String] = None
+    var configuration: Map[String, String] = Map.empty
     if (cols("metaData")) {
+      val hasConf = structFields("metaData").contains("configuration")
       df.filter(col("metaData").isNotNull)
         .select(col("metaData.id"), col("metaData.schemaString"),
-          col("metaData.partitionColumns")).collect()
+          col("metaData.partitionColumns"),
+          if (hasConf) col("metaData.configuration") else lit(null)).collect()
         .foreach { r =>
           tableId = Option(r.getString(0))
           schema = Option(r.getString(1)).map(
             DataType.fromJson(_).asInstanceOf[StructType])
           partCols = Option(r.getSeq[String](2)).getOrElse(Nil)
+          configuration =
+            if (r.isNullAt(3)) Map.empty
+            else r.getMap[String, String](3).toMap
+              .collect { case (k, v) if v != null => k -> v }
         }
     }
     val adds: Seq[LiveFile] =
@@ -946,7 +1027,7 @@ object DeltaInterop {
           }
           .sortBy(_.path)
       }
-    DeltaState(adds, schema, partCols, tableId, version)
+    DeltaState(adds, schema, partCols, tableId, version, configuration)
   }
 
   // ---- read --------------------------------------------------------------
@@ -975,6 +1056,31 @@ object DeltaInterop {
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     if (st.liveFiles.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](), nullable)
+    // COLUMN MAPPING (modes name/id, metaData.configuration): files
+    // store PHYSICAL column names (col-<uuid>) and partitionValues key
+    // by them; the logical names live only in schemaString's per-field
+    // metadata. The whole scan below runs in physical space and the
+    // final select renames to logical — by construction nothing
+    // physical leaks out. A mapped table missing a physicalName
+    // refuses (reading by logical name would silently yield nulls).
+    val mode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"unsupported delta.columnMapping.mode=$mode at $root")
+    val physOf: Map[String, String] =
+      if (mode == "none") nullable.fieldNames.map(n => n -> n).toMap
+      else nullable.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"delta.columnMapping.mode=$mode but column ${f.name} declares no " +
+            s"physicalName at $root — refusing rather than reading nulls")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val physNullable = StructType(nullable.fields.map(f =>
+      StructField(physOf(f.name), f.dataType, nullable = true)))
+    val physPartCols = st.partitionColumns.map { c =>
+      physOf.getOrElse(c, throw new IllegalArgumentException(
+        s"partitionColumns $c missing from schema " +
+          s"${nullable.fieldNames.mkString(",")} at $root"))
+    }
     // Deletion vectors: capture (path, row_index) helper columns at the
     // SCAN (the metadata struct resolves only there), then one
     // distributed anti-join against the expanded positions at the end.
@@ -987,31 +1093,31 @@ object DeltaInterop {
       else scan.withColumn(pathCol, normPathCol(col("_metadata.file_path")))
         .withColumn(posCol, col("_metadata.row_index"))
     val outCols: Seq[String] =
-      nullable.fieldNames.toSeq ++ (if (hasDv) Seq(pathCol, posCol) else Nil)
+      physNullable.fieldNames.toSeq ++ (if (hasDv) Seq(pathCol, posCol) else Nil)
+    def toLogical(d: DataFrame): DataFrame =
+      if (mode == "none") d
+      else d.select(nullable.fields.map(f => col(physOf(f.name)).as(f.name)): _*)
     val scanned: DataFrame =
       if (st.partitionColumns.isEmpty)
-        withDvCols(spark.read.schema(nullable)
+        withDvCols(spark.read.schema(physNullable)
           .parquet(st.liveFiles.map(f => root.resolve(f.path).toString): _*))
       else {
-        val partSet = st.partitionColumns.toSet
-        require(st.partitionColumns.forall(c => nullable.fieldNames.contains(c)),
-          s"partitionColumns ${st.partitionColumns.mkString(",")} missing from " +
-            s"schema ${nullable.fieldNames.mkString(",")} at $root")
-        val dataSchema = StructType(nullable.fields.filterNot(f => partSet(f.name)))
+        val partSet = physPartCols.toSet
+        val dataSchema = StructType(physNullable.fields.filterNot(f => partSet(f.name)))
         st.liveFiles
-          .groupBy(f => st.partitionColumns.map(c => f.partitionValues.getOrElse(c, None)))
+          .groupBy(f => physPartCols.map(c => f.partitionValues.getOrElse(c, None)))
           .toSeq.sortBy(_._1.map(_.toString).mkString("|"))
           .map { case (tuple, files) =>
             val base = withDvCols(spark.read.schema(dataSchema)
               .parquet(files.map(f => root.resolve(f.path).toString): _*))
-            st.partitionColumns.zip(tuple).foldLeft(base) { case (d, (c, ov)) =>
-              val t = nullable(nullable.fieldIndex(c)).dataType
+            physPartCols.zip(tuple).foldLeft(base) { case (d, (c, ov)) =>
+              val t = physNullable(physNullable.fieldIndex(c)).dataType
               d.withColumn(c, ov.map(s => lit(s).cast(t)).getOrElse(lit(null).cast(t)))
             }.select(outCols.map(col): _*)
           }
           .reduce(_.unionByName(_))
       }
-    if (!hasDv) scanned
+    if (!hasDv) toLogical(scanned)
     else {
       // driver resolves descriptors to compressed bytes (kilobytes per
       // file); EXECUTORS expand bitmaps to positions — the O(deleted
@@ -1033,8 +1139,8 @@ object DeltaInterop {
           pos.iterator.map(x => (p, x))
         }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
         .toDF(pathCol, posCol)
-      scanned.join(delPos, Seq(pathCol, posCol), "left_anti")
-        .drop(pathCol, posCol)
+      toLogical(scanned.join(delPos, Seq(pathCol, posCol), "left_anti")
+        .drop(pathCol, posCol))
     }
   }
 

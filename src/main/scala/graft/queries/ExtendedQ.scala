@@ -806,6 +806,30 @@ object ExtendedQ {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("day")
+    }),
+
+    // lake — DELTA COLUMN MAPPING (the renamed-column production
+    // layout): export a PARTITIONED name-mode table — parquet files
+    // store col-<uuid> physical names, partitionValues/hive dirs key
+    // by the physical name, metaData.partitionColumns stays logical,
+    // protocol (2,5) — and read it back: the scan runs in physical
+    // space and surfaces logical names. The oracle recomputes per-row
+    // output from the source, so the hash gate proves the mapping
+    // loses nothing and the reconstructed partition column is
+    // value-identical
+    "q197_delta_column_mapping" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 6 === 0)
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-cmx")
+      val dest = Files.createTempDirectory("graft-cm-q").resolve("t")
+      val n = graft.lake.DeltaInterop.exportSnapshotMapped(
+        t, dest, partitionBy = Seq("o_orderpriority"))
+      require(n > 0, "column-mapped delta export wrote no data files")
+      graft.lake.DeltaInterop.readDelta(s, dest)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1134,6 +1158,11 @@ object ExtendedQ {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY day ORDER BY day""".stripMargin,
+
+    "q197_delta_column_mapping" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 6 = 0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q162_iceberg_time_travel" ->
       s"""SELECT version, event_type, n, total FROM (

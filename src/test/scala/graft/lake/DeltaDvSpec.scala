@@ -182,26 +182,42 @@ class DeltaDvSpec extends AnyFunSuite {
       Seq(protocolJson, meta, add).asJava)
   }
 
-  test("minReader 3 with ONLY deletionVectors opens; other features refuse") {
+  test("minReader 3 with SUPPORTED features opens; unknown features refuse") {
     val ok = dest("graft-dvgate-ok")
     writeMinimalLog(ok,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
     assert(DeltaInterop.readDelta(spark, ok).count() > 0)
 
-    val bad = dest("graft-dvgate-bad")
-    writeMinimalLog(bad,
+    // columnMapping became a supported reader feature in round 10 —
+    // with mode unset (none) the table reads plainly
+    val cm = dest("graft-dvgate-cm")
+    writeMinimalLog(cm,
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors","columnMapping"],""" +
         """"writerFeatures":["deletionVectors","columnMapping"]}}""")
-    val e = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, bad))
-    assert(e.getMessage.contains("columnMapping"))
+    assert(DeltaInterop.readDelta(spark, cm).count() > 0)
 
+    val bad = dest("graft-dvgate-bad")
+    writeMinimalLog(bad,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","timestampNtz"],""" +
+        """"writerFeatures":["deletionVectors","timestampNtz"]}}""")
+    val e = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, bad))
+    assert(e.getMessage.contains("timestampNtz"))
+
+    // minReader 2 (legacy column mapping) opens; with no mapping mode
+    // configured it is a plain read
     val v2 = dest("graft-dvgate-v2")
     writeMinimalLog(v2,
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
-    val e2 = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, v2))
-    assert(e2.getMessage.contains("minReaderVersion=2"))
+    assert(DeltaInterop.readDelta(spark, v2).count() > 0)
+
+    val v4 = dest("graft-dvgate-v4")
+    writeMinimalLog(v4,
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""")
+    val e4 = intercept[IllegalArgumentException](DeltaInterop.readDelta(spark, v4))
+    assert(e4.getMessage.contains("minReaderVersion"))
   }
 
   // ---- fail-loud corruption classes --------------------------------------
