@@ -396,6 +396,50 @@ object IcebergInterop {
 
   // ---- export ------------------------------------------------------------
 
+  /** Spark writes hive partition directories with %XX-escaped special
+    * characters and a sentinel for null. */
+  private def unescapeHive(v: String): Option[String] =
+    if (v == "__HIVE_DEFAULT_PARTITION__") None
+    else Some(java.net.URLDecoder.decode(
+      v.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Walk a freshly written hive-layout tree: each parquet file plus
+    * its partition tuple parsed from the `name=value` directory
+    * segments and converted back to the transform result types. */
+  private def walkPartitionedData(dataDir: Path, tnames: Seq[String],
+                                  resultTypes: Seq[DataType])
+      : Seq[(Path, Seq[Any])] =
+    Using.resource(Files.walk(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val segs = dataDir.relativize(p).toString.split('/')
+          require(segs.length == tnames.length + 1,
+            s"unexpected layout depth for ${dataDir.relativize(p)} " +
+              s"(expected ${tnames.length} partition directories)")
+          val tuple: Seq[Any] = segs.dropRight(1).zip(tnames).zip(resultTypes)
+            .map { case ((seg, n), rt) =>
+              val eq = seg.indexOf('=')
+              require(eq > 0 && seg.substring(0, eq) == n,
+                s"unexpected partition directory $seg for helper column $n")
+              unescapeHive(seg.substring(eq + 1)).map { v =>
+                rt match {
+                  case IntegerType => Int.box(v.toInt)
+                  case LongType => Long.box(v.toLong)
+                  case DoubleType => Double.box(v.toDouble)
+                  case FloatType => Float.box(v.toFloat)
+                  case BooleanType => Boolean.box(v.toBoolean)
+                  case StringType => v
+                  case other => throw new IllegalArgumentException(
+                    s"cannot parse hive partition value for type $other")
+                }
+              }.orNull
+            }
+          (p, tuple)
+        }
+        .toSeq.sortBy(_._1.toString)
+    }
+
   /** Avro type for an identity-partition field in the manifest's
     * partition record (always nullable per the spec). */
   private def partitionAvroType(dt: DataType): AvroSchema = dt match {
@@ -461,28 +505,22 @@ object IcebergInterop {
         }
       } else {
         import org.apache.spark.sql.functions.col
-        // transformed partition values ride in tagged helper columns so
-        // the distinct/slice logic is one shape for every transform
+        // transformed partition values ride in tagged helper columns;
+        // ONE distributed hive-layout write partitions on them —
+        // partitionBy strips the helpers from the files, so the files
+        // keep exactly the source columns (hidden partitioning) while
+        // the directory names carry the transformed values. (The
+        // per-tuple slice loop this replaces re-scanned the table once
+        // per distinct tuple: 30 scans for a 30-day export.)
         val tcols = pfields.zipWithIndex.map { case ((c, t), i) =>
           transformColumn(t, col(c), df.schema(c).dataType).as(s"__gf_pt_$i")
         }
         val tnames = pfields.indices.map(i => s"__gf_pt_$i")
-        val withT = df.select(df.columns.map(col) ++ tcols: _*)
-        val tuples = withT.select(tnames.map(col): _*).distinct()
-          .collect().map(_.toSeq).toSeq.sortBy(_.map(String.valueOf).mkString("|"))
-        tuples.zipWithIndex.flatMap { case (tuple, i) =>
-          val dir = dataDir.resolve(f"p$i%05d")
-          val slice = tnames.zip(tuple).foldLeft(withT) { case (d, (c, v)) =>
-            if (v == null) d.filter(col(c).isNull)
-            else d.filter(col(c) <=> org.apache.spark.sql.functions.lit(v))
-          }.drop(tnames: _*)
-          slice.write.mode("error").parquet(dir.toString)
-          Using.resource(Files.list(dir)) { s =>
-            s.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .toSeq.sortBy(_.getFileName.toString).map(f => f -> tuple)
-          }
-        }
+        df.select(df.columns.map(col) ++ tcols: _*)
+          .write.mode("error").partitionBy(tnames: _*).parquet(dataDir.toString)
+        val resultTypes = pfields.map { case (c, t) =>
+          transformResultType(t, df.schema(c).dataType) }
+        walkPartitionedData(dataDir, tnames, resultTypes)
       }
     val snapshotId = math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L
     val nowMs = Files.getLastModifiedTime(destRoot).toMillis
