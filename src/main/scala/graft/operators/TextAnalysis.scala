@@ -110,6 +110,26 @@ object TextAnalysis {
         col("bigram").as("top_bigram"), col("cnt").as("top_bigram_n"))
   }
 
+  /** Corpus-prep text canonicalization — the normalization pass that
+    * runs BEFORE tokenization, shingling and dedup (a decomposed
+    * `e`+U+0301 and a precomposed `é` must hash identically or near-dup
+    * detection silently splits them): Unicode normalization via the
+    * native codegen'd `unicode_normalize` expression
+    * ([[graft.functions.expressions.UnicodeNormalize]]), C0/C1 control
+    * characters stripped (tab/newline included — they become spaces
+    * first), and runs of whitespace collapsed to single spaces with
+    * ends trimmed. Every step is a codegen'd expression — zero UDFs on
+    * a pass that touches every byte of a 100 TB corpus. */
+  def normalizeText(docs: DataFrame, form: String = "NFC"): DataFrame = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form.toUpperCase),
+      s"unknown normalization form $form")
+    docs.withColumn("text",
+      trim(regexp_replace(
+        regexp_replace(expr(s"unicode_normalize(text, '${form.toUpperCase}')"),
+          "[\\p{Cntrl}]", " "),
+        "\\s+", " ")))
+  }
+
   /** Language ID: conditional stopword counts in one groupBy; guess is
     * 'fr'/'en' by majority, 'und' when neither lexicon hits. */
   def langId(docs: DataFrame): DataFrame =

@@ -28,6 +28,25 @@ object TextAnalysisQ {
       TextAnalysis.qualityScore(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // Unicode canonicalization — the pass that runs before tokenization
+    // and dedup. Each doc gets a deterministic adversarial suffix
+    // (TAB, decomposed e+U+0301, precomposed é, double space, the ﬁ
+    // ligature, BEL): NFC must compose e+combining-acute to é, keep the
+    // ligature (that's NFKC's job), turn controls into spaces and
+    // collapse runs — the oracle replays it with DuckDB's
+    // nfc_normalize, so the hash gate pins the whole normal form, and
+    // the 12-char tail makes any miss visible in place
+    "q198_unicode_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit("\te\u0301 \u00e9  \uFB01nal\u0007end")).as("text"))
+      TextAnalysis.normalizeText(docs, "NFC")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          substring(col("text"), -12, 12).as("tail"))
+        .orderBy("doc_id")
+    }),
+
     // Evaluation harness: per-class precision/recall/F1 of the langId
     // heuristic against the documents table's ground-truth lang column
     // — the metrics stage every classifier-shaped pipeline op needs;
@@ -165,6 +184,17 @@ object TextAnalysisQ {
         |            THEN (2 * (tp / n_pred) * (tp / n_true)) /
         |                 ((tp / n_pred) + (tp / n_true)) END AS f1
         |FROM j ORDER BY cls""".stripMargin,
+
+    "q198_unicode_normalize" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || chr(9) || 'e' || chr(769) || ' ' || chr(233)
+        |                  || '  ' || chr(64257) || 'nal' || chr(7) || 'end'),
+        |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, right(t, 12) AS tail
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     "q40_quality_score" ->
       """WITH toks AS (
