@@ -742,11 +742,21 @@ object DeltaInterop {
     val v = st.version
     val schemaJson = st.schema.getOrElse(throw new IllegalArgumentException(
       s"cannot checkpoint $root: log carries no metaData")).json
+    // The protocol is carried VERBATIM from the replay (ADVICE r10
+    // medium): a column-mapped table declares minWriterVersion >= 5,
+    // and a checkpoint claiming writer version 2 would invite
+    // spec-compliant third-party writers to commit mapping-unaware
+    // adds. Every Delta log's commit 0 declares a protocol, so its
+    // absence means a broken log — refuse rather than invent one.
+    val proto = st.protocol.getOrElse(throw new IllegalArgumentException(
+      s"cannot checkpoint $root: log carries no protocol action"))
     val pvType = MapType(StringType, StringType, valueContainsNull = true)
     val ckSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -762,7 +772,8 @@ object DeltaInterop {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType))))))
     val rows: Seq[Row] =
-      Row(Row(if (st.configuration.contains("delta.columnMapping.mode")) 2 else 1, 2),
+      Row(Row(proto.minReader, proto.minWriter,
+        proto.readerFeatures.orNull, proto.writerFeatures.orNull),
         null, null) +:
         Row(null, Row(st.tableId.getOrElse(UUID.randomUUID().toString),
           Row("parquet", Map.empty[String, String]), schemaJson,
@@ -823,16 +834,28 @@ object DeltaInterop {
                                     size: Long, modificationTime: Long,
                                     dv: Option[DvDescriptor] = None)
 
+  /** The table's declared protocol as replayed from the log — carried
+    * so [[writeCheckpoint]] can serialize it VERBATIM. Reconstructing
+    * it (e.g. hard-coding minWriterVersion 2) would lie to third-party
+    * writers: the spec requires minWriterVersion >= 5 for column
+    * mapping, and a writer believing version 2 suffices could commit
+    * adds without physical-name awareness, corrupting the table. */
+  private[lake] case class DeltaProtocol(minReader: Int, minWriter: Int,
+                                         readerFeatures: Option[Seq[String]],
+                                         writerFeatures: Option[Seq[String]])
+
   /** The state a log replay arrives at: live files (decoded relative
     * paths with their partition tuples) in deterministic order, the
     * last metaData's schema / partition columns / table id /
-    * configuration, and the commit version the replay reached. */
+    * configuration, the last declared protocol, and the commit
+    * version the replay reached. */
   private[lake] case class DeltaState(liveFiles: Seq[LiveFile],
                                       schema: Option[StructType],
                                       partitionColumns: Seq[String],
                                       tableId: Option[String],
                                       version: Long,
-                                      configuration: Map[String, String] = Map.empty)
+                                      configuration: Map[String, String] = Map.empty,
+                                      protocol: Option[DeltaProtocol] = None)
 
   /** Reader features this module implements in full. A table whose
     * protocol demands anything outside this set refuses to open. */
@@ -908,6 +931,7 @@ object DeltaInterop {
     var partCols = seed.partitionColumns
     var tableId = seed.tableId
     var configuration = seed.configuration
+    var protocol = seed.protocol
     def parsePartVals(pv: JsonNode): Map[String, Option[String]] =
       if (pv == null || !pv.isObject) Map.empty
       else pv.properties().asScala
@@ -916,8 +940,17 @@ object DeltaInterop {
     jsonVers.filter(v => v > seed.version && v <= target).foreach { v =>
       Files.readAllLines(logPath(root, v)).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node = m.readTree(line)
-        if (node.has("protocol"))
-          requireProtocolNode(node.get("protocol"), root)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          requireProtocolNode(p, root)
+          def feats(k: String): Option[Seq[String]] =
+            if (p.has(k) && !p.get(k).isNull)
+              Some(p.get(k).elements().asScala.map(_.asText()).toSeq)
+            else None
+          protocol = Some(DeltaProtocol(p.get("minReaderVersion").asInt(),
+            p.get("minWriterVersion").asInt(),
+            feats("readerFeatures"), feats("writerFeatures")))
+        }
         if (node.has("metaData")) {
           val md = node.get("metaData")
           schema = Some(DataType.fromJson(md.get("schemaString").asText())
@@ -952,7 +985,8 @@ object DeltaInterop {
           live -= decodePath(node.get("remove").get("path").asText())
       }
     }
-    DeltaState(live.values.toSeq, schema, partCols, tableId, target, configuration)
+    DeltaState(live.values.toSeq, schema, partCols, tableId, target,
+      configuration, protocol)
   }
 
   /** Seed replay state from a checkpoint parquet: one `spark.read` of
@@ -965,16 +999,20 @@ object DeltaInterop {
     val cols = df.columns.toSet
     def structFields(c: String): Set[String] =
       df.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
+    var protocol: Option[DeltaProtocol] = None
     if (cols("protocol")) {
-      val hasFeats = structFields("protocol").contains("readerFeatures")
+      val pf = structFields("protocol")
       df.filter(col("protocol").isNotNull)
         .select(col("protocol.minReaderVersion").cast("int"),
-          if (hasFeats) col("protocol.readerFeatures") else lit(null))
+          col("protocol.minWriterVersion").cast("int"),
+          if (pf("readerFeatures")) col("protocol.readerFeatures") else lit(null),
+          if (pf.contains("writerFeatures")) col("protocol.writerFeatures") else lit(null))
         .collect()
         .foreach { r =>
-          val feats =
-            if (r.isNullAt(1)) Set.empty[String] else r.getSeq[String](1).toSet
-          requireProtocol(r.getInt(0), feats, root)
+          def feats(i: Int): Option[Seq[String]] =
+            if (r.isNullAt(i)) None else Some(r.getSeq[String](i).toSeq)
+          requireProtocol(r.getInt(0), feats(2).map(_.toSet).getOrElse(Set.empty), root)
+          protocol = Some(DeltaProtocol(r.getInt(0), r.getInt(1), feats(2), feats(3)))
         }
     }
     var schema: Option[StructType] = None
@@ -1027,7 +1065,7 @@ object DeltaInterop {
           }
           .sortBy(_.path)
       }
-    DeltaState(adds, schema, partCols, tableId, version, configuration)
+    DeltaState(adds, schema, partCols, tableId, version, configuration, protocol)
   }
 
   // ---- read --------------------------------------------------------------

@@ -1411,7 +1411,7 @@ object IcebergInterop {
             s"missing partition source columns ${missing.mkString(",")} " +
             "(hive-migrated layout) — refusing rather than reading nulls")
       }
-      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
       // collision-proof helper names: a table may legitimately carry
       // a column named __gf_path/__gf_pos, and withColumn would
       // silently overwrite then drop it (ADVICE r9) — suffix with a
@@ -1456,7 +1456,20 @@ object IcebergInterop {
         val dim = spark.createDataFrame(
             filesWithSeq.map { case (p, s) => (p.toUri.getRawPath, s) })
           .toDF(pathCol, seqCol)
-        val withSeq = applyPos(addMeta(base).join(broadcast(dim), Seq(pathCol)))
+        // LEFT join + fail-loud on a missed lookup (ADVICE r10): an
+        // inner join would silently drop every row of a data file
+        // whose normalized _metadata.file_path fails to match the
+        // manifest path byte-for-byte — a path-encoding bug must
+        // surface as an error, not as quiet row loss
+        val withSeq = applyPos(
+          addMeta(base).join(broadcast(dim), Seq(pathCol), "left")
+            .withColumn(seqCol,
+              when(col(seqCol).isNull, raise_error(concat(
+                lit("equality-delete sequence lookup missed data file "),
+                col(pathCol),
+                lit(s" at $root — path normalization mismatch would " +
+                  "silently drop rows"))).cast("long"))
+                .otherwise(col(seqCol))))
         val subtracted = eqDeletes.groupBy(_._4).toSeq
           .sortBy(_._1.mkString(","))
           .foldLeft(withSeq) { case (d, (ids, dels)) =>

@@ -805,16 +805,23 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       case None => lit(value)
     }
     val widths = byDir.values.map(_._1).toSet
-    val posByWidth: Map[Int, Seq[Int]] = widths.map { w =>
+    // a probe that cannot CAST to the column's declared type (string
+    // 'abc' against an int column) provably matches zero rows — the
+    // correct answer for a legitimate point lookup is "prune every
+    // directory", not an exception (ADVICE r10); only a null probe
+    // input is the caller bug rejected above
+    val posByWidth: Map[Int, Option[Seq[Int]]] = widths.map { w =>
       val r = spark.range(1).select(bloomPositionCols(probe, w): _*).head()
-      require(!r.anyNull,
-        s"bloom probe value $value does not cast to $colName's declared type")
-      w -> r.toSeq.map(_.asInstanceOf[Long].toInt)
+      w -> (if (r.anyNull) None
+            else Some(r.toSeq.map(_.asInstanceOf[Long].toInt)))
     }.toMap
+    if (widths.nonEmpty && posByWidth.values.forall(_.isEmpty))
+      return (Nil, m.dirs.size)
     val surviving = m.dirs.filter { dir =>
       byDir.get(dir) match {
         case None => true // no bloom recorded — must read
-        case Some((w, bits)) => posByWidth(w).forall(bits.testBit)
+        case Some((w, bits)) =>
+          posByWidth(w).forall(_.forall(bits.testBit))
       }
     }
     (surviving, m.dirs.size)

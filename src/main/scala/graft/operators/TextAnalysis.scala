@@ -125,8 +125,12 @@ object TextAnalysis {
       s"unknown normalization form $form")
     docs.withColumn("text",
       trim(regexp_replace(
+        // explicit C0+DEL+C1 range, NOT \p{Cntrl}: Java's POSIX class
+        // without UNICODE_CHARACTER_CLASS matches only ASCII C0+DEL,
+        // letting C1 controls (U+0080-U+009F, e.g. NEL) through —
+        // which would contradict the documented contract (ADVICE r10)
         regexp_replace(expr(s"unicode_normalize(text, '${form.toUpperCase}')"),
-          "[\\p{Cntrl}]", " "),
+          "[\\x00-\\x1f\\x7f-\\x9f]", " "),
         "\\s+", " ")))
   }
 

@@ -31,15 +31,17 @@ object TextAnalysisQ {
     // Unicode canonicalization — the pass that runs before tokenization
     // and dedup. Each doc gets a deterministic adversarial suffix
     // (TAB, decomposed e+U+0301, precomposed é, double space, the ﬁ
-    // ligature, BEL): NFC must compose e+combining-acute to é, keep the
-    // ligature (that's NFKC's job), turn controls into spaces and
-    // collapse runs — the oracle replays it with DuckDB's
-    // nfc_normalize, so the hash gate pins the whole normal form, and
-    // the 12-char tail makes any miss visible in place
+    // ligature, BEL, and the C1 control NEL U+0085): NFC must compose
+    // e+combining-acute to é, keep the ligature (that's NFKC's job),
+    // turn C0 AND C1 controls into spaces and collapse runs — the
+    // oracle replays it with DuckDB's nfc_normalize, so the hash gate
+    // pins the whole normal form; neither engine's \s matches U+0085,
+    // so an unstripped NEL would survive into the tail and diverge
+    // the hash (pinning the C1 widening, ADVICE r10)
     "q198_unicode_normalize" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"),
-          lit("\te\u0301 \u00e9  \uFB01nal\u0007end")).as("text"))
+          lit("\te\u0301 \u00e9  \uFB01nal\u0007\u0085end")).as("text"))
       TextAnalysis.normalizeText(docs, "NFC")
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
@@ -189,8 +191,8 @@ object TextAnalysisQ {
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(
         |    nfc_normalize(text || chr(9) || 'e' || chr(769) || ' ' || chr(233)
-        |                  || '  ' || chr(64257) || 'nal' || chr(7) || 'end'),
-        |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |                  || '  ' || chr(64257) || 'nal' || chr(7) || chr(133) || 'end'),
+        |    '[\x00-\x1f\x7f-\x9f]', ' ', 'g'), '\s+', ' ', 'g')) AS t
         |  FROM documents
         |)
         |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, right(t, 12) AS tail

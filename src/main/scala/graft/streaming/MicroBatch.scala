@@ -63,9 +63,17 @@ object MicroBatch {
     * keyed-state rows. */
   def lastRunStateStats: Seq[StateOpStats] = Option(lastStats.get).getOrElse(Nil)
 
-  private def recordStats(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+  private def recordStats(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress.toSeq
+    // peaks are only trustworthy if NO progress entry was evicted:
+    // recentProgress is a ring of numRecentProgressUpdates entries,
+    // and a clipped run would silently under-report early batches
+    require(ps.size < ProgressRetention,
+      s"recentProgress holds ${ps.size} >= retention $ProgressRetention " +
+        "entries — peak state stats would silently exclude evicted " +
+        "batches; raise ProgressRetention")
     lastStats.set(
-      q.recentProgress.toSeq
+      ps
         .flatMap(p => p.stateOperators.toSeq)
         .groupBy(_.operatorName)
         .map { case (name, ps) =>
@@ -75,6 +83,7 @@ object MicroBatch {
             ps.size)
         }
         .toSeq.sortBy(_.operator))
+  }
 
   /** The wire schema a Kafka source presents (key/value are BINARY
     * plus topic/partition/offset metadata — what
@@ -189,10 +198,19 @@ object MicroBatch {
     * run's `finally` restore landed between q188's provider set and
     * its stream start, and `transformWithState` refused the HDFS
     * provider. An isolated session makes the race impossible. */
+  /** Progress entries retained per query. The engine keeps only this
+    * many recentProgress entries; [[recordStats]] computes PEAKS over
+    * them, so a drain with more micro-batches than the retention would
+    * silently under-report early batches (ADVICE r10). Raised far
+    * above any drain in this suite and asserted in recordStats. */
+  private val ProgressRetention = 10000
+
   private def isolated(spark: SparkSession, statePartitions: Option[Int],
                        conf: Map[String, String]): SparkSession = {
     val s = spark.newSession()
     statePartitions.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      ProgressRetention.toString)
     conf.foreach { case (k, v) => s.conf.set(k, v) }
     s
   }
@@ -266,7 +284,8 @@ object MicroBatch {
     val sink = lakeSink(spark)
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val appId = s"graft-perbatch-${runId.incrementAndGet()}"
-    val q = fileSource(spark, in, maxFilesPerTrigger).writeStream
+    val sess = isolated(spark, None, Map.empty)
+    val q = fileSource(sess, in, maxFilesPerTrigger).writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         sink.commitBatch(transform(batch.toDF()), appId, batchId); ()
       }

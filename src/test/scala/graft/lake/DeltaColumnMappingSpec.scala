@@ -117,6 +117,25 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(base.exceptAll(back).count() === 0)
   }
 
+  test("checkpoint carries the replayed protocol, not a reconstructed one") {
+    // a column-mapped table declares (2,5); a checkpoint claiming
+    // minWriterVersion 2 would invite spec-compliant writers to commit
+    // mapping-unaware adds (ADVICE r10 medium)
+    val base = events.filter(col("event_id") < 300)
+    val t = LakeTable.createTemp(spark, base, "graft-cmproto")
+    val d = dest("graft-cmproto")
+    DeltaInterop.exportSnapshotMapped(t, d)
+    val v = DeltaInterop.writeCheckpoint(spark, d)
+    val ck = spark.read.parquet(
+      d.resolve("_delta_log").resolve(f"$v%020d.checkpoint.parquet").toString)
+    val p = ck.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion")
+      .collect()
+    assert(p.length === 1)
+    assert(p(0).getInt(0) === 2)
+    assert(p(0).getInt(1) === 5)
+  }
+
   test("an unknown mapping mode refuses") {
     val base = events.filter(col("event_id") < 300)
     val t = LakeTable.createTemp(spark, base, "graft-cmunk")
