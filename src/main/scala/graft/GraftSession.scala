@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** One place for session config so Verify/Bench/tests agree.
   *
-  * - `nanosAsLong`: the `events` table carries TIMESTAMP(NANOS) parquet,
-  *   which Spark 4 otherwise refuses to read; `Tables.events` converts
-  *   the raw nanos back to a microsecond timestamp (floor division,
-  *   matching DuckDB's ns→µs conversion — see `Tables.nsToUs`).
+  * - `nanosAsLong`: kept so a TIMESTAMP(NANOS) encoding of `events.ts`
+  *   (one of the physical types the driver has generated) reads as raw
+  *   nanos instead of erroring; `Tables.eventTimeCol` adapts per READ
+  *   schema (raw-nanos long vs timestamp[us]/NTZ — VERDICT r11), so
+  *   the config is inert when the testdata carries µs timestamps.
   * - AQE on: runtime coalescing + skew-join handling — the behaviors we
   *   rely on at real cluster scale.
   * - shuffle.partitions = local core count (not 200) for local runs; on

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Lake-table loaders over the driver-generated parquet testdata
   * (see /root/repo/TESTDATA.md). One parquet file per table; at cluster
@@ -27,15 +28,37 @@ object Tables {
     * would differ for pre-epoch timestamps — ADVICE r2). Integer-only:
     * ns-since-epoch ≈ 1.7e18 exceeds 2^53, so a double `floor(ts/1000)`
     * would corrupt the low bits. */
-  val nsToUs: Column =
-    expr("ts div 1000 + CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END")
+  def nsToUsOf(c: String): Column =
+    expr(s"$c div 1000 + CASE WHEN $c % 1000 < 0 THEN -1 ELSE 0 END")
 
-  /** `ts` is TIMESTAMP(NANOS) parquet; Spark reads it as raw nanos
-    * (`nanosAsLong`, see GraftSession) and we floor ns→µs exactly the
-    * way DuckDB does when it casts the same file's TIMESTAMP_NS down,
-    * so oracle comparisons see identical values. */
+  val nsToUs: Column = nsToUsOf("ts")
+
+  /** Event-time column normalized to TimestampType (µs instants, UTC
+    * session) regardless of the parquet writer's physical encoding —
+    * the driver has shipped `events.ts` both as INT64 TIMESTAMP(NANOS)
+    * (which Spark reads as raw nanos under `nanosAsLong`, see
+    * GraftSession) and as timestamp[us] (which Spark reads as
+    * TIMESTAMP_NTZ). Both map to the instants DuckDB sees on the same
+    * file: floor ns→µs for the former, a wall-clock-preserving NTZ
+    * cast (UTC session) for the latter. Branches on the frame's
+    * STATIC schema, so it works on batch and streaming reads alike. */
+  def eventTimeCol(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType         => timestamp_micros(nsToUsOf(c))
+      case TimestampNTZType => col(c).cast(TimestampType)
+      case TimestampType    => col(c)
+      case other => throw new IllegalStateException(
+        s"events.$c: unexpected physical type $other — expected INT64 " +
+          "nanos, TIMESTAMP_NTZ, or TIMESTAMP; regenerated testdata? " +
+          "Teach eventTimeCol the new encoding instead of patching call sites.")
+    }
+
+  /** [[eventTimeCol]] applied in place. */
+  def toEventTime(df: DataFrame, c: String = "ts"): DataFrame =
+    df.withColumn(c, eventTimeCol(df, c))
+
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts", timestamp_micros(nsToUs))
+    toEventTime(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -42,11 +42,26 @@ object Verify {
     // a query missing its parquet silently drops out of the round's
     // correctness gate (the r9 q188 lesson), so a transient failure
     // must never be the last word. Still-failing queries are loud.
+    var permanent = false
     failed.forEach { name =>
       System.err.println(s"[verify] retrying $name sequentially")
       try run(name, SparkEntry.queries(name))
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED PERMANENTLY: $e")
+        permanent = true
+      }
+    }
+    // Schema-drift guard (VERDICT r11 #7): a silent testdata regen
+    // (e.g. events.ts nanos→timestamp[us]) once cost a full round. If
+    // anything failed for good, dump every table's AS-READ schema so
+    // the mismatch is diagnosable from the verify log in minutes.
+    if (permanent) {
+      System.err.println("[verify] table schemas as read (drift diagnostics):")
+      Tables.names.foreach { t =>
+        val line =
+          try spark.read.parquet(s"$sfDir/$t.parquet").schema.toDDL
+          catch { case e: Throwable => s"unreadable: $e" }
+        System.err.println(s"[verify]   $t: $line")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -44,11 +44,31 @@ object SimilarityQ {
     (codes.snapshot(), books.snapshot(), cents.snapshot())
   }
 
-  /** Force the shared PQ index artifact for (session, sf dir) — bench
-    * hygiene: training cost lands in the `staging` metric, q191/q192
-    * report the ADC probe. */
+  /** The k-means coarse ASSIGNMENT as a staged artifact (VERDICT r11
+    * next #6 — the same once-per-(session, sf) pattern as
+    * [[stagedPq]]): q120 and q123 both consume the identical trained
+    * (vec_id, cluster) relation, so training Lloyd in-query per rep
+    * paid rounds × reps for a relation that is an index in production.
+    * Deterministic training ⇒ the lake round trip is bit-exact and
+    * the oracles keep replaying the training chain from the raw
+    * table. */
+  private val stagedKm = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.lake.LakeTable]()
+
+  private def kmBuckets(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    stagedKm.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ =>
+      graft.lake.LakeTable.createTemp(s,
+        Similarity.kmeansBuckets(Tables.embeddings(s, d), k = 8, rounds = 2,
+          trainPred = _.filter(col("vec_id") % 5 === 0)),
+        "graft-km-buckets")).snapshot()
+
+  /** Force the shared index artifacts for (session, sf dir) — bench
+    * hygiene: training cost lands in the `staging` metric; q191/q192
+    * report the ADC probe, q120/q123 the bucketed scan. */
   def stageArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     pqArtifacts(s, d)
+    kmBuckets(s, d)
     ()
   }
 
@@ -322,30 +342,23 @@ object SimilarityQ {
 
     // The standalone IVF path: probe within the DERIVED k-means
     // bucket — no precomputed label column involved. The assignment is
-    // localCheckpoint-materialized first: the probe fans the bucketed
-    // relation out ~5x (prescreen q+c sides, exact rescore, norms),
-    // and re-deriving the whole Lloyd DAG per reference is the
-    // difference between 7.0 s and ~2 s at sf0.1 (in production the
-    // assignment would be a lake table; the checkpoint is its
-    // in-session stand-in)
-    "q120_ivf_kmeans" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val buckets = Similarity.kmeansBuckets(emb, k = 8, rounds = 2,
-        trainPred = _.filter(col("vec_id") % 5 === 0)).localCheckpoint(true)
-      Similarity.ivfTopKWith(emb, buckets, _.filter(col("vec_id") < 20), 5)
-        .orderBy("query_id", "rank")
-    }),
+    // the staged [[kmBuckets]] lake artifact: the probe fans the
+    // bucketed relation out ~5x (prescreen q+c sides, exact rescore,
+    // norms), and re-deriving the whole Lloyd DAG per reference — or
+    // even per query — is the difference between 7.0 s and ~2 s at
+    // sf0.1 (in production the assignment IS a lake table)
+    "q120_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfTopKWith(Tables.embeddings(s, d), kmBuckets(s, d),
+        _.filter(col("vec_id") < 20), 5)
+        .orderBy("query_id", "rank")),
 
     // Embedding near-dup over DERIVED k-means buckets: the q66 path
     // with no precomputed label column — the last label dependence
-    // removed from the similarity family
-    "q123_neardup_kmeans" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val buckets = Similarity.kmeansBuckets(emb, k = 8, rounds = 2,
-        trainPred = _.filter(col("vec_id") % 5 === 0)).localCheckpoint(true)
-      Similarity.embeddingNearDupsWith(emb, buckets, 0.3)
-        .orderBy("vec_a", "vec_b")
-    }),
+    // removed from the similarity family; shares q120's staged
+    // assignment artifact
+    "q123_neardup_kmeans" -> ((s, d) =>
+      Similarity.embeddingNearDupsWith(Tables.embeddings(s, d), kmBuckets(s, d), 0.3)
+        .orderBy("vec_a", "vec_b")),
 
     // Multi-probe LSH: the query probes every bucket within Hamming
     // distance 2 of its own sign bucket — the recall fix over q82's

@@ -34,8 +34,7 @@ object StreamingQ {
     // group-by and stays oracle-checkable)
     "q44_stream_window" -> ((s, d) =>
       MicroBatch.aggRun(s, d) { stream =>
-        stream
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        graft.Tables.toEventTime(stream)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .count()
@@ -53,8 +52,7 @@ object StreamingQ {
     "q80_stream_dedup" -> ((s, d) =>
       MicroBatch.appendRun(s, d, copies = 2, maxFilesPerTrigger = Some(1),
         statePartitions = Some(8)) { stream =>
-        stream
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        graft.Tables.toEventTime(stream)
           .withWatermark("ts", "2 days")
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("event_type"), col("value"))
@@ -82,12 +80,11 @@ object StreamingQ {
     // exactly its own redelivery-free counterpart.
     "q81_stream_stream_join" -> ((s, d) =>
       MicroBatch.joinRun(s, d) { (left, right) =>
-        val a = left
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        val a = graft.Tables.toEventTime(left)
           .withWatermark("ts", "1 hour")
           .select(col("event_id"), col("ts"), col("event_type"))
         val b = right
-          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withColumn("b_ts", graft.Tables.eventTimeCol(right))
           .withWatermark("b_ts", "1 hour")
           .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
         a.join(b,
@@ -223,12 +220,11 @@ object StreamingQ {
       val cutDate = Tables.events(s, d)
         .agg(date_add(min(to_date(col("ts"))), 2)).head().getDate(0)
       MicroBatch.joinRun(s, d) { (left, right) =>
-        val a = left
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        val a = graft.Tables.toEventTime(left)
           .withWatermark("ts", "1 hour")
           .select(col("event_id"), col("ts"), col("event_type"))
         val b = right
-          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withColumn("b_ts", graft.Tables.eventTimeCol(right))
           .withWatermark("b_ts", "1 hour")
           .filter(to_date(col("b_ts")) >= lit(cutDate))
           .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
@@ -258,13 +254,12 @@ object StreamingQ {
       val cutDate = Tables.events(s, d)
         .agg(date_add(min(to_date(col("ts"))), 2)).head().getDate(0)
       MicroBatch.joinRun(s, d) { (left, right) =>
-        val a = left
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        val a = graft.Tables.toEventTime(left)
           .withWatermark("ts", "1 hour")
           .filter(col("event_id") % 3 =!= 0 || to_date(col("ts")) >= lit(cutDate))
           .select(col("event_id"), col("ts"), col("event_type"))
         val b = right
-          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withColumn("b_ts", graft.Tables.eventTimeCol(right))
           .withWatermark("b_ts", "1 hour")
           .filter(col("event_id") % 2 =!= 0 || to_date(col("b_ts")) >= lit(cutDate))
           .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
@@ -291,8 +286,7 @@ object StreamingQ {
     // hash-checkable against the gaps-and-islands oracle
     "q170_stream_sessions" -> ((s, d) =>
       MicroBatch.aggRun(s, d, splitParts = Some(3)) { stream =>
-        stream
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        graft.Tables.toEventTime(stream)
           .filter(col("user_id") < 50)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -339,8 +333,7 @@ object StreamingQ {
         conf = graft.streaming.Stateful.rocksDBConf) { stream =>
         import s.implicits._
         graft.streaming.Stateful.timerSessions(
-          stream
-            .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+          graft.Tables.toEventTime(stream)
             .withWatermark("ts", "0 seconds")
             .filter(col("user_id") < 50)
             .select(col("user_id"), unix_micros(col("ts")).as("us"))
@@ -357,12 +350,11 @@ object StreamingQ {
     // DELAYED watermark emit; the oracle applies the identical cut
     "q193_stream_join_window" -> ((s, d) =>
       MicroBatch.joinRun(s, d) { (left, right) =>
-        val a = left
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        val a = graft.Tables.toEventTime(left)
           .withWatermark("ts", "1 hour")
           .select(col("event_id"), col("ts"), col("event_type"))
         val b = right
-          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withColumn("b_ts", graft.Tables.eventTimeCol(right))
           .withWatermark("b_ts", "1 hour")
           .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
         a.join(b,

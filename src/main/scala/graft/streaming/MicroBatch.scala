@@ -30,18 +30,6 @@ import graft.lake.LakeTable
   */
 object MicroBatch {
 
-  /** events schema for the file source. `ts` is declared LongType:
-    * the parquet carries TIMESTAMP(NANOS), which Spark 4 reads as raw
-    * nanos under spark.sql.legacy.parquet.nanosAsLong (see
-    * GraftSession); graft.Tables.events does the same. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val runId = new AtomicInteger(0)
 
   /** Peak state-store footprint of one stateful operator across a
@@ -145,7 +133,7 @@ object MicroBatch {
   def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int,
                        copies: Int = 1): Path = {
     val in = Files.createTempDirectory("graft-stream-in")
-    val one = spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    val one = spark.read.parquet(s"$sfDir/events.parquet")
     (1 to copies).map(_ => one).reduce(_ union _)
       .repartition(parts, org.apache.spark.sql.functions.col("event_id"))
       .write.mode("overwrite").parquet(in.toString)
@@ -161,7 +149,7 @@ object MicroBatch {
   def stageEventsByTime(spark: SparkSession, sfDir: String, parts: Int,
                         copies: Int = 1): Path = {
     val in = Files.createTempDirectory("graft-stream-in")
-    val one = spark.read.schema(eventsSchema).parquet(s"$sfDir/events.parquet")
+    val one = spark.read.parquet(s"$sfDir/events.parquet")
     val all = (1 to copies).map(_ => one).reduce(_ union _)
     val bucketed = all.withColumn("__gf_bucket",
       ntile(parts).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
@@ -182,7 +170,12 @@ object MicroBatch {
     * needed to genuinely exercise cross-batch state. */
   def fileSource(spark: SparkSession, inDir: Path,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(eventsSchema)
+    // A streaming file source needs an explicit schema; derive it from
+    // the files actually staged (footer-only batch read) so `ts` tracks
+    // whatever physical encoding the driver generated — a hard-coded
+    // LongType here silently fed raw micros into the ns->us division
+    // when the testdata switched to timestamp[us] (VERDICT r11).
+    val r = spark.readStream.schema(spark.read.parquet(inDir.toString).schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
     r.parquet(inDir.toString)
   }

@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed aggregation over the stream equals the batch group-by") {
     val streamed = MicroBatch.aggRun(spark, sf) { s =>
-      s.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.toEventTime(s)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .count()
@@ -43,7 +43,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stream dedup collapses an at-least-once redelivery to the batch table") {
     val streamed = MicroBatch.appendRun(spark, sf, copies = 2,
       maxFilesPerTrigger = Some(1), statePartitions = Some(4)) { s =>
-      s.withColumn("ts", timestamp_micros(Tables.nsToUs))
+      graft.Tables.toEventTime(s)
         .withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"))
@@ -116,10 +116,10 @@ class StreamingSpec extends AnyFunSuite {
     val expectedUnmatched = batch.filter(to_date(col("ts")) < lit(cutDate)).count()
     assert(expectedUnmatched > 0, "fixture must span more than two days")
     val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
-      val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
+      val a = graft.Tables.toEventTime(l)
         .withWatermark("ts", "1 hour")
         .select(col("event_id"), col("ts"), col("event_type"))
-      val b = r.withColumn("b_ts", timestamp_micros(Tables.nsToUs))
+      val b = r.withColumn("b_ts", graft.Tables.eventTimeCol(r))
         .withWatermark("b_ts", "1 hour")
         .filter(to_date(col("b_ts")) >= lit(cutDate))
         .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
@@ -147,11 +147,11 @@ class StreamingSpec extends AnyFunSuite {
     val expectDropped = old.filter(col("event_id") % 6 === 0).count()
     assert(expectLeftOnly > 0 && expectRightOnly > 0, "fixture must populate both outer sides")
     val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
-      val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
+      val a = graft.Tables.toEventTime(l)
         .withWatermark("ts", "1 hour")
         .filter(col("event_id") % 3 =!= 0 || to_date(col("ts")) >= lit(cutDate))
         .select(col("event_id"), col("ts"), col("event_type"))
-      val b = r.withColumn("b_ts", timestamp_micros(Tables.nsToUs))
+      val b = r.withColumn("b_ts", graft.Tables.eventTimeCol(r))
         .withWatermark("b_ts", "1 hour")
         .filter(col("event_id") % 2 =!= 0 || to_date(col("b_ts")) >= lit(cutDate))
         .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
@@ -168,10 +168,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream time-bounded self join matches every event once") {
     val joined = MicroBatch.joinRun(spark, sf) { (l, r) =>
-      val a = l.withColumn("ts", timestamp_micros(Tables.nsToUs))
+      val a = graft.Tables.toEventTime(l)
         .withWatermark("ts", "1 hour")
         .select(col("event_id"), col("ts"), col("event_type"))
-      val b = r.withColumn("b_ts", timestamp_micros(Tables.nsToUs))
+      val b = r.withColumn("b_ts", graft.Tables.eventTimeCol(r))
         .withWatermark("b_ts", "1 hour")
         .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
       a.join(b, col("event_id") === col("b_id") &&

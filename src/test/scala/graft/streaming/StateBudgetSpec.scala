@@ -22,8 +22,7 @@ class StateBudgetSpec extends AnyFunSuite {
   test("session-window agg (q170 shape): state rows track sessions, not events") {
     def run(copies: Int): Long = {
       MicroBatch.aggRun(spark, sf, splitParts = Some(3), copies = copies) { stream =>
-        stream
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        graft.Tables.toEventTime(stream)
           .filter(col("user_id") < 50)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"))
@@ -48,8 +47,7 @@ class StateBudgetSpec extends AnyFunSuite {
       import spark.implicits._
       MicroBatch.updateRun(spark, sf,
         conf = Stateful.rocksDBConf, copies = copies) { stream =>
-        val grouped = stream
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        val grouped = graft.Tables.toEventTime(stream)
           .withWatermark("ts", "0 seconds")
           .filter(col("user_id") < 50)
           .select(col("user_id"), unix_micros(col("ts")).as("us"))
@@ -79,12 +77,11 @@ class StateBudgetSpec extends AnyFunSuite {
       val in = MicroBatch.stageEventsByTime(spark, sf, parts = 10, copies = copies)
       MicroBatch.joinRun(spark, sf, copies = copies,
         maxFilesPerTrigger = Some(1), inDir = Some(in)) { (left, right) =>
-        val a = left
-          .withColumn("ts", timestamp_micros(graft.Tables.nsToUs))
+        val a = graft.Tables.toEventTime(left)
           .withWatermark("ts", "1 hour")
           .select(col("event_id"), col("ts"), col("event_type"))
         val b = right
-          .withColumn("b_ts", timestamp_micros(graft.Tables.nsToUs))
+          .withColumn("b_ts", graft.Tables.eventTimeCol(right))
           .withWatermark("b_ts", "1 hour")
           .select(col("event_id").as("b_id"), col("b_ts"), col("value"))
         a.join(b,
