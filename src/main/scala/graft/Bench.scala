@@ -147,8 +147,9 @@ object Bench {
       s"Bench (local[32], `$sfDir`, `graft.Bench`, median of $reps reps per " +
         s"query): **${results.size} queries, ${f1(total)} s total, $nErrors errors** " +
         s"(+ ${f2(staging)} s one-time staged artifacts: the dedup cluster " +
-        "assignment shared by q103/q126/q128 and the trained PQ index read " +
-        "by q191/q192 — reported separately so the total decomposes).",
+        "assignment shared by q103/q126/q128, the trained PQ index read by " +
+        "q191/q192, and the k-means coarse assignment read by q120/q123 — " +
+        "reported separately so the total decomposes).",
       "", "Slowest 12 (median seconds):", "",
       "| Query | s | Query | s |", "|---|---|---|---|") ++ rows ++ Seq("", end))
       .mkString("\n")
