@@ -377,6 +377,35 @@ object SimilarityQ {
           expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("qdot"),
           expr("aggregate(a.qv, 0L, (acc, v) -> acc + v * v)").as("qnorm2"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup (Abbas et al. 2023) as a relational pipeline: embedding
+    // near-dup pairs within the staged k-means coarse buckets (q123's
+    // candidate generator — never all-pairs), connected components over
+    // the pair graph (min-label propagation with pointer jumping), keep
+    // exactly the minimum-id representative per component; every vector
+    // outside any component is its own survivor. The full keep/drop
+    // decision table is the output, so downstream corpus filters are a
+    // semi-join against `kept = 1`.
+    "q199_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity
+        .embeddingNearDupsWith(emb, kmBuckets(s, d), 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      // cosine 0.3 is a LOOSE threshold: transitive near-dup chains get
+      // long at scale, so the component pass is pointer-doubling with a
+      // 16-round budget (diameter 2^16) — sf0.01 already exceeds what 8
+      // rounds of plain label propagation cover
+      val comp = graft.operators.Dedup
+        .dedupClusters(pairs, iterations = 16, pointerJumping = true)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+      emb.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+        .withColumn("kept",
+          (col("vec_id") === col("cluster")).cast("long"))
+        .orderBy("vec_id")
     })
   )
 
@@ -551,6 +580,50 @@ object SimilarityQ {
          |  JOIN norms na ON d.vec_a = na.vec_id
          |  JOIN norms nb ON d.vec_b = nb.vec_id
          |) WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // q123's pair generator, then transitive closure via the recursive
+    // CTE (the q103 pattern) and min-id-per-component canonicals
+    "q199_semantic_dedup" ->
+      s"""WITH RECURSIVE $kmeansSql,
+         |ex AS (
+         |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
+         |         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings) e
+         |  JOIN afin a USING (vec_id)
+         |),
+         |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b
+         |    ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id
+         |),
+         |prs AS (
+         |  SELECT vec_a AS u, vec_b AS v FROM (
+         |    SELECT d.vec_a AS vec_a, d.vec_b AS vec_b,
+         |           CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+         |           (sqrt(CAST(CAST(na.norm2 AS VARCHAR) AS DOUBLE)) *
+         |            sqrt(CAST(CAST(nb.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+         |    FROM dots d
+         |    JOIN norms na ON d.vec_a = na.vec_id
+         |    JOIN norms nb ON d.vec_b = nb.vec_id
+         |  ) WHERE cosine >= 0.3
+         |),
+         |edges AS (SELECT u, v FROM prs UNION ALL SELECT v AS u, u AS v FROM prs),
+         |reach AS (
+         |  SELECT u AS id, u AS lbl FROM edges
+         |  UNION
+         |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+         |),
+         |labels AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT emb.vec_id AS vec_id,
+         |       COALESCE(l.cluster, emb.vec_id) AS cluster,
+         |       CAST(CASE WHEN emb.vec_id = COALESCE(l.cluster, emb.vec_id)
+         |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.id
+         |ORDER BY vec_id""".stripMargin,
 
     "q121_lsh_multiprobe" ->
       """WITH ex AS (

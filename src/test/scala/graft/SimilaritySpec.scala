@@ -134,4 +134,19 @@ class SimilaritySpec extends AnyFunSuite {
       .select("cand_id").as[Long].collect()
     assert(out.toSet === Set(1L, 2L))
   }
+
+  test("semantic dedup keeps exactly the min-id representative per component") {
+    val out = queries.SimilarityQ.queries("q199_semantic_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVec = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(out.length.toLong === nVec) // a full keep/drop decision table
+    out.groupBy(_._2).foreach { case (cluster, members) =>
+      val keptIds = members.filter(_._3 == 1L).map(_._1)
+      assert(keptIds.toSeq === Seq(cluster),
+        s"cluster $cluster kept ${keptIds.mkString(",")}")
+      assert(members.map(_._1).min === cluster,
+        s"cluster $cluster label is not its min member")
+    }
+  }
 }
