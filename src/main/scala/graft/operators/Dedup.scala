@@ -264,11 +264,16 @@ object Dedup {
     * DataFrames. */
   def dedupClusters(pairs: DataFrame, iterations: Int = 8,
                     pointerJumping: Boolean = false): DataFrame = {
+    // materialize the MINED pairs before symmetrizing: every iteration
+    // references the edge list, and without truncating lineage each
+    // round would re-derive the whole upstream pair-mining DAG
+    // (iterative algorithms on DataFrames must checkpoint between
+    // rounds — same rule as GraphX/Pregel). Checkpointing BEFORE the
+    // self-union matters too: union(edges, edges.swap) over the raw
+    // plan evaluates the mining DAG twice inside the one materializing
+    // job — the pair list is tiny, the mining is the expensive half.
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-    // materialize the edge list once: every iteration references it, and
-    // without truncating lineage each round would re-derive the whole
-    // upstream pair-mining DAG (iterative algorithms on DataFrames must
-    // checkpoint between rounds — same rule as GraphX/Pregel)
+      .localCheckpoint(true)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val verts = sym.select(col("u").as("id")).distinct()
