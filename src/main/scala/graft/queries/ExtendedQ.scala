@@ -830,6 +830,33 @@ object ExtendedQ {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Funnel analysis (view → click → purchase): per user, the
+    // earliest view, the earliest click STRICTLY AFTER it, the
+    // earliest purchase strictly after that — per-step converted-user
+    // counts. Three conditional min-aggregations chained by equi-join,
+    // all hash-partitioned on user_id so Catalyst reuses one exchange;
+    // no per-user event arrays are ever materialized (the
+    // collect_list+fold alternative carries whole users in memory —
+    // this shape streams at any events volume).
+    "q200_funnel_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def firstAfter(evType: String, prev: org.apache.spark.sql.DataFrame,
+                     prevCol: String, outCol: String) =
+        ev.filter(col("event_type") === evType)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = firstAfter("click", v, "t1", "t2")
+      val p = firstAfter("purchase", c, "t2", "t3")
+      v.select(lit("1_view").as("step"), col("user_id"))
+        .union(c.select(lit("2_click").as("step"), col("user_id")))
+        .union(p.select(lit("3_purchase").as("step"), col("user_id")))
+        .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+        .orderBy("step")
     })
   )
 
@@ -1199,6 +1226,29 @@ object ExtendedQ {
         |  SELECT CAST(99 AS BIGINT) AS node, CAST(86 * 150000000000 AS BIGINT) AS score
         |  UNION ALL
         |  SELECT i AS node, CAST(150000000000 AS BIGINT) AS score FROM range(100, 200) t(i)
-        |) ORDER BY node""".stripMargin
+        |) ORDER BY node""".stripMargin,
+
+    "q200_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |),
+        |c AS (
+        |  SELECT e.user_id AS user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |),
+        |p AS (
+        |  SELECT e.user_id AS user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click' AS step, COUNT(*) AS n_users FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase' AS step, COUNT(*) AS n_users FROM p
+        |) ORDER BY step""".stripMargin
   )
 }
