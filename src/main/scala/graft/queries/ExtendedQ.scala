@@ -857,6 +857,27 @@ object ExtendedQ {
         .union(p.select(lit("3_purchase").as("step"), col("user_id")))
         .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
         .orderBy("step")
+    }),
+
+    // Retention cohorts: users bucketed by the ISO week of their first
+    // event; for every later active week, the (cohort, week-offset)
+    // cell counts retained users. Two aggregations — distinct
+    // (user, week) then first-week per user — both partitioned on
+    // user_id before the final small (cohort, offset) rollup; the
+    // events table is touched once and never carried per-user in
+    // memory.
+    "q201_retention_cohorts" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .distinct()
+      val first = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      wk.join(first, "user_id")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          expr("datediff(week, cohort) div 7").as("week_offset"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "week_offset")
     })
   )
 
@@ -1249,6 +1270,18 @@ object ExtendedQ {
         |  SELECT '2_click' AS step, COUNT(*) AS n_users FROM c
         |  UNION ALL
         |  SELECT '3_purchase' AS step, COUNT(*) AS n_users FROM p
-        |) ORDER BY step""".stripMargin
+        |) ORDER BY step""".stripMargin,
+
+    "q201_retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |),
+        |f AS (SELECT user_id, MIN(week) AS cohort FROM wk GROUP BY user_id)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |       CAST((wk.week - f.cohort) // 7 AS BIGINT) AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM wk JOIN f ON wk.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
   )
 }
