@@ -878,6 +878,31 @@ object ExtendedQ {
         .groupBy(col("cohort"), col("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort", "week_offset")
+    }),
+
+    // A/B experiment readout: users deterministically hash-split into
+    // two arms (the q83 md5 idiom — no RNG, so assignment reproduces
+    // on any engine), then per-arm reach, purchase conversion, and
+    // decimal-exact purchase value. The arm column is derived in the
+    // scan projection; both aggregations partition on arm (2 keys) —
+    // at 100 TB the cost is the one events pass, not the rollup.
+    "q202_ab_metrics" -> ((s, d) => {
+      val arms = Tables.events(s, d).withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+          lit("A")).otherwise(lit("B")))
+      val users = arms.groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val purch = arms.filter(col("event_type") === "purchase")
+        .groupBy(col("arm"))
+        .agg(countDistinct(col("user_id")).as("n_purchasers"),
+          dsum(col("value")).as("total_value"))
+      users.join(purch, Seq("arm"), "left")
+        .select(col("arm"), col("n_users"),
+          coalesce(col("n_purchasers"), lit(0L)).as("n_purchasers"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"),
+          (coalesce(col("n_purchasers"), lit(0L)).cast("double") /
+            col("n_users").cast("double")).as("conversion"))
+        .orderBy("arm")
     })
   )
 
@@ -1282,6 +1307,25 @@ object ExtendedQ {
         |       CAST((wk.week - f.cohort) // 7 AS BIGINT) AS week_offset,
         |       COUNT(*) AS n_users
         |FROM wk JOIN f ON wk.user_id = f.user_id
-        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q202_ab_metrics" ->
+      s"""WITH a AS (
+         |  SELECT user_id, event_type, value,
+         |         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+         |              THEN 'A' ELSE 'B' END AS arm
+         |  FROM events
+         |),
+         |u AS (SELECT arm, COUNT(DISTINCT user_id) AS n_users FROM a GROUP BY arm),
+         |p AS (SELECT arm, COUNT(DISTINCT user_id) AS n_purchasers,
+         |             ${sqlDsum("value")} AS total_value
+         |      FROM a WHERE event_type = 'purchase' GROUP BY arm)
+         |SELECT u.arm AS arm, u.n_users AS n_users,
+         |       COALESCE(p.n_purchasers, 0) AS n_purchasers,
+         |       COALESCE(p.total_value, 0.0) AS total_value,
+         |       CAST(COALESCE(p.n_purchasers, 0) AS DOUBLE) /
+         |       CAST(u.n_users AS DOUBLE) AS conversion
+         |FROM u LEFT JOIN p ON u.arm = p.arm
+         |ORDER BY arm""".stripMargin
   )
 }
