@@ -59,6 +59,22 @@ class EventTimeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("StringType"))
   }
 
+  test("the LEGACY nanos encoding reads end-to-end through the adaptive path") {
+    // a committed TIMESTAMP(NANOS) fixture in the exact physical shape
+    // the driver generated through round 10: under nanosAsLong the scan
+    // yields LongType raw nanos, and toEventTime must floor to the
+    // microsecond exactly the way DuckDB casts the same file down
+    val path = getClass.getResource("/events_nanos.parquet").getPath
+    val raw = spark.read.parquet(path)
+    assert(raw.schema("ts").dataType === LongType,
+      s"fixture must read as raw nanos — got ${raw.schema.toDDL}")
+    val got = Tables.toEventTime(raw)
+      .orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().toSeq.map(_.getLong(0))
+    assert(got === Seq(1700000000123456L, 1700000000123456L,
+      1699999999999999L, 1700000086400000L, 1700000172800000L))
+  }
+
   test("Tables.events adapts to whatever the driver generated") {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType === TimestampType)
