@@ -637,6 +637,172 @@ object IcebergInterop {
     parts.size
   }
 
+  /** PARTITION-SPEC EVOLUTION export (v1): snapshot 1 holds the rows
+    * matching `oldWhere` partitioned under `oldSpec` (spec-id 0);
+    * the spec then evolves and snapshot 2 — the current one — appends
+    * the remaining rows under `newSpec` (spec-id 1). Snapshot 2's
+    * manifest list carries BOTH manifests, each tagged with its own
+    * partition_spec_id, and the metadata's partition-specs list keeps
+    * the full spec history with `default-spec-id` = 1 — exactly the
+    * layout a real table has after `ALTER TABLE … REPLACE PARTITION
+    * FIELD`. Old data is NEVER rewritten on evolution (the spec's core
+    * promise); a reader prunes each manifest by the spec it was
+    * written under and keeps manifests whose spec cannot prove
+    * exclusion. Returns (old-spec file count, new-spec file count). */
+  def exportSnapshotEvolved(table: LakeTable, destRoot: Path,
+                            oldSpec: Seq[(String, String)],
+                            newSpec: Seq[(String, String)],
+                            oldWhere: org.apache.spark.sql.Column,
+                            version: Long = -1L): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, not}
+    val df = table.snapshot(version)
+    df.schema.fields.foreach(f => toIcebergType(f.dataType)) // fail loud up front
+    val specs: Seq[Seq[(String, String)]] =
+      Seq(oldSpec, newSpec).map(_.map { case (c, t) => c -> canonicalTransform(t) })
+    specs.flatten.foreach { case (c, t) =>
+      require(df.columns.contains(c), s"partition column $c not in ${df.columns.mkString(",")}")
+      transformResultType(t, df.schema(c).dataType) // fail loud up front
+    }
+    val metaDir = destRoot.resolve("metadata")
+    Files.createDirectories(metaDir)
+    val snapIds = Seq.fill(2)(math.abs(UUID.randomUUID().getLeastSignificantBits) | 1L)
+    // field-ids are table-unique ACROSS the spec history (1000, 1001, …)
+    val fieldIdBase = Seq(0, oldSpec.size)
+
+    val perSpec = specs.zipWithIndex.map { case (pfields, si) =>
+      val slice = if (si == 0) df.filter(oldWhere) else df.filter(not(oldWhere))
+      val dataDir = destRoot.resolve("data").resolve(s"s$si")
+      val tcols = pfields.zipWithIndex.map { case ((c, t), i) =>
+        transformColumn(t, col(c), df.schema(c).dataType).as(s"__gf_pt_$i")
+      }
+      val tnames = pfields.indices.map(i => s"__gf_pt_$i")
+      slice.select(df.columns.map(col) ++ tcols: _*)
+        .write.mode("error").partitionBy(tnames: _*).parquet(dataDir.toString)
+      val resultTypes = pfields.map { case (c, t) =>
+        transformResultType(t, df.schema(c).dataType) }
+      val parts = walkPartitionedData(dataDir, tnames, resultTypes)
+      val pfieldNames = pfields.map { case (c, t) => partitionFieldName(c, t) }
+      val partitionSchema = AvroSchema.createRecord(
+        "r102", null, "org.apache.iceberg", false,
+        pfields.zip(pfieldNames).zipWithIndex.map { case (((c, t), n), i) =>
+          field(n, optional(partitionAvroType(
+            transformResultType(t, df.schema(c).dataType))),
+            1000 + fieldIdBase(si) + i)
+        }.asJava)
+      val entrySchema = manifestEntrySchemaWith(partitionSchema)
+      val manifestPath = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+      Using.resource(new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))) { w =>
+        w.create(entrySchema, manifestPath.toFile)
+        parts.foreach { case (f, tuple) =>
+          val dfr = new GenericData.Record(entrySchema.getField("data_file").schema())
+          dfr.put("file_path", s"file://${f.toAbsolutePath}")
+          dfr.put("file_format", "PARQUET")
+          val pr = new GenericData.Record(partitionSchema)
+          pfieldNames.zip(tuple).foreach { case (n, v) => pr.put(n, v) }
+          dfr.put("partition", pr)
+          dfr.put("record_count", parquetRowCount(f))
+          dfr.put("file_size_in_bytes", Files.size(f))
+          dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapIds(si))
+          e.put("data_file", dfr)
+          w.append(e)
+        }
+      }
+      (manifestPath, parts.size)
+    }
+
+    // snapshot 1 sees only the old-spec manifest; snapshot 2 (current)
+    // sees both, each row tagged with the spec it was written under
+    def writeList(rows: Seq[(Path, Int, Int, Long)]): Path = {
+      val lp = metaDir.resolve(s"snap-${rows.last._4}-${UUID.randomUUID()}.avro")
+      Using.resource(new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](manifestListSchema))) { w =>
+        w.create(manifestListSchema, lp.toFile)
+        rows.foreach { case (mp, n, specId, snapId) =>
+          val m = new GenericData.Record(manifestListSchema)
+          m.put("manifest_path", s"file://${mp.toAbsolutePath}")
+          m.put("manifest_length", Files.size(mp))
+          m.put("partition_spec_id", specId)
+          m.put("added_snapshot_id", snapId)
+          m.put("added_data_files_count", n)
+          m.put("existing_data_files_count", 0)
+          m.put("deleted_data_files_count", 0)
+          w.append(m)
+        }
+      }
+      lp
+    }
+    val list1 = writeList(Seq((perSpec(0)._1, perSpec(0)._2, 0, snapIds(0))))
+    val list2 = writeList(Seq(
+      (perSpec(0)._1, perSpec(0)._2, 0, snapIds(0)),
+      (perSpec(1)._1, perSpec(1)._2, 1, snapIds(1))))
+
+    val nowMs = Files.getLastModifiedTime(destRoot).toMillis
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", UUID.randomUUID().toString)
+    root.put("location", s"file://${destRoot.toAbsolutePath}")
+    root.put("last-updated-ms", nowMs)
+    root.put("last-column-id", df.schema.fields.length)
+    val schemaNode = root.putObject("schema")
+    schemaNode.put("type", "struct")
+    schemaNode.put("schema-id", 0)
+    val fieldsArr = schemaNode.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fieldsArr.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", toIcebergType(f.dataType))
+    }
+    val colId = df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val legacySpec = root.putArray("partition-spec") // legacy v1 field: the DEFAULT spec
+    val specsArr = root.putArray("partition-specs")
+    specs.zipWithIndex.foreach { case (pfields, si) =>
+      val sp = specsArr.addObject()
+      sp.put("spec-id", si)
+      val fa = sp.putArray("fields")
+      pfields.zipWithIndex.foreach { case ((c, t), i) =>
+        val targets =
+          if (si == 1) Seq(fa.addObject(), legacySpec.addObject())
+          else Seq(fa.addObject())
+        targets.foreach { fn =>
+          fn.put("name", partitionFieldName(c, t))
+          fn.put("transform", t)
+          fn.put("source-id", colId(c))
+          fn.put("field-id", 1000 + fieldIdBase(si) + i)
+        }
+      }
+    }
+    root.put("default-spec-id", 1)
+    root.put("last-partition-id", 999 + math.max(specs.map(_.size).sum, 1))
+    root.put("default-sort-order-id", 0)
+    val orders = root.putArray("sort-orders")
+    val order0 = orders.addObject()
+    order0.put("order-id", 0)
+    order0.putArray("fields")
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapIds(1))
+    val snaps = root.putArray("snapshots")
+    Seq((snapIds(0), list1), (snapIds(1), list2)).foreach { case (id, lp) =>
+      val sn = snaps.addObject()
+      sn.put("snapshot-id", id)
+      sn.put("timestamp-ms", nowMs)
+      sn.putObject("summary").put("operation", "append")
+      sn.put("manifest-list", s"file://${lp.toAbsolutePath}")
+    }
+    root.putArray("snapshot-log")
+    root.putArray("metadata-log")
+    Files.writeString(metaDir.resolve("v1.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(metaDir.resolve("version-hint.text"), "1")
+    (perSpec(0)._2, perSpec(1)._2)
+  }
+
   /** Canonical form for data-file path equality: any `file:` URI or
     * plain path → one absolute `/…` path. Position deletes reference
     * data files by EXACT path string, so both the delete-file writer
@@ -1258,12 +1424,27 @@ object IcebergInterop {
     // because hive-MIGRATED tables may have files that physically lack
     // the partition columns and would silently read as null), and the
     // source-id must resolve in the current schema.
+    // Partition-spec EVOLUTION: pruning evaluates the fields of EVERY
+    // spec the table has ever had, not just the default — a manifest
+    // written under an older spec carries THAT spec's partition
+    // record, and the per-entry check below keeps any entry whose
+    // record lacks a field (absence cannot prove exclusion). Looking
+    // only at the default spec would refuse to prune on a column an
+    // older spec partitioned by, and skip old manifests' checks for an
+    // evolved-in column. Fields dedupe by partition-field name; a name
+    // reused across specs with a different transform or source would
+    // make the per-name record lookup ambiguous — refuse loudly.
     val specFields: Seq[JsonNode] =
       if (meta.has("partition-specs")) {
-        val defId = if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt() else 0
-        meta.get("partition-specs").elements().asScala
-          .find(_.get("spec-id").asInt() == defId)
-          .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
+        val all = meta.get("partition-specs").elements().asScala
+          .flatMap(_.get("fields").elements().asScala).toSeq
+        all.groupBy(_.get("name").asText()).foreach { case (n, fs) =>
+          require(fs.map(f => (f.get("transform").asText(),
+              f.get("source-id").asInt())).distinct.size == 1,
+            s"partition field $n appears across specs with different " +
+              s"transform/source at $root — per-name pruning would be ambiguous")
+        }
+        all.distinctBy(_.get("name").asText())
       } else if (meta.has("partition-spec"))
         meta.get("partition-spec").elements().asScala.toSeq
       else Nil

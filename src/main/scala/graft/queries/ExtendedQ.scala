@@ -903,6 +903,47 @@ object ExtendedQ {
           (coalesce(col("n_purchasers"), lit(0L)).cast("double") /
             col("n_users").cast("double")).as("conversion"))
         .orderBy("arm")
+    }),
+
+    // lake — ICEBERG PARTITION-SPEC EVOLUTION: the first era of the
+    // table is partitioned identity(event_type); the spec then evolves
+    // to day(ts) and the second era lands under it — old files are
+    // NEVER rewritten (the spec's core promise), the current snapshot
+    // unions manifests of both specs, and pruning applies each
+    // manifest's OWN spec, keeping any manifest whose spec cannot
+    // prove exclusion. Both prune directions are asserted to actually
+    // skip files, and the hash gate proves neither direction lost an
+    // in-range row from either era.
+    "q203_iceberg_spec_evolution" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val t = graft.lake.LakeTable.createTemp(s, base, "graft-evoq")
+      val dest = Files.createTempDirectory("graft-evo-q").resolve("t")
+      val (n0, n1) = graft.lake.IcebergInterop.exportSnapshotEvolved(t, dest,
+        oldSpec = Seq("event_type" -> "identity"),
+        newSpec = Seq("ts" -> "day"),
+        oldWhere = col("ts") < "2024-01-08 00:00:00")
+      require(n0 > 0 && n1 > 0, s"both spec eras must write files, got ($n0, $n1)")
+      val total = graft.lake.IcebergInterop.readIceberg(s, dest).inputFiles.length
+      val byDay = graft.lake.IcebergInterop.readIcebergPruned(s, dest, "ts",
+        java.time.LocalDate.of(2024, 1, 10), java.time.LocalDate.of(2024, 1, 14))
+      require(byDay.inputFiles.length < total,
+        s"evolved-IN prune scanned ${byDay.inputFiles.length}/$total files")
+      val byType = graft.lake.IcebergInterop.readIcebergPruned(
+        s, dest, "event_type", "click", "click")
+      require(byType.inputFiles.length < total,
+        s"evolved-AWAY prune scanned ${byType.inputFiles.length}/$total files")
+      byDay
+        .filter(col("ts") >= "2024-01-10 00:00:00" && col("ts") < "2024-01-15 00:00:00")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("key"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(lit("by_day").as("probe"), col("key"), col("n"), col("total"))
+        .unionByName(
+          byType.filter(col("event_type") === "click")
+            .groupBy(col("event_type").as("key"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+            .select(lit("by_type").as("probe"), col("key"), col("n"), col("total")))
+        .orderBy("probe", "key")
     })
   )
 
@@ -1326,6 +1367,20 @@ object ExtendedQ {
          |       CAST(COALESCE(p.n_purchasers, 0) AS DOUBLE) /
          |       CAST(u.n_users AS DOUBLE) AS conversion
          |FROM u LEFT JOIN p ON u.arm = p.arm
-         |ORDER BY arm""".stripMargin
+         |ORDER BY arm""".stripMargin,
+
+    "q203_iceberg_spec_evolution" ->
+      s"""SELECT probe, key, n, total FROM (
+         |  SELECT 'by_day' AS probe, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS key,
+         |         COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |  FROM events
+         |  WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-15 00:00:00'
+         |  GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'by_type' AS probe, event_type AS key,
+         |         COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |  FROM events WHERE event_type = 'click'
+         |  GROUP BY 2
+         |) ORDER BY probe, key""".stripMargin
   )
 }
