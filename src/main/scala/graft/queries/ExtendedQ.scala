@@ -835,29 +835,13 @@ object ExtendedQ {
     // Funnel analysis (view → click → purchase): per user, the
     // earliest view, the earliest click STRICTLY AFTER it, the
     // earliest purchase strictly after that — per-step converted-user
-    // counts. Three conditional min-aggregations chained by equi-join,
-    // all hash-partitioned on user_id so Catalyst reuses one exchange;
-    // no per-user event arrays are ever materialized (the
-    // collect_list+fold alternative carries whole users in memory —
-    // this shape streams at any events volume).
-    "q200_funnel_steps" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def firstAfter(evType: String, prev: org.apache.spark.sql.DataFrame,
-                     prevCol: String, outCol: String) =
-        ev.filter(col("event_type") === evType)
-          .join(prev, "user_id")
-          .filter(col("ts") > col(prevCol))
-          .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val c = firstAfter("click", v, "t1", "t2")
-      val p = firstAfter("purchase", c, "t2", "t3")
-      v.select(lit("1_view").as("step"), col("user_id"))
-        .union(c.select(lit("2_click").as("step"), col("user_id")))
-        .union(p.select(lit("3_purchase").as("step"), col("user_id")))
-        .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
-        .orderBy("step")
-    }),
+    // counts via `EventAnalytics.funnelSteps` (conditional
+    // min-aggregations chained on user_id, one reused exchange;
+    // differential-tested against a per-user reference fold).
+    "q200_funnel_steps" -> ((s, d) =>
+      graft.operators.EventAnalytics
+        .funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("step")),
 
     // Retention cohorts: users bucketed by the ISO week of their first
     // event; for every later active week, the (cohort, week-offset)
