@@ -4,11 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over an event stream (user_id,
-  * event_type, ts). Everything here is a chain of conditional
-  * aggregations partitioned on the user column — one exchange reused
-  * across stages, no per-user event arrays materialized — so the
-  * shapes stream at any events volume (the collect_list+fold
-  * alternative carries whole users in executor memory).
+  * event_type, ts). Everything here is a chain of per-user
+  * conditional aggregations — each stage scans only its own
+  * type-filtered slice (the filter pushes to the source), the prior
+  * stage's per-user entry times join as a user-keyed dimension the
+  * planner broadcasts while small and shuffle-joins on the user key
+  * when it grows — and no per-user event arrays are ever
+  * materialized (the collect_list+fold alternative carries whole
+  * users in executor memory).
   */
 object EventAnalytics {
 
@@ -35,7 +38,13 @@ object EventAnalytics {
               .join(acc.last, userCol)
               .filter(col(tsCol) > col(s"t${i - 1}"))
               .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
-        acc :+ stage
+        // materialize each stage's (tiny) per-user entry relation: it
+        // feeds BOTH its own step count and every later stage, and
+        // without truncating lineage stage k re-derives the whole
+        // chain below it — the unmaterialized plan recomputed stage
+        // 1's aggregate once per later step (same rule as the CC
+        // rounds in Dedup.dedupClusters)
+        acc :+ stage.localCheckpoint(true)
       }
     entries.zip(steps).zipWithIndex
       .map { case ((df, name), i) =>

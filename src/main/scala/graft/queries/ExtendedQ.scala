@@ -835,9 +835,11 @@ object ExtendedQ {
     // Funnel analysis (view → click → purchase): per user, the
     // earliest view, the earliest click STRICTLY AFTER it, the
     // earliest purchase strictly after that — per-step converted-user
-    // counts via `EventAnalytics.funnelSteps` (conditional
-    // min-aggregations chained on user_id, one reused exchange;
-    // differential-tested against a per-user reference fold).
+    // counts via `EventAnalytics.funnelSteps` (per-stage conditional
+    // min-aggregations on the user key, each stage's entry relation
+    // materialized once and joined downstream as a user-keyed
+    // dimension; differential-tested against a per-user reference
+    // fold).
     "q200_funnel_steps" -> ((s, d) =>
       graft.operators.EventAnalytics
         .funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"))
