@@ -74,4 +74,32 @@ class IcebergEvolutionSpec extends AnyFunSuite {
     // all cat=a rows survive, from both eras
     assert(pruned.filter(col("cat") === "a").count() === 3)
   }
+
+  test("evolution across non-identity transforms: bucket-era equality prune") {
+    val rows = (1L to 12L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", s"2024-01-${"%02d".format(i)} 08:00:00", i.toDouble))
+      .toDF("id", "cat", "ts_s", "v")
+      .select(col("id"), col("cat"), col("ts_s").cast("timestamp").as("ts"), col("v"))
+    val t = LakeTable.createTemp(spark, rows, "graft-evo-bkt")
+    val dest = Files.createTempDirectory("graft-evo-b").resolve("t")
+    val (n0, n1) = IcebergInterop.exportSnapshotEvolved(t, dest,
+      oldSpec = Seq("id" -> "bucket[4]"),
+      newSpec = Seq("cat" -> "truncate[2]"),
+      oldWhere = col("id") <= 6)
+    assert(n0 > 0 && n1 > 0)
+    assert(IcebergInterop.readIceberg(spark, dest).count() === 12)
+    val total = IcebergInterop.readIceberg(spark, dest).inputFiles.length
+    // bucket admits only equality pruning: old-era files prune to the
+    // probe id's bucket, new-era files (no id field in their spec) all
+    // keep — and the probed row must survive
+    val pruned = IcebergInterop.readIcebergPruned(spark, dest, "id", 3L, 3L)
+    assert(pruned.inputFiles.length < total)
+    assert(pruned.inputFiles.length >= n1 + 1)
+    assert(pruned.filter(col("id") === 3L).count() === 1)
+    // range pruning on a bucket-partitioned column must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIcebergPruned(spark, dest, "id", 1L, 5L).count()
+    }
+    assert(e.getMessage.contains("order-preserving"))
+  }
 }
