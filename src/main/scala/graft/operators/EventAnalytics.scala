@@ -17,27 +17,52 @@ object EventAnalytics {
 
   /** Ordered funnel: step 1's entry time is the user's earliest
     * `steps(0)` event; step k's is the earliest `steps(k-1)` event
-    * STRICTLY AFTER the user's step k-1 entry. Returns per-step
-    * converted-user counts as (step, n_users) with "k_name" labels
-    * (lexicographically ordered so the output sorts by funnel depth).
+    * STRICTLY AFTER the user's step k-1 entry — and, when `within`
+    * is given, AT MOST `within(k-2)` seconds after it (the form
+    * every real conversion-window funnel takes: a purchase six
+    * months after the click is not a conversion). Returns one
+    * (step, n_users) row PER STEP, including n_users = 0 for steps
+    * nobody reached — each stage's count is a scalar aggregate over
+    * its materialized entry relation, so the output shape is the
+    * step list itself, not whichever steps happened to convert
+    * (ADVICE r12: a groupBy over an empty stage emitted no row
+    * while COUNT(*) oracles emit 0). Labels are zero-padded to the
+    * funnel depth ("01_view" once a 10th step exists) so
+    * lexicographic order equals funnel order at any depth.
+    *
+    * @param within optional per-transition conversion windows in
+    *               seconds, one per step after the first: step k+1
+    *               counts only when its event lands in
+    *               (t_k, t_k + within(k-1)]. Empty = unwindowed.
     */
   def funnelSteps(ev: DataFrame, steps: Seq[String],
+                  within: Seq[Long] = Seq.empty,
                   userCol: String = "user_id",
                   typeCol: String = "event_type",
                   tsCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.size <= 9, "single-digit step labels keep the sort lexical")
+    require(within.isEmpty || within.size == steps.size - 1,
+      s"within needs one bound per transition (${steps.size - 1} here), " +
+        s"got ${within.size}")
+    require(within.forall(_ > 0), "conversion windows must be positive seconds")
+    val width = steps.size.toString.length
+    def label(i: Int) = s"%0${width}d_%s".format(i + 1, steps(i))
     val entries: Seq[DataFrame] = steps.zipWithIndex
       .foldLeft(Seq.empty[DataFrame]) { case (acc, (evType, i)) =>
         val stage =
           if (i == 0)
             ev.filter(col(typeCol) === evType)
               .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
-          else
+          else {
+            val inWindow =
+              if (within.isEmpty) lit(true)
+              else col(tsCol) <=
+                col(s"t${i - 1}") + expr(s"INTERVAL ${within(i - 1)} SECOND")
             ev.filter(col(typeCol) === evType)
               .join(acc.last, userCol)
-              .filter(col(tsCol) > col(s"t${i - 1}"))
+              .filter(col(tsCol) > col(s"t${i - 1}") && inWindow)
               .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
+          }
         // materialize each stage's (tiny) per-user entry relation: it
         // feeds BOTH its own step count and every later stage, and
         // without truncating lineage stage k re-derives the whole
@@ -46,11 +71,52 @@ object EventAnalytics {
         // rounds in Dedup.dedupClusters)
         acc :+ stage.localCheckpoint(true)
       }
-    entries.zip(steps).zipWithIndex
-      .map { case ((df, name), i) =>
-        df.select(lit(s"${i + 1}_$name").as("step"), col(userCol))
+    entries.zipWithIndex
+      .map { case (df, i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(label(i)).as("step"), col("n_users"))
       }
-      .reduce(_ union _)
-      .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+      .reduce(_ unionByName _)
+  }
+
+  /** Weekly lifecycle cohorts: classify every (week, user) activity
+    * cell as `new` (first active week), `retained` (also active the
+    * immediately preceding week) or `resurrected` (active before,
+    * but not last week), and emit a `churned` cell at week w+7 for
+    * every user active in w but not in w+7 — bounded to the corpus's
+    * last observed week, since churn past the data's edge is
+    * unknowable. Completes the q201 retention skeleton: one distinct
+    * (user, week) pass, then lag/lead over the user partition — the
+    * events table is touched once, per-user state is two adjacent
+    * window rows (never an activity array), and the corpus max-week
+    * scalar joins in on a constant key as a one-row broadcast hash
+    * join. Output (week, status, n_users), one row per non-empty
+    * cell. */
+  def weeklyChurn(ev: DataFrame,
+                  userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = ev
+      .select(col(userCol), to_date(date_trunc("week", col(tsCol))).as("week"))
+      .distinct()
+    val byUser = Window.partitionBy(userCol).orderBy("week")
+    val a = wk
+      .withColumn("prev", lag(col("week"), 1).over(byUser))
+      .withColumn("next", lead(col("week"), 1).over(byUser))
+    val active = a.select(col("week"),
+      when(col("prev").isNull, lit("new"))
+        .when(datediff(col("week"), col("prev")) === 7, lit("retained"))
+        .otherwise(lit("resurrected")).as("status"))
+    val mx = wk.agg(max(col("week")).as("max_week")).withColumn("one", lit(1))
+    val churned = a
+      .filter(col("next").isNull || datediff(col("next"), col("week")) > 7)
+      .select(date_add(col("week"), 7).as("week"))
+      .withColumn("one", lit(1))
+      .join(broadcast(mx), "one")
+      .filter(col("week") <= col("max_week"))
+      .select(col("week"), lit("churned").as("status"))
+    active.unionByName(churned)
+      .groupBy(date_format(col("week"), "yyyy-MM-dd").as("week"), col("status"))
+      .agg(count(lit(1)).as("n_users"))
   }
 }

@@ -192,13 +192,23 @@ object ParityQ {
         .orderBy("doc_id", "frame_idx")
     }),
 
-    // engine extension — HLL approximate distinct (no DuckDB-identical
-    // sketch exists, so this entry is rows-only checked)
+    // engine extension — HLL approximate distinct, made SELF-VERIFYING
+    // (VERDICT r12 next #3): no DuckDB-identical sketch exists, so the
+    // HLL registers stay engine-private, but the ERROR BOUND is
+    // deterministic — the same aggregation computes the exact distinct
+    // and asserts the estimate lands within 5% of it, and THAT boolean
+    // plus the exact count is the hash-gated output (rsd = 0.01 keeps
+    // the sketch well inside the bound at every SF; its oracle-checked
+    // estimator complement remains q89 KMV).
     "q55_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("est"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("est") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("within_5pct"))
         .orderBy("event_type")),
 
     // S12 — doc→pages generator (ocr.py:26-36 page expansion shape)
@@ -463,8 +473,13 @@ object ParityQ {
         |      FROM assets WHERE n_frames > 0)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // q55 intentionally has no oracle (HLL sketches are not
-    // cross-engine comparable) — the driver records a rows-only check.
+    // q55: the HLL registers are engine-private, but the exact count
+    // and the 5%-bound boolean are deterministic — DuckDB returns the
+    // exact distinct and TRUE, pinning Spark's estimate error.
+    "q55_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       COUNT(*) AS n, true AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q56_doc_pages" ->
       s"""WITH $docPagesSql
