@@ -38,7 +38,7 @@ object DedupQ {
     new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
 
   private def clustersArtifact(s: SparkSession, d: String): DataFrame =
-    stagedClusters.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ =>
+    stagedClusters.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ =>
       graft.lake.LakeTable.createTemp(s,
         Dedup.dedupClusters(
           Dedup.nearDupPairs(dupDocs(s, d)).select(col("doc_a"), col("doc_b"))),

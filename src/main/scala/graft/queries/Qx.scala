@@ -36,4 +36,18 @@ object Qx {
   def sqlDsum(e: String): String  = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
   def sqlDsum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
   def sqlDavg(e: String): String  = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+
+  private val sessionKeys = new java.util.WeakHashMap[SparkSession, String]()
+
+  /** Stable unique key for a live session, for memoizing staged lake
+    * artifacts per (session, sf dir). Identity-keyed through a weak
+    * map rather than `System.identityHashCode` (ADVICE r12: identity
+    * hashes can collide across distinct sessions, serving a stale
+    * artifact, and hash keys are never evicted) — two live sessions
+    * are always distinct map keys, and an entry dies with its
+    * session. */
+  def sessionKey(s: SparkSession): String = sessionKeys.synchronized {
+    sessionKeys.computeIfAbsent(
+      s, _ => java.util.UUID.randomUUID().toString)
+  }
 }

@@ -29,7 +29,7 @@ object SimilarityQ {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     val (codes, books, cents) =
-      stagedPq.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      stagedPq.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ => {
         val emb = Tables.embeddings(s, d)
         val trainPred = (df: org.apache.spark.sql.DataFrame) =>
           df.filter(col("vec_id") % 5 === 0)
@@ -57,7 +57,7 @@ object SimilarityQ {
 
   private def kmBuckets(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    stagedKm.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ =>
+    stagedKm.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ =>
       graft.lake.LakeTable.createTemp(s,
         Similarity.kmeansBuckets(Tables.embeddings(s, d), k = 8, rounds = 2,
           trainPred = _.filter(col("vec_id") % 5 === 0)),
@@ -387,27 +387,99 @@ object SimilarityQ {
     // outside any component is its own survivor. The full keep/drop
     // decision table is the output, so downstream corpus filters are a
     // semi-join against `kept = 1`.
-    "q199_semantic_dedup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val pairs = Similarity
-        .embeddingNearDupsWith(emb, kmBuckets(s, d), 0.3)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      // cosine 0.3 is a LOOSE threshold: transitive near-dup chains get
-      // long at scale, so the component pass is pointer-doubling with a
-      // 16-round budget (diameter 2^16) — sf0.01 already exceeds what 8
-      // rounds of plain label propagation cover
-      val comp = graft.operators.Dedup
-        .dedupClusters(pairs, iterations = 16, pointerJumping = true)
-        .select(col("doc_id").as("vec_id"), col("cluster"))
-      emb.select(col("vec_id"))
-        .join(comp, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+    "q199_semantic_dedup" -> ((s, d) =>
+      semanticComponents(s, d)
         .withColumn("kept",
           (col("vec_id") === col("cluster")).cast("long"))
-        .orderBy("vec_id")
-    })
+        .orderBy("vec_id")),
+
+    // SemDeDup with KEEP-BEST representatives (VERDICT r12 next #4):
+    // q199 keeps the min-id member per component — fine as an
+    // identity, but the curation win is keeping the best-quality
+    // member. Same composition q126 applies to MinHash clusters:
+    // the semantic component table joins the documents table on the
+    // aligned id, and one cluster-partitioned window keeps the
+    // highest-token-count member, ties to min id. Both window
+    // functions share the cluster partitioning, so past the (already
+    // bucketed) component pass the cost is one doc-keyed join + one
+    // cluster shuffle.
+    "q205_semantic_canonical" -> ((s, d) =>
+      graft.operators.Dedup.canonicalDocs(
+        semanticComponents(s, d)
+          .select(col("vec_id").as("doc_id"), col("cluster")),
+        Tables.documents(s, d))
+        .orderBy("cluster"))
   )
+
+  /** The oracle twin of [[semanticComponents]]: the k-means chain,
+    * in-bucket cosine pairs at 0.3, recursive reachability, min-label
+    * components — ends with CTE `comp` (vec_id, cluster, singletons
+    * included), shared by the q199 and q205 oracles. */
+  private lazy val semanticComponentsSql: String =
+    s"""$kmeansSql,
+       |ex AS (
+       |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
+       |         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |               unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings) e
+       |  JOIN afin a USING (vec_id)
+       |),
+       |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b
+       |    ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id
+       |),
+       |prs AS (
+       |  SELECT vec_a AS u, vec_b AS v FROM (
+       |    SELECT d.vec_a AS vec_a, d.vec_b AS vec_b,
+       |           CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+       |           (sqrt(CAST(CAST(na.norm2 AS VARCHAR) AS DOUBLE)) *
+       |            sqrt(CAST(CAST(nb.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+       |    FROM dots d
+       |    JOIN norms na ON d.vec_a = na.vec_id
+       |    JOIN norms nb ON d.vec_b = nb.vec_id
+       |  ) WHERE cosine >= 0.3
+       |),
+       |edges AS (SELECT u, v FROM prs UNION ALL SELECT v AS u, u AS v FROM prs),
+       |reach AS (
+       |  SELECT u AS id, u AS lbl FROM edges
+       |  UNION
+       |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+       |),
+       |labels AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+       |comp AS (
+       |  SELECT emb.vec_id AS vec_id,
+       |         COALESCE(l.cluster, emb.vec_id) AS cluster
+       |  FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.id
+       |)""".stripMargin
+
+  /** The SemDeDup component table (vec_id, cluster), singletons
+    * included as their own cluster — the shared stage behind q199
+    * (keep/drop table) and q205 (keep-best canonicals): embedding
+    * near-dup pairs mined inside the staged k-means coarse buckets
+    * (q123's candidate generator — never all-pairs), then connected
+    * components. Cosine 0.3 is a LOOSE threshold: transitive
+    * near-dup chains get long at scale, so the component pass is
+    * pointer-doubling with a 16-round budget (diameter 2^16) —
+    * sf0.01 already exceeds what 8 rounds of plain label
+    * propagation cover. */
+  private def semanticComponents(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity
+      .embeddingNearDupsWith(emb, kmBuckets(s, d), 0.3)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = graft.operators.Dedup
+      .dedupClusters(pairs, iterations = 16, pointerJumping = true)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+    emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q37_cosine_topk" -> topkSql("", "vec_id < 5", 10),
@@ -584,46 +656,28 @@ object SimilarityQ {
     // q123's pair generator, then transitive closure via the recursive
     // CTE (the q103 pattern) and min-id-per-component canonicals
     "q199_semantic_dedup" ->
-      s"""WITH RECURSIVE $kmeansSql,
-         |ex AS (
-         |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
-         |         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
-         |  FROM (SELECT vec_id, embedding,
-         |               unnest(generate_series(1, len(embedding))) AS i
-         |        FROM embeddings) e
-         |  JOIN afin a USING (vec_id)
+      s"""WITH RECURSIVE $semanticComponentsSql
+         |SELECT vec_id, cluster,
+         |       CAST(CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM comp ORDER BY vec_id""".stripMargin,
+
+    "q205_semantic_canonical" ->
+      s"""WITH RECURSIVE $semanticComponentsSql,
+         |stats AS (
+         |  SELECT c.cluster AS cluster, c.vec_id AS doc_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM comp c JOIN documents d ON c.vec_id = d.doc_id
          |),
-         |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
-         |dots AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
-         |  FROM ex a JOIN ex b
-         |    ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
-         |  GROUP BY a.vec_id, b.vec_id
-         |),
-         |prs AS (
-         |  SELECT vec_a AS u, vec_b AS v FROM (
-         |    SELECT d.vec_a AS vec_a, d.vec_b AS vec_b,
-         |           CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
-         |           (sqrt(CAST(CAST(na.norm2 AS VARCHAR) AS DOUBLE)) *
-         |            sqrt(CAST(CAST(nb.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
-         |    FROM dots d
-         |    JOIN norms na ON d.vec_a = na.vec_id
-         |    JOIN norms nb ON d.vec_b = nb.vec_id
-         |  ) WHERE cosine >= 0.3
-         |),
-         |edges AS (SELECT u, v FROM prs UNION ALL SELECT v AS u, u AS v FROM prs),
-         |reach AS (
-         |  SELECT u AS id, u AS lbl FROM edges
-         |  UNION
-         |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
-         |),
-         |labels AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
-         |SELECT emb.vec_id AS vec_id,
-         |       COALESCE(l.cluster, emb.vec_id) AS cluster,
-         |       CAST(CASE WHEN emb.vec_id = COALESCE(l.cluster, emb.vec_id)
-         |            THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.id
-         |ORDER BY vec_id""".stripMargin,
+         |ranked AS (
+         |  SELECT cluster, doc_id, n_tokens,
+         |         row_number() OVER (PARTITION BY cluster
+         |                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM stats
+         |)
+         |SELECT cluster, doc_id AS canonical_id, n_tokens,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
 
     "q121_lsh_multiprobe" ->
       """WITH ex AS (
