@@ -783,7 +783,7 @@ object DeltaInterop {
             f.partitionValues.map { case (k, ov) => k -> ov.orNull },
             f.size, f.modificationTime, true))
         }
-    val tmp = Files.createTempDirectory("graft-ck")
+    val tmp = TempDirs.create("graft-ck")
     spark.createDataFrame(rows.asJava, ckSchema).coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val part = Using.resource(Files.list(tmp)) { s =>

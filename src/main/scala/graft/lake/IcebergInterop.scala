@@ -654,9 +654,13 @@ object IcebergInterop {
                             newSpec: Seq[(String, String)],
                             oldWhere: org.apache.spark.sql.Column,
                             version: Long = -1L): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val df = table.snapshot(version)
     df.schema.fields.foreach(f => toIcebergType(f.dataType)) // fail loud up front
+    // a NULL-valued predicate must not lose the row: filter(p) and
+    // filter(not(p)) BOTH drop NULL rows (ADVICE r12) — pin NULL to
+    // the new-spec era so every input row lands in exactly one slice
+    val oldPred = coalesce(oldWhere, lit(false))
     val specs: Seq[Seq[(String, String)]] =
       Seq(oldSpec, newSpec).map(_.map { case (c, t) => c -> canonicalTransform(t) })
     specs.flatten.foreach { case (c, t) =>
@@ -670,7 +674,7 @@ object IcebergInterop {
     val fieldIdBase = Seq(0, oldSpec.size)
 
     val perSpec = specs.zipWithIndex.map { case (pfields, si) =>
-      val slice = if (si == 0) df.filter(oldWhere) else df.filter(not(oldWhere))
+      val slice = if (si == 0) df.filter(oldPred) else df.filter(not(oldPred))
       val dataDir = destRoot.resolve("data").resolve(s"s$si")
       val tcols = pfields.zipWithIndex.map { case ((c, t), i) =>
         transformColumn(t, col(c), df.schema(c).dataType).as(s"__gf_pt_$i")
@@ -1302,6 +1306,79 @@ object IcebergInterop {
       m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     Files.writeString(metaDir.resolve("version-hint.text"), "1")
     versions.size
+  }
+
+  case class ExpireResult(expired: Seq[Long], deletedManifestLists: Int,
+                          deletedManifests: Int, deletedDataFiles: Int)
+
+  /** SNAPSHOT EXPIRY (the Iceberg twin of [[LakeTable.vacuum]] /
+    * Delta's log cleanup, VERDICT r12 next #5): drop all but the last
+    * `retainLast` snapshots and physically remove everything only
+    * they could reach. The invariant that matters — and the reason
+    * expiry is manifest-REUSE-aware rather than per-snapshot — is
+    * that [[exportHistory]]-shaped tables share manifests across
+    * snapshots (a data dir's manifest is written once and referenced
+    * by every later manifest list), so reachability is computed from
+    * the KEPT side first: a manifest list, manifest, or data file is
+    * deleted only when no retained snapshot references it, at any
+    * status or content kind (conservative — a file a live manifest
+    * merely mentions is never touched). Metadata rolls forward to a
+    * new `v(N+1).metadata.json` with the expired entries gone from
+    * `snapshots` and `snapshot-log`, so time travel to an expired id
+    * fails loudly at snapshot resolution while every retained
+    * snapshot keeps reading bit-identically. Refuses to expire the
+    * current snapshot. */
+  def expireSnapshots(root: Path, retainLast: Int): ExpireResult = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath))
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    if (snaps.size <= retainLast) return ExpireResult(Nil, 0, 0, 0)
+    val (dropped, kept) = snaps.splitAt(snaps.size - retainLast)
+    val currentId = meta.get("current-snapshot-id").asLong()
+    require(kept.exists(_.get("snapshot-id").asLong() == currentId),
+      s"expiry would drop the current snapshot $currentId — retainLast " +
+        s"counts from the snapshot-list tail, which must include it")
+    def listPath(s: JsonNode): Path = resolveLoc(root, s.get("manifest-list").asText())
+    def manifestsOf(lp: Path): Seq[Path] =
+      readAvro(lp).map(r => resolveLoc(root, r.get("manifest_path").toString))
+    def filesOf(mp: Path): Seq[Path] =
+      readAvro(mp).map(e => resolveLoc(root,
+        e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString))
+    val keptLists = kept.map(listPath).distinct
+    val liveManifests = keptLists.flatMap(manifestsOf).toSet
+    val liveFiles = liveManifests.toSeq.flatMap(filesOf).toSet
+    val droppedLists = dropped.map(listPath).distinct.filterNot(keptLists.toSet)
+    val orphanManifests = droppedLists.flatMap(manifestsOf).distinct
+      .filterNot(liveManifests)
+    var nFiles = 0
+    orphanManifests.foreach { mp =>
+      filesOf(mp).distinct.filterNot(liveFiles).foreach { f =>
+        if (Files.deleteIfExists(f)) nFiles += 1
+      }
+      Files.delete(mp)
+    }
+    droppedLists.foreach(Files.delete(_))
+    val keptIds = kept.map(_.get("snapshot-id").asLong()).toSet
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val sArr = m.createArrayNode()
+    kept.foreach(sArr.add)
+    newMeta.set[ObjectNode]("snapshots", sArr)
+    if (newMeta.has("snapshot-log")) {
+      val lArr = m.createArrayNode()
+      newMeta.get("snapshot-log").elements().asScala
+        .filter(e => keptIds(e.get("snapshot-id").asLong())).foreach(lArr.add)
+      newMeta.set[ObjectNode]("snapshot-log", lArr)
+    }
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaPath.getParent.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta))
+    Files.writeString(metaPath.getParent.resolve("version-hint.text"),
+      (curV + 1).toString)
+    ExpireResult(dropped.map(_.get("snapshot-id").asLong()),
+      droppedLists.size, orphanManifests.size, nFiles)
   }
 
   // ---- read --------------------------------------------------------------

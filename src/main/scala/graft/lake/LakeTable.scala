@@ -927,5 +927,5 @@ object LakeTable {
   def createTemp(spark: SparkSession, df: DataFrame, prefix: String = "graft-lake",
                  statsCols: Seq[String] = Nil,
                  bloomCols: Seq[String] = Nil): LakeTable =
-    create(spark, Files.createTempDirectory(prefix).resolve("t"), df, statsCols, bloomCols)
+    create(spark, TempDirs.create(prefix).resolve("t"), df, statsCols, bloomCols)
 }

@@ -25,7 +25,7 @@ object ExtendedQ {
       // explicit fresh LOCATION: the session catalog is in-memory (no
       // Hive metastore here), so a leftover warehouse dir from an
       // earlier JVM would otherwise collide with CREATE
-      val loc = Files.createTempDirectory("graft-ddl").resolve("region_copy")
+      val loc = Qx.tempDir("graft-ddl").resolve("region_copy")
       s.sql("CREATE TABLE graft_lake.region_copy (r_regionkey INT, r_name STRING) " +
         s"USING parquet LOCATION '$loc'")
       Tables.region(s, d).write.mode("append").insertInto("graft_lake.region_copy")
@@ -38,7 +38,7 @@ object ExtendedQ {
     // S14 — /tmp file handoff replaced by a lake-table checkpoint
     // between pipeline stages
     "q59_stage_checkpoint" -> ((s, d) => {
-      val stage = Files.createTempDirectory("graft-stage").resolve("stage1").toString
+      val stage = Qx.tempDir("graft-stage").resolve("stage1").toString
       Tables.orders(s, d).filter(col("o_totalprice") > 100000)
         .select(col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite").parquet(stage)
@@ -52,7 +52,7 @@ object ExtendedQ {
     // different column sets read back under mergeSchema; the late
     // column is null for early rows
     "q94_schema_merge" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-evolve").resolve("t").toString
+      val dir = Qx.tempDir("graft-evolve").resolve("t").toString
       val ev = Tables.events(s, d)
       ev.filter(col("event_id") < 5000)
         .select(col("event_id"), col("event_type"))
@@ -72,8 +72,8 @@ object ExtendedQ {
     // (one file per shuffle partition) rewritten into 4 files;
     // contents must be identical, file count must actually shrink
     "q95_compaction" -> ((s, d) => {
-      val frag = Files.createTempDirectory("graft-frag").resolve("t").toString
-      val compact = Files.createTempDirectory("graft-compact").resolve("t").toString
+      val frag = Qx.tempDir("graft-frag").resolve("t").toString
+      val compact = Qx.tempDir("graft-compact").resolve("t").toString
       Tables.events(s, d).repartition(32, col("event_id"))
         .write.mode("overwrite").parquet(frag)
       val before = s.read.parquet(frag)
@@ -140,7 +140,7 @@ object ExtendedQ {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
       s.sql("DROP TABLE IF EXISTS graft_lake.orders_bq")
       s.sql("DROP TABLE IF EXISTS graft_lake.customer_bq")
-      val root = Files.createTempDirectory("graft-bucket")
+      val root = Qx.tempDir("graft-bucket")
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", root.resolve("orders_bq").toString)
@@ -250,7 +250,7 @@ object ExtendedQ {
     // machinery, verified in PushdownSpec for parquet): write events
     // as ORC, read back with a pushable filter, aggregate
     "q115_orc_roundtrip" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-orc").resolve("events").toString
+      val dir = Qx.tempDir("graft-orc").resolve("events").toString
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(dir)
@@ -597,7 +597,7 @@ object ExtendedQ {
       val t = graft.lake.LakeTable.createTemp(s,
         base.filter(col("event_id") % 10 =!= 7), "graft-dexp")
       t.append(base.filter(col("event_id") % 10 === 7)) // v2: full set again
-      val dest = Files.createTempDirectory("graft-delta-q").resolve("t")
+      val dest = Qx.tempDir("graft-delta-q").resolve("t")
       val nFiles = graft.lake.DeltaInterop.exportSnapshot(t, dest)
       require(nFiles > 0, "delta export wrote no data files")
       graft.lake.DeltaInterop.readDelta(s, dest)
@@ -619,7 +619,7 @@ object ExtendedQ {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .filter(col("o_orderkey") % 5 === 0)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-pdx")
-      val dest = Files.createTempDirectory("graft-pdelta-q").resolve("t")
+      val dest = Qx.tempDir("graft-pdelta-q").resolve("t")
       val n = graft.lake.DeltaInterop.exportSnapshot(t, dest,
         partitionBy = Seq("o_orderpriority"))
       require(n > 0, "partitioned delta export wrote no data files")
@@ -643,7 +643,7 @@ object ExtendedQ {
         .select(col("event_id"), col("event_type"), col("value"))
         .filter(col("event_id") % 3 === 0)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-icex")
-      val dest = Files.createTempDirectory("graft-iceberg-q").resolve("t")
+      val dest = Qx.tempDir("graft-iceberg-q").resolve("t")
       val nFiles = graft.lake.IcebergInterop.exportSnapshot(t, dest)
       require(nFiles > 0, "iceberg export wrote no data files")
       graft.lake.IcebergInterop.readIceberg(s, dest)
@@ -665,7 +665,7 @@ object ExtendedQ {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .filter(col("o_orderkey") % 7 === 0)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-icepx")
-      val dest = Files.createTempDirectory("graft-icepart-q").resolve("t")
+      val dest = Qx.tempDir("graft-icepart-q").resolve("t")
       val n = graft.lake.IcebergInterop.exportSnapshot(t, dest,
         identityPartitionBy = Seq("o_orderpriority"))
       require(n > 0, "partitioned iceberg export wrote no data files")
@@ -688,7 +688,7 @@ object ExtendedQ {
       val t = graft.lake.LakeTable.createTemp(s,
         base.filter(col("event_id") % 2 === 0), "graft-icett") // v1: evens
       t.append(base.filter(col("event_id") % 2 === 1)) // v2: all
-      val dest = Files.createTempDirectory("graft-icett-q").resolve("t")
+      val dest = Qx.tempDir("graft-icett-q").resolve("t")
       require(graft.lake.IcebergInterop.exportHistory(t, dest) == 2,
         "expected 2 snapshots")
       def agg(df: org.apache.spark.sql.DataFrame, v: Long) =
@@ -715,7 +715,7 @@ object ExtendedQ {
         .select(col("event_id"), col("event_type"), col("value"))
         .filter(col("event_id") % 3 === 1)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-icev2x")
-      val dest = Files.createTempDirectory("graft-icev2-q").resolve("t")
+      val dest = Qx.tempDir("graft-icev2-q").resolve("t")
       val (nFiles, nDeleted) = graft.lake.IcebergInterop.exportSnapshotV2(
         t, dest, col("event_type") === "error")
       require(nFiles > 0 && nDeleted > 0,
@@ -741,7 +741,7 @@ object ExtendedQ {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .filter(col("o_orderkey") % 3 === 0)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-dvx")
-      val dest = Files.createTempDirectory("graft-dv-q").resolve("t")
+      val dest = Qx.tempDir("graft-dv-q").resolve("t")
       val (nFiles, nDeleted) = graft.lake.DeltaInterop.exportSnapshotDV(
         t, dest, col("o_totalprice") > 200000.0,
         partitionBy = Seq("o_orderpriority"))
@@ -770,7 +770,7 @@ object ExtendedQ {
       val upserts = base.filter(col("event_id") % 9 === 0)
         .withColumn("value", col("value") + 1000.0)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-eqx")
-      val dest = Files.createTempDirectory("graft-eqdel-q").resolve("t")
+      val dest = Qx.tempDir("graft-eqdel-q").resolve("t")
       val (nFiles, nKeys) = graft.lake.IcebergInterop.exportSnapshotV2CDC(
         t, dest, Seq("event_id"), col("event_type") === "error", upserts)
       require(nFiles > 0 && nKeys > 0,
@@ -792,7 +792,7 @@ object ExtendedQ {
       val base = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-dayx")
-      val dest = Files.createTempDirectory("graft-day-q").resolve("t")
+      val dest = Qx.tempDir("graft-day-q").resolve("t")
       val n = graft.lake.IcebergInterop.exportSnapshot(t, dest,
         transformPartitionBy = Seq("ts" -> "day"))
       require(n > 0, "day-partitioned iceberg export wrote no data files")
@@ -822,7 +822,7 @@ object ExtendedQ {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .filter(col("o_orderkey") % 6 === 0)
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-cmx")
-      val dest = Files.createTempDirectory("graft-cm-q").resolve("t")
+      val dest = Qx.tempDir("graft-cm-q").resolve("t")
       val n = graft.lake.DeltaInterop.exportSnapshotMapped(
         t, dest, partitionBy = Seq("o_orderpriority"))
       require(n > 0, "column-mapped delta export wrote no data files")
@@ -926,7 +926,7 @@ object ExtendedQ {
       val base = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-evoq")
-      val dest = Files.createTempDirectory("graft-evo-q").resolve("t")
+      val dest = Qx.tempDir("graft-evo-q").resolve("t")
       val (n0, n1) = graft.lake.IcebergInterop.exportSnapshotEvolved(t, dest,
         oldSpec = Seq("event_type" -> "identity"),
         newSpec = Seq("ts" -> "day"),
@@ -952,6 +952,45 @@ object ExtendedQ {
             .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
             .select(lit("by_type").as("probe"), col("key"), col("n"), col("total")))
         .orderBy("probe", "key")
+    }),
+
+    // lake — ICEBERG SNAPSHOT EXPIRY (VERDICT r12 next #5, the
+    // Iceberg twin of q137's vacuum): a three-snapshot history
+    // (create → append → compaction-style overwrite) exports with
+    // SHARED manifests, then all but the current snapshot expire.
+    // The requires pin the invariants that make expiry correct:
+    // pre-expiry time travel to snapshot 1 reads, expiry physically
+    // removes the manifests and data files only dropped snapshots
+    // reached (the overwrite orphaned both earlier eras), post-expiry
+    // time travel to an expired id refuses at snapshot resolution,
+    // and the hash gate proves the surviving current read lost
+    // nothing.
+    "q206_snapshot_expiry" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        orders.filter(col("o_orderkey") % 3 === 0), "graft-expq")
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.overwrite(orders.filter(col("o_orderkey") % 3 === 2))
+      val dest = Qx.tempDir("graft-exp-q").resolve("t")
+      val nSnaps = graft.lake.IcebergInterop.exportHistory(t, dest)
+      require(nSnaps == 3, s"expected 3 exported snapshots, got $nSnaps")
+      val first = t.versions.head
+      require(graft.lake.IcebergInterop.readIceberg(s, dest, first).count() > 0,
+        "pre-expiry time travel to the first snapshot must read")
+      val res = graft.lake.IcebergInterop.expireSnapshots(dest, retainLast = 1)
+      require(res.expired == t.versions.init,
+        s"expected to expire ${t.versions.init}, got ${res.expired}")
+      require(res.deletedManifests > 0 && res.deletedDataFiles > 0,
+        s"overwrite-orphaned manifests/files must be removed, got $res")
+      val refused =
+        try { graft.lake.IcebergInterop.readIceberg(s, dest, first); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "time travel to an expired snapshot must refuse")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1401,6 +1440,12 @@ object ExtendedQ {
          |       CAST(u.n_users AS DOUBLE) AS conversion
          |FROM u LEFT JOIN p ON u.arm = p.arm
          |ORDER BY arm""".stripMargin,
+
+    "q206_snapshot_expiry" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 3 = 2
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q207_churn_cohorts" ->
       """WITH wk AS (

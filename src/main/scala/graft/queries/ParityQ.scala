@@ -39,7 +39,7 @@ object ParityQ {
     // S6/S8 — CSV write + read round-trip with header/quote options
     // (GetData.py:32-35); the round-trip must reproduce the table
     "q48_csv_roundtrip" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft-csv").resolve("nation").toString
+      val tmp = Qx.tempDir("graft-csv").resolve("nation").toString
       Tables.nation(s, d).write.mode("overwrite")
         .option("header", "true").option("quote", "\"").csv(tmp)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -114,7 +114,7 @@ object ParityQ {
     // ops; files staged from documents, doc_id parsed back from path
     // (real codec decode is q107, functions/ImageOps.decodeMeta)
     "q54_binary_scan" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-bin")
+      val dir = Qx.tempDir("graft-bin")
       Tables.documents(s, d).filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>
@@ -137,7 +137,7 @@ object ParityQ {
     // oracle recomputes every output arithmetically from the generation
     // params — any codec round-trip corruption breaks the hash match.
     "q107_image_decode" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-png")
+      val dir = Qx.tempDir("graft-png")
       (0 until 40).foreach { id =>
         Files.write(dir.resolve(f"img_$id%05d.png"),
           ImageOps.solidPng(id % 7 + 2, id % 5 + 2,
@@ -163,7 +163,7 @@ object ParityQ {
     // the same slices from the staged text. The video/audio analog of
     // the reference's page expansion: one row per (asset, frame).
     "q87_frame_sample" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-frames")
+      val dir = Qx.tempDir("graft-frames")
       Tables.documents(s, d).filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>
@@ -233,7 +233,7 @@ object ParityQ {
     // with a recursive CTE — proving the checkpointed min-label
     // propagation lands on exactly the true components
     "q152_image_clusters" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-phash-cc")
+      val dir = Qx.tempDir("graft-phash-cc")
       (0 until 100).foreach { id =>
         Files.write(dir.resolve(f"img_$id%05d.png"), phashFixturePng(id))
       }
@@ -255,7 +255,7 @@ object ParityQ {
     // proving the binary substring/HOF path computes exactly the
     // declared arithmetic
     "q150_asset_fingerprint" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-assets")
+      val dir = Qx.tempDir("graft-assets")
       Tables.documents(s, d).filter(col("doc_id") < 40)
         .select(col("doc_id"), col("text")).collect()
         .foreach { r =>
@@ -287,7 +287,7 @@ object ParityQ {
     // path preserves pixels bit-exactly and (b) the block join misses
     // nothing
     "q145_image_neardup" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-phash")
+      val dir = Qx.tempDir("graft-phash")
       (0 until 100).foreach { id =>
         Files.write(dir.resolve(f"img_$id%05d.png"), phashFixturePng(id))
       }
@@ -311,7 +311,7 @@ object ParityQ {
     // closed-form resolution, so the hash gate proves the decode →
     // cluster → select DAG end to end
     "q159_canonical_images" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft-phash-canon")
+      val dir = Qx.tempDir("graft-phash-canon")
       (0 until 100).foreach { id =>
         Files.write(dir.resolve(f"img_$id%05d.png"), phashFixturePng(id))
       }

@@ -37,6 +37,15 @@ object Qx {
   def sqlDsum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
   def sqlDavg(e: String): String  = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
 
+  /** Temp directory for query-side fixtures (lake exports, file-format
+    * round trips), registered for recursive deletion at JVM exit —
+    * every Verify run and Bench rep creates fresh fixture dirs, and
+    * without the hook repeated runs accumulate unbounded /tmp usage
+    * (ADVICE r12 on q203; the same shape exists across the lake and
+    * file-format queries). */
+  def tempDir(prefix: String): java.nio.file.Path =
+    graft.lake.TempDirs.create(prefix)
+
   private val sessionKeys = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Stable unique key for a live session, for memoizing staged lake

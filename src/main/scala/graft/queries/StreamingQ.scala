@@ -163,7 +163,7 @@ object StreamingQ {
         .select(col("event_id"), col("event_type"), col("value"))
       val t = graft.lake.LakeTable.createTemp(s, base, "graft-smerge")
       val in = MicroBatch.stageEvents(d, copies = 2)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-smerge-ckpt")
+      val ckpt = Qx.tempDir("graft-smerge-ckpt")
       val q = MicroBatch.fileSource(s, in, maxFilesPerTrigger = Some(1))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],

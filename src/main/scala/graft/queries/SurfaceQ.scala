@@ -92,7 +92,7 @@ object SurfaceQ {
     // JSON-lines source round-trip (engine completeness; doubles
     // round-trip via shortest-repr text)
     "q73_json_scan" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft-json").resolve("events").toString
+      val tmp = Qx.tempDir("graft-json").resolve("events").toString
       Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"))
         .write.mode("overwrite").json(tmp)
       s.read.schema("event_id LONG, event_type STRING, value DOUBLE").json(tmp)
@@ -217,7 +217,7 @@ object SurfaceQ {
     "q75_partition_overwrite" -> ((s, d) => {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_lake")
       s.sql("DROP TABLE IF EXISTS graft_lake.part_events")
-      val loc = Files.createTempDirectory("graft-part").resolve("part_events")
+      val loc = Qx.tempDir("graft-part").resolve("part_events")
       s.sql("CREATE TABLE graft_lake.part_events " +
         "(event_id BIGINT, value DOUBLE, event_type STRING) " +
         s"USING parquet PARTITIONED BY (event_type) LOCATION '$loc'")
@@ -239,7 +239,7 @@ object SurfaceQ {
     // partitioned write + partition-pruned read (PartitionFilters in
     // the scan; only the matching directory is read)
     "q76_partition_pruning" -> ((s, d) => {
-      val tmp = Files.createTempDirectory("graft-prune").resolve("events").toString
+      val tmp = Qx.tempDir("graft-prune").resolve("events").toString
       Tables.events(s, d).select(col("event_id"), col("value"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
       s.read.parquet(tmp)

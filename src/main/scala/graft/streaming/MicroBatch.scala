@@ -117,7 +117,7 @@ object MicroBatch {
     * topic". copies > 1 models an at-least-once upstream that
     * redelivers the same records. */
   def stageEvents(sfDir: String, copies: Int = 1): Path = {
-    val in = Files.createTempDirectory("graft-stream-in")
+    val in = graft.lake.TempDirs.create("graft-stream-in")
     (1 to copies).foreach { i =>
       Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve(s"events_$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
@@ -132,7 +132,7 @@ object MicroBatch {
     * (every batch reopens sessions the previous batch thought closed). */
   def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int,
                        copies: Int = 1): Path = {
-    val in = Files.createTempDirectory("graft-stream-in")
+    val in = graft.lake.TempDirs.create("graft-stream-in")
     val one = spark.read.parquet(s"$sfDir/events.parquet")
     (1 to copies).map(_ => one).reduce(_ union _)
       .repartition(parts, org.apache.spark.sql.functions.col("event_id"))
@@ -148,13 +148,13 @@ object MicroBatch {
     * ~max in batch 1 and everything later arrives late). */
   def stageEventsByTime(spark: SparkSession, sfDir: String, parts: Int,
                         copies: Int = 1): Path = {
-    val in = Files.createTempDirectory("graft-stream-in")
+    val in = graft.lake.TempDirs.create("graft-stream-in")
     val one = spark.read.parquet(s"$sfDir/events.parquet")
     val all = (1 to copies).map(_ => one).reduce(_ union _)
     val bucketed = all.withColumn("__gf_bucket",
       ntile(parts).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
     (1 to parts).foreach { i =>
-      val tmp = Files.createTempDirectory("graft-stream-bt")
+      val tmp = graft.lake.TempDirs.create("graft-stream-bt")
       bucketed.filter(col("__gf_bucket") === i).drop("__gf_bucket")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).iterator().asScala
@@ -227,7 +227,7 @@ object MicroBatch {
     * micro-batch is one streaming-append commit). */
   def lakeSink(spark: SparkSession): LakeTable =
     LakeTable.createEmpty(spark,
-      Files.createTempDirectory("graft-stream-out").resolve("sink"))
+      graft.lake.TempDirs.create("graft-stream-out").resolve("sink"))
 
   /** T1+T2: run `transform` over the staged events stream, commit each
     * micro-batch to a fresh lake-table sink via foreachBatch, drain
@@ -241,7 +241,7 @@ object MicroBatch {
       transform: DataFrame => DataFrame): LakeTable = {
     val in = stageEvents(sfDir, copies)
     val sink = lakeSink(spark)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     val sess = isolated(spark, statePartitions, Map.empty)
     val q = transform(fileSource(sess, in, maxFilesPerTrigger)).writeStream
@@ -275,7 +275,7 @@ object MicroBatch {
       transform: DataFrame => DataFrame): DataFrame = {
     val in = stageEvents(sfDir, copies)
     val sink = lakeSink(spark)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val appId = s"graft-perbatch-${runId.incrementAndGet()}"
     val sess = isolated(spark, None, Map.empty)
     val q = fileSource(sess, in, maxFilesPerTrigger).writeStream
@@ -305,7 +305,7 @@ object MicroBatch {
     val in = splitParts.fold(stageEvents(sfDir, copies))(
       stageEventsSplit(spark, sfDir, _, copies))
     val sink = lakeSink(spark)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     val sess = isolated(spark, statePartitions, conf)
     val q = transform(fileSource(sess, in, splitParts.map(_ => 1))).writeStream
@@ -331,7 +331,7 @@ object MicroBatch {
       join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val in = inDir.getOrElse(stageEvents(sfDir, copies))
     val sink = lakeSink(spark)
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     val sess = isolated(spark, statePartitions, Map.empty)
     val q = join(fileSource(sess, in, maxFilesPerTrigger),
@@ -357,7 +357,7 @@ object MicroBatch {
       agg: DataFrame => DataFrame): DataFrame = {
     val in = splitParts.fold(stageEvents(sfDir, copies))(
       stageEventsSplit(spark, sfDir, _, copies))
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val name = s"graft_stream_agg_${runId.incrementAndGet()}"
     val sess = isolated(spark, Some(statePartitions), Map.empty)
     val q = agg(fileSource(sess, in, splitParts.map(_ => 1))).writeStream
