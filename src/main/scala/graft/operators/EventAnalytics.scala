@@ -107,12 +107,14 @@ object EventAnalytics {
       when(col("prev").isNull, lit("new"))
         .when(datediff(col("week"), col("prev")) === 7, lit("retained"))
         .otherwise(lit("resurrected")).as("status"))
-    val mx = wk.agg(max(col("week")).as("max_week")).withColumn("one", lit(1))
+    // the corpus max-week bound embeds as a ONE-ROW broadcast cross
+    // join (the q102/q171 scalar idiom — allowlisted in PlanAuditSpec;
+    // an equi-join on a constant key just constant-folds back to this)
+    val mx = wk.agg(max(col("week")).as("max_week"))
     val churned = a
       .filter(col("next").isNull || datediff(col("next"), col("week")) > 7)
       .select(date_add(col("week"), 7).as("week"))
-      .withColumn("one", lit(1))
-      .join(broadcast(mx), "one")
+      .crossJoin(broadcast(mx))
       .filter(col("week") <= col("max_week"))
       .select(col("week"), lit("churned").as("status"))
     active.unionByName(churned)

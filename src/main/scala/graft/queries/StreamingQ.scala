@@ -369,6 +369,41 @@ object StreamingQ {
           col("event_type"), col("n"), col("total"))
         .orderBy("day", "event_type")),
 
+    // STREAMING WINDOWED FUNNEL (r13 — q204's semantics on an
+    // unbounded source): per-user state-V2 recomputation over the
+    // accumulated per-step event sets, because the conversion-window
+    // chain is NOT arrival-order monotone (a late earlier view can
+    // disqualify a previously converted click). The drain is split
+    // into 3 hash-interleaved micro-batches so exactly that reordering
+    // happens; each update carries a strictly increasing per-user
+    // sequence and the sink reduces with max_by(depth, seq) — the
+    // final per-user depth then rolls up to q204's per-step converted
+    // counts and must hash-match the BATCH windowed-funnel oracle.
+    "q208_stream_funnel" -> ((s, d) => {
+      val sink = MicroBatch.updateRun(s, d, splitParts = Some(3),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.streamingFunnel(
+          graft.Tables.toEventTime(stream)
+            .filter(col("event_type").isin("view", "click", "purchase"))
+            .select(col("user_id"),
+              when(col("event_type") === "view", 0)
+                .when(col("event_type") === "click", 1)
+                .otherwise(2).cast("int").as("step"),
+              unix_micros(col("ts")).as("us"))
+            .as[(Long, Int, Long)].groupByKey(_._1),
+          withinUs = 86400L * 1000000L)
+          .toDF("user_id", "seq", "depth")
+      }
+      val depths = sink.groupBy(col("user_id"))
+        .agg(max_by(col("depth"), col("seq")).as("depth"))
+      Seq("view", "click", "purchase").zipWithIndex.map { case (name, i) =>
+        depths.filter(col("depth") >= i + 1)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_$name").as("step"), col("n_users"))
+      }.reduce(_ unionByName _).orderBy("step")
+    }),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -384,6 +419,10 @@ object StreamingQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream ≡ batch: the streaming windowed funnel must converge to
+    // exactly the batch windowed funnel's oracle
+    "q208_stream_funnel" -> ExtendedQ.oracles("q204_windowed_funnel"),
+
     "q42_stream_append" ->
       "SELECT CAST(event_id AS VARCHAR) AS key, CAST(props AS VARCHAR) AS value FROM events ORDER BY key",
     "q43_stream_json_flatten" ->

@@ -182,6 +182,59 @@ object Stateful {
     }
   }
 
+  /** STREAMING WINDOWED FUNNEL state (state-V2): per user, one
+    * ValueState holding the per-step event-time lists (microseconds),
+    * because a conversion-window funnel is NOT incrementally monotone
+    * — a late-arriving earlier view shifts step 1's entry time and
+    * can disqualify a click that previously converted, so the chain
+    * must be recomputed from the accumulated per-step sets, never
+    * folded left-to-right in arrival order. State per user is bounded
+    * by that user's funnel-type events (capped fail-loud at
+    * `maxPerStep`; a production cap would evict by window distance).
+    * Each touched user emits (user, updateSeq, depth) with a strictly
+    * increasing per-user sequence, so the non-monotone depth reduces
+    * deterministically to the LAST update (`max_by(depth, seq)`) —
+    * the q188 max() trick generalized to a non-monotone measure. */
+  class StreamingFunnel(withinUs: Long, maxPerStep: Int = 4096)
+      extends StatefulProcessor[Long, (Long, Int, Long), (Long, Long, Long)] {
+    @transient private var ev:
+      ValueState[(Seq[Long], Seq[Long], Seq[Long], Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ev = getHandle.getValueState("ev",
+        Encoders.product[(Seq[Long], Seq[Long], Seq[Long], Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Int, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (v, c, p, seq) =
+        if (ev.exists()) ev.get()
+        else (Seq.empty[Long], Seq.empty[Long], Seq.empty[Long], 0L)
+      rows.foreach { r =>
+        r._2 match {
+          case 0 => v :+= r._3
+          case 1 => c :+= r._3
+          case _ => p :+= r._3
+        }
+      }
+      require(v.size <= maxPerStep && c.size <= maxPerStep && p.size <= maxPerStep,
+        s"user $key exceeds $maxPerStep funnel events in one step")
+      seq += 1
+      ev.update((v, c, p, seq))
+      val t1 = v.minOption
+      val t2 = t1.flatMap(t =>
+        c.filter(x => x > t && x <= t + withinUs).minOption)
+      val t3 = t2.flatMap(t =>
+        p.filter(x => x > t && x <= t + withinUs).minOption)
+      val depth = Seq(t1, t2, t3).takeWhile(_.isDefined).size.toLong
+      Iterator.single((key, seq, depth))
+    }
+  }
+
+  /** [[StreamingFunnel]] over a keyed `(user, stepIdx, eventUs)`
+    * stream. */
+  def streamingFunnel(grouped: KeyValueGroupedDataset[Long, (Long, Int, Long)],
+                      withinUs: Long): Dataset[(Long, Long, Long)] =
+    grouped.transformWithState(new StreamingFunnel(withinUs), TimeMode.None(),
+      OutputMode.Update())(Encoders.product[(Long, Long, Long)])
+
   /** Running max of a per-event Long measure, emitted on change only —
     * the "new high-water mark" pattern. */
   def highWaterMark[K: Encoder](grouped: KeyValueGroupedDataset[K, Long])(

@@ -66,6 +66,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *    join against the per-supplier revenue agg.
     *  - q187: TPC-H Q11's scalar HAVING threshold — one-row broadcast
     *    against the nation-count-sized aggregate.
+    *  - q207: the churn bound (corpus max week) — a ONE-ROW broadcast
+    *    cross-joined into the per-user churn-candidate relation
+    *    (q102's pattern); the real work is the user-partitioned
+    *    window and the (week, status) rollup, both hash-partitioned.
     *  - q191: PQ's ADC lookup table — the m·k-row codebook (32 rows, a
     *    CONSTANT) cross-joined against the query set to build per-query
     *    LUTs; the corpus-sized scoring join is a broadcast HASH join
@@ -74,7 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
     "q176_top_supplier", "q187_value_concentration", "q191_pq_topk",
-    "q192_ivf_pq")
+    "q192_ivf_pq", "q207_churn_cohorts")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

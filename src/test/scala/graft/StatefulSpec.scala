@@ -53,6 +53,34 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel: a late earlier view disqualifies a converted click, last update wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Stateful.withRocksDBStateStore(spark) {
+      val input = MemoryStream[(Long, Int, Long)] // (user, step, us)
+      val W = 1000L // 1000 µs conversion window
+      val funnel = Stateful.streamingFunnel(input.toDS().groupByKey(_._1), W)
+      val q = funnel.writeStream.format("memory").queryName("stream_funnel")
+        .outputMode("update").start()
+      try {
+        // batch 1: view @5000, click @5500 → depth 2
+        input.addData((7L, 0, 5000L), (7L, 1, 5500L))
+        q.processAllAvailable()
+        // batch 2: an EARLIER view @1000 arrives late — t1 moves to
+        // 1000, the click @5500 is now outside (1000, 2000] → depth 1.
+        // Non-monotone by design; the seq ordering carries the truth.
+        input.addData((7L, 0, 1000L))
+        q.processAllAvailable()
+        // batch 3: click @1500 and purchase @2400 → full depth 3
+        input.addData((7L, 1, 1500L), (7L, 2, 2400L))
+        q.processAllAvailable()
+        val rows = spark.table("stream_funnel").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+        assert(rows === Array((7L, 1L, 2L), (7L, 2L, 1L), (7L, 3L, 3L)))
+      } finally q.stop()
+    }
+  }
+
   test("state-V2 event-time timers close idle sessions and clear state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
