@@ -557,14 +557,36 @@ object Similarity {
       minCosine, margin)
 
   def embeddingNearDups(emb: DataFrame, minCosine: Double,
-                        margin: Double = 0.01): DataFrame = {
-    val pre = emb.alias("a")
-      .join(emb.alias("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id") &&
+                        margin: Double = 0.01): DataFrame =
+    nearDupPairsCore(emb, emb, selfPairs = true, minCosine, margin)
+
+  /** CROSS-RELATION near-dup pairs — the incremental-ingest shape: an
+    * INCOMING batch scored only against the EXISTING corpus (both
+    * labeled with the same coarse buckets), never against itself.
+    * Same two-stage prescreen/exact-rescore as [[embeddingNearDups]];
+    * the pair space is sum-of-bucket(incoming×corpus), linear in the
+    * batch for a fixed corpus density. The two relations' vec_ids
+    * must be disjoint (the exact-rescore union keys by vec_id). */
+  def embeddingNearDupsAgainst(incoming: DataFrame, corpus: DataFrame,
+                               buckets: DataFrame, minCosine: Double,
+                               margin: Double = 0.01): DataFrame = {
+    def labeled(df: DataFrame) =
+      df.drop("label").join(buckets.withColumnRenamed("cluster", "label"), "vec_id")
+    nearDupPairsCore(labeled(incoming), labeled(corpus),
+      selfPairs = false, minCosine, margin)
+  }
+
+  private def nearDupPairsCore(left: DataFrame, right: DataFrame,
+                               selfPairs: Boolean, minCosine: Double,
+                               margin: Double): DataFrame = {
+    val orderGuard =
+      if (selfPairs) col("a.vec_id") < col("b.vec_id") else lit(true)
+    val pre = left.alias("a")
+      .join(right.alias("b"),
+        col("a.label") === col("b.label") && orderGuard &&
           expr("cosine_similarity(a.embedding, b.embedding)") >= minCosine - margin)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val ex = exploded(emb)
+    val ex = exploded(if (selfPairs) left else left.unionByName(right))
     val nrm = norms(ex)
     val dots = pre.alias("p")
       .join(ex.alias("a"), col("p.vec_a") === col("a.vec_id"))

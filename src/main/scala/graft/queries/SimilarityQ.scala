@@ -408,7 +408,32 @@ object SimilarityQ {
         semanticComponents(s, d)
           .select(col("vec_id").as("doc_id"), col("cluster")),
         Tables.documents(s, d))
-        .orderBy("cluster"))
+        .orderBy("cluster")),
+
+    // INCREMENTAL semantic dedup (r13) — the production ingest shape:
+    // a NEW batch (vec_id % 4 = 0) is scored only against the
+    // EXISTING corpus inside the shared staged coarse buckets, never
+    // against itself and never all-pairs; an incoming vector with any
+    // corpus near-dup at cosine ≥ 0.3 is dropped. Per-batch cost is
+    // linear in the batch for a fixed corpus density — the steady
+    // state of a continuously-fed training-data lake, where q199's
+    // full-corpus pass is the bootstrap and this is every day after.
+    // Output is the full (vec_id, n_matches, kept) decision table.
+    "q209_incremental_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val incoming = emb.filter(col("vec_id") % 4 === 0)
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+      val pairs = Similarity.embeddingNearDupsAgainst(
+        incoming, corpus, kmBuckets(s, d), 0.3)
+      val matches = pairs.groupBy(col("vec_a").as("vec_id"))
+        .agg(count(lit(1)).as("n_matches"))
+      incoming.select(col("vec_id"))
+        .join(matches, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+        .withColumn("kept", (col("n_matches") === 0).cast("long"))
+        .orderBy("vec_id")
+    })
   )
 
   /** The oracle twin of [[semanticComponents]]: the k-means chain,
@@ -660,6 +685,42 @@ object SimilarityQ {
          |SELECT vec_id, cluster,
          |       CAST(CASE WHEN vec_id = cluster THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM comp ORDER BY vec_id""".stripMargin,
+
+    "q209_incremental_semdedup" ->
+      s"""WITH RECURSIVE $kmeansSql,
+         |ex AS (
+         |  SELECT e.vec_id, a.cluster AS label, e.i AS pos,
+         |         CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1073741824.0) AS DECIMAL(18,0)) AS x
+         |  FROM (SELECT vec_id, embedding,
+         |               unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings) e
+         |  JOIN afin a USING (vec_id)
+         |),
+         |norms AS (SELECT vec_id, sum(x*x) AS norm2 FROM ex GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+         |  FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos
+         |  WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0
+         |  GROUP BY a.vec_id, b.vec_id
+         |),
+         |m AS (
+         |  SELECT vec_a AS vec_id, COUNT(*) AS n_matches FROM (
+         |    SELECT d.vec_a AS vec_a,
+         |           CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) /
+         |           (sqrt(CAST(CAST(na.norm2 AS VARCHAR) AS DOUBLE)) *
+         |            sqrt(CAST(CAST(nb.norm2 AS VARCHAR) AS DOUBLE))) AS cosine
+         |    FROM dots d
+         |    JOIN norms na ON d.vec_a = na.vec_id
+         |    JOIN norms nb ON d.vec_b = nb.vec_id
+         |  ) WHERE cosine >= 0.3 GROUP BY vec_a
+         |)
+         |SELECT emb.vec_id AS vec_id,
+         |       COALESCE(m.n_matches, 0) AS n_matches,
+         |       CAST(CASE WHEN COALESCE(m.n_matches, 0) = 0
+         |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM embeddings emb LEFT JOIN m ON emb.vec_id = m.vec_id
+         |WHERE emb.vec_id % 4 = 0
+         |ORDER BY vec_id""".stripMargin,
 
     "q205_semantic_canonical" ->
       s"""WITH RECURSIVE $semanticComponentsSql,
