@@ -1381,6 +1381,103 @@ object IcebergInterop {
       droppedLists.size, orphanManifests.size, nFiles)
   }
 
+  /** MANIFEST COMPACTION (Iceberg's `rewrite_manifests` maintenance
+    * action): merge the CURRENT snapshot's manifests into ONE and
+    * commit the result as a new `replace` snapshot — a metadata-only
+    * operation, no data file moves. Every entry is carried as status
+    * EXISTING with its ORIGINAL commit snapshot id (the spec's
+    * lineage rule), the previous snapshot and its manifests stay
+    * untouched so time travel keeps working, and a later
+    * [[expireSnapshots]] removes the pre-compaction manifests but —
+    * because expiry reachability is file-level — not one shared data
+    * file. Scope matches the fail-loud discipline: only spec-0
+    * unpartitioned v1 manifest sets (the [[exportHistory]] shape;
+    * anything else refuses rather than guessing partition-record
+    * schemas). Returns the number of manifests merged (≤1 = no-op,
+    * nothing written). */
+  def rewriteManifests(root: Path): Int = {
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath))
+    require(meta.get("format-version").asInt() == 1,
+      s"manifest rewrite supports v1 exports, got format-version " +
+        s"${meta.get("format-version").asInt()}")
+    val metaDir = metaPath.getParent
+    val currentId = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val cur = snaps.find(_.get("snapshot-id").asLong() == currentId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current snapshot $currentId not in snapshots list at $root"))
+    val rows = readAvro(resolveLoc(root, cur.get("manifest-list").asText()))
+    if (rows.size <= 1) return rows.size
+    require(rows.forall(_.get("partition_spec_id").asInstanceOf[Integer] == 0),
+      "manifest rewrite handles only spec-0 manifest sets")
+    val entries = rows
+      .flatMap(r => readAvro(resolveLoc(root, r.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Integer] != 2) // drop DELETED
+    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+    require(entries.forall(e => e.get("data_file").asInstanceOf[GenericRecord]
+        .getSchema.getField("partition").schema().getFields.isEmpty),
+      "manifest rewrite handles only unpartitioned manifest entries")
+    val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestEntrySchema))) { w =>
+      w.create(manifestEntrySchema, mp.toFile)
+      entries.foreach { e =>
+        val src = e.get("data_file").asInstanceOf[GenericRecord]
+        val dfr = new GenericData.Record(dataFileSchema)
+        Seq("file_path", "file_format", "record_count",
+          "file_size_in_bytes", "block_size_in_bytes")
+          .foreach(f => dfr.put(f, src.get(f)))
+        dfr.put("partition", new GenericData.Record(
+          dataFileSchema.getField("partition").schema()))
+        val n = new GenericData.Record(manifestEntrySchema)
+        n.put("status", 0) // EXISTING — lineage stays with the original commit
+        n.put("snapshot_id", e.get("snapshot_id"))
+        n.put("data_file", dfr)
+        w.append(n)
+      }
+    }
+    val newSnapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    val lp = metaDir.resolve(s"snap-$newSnapId-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchema))) { w =>
+      w.create(manifestListSchema, lp.toFile)
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"file://${mp.toAbsolutePath}")
+      r.put("manifest_length", Files.size(mp))
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", newSnapId)
+      r.put("added_data_files_count", 0)
+      r.put("existing_data_files_count", entries.size)
+      r.put("deleted_data_files_count", 0)
+      w.append(r)
+    }
+    val nowMs = Files.getLastModifiedTime(lp).toMillis
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val sn = newMeta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    sn.put("snapshot-id", newSnapId)
+    sn.put("parent-snapshot-id", currentId)
+    sn.put("timestamp-ms", nowMs)
+    sn.putObject("summary").put("operation", "replace")
+    sn.put("manifest-list", s"file://${lp.toAbsolutePath}")
+    if (cur.has("schema-id")) sn.put("schema-id", cur.get("schema-id").asInt())
+    newMeta.put("current-snapshot-id", newSnapId)
+    if (newMeta.has("snapshot-log")) {
+      val le = newMeta.get("snapshot-log")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      le.put("timestamp-ms", nowMs)
+      le.put("snapshot-id", newSnapId)
+    }
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaDir.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta))
+    Files.writeString(metaDir.resolve("version-hint.text"), (curV + 1).toString)
+    rows.size
+  }
+
   // ---- read --------------------------------------------------------------
 
   private[lake] def readAvro(path: Path): Seq[GenericRecord] =

@@ -991,6 +991,43 @@ object ExtendedQ {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // lake — ICEBERG MANIFEST COMPACTION (rewrite_manifests): a
+    // 3-append history leaves the current snapshot with 3 manifests;
+    // compaction merges them into one EXISTING-status manifest under
+    // a new replace snapshot without touching a data file. The
+    // requires pin the contract: reads identical before/after,
+    // pre-compaction snapshots still time-travel, and a subsequent
+    // expiry removes the 3 old manifests while deleting ZERO data
+    // files — file-level reachability must see every file shared
+    // with the merged manifest (manifest-level reasoning would lose
+    // the table here).
+    "q210_manifest_compaction" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 3 === 0), "graft-mcq")
+      t.append(ev.filter(col("event_id") % 3 === 1))
+      t.append(ev.filter(col("event_id") % 3 === 2))
+      val dest = Qx.tempDir("graft-mc-q").resolve("t")
+      val nSnaps = graft.lake.IcebergInterop.exportHistory(t, dest)
+      require(nSnaps == 3, s"expected 3 exported snapshots, got $nSnaps")
+      val before = graft.lake.IcebergInterop.readIceberg(s, dest).count()
+      val merged = graft.lake.IcebergInterop.rewriteManifests(dest)
+      require(merged == 3, s"expected 3 manifests merged, got $merged")
+      require(graft.lake.IcebergInterop.readIceberg(s, dest).count() == before,
+        "manifest compaction must not change the data")
+      require(graft.lake.IcebergInterop
+        .readIceberg(s, dest, t.versions.head).count() > 0,
+        "pre-compaction snapshots must still time-travel")
+      val res = graft.lake.IcebergInterop.expireSnapshots(dest, retainLast = 1)
+      require(res.deletedManifests == 3 && res.deletedDataFiles == 0,
+        s"expiry after compaction must drop 3 manifests, 0 data files: $res")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -1440,6 +1477,10 @@ object ExtendedQ {
          |       CAST(u.n_users AS DOUBLE) AS conversion
          |FROM u LEFT JOIN p ON u.arm = p.arm
          |ORDER BY arm""".stripMargin,
+
+    "q210_manifest_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q206_snapshot_expiry" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,

@@ -104,6 +104,47 @@ class IcebergExpirySpec extends AnyFunSuite {
     assert(Files.readString(dest.resolve("metadata/version-hint.text")).trim === "1")
   }
 
+  test("manifest compaction: one merged manifest, lineage kept, reads and travel intact") {
+    val t = LakeTable.createTemp(spark, orders.filter(col("o_orderkey") % 3 === 0))
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    val dest = TempDirs.create("graft-mc1").resolve("t")
+    assert(IcebergInterop.exportHistory(t, dest) === 3)
+    val before = IcebergInterop.readIceberg(spark, dest).count()
+    val files = dataFiles(dest)
+    assert(IcebergInterop.rewriteManifests(dest) === 3)
+    // metadata-only: identical file set, identical reads, old travel OK
+    assert(dataFiles(dest) === files)
+    assert(IcebergInterop.readIceberg(spark, dest).count() === before)
+    assert(IcebergInterop.readIceberg(spark, dest, t.versions.head).count() ===
+      orders.filter(col("o_orderkey") % 3 === 0).count())
+    // the new current snapshot resolves to exactly one manifest whose
+    // entries are all EXISTING with their original snapshot ids
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(dest.resolve("metadata/v2.metadata.json")))
+    val curId = meta.get("current-snapshot-id").asLong()
+    import scala.jdk.CollectionConverters._
+    val cur = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get
+    assert(cur.get("summary").get("operation").asText() === "replace")
+    val list = IcebergInterop.readAvro(java.nio.file.Paths.get(
+      cur.get("manifest-list").asText().stripPrefix("file://")))
+    assert(list.size === 1)
+    val entries = IcebergInterop.readAvro(java.nio.file.Paths.get(
+      list.head.get("manifest_path").toString.stripPrefix("file://")))
+    assert(entries.forall(_.get("status").asInstanceOf[Integer] == 0))
+    assert(entries.map(_.get("snapshot_id").asInstanceOf[Long]).toSet === t.versions.toSet)
+    // second rewrite is a no-op on a single-manifest snapshot
+    assert(IcebergInterop.rewriteManifests(dest) === 1)
+    // expiry after compaction: the 3 pre-compaction manifests go, but
+    // every data file is shared with the merged manifest — file-level
+    // reachability must keep all of them
+    val res = IcebergInterop.expireSnapshots(dest, retainLast = 1)
+    assert(res.deletedManifests === 3 && res.deletedDataFiles === 0)
+    assert(dataFiles(dest) === files)
+    assert(IcebergInterop.readIceberg(spark, dest).count() === before)
+  }
+
   test("evolved export keeps NULL-predicate rows in exactly one era") {
     import spark.implicits._
     val df = Seq((1L, Some("a"), 1.0), (2L, None: Option[String], 2.0),
