@@ -79,6 +79,58 @@ object EventAnalytics {
       .reduce(_ unionByName _)
   }
 
+  /** ANY-ORDER span conversion — the unordered complement of
+    * [[funnelSteps]]: a user converts when they have done ALL of
+    * `steps` (in any order) and the span between their earliest and
+    * latest FIRST occurrences fits inside `withinSeconds` (the
+    * standard first-occurrence reading of "did all of X, Y, Z within
+    * N days"). One (user, type)-keyed min-aggregation then one
+    * user-keyed rollup — two shuffles, no arrays, no order
+    * dependence. Emits a single (n_users, n_all_steps, n_converted)
+    * row over the users touching any step. */
+  def spanConversion(ev: DataFrame, steps: Seq[String], withinSeconds: Long,
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty && withinSeconds > 0, "steps and a positive span required")
+    val firsts = ev.filter(col(typeCol).isin(steps.map(x => x: Any): _*))
+      .groupBy(col(userCol), col(typeCol))
+      .agg(min(col(tsCol)).as("first_ts"))
+    val per = firsts.groupBy(col(userCol)).agg(
+      count(lit(1)).as("n_types"),
+      (unix_micros(max(col("first_ts"))) -
+        unix_micros(min(col("first_ts")))).as("span_us"))
+    val all = col("n_types") === steps.size
+    per.agg(count(lit(1)).as("n_users"),
+      count(when(all, 1)).as("n_all_steps"),
+      count(when(all && col("span_us") <= withinSeconds * 1000000L, 1))
+        .as("n_converted"))
+  }
+
+  /** FIRST-TOUCH event paths (the Sankey/user-journey rollup): per
+    * user, the chronological order of each event type's FIRST
+    * occurrence, joined into a ">"-separated path string, counted by
+    * path. The per-user list is bounded by the EVENT-TYPE dimension
+    * (a handful), never by that user's events — the one shape where
+    * collect_list is scale-safe — and ordering is made engine-exact
+    * by sorting zero-padded "epochUs|type" strings (timestamp ties
+    * fall back to the type name identically everywhere). */
+  def firstTouchPaths(ev: DataFrame,
+                      userCol: String = "user_id",
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    val firsts = ev.groupBy(col(userCol), col(typeCol))
+      .agg(min(col(tsCol)).as("first_ts"))
+    firsts.groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            format_string("%020d|%s", unix_micros(col("first_ts")), col(typeCol)))),
+          x => substring_index(x, "|", -1)),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Weekly lifecycle cohorts: classify every (week, user) activity
     * cell as `new` (first active week), `retained` (also active the
     * immediately preceding week) or `resurrected` (active before,

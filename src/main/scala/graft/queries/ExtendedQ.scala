@@ -904,6 +904,24 @@ object ExtendedQ {
         .orderBy("arm")
     }),
 
+    // Any-order span conversion (r13): "did view AND click AND
+    // purchase within 3 days of each other, in any order" — the
+    // unordered complement of q200/q204, read on first occurrences.
+    // Two shuffles ((user, type) min then user rollup), no arrays.
+    "q211_span_conversion" -> ((s, d) =>
+      graft.operators.EventAnalytics.spanConversion(
+        Tables.events(s, d), Seq("view", "click", "purchase"),
+        withinSeconds = 3L * 86400L)),
+
+    // First-touch journey paths (r13): the order in which each user
+    // first met each event type, counted by path — the Sankey rollup.
+    // The per-user list is bounded by the event-type DIMENSION (5
+    // here), the one place collect_list is scale-safe; tie order is
+    // engine-exact via zero-padded epoch|type sort keys.
+    "q212_event_paths" -> ((s, d) =>
+      graft.operators.EventAnalytics.firstTouchPaths(Tables.events(s, d))
+        .orderBy(desc("n_users"), col("path"))),
+
     // Weekly churn/resurrection cohorts (VERDICT r12 next #6 — the
     // q201 retention skeleton completed): every (week, user) activity
     // cell classified new/retained/resurrected from the lag over the
@@ -1481,6 +1499,38 @@ object ExtendedQ {
     "q210_manifest_compaction" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q211_span_conversion" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, MIN(ts) AS first_ts
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id, event_type
+        |),
+        |per AS (
+        |  SELECT user_id, COUNT(*) AS n_types,
+        |         epoch_us(MAX(first_ts)) - epoch_us(MIN(first_ts)) AS span_us
+        |  FROM f GROUP BY user_id
+        |)
+        |SELECT COUNT(*) AS n_users,
+        |       COUNT(*) FILTER (n_types = 3) AS n_all_steps,
+        |       COUNT(*) FILTER (n_types = 3 AND span_us <= 259200000000)
+        |         AS n_converted
+        |FROM per""".stripMargin,
+
+    "q212_event_paths" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, MIN(ts) AS first_ts
+        |  FROM events GROUP BY user_id, event_type
+        |),
+        |paths AS (
+        |  SELECT user_id,
+        |         array_to_string(list_transform(
+        |           list_sort(list(printf('%020d|%s', epoch_us(first_ts), event_type))),
+        |           x -> string_split(x, '|')[2]), '>') AS path
+        |  FROM f GROUP BY user_id
+        |)
+        |SELECT path, COUNT(*) AS n_users FROM paths
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
 
     "q206_snapshot_expiry" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
