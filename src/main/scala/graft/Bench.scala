@@ -21,20 +21,21 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r12 slowest-12 (the queries whose drift matters) plus five
+  /** The r13 slowest-12 — from this round's own quiet sf0.1 run
+    * (120.1 s/212 queries; PERF.md's generated block) — plus five
     * cross-surface controls (relational agg, star join, brute-force
-    * cosine, dedup clusters, staged IVF) — refreshed each round so
+    * cosine, dedup clusters, staged IVF). Refreshed each round so
     * the driver's stdout tail sees the most expensive CURRENT
-    * queries, not a stale surface (VERDICT r12 wrong #2: 5 of the
-    * r12 slowest-12 were missing here). Kept to 17 names so the
-    * stdout line — which now carries BOTH the median and min maps —
-    * stays inside the driver's ~2 KB tail capture. */
+    * queries, not a stale surface (VERDICT r12 wrong #2). Kept to 17
+    * names so the stdout line — which carries BOTH the median and
+    * min maps — stays inside the driver's ~2 KB tail capture. */
   val headline: Seq[String] = Seq(
-    "q34_minhash_pairs", "q152_image_clusters", "q170_stream_sessions",
-    "q81_stream_stream_join", "q193_stream_join_window",
-    "q66_embed_neardup", "q158_stream_outer_join",
-    "q203_iceberg_spec_evolution", "q199_semantic_dedup",
-    "q80_stream_dedup", "q82_lsh_ann", "q168_stream_full_outer_join",
+    "q193_stream_join_window", "q34_minhash_pairs", "q178_zorder_optimize",
+    "q168_stream_full_outer_join", "q199_semantic_dedup",
+    "q208_stream_funnel", "q158_stream_outer_join",
+    "q205_semantic_canonical", "q188_stateful_v2",
+    "q81_stream_stream_join", "q179_bloom_point_lookup",
+    "q170_stream_sessions",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;
