@@ -218,6 +218,61 @@ object Corpus {
     * of benchmark documents it shares at least one n-gram with (GPT-3
     * style n-gram collision check). The shingle equi-join buckets by
     * n-gram content; only colliding grams ever meet. */
+  /** BPE TOKENIZER TRAINING (Sennrich et al. 2016, the word-frequency
+    * formulation every production byte-pair trainer uses): the corpus
+    * reduces ONCE to a (word, count) vocabulary — the only
+    * corpus-sized pass — and all merge rounds run on that vocab-sized
+    * relation: count weighted adjacent symbol pairs, take the global
+    * argmax, rewrite the sequences, repeat. The per-round reduce ends
+    * in a driver-side argmax of ONE row (exactly how distributed BPE
+    * works at any scale — the pair-count reduce is the shuffle, the
+    * winner is a scalar), and sequence rewrite is two literal
+    * `replace` passes over the space-delimited symbol string: pass 1
+    * merges greedy-left occurrences except those sharing a delimiter
+    * space with a prior match, pass 2 catches exactly those —
+    * together equal to BPE's greedy left-to-right scan, engine-exact
+    * in DuckDB too (no lookaround, which RE2 lacks). Ties break on
+    * (count desc, lhs, rhs) so training is deterministic. Returns
+    * (merge table, final sequences); the merge table IS the trained
+    * artifact. */
+  def bpeTrainWithSeqs(docs: DataFrame, nMerges: Int,
+                       maxWordLen: Int = 12): (DataFrame, DataFrame) = {
+    require(nMerges >= 1, "at least one merge round")
+    var seqs = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("seq", concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 "), lit("</w> ")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val toks = seqs.withColumn("l", split(trim(col("seq")), " "))
+      val top = toks
+        .select(col("c"), col("l"),
+          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+        .select(element_at(col("l"), col("i")).as("a"),
+          element_at(col("l"), col("i") + lit(1)).as("b"), col("c"))
+        .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .collect() // ONE row: the round's winning pair
+      require(top.nonEmpty, s"no pairs left at merge round $i")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((i.toLong, a, b, a + b, cnt))
+      val pat = lit(s" $a $b ")
+      val rep = lit(s" $a$b ")
+      seqs = seqs.withColumn("seq",
+        replace(replace(col("seq"), pat, rep), pat, rep)).localCheckpoint(true)
+    }
+    import docs.sparkSession.implicits._
+    (merges.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count"),
+      seqs)
+  }
+
+  /** The trained merge table alone. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainWithSeqs(docs, nMerges)._1
+
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 8): DataFrame =
     sh(train, n).alias("t")
       .join(sh(bench, n).alias("b"), col("t.shingle") === col("b.shingle"))

@@ -11,6 +11,29 @@ import graft.operators.Corpus
 object CorpusQ {
 
   val queries: Map[String, Q] = Map(
+    // BPE tokenizer training (r13): 6 merge rounds on the word-
+    // frequency vocabulary (the one corpus-sized pass is the word
+    // count; every round after runs on the vocab-sized relation).
+    // The output IS the trained artifact — the ordered merge table —
+    // and the oracle replays all 6 rounds as unrolled CTEs, so the
+    // hash gate pins pair counting, argmax tie-breaks, and the
+    // greedy-left rewrite across engines.
+    "q213_bpe_train" -> ((s, d) =>
+      Corpus.bpeTrain(Tables.documents(s, d), nMerges = 6)
+        .orderBy("merge_idx")),
+
+    // The compression readout of the trained tokenizer: corpus token
+    // counts before (chars + end-of-word) and after the 6 merges.
+    "q214_bpe_compression" -> ((s, d) => {
+      val (_, seqs) = Corpus.bpeTrainWithSeqs(Tables.documents(s, d), nMerges = 6)
+      seqs.agg(
+        count(lit(1)).as("n_words"),
+        sum(col("c")).cast("long").as("n_instances"),
+        sum(col("c") * (length(col("word")) + 1)).cast("long").as("tokens_before"),
+        sum(col("c") * size(split(trim(col("seq")), " "))).cast("long")
+          .as("tokens_after"))
+    }),
+
     // Deterministic hash split: ~80/10/10 train/val/test from the
     // md5 of the doc id — no RNG, no shuffle, stable across re-runs
     "q83_hash_split" -> ((s, d) =>
@@ -114,7 +137,56 @@ object CorpusQ {
     })
   )
 
+  /** One unrolled BPE round: weighted pair counts over seq{i-1},
+    * deterministic argmax, two-pass greedy-left rewrite — the exact
+    * twin of the Spark round in `Corpus.bpeTrainWithSeqs`. */
+  private def bpeRoundSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT l[i] AS a, l[i + 1] AS b, SUM(c) AS cnt
+       |  FROM (SELECT c, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM (SELECT c, string_split(trim(seq), ' ') AS l FROM seq${i - 1}))
+       |  GROUP BY 1, 2
+       |),
+       |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |seq$i AS (
+       |  SELECT s.word, s.c,
+       |         replace(replace(s.seq,
+       |             ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+       |             ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seq
+       |  FROM seq${i - 1} s, m$i m
+       |)""".stripMargin
+
+  private val bpeChainSql: String =
+    ("""words AS (
+       |  SELECT word, COUNT(*) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$') AND strlen(word) <= 12
+       |  GROUP BY word
+       |),
+       |seq0 AS (
+       |  SELECT word, c,
+       |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') || '</w> ' AS seq
+       |  FROM words
+       |)""".stripMargin +: (1 to 6).map(bpeRoundSql)).mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q213_bpe_train" ->
+      s"""WITH $bpeChainSql
+         |SELECT merge_idx, lhs, rhs, merged, pair_count FROM (
+         |  ${(1 to 6).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS merge_idx, a AS lhs, b AS rhs, " +
+                s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
+              .mkString("\n  UNION ALL\n  ")}
+         |) ORDER BY merge_idx""".stripMargin,
+
+    "q214_bpe_compression" ->
+      s"""WITH $bpeChainSql
+         |SELECT COUNT(*) AS n_words,
+         |       CAST(SUM(c) AS BIGINT) AS n_instances,
+         |       CAST(SUM(c * (strlen(word) + 1)) AS BIGINT) AS tokens_before,
+         |       CAST(SUM(c * len(string_split(trim(seq), ' '))) AS BIGINT)
+         |         AS tokens_after
+         |FROM seq6""".stripMargin,
     "q124_token_windows" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws

@@ -22,6 +22,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(byN.values.forall(_ > 0))
   }
 
+  test("BPE merge rewrite is greedy left-to-right, including adjacent repeats") {
+    // 'aaaa' holds three (a, a) pairs vs one (a, </w>) — round 1 must
+    // merge (a, a), and the two-pass replace must produce BPE's
+    // greedy-left 'aa aa </w>', NOT the single-pass 'aa a a </w>'
+    // (pass 1 misses the second occurrence because the two matches
+    // share a delimiter space).
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val (merges, seqs) = Corpus.bpeTrainWithSeqs(docs, nMerges = 1)
+    val m = merges.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m === Array((1L, "a", "a", 3L)))
+    assert(seqs.select("seq").as[String].collect() === Array(" aa aa </w> "))
+  }
+
+  test("BPE merges cascade onto earlier merged symbols and ties break lexically") {
+    // 'abab' x2: round 1 counts (a,b)=4, (b,a)=2, (b,</w>)=2 → merge
+    // (a,b); round 2 counts (ab,ab)=2, (ab,</w>)=2 → tie, lexical
+    // tie-break on rhs: '</w>' < 'ab' → merge (ab,</w>)
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val (merges, seqs) = Corpus.bpeTrainWithSeqs(docs, nMerges = 2)
+    val m = merges.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m === Array((1L, "a", "b", "ab", 4L), (2L, "ab", "</w>", "ab</w>", 2L)))
+    assert(seqs.select("seq").as[String].collect() === Array(" ab ab</w> "))
+  }
+
   test("shardPack cuts the concatenated stream at exact token offsets") {
     // 6 docs x 10 tokens, budget 25: starts 0,10,20,30,40,50 ->
     // shards 0,0,0,1,1,2
