@@ -273,6 +273,38 @@ object Corpus {
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame =
     bpeTrainWithSeqs(docs, nMerges)._1
 
+  /** BPE ENCODING — the inference half: apply a trained merge table,
+    * in training order, to ANY text (words the trainer never saw
+    * included — that is the point of subword tokenization). The merge
+    * table is driver-side tiny (it is the artifact; production ships
+    * it as a file), so application compiles into one column
+    * expression per word: the char-split seed and then the same
+    * two-pass greedy-left replace per merge the trainer used —
+    * encode(train corpus) therefore reproduces training's final
+    * sequences exactly. Emits (the input columns, word, n_tokens).
+    * `merges` must be small (it is validated against a 10k cap, not
+    * silently truncated). */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                textCol: String = "text"): DataFrame = {
+    val ms = merges.orderBy("merge_idx")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(ms.length <= 10000, s"merge table too large to compile: ${ms.length}")
+    val seed: Column = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "), lit("</w> "))
+    val encoded: Column = ms.foldLeft(seed) { case (acc, (a, b)) =>
+      val pat = lit(s" $a $b ")
+      val rep = lit(s" $a$b ")
+      replace(replace(acc, pat, rep), pat, rep)
+    }
+    docs
+      .select(col("*"), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .withColumn("n_tokens",
+        size(split(trim(encoded), " ")).cast("long"))
+      .drop(textCol)
+  }
+
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 8): DataFrame =
     sh(train, n).alias("t")
       .join(sh(bench, n).alias("b"), col("t.shingle") === col("b.shingle"))

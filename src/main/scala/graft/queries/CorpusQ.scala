@@ -34,6 +34,24 @@ object CorpusQ {
           .as("tokens_after"))
     }),
 
+    // BPE inference (r13): the trained merge table applied to every
+    // lowercase word of the first 50 documents — INCLUDING words the
+    // trainer never saw (length > 12 is excluded from training but
+    // not from encoding; subword tokenization's whole point). The
+    // merge table compiles into one column expression, so encoding is
+    // a flat projection over the corpus — no joins, no state.
+    "q215_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Corpus.bpeTrain(docs, nMerges = 6)
+      Corpus.bpeEncode(
+        docs.filter(col("doc_id") < 50).select(col("doc_id"), col("text")),
+        merges)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash split: ~80/10/10 train/val/test from the
     // md5 of the doc id — no RNG, no shuffle, stable across re-runs
     "q83_hash_split" -> ((s, d) =>
@@ -178,6 +196,29 @@ object CorpusQ {
                 s"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$i")
               .mkString("\n  UNION ALL\n  ")}
          |) ORDER BY merge_idx""".stripMargin,
+
+    "q215_bpe_encode" -> {
+      val applyRounds = (1 to 6).map(i =>
+        s"""e$i AS (
+           |  SELECT e.doc_id, e.word,
+           |         replace(replace(e.seq,
+           |             ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '),
+           |             ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS seq
+           |  FROM e${i - 1} e, m$i m
+           |)""".stripMargin).mkString(",\n")
+      s"""WITH $bpeChainSql,
+         |e0 AS (
+         |  SELECT doc_id, word,
+         |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS seq
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents WHERE doc_id < 50)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |),
+         |$applyRounds
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |       CAST(SUM(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens
+         |FROM e6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q214_bpe_compression" ->
       s"""WITH $bpeChainSql

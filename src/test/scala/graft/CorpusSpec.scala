@@ -48,6 +48,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(seqs.select("seq").as[String].collect() === Array(" ab ab</w> "))
   }
 
+  test("BPE encode reproduces training's final sequences on the training corpus") {
+    val docs = Seq((1L, "abab abab ribera banana"), (2L, "riba bani abab"))
+      .toDF("doc_id", "text")
+    val (merges, seqs) = Corpus.bpeTrainWithSeqs(docs, nMerges = 4)
+    val trained = seqs.select("word", "seq").as[(String, String)].collect()
+      .map { case (w, s) => w -> s.trim.split(" ").length }.toMap
+    val enc = Corpus.bpeEncode(docs, merges)
+      .select("word", "n_tokens").as[(String, Long)].collect()
+      .map { case (w, n) => w -> n.toInt }.toMap
+    assert(enc === trained)
+  }
+
+  test("BPE encode handles words the trainer never saw") {
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, nMerges = 1) // merges (a, a)
+    val unseen = Seq((9L, "aaa zq")).toDF("doc_id", "text")
+    val enc = Corpus.bpeEncode(unseen, merges)
+      .select("word", "n_tokens").as[(String, Long)].collect().toMap
+    // 'aaa' → 'aa a </w>' (3 tokens), 'zq' untouched → 'z q </w>' (3)
+    assert(enc === Map("aaa" -> 3L, "zq" -> 3L))
+  }
+
   test("shardPack cuts the concatenated stream at exact token offsets") {
     // 6 docs x 10 tokens, budget 25: starts 0,10,20,30,40,50 ->
     // shards 0,0,0,1,1,2
