@@ -196,6 +196,40 @@ object TextAnalysis {
     * libm divergence). One corpus scan per term for df, one for tf;
     * the per-term stats are scalars broadcast into the scoring
     * projection. */
+  /** BIGRAM-LM FLUENCY — the perplexity-proxy quality signal of a
+    * statistical LM filter (the CCNet/Gopher "does this read like
+    * the corpus" family), kept LOG-FREE so the score is bit-exact on
+    * any engine (libm's log diverges across platforms; the r4 BM25
+    * lesson): a doc's score is the mean maximum-likelihood transition
+    * probability c(w1,w2)/c(w1) of its bigrams under counts trained
+    * on `train`. Each IEEE ratio rounds through DECIMAL(28,6) before
+    * the sum (the dsum6 discipline) so the per-doc aggregate is
+    * order-independent. Two count tables (one corpus pass each), two
+    * hash joins on the bigram/context keys — never a vocab² product.
+    * Emits (doc_id, n_bigrams, sum_p, fluency). */
+  def bigramFluency(train: DataFrame, score: DataFrame): DataFrame = {
+    def bigrams(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("doc_id"), col("l"),
+          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
+        .select(col("doc_id"),
+          element_at(col("l"), col("i")).as("w1"),
+          element_at(col("l"), col("i") + lit(1)).as("w2"))
+    val t = bigrams(train)
+    val c2 = t.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = t.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams(score)
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .withColumn("r", col("c2").cast("double") / col("c1").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("r").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("sum_p"))
+      .withColumn("fluency", col("sum_p") / col("n_bigrams").cast("double"))
+  }
+
   def bm25Rank(docs: DataFrame, terms: Seq[String], topK: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))

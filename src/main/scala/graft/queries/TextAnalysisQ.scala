@@ -28,6 +28,18 @@ object TextAnalysisQ {
       TextAnalysis.qualityScore(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // Bigram-LM fluency (r13): mean MLE transition probability of a
+    // doc's bigrams under counts trained on the full corpus — the
+    // log-free perplexity proxy (libm log diverges across engines;
+    // ratios round through DECIMAL(28,6) so the per-doc sum is
+    // order-independent). Scored docs are a subset of the training
+    // corpus, so every bigram resolves.
+    "q216_bigram_fluency" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramFluency(docs, docs.filter(col("doc_id") < 100))
+        .orderBy("doc_id")
+    }),
+
     // Unicode canonicalization — the pass that runs before tokenization
     // and dedup. Each doc gets a deterministic adversarial suffix
     // (TAB, decomposed e+U+0301, precomposed é, double space, the ﬁ
@@ -128,6 +140,27 @@ object TextAnalysisQ {
     piiCorpusFrom(Tables.events(s, d))
 
   val oracles: Map[String, String] = Map(
+    "q216_bigram_fluency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |        WHERE len(l) >= 2)
+        |),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM toks GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM toks GROUP BY 1),
+        |j AS (
+        |  SELECT t.doc_id,
+        |         CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS r
+        |  FROM toks t JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  WHERE t.doc_id < 100
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) AS sum_p,
+        |       CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE) AS fluency
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q39_lang_id" ->
       s"""WITH ${TextMiningQ.corpusSql},
          |mixed AS (
