@@ -1282,13 +1282,19 @@ object IcebergInterop {
     order0.putArray("fields")
     root.putObject("properties")
     root.put("current-snapshot-id", versions.last)
+    // snapshots get DISTINCT, strictly increasing timestamps (one
+    // minute apart, ending at nowMs) — timestamp-resolved time travel
+    // ([[readIcebergAsOf]]) needs an order, and a history whose
+    // commits all share one timestamp cannot express one
+    def tsOf(v: Long): Long =
+      nowMs - (versions.last - v) * 60000L
     val snapsArr = root.putArray("snapshots")
     var lastSchema: Option[String] = None
     versions.zip(listByVersion).foreach { case (v, (_, lp)) =>
       val sn = snapsArr.addObject()
       sn.put("snapshot-id", v)
       if (v != versions.head) sn.put("parent-snapshot-id", v - 1)
-      sn.put("timestamp-ms", nowMs)
+      sn.put("timestamp-ms", tsOf(v))
       sn.putObject("summary").put("operation", "append")
       sn.put("manifest-list", s"file://${lp.toAbsolutePath}")
       // schema at this snapshot: last declared at or before v
@@ -1298,7 +1304,7 @@ object IcebergInterop {
     val logArr = root.putArray("snapshot-log")
     versions.foreach { v =>
       val le = logArr.addObject()
-      le.put("timestamp-ms", nowMs)
+      le.put("timestamp-ms", tsOf(v))
       le.put("snapshot-id", v)
     }
     root.putArray("metadata-log")
@@ -1533,6 +1539,31 @@ object IcebergInterop {
   def readIceberg(spark: SparkSession, root: Path,
                   snapshotId: Long = -1L): DataFrame =
     readIcebergImpl(spark, root, snapshotId, None)
+
+  /** (snapshot-id, timestamp-ms) pairs of the table's LIVE snapshots,
+    * in commit order — the public surface a caller needs to pick
+    * time-travel points without parsing metadata JSON themselves. */
+  def snapshotLog(root: Path): Seq[(Long, Long)] =
+    mapper.readTree(Files.readString(currentMetadata(root)))
+      .get("snapshots").elements().asScala
+      .map(s => (s.get("snapshot-id").asLong(), s.get("timestamp-ms").asLong()))
+      .toSeq.sortBy(_._2)
+
+  /** TIMESTAMP-resolved time travel (`FOR SYSTEM_TIME AS OF`): read
+    * the latest snapshot whose commit timestamp is ≤ `tsMs`,
+    * resolving against the LIVE snapshots list — so expiry
+    * ([[expireSnapshots]]) naturally narrows what as-of can reach,
+    * exactly as the spec's history table does. A timestamp before the
+    * first live snapshot refuses loudly rather than silently serving
+    * the oldest state. */
+  def readIcebergAsOf(spark: SparkSession, root: Path, tsMs: Long): DataFrame = {
+    val log = snapshotLog(root)
+    val at = log.filter(_._2 <= tsMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMs at $root (earliest is " +
+          s"${log.headOption.map(_._2).getOrElse(-1L)})"))
+    readIcebergImpl(spark, root, at._1, None)
+  }
 
   /** [[readIceberg]] with MANIFEST-LEVEL FILE PRUNING on one partition
     * source column: only data files whose partition value can contain

@@ -1011,6 +1011,42 @@ object ExtendedQ {
         .orderBy("o_orderpriority")
     }),
 
+    // lake — ICEBERG TIMESTAMP TIME TRAVEL (FOR SYSTEM_TIME AS OF):
+    // a 3-commit history exports with strictly increasing snapshot
+    // timestamps; reading as-of a point between commits 2 and 3 must
+    // resolve to exactly snapshot 2's data (the hash gate), a
+    // timestamp before the first snapshot must refuse rather than
+    // serve the oldest state, and the far future resolves to current.
+    "q217_iceberg_as_of" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 3 === 0), "graft-asofq")
+      t.append(ev.filter(col("event_id") % 3 === 1))
+      t.append(ev.filter(col("event_id") % 3 === 2))
+      val dest = Qx.tempDir("graft-asof-q").resolve("t")
+      require(graft.lake.IcebergInterop.exportHistory(t, dest) == 3,
+        "expected 3 exported snapshots")
+      val log = graft.lake.IcebergInterop.snapshotLog(dest)
+      require(log.map(_._2).sliding(2).forall(w => w(0) < w(1)),
+        s"snapshot timestamps must strictly increase, got $log")
+      val refused =
+        try {
+          graft.lake.IcebergInterop.readIcebergAsOf(s, dest, log.head._2 - 1L)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "as-of before the first snapshot must refuse")
+      require(graft.lake.IcebergInterop
+        .readIcebergAsOf(s, dest, log.last._2 + 86400000L).count() ==
+        graft.lake.IcebergInterop.readIceberg(s, dest).count(),
+        "as-of far future must resolve to the current snapshot")
+      graft.lake.IcebergInterop
+        .readIcebergAsOf(s, dest, log(1)._2 + 30000L) // between commits 2 and 3
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // lake — ICEBERG MANIFEST COMPACTION (rewrite_manifests): a
     // 3-append history leaves the current snapshot with 3 manifests;
     // compaction merges them into one EXISTING-status manifest under
@@ -1499,6 +1535,11 @@ object ExtendedQ {
     "q210_manifest_compaction" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q217_iceberg_as_of" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events WHERE event_id % 3 IN (0, 1)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q211_span_conversion" ->
       """WITH f AS (

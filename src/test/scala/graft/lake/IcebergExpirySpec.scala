@@ -145,6 +145,34 @@ class IcebergExpirySpec extends AnyFunSuite {
     assert(IcebergInterop.readIceberg(spark, dest).count() === before)
   }
 
+  test("timestamp as-of resolves in commit order and narrows with expiry") {
+    val slice0 = orders.filter(col("o_orderkey") % 3 === 0)
+    val t = LakeTable.createTemp(spark, slice0)
+    t.append(orders.filter(col("o_orderkey") % 3 === 1))
+    t.append(orders.filter(col("o_orderkey") % 3 === 2))
+    val dest = TempDirs.create("graft-asof1").resolve("t")
+    assert(IcebergInterop.exportHistory(t, dest) === 3)
+    val log = IcebergInterop.snapshotLog(dest)
+    assert(log.size === 3 && log.map(_._2).distinct.size === 3)
+    // exactly at the first commit → snapshot 1; between 1 and 2 → 1
+    assert(IcebergInterop.readIcebergAsOf(spark, dest, log(0)._2).count() ===
+      slice0.count())
+    assert(IcebergInterop.readIcebergAsOf(spark, dest, log(1)._2 - 1L).count() ===
+      slice0.count())
+    val full = IcebergInterop.readIceberg(spark, dest).count()
+    assert(IcebergInterop.readIcebergAsOf(spark, dest, log(2)._2).count() === full)
+    intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergAsOf(spark, dest, log(0)._2 - 1L))
+    // expiry narrows the reachable history: timestamps that resolved
+    // to snapshots 1/2 now refuse, the current one still resolves
+    IcebergInterop.expireSnapshots(dest, retainLast = 1)
+    intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergAsOf(spark, dest, log(0)._2))
+    intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergAsOf(spark, dest, log(1)._2))
+    assert(IcebergInterop.readIcebergAsOf(spark, dest, log(2)._2).count() === full)
+  }
+
   test("evolved export keeps NULL-predicate rows in exactly one era") {
     import spark.implicits._
     val df = Seq((1L, Some("a"), 1.0), (2L, None: Option[String], 2.0),
