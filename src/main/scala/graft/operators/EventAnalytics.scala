@@ -173,4 +173,43 @@ object EventAnalytics {
       .groupBy(date_format(col("week"), "yyyy-MM-dd").as("week"), col("status"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** SCD TYPE-2 HISTORY BUILD (the warehouse dimension-versioning
+    * op): collapse an entity's observation stream into contiguous
+    * state intervals — one row per RUN of equal `stateCol` values,
+    * with `effective_from` (first observation of the run),
+    * `effective_to` (start of the next run, NULL while current),
+    * `version` (1-based per entity) and `is_current`.
+    *
+    * Plan shape: two windows and one groupBy, all partitioned on the
+    * entity key — at 100 TB each entity's history sorts inside its
+    * own hash partition and no per-entity array is ever built. Run
+    * detection is the lag-compare + running-sum idiom (a "gaps and
+    * islands" group id); `tieCol` must totally order observations
+    * within an entity (same-timestamp ties would otherwise make run
+    * boundaries engine-dependent). */
+  def scd2History(obs: DataFrame, entityCol: String, stateCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byEntity = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol), col(tieCol))
+    val runs = obs
+      .select(Seq(entityCol, stateCol, tsCol, tieCol).distinct.map(col): _*)
+      .withColumn("chg",
+        when(lag(col(stateCol), 1).over(byEntity).isNull ||
+          lag(col(stateCol), 1).over(byEntity) =!= col(stateCol), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val collapsed = runs
+      .groupBy(col(entityCol), col("run_id"), col(stateCol))
+      .agg(min(col(tsCol)).as("effective_from"))
+    val byRun = Window.partitionBy(entityCol).orderBy("run_id")
+    collapsed
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(byRun))
+      .select(col(entityCol), col(stateCol),
+        col("effective_from"), col("effective_to"),
+        col("run_id").as("version"),
+        col("effective_to").isNull.as("is_current"))
+  }
 }

@@ -336,4 +336,56 @@ object TextAnalysis {
           (lit(2) * col("precision") * col("recall")) /
             (col("precision") + col("recall"))))
   }
+
+  /** χ² DISTINCTIVE TERMS per corpus slice — the keyword-extraction
+    * op behind "what characterizes this source/domain?" curation
+    * reports. For every (slice, term), the 2×2 contingency of term
+    * occurrence inside vs outside the slice scores
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)); the top `topK` terms
+    * per slice by that score (ties broken by term) come back.
+    *
+    * One token explode, two bounded aggregations (per-(slice,term),
+    * per-slice and per-term totals — each output-bounded by the
+    * vocabulary, not the corpus), and the grand total joins back as
+    * a one-row broadcast. χ² itself is a fixed IEEE op tree over
+    * exact BIGINT counts — deterministic on any engine — and only
+    * `restrict to ^[a-z]+$ after lowercasing` tokens participate, so
+    * punctuation shards can't pollute the vocabulary. */
+  def distinctiveTerms(docs: DataFrame, sliceCol: String,
+                       topK: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col(sliceCol).as("slice"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$"))
+    val st = toks.groupBy(col("slice"), col("tok"))
+      .agg(count(lit(1)).as("a_plus")) // tf(term, slice)
+    val sliceTot = st.groupBy(col("slice")).agg(sum(col("a_plus")).as("s_tot"))
+    val termTot = st.groupBy(col("tok")).agg(sum(col("a_plus")).as("t_tot"))
+    val grand = sliceTot.agg(sum(col("s_tot")).as("n_tot"))
+    val cells = st
+      .join(sliceTot, "slice").join(termTot, "tok")
+      .crossJoin(broadcast(grand))
+      .select(col("slice"), col("tok"),
+        col("a_plus").as("a"),
+        (col("t_tot") - col("a_plus")).as("b"),
+        (col("s_tot") - col("a_plus")).as("c"),
+        (col("n_tot") - col("t_tot") - col("s_tot") + col("a_plus")).as("d"),
+        col("n_tot"))
+    // mirrored IEEE op tree (token-for-token in the oracle SQL)
+    val ad = col("a").cast("double") * col("d").cast("double")
+    val bc = col("b").cast("double") * col("c").cast("double")
+    val chi2 = col("n_tot").cast("double") * ((ad - bc) * (ad - bc)) /
+      ((col("a") + col("b")).cast("double") *
+        (col("c") + col("d")).cast("double") *
+        (col("a") + col("c")).cast("double") *
+        (col("b") + col("d")).cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = cells.withColumn("chi2", chi2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("slice"))
+          .orderBy(desc("chi2"), col("tok"))))
+      .filter(col("rk") <= topK)
+    ranked.select(col("slice"), col("rk").cast("long").as("rk"),
+      col("tok"), col("a").as("tf_in_slice"), col("chi2"))
+  }
 }

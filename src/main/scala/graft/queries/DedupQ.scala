@@ -291,7 +291,18 @@ object DedupQ {
           .otherwise(col("text")).as("text"))
       Dedup.passageDedup(docs, chunk = 8, minDocs = 5)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Blocking-based fuzzy record linkage (r13): candidates meet only
+    // inside a (lang, 12-char-prefix) block — a hash equi-join, never
+    // all-pairs — and survive at Levenshtein ≤ 8 over 64-char
+    // prefixes (Spark's codegen'd built-in with the threshold
+    // short-circuit). `operators/EntityResolution.fuzzyPairs`.
+    "q220_fuzzy_match" -> ((s, d) =>
+      graft.operators.EntityResolution.fuzzyPairs(
+        Tables.documents(s, d), idCol = "doc_id", textCol = "text",
+        blockCols = Seq("lang"))
+        .orderBy("id_a", "id_b"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -588,6 +599,20 @@ object DedupQ {
         |SELECT doc_id, COUNT(*) AS n_kept,
         |       string_agg(win_text, ' ' ORDER BY win_idx) AS clean_text
         |FROM ch WHERE win_text NOT IN (SELECT win_text FROM boiler)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q220_fuzzy_match" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |         substr(text, 1, 12) AS blk,
+        |         substr(text, 1, 64) AS pfx
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_distance
+        |FROM k a JOIN k b
+        |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -246,7 +246,38 @@ object SurfaceQ {
         .filter(col("event_type") === "click")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .select(col("n"), col("total"))
-    })
+    }),
+
+    // Distributed OLS trend (r13): per-event-type slope of value vs
+    // time from five exact sufficient statistics — one aggregation
+    // pass with map-side partials, the shuffle carries one row per
+    // type. `operators/Stats.olsTrend`.
+    "q218_ols_trend" -> ((s, d) =>
+      graft.operators.Stats.olsTrend(
+        Tables.events(s, d), "event_type", "ts", "value")
+        .orderBy("event_type")),
+
+    // SCD Type-2 history build (r13): each user's event_type
+    // observation stream collapsed to contiguous state intervals with
+    // effective_from/to and a version counter — the warehouse
+    // dimension-versioning op, gaps-and-islands shape, windows all
+    // partitioned on the entity key. `operators/EventAnalytics.scd2History`.
+    "q219_scd2" -> ((s, d) =>
+      graft.operators.EventAnalytics.scd2History(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        entityCol = "user_id", stateCol = "event_type",
+        tsCol = "ts_us", tieCol = "event_id")
+        .orderBy("user_id", "version")),
+
+    // Rank correlation (r13): per-event-type Spearman ρ between value
+    // rank and arrival rank with deterministic tie-breaking — "do
+    // later events carry higher values?" as Pearson over exact
+    // integer ranks. `operators/Stats.rankCorrelation`.
+    "q222_rank_corr" -> ((s, d) =>
+      graft.operators.Stats.rankCorrelation(
+        Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+        "event_type", col("value"), col("ts_us"), col("event_id"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,6 +434,84 @@ object SurfaceQ {
 
     "q76_partition_pruning" ->
       s"""SELECT COUNT(*) AS n, ${sqlDsum("value")} AS total
-         |FROM events WHERE event_type = 'click'""".stripMargin
+         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    // mirrors Stats.olsTrend token for token: exact DECIMAL(38,0)
+    // sums, one double cast per total, explicitly-ordered IEEE chain
+    "q218_ols_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |         CAST(FLOOR(value * 100.0) AS BIGINT) AS y2
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         SUM(CAST(y2 AS DECIMAL(38,0))) AS sy,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+        |         SUM(CAST(x AS DECIMAL(19,0)) * CAST(y2 AS DECIMAL(19,0))) AS sxy
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0 AS slope_per_day,
+        |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q219_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |), r AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id
+        |             ORDER BY ts_us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM o
+        |), c AS (
+        |  SELECT user_id, run_id, event_type, MIN(ts_us) AS effective_from
+        |  FROM r GROUP BY user_id, run_id, event_type
+        |)
+        |SELECT user_id, event_type, effective_from,
+        |       lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |         AS effective_to,
+        |       run_id AS version,
+        |       lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id)
+        |         IS NULL AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
+
+    // mirrors Stats.rankCorrelation: Pearson over row_number ranks,
+    // exact sums, num / (sqrt(d1) * sqrt(d2)) in that order
+    "q222_rank_corr" ->
+      """WITH rk AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |             ORDER BY value, event_id) AS BIGINT) AS ra,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS BIGINT) AS rb
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(ra AS DECIMAL(38,0))) AS sa,
+        |         SUM(CAST(rb AS DECIMAL(38,0))) AS sb,
+        |         SUM(CAST(ra AS DECIMAL(19,0)) * CAST(ra AS DECIMAL(19,0))) AS saa,
+        |         SUM(CAST(rb AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0))) AS sbb,
+        |         SUM(CAST(ra AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0))) AS sab
+        |  FROM rk GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+        |        CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |       (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+        |             CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |        sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+        |             CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rank_corr
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

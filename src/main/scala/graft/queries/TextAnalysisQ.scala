@@ -118,7 +118,14 @@ object TextAnalysisQ {
     // from events ints — identically in the oracle)
     "q114_pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(piiCorpus(s, d))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // χ² distinctive terms per source (r13): the keyword-extraction
+    // op behind per-domain curation reports — 2×2 term/slice
+    // contingency scored over exact counts, top 5 per source.
+    "q223_distinctive_terms" -> ((s, d) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, d), "source")
+        .orderBy("slice", "rk"))
   )
 
   /** Contact-bearing corpus for q114/q127: one email, one phone-shaped
@@ -402,6 +409,49 @@ object TextAnalysisQ {
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
         |         AS n_emails,
         |       CAST(len(regexp_extract_all(no_email, '0[0-9]{9}')) AS BIGINT) AS n_phones
-        |FROM redacted ORDER BY doc_id""".stripMargin
+        |FROM redacted ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.distinctiveTerms: exact BIGINT contingency
+    // cells, one fixed IEEE op tree for the χ² score
+    "q223_distinctive_terms" ->
+      """WITH toks AS (
+        |  SELECT source AS slice, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), t AS (
+        |  SELECT slice, tok FROM toks WHERE regexp_matches(tok, '^[a-z]+$')
+        |), st AS (
+        |  SELECT slice, tok, COUNT(*) AS a FROM t GROUP BY slice, tok
+        |), stot AS (
+        |  SELECT slice, SUM(a) AS s_tot FROM st GROUP BY slice
+        |), ttot AS (
+        |  SELECT tok, SUM(a) AS t_tot FROM st GROUP BY tok
+        |), n AS (
+        |  SELECT SUM(s_tot) AS n_tot FROM stot
+        |), cells AS (
+        |  SELECT st.slice, st.tok,
+        |         CAST(st.a AS BIGINT) AS a,
+        |         CAST(ttot.t_tot - st.a AS BIGINT) AS b,
+        |         CAST(stot.s_tot - st.a AS BIGINT) AS c,
+        |         CAST(n.n_tot - ttot.t_tot - stot.s_tot + st.a AS BIGINT) AS d,
+        |         CAST(n.n_tot AS BIGINT) AS n_tot
+        |  FROM st JOIN stot USING (slice) JOIN ttot USING (tok) CROSS JOIN n
+        |), scored AS (
+        |  SELECT slice, tok, a,
+        |         CAST(n_tot AS DOUBLE) *
+        |         ((CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+        |           CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+        |          (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+        |           CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) /
+        |         (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+        |          CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+        |  FROM cells
+        |), ranked AS (
+        |  SELECT slice, tok, a, chi2,
+        |         CAST(row_number() OVER (PARTITION BY slice
+        |             ORDER BY chi2 DESC, tok) AS BIGINT) AS rk
+        |  FROM scored
+        |)
+        |SELECT slice, rk, tok, a AS tf_in_slice, chi2
+        |FROM ranked WHERE rk <= 5 ORDER BY slice, rk""".stripMargin
   )
 }

@@ -74,11 +74,15 @@ class PlanAuditSpec extends AnyFunSuite {
     *    CONSTANT) cross-joined against the query set to build per-query
     *    LUTs; the corpus-sized scoring join is a broadcast HASH join
     *    on (sub, code). q119's centroid allowance, PQ flavor (q192
-    *    composes the same LUT with the coarse-cell restriction). */
+    *    composes the same LUT with the coarse-cell restriction).
+    *  - q223: the corpus grand-total token count — a ONE-ROW broadcast
+    *    scalar cross-joined into the (slice, term) contingency cells
+    *    (q102's pattern); the real joins are hash equi-joins on slice
+    *    and term, both vocabulary-bounded. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
     "q176_top_supplier", "q187_value_concentration", "q191_pq_topk",
-    "q192_ivf_pq", "q207_churn_cohorts")
+    "q192_ivf_pq", "q207_churn_cohorts", "q223_distinctive_terms")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

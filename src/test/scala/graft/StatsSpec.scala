@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EntityResolution, EventAnalytics, Stats, TextAnalysis}
+
+/** Unit pins for the r13 analytics additions: OLS trend, rank
+  * correlation, SCD2 history, fuzzy blocking linkage and χ²
+  * distinctive terms. The oracle gate proves engine parity; these
+  * prove the STATISTICS are right on constructed inputs. */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2020-01-${day + 1}%02d 00:00:00")
+
+  test("olsTrend recovers an exact planted slope and mean") {
+    // y = 3.00 + 2.50 * x on days 0..4 — cents-exact, so the
+    // quantized regression must recover it exactly
+    val rows = (0 to 4).map(x => ("up", ts(x), 3.00 + 2.50 * x)) ++
+      (0 to 4).map(x => ("flat", ts(x), 7.25))
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = Stats.olsTrend(df, "event_type", "ts", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("up")._1 === 5L)
+    assert(out("up")._2 === 2.50)
+    assert(out("up")._3 === 8.00) // mean of 3, 5.5, 8, 10.5, 13
+    assert(out("flat")._2 === 0.0)
+    assert(out("flat")._3 === 7.25)
+  }
+
+  test("rankCorrelation is ±1 on monotone orderings, 0-centered on a designed anti-pattern") {
+    // value strictly increasing with time -> ranks identical -> +1;
+    // strictly decreasing -> ranks reversed -> -1
+    val inc = (1 to 20).map(i => ("inc", i.toDouble, i.toLong, i.toLong))
+    val dec = (1 to 20).map(i => ("dec", (21 - i).toDouble, i.toLong, i.toLong))
+    val df = (inc ++ dec).toDF("event_type", "value", "ts_us", "event_id")
+    val out = Stats.rankCorrelation(df, "event_type",
+      col("value"), col("ts_us"), col("event_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("inc") - 1.0) < 1e-12)
+    assert(math.abs(out("dec") + 1.0) < 1e-12)
+  }
+
+  test("scd2History collapses runs, versions them, and marks the current row") {
+    val obs = Seq(
+      (1L, "trial", 10L, 1L),
+      (1L, "trial", 20L, 2L),
+      (1L, "paid", 30L, 3L),
+      (1L, "trial", 40L, 4L), // back to a previous state = NEW version
+      (2L, "paid", 5L, 5L)
+    ).toDF("user_id", "state", "ts_us", "obs_id")
+    val out = EventAnalytics.scd2History(obs, "user_id", "state", "ts_us", "obs_id")
+      .orderBy("user_id", "version").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq === Seq("trial", "paid", "trial"))
+    assert(u1.map(_.getLong(2)).toSeq === Seq(10L, 30L, 40L)) // effective_from
+    assert(u1.map(r => Option(r.get(3))).toSeq ===
+      Seq(Some(30L), Some(40L), None)) // effective_to chains, open tail
+    assert(u1.map(_.getLong(4)).toSeq === Seq(1L, 2L, 3L))
+    assert(u1.map(_.getBoolean(5)).toSeq === Seq(false, false, true))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2(0).getBoolean(5))
+  }
+
+  test("fuzzyPairs links within-block near-matches and never crosses blocks") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "en", "the quick brown fox jumps over the lazy cat tonight"), // dist 3 from 1
+      (3L, "en", "a completely different text that shares no prefix at all"),
+      (4L, "fr", "the quick brown fox jumps over the lazy dog tonight") // same text, other block
+    ).toDF("doc_id", "lang", "text")
+    val out = EntityResolution.fuzzyPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 2L, 3L))) // 4 blocked away despite dist 0
+  }
+
+  test("fuzzyPairs drops candidates past the threshold via the short-circuit form") {
+    val docs = Seq(
+      (1L, "x", "aaaaaaaaaaaa" + "b" * 30),
+      (2L, "x", "aaaaaaaaaaaa" + "c" * 30) // same block, 30 edits apart
+    ).toDF("doc_id", "lang", "text")
+    val out = EntityResolution.fuzzyPairs(docs, "doc_id", "text",
+      blockCols = Seq("lang"), maxDist = 8)
+    assert(out.count() === 0L)
+  }
+
+  test("distinctiveTerms surfaces a planted slice-exclusive token at rank 1") {
+    val common = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$common xylophone xylophone xylophone", "A"),
+      (2L, s"$common xylophone xylophone xylophone", "A"),
+      (3L, common, "B"),
+      (4L, common, "B")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.distinctiveTerms(docs, "source", topK = 2)
+      .filter(col("slice") === "A").orderBy("rk").collect()
+    assert(out(0).getAs[String]("tok") === "xylophone")
+    assert(out(0).getAs[Long]("tf_in_slice") === 6L)
+    // exclusive token's chi2 strictly dominates any shared token
+    assert(out(0).getAs[Double]("chi2") > out(1).getAs[Double]("chi2"))
+  }
+}
