@@ -1484,6 +1484,177 @@ object IcebergInterop {
     rows.size
   }
 
+  case class RewriteDataResult(compactedFiles: Int, newFiles: Int,
+                               carriedFiles: Int)
+
+  /** DATA-FILE COMPACTION (Iceberg's `rewrite_data_files` bin-pack
+    * maintenance action — the physical twin of [[rewriteManifests]]):
+    * merge the current snapshot's small data files into
+    * ~`targetFileBytes` outputs and commit a new `replace` snapshot.
+    * Files are bin-packed in path order; a bin that ends up holding a
+    * single file is CARRIED as status EXISTING under its ORIGINAL
+    * commit snapshot (lineage untouched, zero I/O), while every
+    * multi-file bin is rewritten through one Spark read→write into a
+    * single parquet file entered as ADDED under the new snapshot.
+    * Row preservation is asserted per bin from parquet footer counts
+    * — a lost row fails the commit, it can never ship silently.
+    *
+    * Pre-compaction snapshots keep reading bit-identically (their
+    * manifests and files are untouched); a later [[expireSnapshots]]
+    * then physically drops the rewritten-away small files — but,
+    * because expiry reachability is file-level, never a carried file
+    * the new manifest still references. Same fail-loud scope as
+    * manifest compaction: spec-0 unpartitioned v1 exports only.
+    *
+    * At 100 TB this is the compaction shape that matters: the
+    * planner's work scales with FILE COUNT (manifest entries, scan
+    * tasks, footer reads), so a streaming ingest's thousands of
+    * KB-files per day must fold into target-size files off the hot
+    * path; each bin rewrites independently (parallel across bins on
+    * a real cluster) and touched bytes = compacted bytes, never the
+    * whole table. */
+  def rewriteDataFiles(spark: SparkSession, root: Path,
+                       targetFileBytes: Long = 128L * 1024 * 1024): RewriteDataResult = {
+    require(targetFileBytes > 0, "target file size must be positive")
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath))
+    require(meta.get("format-version").asInt() == 1,
+      s"data-file rewrite supports v1 exports, got format-version " +
+        s"${meta.get("format-version").asInt()}")
+    val metaDir = metaPath.getParent
+    val currentId = meta.get("current-snapshot-id").asLong()
+    val snaps = meta.get("snapshots").elements().asScala.toSeq
+    val cur = snaps.find(_.get("snapshot-id").asLong() == currentId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"current snapshot $currentId not in snapshots list at $root"))
+    val listRows = readAvro(resolveLoc(root, cur.get("manifest-list").asText()))
+    require(listRows.forall(_.get("partition_spec_id").asInstanceOf[Integer] == 0),
+      "data-file rewrite handles only spec-0 manifest sets")
+    val entries = listRows
+      .flatMap(r => readAvro(resolveLoc(root, r.get("manifest_path").toString)))
+      .filter(_.get("status").asInstanceOf[Integer] != 2) // drop DELETED
+    require(entries.forall(e => e.get("data_file").asInstanceOf[GenericRecord]
+        .getSchema.getField("partition").schema().getFields.isEmpty),
+      "data-file rewrite handles only unpartitioned manifest entries")
+    case class Live(entry: GenericRecord, path: Path, bytes: Long, rows: Long)
+    val live = entries.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      Live(e, resolveLoc(root, df.get("file_path").toString),
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        df.get("record_count").asInstanceOf[Long])
+    }.sortBy(_.path.toString)
+    // first-fit bin-pack in path order: a bin closes when adding the
+    // next file would cross the target (a file larger than the target
+    // sits alone in its bin and is carried untouched)
+    val bins = live.foldLeft(List.empty[List[Live]]) {
+      case (Nil, f) => List(List(f))
+      case (bin :: done, f) =>
+        if (bin.map(_.bytes).sum + f.bytes <= targetFileBytes) (f :: bin) :: done
+        else List(f) :: bin :: done
+    }.map(_.reverse).reverse
+    val (toMerge, toCarry) = bins.partition(_.size > 1)
+    if (toMerge.isEmpty) return RewriteDataResult(0, 0, live.size)
+    val dataDir = root.resolve("data")
+    Files.createDirectories(dataDir)
+    val merged: Seq[(Path, Long)] = toMerge.map { bin =>
+      val tmp = TempDirs.create("graft-rdf")
+      spark.read.parquet(bin.map(_.path.toString): _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Using.resource(Files.list(tmp)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"expected one coalesced part file, found ${other.size}")
+      }
+      val out = dataDir.resolve(s"compacted-${UUID.randomUUID()}.parquet")
+      Files.move(part, out)
+      val rows = parquetRowCount(out)
+      val expect = bin.map(_.rows).sum
+      require(rows == expect,
+        s"compaction lost rows: bin of ${bin.size} files had $expect, " +
+          s"rewrite holds $rows")
+      out -> rows
+    }
+    // one manifest: ADDED compacted outputs + EXISTING carried files
+    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+    val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+    val newSnapId = snaps.map(_.get("snapshot-id").asLong()).max + 1
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestEntrySchema))) { w =>
+      w.create(manifestEntrySchema, mp.toFile)
+      merged.foreach { case (f, rows) =>
+        val dfr = new GenericData.Record(dataFileSchema)
+        dfr.put("file_path", s"file://${f.toAbsolutePath}")
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(
+          dataFileSchema.getField("partition").schema()))
+        dfr.put("record_count", rows)
+        dfr.put("file_size_in_bytes", Files.size(f))
+        dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("status", 1) // ADDED by this compaction commit
+        e.put("snapshot_id", newSnapId)
+        e.put("data_file", dfr)
+        w.append(e)
+      }
+      toCarry.flatten.foreach { f =>
+        val src = f.entry.get("data_file").asInstanceOf[GenericRecord]
+        val dfr = new GenericData.Record(dataFileSchema)
+        Seq("file_path", "file_format", "record_count",
+          "file_size_in_bytes", "block_size_in_bytes")
+          .foreach(fld => dfr.put(fld, src.get(fld)))
+        dfr.put("partition", new GenericData.Record(
+          dataFileSchema.getField("partition").schema()))
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("status", 0) // EXISTING — lineage stays with the original commit
+        e.put("snapshot_id", f.entry.get("snapshot_id"))
+        e.put("data_file", dfr)
+        w.append(e)
+      }
+    }
+    val lp = metaDir.resolve(s"snap-$newSnapId-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchema))) { w =>
+      w.create(manifestListSchema, lp.toFile)
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"file://${mp.toAbsolutePath}")
+      r.put("manifest_length", Files.size(mp))
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", newSnapId)
+      r.put("added_data_files_count", merged.size)
+      r.put("existing_data_files_count", toCarry.map(_.size).sum)
+      r.put("deleted_data_files_count", 0)
+      w.append(r)
+    }
+    val nowMs = Files.getLastModifiedTime(lp).toMillis
+    val newMeta = meta.deepCopy[ObjectNode]()
+    val sn = newMeta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+    sn.put("snapshot-id", newSnapId)
+    sn.put("parent-snapshot-id", currentId)
+    sn.put("timestamp-ms", nowMs)
+    sn.putObject("summary").put("operation", "replace")
+    sn.put("manifest-list", s"file://${lp.toAbsolutePath}")
+    if (cur.has("schema-id")) sn.put("schema-id", cur.get("schema-id").asInt())
+    newMeta.put("current-snapshot-id", newSnapId)
+    if (newMeta.has("snapshot-log")) {
+      val le = newMeta.get("snapshot-log")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].addObject()
+      le.put("timestamp-ms", nowMs)
+      le.put("snapshot-id", newSnapId)
+    }
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaDir.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta))
+    Files.writeString(metaDir.resolve("version-hint.text"), (curV + 1).toString)
+    RewriteDataResult(toMerge.map(_.size).sum, merged.size,
+      toCarry.map(_.size).sum)
+  }
+
   // ---- read --------------------------------------------------------------
 
   private[lake] def readAvro(path: Path): Seq[GenericRecord] =

@@ -1082,6 +1082,43 @@ object ExtendedQ {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // lake — ICEBERG DATA-FILE COMPACTION (rewrite_data_files, r13 —
+    // the physical twin of q210's manifest compaction): a 3-append
+    // history lands 12 small data files; bin-packing rewrites them
+    // into ONE target-size file under a new replace snapshot with
+    // per-bin row-count assertions. Pre-compaction snapshots still
+    // time-travel (their files are untouched), and the subsequent
+    // expiry physically drops exactly the 12 rewritten-away small
+    // files — file-level reachability keeps the compacted output.
+    "q221_iceberg_rewrite_data" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 3 === 0).repartition(4), "graft-rdfq")
+      t.append(ev.filter(col("event_id") % 3 === 1).repartition(4))
+      t.append(ev.filter(col("event_id") % 3 === 2).repartition(4))
+      val dest = Qx.tempDir("graft-rdf-q").resolve("t")
+      val nSnaps = graft.lake.IcebergInterop.exportHistory(t, dest)
+      require(nSnaps == 3, s"expected 3 exported snapshots, got $nSnaps")
+      val before = graft.lake.IcebergInterop.readIceberg(s, dest).count()
+      val res = graft.lake.IcebergInterop.rewriteDataFiles(s, dest)
+      require(res.compactedFiles == 12 && res.newFiles == 1 &&
+        res.carriedFiles == 0,
+        s"expected 12 files bin-packed into 1, got $res")
+      require(graft.lake.IcebergInterop.readIceberg(s, dest).count() == before,
+        "data-file compaction must not change the data")
+      require(graft.lake.IcebergInterop
+        .readIceberg(s, dest, t.versions.head).count() > 0,
+        "pre-compaction snapshots must still time-travel")
+      val exp = graft.lake.IcebergInterop.expireSnapshots(dest, retainLast = 1)
+      require(exp.deletedDataFiles == 12,
+        s"expiry must drop exactly the 12 rewritten-away small files: $exp")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -1533,6 +1570,10 @@ object ExtendedQ {
          |ORDER BY arm""".stripMargin,
 
     "q210_manifest_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q221_iceberg_rewrite_data" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
