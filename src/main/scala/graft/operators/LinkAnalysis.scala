@@ -87,4 +87,33 @@ object LinkAnalysis {
       .select(col("node"), col("oscore"),
         (lit(Base) + expr("(85 * coalesce(insum, 0L)) DIV 100")).as("score"))
   }
+
+  /** TRIANGLE ENUMERATION — the graph-quality metric next to PageRank
+    * (clustering coefficient, community density, link-farm
+    * detection). Edges are first canonicalized to an ORIENTED
+    * undirected form (a < b, distinct, self-loops dropped), which is
+    * the classic exactly-once trick: every triangle {x,y,z} with
+    * x<y<z is produced solely as the wedge (x,y)+(y,z) closed by
+    * (x,z), so no post-hoc dedup pass is needed.
+    *
+    * Scale shape: two hash equi-joins on single vertex keys — wedge
+    * generation joins b=b' (partitioned on the shared vertex),
+    * closure joins (a,c) against the edge set. Cost is
+    * Σ deg(v)² for wedges, the standard bound; at 100 TB the known
+    * refinement (orient by degree instead of id, cutting the bound
+    * to O(E^1.5)) drops in by replacing the a<b comparator — id
+    * order keeps the oracle expressible and is exact at any size. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val wedges = und.alias("e1")
+      .join(und.alias("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    wedges.join(und,
+        wedges("x") === und("a") && wedges("z") === und("b"))
+      .select(col("x"), col("y"), col("z"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -104,5 +105,117 @@ object Stats {
       col("n"),
       ((n * sab - sa * sb) /
         (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))).as("rank_corr"))
+  }
+
+  /** TRAILING-WINDOW RATE-ANOMALY DETECTION: per (group, day), the
+    * z-score of that day's event count against the trailing
+    * `lookback`-day window (current day EXCLUDED — a spike must not
+    * inflate its own baseline). Days with fewer than `minPrior`
+    * baseline days emit a NULL z-score rather than a garbage one.
+    *
+    * The day grid is the OBSERVED days only (a day with zero events
+    * has no row — the monitoring-pipeline convention where absence
+    * itself alarms upstream); the RANGE frame on the integer day
+    * index still spans calendar gaps correctly.
+    *
+    * One aggregation to day counts (map-side combinable), one range
+    * window per group partition. Counts are integers, so Σx and Σx²
+    * are exact; mean/variance/z form a fixed IEEE chain on the exact
+    * totals: z = (x − μ) / √((n·Σx² − (Σx)²) / (n·n)). */
+  def rateAnomaly(df: DataFrame, groupCol: String, tsCol: String,
+                  lookback: Int = 7, minPrior: Int = 3): DataFrame = {
+    val daily = df
+      .select(col(groupCol),
+        datediff(to_date(col(tsCol)), lit("2020-01-01")).cast("long").as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rangeBetween(-lookback, -1)
+    val withStats = daily
+      .withColumn("n_prior", count(lit(1)).over(frame))
+      .withColumn("s1", sum(col("n_events")).over(frame))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(frame))
+    val np = col("n_prior").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val mean = s1 / np
+    val z = (col("n_events").cast("double") - mean) /
+      sqrt((np * s2 - s1 * s1) / (np * np))
+    // variance > 0 guard: a constant baseline window must yield NULL,
+    // not a divide-by-zero artifact (engines disagree on x/0.0 — NaN
+    // in DuckDB, ±Inf in the JVM — so the guard IS the portability)
+    val varPos = (np * s2 - s1 * s1) > 0.0
+    withStats.select(col(groupCol), col("day"), col("n_events"),
+      col("n_prior"),
+      when(col("n_prior") >= minPrior, mean).as("baseline_mean"),
+      when(col("n_prior") >= minPrior && varPos, z).as("z_score"))
+  }
+
+  /** DISTRIBUTED GRAM MATRIX over an embedding column — the one-pass
+    * building block behind PCA / whitening / covariance-based
+    * curation of an embedding corpus. G(i,j) = Σ_rows v_i·v_j,
+    * computed as a typed [[Aggregator]] whose buffer is the d×d
+    * matrix of exact INTEGER sums over inputs quantized to
+    * `scaleBits` fractional bits (a power-of-two scale, so the
+    * float→fixed conversion is one exact double multiply + floor on
+    * any engine).
+    *
+    * This is the scale shape that matters: partial aggregation means
+    * every partition reduces its rows locally into ONE d²-long
+    * buffer and the shuffle carries one buffer per partition —
+    * d=64 → 32 KB — never the vectors (the explode-to-(i,j)-pairs
+    * alternative shuffles d²× the corpus). Integer addition
+    * commutes, so the result is bit-identical under any partitioning.
+    * Headroom: |v|<1 at 16 scale bits ⇒ |q_i·q_j| < 2³², leaving
+    * 2³¹ rows per cell before Long overflow — raise to a BigInt
+    * buffer past that, not the scale. Emits the upper triangle
+    * (i ≤ j) with the exact `dot_q` and the de-scaled double. */
+  def gramMatrix(df: DataFrame, vecCol: String, d: Int,
+                 scaleBits: Int = 16): DataFrame = {
+    require(d >= 1 && scaleBits >= 1 && scaleBits <= 24,
+      s"need 1 <= d and 1 <= scaleBits <= 24, got d=$d bits=$scaleBits")
+    val scale = math.pow(2.0, scaleBits)
+    val q = df.select(transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long")).as("qv"))
+    val agg = new GramAggregator(d)
+    implicit val enc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    val one = q.as[Array[Long]].select(agg.toColumn.name("g")).toDF("g")
+    one.select(posexplode(col("g")).as(Seq("k", "dot_q")))
+      .select(expr(s"CAST(k DIV $d AS BIGINT)").as("i"),
+        expr(s"CAST(k % $d AS BIGINT)").as("j"), col("dot_q"))
+      .filter(col("i") <= col("j"))
+      .withColumn("gram", col("dot_q").cast("double") / lit(scale * scale))
+  }
+
+  /** The [[gramMatrix]] buffer: exact integer outer-product sums,
+    * symmetric cells written to both triangles so the merge is a
+    * flat elementwise add. */
+  private final class GramAggregator(d: Int)
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](d * d)
+    def reduce(acc: Array[Long], v: Array[Long]): Array[Long] = {
+      require(v.length == d,
+        s"gramMatrix: expected $d-dim vectors, found ${v.length}")
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val p = v(i) * v(j)
+          acc(i * d + j) += p
+          if (i != j) acc(j * d + i) += p
+          j += 1
+        }
+        i += 1
+      }
+      acc
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < a.length) { a(k) += b(k); k += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 }

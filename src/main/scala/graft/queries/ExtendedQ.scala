@@ -388,6 +388,19 @@ object ExtendedQ {
         .orderBy("node")
     }),
 
+    // Triangle enumeration (r13) over the q136 synthetic graph:
+    // id-oriented canonical edges make each triangle appear exactly
+    // once as x<y<z; wedge + closure are both hash equi-joins on a
+    // single vertex key. The companion per-node rollup is the
+    // clustering-coefficient numerator.
+    "q225_triangles" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst"))
+      graft.operators.LinkAnalysis.triangles(edges)
+        .orderBy("x", "y", "z")
+    }),
+
     // lake — CHANGE FEED across a version range: the CDC read a
     // downstream consumer tails instead of rescanning snapshots. One
     // append (reads only the appended dir) + one delete-only merge
@@ -1149,6 +1162,18 @@ object ExtendedQ {
 
   val oracles: Map[String, String] = Map(
     "q136_pagerank" -> pagerankSql(3),
+
+    "q225_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(user_id, (user_id * 3 + event_id % 5 + 1) % 150) AS a,
+        |         greatest(user_id, (user_id * 3 + event_id % 5 + 1) % 150) AS b
+        |  FROM events
+        |  WHERE user_id <> (user_id * 3 + event_id % 5 + 1) % 150
+        |)
+        |SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY x, y, z""".stripMargin,
 
     "q137_schema_evolution" ->
       s"""SELECT CASE WHEN event_id % 2 = 1 THEN event_type

@@ -433,7 +433,18 @@ object SimilarityQ {
           coalesce(col("n_matches"), lit(0L)).as("n_matches"))
         .withColumn("kept", (col("n_matches") === 0).cast("long"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Distributed Gram matrix (r13): the one-pass PCA/whitening
+    // building block — a typed Aggregator buffers the 64×64 exact
+    // integer matrix per partition, the shuffle carries one 32 KB
+    // buffer per partition, never the vectors. The oracle recomputes
+    // the upper triangle by double-unnest (fine at oracle scale; the
+    // engine path never materializes the d²× row blowup).
+    "q224_gram_matrix" -> ((s, d) =>
+      graft.operators.Stats.gramMatrix(
+        Tables.embeddings(s, d), "embedding", d = 64)
+        .orderBy("i", "j"))
   )
 
   /** The oracle twin of [[semanticComponents]]: the k-means chain,
@@ -811,6 +822,23 @@ object SimilarityQ {
         |SELECT vec_id,
         |       CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS qdot,
         |       CAST(SUM(qa[i] * qa[i]) AS BIGINT) AS qnorm2
-        |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM ex GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q224_gram_matrix" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), idx AS (
+        |  SELECT unnest(generate_series(1, 64)) AS p
+        |), cells AS (
+        |  SELECT a.p AS pi, b.p AS pj FROM idx a JOIN idx b ON b.p >= a.p
+        |)
+        |SELECT CAST(c.pi - 1 AS BIGINT) AS i, CAST(c.pj - 1 AS BIGINT) AS j,
+        |       CAST(SUM(qv[c.pi] * qv[c.pj]) AS BIGINT) AS dot_q,
+        |       CAST(CAST(SUM(qv[c.pi] * qv[c.pj]) AS BIGINT) AS DOUBLE)
+        |         / 4294967296.0 AS gram
+        |FROM q CROSS JOIN cells c
+        |GROUP BY c.pi, c.pj ORDER BY i, j""".stripMargin
   )
 }

@@ -277,7 +277,17 @@ object SurfaceQ {
       graft.operators.Stats.rankCorrelation(
         Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
         "event_type", col("value"), col("ts_us"), col("event_id"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Trailing-window rate-anomaly detection (r13): per (type, day),
+    // the day's event count z-scored against the prior 7 calendar
+    // days (RANGE frame on the integer day index, current day
+    // excluded, zero-variance windows NULL-guarded).
+    // `operators/Stats.rateAnomaly`.
+    "q226_rate_anomaly" -> ((s, d) =>
+      graft.operators.Stats.rateAnomaly(
+        Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type", "day"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +522,38 @@ object SurfaceQ {
         |             CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
         |        sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
         |             CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rank_corr
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // mirrors Stats.rateAnomaly: RANGE frame over the integer day
+    // index, prior-window-only stats, variance>0 + minPrior guards
+    "q226_rate_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, n_events,
+        |         COUNT(*) OVER f AS n_prior,
+        |         CAST(SUM(n_events) OVER f AS BIGINT) AS s1,
+        |         CAST(SUM(n_events * n_events) OVER f AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, n_events, n_prior,
+        |       CASE WHEN n_prior >= 3
+        |            THEN CAST(s1 AS DOUBLE) / CAST(n_prior AS DOUBLE) END
+        |         AS baseline_mean,
+        |       CASE WHEN n_prior >= 3 AND
+        |                 CAST(n_prior AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0.0
+        |            THEN (CAST(n_events AS DOUBLE) -
+        |                  CAST(s1 AS DOUBLE) / CAST(n_prior AS DOUBLE)) /
+        |                 sqrt((CAST(n_prior AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |                      (CAST(n_prior AS DOUBLE) * CAST(n_prior AS DOUBLE)))
+        |       END AS z_score
+        |FROM w ORDER BY event_type, day""".stripMargin
   )
 }

@@ -88,6 +88,70 @@ class StatsSpec extends AnyFunSuite {
     assert(out.count() === 0L)
   }
 
+  test("rateAnomaly flags a planted spike and NULL-guards constant baselines") {
+    // type "a": constant 2/day for 8 days, then a 10-event spike —
+    // constant baseline => variance 0 => z NULL on days 2-8, and the
+    // spike day must also be NULL-guarded (its window is constant too);
+    // type "b": alternating 1/3 baseline gives real variance
+    val a = (0 until 8).flatMap(dy => Seq.fill(2)(("a", ts(dy)))) ++
+      Seq.fill(10)(("a", ts(8)))
+    val b = (0 until 8).flatMap(dy => Seq.fill(if (dy % 2 == 0) 1 else 3)(("b", ts(dy)))) ++
+      Seq.fill(30)(("b", ts(8)))
+    val df = (a ++ b).toDF("event_type", "ts")
+    val out = Stats.rateAnomaly(df, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val day0 = out.keys.map(_._2).min
+    // first day of each type: no baseline at all
+    assert(out(("a", day0)).isNullAt(4) && out(("a", day0)).isNullAt(5))
+    // constant baseline: mean present, z NULL (variance 0)
+    val aSpike = out(("a", day0 + 8))
+    assert(aSpike.getDouble(4) === 2.0 && aSpike.isNullAt(5))
+    // varied baseline: trailing-7 mean is 15/7 (3,1,3,1,3,1,3), and
+    // the spike z-score is large and positive
+    val bSpike = out(("b", day0 + 8))
+    assert(bSpike.getDouble(4) === 15.0 / 7.0)
+    assert(bSpike.getDouble(5) > 3.0)
+  }
+
+  test("gramMatrix equals the brute-force quantized outer-product sum") {
+    val vecs = Seq(
+      Array(0.5f, -0.25f, 0.125f),
+      Array(-0.5f, 0.25f, 0.0f),
+      Array(0.1f, 0.2f, -0.3f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+    val out = Stats.gramMatrix(df, "embedding", d = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def q(x: Float): Long = math.floor(x.toDouble * 65536.0).toLong
+    for (i <- 0 until 3; j <- i until 3) {
+      val expect = vecs.map(v => q(v(i)) * q(v(j))).sum
+      assert(out((i.toLong, j.toLong)) === expect, s"cell ($i,$j)")
+    }
+    assert(out.size === 6) // upper triangle only
+  }
+
+  test("gramMatrix refuses mixed dimensionality loudly") {
+    val df = Seq(Tuple1(Array(0.1f, 0.2f)), Tuple1(Array(0.1f)))
+      .toDF("embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Stats.gramMatrix(df, "embedding", d = 2).collect()
+    }
+    assert(e.getMessage.contains("expected 2-dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected 2-dim")))
+  }
+
+  test("triangles enumerates each triangle exactly once, any input orientation") {
+    import graft.operators.LinkAnalysis
+    // K4 on {1,2,3,4} given as scrambled directed edges with dups and
+    // a self-loop: C(4,3) = 4 triangles, each once
+    val edges = Seq(
+      (2L, 1L), (1L, 2L), (3L, 1L), (1L, 4L), (3L, 2L), (4L, 2L),
+      (4L, 3L), (3L, 4L), (2L, 2L)).toDF("src", "dst")
+    val out = LinkAnalysis.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    assert(out.length === 4)
+  }
+
   test("distinctiveTerms surfaces a planted slice-exclusive token at rank 1") {
     val common = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
