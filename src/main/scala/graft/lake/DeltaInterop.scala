@@ -564,7 +564,8 @@ object DeltaInterop {
                         partVals: Seq[(String, Option[String])],
                         size: Long, modTime: Long,
                         stats: Option[String] = None,
-                        dv: Option[DvDescriptor] = None): ObjectNode = {
+                        dv: Option[DvDescriptor] = None,
+                        dataChange: Boolean = true): ObjectNode = {
     val n = m.createObjectNode()
     val add = n.putObject("add")
     add.put("path", encodePath(rel))
@@ -574,7 +575,7 @@ object DeltaInterop {
     }
     add.put("size", size)
     add.put("modificationTime", modTime)
-    add.put("dataChange", true)
+    add.put("dataChange", dataChange)
     stats.foreach(add.put("stats", _))
     dv.foreach { d =>
       val dn = add.putObject("deletionVector")
@@ -721,6 +722,111 @@ object DeltaInterop {
       prevDirs = dirs.toSet
     }
     versions.size
+  }
+
+  case class OptimizeResult(compactedFiles: Int, newFiles: Int,
+                            carriedFiles: Int, version: Long)
+
+  /** OPTIMIZE (Delta's bin-pack file compaction — the Delta twin of
+    * [[IcebergInterop.rewriteDataFiles]]): merge each PARTITION's
+    * small live files into ~`targetFileBytes` outputs and commit ONE
+    * new version whose `remove`+`add` actions all carry
+    * `dataChange=false` — the spec's signal that the commit reshapes
+    * storage without changing table content, so a streaming reader
+    * tailing the log correctly emits nothing for it. Bins never
+    * cross a partition boundary (each compacted file keeps its
+    * partition's `partitionValues` and directory), single-file bins
+    * are left untouched (no remove, no rewrite), and per-bin row
+    * preservation is asserted from parquet footers before the commit
+    * is written. New files carry fresh skipping stats.
+    *
+    * Time travel keeps working — prior versions replay to the old
+    * `add`s and the tombstoned files stay on disk (physical removal
+    * is vacuum's job, as in the real protocol). Fail-loud scope:
+    * refuses deletion-vector files (compacting one would silently
+    * materialize its deletes into lineage) and column-mapped tables.
+    *
+    * At 100 TB this is THE maintenance loop for a streamed-into
+    * Delta table: micro-batch commits land thousands of small files
+    * per partition, scan planning degrades linearly in file count,
+    * and optimize folds them off the hot path — each partition's
+    * bins rewrite independently, touched bytes = compacted bytes. */
+  def optimize(spark: SparkSession, root: Path,
+               targetFileBytes: Long = 128L * 1024 * 1024): OptimizeResult = {
+    require(targetFileBytes > 0, "target file size must be positive")
+    val st = replayLog(spark, root)
+    require(st.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      s"optimize does not handle column-mapped tables at $root")
+    require(st.liveFiles.forall(_.dv.isEmpty),
+      s"optimize refuses deletion-vector files at $root — compaction " +
+        "would silently materialize their deletes")
+    val m = mapper
+    val byPartition: Seq[(Map[String, Option[String]], Seq[LiveFile])] =
+      st.liveFiles.groupBy(_.partitionValues).toSeq
+        .sortBy(_._2.head.path)
+    var compacted = 0
+    var carried = 0
+    val actions = Seq.newBuilder[String]
+    // filesystem-derived timestamp (the repo convention — wall-clock
+    // reads would make re-runs differ for no reason); the log dir
+    // itself, since a checkpointed-then-cleaned log may no longer
+    // hold the current version's JSON file
+    val nowMs = Files.getLastModifiedTime(root.resolve("_delta_log")).toMillis
+    var newFiles = List.empty[String]
+    byPartition.foreach { case (partVals, files) =>
+      val ordered = files.sortBy(_.path)
+      val bins = ordered.foldLeft(List.empty[List[LiveFile]]) {
+        case (Nil, f) => List(List(f))
+        case (bin :: done, f) =>
+          if (bin.map(_.size).sum + f.size <= targetFileBytes)
+            (f :: bin) :: done
+          else List(f) :: bin :: done
+      }.map(_.reverse).reverse
+      bins.foreach {
+        case bin if bin.size <= 1 =>
+          carried += bin.size // untouched: no remove, no rewrite
+        case bin =>
+          val abs = bin.map(f => root.resolve(f.path))
+          val dir = abs.head.getParent
+          val tmp = TempDirs.create("graft-opt")
+          spark.read.parquet(abs.map(_.toString): _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Using.resource(Files.list(tmp)) { s =>
+            s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          } match {
+            case Seq(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one coalesced part file, found ${other.size}")
+          }
+          val out = dir.resolve(s"compacted-${UUID.randomUUID()}.parquet")
+          Files.move(part, out)
+          val rows = IcebergInterop.parquetRowCount(out)
+          val expect = bin.map(f =>
+            IcebergInterop.parquetRowCount(root.resolve(f.path))).sum
+          require(rows == expect,
+            s"optimize lost rows: bin of ${bin.size} files had $expect, " +
+              s"rewrite holds $rows")
+          val rel = root.relativize(out).toString
+          actions += m.writeValueAsString(
+            addAction(m, rel, partVals.toSeq, Files.size(out), nowMs,
+              stats = Some(fileStats(spark, m, out)), dataChange = false))
+          bin.foreach { f =>
+            val a = m.createObjectNode()
+            val rm = a.putObject("remove")
+            rm.put("path", encodePath(f.path))
+            rm.put("deletionTimestamp", nowMs)
+            rm.put("dataChange", false)
+            actions += m.writeValueAsString(a)
+          }
+          compacted += bin.size
+          newFiles ::= rel
+      }
+    }
+    if (newFiles.isEmpty) return OptimizeResult(0, 0, carried, st.version)
+    val v = st.version + 1
+    Files.write(logPath(root, v), actions.result().asJava)
+    OptimizeResult(compacted, newFiles.size, carried, v)
   }
 
   // ---- checkpoint --------------------------------------------------------

@@ -133,7 +133,7 @@ object IcebergInterop {
     * entry (real readers — Spark-Iceberg, Trino — answer metadata-only
     * COUNT(*) from it; ADVICE r9 flagged the -1 placeholder this
     * replaces), and the footer already carries the value. */
-  private def parquetRowCount(f: Path): Long =
+  private[lake] def parquetRowCount(f: Path): Long =
     Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toUri),

@@ -1132,6 +1132,36 @@ object ExtendedQ {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // lake — DELTA OPTIMIZE (r13, the Delta twin of q221): a 3-commit
+    // history lands 12 small files; OPTIMIZE folds them into one
+    // compacted file under a single dataChange=false remove+add
+    // commit. Reads identical before/after, prior versions still
+    // time-travel from the tombstoned (but on-disk) originals.
+    "q227_delta_optimize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 3 === 0).repartition(4), "graft-optq")
+      t.append(ev.filter(col("event_id") % 3 === 1).repartition(4))
+      t.append(ev.filter(col("event_id") % 3 === 2).repartition(4))
+      val dest = Qx.tempDir("graft-opt-q").resolve("t")
+      val nCommits = graft.lake.DeltaInterop.exportHistory(t, dest)
+      require(nCommits == 3, s"expected 3 exported commits, got $nCommits")
+      val before = graft.lake.DeltaInterop.readDelta(s, dest).count()
+      val res = graft.lake.DeltaInterop.optimize(s, dest)
+      require(res.compactedFiles == 12 && res.newFiles == 1 &&
+        res.carriedFiles == 0 && res.version == 3,
+        s"expected 12 files packed into 1 at commit 3, got $res")
+      require(graft.lake.DeltaInterop.readDelta(s, dest).count() == before,
+        "OPTIMIZE must not change the data")
+      require(graft.lake.DeltaInterop.readDelta(s, dest, version = 0L).count() > 0,
+        "pre-OPTIMIZE versions must still time-travel")
+      graft.lake.DeltaInterop.readDelta(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -1599,6 +1629,10 @@ object ExtendedQ {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q221_iceberg_rewrite_data" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q227_delta_optimize" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
