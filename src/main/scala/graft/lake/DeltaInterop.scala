@@ -829,6 +829,36 @@ object DeltaInterop {
     OptimizeResult(compacted, newFiles.size, carried, v)
   }
 
+  /** VACUUM (RETAIN 0 HOURS form): physically delete every parquet
+    * data file under the table that the CURRENT version does not
+    * reference — the step that actually reclaims the bytes
+    * [[optimize]]'s tombstones only logically released. Exactly the
+    * real protocol's trade, stated rather than hidden: after vacuum,
+    * time travel to versions that needed a deleted file fails at
+    * scan time (the log still replays; the data is gone), so run it
+    * only past the time-travel horizon you promised downstream.
+    * Only `.parquet` files outside `_delta_log` are candidates —
+    * checkpoints and deletion-vector sidecars are never touched —
+    * and the live set is taken from a full log replay, so a file any
+    * current `add` references survives no matter how many historic
+    * `remove`s also name it. Returns the number of files deleted. */
+  def vacuumDelta(spark: SparkSession, root: Path): Int = {
+    val st = replayLog(spark, root)
+    val live: Set[Path] = st.liveFiles
+      .map(f => root.resolve(f.path).toAbsolutePath.normalize).toSet
+    val logDir = root.resolve("_delta_log").toAbsolutePath.normalize
+    val victims = Using.resource(Files.walk(root)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.normalize)
+        .filterNot(_.startsWith(logDir))
+        .filterNot(live)
+        .toSeq
+    }
+    victims.foreach(Files.delete)
+    victims.size
+  }
+
   // ---- checkpoint --------------------------------------------------------
 
   /** Write a CHECKPOINT for the Delta log at `root` at its latest

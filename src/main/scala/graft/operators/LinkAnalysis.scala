@@ -116,4 +116,35 @@ object LinkAnalysis {
         wedges("x") === und("a") && wedges("z") === und("b"))
       .select(col("x"), col("y"), col("z"))
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node — [[triangles]] composed
+    * with degrees: c(v) = 2·t(v) / (deg(v)·(deg(v)−1)), the "how
+    * cliquish is this node's neighborhood" metric (spam-farm and
+    * community-density detection). Every count is exact; the
+    * coefficient is ONE IEEE division of exact integers, NULL below
+    * degree 2 (undefined, not zero). Triangle membership is the
+    * exactly-once enumeration exploded back to its three corners —
+    * three bounded projections and one groupBy, no new join shape. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangles(edges)
+    val triPerNode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_triangles")).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double")))
+  }
 }

@@ -401,6 +401,17 @@ object ExtendedQ {
         .orderBy("x", "y", "z")
     }),
 
+    // Local clustering coefficient (r13): q225's triangles exploded
+    // back to their corners over the degree table — one exact IEEE
+    // division per node, NULL below degree 2.
+    "q228_clustering_coeff" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst"))
+      graft.operators.LinkAnalysis.clusteringCoefficient(edges)
+        .orderBy("node")
+    }),
+
     // lake — CHANGE FEED across a version range: the CDC read a
     // downstream consumer tails instead of rescanning snapshots. One
     // append (reads only the appended dir) + one delete-only merge
@@ -1158,6 +1169,12 @@ object ExtendedQ {
         "OPTIMIZE must not change the data")
       require(graft.lake.DeltaInterop.readDelta(s, dest, version = 0L).count() > 0,
         "pre-OPTIMIZE versions must still time-travel")
+      // vacuum completes the maintenance loop: the 12 tombstoned
+      // originals are reclaimed and the hash gate below proves the
+      // compacted file alone carries the whole table
+      val vacuumed = graft.lake.DeltaInterop.vacuumDelta(s, dest)
+      require(vacuumed == 12,
+        s"vacuum must reclaim exactly the 12 tombstoned files, got $vacuumed")
       graft.lake.DeltaInterop.readDelta(s, dest)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -1204,6 +1221,35 @@ object ExtendedQ {
         |FROM e e1 JOIN e e2 ON e2.a = e1.b
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY x, y, z""".stripMargin,
+
+    "q228_clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(user_id, (user_id * 3 + event_id % 5 + 1) % 150) AS a,
+        |         greatest(user_id, (user_id * 3 + event_id % 5 + 1) % 150) AS b
+        |  FROM events
+        |  WHERE user_id <> (user_id * 3 + event_id % 5 + 1) % 150
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        |  ) GROUP BY node
+        |), tpn AS (
+        |  SELECT node, COUNT(*) AS n_triangles FROM (
+        |    SELECT x AS node FROM tri UNION ALL
+        |    SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |  ) GROUP BY node
+        |)
+        |SELECT d.node, d.degree,
+        |       COALESCE(t.n_triangles, 0) AS n_triangles,
+        |       CASE WHEN d.degree >= 2
+        |            THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE) /
+        |                 CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |       END AS coeff
+        |FROM deg d LEFT JOIN tpn t ON d.node = t.node
+        |ORDER BY d.node""".stripMargin,
 
     "q137_schema_evolution" ->
       s"""SELECT CASE WHEN event_id % 2 = 1 THEN event_type

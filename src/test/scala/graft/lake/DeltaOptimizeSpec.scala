@@ -80,6 +80,33 @@ class DeltaOptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum reclaims tombstoned files; current reads live, expired travel dies at scan") {
+    val t = LakeTable.createTemp(spark,
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(2))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+    val dest = TempDirs.create("graft-vac1").resolve("t")
+    assert(DeltaInterop.exportHistory(t, dest) === 2)
+    val before = sums(dest)
+    val res = DeltaInterop.optimize(spark, dest)
+    assert(res.compactedFiles === 4 && res.newFiles === 1)
+    val deleted = DeltaInterop.vacuumDelta(spark, dest)
+    assert(deleted === 4)
+    // current version reads identically from the compacted file alone
+    assert(sums(dest) === before)
+    // a second vacuum finds nothing
+    assert(DeltaInterop.vacuumDelta(spark, dest) === 0)
+    // pre-optimize versions: the log replays, the scan fails loudly
+    val e = intercept[Throwable] {
+      DeltaInterop.readDelta(spark, dest, version = 0L).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("does not exist") ||
+        String.valueOf(c.getMessage).contains("FileNotFound")))
+  }
+
   test("deletion-vector tables refuse loudly") {
     val t = LakeTable.createTemp(spark, orders.repartition(2))
     val dest = TempDirs.create("graft-opt3").resolve("t")
