@@ -525,6 +525,56 @@ object Similarity {
     expr(s"transform(embedding, x -> CAST(greatest(-127.0D, least(127.0D, " +
       s"floor(CAST(x AS DOUBLE) * ${scale}D + 0.5D))) AS BIGINT))").as("qv")
 
+  /** K-CENTER GREEDY SELECTION (farthest-point traversal) — the
+    * coverage-maximizing coreset sampler for embedding curation:
+    * "give me k examples that SPAN the corpus" rather than k random
+    * ones (2-approximation of the optimal k-center cover, the
+    * classic Gonzalez bound). Seeded at the minimum vec_id; each
+    * round adds the point FARTHEST (max min-distance to the chosen
+    * set, ties to the smaller id) — fully deterministic, no RNG.
+    *
+    * Distances are exact integer L2² over the shared int8
+    * quantization, so every argmax is engine-exact. Scale shape: the
+    * chosen set stays on the driver (k rows, bounded); each round is
+    * ONE corpus projection — the running min-distance folds the new
+    * center in as `least(dmin, dist-to-literal-center)`, a
+    * codegen'd zip_with/aggregate over the array column, NO join —
+    * plus one tiny top-1 aggregation. k rounds = k scans, the
+    * textbook distributed farthest-point cost. */
+  def kCenterSelect(emb: DataFrame, k: Int, scale: Double = 64.0): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantizeVec(emb, scale)
+    def dist2To(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("qv"), array(center.map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val seedRow = q.orderBy(col("vec_id")).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("k-center over an empty corpus"))
+    val seedId = seedRow.getLong(0)
+    var centers = List((1L, seedId, Option.empty[Long]))
+    var cur = q.withColumn("dmin",
+      dist2To(seedRow.getSeq[Long](1)))
+    (2 to k).foreach { round =>
+      val next = cur
+        .orderBy(desc("dmin"), col("vec_id"))
+        .limit(1).collect().head
+      val (id, qv, d) =
+        (next.getLong(0), next.getSeq[Long](1), next.getLong(2))
+      centers ::= (round.toLong, id, Some(d))
+      if (round < k)
+        cur = cur.withColumn("dmin", least(col("dmin"), dist2To(qv)))
+    }
+    centers.reverse
+      .map { case (r, id, d) => (r, id, d) }
+      .toDF("round", "vec_id", "d2_at_selection")
+      .select(col("round"), col("vec_id"),
+        col("d2_at_selection").cast("long").as("d2_at_selection"))
+  }
+
   /** Embedding-cosine near-dup pairs (the dedup-by-embedding flavor):
     * all unordered pairs within the same coarse bucket whose exact
     * cosine clears `minCosine`. Two stages:

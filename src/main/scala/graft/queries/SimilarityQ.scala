@@ -444,7 +444,17 @@ object SimilarityQ {
     "q224_gram_matrix" -> ((s, d) =>
       graft.operators.Stats.gramMatrix(
         Tables.embeddings(s, d), "embedding", d = 64)
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // k-center greedy diversity sampling (r13): 4 coverage-maximizing
+    // exemplars via deterministic farthest-point traversal — exact
+    // int8 L2² distances, min-id seed/tie-breaks, each round one
+    // corpus projection folding the new center into the running
+    // min-distance (no join). The oracle unrolls the same 4 rounds.
+    "q229_kcenter" -> ((s, d) =>
+      graft.operators.Similarity.kCenterSelect(
+        Tables.embeddings(s, d), k = 4)
+        .orderBy("round"))
   )
 
   /** The oracle twin of [[semanticComponents]]: the k-means chain,
@@ -839,6 +849,43 @@ object SimilarityQ {
         |       CAST(CAST(SUM(qv[c.pi] * qv[c.pj]) AS BIGINT) AS DOUBLE)
         |         / 4294967296.0 AS gram
         |FROM q CROSS JOIN cells c
-        |GROUP BY c.pi, c.pj ORDER BY i, j""".stripMargin
+        |GROUP BY c.pi, c.pj ORDER BY i, j""".stripMargin,
+
+    "q229_kcenter" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(greatest(-127.0, least(127.0,
+        |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), idx AS (
+        |  SELECT unnest(generate_series(1, 64)) AS i
+        |), c1 AS (
+        |  SELECT qv FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)
+        |), d1 AS (
+        |  SELECT q.vec_id, q.qv,
+        |         CAST(SUM((q.qv[i.i] - c1.qv[i.i]) * (q.qv[i.i] - c1.qv[i.i])) AS BIGINT) AS d
+        |  FROM q CROSS JOIN c1 CROSS JOIN idx i GROUP BY q.vec_id, q.qv
+        |), s2 AS (
+        |  SELECT vec_id, qv, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1
+        |), d2 AS (
+        |  SELECT d1.vec_id, d1.qv,
+        |         LEAST(d1.d, CAST(SUM((d1.qv[i.i] - s2.qv[i.i]) * (d1.qv[i.i] - s2.qv[i.i])) AS BIGINT)) AS d
+        |  FROM d1 CROSS JOIN s2 CROSS JOIN idx i GROUP BY d1.vec_id, d1.qv, d1.d
+        |), s3 AS (
+        |  SELECT vec_id, qv, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1
+        |), d3 AS (
+        |  SELECT d2.vec_id, d2.qv,
+        |         LEAST(d2.d, CAST(SUM((d2.qv[i.i] - s3.qv[i.i]) * (d2.qv[i.i] - s3.qv[i.i])) AS BIGINT)) AS d
+        |  FROM d2 CROSS JOIN s3 CROSS JOIN idx i GROUP BY d2.vec_id, d2.qv, d2.d
+        |), s4 AS (
+        |  SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT min(vec_id) FROM q) AS vec_id,
+        |       CAST(NULL AS BIGINT) AS d2_at_selection
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d FROM s3
+        |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d FROM s4
+        |ORDER BY round""".stripMargin
   )
 }

@@ -149,4 +149,29 @@ class SimilaritySpec extends AnyFunSuite {
         s"cluster $cluster label is not its min member")
     }
   }
+
+  test("kCenterSelect covers every planted cluster before revisiting one") {
+    // four tight clusters at the corners of a 2-plane; 3 near-copies
+    // each. Greedy farthest-point with k=4 must take one per cluster.
+    def jitter(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (v, i) => if (i == 3) v + eps else v }
+    val corners = Seq(
+      Seq(1f, 1f, 0f, 0f), Seq(-1f, 1f, 0f, 0f),
+      Seq(1f, -1f, 0f, 0f), Seq(-1f, -1f, 0f, 0f))
+    val rows = for {
+      (c, ci) <- corners.zipWithIndex
+      j <- 0 until 3
+    } yield ((ci * 3 + j).toLong, jitter(c, 0.01f * j), ci)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.kCenterSelect(df, k = 4)
+      .orderBy("round").collect()
+    // seed is min id (cluster 0); each pick lands in a fresh cluster
+    assert(out(0).getLong(1) === 0L)
+    assert(out(0).isNullAt(2))
+    val clusters = out.map(_.getLong(1) / 3).toSet
+    assert(clusters === Set(0L, 1L, 2L, 3L))
+    // selection distances are non-increasing (greedy invariant)
+    val ds = out.drop(1).map(_.getLong(2))
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
+  }
 }
