@@ -129,6 +129,17 @@ object Stats {
         datediff(to_date(col(tsCol)), lit("2020-01-01")).cast("long").as("day"))
       .groupBy(col(groupCol), col("day"))
       .agg(count(lit(1)).as("n_events"))
+    rateAnomalyFromDaily(daily, groupCol, lookback, minPrior)
+  }
+
+  /** [[rateAnomaly]]'s scoring stage over PRE-AGGREGATED day counts
+    * (`groupCol`, `day`, `n_events`) — the entry point for
+    * incremental pipelines that maintain the daily rollup themselves
+    * (e.g. a streaming sink of per-batch partial counts merged at
+    * read): the day grid is whatever the caller aggregated, the
+    * trailing-window semantics are identical. */
+  def rateAnomalyFromDaily(daily: DataFrame, groupCol: String,
+                           lookback: Int = 7, minPrior: Int = 3): DataFrame = {
     val frame = Window.partitionBy(col(groupCol)).orderBy(col("day"))
       .rangeBetween(-lookback, -1)
     val withStats = daily

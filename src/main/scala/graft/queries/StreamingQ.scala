@@ -415,6 +415,28 @@ object StreamingQ {
       agg(t.snapshot(2L), 2L).unionByName(agg(t.snapshot(3L), 3L))
         .select(col("version"), col("event_type"), col("n"), col("total"))
         .orderBy("version", "event_type")
+    }),
+
+    // Streaming rate-anomaly (r13, the monitoring pattern paired with
+    // batch q226): each micro-batch commits its (type, day) PARTIAL
+    // counts to the lake sink — kilobytes per batch, never raw events
+    // — and the alarm read merges partials and z-scores each day
+    // against its trailing week. Two full-corpus batches stand in for
+    // ingestion epochs, so every day's count is assembled from 2
+    // partial rows; the oracle doubles the corpus identically.
+    "q230_stream_rate_anomaly" -> ((s, d) => {
+      val partials = MicroBatch.appendRunPerBatch(s, d, copies = 2,
+        maxFilesPerTrigger = Some(1)) { batch =>
+        graft.Tables.toEventTime(batch)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_partial"))
+      }
+      val merged = partials.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n_partial")).as("n_events"))
+      graft.operators.Stats.rateAnomalyFromDaily(merged, "event_type")
+        .orderBy("event_type", "day")
     })
   )
 
@@ -611,6 +633,41 @@ s"""SELECT version, event_type, n, total FROM (
          |         ${sqlDsum("value")} AS total
          |  FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
          |  GROUP BY event_type
-         |) ORDER BY version, event_type""".stripMargin
+         |) ORDER BY version, event_type""".stripMargin,
+
+    // the doubled-corpus twin of q226: two ingestion epochs => 2x day
+    // counts, identical trailing-window z-score semantics
+    "q230_stream_rate_anomaly" ->
+      """WITH ev2 AS (
+        |  SELECT event_type, ts FROM events
+        |  UNION ALL SELECT event_type, ts FROM events
+        |), daily AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n_events
+        |  FROM ev2 GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, day, n_events,
+        |         COUNT(*) OVER f AS n_prior,
+        |         CAST(SUM(n_events) OVER f AS BIGINT) AS s1,
+        |         CAST(SUM(n_events * n_events) OVER f AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, n_events, n_prior,
+        |       CASE WHEN n_prior >= 3
+        |            THEN CAST(s1 AS DOUBLE) / CAST(n_prior AS DOUBLE) END
+        |         AS baseline_mean,
+        |       CASE WHEN n_prior >= 3 AND
+        |                 CAST(n_prior AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0.0
+        |            THEN (CAST(n_events AS DOUBLE) -
+        |                  CAST(s1 AS DOUBLE) / CAST(n_prior AS DOUBLE)) /
+        |                 sqrt((CAST(n_prior AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |                      (CAST(n_prior AS DOUBLE) * CAST(n_prior AS DOUBLE)))
+        |       END AS z_score
+        |FROM w ORDER BY event_type, day""".stripMargin
   )
 }
