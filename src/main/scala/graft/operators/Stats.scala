@@ -162,6 +162,45 @@ object Stats {
       when(col("n_prior") >= minPrior && varPos, z).as("z_score"))
   }
 
+  /** KEY-SKEW DIAGNOSTICS per group — the "is this join/shuffle key
+    * safe at scale" report a 100 TB pipeline runs BEFORE picking a
+    * partitioning: per group, the number of distinct keys, total
+    * rows, the heaviest key's share, and the GINI COEFFICIENT of the
+    * per-key frequency distribution (0 = uniform, →1 = one key holds
+    * everything — the salting/AQE-skew-join trigger).
+    *
+    * Gini over sorted counts x_(1..n):
+    * Σᵢ (2i − n − 1)·x_(i) / (n·Σx) — every term an exact integer
+    * (DECIMAL(38,0) accumulation), one IEEE division at the end.
+    * Cost shape: the windows and aggregations run over the KEY-COUNT
+    * relation (one row per distinct key — orders of magnitude
+    * smaller than the data), partitioned by group; ties rank
+    * deterministically by key. */
+  def keySkew(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val counts = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("cnt"), col(keyCol))
+    val ranked = counts.withColumn("rk", row_number().over(w).cast("long"))
+    val g = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt").cast(d38)).as("total"),
+      max(col("cnt")).as("max_cnt"),
+      sum(((lit(2L) * col("rk")).cast(d38) * col("cnt").cast(d38)))
+        .as("s_rank_weighted"))
+    // Σ(2i−n−1)x_i = Σ2i·x_i − (n+1)·Σx_i — regroup so the weighted
+    // sum needs no per-row knowledge of n (one pass, map-side partial)
+    val num = col("s_rank_weighted") -
+      ((col("n_keys") + lit(1L)).cast(d38) * col("total"))
+    val den = col("n_keys").cast(d38) * col("total")
+    g.select(col(groupCol), col("n_keys"),
+      col("total").cast("long").as("total"),
+      col("max_cnt"),
+      (col("max_cnt").cast("double") / col("total").cast("double"))
+        .as("top_share"),
+      (num.cast("double") / den.cast("double")).as("gini"))
+  }
+
   /** DISTRIBUTED GRAM MATRIX over an embedding column — the one-pass
     * building block behind PCA / whitening / covariance-based
     * curation of an embedding corpus. G(i,j) = Σ_rows v_i·v_j,

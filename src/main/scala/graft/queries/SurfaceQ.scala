@@ -287,7 +287,17 @@ object SurfaceQ {
     "q226_rate_anomaly" -> ((s, d) =>
       graft.operators.Stats.rateAnomaly(
         Tables.events(s, d), "event_type", "ts")
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    // Key-skew diagnostics (r13): Gini coefficient + heaviest-key
+    // share of the user_id distribution per event_type — the "is
+    // this shuffle key safe at scale" report, computed over the
+    // key-count relation (one row per distinct key, not the data).
+    // `operators/Stats.keySkew`.
+    "q231_key_skew" -> ((s, d) =>
+      graft.operators.Stats.keySkew(
+        Tables.events(s, d), "event_type", "user_id")
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,6 +564,31 @@ object SurfaceQ {
         |                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
         |                      (CAST(n_prior AS DOUBLE) * CAST(n_prior AS DOUBLE)))
         |       END AS z_score
-        |FROM w ORDER BY event_type, day""".stripMargin
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
+    // mirrors Stats.keySkew; DuckDB's HUGEINT sums are the exact twin
+    // of the Spark side's DECIMAL(38,0) accumulation
+    "q231_key_skew" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, user_id, cnt,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |             ORDER BY cnt, user_id) AS BIGINT) AS rk
+        |  FROM counts
+        |), g AS (
+        |  SELECT event_type, COUNT(*) AS n_keys,
+        |         SUM(cnt) AS total,
+        |         MAX(cnt) AS max_cnt,
+        |         SUM(2 * rk * cnt) AS srw
+        |  FROM ranked GROUP BY event_type
+        |)
+        |SELECT event_type, n_keys,
+        |       CAST(total AS BIGINT) AS total, max_cnt,
+        |       CAST(max_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS top_share,
+        |       CAST(srw - (n_keys + 1) * total AS DOUBLE) /
+        |       CAST(n_keys * total AS DOUBLE) AS gini
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

@@ -152,6 +152,22 @@ class StatsSpec extends AnyFunSuite {
     assert(out.length === 4)
   }
 
+  test("keySkew: uniform keys score gini 0, a dominant key scores high") {
+    // group "u": 4 keys x 1 row each; group "s": keys 1,2,3 once, key
+    // 4 x 97 rows -> gini = 288/400 = 0.72 by the closed form
+    val uniform = (1 to 4).map(k => ("u", k.toLong))
+    val skewed = (1 to 3).map(k => ("s", k.toLong)) ++
+      Seq.fill(97)(("s", 4L))
+    val df = (uniform ++ skewed).toDF("event_type", "user_id")
+    val out = Stats.keySkew(df, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u").getLong(1) === 4L && out("u").getLong(2) === 4L)
+    assert(out("u").getDouble(5) === 0.0)
+    assert(out("s").getLong(3) === 97L) // max_cnt
+    assert(out("s").getDouble(4) === 0.97) // top_share
+    assert(out("s").getDouble(5) === 0.72)
+  }
+
   test("distinctiveTerms surfaces a planted slice-exclusive token at rank 1") {
     val common = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
