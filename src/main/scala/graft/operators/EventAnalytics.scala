@@ -174,6 +174,66 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** CO-OCCURRENCE LIFT between event types — the association/
+    * recommender primitive ("users who do A also do B"):
+    * lift(a,b) = P(a∧b) / (P(a)·P(b)) over per-user type sets, > 1
+    * meaning the pair co-occurs more than independence predicts.
+    * One distinct (user, type) pass, a self-join ON THE USER KEY
+    * with a<b (output bounded by the type-dimension², not users),
+    * and exact counts into one mirrored IEEE expression:
+    * lift = (n_both·n_users) / (n_a·n_b). */
+  def cooccurrenceLift(ev: DataFrame,
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val ut = ev.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    // the user-universe size embeds as a ONE-ROW broadcast (the
+    // q102/weeklyChurn scalar idiom — allowlisted in PlanAuditSpec)
+    val nUsers = ut.agg(countDistinct(col("u")).as("n_users"))
+    val perType = ut.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val both = ut.alias("a")
+      .join(ut.alias("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(perType.select(col("t").as("type_a"), col("n_t").as("n_a")), "type_a")
+      .join(perType.select(col("t").as("type_b"), col("n_t").as("n_b")), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        ((col("n_both").cast("double") * col("n_users").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  /** CALENDAR RESAMPLE with gap fill — the time-series alignment op
+    * (pandas `asfreq`/`resample` at warehouse scale): per group, a
+    * COMPLETE day spine from its first to last observed day, with
+    * zero-filled counts on silent days and a 7-day trailing ROWS
+    * window over the now-gapless grid (on a complete calendar, the
+    * ROWS frame IS the calendar week — the reason resampling comes
+    * before any rolling feature). The spine is
+    * groups × their day span — explode of a bounded sequence per
+    * group, orders of magnitude smaller than the event data. */
+  def resampleDaily(ev: DataFrame,
+                    groupCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev
+      .select(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), lit("2020-01-01")).cast("long").as("day"))
+      .groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("g"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = spine.join(daily, Seq("g", "day"), "left")
+      .select(col("g"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val week = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    filled.withColumn("rolling7", sum(col("n")).over(week))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** SCD TYPE-2 HISTORY BUILD (the warehouse dimension-versioning
     * op): collapse an entity's observation stream into contiguous
     * state intervals — one row per RUN of equal `stateCol` values,

@@ -388,4 +388,39 @@ object TextAnalysis {
     ranked.select(col("slice"), col("rk").cast("long").as("rk"),
       col("tok"), col("a").as("tf_in_slice"), col("chi2"))
   }
+
+  /** INVERTED INDEX build — the search-engine primitive next to BM25:
+    * per token its document frequency, total term frequency, and the
+    * head of its POSTING LIST (first `postingsCap` doc ids,
+    * ascending). Output is bounded to the `topK` highest-df tokens
+    * (ties by token) so the query surface stays fixed-size; a
+    * production build writes the full lists partitioned BY TOKEN —
+    * the same plan minus the top-k, each posting list assembled
+    * inside its token's hash partition, never on the driver. The cap
+    * keeps the per-row array bounded (the full-list collect_list is
+    * the one unbounded-array trap this module bans elsewhere). */
+  def invertedIndex(docs: DataFrame, topK: Int = 50,
+                    postingsCap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val postings = tf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= postingsCap)
+      .groupBy(col("tok"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+        .as("postings_head"))
+    stats.join(postings, "tok")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("df"), col("tok"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("tok"), col("df"), col("total_tf"),
+        col("postings_head"))
+  }
 }

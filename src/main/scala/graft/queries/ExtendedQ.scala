@@ -955,6 +955,21 @@ object ExtendedQ {
       graft.operators.EventAnalytics.weeklyChurn(Tables.events(s, d))
         .orderBy("week", "status")),
 
+    // Co-occurrence lift (r13): the association/recommender readout —
+    // per-user type sets self-joined on the user key (output bounded
+    // by the type dimension²), lift from exact counts, one-row
+    // user-universe broadcast.
+    "q233_cooccurrence_lift" -> ((s, d) =>
+      graft.operators.EventAnalytics.cooccurrenceLift(Tables.events(s, d))
+        .orderBy("type_a", "type_b")),
+
+    // Calendar resample + gap fill (r13): per type, a complete day
+    // spine with zero-filled silent days and a 7-day trailing ROWS
+    // window over the gapless grid.
+    "q234_resample_daily" -> ((s, d) =>
+      graft.operators.EventAnalytics.resampleDaily(Tables.events(s, d))
+        .orderBy("event_type", "day")),
+
     // lake — ICEBERG PARTITION-SPEC EVOLUTION: the first era of the
     // table is partitioned identity(event_type); the spec then evolves
     // to day(ts) and the second era lands under it — old files are
@@ -1221,6 +1236,46 @@ object ExtendedQ {
         |FROM e e1 JOIN e e2 ON e2.a = e1.b
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY x, y, z""".stripMargin,
+
+    "q233_cooccurrence_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        |), nu AS (
+        |  SELECT COUNT(DISTINCT u) AS n_users FROM ut
+        |), pt AS (
+        |  SELECT t, COUNT(*) AS n_t FROM ut GROUP BY t
+        |), pairs AS (
+        |  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY a.t, b.t
+        |)
+        |SELECT type_a, type_b, n_both,
+        |       pa.n_t AS n_a, pb.n_t AS n_b,
+        |       (CAST(n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE)) /
+        |       (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE)) AS lift
+        |FROM pairs
+        |JOIN pt pa ON pairs.type_a = pa.t
+        |JOIN pt pb ON pairs.type_b = pb.t
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q234_resample_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |)
+        |SELECT g AS event_type, day, n,
+        |       CAST(SUM(n) OVER (PARTITION BY g ORDER BY day
+        |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling7
+        |FROM filled ORDER BY event_type, day""".stripMargin,
 
     "q228_clustering_coeff" ->
       """WITH e AS (

@@ -125,7 +125,14 @@ object TextAnalysisQ {
     // contingency scored over exact counts, top 5 per source.
     "q223_distinctive_terms" -> ((s, d) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, d), "source")
-        .orderBy("slice", "rk"))
+        .orderBy("slice", "rk")),
+
+    // Inverted-index build (r13): top-50 tokens by document frequency
+    // with df, total tf and the first-10 posting list — the search
+    // primitive next to BM25, lists assembled per token partition.
+    "q232_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d))
+        .orderBy("rank"))
   )
 
   /** Contact-bearing corpus for q114/q127: one email, one phone-shaped
@@ -452,6 +459,32 @@ object TextAnalysisQ {
         |  FROM scored
         |)
         |SELECT slice, rk, tok, a AS tf_in_slice, chi2
-        |FROM ranked WHERE rk <= 5 ORDER BY slice, rk""".stripMargin
+        |FROM ranked WHERE rk <= 5 ORDER BY slice, rk""".stripMargin,
+
+    "q232_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf FROM toks
+        |  WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok, doc_id
+        |), stats AS (
+        |  SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY tok
+        |), heads AS (
+        |  SELECT tok, doc_id,
+        |         row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+        |  FROM tf
+        |), postings AS (
+        |  SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |           AS postings_head
+        |  FROM heads WHERE rk <= 10 GROUP BY tok
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY s.df DESC, s.tok) AS BIGINT) AS rank,
+        |         s.tok, s.df, s.total_tf, p.postings_head
+        |  FROM stats s JOIN postings p USING (tok)
+        |)
+        |SELECT rank, tok, df, total_tf, postings_head
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
   )
 }

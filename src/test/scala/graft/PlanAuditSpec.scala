@@ -79,11 +79,15 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q223: the corpus grand-total token count — a ONE-ROW broadcast
     *    scalar cross-joined into the (slice, term) contingency cells
     *    (q102's pattern); the real joins are hash equi-joins on slice
-    *    and term, both vocabulary-bounded. */
+    *    and term, both vocabulary-bounded.
+    *  - q233: the user-universe count — a ONE-ROW broadcast scalar in
+    *    the lift denominator (q102's pattern); the pair generator is
+    *    a hash equi-join on the user key. */
   private val allowedBnlj = Set("q37_cosine_topk", "q102_bm25_rank",
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
     "q176_top_supplier", "q187_value_concentration", "q191_pq_topk",
-    "q192_ivf_pq", "q207_churn_cohorts", "q223_distinctive_terms")
+    "q192_ivf_pq", "q207_churn_cohorts", "q223_distinctive_terms",
+    "q233_cooccurrence_lift")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
