@@ -152,6 +152,53 @@ class StatsSpec extends AnyFunSuite {
     assert(out.length === 4)
   }
 
+  test("resampleDaily fills calendar gaps with zeros and rolls over the full grid") {
+    import graft.operators.EventAnalytics
+    // days 0, 1, 4 observed -> days 2-3 must appear with n=0; the
+    // rolling week at day 4 sees all five grid days
+    val ev = Seq(("a", ts(0)), ("a", ts(0)), ("a", ts(1)), ("a", ts(4)))
+      .toDF("event_type", "ts")
+    val out = EventAnalytics.resampleDaily(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = out.head._1
+    assert(out.map(_._1).toSeq === (base to base + 4))
+    assert(out.map(_._2).toSeq === Seq(2L, 1L, 0L, 0L, 1L))
+    assert(out.map(_._3).toSeq === Seq(2L, 3L, 3L, 3L, 4L))
+  }
+
+  test("cooccurrenceLift: a perfectly coupled pair lifts above an anti-correlated one") {
+    import graft.operators.EventAnalytics
+    // 4 users: u1,u2 do {a,b}; u3 does {a,c}; u4 does {b,c}
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    val out = EventAnalytics.cooccurrenceLift(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // lift(a,b) = n_both * n_users / (n_a * n_b) = 2*4/(3*3);
+    // lift(a,c) = 1*4/(3*2)
+    assert(out(("a", "b")) === ((2L, 8.0 / 9.0)))
+    assert(out(("a", "c")) === ((1L, 4.0 / 6.0)))
+    assert(out(("a", "b"))._2 > out(("a", "c"))._2)
+  }
+
+  test("invertedIndex caps postings, keeps full df, ranks by df then token") {
+    // letter-only singletons — digit-bearing tokens are filtered out
+    val docs = (1L to 15L).map(i => (i, s"common extra${('a' + i).toChar}"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .invertedIndex(docs, topK = 3, postingsCap = 10)
+      .orderBy("rank").collect()
+    // "common" appears in all 15 docs but its posting head caps at 10
+    assert(out(0).getString(1) === "common")
+    assert(out(0).getLong(2) === 15L)
+    assert(out(0).getString(4) === (1L to 10L).mkString(","))
+    // the singleton tokens tie at df=1 -> lexicographic token order
+    assert(out(1).getString(1) < out(2).getString(1))
+  }
+
   test("keySkew: uniform keys score gini 0, a dominant key scores high") {
     // group "u": 4 keys x 1 row each; group "s": keys 1,2,3 once, key
     // 4 x 97 rows -> gini = 288/400 = 0.72 by the closed form
