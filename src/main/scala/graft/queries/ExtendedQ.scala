@@ -970,6 +970,18 @@ object ExtendedQ {
       graft.operators.EventAnalytics.resampleDaily(Tables.events(s, d))
         .orderBy("event_type", "day")),
 
+    // First-order Markov transition matrix (r13): adjacent-event
+    // (from, to) counts per user sequence with P(to|from) — the full-
+    // sequence complement of q212's first-touch paths. One lag
+    // window on the user partition, one type×type-bounded rollup.
+    "q235_transition_matrix" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.transitionMatrix(
+        ev, tsCol = "ts_us")
+        .orderBy("from_type", "to_type")
+    }),
+
     // lake — ICEBERG PARTITION-SPEC EVOLUTION: the first era of the
     // table is partitioned identity(event_type); the spec then evolves
     // to day(ts) and the second era lands under it — old files are
@@ -1258,6 +1270,24 @@ object ExtendedQ {
         |JOIN pt pb ON pairs.type_b = pb.t
         |CROSS JOIN nu
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q235_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_t
+        |  FROM events
+        |), pairs AS (
+        |  SELECT event_type AS from_type, next_t AS to_type, COUNT(*) AS n
+        |  FROM seq WHERE next_t IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+        |  FROM pairs GROUP BY from_type
+        |)
+        |SELECT p.from_type, p.to_type, p.n,
+        |       CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+        |FROM pairs p JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q234_resample_daily" ->
       """WITH daily AS (
