@@ -205,6 +205,35 @@ object EventAnalytics {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics canon: every
+    * `convType` event is credited to the user's most recent PRECEDING
+    * non-conversion event type (the "channel"), conversions with no
+    * preceding touch credit "(direct)". One `last(_, ignoreNulls)`
+    * carry over the user partition with a strictly-preceding ROWS
+    * frame — no per-user arrays, no self-join — then a
+    * channel-bounded rollup with exact value sums. */
+  def lastTouchAttribution(ev: DataFrame, convType: String,
+                           userCol: String = "user_id",
+                           typeCol: String = "event_type",
+                           tsCol: String = "ts",
+                           tieCol: String = "event_id",
+                           valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col(userCol), col(typeCol), col(tsCol), col(tieCol),
+        col(valueCol))
+      .withColumn("channel",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+          .over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("channel"), lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov readout over
     * each user's event sequence: for every (from, to) type pair, how
     * many adjacent transitions occurred and the row-normalized

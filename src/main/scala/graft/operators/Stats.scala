@@ -162,6 +162,48 @@ object Stats {
       when(col("n_prior") >= minPrior && varPos, z).as("z_score"))
   }
 
+  /** PER-GROUP FEATURE SCALING — the ML-prep normalization pass:
+    * for every row, its value's PERCENT RANK (CDF position with
+    * deterministic (value, tie) ordering — quantile normalization),
+    * its min-max scaling, and its z-score against the group, all
+    * from exact statistics: ranks and counts are integers,
+    * min/max exact, mean/variance from DECIMAL-quantized cent sums,
+    * each output one short mirrored IEEE chain. Two passes over the
+    * group partition (window rank + broadcast-joined group moments),
+    * both hash-partitioned on the group key. */
+  def featureScale(df: DataFrame, groupCol: String, valueCol: String,
+                   tieCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val y = floor(col(valueCol) * lit(100.0)).cast("long")
+    val base = df.select(col(groupCol), col(valueCol).as("value"),
+      col(tieCol).as("tie"), y.as("y2"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("value"), col("tie"))
+    val ranked = base.withColumn("rk", row_number().over(w).cast("long"))
+    val moments = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      min(col("y2")).as("y_min"),
+      max(col("y2")).as("y_max"),
+      sum(col("y2").cast(d38)).as("s1"),
+      sum((col("y2").cast(DecimalType(19, 0)) *
+        col("y2").cast(DecimalType(19, 0))).cast(d38)).as("s2"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val mean = s1 / n
+    val varPos = (n * s2 - s1 * s1) > 0.0
+    val z = (col("y2").cast("double") - mean) /
+      sqrt((n * s2 - s1 * s1) / (n * n))
+    val range = (col("y_max") - col("y_min")).cast("double")
+    ranked.join(moments, groupCol :: Nil)
+      .select(col(groupCol), col("tie"), col("value"),
+        when(col("n") > 1,
+          (col("rk") - lit(1L)).cast("double") /
+            (col("n") - lit(1L)).cast("double")).as("pct_rank"),
+        when(col("y_max") > col("y_min"),
+          (col("y2") - col("y_min")).cast("double") / range).as("minmax"),
+        when(varPos, z).as("z_score"))
+  }
+
   /** KEY-SKEW DIAGNOSTICS per group — the "is this join/shuffle key
     * safe at scale" report a 100 TB pipeline runs BEFORE picking a
     * partitioning: per group, the number of distinct keys, total

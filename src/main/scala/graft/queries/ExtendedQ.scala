@@ -982,6 +982,18 @@ object ExtendedQ {
         .orderBy("from_type", "to_type")
     }),
 
+    // Last-touch attribution (r13): every purchase credited to the
+    // user's most recent preceding non-purchase event type — one
+    // ignoreNulls last() carry over the user partition, no per-user
+    // arrays, "(direct)" for untouched conversions.
+    "q237_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.lastTouchAttribution(
+        ev, convType = "purchase", tsCol = "ts_us")
+        .orderBy("channel")
+    }),
+
     // lake — ICEBERG PARTITION-SPEC EVOLUTION: the first era of the
     // table is partitioned identity(event_type); the spec then evolves
     // to day(ts) and the second era lands under it — old files are
@@ -1270,6 +1282,23 @@ object ExtendedQ {
         |JOIN pt pb ON pairs.type_b = pb.t
         |CROSS JOIN nu
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q237_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS channel
+        |  FROM events
+        |)
+        |SELECT COALESCE(channel, '(direct)') AS channel,
+        |       COUNT(*) AS n_conversions,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q235_transition_matrix" ->
       """WITH seq AS (

@@ -297,7 +297,17 @@ object SurfaceQ {
     "q231_key_skew" -> ((s, d) =>
       graft.operators.Stats.keySkew(
         Tables.events(s, d), "event_type", "user_id")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Per-group feature scaling (r13): percent-rank (quantile
+    // normalization with deterministic ties), min-max, and z-score
+    // for every event value against its type — exact ranks, exact
+    // cent-quantized moments, NULL-guarded degenerate groups.
+    // `operators/Stats.featureScale`.
+    "q236_feature_scale" -> ((s, d) =>
+      graft.operators.Stats.featureScale(
+        Tables.events(s, d), "event_type", "value", "event_id")
+        .orderBy("event_type", "tie"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -589,6 +599,43 @@ object SurfaceQ {
         |       CAST(max_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS top_share,
         |       CAST(srw - (n_keys + 1) * total AS DOUBLE) /
         |       CAST(n_keys * total AS DOUBLE) AS gini
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // mirrors Stats.featureScale: exact ranks + cent-quantized moments
+    "q236_feature_scale" ->
+      """WITH base AS (
+        |  SELECT event_type, value, event_id AS tie,
+        |         CAST(FLOOR(value * 100.0) AS BIGINT) AS y2
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, value, tie, y2,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |             ORDER BY value, tie) AS BIGINT) AS rk
+        |  FROM base
+        |), m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         MIN(y2) AS y_min, MAX(y2) AS y_max,
+        |         CAST(SUM(y2) AS BIGINT) AS s1,
+        |         CAST(SUM(y2 * y2) AS BIGINT) AS s2
+        |  FROM base GROUP BY event_type
+        |)
+        |SELECT r.event_type, r.tie, r.value,
+        |       CASE WHEN n > 1
+        |            THEN CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |       END AS pct_rank,
+        |       CASE WHEN y_max > y_min
+        |            THEN CAST(y2 - y_min AS DOUBLE) /
+        |                 CAST(y_max - y_min AS DOUBLE)
+        |       END AS minmax,
+        |       CASE WHEN CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                 CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0.0
+        |            THEN (CAST(y2 AS DOUBLE) -
+        |                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |                 sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |                       CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       END AS z_score
+        |FROM ranked r JOIN m USING (event_type)
+        |ORDER BY r.event_type, r.tie""".stripMargin
   )
 }

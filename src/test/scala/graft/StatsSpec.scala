@@ -229,4 +229,39 @@ class StatsSpec extends AnyFunSuite {
     // exclusive token's chi2 strictly dominates any shared token
     assert(out(0).getAs[Double]("chi2") > out(1).getAs[Double]("chi2"))
   }
+
+  test("featureScale: exact pct-rank/minmax, ±1 z on a symmetric pair, NULLs on singletons") {
+    // group "q": 4 evenly spaced values -> pct_rank and minmax agree at
+    // thirds; group "p": symmetric pair -> population z is exactly ±1;
+    // group "one": singleton -> all three scalings are NULL
+    val df = (Seq(("q", 1.00, "a"), ("q", 2.00, "b"), ("q", 3.00, "c"),
+      ("q", 4.00, "d"), ("p", 1.00, "x"), ("p", 3.00, "y"),
+      ("one", 5.00, "z"))).toDF("g", "value", "tie")
+    val out = Stats.featureScale(df, "g", "value", "tie")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val thirds = Seq("a" -> 0.0, "b" -> 1.0 / 3, "c" -> 2.0 / 3, "d" -> 1.0)
+    for ((t, expect) <- thirds) {
+      assert(out(("q", t)).getDouble(3) === expect)
+      assert(out(("q", t)).getDouble(4) === expect)
+    }
+    // p: y2 = 100, 300; mean 200; population sd 100 -> z = -1, +1
+    assert(out(("p", "x")).getDouble(5) === -1.0)
+    assert(out(("p", "y")).getDouble(5) === 1.0)
+    for (i <- 3 to 5) assert(out(("one", "z")).isNullAt(i))
+  }
+
+  test("lastTouchAttribution credits the latest preceding touch, skipping conversions") {
+    // u1: view, click, purchase(10), purchase(5) — BOTH purchases
+    //   credit "click" (the second must skip the purchase between);
+    // u2: purchase(7) with no preceding touch -> "(direct)"
+    val ev = Seq(
+      (1L, "view", 1L, "e1", 0.0), (1L, "click", 2L, "e2", 0.0),
+      (1L, "purchase", 3L, "e3", 10.0), (1L, "purchase", 4L, "e4", 5.0),
+      (2L, "purchase", 1L, "e5", 7.0))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val out = EventAnalytics.lastTouchAttribution(ev, "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map("click" -> ((2L, 15.0)), "(direct)" -> ((1L, 7.0))))
+  }
 }
