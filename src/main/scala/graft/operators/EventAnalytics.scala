@@ -234,6 +234,117 @@ object EventAnalytics {
           .cast("double").as("total_value"))
   }
 
+  /** POSITION-BASED (U-SHAPED) MULTI-TOUCH ATTRIBUTION — the
+    * fractional complement of [[lastTouchAttribution]]: each touch is
+    * assigned to the user's NEXT conversion (one forward
+    * `first(_, ignoreNulls)` carry — the journey is the touch run
+    * between conversions), then within each journey the first and
+    * last touch earn 40% each and the middles split the remaining
+    * 20% evenly (single touch 100%, two touches 50/50). Credits are
+    * integer PARTS-PER-MILLION (middles get floor(200000/(n−2))), so
+    * per-channel totals are exact BIGINT sums — no order-dependent
+    * double accumulation — with one final /1e6 presentation divide. */
+  def positionAttribution(ev: DataFrame, convType: String,
+                          userCol: String = "user_id",
+                          typeCol: String = "event_type",
+                          tsCol: String = "ts",
+                          tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wNext = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = ev.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("conv_id",
+        first(when(col(typeCol) === convType, col(tieCol)),
+          ignoreNulls = true).over(wNext))
+      .filter(col(typeCol) =!= convType && col("conv_id").isNotNull)
+    val wJourney = Window.partitionBy(col(userCol), col("conv_id"))
+    val positioned = tagged
+      .withColumn("pos", row_number().over(
+        wJourney.orderBy(col(tsCol), col(tieCol))))
+      .withColumn("n", count(lit(1)).over(wJourney))
+    positioned
+      .withColumn("credit_ppm",
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("n"), 400000L)
+          .otherwise(expr("200000 div (n - 2)")))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+      .withColumn("credit", col("credit_ppm").cast("double") / lit(1e6))
+  }
+
+  /** KAPLAN-MEIER TIME-TO-CONVERSION — the survival-analysis readout
+    * over user lifecycles: per user, the origin is their FIRST event,
+    * the "death" their first `convType` event, and users who never
+    * convert are right-censored at their last observed event. For
+    * every duration (whole days since origin) with at least one
+    * conversion, emits the at-risk count, the conversion count, and
+    * the Kaplan-Meier survival estimate S(t) = Π_{t_i ≤ t}
+    * (1 − d_i/n_i).
+    *
+    * Deterministic by construction, not by luck: durations are
+    * integer floor-divisions of µs longs; the at-risk counts come
+    * from one suffix-sum window over the (bounded: ≤ history days)
+    * per-duration relation; and the running product is computed in
+    * FIXED-POINT 1e18 integer arithmetic by a sequential left fold
+    * over the sorted duration table (`aggregate` HOF) — every step
+    * is an exact integer multiply + floor divide, so the result is
+    * bit-identical under any partitioning and to a DuckDB
+    * recursive-CTE twin. The fold runs on one row of ≤ a few
+    * thousand entries (days of history), while the heavy per-user
+    * and per-duration aggregations stay fully distributed.
+    *
+    * @param tsCol event time as µs-since-epoch longs
+    */
+  def kaplanMeier(ev: DataFrame, convType: String,
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  tsCol: String = "ts_us"): DataFrame = {
+    val usPerDay = 86400000000L
+    val perUser = ev.groupBy(col(userCol)).agg(
+      min(col(tsCol)).as("t0"),
+      min(when(col(typeCol) === convType, col(tsCol))).as("tp"),
+      max(col(tsCol)).as("te"))
+    // integer floor-div (durations are nonneg, so `div` = floor) —
+    // a double divide + cast would round differently than DuckDB's
+    val durations = perUser.selectExpr(
+      s"(coalesce(tp, te) - t0) div $usPerDay AS dur",
+      "tp IS NOT NULL AS converted")
+    val perDur = durations.groupBy(col("dur")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("converted"), 1L).otherwise(0L)).as("d"))
+    // suffix sum: n_risk(t) = users with duration >= t (censored
+    // users leave the risk set after their duration, as KM requires)
+    val wRisk = org.apache.spark.sql.expressions.Window.orderBy(col("dur"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val risk = perDur
+      .withColumn("n_risk", sum(col("c_all")).over(wRisk))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_risk"), col("d"))
+    // sequential fixed-point fold: s' = floor(s * (n-d) / n), s0 = 1e18
+    risk.agg(sort_array(collect_list(struct(
+        col("dur"), col("n_risk"), col("d")))).as("rows"))
+      .selectExpr(
+        """inline(aggregate(rows,
+          |  struct(CAST(1000000000000000000 AS BIGINT) AS s,
+          |         CAST(array() AS
+          |           ARRAY<STRUCT<t_days: BIGINT, n_risk: BIGINT,
+          |                        n_events: BIGINT, s: BIGINT>>) AS out),
+          |  (acc, x) -> struct(
+          |    CAST((CAST(acc.s AS DECIMAL(38,0)) * (x.n_risk - x.d))
+          |         div x.n_risk AS BIGINT),
+          |    array_append(acc.out, named_struct(
+          |      't_days', x.dur, 'n_risk', x.n_risk, 'n_events', x.d,
+          |      's', CAST((CAST(acc.s AS DECIMAL(38,0)) * (x.n_risk - x.d))
+          |                div x.n_risk AS BIGINT)))),
+          |  acc -> acc.out))""".stripMargin)
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+        (col("s").cast("double") / lit(1e18)).as("survival"))
+  }
+
   /** EVENT TRANSITION MATRIX — the first-order Markov readout over
     * each user's event sequence: for every (from, to) type pair, how
     * many adjacent transitions occurred and the row-normalized
@@ -260,6 +371,36 @@ object EventAnalytics {
     pairs.join(rowTot, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+  }
+
+  /** EVENT SEQUENCE N-GRAM MINING — [[transitionMatrix]]'s higher-order
+    * sibling: every run of `n` ADJACENT events in a user's (ts, tie)-
+    * ordered sequence, counted corpus-wide with its share of all
+    * n-grams. One window pass emits the n−1 leads (no self-joins, no
+    * per-user arrays), the rollup is bounded by #types^n, and the
+    * share's denominator is a suffix-free window total over that
+    * bounded relation — one exact division per row. */
+  def sequenceNgrams(ev: DataFrame, n: Int,
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tsCol: String = "ts",
+                     tieCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"sequenceNgrams: n must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val leads = (1 until n).map(i => lead(col(typeCol), i).over(byUser))
+    val gramCols = (col(typeCol) +: leads).zipWithIndex
+      .map { case (c, i) => c.as(s"t$i") }
+    val grams = ev.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .select(gramCols: _*)
+      .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
+      .groupBy((0 until n).map(i => col(s"t$i")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wTot = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    grams.withColumn("share",
+      col("cnt").cast("double") / sum(col("cnt")).over(wTot).cast("double"))
   }
 
   /** CALENDAR RESAMPLE with gap fill — the time-series alignment op

@@ -307,7 +307,62 @@ object SurfaceQ {
     "q236_feature_scale" -> ((s, d) =>
       graft.operators.Stats.featureScale(
         Tables.events(s, d), "event_type", "value", "event_id")
-        .orderBy("event_type", "tie"))
+        .orderBy("event_type", "tie")),
+
+    // Point-in-time (backward as-of) join (r13): every purchase joined
+    // to the user's latest click at-or-before it — the leakage-free
+    // feature-store join, as one union + ordered window carry (single
+    // shuffle on the key; no range join). `operators/AsOf`.
+    "q238_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val obs = ev.filter(col("event_type") === "purchase")
+      val feat = ev.filter(col("event_type") === "click")
+      graft.operators.AsOf.pointInTimeJoin(obs, feat, "user_id", "ts_us",
+        "event_id", "event_id", Seq("value"))
+        .orderBy("event_id")
+    }),
+
+    // Kaplan-Meier time-to-conversion (r13): survival curve from each
+    // user's first event to their first purchase, never-converters
+    // right-censored at last activity; survival exact in fixed-point
+    // 1e18 integers. `operators/EventAnalytics.kaplanMeier`.
+    "q239_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.kaplanMeier(ev, "purchase")
+        .orderBy("t_days")
+    }),
+
+    // Column profiler (r13): per-column nulls / exact distincts /
+    // min-max for the whole events table in ONE aggregation pass.
+    // `operators/Profile.profileTable`.
+    "q240_profile" -> ((s, d) =>
+      graft.operators.Profile.profileTable(Tables.events(s, d),
+        numCols = Seq("event_id", "user_id", "value"),
+        strCols = Seq("event_type", "props"))
+        .orderBy("column_name")),
+
+    // U-shaped multi-touch attribution (r13): 40/20/40 fractional
+    // credit across each journey's touches, integer-ppm exact.
+    // `operators/EventAnalytics.positionAttribution`.
+    "q241_position_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics
+        .positionAttribution(ev, "purchase", tsCol = "ts_us")
+        .orderBy("channel")
+    }),
+
+    // Event sequence trigrams (r13): third-order sibling of q235's
+    // transition matrix — adjacent (t0,t1,t2) runs with corpus share.
+    // `operators/EventAnalytics.sequenceNgrams`.
+    "q242_event_trigrams" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.sequenceNgrams(ev, 3, tsCol = "ts_us")
+        .orderBy("t0", "t1", "t2")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -636,6 +691,180 @@ object SurfaceQ {
         |                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
         |       END AS z_score
         |FROM ranked r JOIN m USING (event_type)
-        |ORDER BY r.event_type, r.tie""".stripMargin
+        |ORDER BY r.event_type, r.tie""".stripMargin,
+
+    // mirrors AsOf.pointInTimeJoin: union + ordered carry of the
+    // matched feature ROW id, payload re-joined by id (row semantics,
+    // not per-column carries)
+    "q238_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         1 AS side, event_id AS obs_id,
+        |         CAST(NULL AS BIGINT) AS f_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)),
+        |         0, CAST(NULL AS BIGINT), event_id
+        |  FROM events WHERE event_type = 'click'
+        |), c AS (
+        |  SELECT user_id, ts_us, side, obs_id,
+        |         last_value(CASE WHEN side = 0 THEN f_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, side, f_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS a_id
+        |  FROM u
+        |)
+        |SELECT c.user_id, c.obs_id AS event_id, c.ts_us,
+        |       f.value AS asof_value, c.a_id AS asof_event_id
+        |FROM c LEFT JOIN (SELECT event_id, value FROM events
+        |                  WHERE event_type = 'click') f
+        |  ON c.a_id = f.event_id
+        |WHERE c.side = 1 ORDER BY event_id""".stripMargin,
+
+    // mirrors EventAnalytics.kaplanMeier: integer day durations,
+    // suffix-sum risk sets, fixed-point 1e18 running product as a
+    // recursive CTE (HUGEINT multiply + floor divide per step)
+    "q239_survival_km" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT user_id,
+        |         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |         MIN(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS tp,
+        |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS te
+        |  FROM events GROUP BY user_id
+        |), durs AS (
+        |  SELECT (COALESCE(tp, te) - t0) // 86400000000 AS dur,
+        |         tp IS NOT NULL AS converted
+        |  FROM per_user
+        |), per_dur AS (
+        |  SELECT dur, COUNT(*) AS c_all,
+        |         SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS d
+        |  FROM durs GROUP BY dur
+        |), risk AS (
+        |  SELECT dur, d,
+        |         SUM(c_all) OVER (ORDER BY dur
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS n_risk
+        |  FROM per_dur
+        |), evt AS (
+        |  SELECT dur, CAST(n_risk AS BIGINT) AS n_risk,
+        |         CAST(d AS BIGINT) AS d,
+        |         row_number() OVER (ORDER BY dur) AS rn
+        |  FROM risk WHERE d > 0
+        |), km AS (
+        |  SELECT dur, n_risk, d, rn,
+        |         CAST((CAST(1000000000000000000 AS HUGEINT) * (n_risk - d))
+        |              // n_risk AS BIGINT) AS s
+        |  FROM evt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.dur, e.n_risk, e.d, e.rn,
+        |         CAST((CAST(k.s AS HUGEINT) * (e.n_risk - e.d))
+        |              // e.n_risk AS BIGINT)
+        |  FROM km k JOIN evt e ON e.rn = k.rn + 1
+        |)
+        |SELECT dur AS t_days, n_risk, d AS n_events,
+        |       CAST(s AS DOUBLE) / 1e18 AS survival
+        |FROM km ORDER BY t_days""".stripMargin,
+
+    // mirrors Profile.profileTable: one aggregation, one row per column
+    "q240_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nn_event_id,
+        |    COUNT(DISTINCT event_id) AS nd_event_id,
+        |    CAST(MIN(event_id) AS DOUBLE) AS mn_event_id,
+        |    CAST(MAX(event_id) AS DOUBLE) AS mx_event_id,
+        |    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nn_user_id,
+        |    COUNT(DISTINCT user_id) AS nd_user_id,
+        |    CAST(MIN(user_id) AS DOUBLE) AS mn_user_id,
+        |    CAST(MAX(user_id) AS DOUBLE) AS mx_user_id,
+        |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nn_value,
+        |    COUNT(DISTINCT value) AS nd_value,
+        |    CAST(MIN(value) AS DOUBLE) AS mn_value,
+        |    CAST(MAX(value) AS DOUBLE) AS mx_value,
+        |    SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nn_et,
+        |    COUNT(DISTINCT event_type) AS nd_et,
+        |    MIN(event_type) AS mn_et, MAX(event_type) AS mx_et,
+        |    SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nn_props,
+        |    COUNT(DISTINCT props) AS nd_props,
+        |    MIN(props) AS mn_props, MAX(props) AS mx_props
+        |  FROM events
+        |)
+        |SELECT 'event_id' AS column_name, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(nn_event_id AS BIGINT) AS n_null,
+        |       CAST(nd_event_id AS BIGINT) AS n_distinct,
+        |       mn_event_id AS min_num, mx_event_id AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str,
+        |       CAST(NULL AS VARCHAR) AS max_str FROM a
+        |UNION ALL
+        |SELECT 'user_id', CAST(n AS BIGINT), CAST(nn_user_id AS BIGINT),
+        |       CAST(nd_user_id AS BIGINT), mn_user_id, mx_user_id,
+        |       NULL, NULL FROM a
+        |UNION ALL
+        |SELECT 'value', CAST(n AS BIGINT), CAST(nn_value AS BIGINT),
+        |       CAST(nd_value AS BIGINT), mn_value, mx_value,
+        |       NULL, NULL FROM a
+        |UNION ALL
+        |SELECT 'event_type', CAST(n AS BIGINT), CAST(nn_et AS BIGINT),
+        |       CAST(nd_et AS BIGINT), CAST(NULL AS DOUBLE),
+        |       CAST(NULL AS DOUBLE), mn_et, mx_et FROM a
+        |UNION ALL
+        |SELECT 'props', CAST(n AS BIGINT), CAST(nn_props AS BIGINT),
+        |       CAST(nd_props AS BIGINT), CAST(NULL AS DOUBLE),
+        |       CAST(NULL AS DOUBLE), mn_props, mx_props FROM a
+        |ORDER BY column_name""".stripMargin,
+
+    // mirrors EventAnalytics.positionAttribution: forward carry to the
+    // next conversion, 40/20/40 integer-ppm credits
+    "q241_position_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), tagged AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |         first_value(CASE WHEN event_type = 'purchase'
+        |                          THEN event_id END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS conv_id
+        |  FROM e
+        |), j AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY user_id, conv_id
+        |                            ORDER BY ts_us, event_id) AS pos,
+        |         COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n
+        |  FROM tagged
+        |  WHERE event_type <> 'purchase' AND conv_id IS NOT NULL
+        |), c AS (
+        |  SELECT event_type,
+        |         CASE WHEN n = 1 THEN 1000000
+        |              WHEN n = 2 THEN 500000
+        |              WHEN pos = 1 OR pos = n THEN 400000
+        |              ELSE 200000 // (n - 2) END AS credit_ppm
+        |  FROM j
+        |)
+        |SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |       CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm,
+        |       CAST(CAST(SUM(credit_ppm) AS BIGINT) AS DOUBLE) / 1e6
+        |         AS credit
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // mirrors EventAnalytics.sequenceNgrams(n=3)
+    "q242_event_trigrams" ->
+      """WITH seq AS (
+        |  SELECT event_type AS t0,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |), g AS (
+        |  SELECT t0, t1, t2, COUNT(*) AS cnt FROM seq
+        |  WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1, 2, 3
+        |)
+        |SELECT t0, t1, t2, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE)
+        |         AS share
+        |FROM g ORDER BY t0, t1, t2""".stripMargin
   )
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Profile
+
+/** Pins the profiler's per-column statistics on a constructed table
+  * with planted nulls and duplicates. */
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileTable: nulls, exact distincts, typed min/max slots") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")),
+      (Some(2L), None), (None, Some("c")))
+      .toDF("x", "s")
+    val out = Profile.profileTable(df, numCols = Seq("x"), strCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) === 4L)      // n_rows
+    assert(x.getLong(2) === 1L)      // n_null
+    assert(x.getLong(3) === 2L)      // n_distinct (nulls excluded)
+    assert(x.getDouble(4) === 1.0 && x.getDouble(5) === 2.0)
+    assert(x.isNullAt(6) && x.isNullAt(7)) // string slots empty
+    val s = out("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) === "a" && s.getString(7) === "c")
+  }
+}

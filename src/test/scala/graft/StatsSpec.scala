@@ -264,4 +264,49 @@ class StatsSpec extends AnyFunSuite {
       .toMap
     assert(out === Map("click" -> ((2L, 15.0)), "(direct)" -> ((1L, 7.0))))
   }
+
+  test("kaplanMeier: hand-computed survival curve with censoring, exact values") {
+    // u1 converts at dur 0; u2 converts at dur 2; u3 censored at dur 2
+    // (leaves the risk set after t=2); u4 converts at dur 4.
+    // KM: t0 n4 d1 S=0.75; t2 n3 d1 S=0.5; t4 n1 d1 S=0.0 — all exact
+    // in fixed-point (3/4, then *2/3, then *0/1).
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, "purchase", 0L, 1L),
+      (2L, "view", 0L, 2L), (2L, "purchase", 2 * day + 3600L, 3L),
+      (3L, "view", 0L, 4L), (3L, "click", 2 * day + 99L, 5L),
+      (4L, "view", 0L, 6L), (4L, "purchase", 4 * day + 1L, 7L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = EventAnalytics.kaplanMeier(ev, "purchase")
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0L, 4L, 1L, 0.75), (2L, 3L, 1L, 0.5), (4L, 1L, 1L, 0.0)))
+  }
+
+  test("positionAttribution: 40/20/40 journey credits, touches after last conversion dropped") {
+    // u1: a b c d purchase -> a/d get 400000 ppm, b/c 100000 each;
+    // u2: e purchase -> 1000000; the trailing touch f never converts
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "c", 3L, 3L),
+      (1L, "d", 4L, 4L), (1L, "purchase", 5L, 5L), (1L, "f", 6L, 6L),
+      (2L, "e", 1L, 7L), (2L, "purchase", 2L, 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.positionAttribution(ev, "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 400000L, "b" -> 100000L, "c" -> 100000L,
+      "d" -> 400000L, "e" -> 1000000L))
+  }
+
+  test("sequenceNgrams: adjacent trigrams with exact corpus shares") {
+    val ev = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L),
+      (1L, "b", 4L, 4L), (1L, "a", 5L, 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventAnalytics.sequenceNgrams(ev, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out === Map(
+      ("a", "b", "a") -> ((2L, 2.0 / 3)), ("b", "a", "b") -> ((1L, 1.0 / 3))))
+  }
 }
