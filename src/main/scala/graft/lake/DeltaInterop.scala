@@ -859,6 +859,84 @@ object DeltaInterop {
     victims.size
   }
 
+  case class RestoreResult(filesAdded: Int, filesRemoved: Int,
+                           newVersion: Long)
+
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF v`): make
+    * the CURRENT table content equal its content at `toVersion` by
+    * committing ONE new version — history is preserved, because
+    * restore is itself a commit, never a log rewrite. The commit
+    * carries `remove` actions (dataChange=true) for files live now
+    * but not then, `add` actions (dataChange=true) for files live
+    * then but not now — and a remove+re-add for files whose DELETION
+    * VECTOR differs between the two versions, since the dv travels on
+    * the add. If the table's metaData (schema / partition columns /
+    * configuration) evolved since the target, the target's metaData
+    * is re-declared in the same commit, exactly as the real RESTORE
+    * does.
+    *
+    * Fail-loud boundary: a restore needs the target's data files to
+    * still EXIST — [[vacuumDelta]] may have reclaimed them — so every
+    * to-be-re-added path is checked on disk before any log write, and
+    * a missing one aborts the whole restore (the real implementation
+    * has the same failure mode; surfacing it before the commit beats
+    * a half-restored table). Restoring to the current version is a
+    * no-op that writes nothing. */
+  def restore(spark: SparkSession, root: Path,
+              toVersion: Long): RestoreResult = {
+    val cur = replayLog(spark, root)
+    require(toVersion >= 0 && toVersion <= cur.version,
+      s"no commit $toVersion at $root (latest commit: ${cur.version})")
+    if (toVersion == cur.version)
+      return RestoreResult(0, 0, cur.version)
+    val tgt = replayLog(spark, root, upTo = toVersion)
+    val curByPath = cur.liveFiles.map(f => f.path -> f).toMap
+    val tgtByPath = tgt.liveFiles.map(f => f.path -> f).toMap
+    val toAdd = tgt.liveFiles.filter(f =>
+      !curByPath.get(f.path).exists(c => c.dv == f.dv))
+    val toRemove = cur.liveFiles.filter(f =>
+      !tgtByPath.get(f.path).exists(t => t.dv == f.dv))
+    val missing = toAdd.map(_.path).filterNot(p => Files.exists(root.resolve(p)))
+    require(missing.isEmpty,
+      s"cannot restore $root to version $toVersion: data files " +
+        s"[${missing.mkString(", ")}] were vacuumed — the target version " +
+        "is past the retention horizon")
+    val m = mapper
+    val nowMs = Files.getLastModifiedTime(root.resolve("_delta_log")).toMillis
+    val actions = Seq.newBuilder[String]
+    val metaChanged =
+      tgt.schema.map(_.json) != cur.schema.map(_.json) ||
+        tgt.partitionColumns != cur.partitionColumns ||
+        tgt.configuration != cur.configuration
+    if (metaChanged) {
+      val id = cur.tableId.orElse(tgt.tableId)
+        .getOrElse(UUID.randomUUID().toString)
+      val sj = tgt.schema.map(_.json).getOrElse(throw new IllegalStateException(
+        s"target version $toVersion of $root has no declared schema"))
+      actions += m.writeValueAsString(metaDataAction(m, id, sj,
+        tgt.partitionColumns, configuration = tgt.configuration))
+    }
+    // removes first: a same-path remove+add in one commit must replay
+    // as "added" (dv swap case), and replay applies actions in order
+    toRemove.foreach { f =>
+      val a = m.createObjectNode()
+      val rm = a.putObject("remove")
+      rm.put("path", encodePath(f.path))
+      rm.put("deletionTimestamp", nowMs)
+      rm.put("dataChange", true)
+      actions += m.writeValueAsString(a)
+    }
+    toAdd.foreach { f =>
+      actions += m.writeValueAsString(
+        addAction(m, f.path, f.partitionValues.toSeq, f.size, nowMs,
+          stats = Some(fileStats(spark, m, root.resolve(f.path))),
+          dv = f.dv, dataChange = true))
+    }
+    val v = cur.version + 1
+    Files.write(logPath(root, v), actions.result().asJava)
+    RestoreResult(toAdd.size, toRemove.size, v)
+  }
+
   // ---- checkpoint --------------------------------------------------------
 
   /** Write a CHECKPOINT for the Delta log at `root` at its latest

@@ -1218,6 +1218,39 @@ object ExtendedQ {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // lake — DELTA RESTORE (r13): the missing leg of the Delta
+    // maintenance triad (optimize/vacuum/restore). A 3-commit history;
+    // RESTORE to commit 0 tombstones the later files as ONE new commit
+    // (history preserved — commit 2 still time-travels), then RESTORE
+    // forward to commit 2 re-adds them (the vacuumed-file guard's
+    // happy path). The hash gate reads the final state = full table.
+    "q243_delta_restore" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 3 === 0).repartition(4), "graft-restq")
+      t.append(ev.filter(col("event_id") % 3 === 1).repartition(4))
+      t.append(ev.filter(col("event_id") % 3 === 2).repartition(4))
+      val dest = Qx.tempDir("graft-rest-q").resolve("t")
+      require(graft.lake.DeltaInterop.exportHistory(t, dest) == 3)
+      val full = graft.lake.DeltaInterop.readDelta(s, dest).count()
+      val v0 = graft.lake.DeltaInterop.readDelta(s, dest, version = 0L).count()
+      val back = graft.lake.DeltaInterop.restore(s, dest, toVersion = 0L)
+      require(back == graft.lake.DeltaInterop.RestoreResult(0, 8, 3L),
+        s"restore to v0 must tombstone the 8 later files in commit 3: $back")
+      require(graft.lake.DeltaInterop.readDelta(s, dest).count() == v0,
+        "restored table must read as commit 0's content")
+      require(graft.lake.DeltaInterop.readDelta(s, dest, version = 2L)
+        .count() == full, "restore must preserve history (commit 2 intact)")
+      val fwd = graft.lake.DeltaInterop.restore(s, dest, toVersion = 2L)
+      require(fwd == graft.lake.DeltaInterop.RestoreResult(8, 0, 4L),
+        s"restore to v2 must re-add the 8 files in commit 4: $fwd")
+      graft.lake.DeltaInterop.readDelta(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -1793,6 +1826,10 @@ object ExtendedQ {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q227_delta_optimize" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q243_delta_restore" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
