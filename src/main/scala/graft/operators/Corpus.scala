@@ -170,6 +170,32 @@ object Corpus {
       .drop("rn")
   }
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT — bottom-k priority
+    * sampling (the Efraimidis–Spirakis family): each row's priority is
+    * hash(id)/weight and the k SMALLEST priorities win, so inclusion
+    * odds scale with weight while the whole draw stays reproducible —
+    * no rand(), no replays disagreeing across partitionings. The
+    * exp/log transform of the textbook scheme is replaced by a plain
+    * ratio (same weighted-order idea) because ln is not bit-exact
+    * across engines; the hash is a 48-bit integer carved from md5
+    * (exact in a double) and the priority ONE IEEE division —
+    * bit-identical ranking anywhere.
+    *
+    * Plan shape: `orderBy(priority).limit(k)` compiles to
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge
+    * on the driver — so there is no global sort and no single-machine
+    * pass over the corpus at any scale. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority",
+        h.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Distinct word n-gram shingles, reused from the dedup stack. */
   /** Context-window chunking — the "pack documents into fixed-size
     * training windows" op every LLM pipeline runs between cleaning and

@@ -432,6 +432,46 @@ object EventAnalytics {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** EXPONENTIALLY WEIGHTED MOVING AVERAGE over the gapless daily
+    * grid — the smoothing every monitoring/trend pipeline wants after
+    * [[resampleDaily]], computed EXACTLY: the classic recursion
+    * s_t = s_{t−1} + (x_t − s_{t−1})/α⁻¹ runs in FIXED-POINT 1e6
+    * integers with truncating division (Spark `div` ≡ DuckDB `//` on
+    * the same operands, negatives included — both truncate toward
+    * zero), so the sequential fold is bit-identical to a recursive-CTE
+    * oracle under any partitioning. Per group the fold runs over a
+    * ≤history-days array (the same bounded-fold stance as
+    * [[kaplanMeier]]); the daily aggregation and gap-filled spine
+    * stay fully distributed.
+    *
+    * @param alphaDen α as 1/alphaDen (e.g. 8 → α = 0.125) */
+  def ewmaDaily(ev: DataFrame, alphaDen: Int,
+                groupCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    require(alphaDen >= 1, s"ewmaDaily: alphaDen must be >= 1, got $alphaDen")
+    val grid = resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n"))
+    grid.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("rows"))
+      .select(col("g").as(groupCol), expr(
+        s"""inline(aggregate(rows,
+           |  struct(CAST(-1 AS BIGINT) AS s,
+           |         CAST(array() AS
+           |           ARRAY<STRUCT<day: BIGINT, n: BIGINT,
+           |                        s: BIGINT>>) AS out),
+           |  (acc, x) -> struct(
+           |    CASE WHEN acc.s < 0 THEN x.n * 1000000
+           |         ELSE acc.s + (x.n * 1000000 - acc.s) div $alphaDen END,
+           |    array_append(acc.out, named_struct(
+           |      'day', x.day, 'n', x.n,
+           |      's', CASE WHEN acc.s < 0 THEN x.n * 1000000
+           |                ELSE acc.s + (x.n * 1000000 - acc.s)
+           |                     div $alphaDen END))),
+           |  acc -> acc.out))""".stripMargin))
+      .select(col(groupCol), col("day"), col("n"),
+        (col("s").cast("double") / lit(1e6)).as("ewma"))
+  }
+
   /** SCD TYPE-2 HISTORY BUILD (the warehouse dimension-versioning
     * op): collapse an entity's observation stream into contiguous
     * state intervals — one row per RUN of equal `stateCol` values,

@@ -152,7 +152,18 @@ object CorpusQ {
         docs.filter(col("doc_id") >= 100 && col("doc_id") < 400),
         docs.filter(col("doc_id") < 20), n = 4)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Weighted bottom-k priority sampling (r13): reproducible
+    // weight-proportional draw — priority = md5-hash/weight, the k
+    // smallest win, plans as TakeOrderedAndProject (no global sort).
+    // Weight = doc length, the "sample long documents more" curation
+    // knob. `operators/Corpus.weightedSample`.
+    "q245_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200)
+        .orderBy("priority", "doc_id"))
   )
 
   /** One unrolled BPE round: weighted pair counts over seq{i-1},
@@ -188,6 +199,18 @@ object CorpusQ {
        |)""".stripMargin +: (1 to 6).map(bpeRoundSql)).mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // mirrors Corpus.weightedSample: 48-bit md5 hash / weight, one
+    // IEEE division, bottom-k
+    "q245_weighted_sample" ->
+      """SELECT doc_id, n_chars, priority FROM (
+        |  SELECT doc_id, n_chars,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |                                      1, 12)) AS BIGINT) AS DOUBLE)
+        |         / CAST(n_chars AS DOUBLE) AS priority
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |ORDER BY priority, doc_id LIMIT 200""".stripMargin,
+
     "q213_bpe_train" ->
       s"""WITH $bpeChainSql
          |SELECT merge_idx, lhs, rhs, merged, pair_count FROM (

@@ -966,6 +966,15 @@ object ExtendedQ {
     // Calendar resample + gap fill (r13): per type, a complete day
     // spine with zero-filled silent days and a 7-day trailing ROWS
     // window over the gapless grid.
+    // Exact EWMA (r13): the smoothing pass after q234's gapless grid —
+    // classic recursion in fixed-point 1e6 integers (truncating div,
+    // identical in both engines), sequential per-group fold over a
+    // days-bounded array. `operators/EventAnalytics.ewmaDaily`.
+    "q246_ewma_daily" -> ((s, d) =>
+      graft.operators.EventAnalytics.ewmaDaily(Tables.events(s, d),
+        alphaDen = 8)
+        .orderBy("event_type", "day")),
+
     "q234_resample_daily" -> ((s, d) =>
       graft.operators.EventAnalytics.resampleDaily(Tables.events(s, d))
         .orderBy("event_type", "day")),
@@ -1350,6 +1359,37 @@ object ExtendedQ {
         |       CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
         |FROM pairs p JOIN tot t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors EventAnalytics.ewmaDaily: q234's gapless grid + a
+    // recursive-CTE fixed-point recursion (// truncates toward zero,
+    // exactly like Spark's div)
+    "q246_ewma_daily" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), idx AS (
+        |  SELECT g, day, n,
+        |         row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+        |  FROM filled
+        |), ew AS (
+        |  SELECT g, day, n, rn, n * 1000000 AS s FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.g, i.day, i.n, i.rn,
+        |         e.s + (i.n * 1000000 - e.s) // 8
+        |  FROM ew e JOIN idx i ON i.g = e.g AND i.rn = e.rn + 1
+        |)
+        |SELECT g AS event_type, day, CAST(n AS BIGINT) AS n,
+        |       CAST(s AS DOUBLE) / 1e6 AS ewma
+        |FROM ew ORDER BY event_type, day""".stripMargin,
 
     "q234_resample_daily" ->
       """WITH daily AS (

@@ -226,4 +226,23 @@ class CorpusSpec extends AnyFunSuite {
     // the k slot-key probes are broadcast LEFT SEMI hash joins
     assert("BroadcastHashJoin .* LeftSemi".r.findAllIn(plan).size >= 3, plan)
   }
+
+  test("weightedSample is deterministic, k-bounded, and weight-proportional") {
+    // 400 unit-weight rows vs 100 rows at weight 50: the heavy block
+    // should win far more than its 20% population share of a k=100 draw
+    val docs = ((0L until 400L).map(i => (i, 1L)) ++
+      (400L until 500L).map(i => (i, 50L))).toDF("doc_id", "w")
+    val a = Corpus.weightedSample(docs, "doc_id", "w", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Corpus.weightedSample(docs, "doc_id", "w", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    assert(a.size === 100 && a.distinct.size === 100)
+    val heavy = a.count(_ >= 400L)
+    assert(heavy > 60, s"weight-50 block won only $heavy/100 slots")
+    // zero/negative weights never sampled
+    val withZero = docs.union(Seq((999L, 0L)).toDF("doc_id", "w"))
+    assert(!Corpus.weightedSample(withZero, "doc_id", "w", k = 500)
+      .select("doc_id").collect().map(_.getLong(0)).contains(999L))
+  }
 }

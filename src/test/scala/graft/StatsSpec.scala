@@ -309,4 +309,15 @@ class StatsSpec extends AnyFunSuite {
     assert(out === Map(
       ("a", "b", "a") -> ((2L, 2.0 / 3)), ("b", "a", "b") -> ((1L, 1.0 / 3))))
   }
+
+  test("ewmaDaily: hand-computed fixed-point recursion over a gap-filled grid") {
+    // type "a": 4 events day 0, silence day 1 (gap-filled), 2 events
+    // day 2. alphaDen=2: s0=4.0; s1=4+(0-4)/2=2.0; s2=2+(2-2)/2=2.0
+    val ev = Seq.fill(4)(("a", ts(0))) ++ Seq(("a", ts(2)), ("a", ts(2)))
+    val out = EventAnalytics.ewmaDaily(
+      ev.toDF("event_type", "ts"), alphaDen = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((4L, 4.0), (0L, 2.0), (2L, 2.0)))
+  }
 }
