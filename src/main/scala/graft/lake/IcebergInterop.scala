@@ -1341,7 +1341,20 @@ object IcebergInterop {
     val meta = m.readTree(Files.readString(metaPath))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
     if (snaps.size <= retainLast) return ExpireResult(Nil, 0, 0, 0)
-    val (dropped, kept) = snaps.splitAt(snaps.size - retainLast)
+    // ref-referenced snapshots survive regardless of age — the spec's
+    // branch/tag retention rule: expiring a tagged snapshot would turn
+    // the ref into a dangling pointer ([[setRef]])
+    val refIds: Set[Long] =
+      if (meta.has("refs") && meta.get("refs").isObject)
+        meta.get("refs").properties().asScala
+          .map(_.getValue.get("snapshot-id").asLong()).toSet
+      else Set.empty
+    val tailIds = snaps.takeRight(retainLast)
+      .map(_.get("snapshot-id").asLong()).toSet
+    val (kept, dropped) = snaps.partition(s =>
+      tailIds(s.get("snapshot-id").asLong()) ||
+        refIds(s.get("snapshot-id").asLong()))
+    if (dropped.isEmpty) return ExpireResult(Nil, 0, 0, 0)
     val currentId = meta.get("current-snapshot-id").asLong()
     require(kept.exists(_.get("snapshot-id").asLong() == currentId),
       s"expiry would drop the current snapshot $currentId — retainLast " +
@@ -1386,6 +1399,78 @@ object IcebergInterop {
     ExpireResult(dropped.map(_.get("snapshot-id").asLong()),
       droppedLists.size, orphanManifests.size, nFiles)
   }
+
+  /** NAMED REFS — the spec's `refs` map of branches and tags over
+    * snapshot ids: a TAG pins a release ("the corpus we trained v3
+    * on") and a BRANCH names a movable line of development; both make
+    * time travel addressable by NAME instead of a raw snapshot id,
+    * and [[expireSnapshots]] protects every ref-referenced snapshot
+    * from expiry (the retention rule that makes tags durable).
+    * Setting a ref rolls metadata forward to `v(N+1).metadata.json` —
+    * a metadata-only commit, no snapshot is created. Naming a
+    * snapshot the table does not have fails loudly. */
+  def setRef(root: Path, name: String, snapshotId: Long,
+             refType: String = "tag"): Unit = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be 'tag' or 'branch', got '$refType'")
+    require(name.nonEmpty && name != "main",
+      "ref name must be non-empty and not 'main' (main is implicit: " +
+        "the current snapshot)")
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath)).deepCopy[ObjectNode]()
+    val ids = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSet
+    require(ids(snapshotId),
+      s"cannot ref unknown snapshot $snapshotId at $root (live: " +
+        s"${ids.toSeq.sorted.mkString(", ")})")
+    val refs =
+      if (meta.has("refs") && meta.get("refs").isObject)
+        meta.get("refs").asInstanceOf[ObjectNode]
+      else meta.putObject("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", refType)
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaPath.getParent.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    Files.writeString(metaPath.getParent.resolve("version-hint.text"),
+      (curV + 1).toString)
+  }
+
+  /** Remove a named ref (metadata-only, like [[setRef]]); the
+    * snapshot itself stays until expiry decides its fate. */
+  def dropRef(root: Path, name: String): Unit = {
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath)).deepCopy[ObjectNode]()
+    require(meta.has("refs") && meta.get("refs").has(name),
+      s"no ref '$name' at $root")
+    meta.get("refs").asInstanceOf[ObjectNode].remove(name)
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaPath.getParent.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    Files.writeString(metaPath.getParent.resolve("version-hint.text"),
+      (curV + 1).toString)
+  }
+
+  /** Resolve a ref name to its snapshot id ("main" → the current
+    * snapshot, as in the real catalog). */
+  def refSnapshotId(root: Path, name: String): Long = {
+    val meta = mapper.readTree(Files.readString(currentMetadata(root)))
+    if (name == "main") meta.get("current-snapshot-id").asLong()
+    else {
+      require(meta.has("refs") && meta.get("refs").has(name),
+        s"no ref '$name' at $root")
+      meta.get("refs").get(name).get("snapshot-id").asLong()
+    }
+  }
+
+  /** [[readIceberg]] addressed by ref name (`VERSION AS OF 'tag'`). */
+  def readIcebergRef(spark: SparkSession, root: Path, name: String): DataFrame =
+    readIcebergImpl(spark, root, refSnapshotId(root, name), None)
 
   /** MANIFEST COMPACTION (Iceberg's `rewrite_manifests` maintenance
     * action): merge the CURRENT snapshot's manifests into ONE and

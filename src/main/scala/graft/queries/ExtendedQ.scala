@@ -1083,6 +1083,43 @@ object ExtendedQ {
         .orderBy("o_orderpriority")
     }),
 
+    // lake — ICEBERG REFS (branches/tags, r13): a 3-snapshot history;
+    // snapshot 1 is tagged "baseline", making time travel addressable
+    // by NAME and — the retention rule that makes tags durable —
+    // protecting it from expiry: retainLast=1 expires ONLY the
+    // untagged middle snapshot. Dropping the tag re-exposes snapshot
+    // 1 to the next expiry. The hash gate reads the current state.
+    "q244_iceberg_refs" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        orders.filter(col("o_orderkey") % 3 === 0), "graft-refq")
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      val dest = Qx.tempDir("graft-ref-q").resolve("t")
+      require(graft.lake.IcebergInterop.exportHistory(t, dest) == 3)
+      val Seq(v1, v2, v3) = t.versions
+      val ib = graft.lake.IcebergInterop
+      ib.setRef(dest, "baseline", v1, "tag")
+      val tagged = ib.readIcebergRef(s, dest, "baseline").count()
+      require(tagged == ib.readIceberg(s, dest, v1).count(),
+        "ref read must equal its snapshot's time travel")
+      require(ib.refSnapshotId(dest, "main") == v3,
+        "main must resolve to the current snapshot")
+      val res = ib.expireSnapshots(dest, retainLast = 1)
+      require(res.expired == Seq(v2),
+        s"expiry must drop ONLY the untagged middle snapshot: $res")
+      require(ib.readIcebergRef(s, dest, "baseline").count() == tagged,
+        "the tagged snapshot must survive expiry and still read")
+      ib.dropRef(dest, "baseline")
+      require(ib.expireSnapshots(dest, retainLast = 1).expired == Seq(v1),
+        "after dropRef the snapshot must expire normally")
+      ib.readIceberg(s, dest)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // lake — ICEBERG TIMESTAMP TIME TRAVEL (FOR SYSTEM_TIME AS OF):
     // a 3-commit history exports with strictly increasing snapshot
     // timestamps; reading as-of a point between commits 2 and 3 must
@@ -1915,6 +1952,12 @@ object ExtendedQ {
          |       ${sqlDsum("o_totalprice")} AS total
          |FROM orders WHERE o_orderkey % 3 = 2
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q244_iceberg_refs" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "q207_churn_cohorts" ->
       """WITH wk AS (
