@@ -53,4 +53,34 @@ object Profile {
       }
     stats.select(inline(array(rows: _*)))
   }
+
+  /** One declared foreign-key relation: `child.fkCol` should reference
+    * `parent.pkCol`. */
+  case class FkRelation(name: String, child: DataFrame, fkCol: String,
+                        parent: DataFrame, pkCol: String)
+
+  /** REFERENTIAL-INTEGRITY CHECK — [[profileTable]]'s cross-table
+    * sibling: for every declared FK relation, the child row count,
+    * NULL-FK count (not orphans, per SQL semantics), orphan row count
+    * (non-null FK with no parent) and distinct orphan key count. Each
+    * relation is ONE left join against the parent's distinct keys
+    * (broadcast while the dimension is small, hash otherwise —
+    * planner's call) folded to a single row; a violating key is a
+    * data bug this check exists to surface BEFORE a downstream inner
+    * join silently drops the rows. */
+  def fkCheck(relations: Seq[FkRelation]): DataFrame = {
+    require(relations.nonEmpty, "fkCheck: no relations declared")
+    relations.map { r =>
+      val orphan = col(r.fkCol).isNotNull && col("__pk").isNull
+      r.child.select(col(r.fkCol))
+        .join(r.parent.select(col(r.pkCol).as("__pk")).distinct(),
+          col(r.fkCol) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(r.fkCol).isNull, 1L).otherwise(0L)).as("n_null_fk"),
+          sum(when(orphan, 1L).otherwise(0L)).as("n_orphans"),
+          count_distinct(when(orphan, col(r.fkCol))).as("n_orphan_keys"))
+        .select(lit(r.name).as("relation"), col("n_child"),
+          col("n_null_fk"), col("n_orphans"), col("n_orphan_keys"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -354,6 +354,28 @@ object SurfaceQ {
         .orderBy("channel")
     }),
 
+    // Referential-integrity check (r13): q240's cross-table sibling —
+    // orphan/null-FK counts for the star schema's six FK relations,
+    // one broadcastable left join + single-row fold each.
+    // `operators/Profile.fkCheck`.
+    "q247_fk_check" -> ((s, d) => {
+      import graft.operators.Profile.FkRelation
+      graft.operators.Profile.fkCheck(Seq(
+        FkRelation("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        FkRelation("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        FkRelation("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        FkRelation("nation->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"),
+        FkRelation("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        FkRelation("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey")))
+        .orderBy("relation")
+    }),
+
     // Event sequence trigrams (r13): third-order sibling of q235's
     // transition matrix — adjacent (t0,t1,t2) runs with corpus share.
     // `operators/EventAnalytics.sequenceNgrams`.
@@ -848,6 +870,37 @@ object SurfaceQ {
         |       CAST(CAST(SUM(credit_ppm) AS BIGINT) AS DOUBLE) / 1e6
         |         AS credit
         |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // mirrors Profile.fkCheck: per relation one left join vs distinct
+    // parent keys, single-row fold
+    "q247_fk_check" -> {
+      def rel(name: String, child: String, fk: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$name' AS relation,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_null_fk,
+           |  CAST(SUM(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  CAST(COUNT(DISTINCT CASE WHEN c.$fk IS NOT NULL AND
+           |       p.$pk IS NULL THEN c.$fk END) AS BIGINT)
+           |    AS n_orphan_keys
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$fk = p.$pk""".stripMargin
+      Seq(
+        rel("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        rel("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("nation->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        rel("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("supplier->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
 
     // mirrors EventAnalytics.sequenceNgrams(n=3)
     "q242_event_trigrams" ->

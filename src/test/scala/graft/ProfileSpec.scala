@@ -27,4 +27,20 @@ class ProfileSpec extends AnyFunSuite {
     assert(s.isNullAt(4) && s.isNullAt(5))
     assert(s.getString(6) === "a" && s.getString(7) === "c")
   }
+
+  test("fkCheck counts orphans and null FKs separately, dedups orphan keys") {
+    // parents 1,2 (2 duplicated — must not multiply child rows);
+    // children: two valid, two orphans on key 9, one orphan on key 8,
+    // one NULL FK (not an orphan)
+    val parent = Seq(1L, 2L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val r = Profile.fkCheck(Seq(
+      Profile.FkRelation("c->p", child, "fk", parent, "pk"))).collect().head
+    assert(r.getString(0) === "c->p")
+    assert(r.getLong(1) === 6L) // n_child unchanged by dup parent keys
+    assert(r.getLong(2) === 1L) // n_null_fk
+    assert(r.getLong(3) === 3L) // n_orphans
+    assert(r.getLong(4) === 2L) // n_orphan_keys {8, 9}
+  }
 }
