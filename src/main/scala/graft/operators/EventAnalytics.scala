@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Product-analytics operators over an event stream (user_id,
   * event_type, ts). Everything here is a chain of per-user
@@ -430,6 +431,53 @@ object EventAnalytics {
       .rowsBetween(-6, 0)
     filled.withColumn("rolling7", sum(col("n")).over(week))
       .withColumnRenamed("g", groupCol)
+  }
+
+  /** LINEAR GAP INTERPOLATION over the daily grid — pandas
+    * `interpolate(method="linear")` at warehouse scale: per group,
+    * silent days between two observed days get the straight-line
+    * value, computed EXACTLY in integer cents — v = prev + (next −
+    * prev)·(day − prev_day) div (next_day − prev_day), truncating
+    * division identical in both engines — while leading/trailing gaps
+    * stay NULL (there is nothing to anchor them to; zero-filling
+    * would invent data). The neighbor carries are two
+    * `last/first(_, ignoreNulls)` window passes; prev value and prev
+    * day may travel as separate carries because they are null on
+    * exactly the same rows. Daily totals are exact decimal cent
+    * sums. */
+  def interpolateDaily(ev: DataFrame,
+                       groupCol: String = "event_type",
+                       tsCol: String = "ts",
+                       valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev
+      .select(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), lit("2020-01-01")).cast("long")
+          .as("day"),
+        col(valueCol))
+      .groupBy(col("g"), col("day"))
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2)) * lit(100))
+        .cast("long").as("c"))
+    val spine = daily.groupBy(col("g"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = spine.join(daily, Seq("g", "day"), "left")
+    val wBack = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFwd = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    filled
+      .withColumn("pc", last(col("c"), ignoreNulls = true).over(wBack))
+      .withColumn("pd", last(when(col("c").isNotNull, col("day")),
+        ignoreNulls = true).over(wBack))
+      .withColumn("nc", first(col("c"), ignoreNulls = true).over(wFwd))
+      .withColumn("nd", first(when(col("c").isNotNull, col("day")),
+        ignoreNulls = true).over(wFwd))
+      .withColumn("ic", when(col("c").isNotNull, col("c"))
+        .otherwise(expr("pc + ((nc - pc) * (day - pd)) div (nd - pd)")))
+      .select(col("g").as(groupCol), col("day"),
+        col("c").isNotNull.as("observed"),
+        (col("ic").cast("double") / lit(100.0)).as(valueCol))
   }
 
   /** EXPONENTIALLY WEIGHTED MOVING AVERAGE over the gapless daily

@@ -204,6 +204,71 @@ object Stats {
         when(varPos, z).as("z_score"))
   }
 
+  /** RANK-BASED WINSORIZATION — outlier clamping for ML prep, defined
+    * on ORDER STATISTICS so it is exact: per group, values are clipped
+    * into [v_(k+1), v_(n−k)] with k = n div trimDen (trimDen = 20 →
+    * 5% per tail) — no fractional quantile interpolation, whose
+    * engine-specific formula order would break bit-equality, and no
+    * clipping at all while n < trimDen (k = 0 keeps every value, the
+    * honest small-group behavior). One rank window + one bounds
+    * rollup + a bounded join back, all hash-partitioned on the group
+    * key — the [[featureScale]] plan shape. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                tieCol: String, trimDen: Int = 20): DataFrame = {
+    require(trimDen >= 2, s"winsorize: trimDen must be >= 2, got $trimDen")
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(col("value"), col("tie"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol).as("value"),
+        col(tieCol).as("tie"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("k", expr(s"n div $trimDen"))
+    val bounds = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("rk") <= col("k") + 1, col("value"))).as("lo"),
+      min(when(col("rk") >= col("n") - col("k"), col("value"))).as("hi"))
+    ranked.join(bounds.select(col(groupCol), col("lo"), col("hi")),
+        groupCol :: Nil)
+      .select(col(groupCol), col("tie"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("clipped"))
+  }
+
+  /** BENFORD FIRST-DIGIT TEST — the fraud/corruption screen for any
+    * naturally-occurring amount column: observed share of each
+    * leading significant digit vs Benford's log10(1+1/d) law, with
+    * the per-digit χ² contribution. Digit extraction is INTEGER
+    * (first character of the cent count's decimal string — float
+    * formatting never crosses an engine boundary), the law's
+    * probabilities are hard double literals (identical constants both
+    * sides, no libm log), a 9-row digit spine zero-fills unseen
+    * digits, and the χ² term is a short mirrored IEEE chain. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df
+      .select(floor(col(valueCol) * lit(100.0)).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val wTot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = expr(
+      """CASE digit WHEN 1 THEN 0.3010299956639812D
+        |  WHEN 2 THEN 0.17609125905568124D WHEN 3 THEN 0.12493873660829992D
+        |  WHEN 4 THEN 0.09691001300805642D WHEN 5 THEN 0.07918124604762482D
+        |  WHEN 6 THEN 0.06694678963061322D WHEN 7 THEN 0.05799194697768673D
+        |  WHEN 8 THEN 0.05115252244738129D ELSE 0.04575749056067514D
+        |END""".stripMargin)
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(wTot).cast("double"))
+      .withColumn("benford_p", p)
+      .withColumn("chi2_term",
+        (col("share") - col("benford_p")) * (col("share") - col("benford_p"))
+          / col("benford_p"))
+  }
+
   /** KEY-SKEW DIAGNOSTICS per group — the "is this join/shuffle key
     * safe at scale" report a 100 TB pipeline runs BEFORE picking a
     * partitioning: per group, the number of distinct keys, total

@@ -384,7 +384,45 @@ object SurfaceQ {
         .withColumn("ts_us", unix_micros(col("ts")))
       graft.operators.EventAnalytics.sequenceNgrams(ev, 3, tsCol = "ts_us")
         .orderBy("t0", "t1", "t2")
-    })
+    }),
+
+    // Pivot / cross-tab (r13): day × event_type value matrix — the
+    // pandas pivot_table shape via Spark's pivot with an EXPLICIT
+    // column list (no values-discovery job, deterministic columns),
+    // decimal-exact sums.
+    "q248_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day",
+          datediff(to_date(col("ts")), lit("2020-01-01")).cast("long"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double"))
+        .orderBy("day")),
+
+    // Benford first-digit screen (r13): integer digit extraction,
+    // hard-literal law probabilities, zero-filled digit spine.
+    // `operators/Stats.benfordDigits`.
+    "q249_benford" -> ((s, d) =>
+      graft.operators.Stats.benfordDigits(Tables.events(s, d), "value")
+        .orderBy("digit")),
+
+    // Linear gap interpolation (r13): pandas interpolate at warehouse
+    // scale — interior silent days get the exact integer-cent
+    // straight line, edges stay NULL. Gaps are planted by filtering
+    // out two of every five calendar days.
+    // `operators/EventAnalytics.interpolateDaily`.
+    "q250_interpolate_daily" -> ((s, d) =>
+      graft.operators.EventAnalytics.interpolateDaily(
+        Tables.events(s, d).filter(dayofmonth(col("ts")) % 5 =!= 2))
+        .orderBy("event_type", "day")),
+
+    // Rank-based winsorization (r13): clip into [v_(k+1), v_(n-k)],
+    // k = n div 20 — order statistics, no fractional-quantile
+    // interpolation. `operators/Stats.winsorize`.
+    "q251_winsorize" -> ((s, d) =>
+      graft.operators.Stats.winsorize(
+        Tables.events(s, d), "event_type", "value", "event_id")
+        .orderBy("event_type", "tie"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -901,6 +939,120 @@ object SurfaceQ {
           "nation", "n_nationkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
     },
+
+    // mirrors the q248 pivot: CASE-routed decimal sums per type
+    "q248_pivot" ->
+      """SELECT CAST(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE))
+        |            AS BIGINT) AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error'
+        |       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup'
+        |       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view'
+        |       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // mirrors Stats.benfordDigits: integer digit from the cent
+    // count's decimal string, hard-literal law constants
+    "q249_benford" ->
+      """WITH cc AS (
+        |  SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS c FROM events
+        |), d AS (
+        |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+        |           AS digit,
+        |         COUNT(*) AS n
+        |  FROM cc WHERE c > 0 GROUP BY 1
+        |), s AS (
+        |  SELECT unnest(generate_series(1, 9)) AS digit
+        |), j AS (
+        |  SELECT s.digit, CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+        |         CASE s.digit
+        |           WHEN 1 THEN 0.3010299956639812::DOUBLE
+        |           WHEN 2 THEN 0.17609125905568124::DOUBLE
+        |           WHEN 3 THEN 0.12493873660829992::DOUBLE
+        |           WHEN 4 THEN 0.09691001300805642::DOUBLE
+        |           WHEN 5 THEN 0.07918124604762482::DOUBLE
+        |           WHEN 6 THEN 0.06694678963061322::DOUBLE
+        |           WHEN 7 THEN 0.05799194697768673::DOUBLE
+        |           WHEN 8 THEN 0.05115252244738129::DOUBLE
+        |           ELSE 0.04575749056067514::DOUBLE
+        |         END AS benford_p
+        |  FROM s LEFT JOIN d ON s.digit = d.digit
+        |), sh AS (
+        |  SELECT digit, n,
+        |         CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+        |           AS share,
+        |         benford_p
+        |  FROM j
+        |)
+        |SELECT digit, n, share, benford_p,
+        |       (share - benford_p) * (share - benford_p) / benford_p
+        |         AS chi2_term
+        |FROM sh ORDER BY digit""".stripMargin,
+
+    // mirrors EventAnalytics.interpolateDaily: integer-cent straight
+    // line on interior gaps, NULL edges
+    "q250_interpolate_daily" ->
+      """WITH src AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value
+        |  FROM events
+        |  WHERE date_part('day', CAST(ts AS TIMESTAMP)) % 5 <> 2
+        |), daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01', CAST(t AS DATE))
+        |              AS BIGINT) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |           AS c
+        |  FROM src GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, d.c
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), x AS (
+        |  SELECT g, day, c,
+        |    last_value(c IGNORE NULLS) OVER wb AS pc,
+        |    last_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    first_value(c IGNORE NULLS) OVER wf AS nc,
+        |    first_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wf AS nd
+        |  FROM filled
+        |  WINDOW wb AS (PARTITION BY g ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wf AS (PARTITION BY g ORDER BY day
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT g AS event_type, day, c IS NOT NULL AS observed,
+        |       CAST(CASE WHEN c IS NOT NULL THEN c
+        |                 ELSE pc + ((nc - pc) * (day - pd)) // (nd - pd)
+        |            END AS DOUBLE) / 100.0 AS value
+        |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // mirrors Stats.winsorize: order-statistic bounds, k = n div 20
+    "q251_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value, event_id AS tie,
+        |         CAST(row_number() OVER (PARTITION BY event_type
+        |              ORDER BY value, event_id) AS BIGINT) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY event_type)
+        |              AS BIGINT) AS n
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |         MAX(CASE WHEN rk <= n // 20 + 1 THEN value END) AS lo,
+        |         MIN(CASE WHEN rk >= n - n // 20 THEN value END) AS hi
+        |  FROM ranked GROUP BY event_type
+        |)
+        |SELECT r.event_type, r.tie, r.value,
+        |       LEAST(GREATEST(r.value, b.lo), b.hi) AS clipped
+        |FROM ranked r JOIN b USING (event_type)
+        |ORDER BY r.event_type, r.tie""".stripMargin,
 
     // mirrors EventAnalytics.sequenceNgrams(n=3)
     "q242_event_trigrams" ->

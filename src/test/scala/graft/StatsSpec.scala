@@ -310,6 +310,44 @@ class StatsSpec extends AnyFunSuite {
       ("a", "b", "a") -> ((2L, 2.0 / 3)), ("b", "a", "b") -> ((1L, 1.0 / 3))))
   }
 
+  test("winsorize clips at order-statistic bounds; small groups pass through") {
+    // group "g": 1..40, k = 40 div 20 = 2 -> bounds [v_3, v_38] = [3, 38];
+    // group "s": 10 values, k = 0 -> untouched
+    val rows = (1 to 40).map(i => ("g", i.toDouble, i.toLong)) ++
+      (1 to 10).map(i => ("s", i * 10.0, i.toLong))
+    val out = Stats.winsorize(rows.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(out(("g", 1L)) === 3.0 && out(("g", 2L)) === 3.0)
+    assert(out(("g", 3L)) === 3.0 && out(("g", 20L)) === 20.0)
+    assert(out(("g", 38L)) === 38.0)
+    assert(out(("g", 39L)) === 38.0 && out(("g", 40L)) === 38.0)
+    (1 to 10).foreach(i => assert(out(("s", i.toLong)) === i * 10.0))
+  }
+
+  test("benfordDigits: integer digit extraction, zero-filled spine, exact shares") {
+    // cents 100, 250, 19 -> digits 1, 2, 1; zero and negative filtered
+    val df = Seq(1.00, 2.50, 0.19, 0.0, -5.0).toDF("value")
+    val out = Stats.benfordDigits(df, "value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.size === 9)
+    assert(out(1L) === ((2L, 2.0 / 3)))
+    assert(out(2L) === ((1L, 1.0 / 3)))
+    (3L to 9L).foreach(d => assert(out(d)._1 === 0L))
+  }
+
+  test("interpolateDaily: exact straight line on interior gaps only") {
+    // day 0 -> 1.00, day 3 -> 4.00; days 1-2 interpolate to 2.00, 3.00
+    val ev = Seq(("a", ts(0), 1.00), ("a", ts(3), 4.00))
+      .toDF("event_type", "ts", "value")
+    val out = EventAnalytics.interpolateDaily(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getBoolean(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((true, 1.0), (false, 2.0), (false, 3.0),
+      (true, 4.0)))
+  }
+
   test("ewmaDaily: hand-computed fixed-point recursion over a gap-filled grid") {
     // type "a": 4 events day 0, silence day 1 (gap-filled), 2 events
     // day 2. alphaDen=2: s0=4.0; s1=4+(0-4)/2=2.0; s2=2+(2-2)/2=2.0
