@@ -154,6 +154,48 @@ object Similarity {
     * at any partitioning and in any engine (a float sum would be
     * partition-ordered). Emits (group, pos, n_vecs, mean_val) with
     * 0-based pos. */
+  /** BINARY (SIGN) QUANTIZATION — the 1-bit-per-dimension compression
+    * leg of the quantization family (int8 → PQ → sign bits): each
+    * dimension contributes its SIGN to a packed bit signature, 64
+    * floats become two BIGINT words (32 bits each — bit 63 is never
+    * used, sidestepping sign-bit overflow semantics that differ
+    * across engines), and similarity is Hamming distance =
+    * bit_count(xor) per word. 32× smaller than float vectors and the
+    * distance is two XORs — the memory-bound regime where
+    * billion-vector scans live. Packing is one `transform` +
+    * `aggregate` HOF chain per word (no explode, no shuffle). */
+  def signSignatures(emb: DataFrame): DataFrame = {
+    def word(off: Int): Column = expr(
+      s"""aggregate(transform(slice(embedding, ${off + 1}, 32),
+         |  (x, i) -> IF(x > CAST(0 AS FLOAT), shiftleft(1L, i), 0L)),
+         |  0L, (a, b) -> a | b)""".stripMargin)
+    emb.select(col("vec_id"), col("label"),
+      word(0).as("sig_lo"), word(32).as("sig_hi"))
+  }
+
+  /** Hamming top-k over [[signSignatures]]: queries broadcast against
+    * the packed corpus, distance = popcount of two word XORs,
+    * deterministic (distance, cand_id) rank. The brute baseline of
+    * the binary family — compose with the IVF bucketing for the
+    * billion-vector path, exactly as [[ivfTopK]] does for floats. */
+  def hammingTopK(emb: DataFrame, queryPred: DataFrame => DataFrame,
+                  k: Int): DataFrame = {
+    val sigs = signSignatures(emb)
+    val q = queryPred(sigs).select(col("vec_id").as("query_id"),
+      col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val scored = sigs.select(col("vec_id").as("cand_id"),
+        col("sig_lo"), col("sig_hi"))
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(expr("q_lo ^ sig_lo")) +
+          bit_count(expr("q_hi ^ sig_hi"))).cast("long"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("hamming"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("hamming"))
+  }
+
   def meanPool(emb: DataFrame, groupCol: String = "label"): DataFrame =
     exploded(emb)
       .groupBy(col(groupCol), col("pos"))

@@ -454,7 +454,18 @@ object SimilarityQ {
     "q229_kcenter" -> ((s, d) =>
       graft.operators.Similarity.kCenterSelect(
         Tables.embeddings(s, d), k = 4)
-        .orderBy("round"))
+        .orderBy("round")),
+
+    // Binary sign quantization (r13): the 1-bit leg of the
+    // quantization family — 64 floats packed to two 32-bit words by a
+    // transform+aggregate HOF chain (no explode), Hamming = two
+    // xor+popcounts, top-10 per broadcast query. 32× compression;
+    // compose with IVF buckets for the billion-vector path.
+    // `operators/Similarity.{signSignatures, hammingTopK}`.
+    "q252_sign_ann" -> ((s, d) =>
+      graft.operators.Similarity.hammingTopK(
+        Tables.embeddings(s, d), _.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank"))
   )
 
   /** The oracle twin of [[semanticComponents]]: the k-means chain,
@@ -886,6 +897,35 @@ object SimilarityQ {
         |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d FROM s2
         |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d FROM s3
         |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d FROM s4
-        |ORDER BY round""".stripMargin
+        |ORDER BY round""".stripMargin,
+
+    // mirrors Similarity.signSignatures/hammingTopK: two 32-bit sign
+    // words (bit 63 never used), hamming = two xor+popcounts
+    "q252_sign_ann" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    bit_or(CASE WHEN i <= 32 AND x > 0
+        |                THEN 1::BIGINT << (i - 1) ELSE 0 END) AS lo,
+        |    bit_or(CASE WHEN i > 32 AND x > 0
+        |                THEN 1::BIGINT << (i - 33) ELSE 0 END) AS hi
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY vec_id
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |         CAST(bit_count(xor(q.lo, c.lo)) +
+        |              bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+        |  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5
+        |), ranked AS (
+        |  SELECT query_id, cand_id, hamming,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |              ORDER BY hamming, cand_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, cand_id, hamming
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
   )
 }
