@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import Qx._
 
@@ -130,6 +131,30 @@ object ExtendedQ {
           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_total
           |FROM ranked WHERE rk <= 10
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // RECURSIVE CTE through spark.sql (r13): Spark 4's WITH RECURSIVE
+    // (UnionLoop) walking the synthetic user graph — per-hop count of
+    // distinct nodes reachable from node 0 within 3 hops, the
+    // breadth-first shape every hierarchy/graph-closure query takes.
+    // Bounded recursion (hop guard in the recursive branch), dedup in
+    // the outer aggregate. Identical SQL text runs on DuckDB.
+    "q253_recursive_cte" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("v_events")
+      s.sql(
+        """WITH RECURSIVE edges AS (
+          |  SELECT DISTINCT user_id AS src,
+          |         (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+          |  FROM v_events
+          |), walk (node, hop) AS (
+          |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+          |  UNION ALL
+          |  SELECT e.dst, w.hop + 1
+          |  FROM walk w JOIN edges e ON e.src = w.node
+          |  WHERE w.hop < 3
+          |)
+          |SELECT hop, COUNT(DISTINCT node) AS n_reachable
+          |FROM walk GROUP BY hop ORDER BY hop""".stripMargin)
     }),
 
     // bucketed co-located join as a gated query: both sides bucketed
@@ -429,6 +454,47 @@ object ExtendedQ {
         .groupBy(col("version"), col("change"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("version", "change", "event_type")
+    }),
+
+    // lake — INCREMENTAL VIEW MAINTENANCE (r13): a rollup materialized
+    // at v1 is kept current by folding the CHANGE FEED's +added/
+    // −removed deltas (integer cents, so increments are exact and
+    // associative) instead of rescanning the table — the consumer
+    // pattern q151's CDC read exists for, and the reason it matters at
+    // 100 TB: the delta pass reads only what commits v2..v3 touched.
+    // The query PROVES maintained ≡ full recompute (both exceptAll
+    // directions empty) before the hash gate takes the maintained one.
+    "q254_incremental_rollup" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val cents = col("value").cast(DecimalType(18, 2)) * lit(100)
+      val t = graft.lake.LakeTable.createTemp(s,
+        base.filter(col("event_id") % 4 =!= 0), "graft-ivm")
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents).cast("long").as("cents"))
+      val r1 = rollup(t.snapshot(1L))
+      t.append(base.filter(col("event_id") % 4 === 0))
+      t.merge(base.limit(0), Seq("event_id"),
+        Some(base.filter(col("event_id") % 10 === 7).select(col("event_id"))))
+      val delta = t.changeFeed(1L, 3L)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("change") === "added", 1L).otherwise(-1L)).as("dn"),
+          sum(when(col("change") === "added", cents).otherwise(-cents))
+            .cast("long").as("dcents"))
+      val maintained = r1.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("cents"), lit(0L)) +
+            coalesce(col("dcents"), lit(0L))).as("cents"))
+        .filter(col("n") > 0)
+      val full = rollup(t.snapshot())
+      require(maintained.exceptAll(full).isEmpty &&
+        full.exceptAll(maintained).isEmpty,
+        "incrementally maintained rollup must equal the full recompute")
+      maintained.select(col("event_type"), col("n"),
+        (col("cents").cast("double") / lit(100.0)).as("total"))
+        .orderBy("event_type")
     }),
 
     // PageRank TO CONVERGENCE (VERDICT r7 next #5) on a closed-form
@@ -1958,6 +2024,30 @@ object ExtendedQ {
          |       ${sqlDsum("o_totalprice")} AS total
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    // closed-form final table state: all events minus the deleted ids
+    "q254_incremental_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+        |                 AS BIGINT) AS DOUBLE) / 100.0 AS total
+        |FROM events WHERE event_id % 10 <> 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical recursion, `events` for the temp view
+    "q253_recursive_cte" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+        |  FROM events
+        |), walk (node, hop) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+        |  UNION ALL
+        |  SELECT e.dst, w.hop + 1
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hop < 3
+        |)
+        |SELECT hop, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reachable
+        |FROM walk GROUP BY hop ORDER BY hop""".stripMargin,
 
     "q207_churn_cohorts" ->
       """WITH wk AS (
