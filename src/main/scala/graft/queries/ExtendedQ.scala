@@ -497,6 +497,56 @@ object ExtendedQ {
         .orderBy("event_type")
     }),
 
+    // TEXTRANK KEYWORDS (r13): the composition flagship — documents →
+    // adjacent-token co-occurrence graph (lead window per doc, both
+    // directions, letter-only tokens) → the SAME integer-exact
+    // PageRank q136 runs on the user graph → top-20 words. One
+    // operator reused on a different node type (strings), oracle =
+    // the generic unrolled-rounds SQL over the word-graph CTE.
+    "q256_textrank" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val pairs = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull &&
+          col("tok").rlike("^[a-z]+$") && col("nxt").rlike("^[a-z]+$") &&
+          col("tok") =!= col("nxt"))
+      val edges = pairs.select(col("tok").as("src"), col("nxt").as("dst"))
+        .union(pairs.select(col("nxt").as("src"), col("tok").as("dst")))
+      graft.operators.LinkAnalysis.pageRankInt(edges, iters = 3)
+        .orderBy(desc("score"), asc("node"))
+        .limit(20)
+        .withColumnRenamed("node", "word")
+    }),
+
+    // DYNAMIC PARTITION OVERWRITE (r13): the partitioned-write mode a
+    // backfill job needs — overwriting a partitioned table replaces
+    // ONLY the partitions present in the incoming data (here: click
+    // values doubled), every other partition's files untouched. Under
+    // static mode the same write would wipe the table; the row-count
+    // require would catch exactly that.
+    "q255_dynamic_overwrite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = Qx.tempDir("graft-dynov").resolve("t")
+      ev.write.partitionBy("event_type").parquet(root.toString)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * lit(2.0)) // *2 is IEEE-exact
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(root.toString)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      val back = s.read.parquet(root.toString)
+      require(back.count() == ev.count(),
+        "dynamic overwrite must leave untouched partitions intact")
+      back.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
     // PageRank TO CONVERGENCE (VERDICT r7 next #5) on a closed-form
     // ring+star graph: tol = Some(0) is a true integer fixpoint (exact
     // BIGINT deltas, no epsilon), the budget fail-loud. Ring nodes are
@@ -1369,12 +1419,15 @@ object ExtendedQ {
   /** The q136 oracle: the same integer-exact PageRank rounds unrolled
     * as chained CTEs (DuckDB `//` = Spark `DIV` on positive BIGINTs;
     * SUM promotes to HUGEINT, cast back). */
-  private def pagerankSql(iters: Int): String = {
-    val head =
-      """WITH e AS (
-        |  SELECT DISTINCT user_id AS src, (user_id * 3 + event_id % 5 + 1) % 150 AS dst
-        |  FROM events
-        |),
+  /** General unrolled integer-PageRank oracle: `prelude` is a CTE
+    * chain whose LAST definition must be `e(src, dst)` (distinct
+    * edges — mirror pageRankInt's dedup), `tail` the final SELECT
+    * over s<iters>. Node ids may be any equatable type (q136 walks
+    * BIGINT users, q256 walks word strings). */
+  private def pagerankSqlOver(prelude: String, iters: Int,
+                              tail: String): String = {
+    val head = prelude +
+      """,
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
         |s0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS score FROM nodes)""".stripMargin
@@ -1388,11 +1441,46 @@ object ExtendedQ {
          |    GROUP BY e.dst
          |  ) i$i ON n.node = i$i.node)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") + s"\nSELECT node, score FROM s$iters ORDER BY node"
+    (head +: rounds).mkString(",\n") + "\n" + tail
   }
+
+  private def pagerankSql(iters: Int): String = pagerankSqlOver(
+    """WITH e AS (
+      |  SELECT DISTINCT user_id AS src, (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+      |  FROM events
+      |)""".stripMargin,
+    iters, s"SELECT node, score FROM s$iters ORDER BY node")
 
   val oracles: Map[String, String] = Map(
     "q136_pagerank" -> pagerankSql(3),
+
+    "q256_textrank" -> pagerankSqlOver(
+      """WITH adj AS (
+        |  SELECT tok, nxt FROM (
+        |    SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
+        |             AS nxt
+        |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |                 generate_subscripts(string_split(text, ' '), 1)
+        |                   AS i
+        |          FROM documents)
+        |  )
+        |  WHERE nxt IS NOT NULL AND tok <> nxt
+        |    AND regexp_matches(tok, '^[a-z]+$')
+        |    AND regexp_matches(nxt, '^[a-z]+$')
+        |), e AS (
+        |  SELECT tok AS src, nxt AS dst FROM adj
+        |  UNION
+        |  SELECT nxt, tok FROM adj
+        |)""".stripMargin,
+      3,
+      "SELECT node AS word, score FROM s3 ORDER BY score DESC, word LIMIT 20"),
+
+    "q255_dynamic_overwrite" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+         |                     ELSE value END AS DECIMAL(18,2)))
+         |       AS DOUBLE) AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q225_triangles" ->
       """WITH e AS (
