@@ -87,7 +87,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q119_kmeans_buckets", "q134_hard_negatives", "q171_global_acquaintance",
     "q176_top_supplier", "q187_value_concentration", "q191_pq_topk",
     "q192_ivf_pq", "q207_churn_cohorts", "q223_distinctive_terms",
-    "q233_cooccurrence_lift")
+    "q233_cooccurrence_lift",
+    // q252: q37's exact shape on packed bits — the broadcast side is
+    // the bounded QUERY set (self-exclusion is the only predicate),
+    // and the linear |queries|×corpus scan IS the brute hamming
+    // baseline; the scale path composes with IVF buckets like the
+    // float family
+    "q252_sign_ann")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
