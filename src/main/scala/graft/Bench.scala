@@ -31,12 +31,12 @@ object Bench {
     * median and min maps — stays inside the driver's ~2 KB tail
     * capture. */
   val headline: Seq[String] = Seq(
-    "q193_stream_join_window", "q178_zorder_optimize",
-    "q158_stream_outer_join", "q168_stream_full_outer_join",
-    "q188_stateful_v2", "q208_stream_funnel", "q199_semantic_dedup",
-    "q34_minhash_pairs", "q205_semantic_canonical",
-    "q179_bloom_point_lookup", "q81_stream_stream_join",
-    "q203_iceberg_spec_evolution",
+    "q254_incremental_rollup", "q178_zorder_optimize",
+    "q193_stream_join_window", "q205_semantic_canonical",
+    "q208_stream_funnel", "q188_stateful_v2", "q34_minhash_pairs",
+    "q168_stream_full_outer_join", "q158_stream_outer_join",
+    "q199_semantic_dedup", "q81_stream_stream_join",
+    "q243_delta_restore",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -431,6 +431,43 @@ object EventAnalytics {
       .rowsBetween(-6, 0)
     filled.withColumn("rolling7", sum(col("n")).over(week))
       .withColumnRenamed("g", groupCol)
+  }
+
+  /** COMPLEX-EVENT-PATTERN MATCH — the CEP kernel "A then B within T,
+    * with no C between": for every `aType` event, the user's FIRST
+    * `bType` event strictly after it; the match stands when that B
+    * arrives within `withinSec` AND no `cType` event falls strictly
+    * between them (the guard that turns "view then purchase" into
+    * "view then purchase with no error in the session"). One forward
+    * window pass carries the next-B and next-C (ts, id) structs — no
+    * per-user arrays, no self-joins, the same single-shuffle shape as
+    * [[funnelSteps]] — and every comparison is on µs longs.
+    *
+    * Emits one row per MATCHED A event: (user, a_id, b_id, gap_sec).
+    * gap_sec is an integer floor division, exact in both engines. */
+  def matchPattern(ev: DataFrame, aType: String, bType: String,
+                   cType: String, withinSec: Long,
+                   userCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts_us",
+                   tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFwd = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    def nextOf(t: String): Column =
+      first(when(col(typeCol) === t, struct(col(tsCol).as("ts"),
+        col(tieCol).as("id"))), ignoreNulls = true).over(wFwd)
+    ev.select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("nb", nextOf(bType))
+      .withColumn("nc", nextOf(cType))
+      // the guard interval is EXCLUSIVE: a C at B's exact microsecond
+      // does not invalidate (nc.ts >= nb.ts passes)
+      .filter(col(typeCol) === aType && col("nb").isNotNull &&
+        col("nb.ts") - col(tsCol) <= withinSec * 1000000L &&
+        (col("nc").isNull || col("nc.ts") >= col("nb.ts")))
+      .select(col(userCol), col(tieCol).as("a_id"), col("nb.id").as("b_id"),
+        expr(s"(nb.ts - $tsCol) div 1000000").as("gap_sec"))
   }
 
   /** LINEAR GAP INTERPOLATION over the daily grid — pandas

@@ -416,6 +416,18 @@ object SurfaceQ {
         Tables.events(s, d).filter(dayofmonth(col("ts")) % 5 =!= 2))
         .orderBy("event_type", "day")),
 
+    // CEP pattern match (r13): "view then purchase within 2h, no
+    // error between" — one forward window pass carrying next-B/next-C
+    // structs. `operators/EventAnalytics.matchPattern`.
+    "q257_event_pattern" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.matchPattern(
+        ev, aType = "view", bType = "purchase", cType = "error",
+        withinSec = 7200L)
+        .orderBy("user_id", "a_id")
+    }),
+
     // Rank-based winsorization (r13): clip into [v_(k+1), v_(n-k)],
     // k = n div 20 — order statistics, no fractional-quantile
     // interpolation. `operators/Stats.winsorize`.
@@ -1033,6 +1045,32 @@ object SurfaceQ {
         |                 ELSE pc + ((nc - pc) * (day - pd)) // (nd - pd)
         |            END AS DOUBLE) / 100.0 AS value
         |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // mirrors EventAnalytics.matchPattern: forward struct carries,
+    // exclusive C-guard interval
+    "q257_event_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), x AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN ts_us END
+        |                IGNORE NULLS) OVER w AS nb_ts,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN event_id
+        |                END IGNORE NULLS) OVER w AS nb_id,
+        |    first_value(CASE WHEN event_type = 'error' THEN ts_us END
+        |                IGNORE NULLS) OVER w AS nc_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, event_id AS a_id, nb_id AS b_id,
+        |       (nb_ts - ts_us) // 1000000 AS gap_sec
+        |FROM x
+        |WHERE event_type = 'view' AND nb_ts IS NOT NULL
+        |  AND nb_ts - ts_us <= 7200000000
+        |  AND (nc_ts IS NULL OR nc_ts >= nb_ts)
+        |ORDER BY user_id, a_id""".stripMargin,
 
     // mirrors Stats.winsorize: order-statistic bounds, k = n div 20
     "q251_winsorize" ->

@@ -348,6 +348,22 @@ class StatsSpec extends AnyFunSuite {
       (true, 4.0)))
   }
 
+  test("matchPattern: B within window, C-guard exclusive, late B rejected") {
+    // u1: A@0 -> B@50 with no C between: match, gap 0s (50µs)
+    // u2: A@0, C@30, B@50: C between -> no match
+    // u3: A@0, B@9e6+1µs: outside the 9-second window -> no match
+    // u4: A@0, B@50, C@50 (same µs as B): exclusive guard -> match
+    val ev = Seq(
+      (1L, "A", 0L, 1L), (1L, "B", 50L, 2L),
+      (2L, "A", 0L, 3L), (2L, "C", 30L, 4L), (2L, "B", 50L, 5L),
+      (3L, "A", 0L, 6L), (3L, "B", 9000001L, 7L),
+      (4L, "A", 0L, 8L), (4L, "B", 50L, 9L), (4L, "C", 50L, 10L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = EventAnalytics.matchPattern(ev, "A", "B", "C", withinSec = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 1L, 2L), (4L, 8L, 9L)))
+  }
+
   test("ewmaDaily: hand-computed fixed-point recursion over a gap-filled grid") {
     // type "a": 4 events day 0, silence day 1 (gap-filled), 2 events
     // day 2. alphaDen=2: s0=4.0; s1=4+(0-4)/2=2.0; s2=2+(2-2)/2=2.0
