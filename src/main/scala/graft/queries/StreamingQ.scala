@@ -404,6 +404,33 @@ object StreamingQ {
       }.reduce(_ unionByName _).orderBy("step")
     }),
 
+    // Streaming CEP (r13, q257's in-stream twin): per-user role
+    // streams accumulate in transformWithState; each micro-batch
+    // re-derives the match count from the merged (ts,id)-ordered
+    // history, so the drained stream converges to exactly the batch
+    // matchPattern answer (seq + last-write reader, the q208 rule).
+    "q260_stream_pattern" -> ((s, d) => {
+      val sink = MicroBatch.updateRun(s, d, splitParts = Some(3),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.streamingPattern(
+          graft.Tables.toEventTime(stream)
+            .filter(col("event_type").isin("view", "purchase", "error"))
+            .select(col("user_id"),
+              when(col("event_type") === "view", 0)
+                .when(col("event_type") === "purchase", 1)
+                .otherwise(2).cast("int").as("role"),
+              unix_micros(col("ts")).as("us"), col("event_id"))
+            .as[(Long, Int, Long, Long)].groupByKey(_._1),
+          withinUs = 7200000000L)
+          .toDF("user_id", "seq", "n_matches")
+      }
+      sink.groupBy(col("user_id"))
+        .agg(max_by(col("n_matches"), col("seq")).as("n_matches"))
+        .filter(col("n_matches") > 0)
+        .orderBy("user_id")
+    }),
+
     "q112_stream_time_travel" -> ((s, d) => {
       val t = MicroBatch.appendRunTable(s, d, copies = 2,
         maxFilesPerTrigger = Some(1))(
@@ -441,6 +468,28 @@ object StreamingQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // stream ≡ batch: per-user match counts of the q257 CEP rule
+    "q260_stream_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), x AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN ts_us END
+        |                IGNORE NULLS) OVER w AS nb_ts,
+        |    first_value(CASE WHEN event_type = 'error' THEN ts_us END
+        |                IGNORE NULLS) OVER w AS nc_ts
+        |  FROM e WHERE event_type IN ('view', 'purchase', 'error')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM x
+        |WHERE event_type = 'view' AND nb_ts IS NOT NULL
+        |  AND nb_ts - ts_us <= 7200000000
+        |  AND (nc_ts IS NULL OR nc_ts >= nb_ts)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // stream ≡ batch: the streaming windowed funnel must converge to
     // exactly the batch windowed funnel's oracle
     "q208_stream_funnel" -> ExtendedQ.oracles("q204_windowed_funnel"),

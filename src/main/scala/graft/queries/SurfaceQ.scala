@@ -416,6 +416,45 @@ object SurfaceQ {
         Tables.events(s, d).filter(dayofmonth(col("ts")) % 5 =!= 2))
         .orderBy("event_type", "day")),
 
+    // Spark 4 VARIANT (r13): semi-structured props parsed ONCE into
+    // the binary variant encoding, then typed extraction — the
+    // schema-on-read path that replaces per-query JSON string parsing
+    // at scale (parse once, extract many).
+    "q258_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")),
+
+    // Order-independent table checksum (r13): the replication/
+    // migration integrity check — XOR of per-row 60-bit md5 hashes is
+    // associative+commutative, so the checksum is partitioning-proof
+    // with NO sort at any scale. Only integer/string columns feed the
+    // hash (float formatting never crosses an engine boundary); NULLs
+    // sentinel-coalesced so ('a',NULL) and ('a','') differ.
+    "q259_table_checksum" -> ((s, d) => {
+      def sum1(df: org.apache.spark.sql.DataFrame, name: String,
+               cols: Seq[String]) = {
+        val row = concat_ws("|",
+          cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)
+        df.agg(count(lit(1)).as("n_rows"),
+            bit_xor(conv(substring(md5(row), 1, 15), 16, 10)
+              .cast("long")).as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      }
+      sum1(Tables.events(s, d), "events",
+        Seq("event_id", "user_id", "event_type", "props"))
+        .unionByName(sum1(Tables.orders(s, d), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+        .unionByName(sum1(Tables.customer(s, d), "customer",
+          Seq("c_custkey", "c_nationkey", "c_mktsegment")))
+        .orderBy("table_name")
+    }),
+
     // CEP pattern match (r13): "view then purchase within 2h, no
     // error between" — one forward window pass carrying next-B/next-C
     // structs. `operators/EventAnalytics.matchPattern`.
@@ -1045,6 +1084,34 @@ object SurfaceQ {
         |                 ELSE pc + ((nc - pc) * (day - pd)) // (nd - pd)
         |            END AS DOUBLE) / 100.0 AS value
         |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // mirrors q258: typed JSON extraction (DuckDB has no variant
+    // type; the VALUES are what the gate checks)
+    "q258_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |       MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+        |       MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q259: xor of 60-bit md5 slices, null-sentinel rows
+    "q259_table_checksum" -> {
+      def sum1(name: String, table: String, cols: Seq[String]): String = {
+        val row = cols.map(c => s"COALESCE(CAST($c AS VARCHAR), '∅')")
+          .mkString("concat_ws('|', ", ", ", ")")
+        s"""SELECT '$name' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  bit_xor(CAST(('0x' || substring(md5($row), 1, 15)) AS BIGINT))
+           |    AS checksum
+           |FROM $table""".stripMargin
+      }
+      Seq(sum1("events", "events",
+          Seq("event_id", "user_id", "event_type", "props")),
+        sum1("orders", "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+        sum1("customer", "customer",
+          Seq("c_custkey", "c_nationkey", "c_mktsegment")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     // mirrors EventAnalytics.matchPattern: forward struct carries,
     // exclusive C-guard interval

@@ -235,6 +235,64 @@ object Stateful {
     grouped.transformWithState(new StreamingFunnel(withinUs), TimeMode.None(),
       OutputMode.Update())(Encoders.product[(Long, Long, Long)])
 
+  /** STREAMING CEP — the in-stream twin of
+    * `EventAnalytics.matchPattern` ("A then B within T, no C
+    * between"): per user the state carries the (ts, id) stream of
+    * each role (bounded by `maxPerRole`, fail-loud like
+    * [[StreamingFunnel]]), and every micro-batch re-derives the match
+    * COUNT from the merged (ts, id)-ordered history — the same
+    * first-B / first-C / exclusive-guard rule as the batch operator,
+    * so the drained stream converges to exactly the batch answer
+    * (the q208 convergence discipline: outputs carry a seq and the
+    * reader keeps the last). Roles: 0 = A, 1 = B, 2 = C. */
+  class StreamingPattern(withinUs: Long, maxPerRole: Int = 4096)
+      extends StatefulProcessor[Long, (Long, Int, Long, Long), (Long, Long, Long)] {
+    @transient private var ev:
+      ValueState[(Seq[(Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)], Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ev = getHandle.getValueState("ev",
+        Encoders.product[(Seq[(Long, Long)], Seq[(Long, Long)],
+          Seq[(Long, Long)], Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Int, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (as, bs, cs, seq) =
+        if (ev.exists()) ev.get()
+        else (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)],
+          Seq.empty[(Long, Long)], 0L)
+      rows.foreach { r =>
+        r._2 match {
+          case 0 => as :+= ((r._3, r._4))
+          case 1 => bs :+= ((r._3, r._4))
+          case _ => cs :+= ((r._3, r._4))
+        }
+      }
+      require(as.size <= maxPerRole && bs.size <= maxPerRole &&
+        cs.size <= maxPerRole,
+        s"user $key exceeds $maxPerRole pattern events per role")
+      seq += 1
+      ev.update((as, bs, cs, seq))
+      val ord = Ordering.Tuple2[Long, Long]
+      val bSorted = bs.sorted(ord)
+      val cSorted = cs.sorted(ord)
+      val n = as.count { a =>
+        bSorted.find(b => ord.gt(b, a)) match {
+          case Some(b) if b._1 - a._1 <= withinUs =>
+            cSorted.find(c => ord.gt(c, a)).forall(c => c._1 >= b._1)
+          case _ => false
+        }
+      }
+      Iterator.single((key, seq, n.toLong))
+    }
+  }
+
+  /** [[StreamingPattern]] over a keyed `(user, role, eventUs, id)`
+    * stream. */
+  def streamingPattern(grouped: KeyValueGroupedDataset[Long, (Long, Int, Long, Long)],
+                       withinUs: Long): Dataset[(Long, Long, Long)] =
+    grouped.transformWithState(new StreamingPattern(withinUs), TimeMode.None(),
+      OutputMode.Update())(Encoders.product[(Long, Long, Long)])
+
   /** Running max of a per-event Long measure, emitted on change only —
     * the "new high-water mark" pattern. */
   def highWaterMark[K: Encoder](grouped: KeyValueGroupedDataset[K, Long])(
