@@ -433,6 +433,43 @@ object EventAnalytics {
       .withColumnRenamed("g", groupCol)
   }
 
+  /** CONVERSION-LATENCY DISTRIBUTION — "how long from first
+    * `fromType` to the first `toType` after it", summarized as EXACT
+    * order statistics (min / lower-median / ceil-rank p90 / max in
+    * µs): no fractional-quantile interpolation, so the numbers are
+    * bit-identical across engines and partitionings. The per-user
+    * gap relation is users-sized; the final rank pass over it is the
+    * bounded-relation exception (swap in the q147 mergeable quantile
+    * sketch when even the per-user relation is too large to sort). */
+  def conversionLatency(ev: DataFrame, fromType: String, toType: String,
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts_us"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val from = ev.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("tf"))
+    val to = ev.filter(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("tt_raw"))
+    val gaps = from.join(to, userCol :: Nil)
+      .filter(col("tt_raw") > col("tf"))
+      .groupBy(col(userCol), col("tf"))
+      .agg(min(col("tt_raw")).as("tt"))
+      .select((col("tt") - col("tf")).as("gap"))
+    val w = Window.orderBy(col("gap"))
+    val ranked = gaps
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+    ranked.agg(
+      max(col("n")).as("n_converters"),
+      min(col("gap")).as("min_us"),
+      max(when(col("rk") === expr("(n + 1) div 2"), col("gap"))).as("p50_us"),
+      max(when(col("rk") === expr("(9 * n + 9) div 10"), col("gap")))
+        .as("p90_us"),
+      max(col("gap")).as("max_us"))
+  }
+
   /** COMPLEX-EVENT-PATTERN MATCH — the CEP kernel "A then B within T,
     * with no C between": for every `aType` event, the user's FIRST
     * `bType` event strictly after it; the match stands when that B

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed interval-overlap (range) join — the operator family
@@ -43,6 +44,36 @@ object Intervals {
     * max(e - s) / 10000 (near the TYPICAL interval length is the
     * right cost tradeoff anyway; see class doc). Spans past the cap
     * fail loudly at runtime rather than dropping pairs. */
+  /** INTERVAL UNION / COVERAGE — the gaps-and-islands kernel: per
+    * key, overlapping-or-touching [s, e) intervals merge into maximal
+    * islands, emitted with the island's span and the number of source
+    * intervals it absorbed. The classic two-window derivation — a
+    * running max of prior ends detects island starts (an interval
+    * whose start exceeds every earlier end opens a new island), a
+    * running sum of those starts numbers the islands — so the whole
+    * merge is ONE sort within each key's hash partition, no
+    * self-joins, no per-key arrays; total covered time is then an
+    * exact integer sum per island. Empty intervals (s >= e) are
+    * dropped up front. */
+  def coverage(df: DataFrame, keyCol: String): DataFrame = {
+    val wPrior = Window.partitionBy(col(keyCol))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNum = Window.partitionBy(col(keyCol))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col("s") < col("e"))
+      .withColumn("max_prior_e", max(col("e")).over(wPrior))
+      .withColumn("new_island",
+        when(col("max_prior_e").isNull ||
+          col("s") > col("max_prior_e"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wNum))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col("s")).as("island_s"), max(col("e")).as("island_e"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("covered", col("island_e") - col("island_s"))
+  }
+
   def overlapJoin(a: DataFrame, b: DataFrame, bucket: Long,
                   selfPairs: Boolean = false): DataFrame = {
     require(bucket > 0, "bucket width must be positive")

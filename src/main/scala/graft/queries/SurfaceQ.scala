@@ -416,6 +416,29 @@ object SurfaceQ {
         Tables.events(s, d).filter(dayofmonth(col("ts")) % 5 =!= 2))
         .orderBy("event_type", "day")),
 
+    // Interval union / coverage (r13): per user, 30-min viewing
+    // windows merge into maximal islands via the two-window
+    // gaps-and-islands derivation — one sort per key partition, no
+    // self-joins. `operators/Intervals.coverage`.
+    "q261_interval_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("e"))
+      graft.operators.Intervals.coverage(iv, "user_id")
+        .orderBy("user_id", "island")
+    }),
+
+    // Conversion-latency order statistics (r13): first view -> first
+    // purchase after it, min/p50/p90/max as EXACT rank statistics.
+    // `operators/EventAnalytics.conversionLatency`.
+    "q262_conversion_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.conversionLatency(
+        ev, "view", "purchase")
+    }),
+
     // Spark 4 VARIANT (r13): semi-structured props parsed ONCE into
     // the binary variant encoding, then typed extraction — the
     // schema-on-read path that replaces per-query JSON string parsing
@@ -1084,6 +1107,57 @@ object SurfaceQ {
         |                 ELSE pc + ((nc - pc) * (day - pd)) // (nd - pd)
         |            END AS DOUBLE) / 100.0 AS value
         |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // mirrors Intervals.coverage: two-window gaps-and-islands
+    "q261_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        |  FROM events WHERE event_type = 'view'
+        |), marked AS (
+        |  SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS max_prior_e
+        |  FROM iv WHERE s < e
+        |), islands AS (
+        |  SELECT user_id, s, e,
+        |    CAST(SUM(CASE WHEN max_prior_e IS NULL OR s > max_prior_e
+        |                  THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY s, e
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS island
+        |  FROM marked
+        |)
+        |SELECT user_id, island, MIN(s) AS island_s, MAX(e) AS island_e,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       MAX(e) - MIN(s) AS covered
+        |FROM islands GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
+    // mirrors EventAnalytics.conversionLatency: exact rank statistics
+    "q262_conversion_latency" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS tf
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), g AS (
+        |  SELECT f.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) - f.tf
+        |           AS gap
+        |  FROM f JOIN events e ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > f.tf
+        |  GROUP BY f.user_id, f.tf
+        |), r AS (
+        |  SELECT gap,
+        |    CAST(row_number() OVER (ORDER BY gap) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM g
+        |)
+        |SELECT MAX(n) AS n_converters, MIN(gap) AS min_us,
+        |       MAX(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS p50_us,
+        |       MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN gap END) AS p90_us,
+        |       MAX(gap) AS max_us
+        |FROM r""".stripMargin,
 
     // mirrors q258: typed JSON extraction (DuckDB has no variant
     // type; the VALUES are what the gate checks)

@@ -47,4 +47,21 @@ class IntervalsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 4L, 10L)))
   }
+
+  test("coverage merges overlapping and touching intervals into islands per key") {
+    // key 1: [0,10) + [5,15) + [15,20) chain into one island (touching
+    // merges); [30,40) opens a second. key 2: containment absorbs.
+    // Empty [50,50) dropped.
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L), (1L, 30L, 40L),
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 50L, 50L))
+      .toDF("k", "s", "e")
+    val out = Intervals.coverage(df, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out((1L, 1L)) === ((0L, 20L, 3L, 20L)))
+    assert(out((1L, 2L)) === ((30L, 40L, 1L, 10L)))
+    assert(out((2L, 1L)) === ((0L, 100L, 2L, 100L)))
+    assert(out.size === 3)
+  }
 }

@@ -364,6 +364,20 @@ class StatsSpec extends AnyFunSuite {
     assert(out.toSet === Set((1L, 1L, 2L), (4L, 8L, 9L)))
   }
 
+  test("conversionLatency: exact rank statistics on a constructed gap set") {
+    // 10 users with gaps 1..10 µs: min 1, lower-median rank (11)div2=5,
+    // p90 rank (99)div10... ceil(0.9*10)=9, max 10. One non-converter.
+    val rows = (1 to 10).flatMap(u => Seq(
+      (u.toLong, "view", 0L, u * 100L),
+      (u.toLong, "purchase", u.toLong, u * 100L + 1))) ++
+      Seq((99L, "view", 0L, 9900L))
+    val ev = rows.toDF("user_id", "event_type", "ts_us", "event_id")
+    val r = EventAnalytics.conversionLatency(ev, "view", "purchase")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((10L, 1L, 5L, 9L, 10L)))
+  }
+
   test("ewmaDaily: hand-computed fixed-point recursion over a gap-filled grid") {
     // type "a": 4 events day 0, silence day 1 (gap-filled), 2 events
     // day 2. alphaDen=2: s0=4.0; s1=4+(0-4)/2=2.0; s2=2+(2-2)/2=2.0
