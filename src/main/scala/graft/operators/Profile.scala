@@ -54,6 +54,25 @@ object Profile {
     stats.select(inline(array(rows: _*)))
   }
 
+  /** TABLE DIFF — the replication/migration drill-down behind a
+    * [[fkCheck]]/checksum mismatch: exact multiset comparison of two
+    * relations with the same schema, reported as one row of counts
+    * (rows only in A, only in B, common — multiset semantics via
+    * exceptAll, so duplicate cardinality differences surface too).
+    * Two shuffles on the full row; at 100 TB run it AFTER the cheap
+    * order-independent checksum says the tables differ. */
+  def tableDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.sameElements(b.columns),
+      s"tableDiff: schemas differ: ${a.columns.mkString(",")} vs " +
+        b.columns.mkString(","))
+    val onlyA = a.exceptAll(b).count()
+    val onlyB = b.exceptAll(a).count()
+    val nA = a.count()
+    a.sparkSession.range(1).select(
+      lit(nA - onlyA).as("n_common"),
+      lit(onlyA).as("n_only_a"), lit(onlyB).as("n_only_b"))
+  }
+
   /** One declared foreign-key relation: `child.fkCol` should reference
     * `parent.pkCol`. */
   case class FkRelation(name: String, child: DataFrame, fkCol: String,

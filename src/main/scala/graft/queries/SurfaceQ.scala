@@ -416,6 +416,34 @@ object SurfaceQ {
         Tables.events(s, d).filter(dayofmonth(col("ts")) % 5 =!= 2))
         .orderBy("event_type", "day")),
 
+    // Table diff (r13): exact multiset comparison — the drill-down
+    // behind a checksum mismatch. B deletes every id%97==0 row and
+    // duplicates every id%89==0 row, so only_a / only_b / common all
+    // exercise multiset semantics (the lcm row cancels out).
+    // `operators/Profile.tableDiff`.
+    "q263_table_diff" -> ((s, d) => {
+      val a = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props"))
+      val b = a.filter(col("event_id") % 97 =!= 0)
+        .unionByName(a.filter(col("event_id") % 89 === 0))
+      graft.operators.Profile.tableDiff(a, b)
+    }),
+
+    // Coherent (correlated) subsampling (r13): sample USERS by md5
+    // prefix, keep ALL their events via one broadcastable semi-join —
+    // the debugging subsample that preserves per-user sequences
+    // (row-level sampling would shred funnels and sessions).
+    "q264_coherent_sample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+        .filter(substring(md5(col("user_id").cast("string")), 1, 2) < "20")
+      ev.join(users, Seq("user_id"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // Interval union / coverage (r13): per user, 30-min viewing
     // windows merge into maximal islands via the two-window
     // gaps-and-islands derivation — one sort per key partition, no
@@ -1107,6 +1135,29 @@ object SurfaceQ {
         |                 ELSE pc + ((nc - pc) * (day - pd)) // (nd - pd)
         |            END AS DOUBLE) / 100.0 AS value
         |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // closed form of the q263 mutation: only_a = deleted-but-not-
+    // duplicated, only_b = duplicated-but-not-deleted, lcm cancels
+    "q263_table_diff" ->
+      """SELECT
+        |  CAST((SELECT COUNT(*) FROM events) -
+        |       (SELECT COUNT(*) FROM events
+        |        WHERE event_id % 97 = 0 AND event_id % 89 <> 0)
+        |       AS BIGINT) AS n_common,
+        |  CAST((SELECT COUNT(*) FROM events
+        |        WHERE event_id % 97 = 0 AND event_id % 89 <> 0)
+        |       AS BIGINT) AS n_only_a,
+        |  CAST((SELECT COUNT(*) FROM events
+        |        WHERE event_id % 89 = 0 AND event_id % 97 <> 0)
+        |       AS BIGINT) AS n_only_b""".stripMargin,
+
+    // mirrors q264: the same user-hash predicate semi-joined
+    "q264_coherent_sample" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '20'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors Intervals.coverage: two-window gaps-and-islands
     "q261_interval_coverage" ->

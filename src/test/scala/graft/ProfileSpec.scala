@@ -43,4 +43,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getLong(3) === 3L) // n_orphans
     assert(r.getLong(4) === 2L) // n_orphan_keys {8, 9}
   }
+
+  test("tableDiff: multiset semantics — duplicate cardinality differences surface") {
+    val a = Seq(1L, 2L, 2L, 3L).toDF("x")
+    val b = Seq(1L, 2L, 4L, 4L).toDF("x")
+    // common multiset {1, 2}; a-only {2, 3}; b-only {4, 4}
+    val r = Profile.tableDiff(a, b).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Profile.tableDiff(a, b.withColumnRenamed("x", "y"))
+    }
+  }
 }
