@@ -152,6 +152,32 @@ object StreamingQ {
         .orderBy("event_type", "c_mktsegment")
     }),
 
+    // TEMPORAL STREAM ENRICH (r13): the SCD2 warehouse lookup applied
+    // in-stream — each event joins the dimension row VALID AT ITS
+    // EVENT TIME (broadcast dim + validity-interval residual), the
+    // join that makes streamed features point-in-time correct when a
+    // dimension has history. Dim: two closed-form eras per type
+    // splitting at Jan 16.
+    "q265_stream_temporal_enrich" -> ((s, d) => {
+      import s.implicits._
+      val tdf = Seq("click", "error", "purchase", "signup", "view").toDF("t")
+      def era(f: String, u: String, tier: String) =
+        tdf.select(col("t"), to_timestamp(lit(f)).as("from_ts"),
+          to_timestamp(lit(u)).as("to_ts"), lit(tier).as("tier"))
+      val dim = era("1970-01-01 00:00:00", "2024-01-16 00:00:00", "early")
+        .unionByName(era("2024-01-16 00:00:00", "2100-01-01 00:00:00", "late"))
+      MicroBatch.appendRun(s, d) { ev0 =>
+        val ev = graft.Tables.toEventTime(ev0)
+        ev.join(dim, ev("event_type") === dim("t") &&
+            ev("ts") >= dim("from_ts") && ev("ts") < dim("to_ts"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("tier"))
+      }
+        .groupBy(col("event_type"), col("tier"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type", "tier")
+    }),
+
     // streaming CDC MERGE — per micro-batch upserts + deletes applied
     // through the lake's idempotent mergeBatch (the Delta streaming
     // MERGE INTO shape, exactly-once via (appId, batchId) txn markers;
@@ -468,6 +494,16 @@ object StreamingQ {
   )
 
   val oracles: Map[String, String] = Map(
+    // closed form of the q265 validity intervals
+    "q265_stream_temporal_enrich" ->
+      s"""SELECT event_type,
+         |  CASE WHEN CAST(ts AS TIMESTAMP) <
+         |            TIMESTAMP '2024-01-16 00:00:00'
+         |       THEN 'early' ELSE 'late' END AS tier,
+         |  COUNT(*) AS n, ${Qx.sqlDsum("value")} AS total
+         |FROM events GROUP BY 1, 2
+         |ORDER BY event_type, tier""".stripMargin,
+
     // stream ≡ batch: per-user match counts of the q257 CEP rule
     "q260_stream_pattern" ->
       """WITH e AS (
