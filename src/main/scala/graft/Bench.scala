@@ -36,7 +36,7 @@ object Bench {
     "q208_stream_funnel", "q188_stateful_v2", "q34_minhash_pairs",
     "q168_stream_full_outer_join", "q158_stream_outer_join",
     "q199_semantic_dedup", "q81_stream_stream_join",
-    "q243_delta_restore",
+    "q260_stream_pattern",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;
