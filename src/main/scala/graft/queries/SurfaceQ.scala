@@ -416,6 +416,43 @@ object SurfaceQ {
         Tables.events(s, d).filter(dayofmonth(col("ts")) % 5 =!= 2))
         .orderBy("event_type", "day")),
 
+    // FEATURE-TABLE BUILD (r13 capstone composition): for every
+    // purchase (the label event), leakage-free features computed
+    // strictly from the user's PAST — trailing-7d per-type counts via
+    // RANGE window frames on µs longs ([ts−7d, ts−1], so nothing
+    // simultaneous or future leaks in), the last click value before
+    // the label (the q237 carry), and a reproducible md5 train/val
+    // split. One window pass over the user partition produces every
+    // feature — the offline feature-store deliverable all the r13
+    // event operators exist to feed.
+    "q266_feature_table" -> ((s, d) => {
+      val us7d = 7L * 86400000000L
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("value"))
+      val wRange = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-us7d, -1)
+      val wRows = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def cnt7(t: String) = sum(when(col("event_type") === t, 1L)
+        .otherwise(0L)).over(wRange)
+      ev.withColumn("n_view_7d", cnt7("view"))
+        .withColumn("n_click_7d", cnt7("click"))
+        .withColumn("n_error_7d", cnt7("error"))
+        .withColumn("last_click_value",
+          last(when(col("event_type") === "click", col("value")),
+            ignoreNulls = true).over(wRows))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("n_view_7d"), col("n_click_7d"), col("n_error_7d"),
+          col("last_click_value"),
+          when(substring(md5(col("user_id").cast("string")), 1, 2) < "cd",
+            "train").otherwise("val").as("split"))
+        .orderBy("event_id")
+    }),
+
     // Table diff (r13): exact multiset comparison — the drill-down
     // behind a checksum mismatch. B deletes every id%97==0 row and
     // duplicates every id%89==0 row, so only_a / only_b / common all
@@ -1135,6 +1172,36 @@ object SurfaceQ {
         |                 ELSE pc + ((nc - pc) * (day - pd)) // (nd - pd)
         |            END AS DOUBLE) / 100.0 AS value
         |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // mirrors q266: identical RANGE/ROWS frames on µs longs
+    "q266_feature_table" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), f AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER wr AS BIGINT) AS n_view_7d,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER wr AS BIGINT) AS n_click_7d,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER wr AS BIGINT) AS n_error_7d,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END
+        |      IGNORE NULLS) OVER wo AS last_click_value,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+        |              < 'cd' THEN 'train' ELSE 'val' END AS split
+        |  FROM e
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us
+        |                RANGE BETWEEN 604800000000 PRECEDING
+        |                          AND 1 PRECEDING),
+        |         wo AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, n_view_7d, n_click_7d, n_error_7d,
+        |       last_click_value, split
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     // closed form of the q263 mutation: only_a = deleted-but-not-
     // duplicated, only_b = duplicated-but-not-deleted, lcm cancels
