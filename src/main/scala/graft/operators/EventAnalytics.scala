@@ -437,10 +437,29 @@ object EventAnalytics {
     * `fromType` to the first `toType` after it", summarized as EXACT
     * order statistics (min / lower-median / ceil-rank p90 / max in
     * µs): no fractional-quantile interpolation, so the numbers are
-    * bit-identical across engines and partitionings. The per-user
-    * gap relation is users-sized; the final rank pass over it is the
-    * bounded-relation exception (swap in the q147 mergeable quantile
-    * sketch when even the per-user relation is too large to sort). */
+    * bit-identical across engines and partitionings.
+    *
+    * The per-user gap relation is users-sized, so the rank pass is
+    * DISTRIBUTED exact selection — no global sort, no unpartitioned
+    * window anywhere in the plan:
+    *   1. ONE data pass collapses gaps to staged (value → count)
+    *      pairs (distinct-gap-sized; massive ties SHRINK it); every
+    *      later step reads this artifact, never the events again;
+    *   2. its (n, min, max) give the target ranks r50 = (n+1) div 2
+    *      and r90 = (9n+9) div 10 (value-at-rank is well defined
+    *      under ties, so any tie order gives the same answer);
+    *   3. equal-WIDTH value buckets `b = (gap − min) div w` with
+    *      w = ((max − min) div 1024) + 1 (width ≥ 1 ⇒ ≤ 1025 buckets,
+    *      pure long arithmetic, no overflow for any µs range);
+    *   4. the ≤ 1025 per-bucket totals fold to prefix offsets inside
+    *      a single `aggregate` HOF on one collected row (the bounded
+    *      driver-free twin of the q85 two-level scan), locating which
+    *      bucket holds each target rank;
+    *   5. a window partitioned BY BUCKET accumulates in-bucket value
+    *      counts over the ≤ 2 target buckets only; the row whose
+    *      [lo, hi] rank span covers a target rank carries the answer.
+    * Worst-case per-partition work is one bucket's DISTINCT values
+    * (~range/1024) — all-equal data degenerates to a single row. */
   def conversionLatency(ev: DataFrame, fromType: String, toType: String,
                         userCol: String = "user_id",
                         typeCol: String = "event_type",
@@ -455,19 +474,57 @@ object EventAnalytics {
       .groupBy(col(userCol), col("tf"))
       .agg(min(col("tt_raw")).as("tt"))
       .select((col("tt") - col("tf")).as("gap"))
-    val w = Window.orderBy(col("gap"))
-    val ranked = gaps
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
-    ranked.agg(
+
+    // ONE events pass: collapse to (value → multiplicity) and stage it
+    // (distinct-gap-sized, ≤ converters) so every downstream pass —
+    // stats, bucketing, prefix fold, in-bucket rank — reads the staged
+    // artifact, never the events table again (the q199 idiom).
+    val valueCounts = gaps.groupBy(col("gap"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val stats = valueCounts.agg(
+      sum(col("c")).cast("long").as("n"),
+      min(col("gap")).as("minv"), max(col("gap")).as("maxv"))
+    // bucket by value range; the one-row stats broadcast rides along
+    val byValue = valueCounts.crossJoin(broadcast(stats))
+      .withColumn("w", expr("((maxv - minv) div 1024L) + 1L"))
+      .withColumn("b", expr("(gap - minv) div w"))
+    val perBucket = byValue.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+    // ≤1025 buckets fold to (bucket → rank offset) in one HOF pass;
+    // collect_list over empty input still yields one (empty-array) row,
+    // preserving the all-NULL result shape on zero converters.
+    val targets = perBucket
+      .agg(collect_list(struct(col("b"), col("bc"))).as("bs"))
+      .crossJoin(broadcast(stats))
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r90", expr("(9 * n + 9) div 10"))
+      .withColumn("pref", expr(
+        """aggregate(array_sort(bs),
+          |  struct(cast(0 as bigint) as tot,
+          |         cast(array() as
+          |           array<struct<b:bigint,off:bigint,cum:bigint>>) as out),
+          |  (acc, x) -> named_struct('tot', acc.tot + x.bc,
+          |    'out', array_append(acc.out, named_struct(
+          |      'b', x.b, 'off', acc.tot, 'cum', acc.tot + x.bc))),
+          |  acc -> acc.out)""".stripMargin))
+      .select(col("r50"), col("r90"),
+        expr("filter(pref, p -> p.off < r50 AND r50 <= p.cum)[0]").as("t50"),
+        expr("filter(pref, p -> p.off < r90 AND r90 <= p.cum)[0]").as("t90"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("gap"))
+    val sel = byValue.crossJoin(broadcast(targets))
+      .filter(col("b") === col("t50.b") || col("b") === col("t90.b"))
+      .withColumn("off",
+        when(col("b") === col("t50.b"), col("t50.off"))
+          .otherwise(col("t90.off")))
+      .withColumn("hi", col("off") + sum(col("c")).over(wIn))
+      .withColumn("lo", col("hi") - col("c") + lit(1L))
+    sel.agg(
       max(col("n")).as("n_converters"),
-      min(col("gap")).as("min_us"),
-      max(when(col("rk") === expr("(n + 1) div 2"), col("gap"))).as("p50_us"),
-      max(when(col("rk") === expr("(9 * n + 9) div 10"), col("gap")))
-        .as("p90_us"),
-      max(col("gap")).as("max_us"))
+      max(col("minv")).as("min_us"),
+      max(when(col("lo") <= col("r50") && col("r50") <= col("hi"),
+        col("gap"))).as("p50_us"),
+      max(when(col("lo") <= col("r90") && col("r90") <= col("hi"),
+        col("gap"))).as("p90_us"),
+      max(col("maxv")).as("max_us"))
   }
 
   /** COMPLEX-EVENT-PATTERN MATCH — the CEP kernel "A then B within T,

@@ -93,7 +93,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the linear |queries|×corpus scan IS the brute hamming
     // baseline; the scale path composes with IVF buckets like the
     // float family
-    "q252_sign_ann")
+    "q252_sign_ann",
+    // q262 (r14): distributed exact selection rides THREE one-row
+    // broadcasts — the (n,min,max) stats row into the bucketing
+    // projection, the same stats row into the ≤1025-bucket prefix
+    // fold, and the (target-rank → bucket,offset) row into the
+    // in-bucket rank pass (q102's embed-the-scalars pattern; the
+    // r13 global-sort WindowExec this replaced is gone)
+    "q262_conversion_latency")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
