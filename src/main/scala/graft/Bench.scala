@@ -21,8 +21,9 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r13 slowest-12 — from this round's final quiet sf0.1 run
-    * (161.9 s/234 queries, load 3.1→2.3; PERF.md's generated block)
+  /** The r13 slowest-12 — from the committed 266-query sf0.1
+    * artifact run (BENCH_r13 = PERF.md's generated block: 190.7 s
+    * median / 166.4 s min, load 4.47→2.27)
     * — plus five cross-surface controls (relational agg, star join,
     * brute-force cosine, dedup clusters, staged IVF). Refreshed each
     * round so the driver's stdout tail sees the most expensive

@@ -760,6 +760,18 @@ object DeltaInterop {
     require(st.liveFiles.forall(_.dv.isEmpty),
       s"optimize refuses deletion-vector files at $root — compaction " +
         "would silently materialize their deletes")
+    // Bins are read with the table's DECLARED data schema, never footer
+    // inference: after schema evolution a bin can mix pre-/post-evolution
+    // files, and a bare read would take an arbitrary footer's schema —
+    // silently dropping the evolved column for rows that carry it while
+    // the row-count assertion still passes. Schema-enforced reads give
+    // old files NULLs for new columns, exactly what readDelta serves.
+    // (Column mapping is refused above, so logical names ARE physical.)
+    val declared = st.schema.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $root carries no metaData — nothing to optimize"))
+    val partSet = st.partitionColumns.toSet
+    val binSchema = StructType(declared.fields
+      .filterNot(f => partSet(f.name)).map(_.copy(nullable = true)))
     val m = mapper
     val byPartition: Seq[(Map[String, Option[String]], Seq[LiveFile])] =
       st.liveFiles.groupBy(_.partitionValues).toSeq
@@ -789,7 +801,7 @@ object DeltaInterop {
           val abs = bin.map(f => root.resolve(f.path))
           val dir = abs.head.getParent
           val tmp = TempDirs.create("graft-opt")
-          spark.read.parquet(abs.map(_.toString): _*)
+          spark.read.schema(binSchema).parquet(abs.map(_.toString): _*)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val part = Using.resource(Files.list(tmp)) { s =>
             s.iterator().asScala

@@ -1642,9 +1642,25 @@ object IcebergInterop {
     if (toMerge.isEmpty) return RewriteDataResult(0, 0, live.size)
     val dataDir = root.resolve("data")
     Files.createDirectories(dataDir)
+    // Bins are read with the table's CURRENT declared schema, never
+    // footer inference: a history with evolution can put pre-/post-
+    // evolution files in one bin, and a bare read would adopt whichever
+    // footer Spark samples — silently nulling the evolved column for
+    // rows that carry it while the row-count assertion still passes.
+    // Schema-enforced reads give old files NULLs for new columns, the
+    // same rule readIcebergImpl applies. (Delta optimize is the twin.)
+    val curSchemaNode =
+      if (meta.has("schema")) meta.get("schema")
+      else meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() ==
+          meta.get("current-schema-id").asInt())
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id not in schemas list at $root"))
+    val binSchema = StructType(
+      parseSchema(curSchemaNode).fields.map(_.copy(nullable = true)))
     val merged: Seq[(Path, Long)] = toMerge.map { bin =>
       val tmp = TempDirs.create("graft-rdf")
-      spark.read.parquet(bin.map(_.path.toString): _*)
+      spark.read.schema(binSchema).parquet(bin.map(_.path.toString): _*)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Using.resource(Files.list(tmp)) { s =>
         s.iterator().asScala

@@ -56,6 +56,29 @@ class DeltaOptimizeSpec extends AnyFunSuite {
     assert(again === DeltaInterop.OptimizeResult(0, 0, 1, 2))
   }
 
+  test("mixed-schema bins keep evolved-column values (declared-schema read)") {
+    // commit 0 is narrow; commit 1 evolves the schema by adding
+    // o_orderstatus — the optimize bin then mixes pre-/post-evolution
+    // files, and a footer-inferred read could adopt the narrow schema,
+    // silently nulling the evolved column while row counts still match
+    val t = LakeTable.createTemp(spark,
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 2 === 0).repartition(2))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+    val dest = TempDirs.create("graft-opt-evo").resolve("t")
+    assert(DeltaInterop.exportHistory(t, dest) === 2)
+    def state() = DeltaInterop.readDelta(spark, dest)
+      .agg(count(lit(1)).as("rows"),
+        count(col("o_orderstatus")).as("evolved_nonnull"),
+        sum(col("o_orderkey")).as("keys")).collect()(0)
+    val before = state()
+    assert(before.getLong(1) > 0, "fixture must carry evolved values")
+    val res = DeltaInterop.optimize(spark, dest)
+    assert(res.compactedFiles === 4 && res.newFiles === 1)
+    assert(state() === before,
+      "compaction must not drop evolved-column values")
+  }
+
   test("bins never cross a partition boundary") {
     val t = LakeTable.createTemp(spark, orders)
     val dest = TempDirs.create("graft-opt2").resolve("t")

@@ -63,6 +63,28 @@ class IcebergRewriteDataSpec extends AnyFunSuite {
     assert(sums(dest) === before)
   }
 
+  test("mixed-schema bins keep evolved-column values (declared-schema read)") {
+    // the Delta-optimize twin: commit 1 evolves the schema, the bin
+    // mixes pre-/post-evolution files, and only a declared-schema read
+    // keeps the evolved column's values through compaction
+    val t = LakeTable.createTemp(spark,
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 2 === 0).repartition(2))
+    t.append(orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+    val dest = TempDirs.create("graft-rdf-evo").resolve("t")
+    assert(IcebergInterop.exportHistory(t, dest) === 2)
+    def state() = IcebergInterop.readIceberg(spark, dest)
+      .agg(count(lit(1)).as("rows"),
+        count(col("o_orderpriority")).as("evolved_nonnull"),
+        sum(col("o_orderkey")).as("keys")).collect()(0)
+    val before = state()
+    assert(before.getLong(1) > 0, "fixture must carry evolved values")
+    val res = IcebergInterop.rewriteDataFiles(spark, dest)
+    assert(res.compactedFiles === 4 && res.newFiles === 1)
+    assert(state() === before,
+      "compaction must not drop evolved-column values")
+  }
+
   test("files above the target are carried as EXISTING, not rewritten") {
     val t = LakeTable.createTemp(spark, orders.repartition(4))
     val dest = TempDirs.create("graft-rdf2").resolve("t")
