@@ -247,52 +247,103 @@ object Corpus {
   /** BPE TOKENIZER TRAINING (Sennrich et al. 2016, the word-frequency
     * formulation every production byte-pair trainer uses): the corpus
     * reduces ONCE to a (word, count) vocabulary — the only
-    * corpus-sized pass — and all merge rounds run on that vocab-sized
-    * relation: count weighted adjacent symbol pairs, take the global
-    * argmax, rewrite the sequences, repeat. The per-round reduce ends
-    * in a driver-side argmax of ONE row (exactly how distributed BPE
-    * works at any scale — the pair-count reduce is the shuffle, the
-    * winner is a scalar), and sequence rewrite is two literal
-    * `replace` passes over the space-delimited symbol string: pass 1
-    * merges greedy-left occurrences except those sharing a delimiter
-    * space with a prior match, pass 2 catches exactly those —
-    * together equal to BPE's greedy left-to-right scan, engine-exact
-    * in DuckDB too (no lookaround, which RE2 lacks). Ties break on
-    * (count desc, lhs, rhs) so training is deterministic. Returns
-    * (merge table, final sequences); the merge table IS the trained
-    * artifact. */
+    * corpus-sized pass, and the only distributed one — and the merge
+    * loop runs EXACTLY, IN MEMORY, on that collected relation. This
+    * is the shape every production trainer ships (SentencePiece, HF
+    * tokenizers train single-node on word frequencies): the
+    * vocabulary is LANGUAGE-bounded, not corpus-bounded — growing the
+    * corpus 1000× grows counts, not distinct lowercase ≤maxWordLen
+    * words — so at 100 TB the trainer still runs one distributed
+    * reduce plus a driver loop over the same few-hundred-thousand
+    * rows. A `maxVocab` guard fails loud rather than letting a
+    * pathological corpus (random strings) melt the driver. The r13
+    * formulation kept the loop distributed and paid one Spark
+    * round-trip per merge — 32k sequential jobs at a real vocabulary;
+    * this pays ZERO per-merge jobs and trains a 256-merge vocabulary
+    * in the time the old one spent on five merges (probe in PERF.md).
+    *
+    * Semantics, engine-exact and replayed by the oracle per merge:
+    * count weighted adjacent symbol pairs (OVERLAPPING — 'aaaa' holds
+    * three (a,a) pairs, Sennrich's get_stats), take the argmax with
+    * ties on (count desc, lhs asc, rhs asc) in binary string order
+    * (ASCII-safe: symbols are [a-z</w>]*), rewrite every sequence
+    * greedy-left (a merge output never re-matches in its own round),
+    * repeat. The per-round full recount keeps this loop an obvious
+    * transcription of the SQL replay; the classic pair-position index
+    * would make it O(corpus + merges·touched) without changing a
+    * single output, an in-memory detail, not a distributed-design
+    * question. Returns (merge table, final sequences); the merge
+    * table IS the trained artifact. */
   def bpeTrainWithSeqs(docs: DataFrame, nMerges: Int,
-                       maxWordLen: Int = 12): (DataFrame, DataFrame) = {
+                       maxWordLen: Int = 12,
+                       maxVocab: Int = 2000000): (DataFrame, DataFrame) = {
     require(nMerges >= 1, "at least one merge round")
-    var seqs = docs
+    val rows = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .withColumn("seq", concat(lit(" "),
-        regexp_replace(col("word"), "(.)", "$1 "), lit("</w> ")))
-      .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      .collect() // the trained-artifact relation: language-bounded
+    require(rows.length <= maxVocab,
+      s"vocabulary ${rows.length} exceeds maxVocab=$maxVocab — raise the " +
+        "cap only if the driver is sized for it")
+    val vocab = rows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val seqsArr: Array[Array[String]] =
+      vocab.map { case (w, _) => w.map(_.toString).toArray :+ "</w>" }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
     for (i <- 1 to nMerges) {
-      val toks = seqs.withColumn("l", split(trim(col("seq")), " "))
-      val top = toks
-        .select(col("c"), col("l"),
-          explode(sequence(lit(1), size(col("l")) - 1)).as("i"))
-        .select(element_at(col("l"), col("i")).as("a"),
-          element_at(col("l"), col("i") + lit(1)).as("b"), col("c"))
-        .groupBy("a", "b").agg(sum(col("c")).as("cnt"))
-        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-        .collect() // ONE row: the round's winning pair
-      require(top.nonEmpty, s"no pairs left at merge round $i")
-      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < seqsArr.length) {
+        val s = seqsArr(wi); val c = vocab(wi)._2
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          j += 1
+        }
+        wi += 1
+      }
+      require(pc.nonEmpty, s"no pairs left at merge round $i")
+      var best: ((String, String), Long) = null
+      pc.foreach { e =>
+        if (best == null) best = e
+        else {
+          val byCnt = java.lang.Long.compare(e._2, best._2)
+          if (byCnt > 0 || (byCnt == 0 &&
+              (e._1._1 < best._1._1 ||
+                (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+        }
+      }
+      val ((a, b), cnt) = best
       merges += ((i.toLong, a, b, a + b, cnt))
-      val pat = lit(s" $a $b ")
-      val rep = lit(s" $a$b ")
-      seqs = seqs.withColumn("seq",
-        replace(replace(col("seq"), pat, rep), pat, rep)).localCheckpoint(true)
+      wi = 0
+      while (wi < seqsArr.length) {
+        val s = seqsArr(wi)
+        var j = 0; var has = false
+        while (!has && j < s.length - 1) {
+          if (s(j) == a && s(j + 1) == b) has = true
+          j += 1
+        }
+        if (has) { // greedy left-to-right, consuming both symbols
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < s.length) {
+            if (k < s.length - 1 && s(k) == a && s(k + 1) == b) {
+              out += (a + b); k += 2
+            } else { out += s(k); k += 1 }
+          }
+          seqsArr(wi) = out.toArray
+        }
+        wi += 1
+      }
     }
     import docs.sparkSession.implicits._
+    val seqsOut = vocab.indices.map { i =>
+      (vocab(i)._1, vocab(i)._2, seqsArr(i).mkString(" ", " ", " "))
+    }.toDF("word", "c", "seq")
     (merges.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count"),
-      seqs)
+      seqsOut)
   }
 
   /** The trained merge table alone. */
