@@ -330,10 +330,22 @@ object DeltaInterop {
     val files = walkDataFiles(destRoot, partitionBy)
     val m = mapper
     val actions = Seq.newBuilder[String]
-    actions += m.writeValueAsString(protocolAction(m))
+    // CHECK constraints export as the real Delta representation:
+    // `delta.constraints.<name>` configuration keys, with the writer
+    // protocol raised to 3 (the checkConstraints writer feature) so a
+    // spec-faithful engine knows to enforce them on write
+    val checkCfg = table.checksAt(version).map { case (n, e) =>
+      s"delta.constraints.$n" -> e }
+    if (checkCfg.isEmpty) actions += m.writeValueAsString(protocolAction(m))
+    else {
+      val p = m.createObjectNode()
+      p.putObject("protocol").put("minReaderVersion", 1).put("minWriterVersion", 3)
+      actions += m.writeValueAsString(p)
+    }
     actions += m.writeValueAsString(
       metaDataAction(m, UUID.randomUUID().toString, df.schema.json, partitionBy,
-        createdTime = Some(Files.getLastModifiedTime(destRoot).toMillis)))
+        createdTime = Some(Files.getLastModifiedTime(destRoot).toMillis),
+        configuration = checkCfg))
     files.foreach { case (rel, partVals) =>
       actions += m.writeValueAsString(
         addAction(m, rel, partVals, Files.size(destRoot.resolve(rel)),

@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * protocol's conflict rule). */
 class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+/** A commit brought rows that evaluate a table CHECK constraint to
+  * FALSE; the commit was refused and the table state is unchanged. */
+class CheckViolationException(msg: String) extends RuntimeException(msg)
+
 /** A minimal transactional table format — the "Delta/Iceberg" layer
   * BASELINE.json names for the reference's sink seam
   * (spark_stream/spark_stream.py:173-178), built from nothing but
@@ -91,7 +95,8 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
   private case class Manifest(version: Long, action: String, dirs: Seq[String],
                               txnAppId: Option[String], txnBatchId: Option[Long],
                               carryTxns: Seq[(String, Long)], schemaJson: Option[String],
-                              stats: Seq[String]) {
+                              stats: Seq[String],
+                              checks: Seq[(String, String)] = Nil) {
     /** Every (appId, batchId) marker this manifest vouches for: its own
       * commit marker plus any markers carried forward by a vacuum. */
     def allTxns: Seq[(String, Long)] = carryTxns ++ txnAppId.zip(txnBatchId).toList
@@ -125,7 +130,10 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         val i = c.lastIndexOf(':'); (c.substring(0, i), c.substring(i + 1).toLong)
       },
       one("schema"),
-      kvs.collect { case ("stat", s) => s })
+      kvs.collect { case ("stat", s) => s },
+      kvs.collect { case ("check", c) =>
+        val i = c.indexOf('|'); (c.substring(0, i), c.substring(i + 1))
+      })
   }
 
   /** Publish the next manifest with the atomic create-if-absent commit
@@ -138,12 +146,14 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
                                    txn: Option[(String, Long)],
                                    schemaJson: Option[String] = None,
                                    carry: Seq[(String, Long)] = Nil,
-                                   stats: Seq[String] = Nil): Long = {
+                                   stats: Seq[String] = Nil,
+                                   checks: Seq[(String, String)] = Nil): Long = {
     val lines = Seq(s"version=$expected", s"action=$action") ++
       txn.toSeq.flatMap { case (a, b) => Seq(s"txnAppId=$a", s"txnBatchId=$b") } ++
       schemaJson.map(j => s"schema=$j").toSeq ++
       carry.sorted.map { case (a, b) => s"carry=$a:$b" } ++
       stats.map(s => s"stat=$s") ++
+      checks.map { case (n, e) => s"check=$n|$e" } ++
       dirs.map(d => s"dir=$d")
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, lines.asJava)
@@ -229,6 +239,72 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       .nextOption()
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
+  /** CHECK constraints declared on this table at its latest version
+    * (name → SQL boolean expression over the table's columns). */
+  def checks: Map[String, String] = checksAt(-1L)
+
+  /** The constraint set as of `version` (-1 = latest) — each manifest
+    * carries the full set, so this is one manifest read. */
+  def checksAt(version: Long): Map[String, String] =
+    readManifest(if (version == -1L) latestVersion else version).checks.toMap
+
+  /** Declare a CHECK constraint (the write-side data-quality gate —
+    * Delta's `ALTER TABLE ADD CONSTRAINT` semantics): the expression
+    * must not evaluate to FALSE on any row (NULL passes, as in SQL
+    * CHECK). The CURRENT snapshot is validated first — a constraint
+    * the existing data already violates refuses to attach — then a
+    * metadata-only commit records it and every later data commit
+    * enforces it, refusing loud via [[CheckViolationException]] with
+    * the table state unchanged (the orphaned data dir is vacuum
+    * garbage, never referenced). Constraints ride the manifest as
+    * `check=<name>|<expr>` lines carried forward by every commit, and
+    * export to Delta as `delta.constraints.<name>` configuration. */
+  def addCheck(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && !name.contains("|"), s"bad constraint name: $name")
+    val prev = readManifest(latestVersion)
+    require(!prev.checks.exists(_._1 == name),
+      s"constraint $name already declared at $root")
+    val existing = snapshot()
+    val bad = existing.filter(!coalesce(expr(exprSql).cast("boolean"), lit(true))).count()
+    if (bad > 0) throw new CheckViolationException(
+      s"cannot add CHECK $name ($exprSql) at $root: " +
+        s"$bad existing rows violate it")
+    commitManifest(latestVersion + 1, "add-check", prev.dirs, None,
+      prev.schemaJson, stats = prev.liveStats,
+      checks = prev.checks :+ (name -> exprSql))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropCheck(name: String): Long = {
+    val prev = readManifest(latestVersion)
+    require(prev.checks.exists(_._1 == name),
+      s"no CHECK constraint $name at $root")
+    commitManifest(latestVersion + 1, "drop-check", prev.dirs, None,
+      prev.schemaJson, stats = prev.liveStats,
+      checks = prev.checks.filterNot(_._1 == name))
+  }
+
+  /** Enforce the declared CHECKs on a freshly written data directory:
+    * ONE scan of the new data computes every constraint's violation
+    * count map-side (at 100 TB the cost is reading back what was just
+    * written, per commit — the price of a write-side gate); the first
+    * violated constraint refuses the commit. Runs BEFORE the manifest
+    * publish, so a refusal leaves the table state untouched. */
+  private def enforceChecks(rel: String, checks: Seq[(String, String)]): Unit = {
+    if (checks.isEmpty) return
+    val df = spark.read.parquet(root.resolve(rel).toString)
+    val counts = df.agg(
+      count(lit(1)).as("__n"),
+      checks.map { case (n, e) =>
+        count(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1)).as(n)
+      }: _*).collect()(0)
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = counts.getLong(i + 1)
+      if (bad > 0) throw new CheckViolationException(
+        s"commit refused at $root: $bad rows violate CHECK $n ($e)")
+    }
+  }
+
   /** Append commit: snapshot = previous dirs + the new one. Pass
     * `statsCols` to record the new directory's min/max ranges for
     * those columns in the manifest (see [[scanPruned]]); earlier
@@ -240,20 +316,25 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val v = latestVersion + 1
     val prev = readManifest(latestVersion)
     val dir = writeData(df, v)
+    enforceChecks(dir, prev.checks)
     val evolved = mergeSchemas(declaredSchema(latestVersion), df.schema)
     commitManifest(v, "append", prev.dirs :+ dir,
       None, Some(evolved.json),
-      stats = prev.liveStats ++ computeStats(dir, statsCols) ++ computeBloom(dir, bloomCols))
+      stats = prev.liveStats ++ computeStats(dir, statsCols) ++ computeBloom(dir, bloomCols),
+      checks = prev.checks)
   }
 
   /** Overwrite commit: snapshot = just the new directory. */
   def overwrite(df: DataFrame, statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil): Long = {
     val v = latestVersion + 1
+    val prev = readManifest(latestVersion)
     val dir = writeData(df, v)
+    enforceChecks(dir, prev.checks)
     commitManifest(v, "overwrite", Seq(dir),
       None, Some(df.schema.json),
-      stats = computeStats(dir, statsCols) ++ computeBloom(dir, bloomCols))
+      stats = computeStats(dir, statsCols) ++ computeBloom(dir, bloomCols),
+      checks = prev.checks)
   }
 
   /** OPTIMIZE ZORDER — the public Delta Lake layout-maintenance idea
@@ -333,9 +414,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         c.stripPrefix("bloom:")
     }.distinct
     val statsCols = (zorderBy ++ priorStatsCols).distinct
+    // layout rewrite of already-validated rows: carry checks, no re-scan
     commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
       stats = dirs.flatMap(dd =>
-        computeStats(dd, statsCols) ++ computeBloom(dd, priorBloomCols)))
+        computeStats(dd, statsCols) ++ computeBloom(dd, priorBloomCols)),
+      checks = readManifest(v - 1).checks)
   }
 
   /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):
@@ -356,9 +439,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val applied = base.join(changed.distinct(), keyCols, "left_anti")
       .unionByName(upserts.select(base.columns.map(col): _*))
     val v = latestVersion + 1
+    val prev = readManifest(latestVersion)
     val dir = writeData(applied, v)
+    enforceChecks(dir, prev.checks)
     commitManifest(v, "merge", Seq(dir), None, Some(applied.schema.json),
-      stats = computeStats(dir, statsCols))
+      stats = computeStats(dir, statsCols), checks = prev.checks)
   }
 
   /** Per-appId HIGHEST committed batchId scanned from the log, plus the
@@ -419,10 +504,13 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       }
       try {
         val prev = readManifest(head) // may vanish under concurrent vacuum, caught below
+        // checks may have changed between retries (a concurrent
+        // add-check wins a race): enforce against the head we commit on
+        enforceChecks(dir, prev.checks)
         val evolved = mergeSchemas(declaredSchema(head), df.schema)
         return commitManifest(head + 1, "streaming-append",
           prev.dirs :+ dir, Some((appId, batchId)), Some(evolved.json),
-          stats = prev.liveStats ++ dirStats)
+          stats = prev.liveStats ++ dirStats, checks = prev.checks)
       }
       catch {
         case e: ConcurrentCommitException =>
@@ -478,9 +566,12 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         val applied = base.join(changed.distinct(), keyCols, "left_anti")
           .unionByName(upserts.select(base.columns.map(col): _*))
         val v = head + 1
+        val prev = readManifest(head)
         val dir = writeData(applied, v)
+        enforceChecks(dir, prev.checks)
         return commitManifest(v, "streaming-merge", Seq(dir),
-          Some((appId, batchId)), Some(applied.schema.json))
+          Some((appId, batchId)), Some(applied.schema.json),
+          checks = prev.checks)
       } catch {
         case e @ (_: ConcurrentCommitException | _: java.nio.file.NoSuchFileException) =>
           lastRace = e
@@ -554,7 +645,8 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       val head = manifests0.last
       val v = vs0.last + 1
       commitManifest(v, "vacuum", head.dirs, None, head.schemaJson,
-        maxTxns(manifests0).toSeq, stats = head.liveStats)
+        maxTxns(manifests0).toSeq, stats = head.liveStats,
+        checks = head.checks)
       vs0 :+ v
     }
     val (drop, keep) = vs.splitAt(math.max(vs.size - retainVersions, 0))
