@@ -564,6 +564,176 @@ object EventAnalytics {
         expr(s"(nb.ts - $tsCol) div 1000000").as("gap_sec"))
   }
 
+  /** GENERALIZED CEP STEP PATTERNS (r14) — [[matchPattern]]'s fixed
+    * "A then B, no C between" extended to a STEP LIST with per-step
+    * quantifiers and per-transition guard sets, the working core of
+    * MATCH_RECOGNIZE-style patterns like `A B+ C?`:
+    *
+    *  - steps: (eventType, quantifier) with quantifier `one` (exactly
+    *    one event), `plus` (a maximal alphabet-contiguous run, greedy),
+    *    `opt` (one event or skipped), `star` (a run or skipped).
+    *  - guards(k): event types that must NOT occur (strictly, by the
+    *    same exclusive-timestamp rule as [[matchPattern]]) between the
+    *    match of step k and step k+1. A skipped optional step's
+    *    transitions merge and their guards union.
+    *  - semantics are SKIP-LIBERAL like the fixed operator — events
+    *    not named in a transition's guard may freely intervene —
+    *    with `contiguous = true` as the MATCH_RECOGNIZE-contiguity
+    *    sugar: every transition is auto-guarded with the whole
+    *    alphabet except its target, so step k+1 must be the very
+    *    next relevant event.
+    *  - one row per ANCHOR EVENT (every event matching step 1, the
+    *    fixed operator's granularity). When optional steps yield
+    *    several viable variants, the GREEDY one wins (include beats
+    *    skip, earlier steps first) via a per-anchor priority dedup.
+    *
+    * Matching is the fixed operator's forward-carry shape, chained:
+    * one alphabet-filtered pass computes, per row, the next-(ts, id)
+    * of EVERY alphabet type (one user-partitioned window) plus its
+    * contiguous-run end (run encoding, a second bounded window); the
+    * relation is staged once ([[org.apache.spark.sql.Dataset!.localCheckpoint(eager:Boolean):org.apache.spark.sql.Dataset[T]* localCheckpoint]]),
+    * and each pattern transition advances by ONE user+id equi-join
+    * into it (+1 for a plus step's run-end hop). Total cost: the
+    * filtered scan + O(pattern length) co-keyed hash joins on the
+    * staged relation — pattern-bounded, no per-user arrays, no
+    * backtracking (quantifier greed is resolved by run ends and
+    * variant priority, not search).
+    *
+    * `steps = [(A,one),(B,one)]`, `guards = {1 → [C]}` reproduces
+    * [[matchPattern]] exactly (differential-pinned in R14CepSpec).
+    * Adjacent steps in any expanded variant must have distinct types
+    * (an `A A`-style pattern needs a quantifier, not repetition). */
+  def matchSteps(ev: DataFrame, steps: Seq[(String, String)],
+                 guards: Map[Int, Seq[String]] = Map.empty,
+                 withinSec: Long = Long.MaxValue / 2000000L,
+                 contiguous: Boolean = false,
+                 userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 tsCol: String = "ts_us",
+                 tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quants = Set("one", "plus", "opt", "star")
+    require(steps.size >= 2, "a pattern needs at least two steps")
+    require(steps.forall(s => quants(s._2)),
+      s"quantifiers must be one|plus|opt|star: $steps")
+    require(steps.head._2 == "one" || steps.head._2 == "plus",
+      "the first step anchors the match and cannot be optional")
+    require(guards.keys.forall(k => k >= 1 && k < steps.size),
+      s"guard transitions must be 1..${steps.size - 1}")
+    val alphabet = (steps.map(_._1) ++ guards.values.flatten).distinct.sorted
+
+    // one pass: per-row next-(ts,id) of every alphabet type + run end
+    val wFwd = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = ev.filter(col(typeCol).isin(alphabet: _*))
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("ts"), col(tieCol).as("id"))
+    val withNext = alphabet.foldLeft(base) { (d, t) =>
+      d.withColumn(s"nx_$t",
+        first(when(col("t") === t, struct(col("ts"), col("id"))),
+          ignoreNulls = true).over(wFwd))
+    }
+    val runEnc = withNext
+      .withColumn("__new", when(lag(col("t"), 1).over(
+        Window.partitionBy(col("u")).orderBy(col("ts"), col("id")))
+        === col("t"), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__new")).over(wOrd))
+    val wRun = Window.partitionBy(col("u"), col("__run"))
+    val carried = runEnc
+      .withColumn("rl", max(struct(col("ts"), col("id"))).over(wRun))
+      .drop("__new", "__run")
+      .localCheckpoint(true) // staged once; every transition joins it
+
+    // fetch the row named by `idc` (same user) and expose it as `pfx`
+    def hop(cur: DataFrame, idc: Column, pfx: String): DataFrame = {
+      val c = carried.columns.foldLeft(carried)(
+        (d, n) => d.withColumnRenamed(n, s"${pfx}_$n"))
+      cur.join(c, cur("au") === col(s"${pfx}_u") && idc === col(s"${pfx}_id"))
+    }
+
+    // expand optional steps into concrete variants, greedy-first
+    val optIdx = steps.zipWithIndex.collect {
+      case ((_, q), i) if q == "opt" || q == "star" => i }
+    val variants: Seq[(Seq[(Int, String, Boolean)], Int)] =
+      (0 until (1 << optIdx.size)).map { mask =>
+        val skipped = optIdx.zipWithIndex.collect {
+          case (si, bit) if (mask & (1 << bit)) != 0 => si }.toSet
+        val concrete = steps.zipWithIndex.collect {
+          case ((t, q), i) if !skipped(i) =>
+            (i, t, q == "plus" || q == "star")
+        }
+        (concrete, mask) // mask 0 (nothing skipped) = greediest
+      }.filter(_._1.size >= 2)
+    variants.foreach { case (c, _) =>
+      c.sliding(2).foreach { case Seq((_, t1, _), (_, t2, _)) =>
+        require(t1 != t2,
+          s"adjacent steps of one type ($t1) — use a quantifier instead")
+      case _ => }
+    }
+    def transGuards(c: Seq[(Int, String, Boolean)], j: Int): Seq[String] = {
+      // original transitions spanned between concrete steps j and j+1
+      val span = (c(j)._1 + 1) to c(j + 1)._1
+      val explicit = span.flatMap(k => guards.getOrElse(k, Nil))
+      val auto = if (contiguous) alphabet.filterNot(_ == c(j + 1)._2)
+                 else Nil
+      (explicit ++ auto).distinct
+    }
+
+    val perVariant: Seq[DataFrame] = variants.map { case (c, mask) =>
+      val (_, t1, plus1) = c.head
+      var cur = carried.filter(col("t") === t1)
+        .withColumnRenamed("u", "au")
+        .withColumn("a_id", col("id")).withColumn("a_ts", col("ts"))
+      var pfx = "" // "" = anchor row's own columns
+      def cc(n: String): Column = if (pfx.isEmpty) col(n) else col(s"${pfx}_$n")
+      if (plus1) { // greedy: consume to the anchor row's run end
+        cur = hop(cur, col("rl.id"), "p1"); pfx = "p1"
+      }
+      for (j <- 1 until c.size) {
+        val (_, tj, plusJ) = c(j)
+        val m = cc(s"nx_$tj")
+        val guarded = transGuards(c, j - 1).foldLeft(m.isNotNull) { (acc, g) =>
+          acc && (cc(s"nx_$g").isNull ||
+            cc(s"nx_$g").getField("ts") >= m.getField("ts"))
+        }
+        cur = cur.filter(guarded).withColumn(s"m$j", m)
+        val last = j == c.size - 1
+        if (last && !plusJ) {
+          cur = cur.withColumn("end_ts", col(s"m$j.ts"))
+            .withColumn("end_id", col(s"m$j.id"))
+        } else {
+          cur = hop(cur, col(s"m$j.id"), s"p${j + 1}"); pfx = s"p${j + 1}"
+          if (plusJ) {
+            if (last) {
+              cur = cur.withColumn("end_ts", cc("rl.ts"))
+                .withColumn("end_id", cc("rl.id"))
+            } else {
+              cur = hop(cur, cc("rl.id"), s"r${j + 1}"); pfx = s"r${j + 1}"
+            }
+          } else if (last) {
+            cur = cur.withColumn("end_ts", cc("ts"))
+              .withColumn("end_id", cc("id"))
+          }
+        }
+      }
+      cur.filter(col("end_ts") - col("a_ts") <= withinSec * 1000000L)
+        .select(col("au").as(userCol), col("a_id"),
+          col("end_id").as("b_id"),
+          expr("(end_ts - a_ts) div 1000000").as("gap_sec"),
+          lit(mask).as("__prio"))
+    }
+    val all = perVariant.reduce(_.unionByName(_))
+    if (variants.size == 1) all.drop("__prio")
+    else {
+      val wA = Window.partitionBy(col(userCol), col("a_id"))
+        .orderBy(col("__prio"))
+      all.withColumn("__rn", row_number().over(wA))
+        .filter(col("__rn") === 1).drop("__rn", "__prio")
+    }
+  }
+
   /** LINEAR GAP INTERPOLATION over the daily grid — pandas
     * `interpolate(method="linear")` at warehouse scale: per group,
     * silent days between two observed days get the straight-line

@@ -50,6 +50,23 @@ object R14Q {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // GENERALIZED CEP (r14, VERDICT r13 next #8): q257/q260's fixed
+    // "A then B, no C between" as a true step pattern — view, then a
+    // maximal contiguous CLICK RUN (the `+` quantifier, greedy), then
+    // the first purchase after the run, with no error between run end
+    // and purchase, all within 7 days. `EventAnalytics.matchSteps`:
+    // chained forward-carries over one staged alphabet relation, one
+    // user+id equi-join per transition. R14CepSpec pins the exact
+    // differential against matchPattern on the two-step special case.
+    "q268_cep_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.matchSteps(ev,
+        Seq("view" -> "one", "click" -> "plus", "purchase" -> "one"),
+        guards = Map(2 -> Seq("error")), withinSec = 604800L)
+        .orderBy("user_id", "a_id")
     })
   )
 
@@ -64,6 +81,57 @@ object R14Q {
         |FROM events
         |WHERE event_id % 3 IN (0, 1)
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors q268: per-row next-(ts,id) carries for every alphabet
+    // type + contiguous-run ends, then the transition chain as joins:
+    // anchor(view) → its next click → that click's run end → the run
+    // end's next purchase, error-guarded with the exclusive-ts rule
+    "q268_cep_steps" ->
+      """WITH e AS (
+        |  SELECT user_id u, event_type t, event_id id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) ts
+        |  FROM events
+        |  WHERE event_type IN ('view','click','purchase','error')
+        |), x AS (
+        |  SELECT u, t, ts, id,
+        |    first_value(CASE WHEN t='click' THEN ts END IGNORE NULLS)
+        |      OVER w AS nc_ts,
+        |    first_value(CASE WHEN t='click' THEN id END IGNORE NULLS)
+        |      OVER w AS nc_id,
+        |    first_value(CASE WHEN t='purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS np_ts,
+        |    first_value(CASE WHEN t='purchase' THEN id END IGNORE NULLS)
+        |      OVER w AS np_id,
+        |    first_value(CASE WHEN t='error' THEN ts END IGNORE NULLS)
+        |      OVER w AS ne_ts,
+        |    CASE WHEN lag(t) OVER wo = t THEN 0 ELSE 1 END AS nw
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY u ORDER BY ts, id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |         wo AS (PARTITION BY u ORDER BY ts, id)
+        |), r AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY u ORDER BY ts, id
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM x
+        |), rr AS (
+        |  SELECT *,
+        |    last_value(ts) OVER wr AS rl_ts,
+        |    last_value(id) OVER wr AS rl_id
+        |  FROM r
+        |  WINDOW wr AS (PARTITION BY u, run ORDER BY ts, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT a.u AS user_id, a.id AS a_id, rl.np_id AS b_id,
+        |       (rl.np_ts - a.ts) // 1000000 AS gap_sec
+        |FROM rr a
+        |JOIN rr c  ON c.u = a.u AND c.id = a.nc_id
+        |JOIN rr rl ON rl.u = a.u AND rl.id = c.rl_id
+        |WHERE a.t = 'view' AND a.nc_ts IS NOT NULL
+        |  AND rl.np_ts IS NOT NULL
+        |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
+        |  AND rl.np_ts - a.ts <= 604800000000
+        |ORDER BY user_id, a_id""".stripMargin
   )
 }
