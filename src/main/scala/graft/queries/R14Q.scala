@@ -67,6 +67,84 @@ object R14Q {
         Seq("view" -> "one", "click" -> "plus", "purchase" -> "one"),
         guards = Map(2 -> Seq("error")), withinSec = 604800L)
         .orderBy("user_id", "a_id")
+    }),
+
+    // STREAMING AS-OF vs a CDC-UPDATING DIMENSION (r14, VERDICT r13
+    // next #3): q265's temporal enrich with the dimension ITSELF a
+    // stream. Signups are dimension-version rows (eff_ts = signup ts,
+    // attribute = value), purchases are observations; both ride one
+    // CHRONOLOGICAL multi-batch drain and a `transformWithState`
+    // keyed as-of (state = interleaved per-key history, the q238
+    // backward rule) re-derives every enrichment per update, so the
+    // drained result hash-matches the batch point-in-time join. The
+    // q156 CDC-merge composition runs alongside: the same dimension
+    // stream maintains a lake table via idempotent mergeBatch, and
+    // the final snapshot must equal last-version-per-key (proven
+    // in-query) — current state from CDC, history from the processor.
+    "q269_stream_cdc_asof" -> ((s, d) => {
+      import s.implicits._
+      val sink = graft.streaming.MicroBatch.updateRun(s, d,
+        splitParts = Some(3), conf = graft.streaming.Stateful.rocksDBConf,
+        chronological = true) { stream =>
+        graft.streaming.Stateful.keyedAsOf(
+          graft.Tables.toEventTime(stream)
+            .filter(col("event_type").isin("signup", "purchase"))
+            .select(col("user_id"),
+              when(col("event_type") === "signup", 0)
+                .otherwise(1).cast("int").as("role"),
+              unix_micros(col("ts")).as("us"), col("event_id"),
+              col("value"))
+            .as[(Long, Int, Long, Long, Double)].groupByKey(_._1))
+          .toDF("user_id", "seq", "obs_id", "dim_id", "dim_value")
+      }
+      // q156 composition: the dim stream CDC-merges into a lake table;
+      // its final snapshot must be exactly the last version per key
+      val ev = Tables.events(s, d)
+      val dimT = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_type") === "signup").limit(0)
+          .select(col("user_id"), col("event_id"), col("value")),
+        "graft-cdcdim")
+      val in = graft.streaming.MicroBatch.stageEventsByTime(s, d, 3)
+      val ckpt = Qx.tempDir("graft-cdcdim-ckpt")
+      val q = graft.streaming.MicroBatch.fileSource(s, in, Some(1))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) =>
+          val ups = graft.Tables.toEventTime(batch.toDF())
+            .filter(col("event_type") === "signup")
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(desc("ts"), desc("event_id"))))
+            .filter(col("__rn") === 1)
+            .select(col("user_id"), col("event_id"), col("value"))
+          dimT.mergeBatch(ups, Seq("user_id"), ckpt.toString, bid)
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val expect = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(desc("ts"), desc("event_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"), col("value"))
+      require(dimT.snapshot().select("user_id", "event_id", "value")
+          .except(expect).isEmpty &&
+          expect.except(dimT.snapshot()
+            .select("user_id", "event_id", "value")).isEmpty,
+        "CDC-merged dim table must equal last-version-per-key")
+      // converged enrichment: the last emission per observation
+      sink.groupBy(col("user_id"), col("obs_id"))
+        .agg(max_by(struct(col("dim_id"), col("dim_value")),
+          col("seq")).as("m"))
+        .select(col("user_id"), col("obs_id"),
+          col("m.dim_id").as("dim_id"), col("m.dim_value").as("dim_value"))
+        .orderBy("user_id", "obs_id")
     })
   )
 
@@ -132,6 +210,30 @@ object R14Q {
         |  AND rl.np_ts IS NOT NULL
         |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
         |  AND rl.np_ts - a.ts <= 604800000000
-        |ORDER BY user_id, a_id""".stripMargin
+        |ORDER BY user_id, a_id""".stripMargin,
+
+    // mirrors q269: the batch point-in-time join — per user, carry the
+    // latest signup (dimension version) forward over the (ts, dim
+    // before obs at equal ts, id) order; purchases read the carry
+    "q269_stream_cdc_asof" ->
+      """WITH e AS (
+        |  SELECT user_id u, event_type t, event_id id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) ts, value v
+        |  FROM events WHERE event_type IN ('signup','purchase')
+        |), c AS (
+        |  SELECT u, t, ts, id, v,
+        |    last_value(CASE WHEN t='signup' THEN id END IGNORE NULLS)
+        |      OVER w AS dim_id,
+        |    last_value(CASE WHEN t='signup' THEN v END IGNORE NULLS)
+        |      OVER w AS dim_value
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY u ORDER BY
+        |                 ts, (CASE WHEN t='signup' THEN 0 ELSE 1 END), id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT u AS user_id, id AS obs_id,
+        |       COALESCE(dim_id, CAST(-1 AS BIGINT)) AS dim_id, dim_value
+        |FROM c WHERE t = 'purchase'
+        |ORDER BY user_id, obs_id""".stripMargin
   )
 }

@@ -300,15 +300,22 @@ object MicroBatch {
                 statePartitions: Option[Int] = Some(8),
                 splitParts: Option[Int] = None,
                 conf: Map[String, String] = Map.empty,
-                copies: Int = 1)(
+                copies: Int = 1,
+                chronological: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val in = splitParts.fold(stageEvents(sfDir, copies))(
-      stageEventsSplit(spark, sfDir, _, copies))
+    // chronological: file k = the k-th event-time range, drained one
+    // file per trigger — the arrival order a production CDC feed has
+    val in =
+      if (chronological) stageEventsByTime(spark, sfDir,
+        splitParts.getOrElse(3), copies)
+      else splitParts.fold(stageEvents(sfDir, copies))(
+        stageEventsSplit(spark, sfDir, _, copies))
     val sink = lakeSink(spark)
     val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     val sess = isolated(spark, statePartitions, conf)
-    val q = transform(fileSource(sess, in, splitParts.map(_ => 1))).writeStream
+    val maxFiles = if (chronological) Some(1) else splitParts.map(_ => 1)
+    val q = transform(fileSource(sess, in, maxFiles)).writeStream
       .foreachBatch(writeBatch)
       .outputMode("update")
       .option("checkpointLocation", ckpt.toString)

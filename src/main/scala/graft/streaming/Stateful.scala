@@ -293,6 +293,60 @@ object Stateful {
     grouped.transformWithState(new StreamingPattern(withinUs), TimeMode.None(),
       OutputMode.Update())(Encoders.product[(Long, Long, Long)])
 
+  /** STREAMING KEYED AS-OF against a CDC-UPDATING dimension (r14,
+    * VERDICT r13 next #3) — q265 broadcasts a STATIC dim; here the
+    * dimension itself is a stream. Per key, state holds the full
+    * interleaved history: dimension VERSIONS (role 0: eff-ts, id,
+    * value) and OBSERVATIONS (role 1: ts, id), both bounded by a
+    * fail-loud cap like every processor in this file. Each update
+    * re-derives every observation's backward as-of match — the
+    * latest (ts, id) dimension version with ts ≤ the observation's
+    * (the q238 pointInTimeJoin rule; same-ts versions count, max id
+    * wins) — so the drained stream converges to exactly the batch
+    * point-in-time join under ANY arrival order: chronological,
+    * hash-interleaved, or late (seq + last-write reader, the q208
+    * rule). Emits (key, seq, obs_id, dim_id | -1, dim_value | null)
+    * per observation per update. */
+  class KeyedAsOf(maxPerRole: Int = 4096)
+      extends StatefulProcessor[Long, (Long, Int, Long, Long, Double),
+        (Long, Long, Long, Long, Option[Double])] {
+    @transient private var st:
+      ValueState[(Seq[(Long, Long, Double)], Seq[(Long, Long)], Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("asof",
+        Encoders.product[(Seq[(Long, Long, Double)], Seq[(Long, Long)], Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Int, Long, Long, Double)],
+                                 timers: TimerValues):
+        Iterator[(Long, Long, Long, Long, Option[Double])] = {
+      var (dims, obs, seq) =
+        if (st.exists()) st.get()
+        else (Seq.empty[(Long, Long, Double)], Seq.empty[(Long, Long)], 0L)
+      rows.foreach { r =>
+        if (r._2 == 0) dims :+= ((r._3, r._4, r._5))
+        else obs :+= ((r._3, r._4))
+      }
+      require(dims.size <= maxPerRole && obs.size <= maxPerRole,
+        s"key $key exceeds $maxPerRole as-of rows per role")
+      seq += 1
+      st.update((dims, obs, seq))
+      val sorted = dims.sortBy(t => (t._1, t._2))
+      obs.iterator.map { case (ots, oid) =>
+        val m = sorted.takeWhile(_._1 <= ots).lastOption
+        (key, seq, oid, m.map(_._2).getOrElse(-1L), m.map(_._3))
+      }
+    }
+  }
+
+  /** [[KeyedAsOf]] over a keyed `(key, role, ts, id, value)` stream
+    * (role 0 = dimension version, role 1 = observation). */
+  def keyedAsOf(grouped: KeyValueGroupedDataset[Long, (Long, Int, Long, Long, Double)])
+      : Dataset[(Long, Long, Long, Long, Option[Double])] =
+    grouped.transformWithState(new KeyedAsOf(), TimeMode.None(),
+      OutputMode.Update())(
+      Encoders.product[(Long, Long, Long, Long, Option[Double])])
+
   /** Running max of a per-event Long measure, emitted on change only —
     * the "new high-water mark" pattern. */
   def highWaterMark[K: Encoder](grouped: KeyValueGroupedDataset[K, Long])(
