@@ -821,6 +821,168 @@ object EventAnalytics {
         (col("s").cast("double") / lit(1e6)).as("ewma"))
   }
 
+  /** AUTOCORRELATION FUNCTION over the gapless daily grid (r14) —
+    * the seasonality detector every time-series pipeline runs before
+    * choosing windows: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² for
+    * lags 1..maxLag. Computed EXACTLY: with S = Σx and n = #days,
+    * dev_t = n·x_t − S is integral, N_k = Σ dev_t·dev_{t+k} and
+    * D = Σ dev_t² accumulate in DECIMAL(38,0) (order-independent,
+    * overflow-proof to 10³⁸ — the OLS/Gram convention), and the ONLY
+    * IEEE operation is the final N_k/D double division, mirrored
+    * token-for-token in the oracle. One window pass materializes the
+    * maxLag leads; everything else is a per-group aggregate — a
+    * single shuffle on the group key over a days-bounded grid. */
+  def acfDaily(ev: DataFrame, maxLag: Int,
+               groupCol: String = "event_type",
+               tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1, s"acfDaily: maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val grid = resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n").as("x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val led = (1 to maxLag).foldLeft(grid)((d, k) =>
+      d.withColumn(s"x$k", lead(col("x"), k).over(w)))
+    val stats = led.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"))
+    def dev(c: Column): Column =
+      (c * col("cnt") - col("s")).cast("decimal(19,0)")
+    val base = led.join(broadcast(stats), "g")
+    val aggs = sum(dev(col("x")) * dev(col("x"))).as("d0") +:
+      (1 to maxLag).map(k =>
+        sum(dev(col("x")) * dev(col(s"x$k"))).as(s"n$k"))
+    val perGroup = base.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+    val stacked = (1 to maxLag).map(k =>
+      perGroup.select(col("g").as(groupCol), lit(k.toLong).as("lag"),
+        (col(s"n$k").cast("double") / col("d0").cast("double")).as("acf")))
+    stacked.reduce(_.unionByName(_))
+  }
+
+  /** HOLT LINEAR TREND (double exponential smoothing, r14) — the
+    * level+trend forecaster one step up from [[ewmaDaily]]'s flat
+    * level: l_t = l_{t−1} + b_{t−1} + (x_t − (l_{t−1}+b_{t−1}))/α⁻¹,
+    * b_t = b_{t−1} + ((l_t − l_{t−1}) − b_{t−1})/β⁻¹, seeded
+    * l_1 = x_1, b_1 = 0. (With δ = (x_t − (l+b))/α⁻¹ the trend
+    * update collapses EXACTLY to b + δ/β⁻¹ — the form the fold and
+    * the oracle both use, so the two integer divisions match.) The recursion runs in FIXED-POINT 1e6
+    * integers with truncating division (identical in Spark `div` and
+    * DuckDB `//`), per group over the ≤history-days array — the
+    * [[ewmaDaily]] bounded-fold stance — so the sequential fold is
+    * bit-identical to the recursive-CTE oracle under any
+    * partitioning. Emits level, trend, and the one-step-ahead
+    * forecast l+b per day. */
+  def holtDaily(ev: DataFrame, alphaDen: Int, betaDen: Int,
+                groupCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    require(alphaDen >= 1 && betaDen >= 1,
+      s"holtDaily: denominators must be >= 1, got $alphaDen/$betaDen")
+    val grid = resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n"))
+    grid.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("rows"))
+      .select(col("g").as(groupCol), expr(
+        s"""inline(aggregate(rows,
+           |  struct(CAST(-1 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+           |         CAST(array() AS
+           |           ARRAY<STRUCT<day: BIGINT, n: BIGINT,
+           |                        l: BIGINT, b: BIGINT>>) AS out),
+           |  (acc, x) -> CASE WHEN acc.l < 0 THEN
+           |    named_struct('l', x.n * 1000000, 'b', CAST(0 AS BIGINT),
+           |      'out', array_append(acc.out, named_struct(
+           |        'day', x.day, 'n', x.n,
+           |        'l', x.n * 1000000, 'b', CAST(0 AS BIGINT))))
+           |  ELSE
+           |    named_struct(
+           |      'l', acc.l + acc.b +
+           |           (x.n * 1000000 - (acc.l + acc.b)) div $alphaDen,
+           |      'b', acc.b +
+           |           ((x.n * 1000000 - (acc.l + acc.b)) div $alphaDen)
+           |             div $betaDen,
+           |      'out', array_append(acc.out, named_struct(
+           |        'day', x.day, 'n', x.n,
+           |        'l', acc.l + acc.b +
+           |             (x.n * 1000000 - (acc.l + acc.b)) div $alphaDen,
+           |        'b', acc.b +
+           |             ((x.n * 1000000 - (acc.l + acc.b)) div $alphaDen)
+           |               div $betaDen)))
+           |  END,
+           |  acc -> acc.out))""".stripMargin))
+      .select(col(groupCol), col("day"), col("n"),
+        (col("l").cast("double") / lit(1e6)).as("level"),
+        (col("b").cast("double") / lit(1e6)).as("trend"),
+        ((col("l") + col("b")).cast("double") / lit(1e6)).as("forecast"))
+  }
+
+  /** WEEKLY SEASONAL DECOMPOSITION (r14) — the classical
+    * trend/seasonal/remainder additive split (STL's moving-average
+    * ancestor) over the gapless daily grid, kept engine-exact:
+    *  - trend_t = centered 7-day mean, defined only where the full
+    *    window exists (edge days stay NULL, as in classical
+    *    decomposition); the integer 7-day sum divides by 7.0 in ONE
+    *    IEEE operation;
+    *  - the seasonal index per weekday averages the INTEGER
+    *    detrended deviation 7·x_t − sum7_t over full-window days —
+    *    integers all the way to one final division by 7·count;
+    *  - remainder_t = x − trend − seasonal, two IEEE subtractions in
+    *    a fixed order, mirrored token-for-token in the oracle.
+    * Shapes: one grid window pass + a 7·|groups|-row weekday index
+    * broadcast back — the [[resampleDaily]] cost plus a bounded
+    * dimension join. */
+  def seasonalDecomposeWeekly(ev: DataFrame,
+                              groupCol: String = "event_type",
+                              tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n").as("x"))
+    val w7 = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = grid
+      .withColumn("sum7", sum(col("x")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val idx = t.filter(col("cnt7") === 7)
+      .groupBy(col("g"), col("dow"))
+      .agg(sum(col("x") * 7 - col("sum7")).as("snum"),
+        count(lit(1)).as("scnt"))
+    t.join(broadcast(idx), Seq("g", "dow"), "left")
+      .withColumn("trend",
+        when(col("cnt7") === 7, col("sum7").cast("double") / lit(7.0)))
+      .withColumn("seasonal",
+        col("snum").cast("double") / (col("scnt") * 7L).cast("double"))
+      .select(col("g").as(groupCol), col("day"), col("x").as("n"),
+        col("trend"), col("seasonal"),
+        (col("x").cast("double") - col("trend") - col("seasonal"))
+          .as("remainder"))
+  }
+
+  /** PURGED WALK-FORWARD SPLIT (r14) — temporal cross-validation the
+    * way leakage-safe ML pipelines do it: the event-time range cuts
+    * into `folds` equal spans; fold k (1-based, k ≥ 1 so training is
+    * never empty) tests on span k and trains on everything ending at
+    * least `embargoSec` BEFORE the test span opens — the embargo
+    * purges boundary leakage (features aggregated near the cut would
+    * otherwise peek across it). Pure projection against a one-row
+    * (min, max) broadcast: every row gets a (fold, role ∈
+    * train|test|excluded) pair per fold — deterministic, shuffle-free
+    * until the caller aggregates. */
+  def walkForwardSplit(ev: DataFrame, folds: Int, embargoSec: Long,
+                       tsCol: String = "ts_us"): DataFrame = {
+    require(folds >= 2, s"walkForwardSplit: folds must be >= 2, got $folds")
+    require(embargoSec >= 0, "embargo must be non-negative")
+    val stats = ev.agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("span", expr(s"((hi - lo) div $folds) + 1L"))
+      .withColumn("fold", explode(sequence(lit(1), lit(folds - 1))))
+      .withColumn("test_lo", col("lo") + col("fold") * col("span"))
+      .withColumn("test_hi", col("test_lo") + col("span"))
+      .withColumn("role",
+        when(col(tsCol) >= col("test_lo") && col(tsCol) < col("test_hi"),
+          "test")
+          .when(col(tsCol) < col("test_lo") - lit(embargoSec * 1000000L),
+            "train")
+          .otherwise("excluded"))
+      .drop("lo", "hi", "span", "test_lo", "test_hi")
+  }
+
   /** SCD TYPE-2 HISTORY BUILD (the warehouse dimension-versioning
     * op): collapse an entity's observation stream into contiguous
     * state intervals — one row per RUN of equal `stateCol` values,

@@ -147,4 +147,46 @@ object LinkAnalysis {
           (lit(2L) * col("n_triangles")).cast("double") /
             (col("degree") * (col("degree") - 1L)).cast("double")))
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION community detection (r14) —
+    * Raghavan et al.'s LPA made deterministic: every node starts
+    * labeled with its own id; each round, every node simultaneously
+    * adopts its neighbors' MODE label with ties broken (count desc,
+    * label asc) — no RNG, no asynchronous order dependence, so a
+    * fixed round count replays bit-identically in the unrolled-CTE
+    * oracle (the [[pageRankInt]] stance; LPA oscillates on bipartite
+    * structures under plain synchronous updates, which a fixed round
+    * budget sidesteps deterministically).
+    *
+    * One round = one hash equi-join (undirected edges ⋈ labels on the
+    * neighbor key) + one (node, label) count + one per-node top-1 —
+    * all shuffles on the node key, `WindowGroupLimit`-prunable, with
+    * a per-round `localCheckpoint` truncating the lineage exactly as
+    * the PageRank fixpoint does. Nodes are edge endpoints (an
+    * isolated node has no neighbors to vote). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("nb"), col("lbl")),
+          col("b") === col("nb"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+      val top = Window.partitionBy(col("a"))
+        .orderBy(desc("c"), asc("lbl"))
+      labels = votes.withColumn("rn", row_number().over(top))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.withColumnRenamed("lbl", "community")
+  }
 }

@@ -145,7 +145,58 @@ object R14Q {
         .select(col("user_id"), col("obs_id"),
           col("m.dim_id").as("dim_id"), col("m.dim_value").as("dim_value"))
         .orderBy("user_id", "obs_id")
-    })
+    }),
+
+    // AUTOCORRELATION (r14): the seasonality detector over the q234
+    // gapless grid — exact integer deviations (n·x − S), DECIMAL(38,0)
+    // sums, one final double division per lag.
+    // `EventAnalytics.acfDaily`.
+    "q270_acf_daily" -> ((s, d) =>
+      graft.operators.EventAnalytics.acfDaily(Tables.events(s, d), maxLag = 7)
+        .orderBy("event_type", "lag")),
+
+    // HOLT LINEAR TREND (r14): level+trend double smoothing one step
+    // up from q246's flat EWMA — the same fixed-point 1e6 fold,
+    // α = 1/8, β = 1/4, recursive-CTE oracle.
+    // `EventAnalytics.holtDaily`.
+    "q271_holt_trend" -> ((s, d) =>
+      graft.operators.EventAnalytics
+        .holtDaily(Tables.events(s, d), alphaDen = 8, betaDen = 4)
+        .orderBy("event_type", "day")),
+
+    // LABEL PROPAGATION (r14): deterministic synchronous LPA over the
+    // q136 synthetic graph — 3 rounds, mode vote with (count desc,
+    // label asc) ties, unrolled-CTE oracle like PageRank.
+    // `LinkAnalysis.labelPropagation`.
+    "q272_label_propagation" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst"))
+      graft.operators.LinkAnalysis.labelPropagation(edges, rounds = 3)
+        .orderBy("node")
+    }),
+
+    // WEEKLY SEASONAL DECOMPOSE (r14): additive trend/seasonal/
+    // remainder over the gapless grid — integer 7-day sums and
+    // weekday indices, exactly three IEEE ops per row.
+    // `EventAnalytics.seasonalDecomposeWeekly`.
+    "q273_seasonal_decompose" -> ((s, d) =>
+      graft.operators.EventAnalytics
+        .seasonalDecomposeWeekly(Tables.events(s, d))
+        .orderBy("event_type", "day")),
+
+    // PURGED WALK-FORWARD SPLIT (r14): leakage-safe temporal CV —
+    // 5 folds over the event-time range, 1-day embargo before each
+    // test span; the gate aggregates per (fold, role).
+    // `EventAnalytics.walkForwardSplit`.
+    "q274_walkforward_split" -> ((s, d) =>
+      graft.operators.EventAnalytics
+        .walkForwardSplit(
+          Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+          folds = 5, embargoSec = 86400L)
+        .groupBy(col("fold"), col("role"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy("fold", "role"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,6 +285,191 @@ object R14Q {
         |SELECT u AS user_id, id AS obs_id,
         |       COALESCE(dim_id, CAST(-1 AS BIGINT)) AS dim_id, dim_value
         |FROM c WHERE t = 'purchase'
-        |ORDER BY user_id, obs_id""".stripMargin
+        |ORDER BY user_id, obs_id""".stripMargin,
+
+    // mirrors q270: same spine, same integer deviations, same decimal
+    // sums, same single double division per lag
+    "q270_acf_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS x
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), led AS (
+        |  SELECT g, day, x,
+        |    lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+        |    lead(x, 3) OVER w AS x3, lead(x, 4) OVER w AS x4,
+        |    lead(x, 5) OVER w AS x5, lead(x, 6) OVER w AS x6,
+        |    lead(x, 7) OVER w AS x7
+        |  FROM filled WINDOW w AS (PARTITION BY g ORDER BY day)
+        |), st AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         CAST(SUM(x) AS BIGINT) AS s
+        |  FROM filled GROUP BY g
+        |), dv AS (
+        |  SELECT l.g,
+        |    CAST(l.x * st.cnt - st.s AS DECIMAL(19,0)) AS d0,
+        |    CAST(l.x1 * st.cnt - st.s AS DECIMAL(19,0)) AS d1,
+        |    CAST(l.x2 * st.cnt - st.s AS DECIMAL(19,0)) AS d2,
+        |    CAST(l.x3 * st.cnt - st.s AS DECIMAL(19,0)) AS d3,
+        |    CAST(l.x4 * st.cnt - st.s AS DECIMAL(19,0)) AS d4,
+        |    CAST(l.x5 * st.cnt - st.s AS DECIMAL(19,0)) AS d5,
+        |    CAST(l.x6 * st.cnt - st.s AS DECIMAL(19,0)) AS d6,
+        |    CAST(l.x7 * st.cnt - st.s AS DECIMAL(19,0)) AS d7
+        |  FROM led l JOIN st ON st.g = l.g
+        |), agg AS (
+        |  SELECT g, SUM(d0 * d0) AS den,
+        |    SUM(d0 * d1) AS n1, SUM(d0 * d2) AS n2, SUM(d0 * d3) AS n3,
+        |    SUM(d0 * d4) AS n4, SUM(d0 * d5) AS n5, SUM(d0 * d6) AS n6,
+        |    SUM(d0 * d7) AS n7
+        |  FROM dv GROUP BY g
+        |)
+        |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
+        |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        |FROM agg, LATERAL (VALUES (1, n1), (2, n2), (3, n3), (4, n4),
+        |                          (5, n5), (6, n6), (7, n7)) v(lag, num)
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // mirrors q271: the q246 recursive-CTE replay with the two-divide
+    // Holt update (delta = (x−(l+b))//8, l += b+delta, b += delta//4)
+    "q271_holt_trend" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), idx AS (
+        |  SELECT g, day, n,
+        |         row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+        |  FROM filled
+        |), h AS (
+        |  SELECT g, day, n, rn, n * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.g, i.day, i.n, i.rn,
+        |         h.l + h.b + (i.n * 1000000 - (h.l + h.b)) // 8,
+        |         h.b + ((i.n * 1000000 - (h.l + h.b)) // 8) // 4
+        |  FROM h JOIN idx i ON i.g = h.g AND i.rn = h.rn + 1
+        |)
+        |SELECT g AS event_type, day, CAST(n AS BIGINT) AS n,
+        |       CAST(l AS DOUBLE) / 1e6 AS level,
+        |       CAST(b AS DOUBLE) / 1e6 AS trend,
+        |       CAST(l + b AS DOUBLE) / 1e6 AS forecast
+        |FROM h ORDER BY event_type, day""".stripMargin,
+
+    // mirrors q272: both-direction distinct edges, three unrolled
+    // synchronous mode-vote rounds, (count desc, label asc) ties
+    "q272_label_propagation" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT src a, dst b FROM (
+        |    SELECT user_id AS src,
+        |           (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+        |    FROM events) raw
+        |  WHERE src <> dst
+        |), e AS (
+        |  SELECT a, b FROM ed UNION SELECT b, a FROM ed
+        |), l0 AS (
+        |  SELECT DISTINCT a AS node, a AS lbl FROM e
+        |), v1 AS (
+        |  SELECT e.a, l.lbl, COUNT(*) c FROM e JOIN l0 l ON l.node = e.b
+        |  GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT a AS node, lbl FROM (
+        |    SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |      ORDER BY c DESC, lbl) rn FROM v1) q WHERE rn = 1
+        |), v2 AS (
+        |  SELECT e.a, l.lbl, COUNT(*) c FROM e JOIN l1 l ON l.node = e.b
+        |  GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT a AS node, lbl FROM (
+        |    SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |      ORDER BY c DESC, lbl) rn FROM v2) q WHERE rn = 1
+        |), v3 AS (
+        |  SELECT e.a, l.lbl, COUNT(*) c FROM e JOIN l2 l ON l.node = e.b
+        |  GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT a AS node, lbl FROM (
+        |    SELECT a, lbl, row_number() OVER (PARTITION BY a
+        |      ORDER BY c DESC, lbl) rn FROM v3) q WHERE rn = 1
+        |)
+        |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin,
+
+    // mirrors q273: same grid, same full-window trend rule, same
+    // integer weekday index, same three IEEE ops
+    "q273_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS x
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), t AS (
+        |  SELECT g, day, x,
+        |    CAST(SUM(x) OVER w7 AS BIGINT) AS sum7,
+        |    CAST(COUNT(*) OVER w7 AS BIGINT) AS cnt7,
+        |    day % 7 AS dow
+        |  FROM filled
+        |  WINDOW w7 AS (PARTITION BY g ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), idx AS (
+        |  SELECT g, dow, CAST(SUM(x * 7 - sum7) AS BIGINT) AS snum,
+        |         CAST(COUNT(*) AS BIGINT) AS scnt
+        |  FROM t WHERE cnt7 = 7 GROUP BY g, dow
+        |)
+        |SELECT t.g AS event_type, t.day, CAST(t.x AS BIGINT) AS n,
+        |  CASE WHEN t.cnt7 = 7
+        |       THEN CAST(t.sum7 AS DOUBLE) / 7.0 END AS trend,
+        |  CAST(i.snum AS DOUBLE) / CAST(i.scnt * 7 AS DOUBLE) AS seasonal,
+        |  CAST(t.x AS DOUBLE)
+        |    - (CASE WHEN t.cnt7 = 7
+        |            THEN CAST(t.sum7 AS DOUBLE) / 7.0 END)
+        |    - (CAST(i.snum AS DOUBLE) / CAST(i.scnt * 7 AS DOUBLE))
+        |    AS remainder
+        |FROM t LEFT JOIN idx i ON i.g = t.g AND i.dow = t.dow
+        |ORDER BY event_type, day""".stripMargin,
+
+    // mirrors q274: fold spans from the global (min, max), embargo
+    // purge before each test window
+    "q274_walkforward_split" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), st AS (
+        |  SELECT MIN(ts_us) lo, MAX(ts_us) hi,
+        |         ((MAX(ts_us) - MIN(ts_us)) // 5) + 1 AS span
+        |  FROM e
+        |), f AS (
+        |  SELECT e.event_id, e.ts_us, v.fold,
+        |         st.lo + v.fold * st.span AS test_lo,
+        |         st.lo + v.fold * st.span + st.span AS test_hi
+        |  FROM e, st, (VALUES (1), (2), (3), (4)) v(fold)
+        |)
+        |SELECT CAST(fold AS INT) AS fold,
+        |  CASE WHEN ts_us >= test_lo AND ts_us < test_hi THEN 'test'
+        |       WHEN ts_us < test_lo - 86400000000 THEN 'train'
+        |       ELSE 'excluded' END AS role,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM f GROUP BY 1, 2 ORDER BY fold, role""".stripMargin
   )
 }

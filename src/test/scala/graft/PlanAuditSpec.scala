@@ -100,7 +100,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // fold, and the (target-rank → bucket,offset) row into the
     // in-bucket rank pass (q102's embed-the-scalars pattern; the
     // r13 global-sort WindowExec this replaced is gone)
-    "q262_conversion_latency")
+    "q262_conversion_latency",
+    // q274 (r14): the global (min, max) event-time range — a ONE-ROW
+    // broadcast cross-joined into the fold projection (q102's
+    // embed-the-scalars pattern); the query is otherwise a pure
+    // projection + the final (fold, role) rollup
+    "q274_walkforward_split")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
@@ -222,5 +227,21 @@ class PlanAuditSpec extends AnyFunSuite {
       .withColumn("score", lit(graft.operators.LinkAnalysis.Scale))
     assertClean("prRound",
       planOf(graft.operators.LinkAnalysis.prRound(e, outdeg, scores)))
+
+    // q272 round body (r14): neighbor-label vote join + per-node
+    // top-1 — the same checkpointed-loop audit, un-checkpointed
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b"))).distinct()
+    val lbl0 = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val votes = und
+      .join(lbl0.select(col("node").as("nb"), col("lbl")), col("b") === col("nb"))
+      .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+    val top = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(desc("c"), asc("lbl"))
+    assertClean("lpaRound", planOf(votes
+      .withColumn("rn", row_number().over(top)).filter(col("rn") === 1)))
   }
 }
