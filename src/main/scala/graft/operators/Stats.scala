@@ -375,4 +375,110 @@ object Stats {
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
+
+  /** HYPERLOGLOG DISTINCT SKETCH (r14) — Flajolet et al.'s mergeable
+    * cardinality estimator, built ENGINE-EXACTLY so the oracle replays
+    * the sketch bit-for-bit: the 56-bit hash is the first 14 hex chars
+    * of md5 (identical text-level derivation in Spark `conv` and
+    * DuckDB's hex cast), the top `b` bits pick the register, and the
+    * rank is the first set bit of the suffix FOUND IN THE BINARY
+    * STRING (lpad(bin(w)) — string ops, not libm). Register folding is
+    * Σ 2^(suffixBits+1−M_j) in exact BIGINT (≤ m·2^51, no overflow,
+    * order-independent), and the ONLY IEEE arithmetic is the final
+    * α·m²·2^(suffixBits+1)/S division chain, written with identical
+    * literal order in both engines. No small-range log correction is
+    * applied — the raw estimate is the deterministic artifact (choose
+    * b so n ≳ 5/2·m, or apply corrections reader-side); the m-register
+    * spine is explicit, so empty registers contribute their 2^0 term
+    * exactly as the paper requires. Per key the sketch is m integers —
+    * the mergeable shape that unions across partitions, days, and
+    * tables for free (max per register). */
+  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                  b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 14, s"hllDistinct: b must be in [4,14], got $b")
+    val m = 1 << b
+    val suffixBits = 56 - b
+    val alpha = if (b == 4) "0.673" else if (b == 5) "0.697"
+                else if (b == 6) "0.709" else s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val rho = df
+      .withColumn("__h", expr(
+        s"cast(conv(substring(md5(cast($valueCol as string)), 1, 14), 16, 10) as bigint)"))
+      .withColumn("__bkt", expr(s"__h div ${1L << suffixBits}L"))
+      .withColumn("__w", expr(s"__h % ${1L << suffixBits}L"))
+      .withColumn("__pos", expr(s"instr(lpad(bin(__w), $suffixBits, '0'), '1')"))
+      .withColumn("__rho", expr(s"CASE WHEN __pos = 0 THEN ${suffixBits + 1} ELSE __pos END"))
+    val regs = rho.groupBy(col(keyCol), col("__bkt"))
+      .agg(max(col("__rho")).as("mj"))
+    val spine = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(sequence(lit(0), lit(m - 1))).as("__bkt"))
+    spine.join(regs, Seq(keyCol, "__bkt"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+      .groupBy(col(keyCol))
+      .agg(sum(expr(s"shiftleft(1L, ${suffixBits + 1} - mj)")).as("s"),
+        count(when(col("mj") === 0, 1)).as("v_zero"))
+      .withColumn("estimate", expr(
+        s"$alpha * $m.0 * $m.0 * ${1L << (suffixBits + 1)}L / cast(s as double)"))
+  }
+
+  /** FEATURE HASHING (the hashing trick, r14) — the fixed-dimension
+    * text featurizer every large-scale linear/embedding-input model
+    * uses when a vocabulary is too big or too fluid to hold: each
+    * token hashes to one of `dim` buckets with a hash-derived SIGN
+    * (Weinberger et al. — the sign makes collisions cancel in
+    * expectation instead of biasing upward). md5-derived like
+    * [[hllDistinct]], so Spark and the oracle agree token-for-token;
+    * emits the sparse (doc, index, value) triples with zero-sum
+    * collisions dropped. One explode + one (doc, bucket) aggregate —
+    * the shuffle carries at most dim entries per document. */
+  def featureHash(docs: DataFrame, dim: Int = 256,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(dim >= 2, s"featureHash: dim must be >= 2, got $dim")
+    docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+      .withColumn("__h", expr(
+        "cast(conv(substring(md5(tok), 1, 14), 16, 10) as bigint)"))
+      .withColumn("idx", expr(s"__h % $dim"))
+      .withColumn("sgn", expr(s"CASE WHEN (__h div $dim) % 2 = 0 THEN 1L ELSE -1L END"))
+      .groupBy(col(idCol), col("idx"))
+      .agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0)
+  }
+
+  /** MAD ANOMALY FLAGS (r14) — the robust outlier rule
+    * |x − median| > 3·MAD, immune to the anomalies themselves (the
+    * weakness of the z-score family: one huge spike inflates σ and
+    * hides the rest). Kept INTEGER-EXACT by doubling: med2 = 2·median
+    * (the lower+upper middle order stats summed, so even-length
+    * series need no fractional midpoint), dev2_i = |2x_i − med2|,
+    * mad4 = 2·median(dev2); the flag 2·dev2 > 3·mad4 is EXACTLY
+    * |x − med| > 3·MAD with no float anywhere. Runs per group over
+    * the ≤history-days daily series (the bounded-fold stance of
+    * [[graft.operators.EventAnalytics.ewmaDaily]]); the oracle
+    * replays via rank order statistics. */
+  def madAnomalyDaily(ev: DataFrame,
+                      groupCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    val grid = EventAnalytics.resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n").as("x"))
+    def med2Of(arrCol: Column, nCol: Column): Column =
+      when(nCol % 2 === 1, lit(2L) * element_at(arrCol, ((nCol + 1) / 2).cast("int")))
+        .otherwise(element_at(arrCol, (nCol / 2).cast("int")) +
+          element_at(arrCol, (nCol / 2 + 1).cast("int")))
+    val med = grid.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("x"))).as("a"),
+        count(lit(1)).as("n"))
+      .select(col("g"), med2Of(col("a"), col("n")).as("med2"))
+    val dev = grid.join(broadcast(med), Seq("g"))
+      .withColumn("dev2", abs(lit(2L) * col("x") - col("med2")))
+    val mad = dev.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("dev2"))).as("a"),
+        count(lit(1)).as("n"))
+      .select(col("g"), med2Of(col("a"), col("n")).as("mad4"))
+    dev.join(broadcast(mad), Seq("g"))
+      .select(col("g").as(groupCol), col("day"), col("x").as("n"),
+        col("med2"), col("mad4"),
+        (lit(2L) * col("dev2") > lit(3L) * col("mad4")).as("is_anomaly"))
+  }
 }

@@ -196,7 +196,31 @@ object R14Q {
           folds = 5, embargoSec = 86400L)
         .groupBy(col("fold"), col("role"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
-        .orderBy("fold", "role"))
+        .orderBy("fold", "role")),
+
+    // HYPERLOGLOG (r14): distinct users per event type as the
+    // mergeable 64-register sketch — md5-derived registers replayed
+    // bit-for-bit by the oracle, exact BIGINT register fold, one
+    // final IEEE division chain. `Stats.hllDistinct`.
+    "q275_hll_distinct" -> ((s, d) =>
+      graft.operators.Stats
+        .hllDistinct(Tables.events(s, d), "event_type", "user_id", b = 6)
+        .orderBy("event_type")),
+
+    // FEATURE HASHING (r14): the signed hashing trick at dim=256 over
+    // documents — fixed-dimension sparse features with md5 buckets
+    // and collision-cancelling signs. `Stats.featureHash`.
+    "q276_feature_hash" -> ((s, d) =>
+      graft.operators.Stats
+        .featureHash(Tables.documents(s, d).filter(col("doc_id") < 200))
+        .orderBy("doc_id", "idx")),
+
+    // MAD ANOMALY (r14): robust |x − median| > 3·MAD daily flags,
+    // integer-exact via doubled medians (med2/mad4), immune to the
+    // spikes a z-score family absorbs. `Stats.madAnomalyDaily`.
+    "q277_mad_anomaly" -> ((s, d) =>
+      graft.operators.Stats.madAnomalyDaily(Tables.events(s, d))
+        .orderBy("event_type", "day"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -470,6 +494,108 @@ object R14Q {
         |       ELSE 'excluded' END AS role,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
-        |FROM f GROUP BY 1, 2 ORDER BY fold, role""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY fold, role""".stripMargin,
+
+    // mirrors q275: identical 56-bit md5 hash, top-6-bit register,
+    // string-level first-set-bit rank, BIGINT register fold, and the
+    // same literal-order estimate chain
+    "q275_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+        |      AS h
+        |  FROM events
+        |), rho AS (
+        |  SELECT g, h // 1125899906842624 AS bkt,
+        |    CASE WHEN strpos(lpad(bin(h % 1125899906842624), 50, '0'),
+        |                     '1') = 0 THEN 51
+        |         ELSE strpos(lpad(bin(h % 1125899906842624), 50, '0'),
+        |                     '1') END AS rho
+        |  FROM h
+        |), regs AS (
+        |  SELECT g, bkt, MAX(rho) AS mj FROM rho GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, bkt FROM (SELECT DISTINCT g FROM h),
+        |    (SELECT unnest(generate_series(0, 63)) AS bkt)
+        |), folded AS (
+        |  SELECT s.g, COALESCE(r.mj, 0) AS mj
+        |  FROM spine s LEFT JOIN regs r ON r.g = s.g AND r.bkt = s.bkt
+        |)
+        |SELECT g AS event_type,
+        |  CAST(SUM(1::BIGINT << (51 - mj)) AS BIGINT) AS s,
+        |  CAST(COUNT(CASE WHEN mj = 0 THEN 1 END) AS BIGINT) AS v_zero,
+        |  0.709 * 64.0 * 64.0 * 2251799813685248 /
+        |    CAST(SUM(1::BIGINT << (51 - mj)) AS DOUBLE) AS estimate
+        |FROM folded GROUP BY g ORDER BY event_type""".stripMargin,
+
+    // mirrors q276: same tokenization, same md5 bucket and sign
+    "q276_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+        |    AS tok
+        |  FROM documents WHERE doc_id < 200
+        |), h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h
+        |  FROM toks WHERE regexp_matches(tok, '^[a-z0-9]+$')
+        |)
+        |SELECT doc_id, h % 256 AS idx,
+        |  CAST(SUM(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+        |       AS BIGINT) AS v
+        |FROM h GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    // mirrors q277: doubled order-statistic medians via ranks (the
+    // q251 winsorize idiom), integer flag 2·dev2 > 3·mad4
+    "q277_mad_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS x
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), rk AS (
+        |  SELECT g, day, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x, day)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM filled
+        |), m1 AS (
+        |  SELECT g, CAST(CASE WHEN MAX(n) % 2 = 1
+        |    THEN 2 * MAX(CASE WHEN r = (n + 1) // 2 THEN x END)
+        |    ELSE MAX(CASE WHEN r = n // 2 THEN x END)
+        |       + MAX(CASE WHEN r = n // 2 + 1 THEN x END) END
+        |    AS BIGINT) AS med2
+        |  FROM rk GROUP BY g
+        |), dev AS (
+        |  SELECT f.g, f.day, f.x, m1.med2,
+        |         ABS(2 * f.x - m1.med2) AS dev2
+        |  FROM filled f JOIN m1 ON m1.g = f.g
+        |), drk AS (
+        |  SELECT g, dev2,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY dev2, day)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM dev
+        |), m2 AS (
+        |  SELECT g, CAST(CASE WHEN MAX(n) % 2 = 1
+        |    THEN 2 * MAX(CASE WHEN r = (n + 1) // 2 THEN dev2 END)
+        |    ELSE MAX(CASE WHEN r = n // 2 THEN dev2 END)
+        |       + MAX(CASE WHEN r = n // 2 + 1 THEN dev2 END) END
+        |    AS BIGINT) AS mad4
+        |  FROM drk GROUP BY g
+        |)
+        |SELECT d.g AS event_type, d.day, CAST(d.x AS BIGINT) AS n,
+        |       d.med2, m2.mad4,
+        |       (2 * d.dev2 > 3 * m2.mad4) AS is_anomaly
+        |FROM dev d JOIN m2 ON m2.g = d.g
+        |ORDER BY event_type, day""".stripMargin
   )
 }
