@@ -481,4 +481,23 @@ object Stats {
         col("med2"), col("mad4"),
         (lit(2L) * col("dev2") > lit(3L) * col("mad4")).as("is_anomaly"))
   }
+
+  /** EQUI-DEPTH QUANTILE BINNING (r14) — the feature-engineering
+    * discretizer (decile/percentile bins for monotone models, WoE
+    * tables, drift monitors): `ntile(k)` over (value, tie) per group
+    * assigns every row its rank-balanced bin — ntile's floor/ceil
+    * split of n into k parts is specified identically in Spark and
+    * DuckDB, and the tie column makes the assignment total, so bins
+    * replay exactly. One partitioned window (the per-group sort a
+    * rank discretizer must pay) + the per-bin rollup. */
+  def quantileBin(df: DataFrame, k: Int, groupCol: String,
+                  valueCol: String, tieCol: String): DataFrame = {
+    require(k >= 2, s"quantileBin: k must be >= 2, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    df.withColumn("bin", ntile(k).over(w).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -423,4 +423,42 @@ object TextAnalysis {
       .select(col("rank"), col("tok"), col("df"), col("total_tf"),
         col("postings_head"))
   }
+
+  /** BLOCKED FUZZY-MATCH PAIRS (entity resolution, r14) — the
+    * record-linkage kernel: candidate pairs come ONLY from a blocking
+    * key (pair space Σ block-size², never n² — the same bucketed
+    * stance as every dedup generator in this engine), then the exact
+    * edit-distance threshold decides. `levenshtein` is the classic DP
+    * with identical semantics in Spark and DuckDB, so the residual
+    * predicate replays exactly; equal names are excluded (exact
+    * duplicates belong to the exact-dedup family). The contract is
+    * explicit: matches outside EVERY blocking key are not candidates.
+    * Blocking is MULTI-PASS (the standard record-linkage design): a
+    * pair qualifies if ANY key agrees — e.g. first token + last token
+    * together catch an edit confined to either word, where a single
+    * key's recall collapses (measured: 0.13 single-key vs near-total
+    * two-key on the part-name fixture — FuzzyMatchSpec keeps that
+    * measurement honest). Candidates dedup BEFORE the DP so each
+    * pair pays the distance once. */
+  def fuzzyMatchPairs(rel: DataFrame, idCol: String, nameCol: String,
+                      maxDist: Int,
+                      blockExprs: Seq[Column]): DataFrame = {
+    require(maxDist >= 1, s"fuzzyMatchPairs: maxDist must be >= 1")
+    require(blockExprs.nonEmpty, "at least one blocking key")
+    val cands = blockExprs.map { be =>
+      val keyed = rel.withColumn("__blk", be)
+      val a = keyed.select(col(idCol).as("a_id"), col(nameCol).as("a_name"),
+        col("__blk"))
+      val b = keyed.select(col(idCol).as("b_id"), col(nameCol).as("b_name"),
+        col("__blk"))
+      a.join(b, "__blk")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
+    }.reduce(_.unionByName(_)).dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist && col("a_name") =!= col("b_name"))
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"),
+        col("dist").cast("long").as("dist"))
+  }
 }

@@ -220,7 +220,28 @@ object R14Q {
     // spikes a z-score family absorbs. `Stats.madAnomalyDaily`.
     "q277_mad_anomaly" -> ((s, d) =>
       graft.operators.Stats.madAnomalyDaily(Tables.events(s, d))
-        .orderBy("event_type", "day"))
+        .orderBy("event_type", "day")),
+
+    // BLOCKED FUZZY MATCH (r14): entity resolution over part names —
+    // MULTI-PASS blocking (first token OR last token keys the
+    // candidate join; pair space Σ block², never n²), exact
+    // levenshtein ≤ 3 decides; DP edit distance is engine-identical.
+    // `TextAnalysis.fuzzyMatchPairs`.
+    "q278_fuzzy_match" -> ((s, d) =>
+      graft.operators.TextAnalysis.fuzzyMatchPairs(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 3,
+        blockExprs = Seq(
+          split(col("p_name"), " ").getItem(0),
+          element_at(split(col("p_name"), " "), -1)))
+        .orderBy("a_id", "b_id")),
+
+    // EQUI-DEPTH BINNING (r14): decile discretization of event values
+    // per type — ntile's floor/ceil split is engine-identical and the
+    // tie column totalizes the order. `Stats.quantileBin`.
+    "q279_quantile_bins" -> ((s, d) =>
+      graft.operators.Stats.quantileBin(
+        Tables.events(s, d), k = 10, "event_type", "value", "event_id")
+        .orderBy("event_type", "bin"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -596,6 +617,42 @@ object R14Q {
         |       d.med2, m2.mad4,
         |       (2 * d.dev2 > 3 * m2.mad4) AS is_anomaly
         |FROM dev d JOIN m2 ON m2.g = d.g
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    // mirrors q278: union of the two blocked candidate joins (the
+    // UNION dedups pairs), then the same edit distance
+    "q278_fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |         split_part(p_name, ' ', 1) AS blk1,
+        |         split_part(p_name, ' ', -1) AS blk2
+        |  FROM part
+        |), cand AS (
+        |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        |         a.p_name AS a_name, b.p_name AS b_name
+        |  FROM p a JOIN p b ON b.blk1 = a.blk1
+        |   AND a.p_partkey < b.p_partkey
+        |  UNION
+        |  SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+        |  FROM p a JOIN p b ON b.blk2 = a.blk2
+        |   AND a.p_partkey < b.p_partkey
+        |)
+        |SELECT a_id, b_id, a_name, b_name,
+        |       CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(a_name, b_name) <= 3 AND a_name <> b_name
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors q279: ntile decile bins with the event_id tie order
+    "q279_quantile_bins" ->
+      """SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(value) AS lo, MAX(value) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |         ntile(10) OVER (PARTITION BY event_type
+        |                         ORDER BY value, event_id) AS bin
+        |  FROM events) q
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
   )
 }
