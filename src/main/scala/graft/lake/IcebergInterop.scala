@@ -1332,15 +1332,22 @@ object IcebergInterop {
     * new `v(N+1).metadata.json` with the expired entries gone from
     * `snapshots` and `snapshot-log`, so time travel to an expired id
     * fails loudly at snapshot resolution while every retained
-    * snapshot keeps reading bit-identically. Refuses to expire the
-    * current snapshot. */
+    * snapshot keeps reading bit-identically.
+    *
+    * Retention follows the MAIN LINEAGE (r14): the kept set is the
+    * last `retainLast` ancestors of the current snapshot (walking
+    * `parent-snapshot-id`) plus every ref-protected snapshot — the
+    * real expireSnapshots rule. On a linear history this is exactly
+    * the old list-tail behavior; with [[stageAppend]] branches it
+    * additionally expires a REJECTED staged snapshot (its ref
+    * dropped, off the main line) no matter how new it is, which is
+    * the WAP failure leg's cleanup. */
   def expireSnapshots(root: Path, retainLast: Int): ExpireResult = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val metaPath = currentMetadata(root)
     val m = mapper
     val meta = m.readTree(Files.readString(metaPath))
     val snaps = meta.get("snapshots").elements().asScala.toSeq
-    if (snaps.size <= retainLast) return ExpireResult(Nil, 0, 0, 0)
     // ref-referenced snapshots survive regardless of age — the spec's
     // branch/tag retention rule: expiring a tagged snapshot would turn
     // the ref into a dangling pointer ([[setRef]])
@@ -1349,16 +1356,22 @@ object IcebergInterop {
         meta.get("refs").properties().asScala
           .map(_.getValue.get("snapshot-id").asLong()).toSet
       else Set.empty
-    val tailIds = snaps.takeRight(retainLast)
-      .map(_.get("snapshot-id").asLong()).toSet
+    val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val currentId = meta.get("current-snapshot-id").asLong()
+    val lineage = scala.collection.mutable.Set.empty[Long]
+    var cur = Option(currentId)
+    while (cur.exists(byId.contains) && lineage.size < retainLast) {
+      val s = byId(cur.get)
+      lineage += cur.get
+      cur = if (s.has("parent-snapshot-id"))
+        Some(s.get("parent-snapshot-id").asLong()) else None
+    }
     val (kept, dropped) = snaps.partition(s =>
-      tailIds(s.get("snapshot-id").asLong()) ||
+      lineage(s.get("snapshot-id").asLong()) ||
         refIds(s.get("snapshot-id").asLong()))
     if (dropped.isEmpty) return ExpireResult(Nil, 0, 0, 0)
-    val currentId = meta.get("current-snapshot-id").asLong()
-    require(kept.exists(_.get("snapshot-id").asLong() == currentId),
-      s"expiry would drop the current snapshot $currentId — retainLast " +
-        s"counts from the snapshot-list tail, which must include it")
+    assert(kept.exists(_.get("snapshot-id").asLong() == currentId),
+      s"invariant: the current snapshot $currentId is its own first ancestor")
     def listPath(s: JsonNode): Path = resolveLoc(root, s.get("manifest-list").asText())
     def manifestsOf(lp: Path): Seq[Path] =
       readAvro(lp).map(r => resolveLoc(root, r.get("manifest_path").toString))
@@ -1471,6 +1484,140 @@ object IcebergInterop {
   /** [[readIceberg]] addressed by ref name (`VERSION AS OF 'tag'`). */
   def readIcebergRef(spark: SparkSession, root: Path, name: String): DataFrame =
     readIcebergImpl(spark, root, refSnapshotId(root, name), None)
+
+  /** WRITE-AUDIT-PUBLISH staging (r14) — Iceberg's WAP pattern on the
+    * branch machinery: append `df` as a NEW snapshot whose parent is
+    * the branch tip (or main when the branch is new) and point ONLY
+    * the branch ref at it — `current-snapshot-id` does not move, so
+    * every main reader is untouched while audit queries run against
+    * [[readIcebergRef]](branch). [[publishBranch]] then fast-forwards
+    * main in a metadata-only commit; an audit failure simply drops
+    * the ref and lets [[expireSnapshots]] reclaim the staged files.
+    * The snapshot carries the parent's manifests as-is plus one new
+    * ADDED manifest — the real append shape, commit cost O(new data).
+    * v1 / unpartitioned / spec-0 scope, like [[rewriteDataFiles]]. */
+  def stageAppend(spark: SparkSession, root: Path, df: DataFrame,
+                  branch: String): Long = {
+    require(branch.nonEmpty && branch != "main",
+      "stage on a named branch, not main — main moving IS publishing")
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath)).deepCopy[ObjectNode]()
+    require(meta.get("format-version").asInt() == 1,
+      "stageAppend supports v1 exports")
+    val metaDir = metaPath.getParent
+    val snaps = meta.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val ids = snaps.elements().asScala.map(_.get("snapshot-id").asLong()).toSeq
+    val parentId =
+      if (meta.has("refs") && meta.get("refs").has(branch))
+        meta.get("refs").get(branch).get("snapshot-id").asLong()
+      else meta.get("current-snapshot-id").asLong()
+    val parent = snaps.elements().asScala
+      .find(_.get("snapshot-id").asLong() == parentId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"parent snapshot $parentId not at $root"))
+    val parentList = readAvro(resolveLoc(root, parent.get("manifest-list").asText()))
+    require(parentList.forall(
+      _.get("partition_spec_id").asInstanceOf[Integer] == 0),
+      "stageAppend handles only spec-0 manifest sets")
+
+    // new data files + their ADDED manifest
+    val newId = ids.max + 1
+    val dataDir = root.resolve("data")
+      .resolve(s"wap-$newId-${UUID.randomUUID().toString.take(8)}")
+    df.write.mode("error").parquet(dataDir.toString)
+    val files = Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+    val mp = metaDir.resolve(s"manifest-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestEntrySchema))) { w =>
+      w.create(manifestEntrySchema, mp.toFile)
+      files.foreach { f =>
+        val dfr = new GenericData.Record(dataFileSchema)
+        dfr.put("file_path", s"file://${f.toAbsolutePath}")
+        dfr.put("file_format", "PARQUET")
+        dfr.put("partition", new GenericData.Record(
+          dataFileSchema.getField("partition").schema()))
+        dfr.put("record_count", parquetRowCount(f))
+        dfr.put("file_size_in_bytes", Files.size(f))
+        dfr.put("block_size_in_bytes", 64L * 1024 * 1024)
+        val e = new GenericData.Record(manifestEntrySchema)
+        e.put("status", 1) // ADDED in this snapshot
+        e.put("snapshot_id", newId)
+        e.put("data_file", dfr)
+        w.append(e)
+      }
+    }
+    // manifest list: the parent's entries carried verbatim + the new one
+    val lp = metaDir.resolve(s"snap-$newId-${UUID.randomUUID()}.avro")
+    Using.resource(new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](manifestListSchema))) { w =>
+      w.create(manifestListSchema, lp.toFile)
+      parentList.foreach { pr =>
+        val r = new GenericData.Record(manifestListSchema)
+        manifestListSchema.getFields.asScala.foreach(f =>
+          r.put(f.name(), pr.get(f.name())))
+        w.append(r)
+      }
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"file://${mp.toAbsolutePath}")
+      r.put("manifest_length", Files.size(mp))
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", newId)
+      r.put("added_data_files_count", files.size)
+      r.put("existing_data_files_count", 0)
+      r.put("deleted_data_files_count", 0)
+      w.append(r)
+    }
+    // snapshot node (fs-derived timestamp, strictly after the parent's)
+    val sn = snaps.addObject()
+    sn.put("snapshot-id", newId)
+    sn.put("parent-snapshot-id", parentId)
+    sn.put("timestamp-ms", math.max(
+      Files.getLastModifiedTime(metaDir).toMillis,
+      parent.get("timestamp-ms").asLong() + 1L))
+    sn.putObject("summary").put("operation", "append")
+    sn.put("manifest-list", s"file://${lp.toAbsolutePath}")
+    if (parent.has("schema-id")) sn.put("schema-id", parent.get("schema-id").asInt())
+    val refs =
+      if (meta.has("refs") && meta.get("refs").isObject)
+        meta.get("refs").asInstanceOf[ObjectNode]
+      else meta.putObject("refs")
+    val rn = refs.putObject(branch)
+    rn.put("snapshot-id", newId)
+    rn.put("type", "branch")
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaDir.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    Files.writeString(metaDir.resolve("version-hint.text"), (curV + 1).toString)
+    newId
+  }
+
+  /** Fast-forward main to a branch tip (WAP's PUBLISH leg): a
+    * metadata-only commit that sets `current-snapshot-id` to the
+    * branch's snapshot. The branch ref stays (it keeps protecting its
+    * snapshot from expiry until explicitly dropped). */
+  def publishBranch(root: Path, branch: String): Long = {
+    val id = refSnapshotId(root, branch)
+    require(branch != "main", "main cannot publish onto itself")
+    val metaPath = currentMetadata(root)
+    val m = mapper
+    val meta = m.readTree(Files.readString(metaPath)).deepCopy[ObjectNode]()
+    meta.put("current-snapshot-id", id)
+    val curV = metaPath.getFileName.toString
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
+    Files.writeString(metaPath.getParent.resolve(s"v${curV + 1}.metadata.json"),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    Files.writeString(metaPath.getParent.resolve("version-hint.text"),
+      (curV + 1).toString)
+    id
+  }
 
   /** MANIFEST COMPACTION (Iceberg's `rewrite_manifests` maintenance
     * action): merge the CURRENT snapshot's manifests into ONE and

@@ -241,7 +241,42 @@ object R14Q {
     "q279_quantile_bins" -> ((s, d) =>
       graft.operators.Stats.quantileBin(
         Tables.events(s, d), k = 10, "event_type", "value", "event_id")
-        .orderBy("event_type", "bin"))
+        .orderBy("event_type", "bin")),
+
+    // WRITE-AUDIT-PUBLISH (r14): Iceberg's WAP pattern on the branch
+    // machinery — a batch stages as a snapshot only the audit branch
+    // can see (main readers untouched, proven in-query), the q240/267
+    // style audit runs against the branch, and publish fast-forwards
+    // main in a metadata-only commit. `IcebergInterop.stageAppend` /
+    // `publishBranch`; the failure leg (drop ref → expiry reclaims
+    // the staged files) is spec-pinned in IcebergWapSpec.
+    "q280_iceberg_wap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val t = graft.lake.LakeTable.createTemp(s,
+        ev.filter(col("event_id") % 2 === 0), "graft-wapq")
+      val dest = Qx.tempDir("graft-wap-q").resolve("t")
+      graft.lake.IcebergInterop.exportHistory(t, dest)
+      val baseN = graft.lake.IcebergInterop.readIceberg(s, dest).count()
+      val batch = ev.filter(col("event_id") % 2 === 1)
+      graft.lake.IcebergInterop.stageAppend(s, dest, batch, "audit")
+      // staging invariant: main unmoved, branch sees base + batch
+      require(graft.lake.IcebergInterop.readIceberg(s, dest).count() == baseN,
+        "staging must not move main")
+      val branchN = graft.lake.IcebergInterop
+        .readIcebergRef(s, dest, "audit").count()
+      require(branchN == baseN + batch.count(),
+        s"audit branch must see the staged batch: $branchN")
+      // the audit itself: the staged rows carry no NULL types
+      val bad = graft.lake.IcebergInterop.readIcebergRef(s, dest, "audit")
+        .filter(col("event_type").isNull).count()
+      require(bad == 0, s"audit failed: $bad violating rows")
+      graft.lake.IcebergInterop.publishBranch(dest, "audit")
+      graft.lake.IcebergInterop.readIceberg(s, dest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -653,6 +688,16 @@ object R14Q {
         |         ntile(10) OVER (PARTITION BY event_type
         |                         ORDER BY value, event_id) AS bin
         |  FROM events) q
-        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+        |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    // mirrors q280: after publish, main = base (even ids) + the
+    // staged batch (odd ids) = the whole table
+    "q280_iceberg_wap" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }
