@@ -393,23 +393,41 @@ object Stats {
     * exactly as the paper requires. Per key the sketch is m integers —
     * the mergeable shape that unions across partitions, days, and
     * tables for free (max per register). */
-  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String,
-                  b: Int = 6): DataFrame = {
-    require(b >= 4 && b <= 14, s"hllDistinct: b must be in [4,14], got $b")
-    val m = 1 << b
+  /** [[hllDistinct]]'s per-row register derivation, exposed for
+    * incremental/streaming uses: adds (`__bkt`, `__rho`) — a row's
+    * register id and rank. MAX of `__rho` per (key, `__bkt`) IS the
+    * sketch, and max is monotone-idempotent, so partial register
+    * maxes from any batching/partitioning fold to the same sketch —
+    * the mergeability that makes HLL the streaming cardinality
+    * primitive (q281 drains exactly that). */
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 14, s"hllRegisters: b must be in [4,14], got $b")
     val suffixBits = 56 - b
-    val alpha = if (b == 4) "0.673" else if (b == 5) "0.697"
-                else if (b == 6) "0.709" else s"(0.7213 / (1.0 + 1.079 / $m.0))"
-    val rho = df
+    df
       .withColumn("__h", expr(
         s"cast(conv(substring(md5(cast($valueCol as string)), 1, 14), 16, 10) as bigint)"))
       .withColumn("__bkt", expr(s"__h div ${1L << suffixBits}L"))
       .withColumn("__w", expr(s"__h % ${1L << suffixBits}L"))
       .withColumn("__pos", expr(s"instr(lpad(bin(__w), $suffixBits, '0'), '1')"))
-      .withColumn("__rho", expr(s"CASE WHEN __pos = 0 THEN ${suffixBits + 1} ELSE __pos END"))
-    val regs = rho.groupBy(col(keyCol), col("__bkt"))
-      .agg(max(col("__rho")).as("mj"))
-    val spine = df.select(col(keyCol)).distinct()
+      .withColumn("__rho", expr(
+        s"CASE WHEN __pos = 0 THEN ${suffixBits + 1} ELSE __pos END"))
+      .drop("__h", "__w", "__pos")
+  }
+
+  /** Fold PARTIAL registers (`keyCol`, `__bkt`, `mj`) — possibly
+    * incomplete and with duplicate buckets from merged batches — into
+    * the per-key estimate row: the max-combine, the explicit
+    * m-register spine (empty registers contribute their 2^0 term),
+    * the exact BIGINT sum, and the literal-order IEEE estimate. */
+  def hllFold(partial: DataFrame, keyCol: String, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 14, s"hllFold: b must be in [4,14], got $b")
+    val m = 1 << b
+    val suffixBits = 56 - b
+    val alpha = if (b == 4) "0.673" else if (b == 5) "0.697"
+                else if (b == 6) "0.709" else s"(0.7213 / (1.0 + 1.079 / $m.0))"
+    val regs = partial.groupBy(col(keyCol), col("__bkt"))
+      .agg(max(col("mj")).as("mj"))
+    val spine = partial.select(col(keyCol)).distinct()
       .select(col(keyCol), explode(sequence(lit(0), lit(m - 1))).as("__bkt"))
     spine.join(regs, Seq(keyCol, "__bkt"), "left")
       .withColumn("mj", coalesce(col("mj"), lit(0)))
@@ -419,6 +437,13 @@ object Stats {
       .withColumn("estimate", expr(
         s"$alpha * $m.0 * $m.0 * ${1L << (suffixBits + 1)}L / cast(s as double)"))
   }
+
+  def hllDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                  b: Int = 6): DataFrame =
+    hllFold(
+      hllRegisters(df, valueCol, b).groupBy(col(keyCol), col("__bkt"))
+        .agg(max(col("__rho")).as("mj")),
+      keyCol, b)
 
   /** FEATURE HASHING (the hashing trick, r14) — the fixed-dimension
     * text featurizer every large-scale linear/embedding-input model

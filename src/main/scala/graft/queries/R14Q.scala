@@ -276,6 +276,59 @@ object R14Q {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // STREAMING HLL (r14): the sketch's mergeability in action — each
+    // micro-batch emits partial per-(day, register) maxes from a
+    // plain streaming max agg (update mode), the sink accumulates
+    // them, and the read-side fold max-combines to EXACTLY the batch
+    // sketch regardless of how the drain batched the rows (max is
+    // monotone-idempotent — no state processor needed, the register
+    // relation IS the state). `Stats.hllRegisters` / `hllFold`.
+    "q281_stream_hll" -> ((s, d) => {
+      val sink = graft.streaming.MicroBatch.updateRun(s, d,
+        splitParts = Some(3)) { stream =>
+        graft.operators.Stats.hllRegisters(
+          graft.Tables.toEventTime(stream)
+            .withColumn("day",
+              datediff(to_date(col("ts")), lit("2020-01-01")).cast("long")),
+          "user_id")
+          .groupBy(col("day"), col("__bkt"))
+          .agg(max(col("__rho")).as("mj"))
+      }
+      graft.operators.Stats.hllFold(sink, "day")
+        .orderBy("day")
+    }),
+
+    // FORGET-USER FLOW (r14, the GDPR/right-to-be-forgotten shape):
+    // a deletes-only MERGE removes every row of one user from the
+    // lake table; the CURRENT snapshot forgets immediately while
+    // PRIOR versions still time-travel to the data (the compliance
+    // tension, asserted in-query) until vacuum reclaims them — after
+    // which the user is physically gone and old-version reads die at
+    // scan. The gate hashes the post-forget table.
+    "q282_forget_user" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val t = graft.lake.LakeTable.createTemp(s, ev, "graft-forget")
+      val noRows = ev.limit(0)
+      t.merge(noRows, Seq("event_id"),
+        deletes = Some(ev.filter(col("user_id") === 7)))
+      require(t.snapshot().filter(col("user_id") === 7).isEmpty,
+        "current snapshot must forget the user")
+      require(t.snapshot(1L).filter(col("user_id") === 7).count() > 0,
+        "prior versions still hold the data until vacuum — the reason " +
+          "a compliance delete is merge THEN vacuum, not merge alone")
+      t.vacuum(retainVersions = 1)
+      val gone = scala.util.Try(t.snapshot(1L).count())
+      require(gone.isFailure, "vacuumed versions must not time-travel")
+      t.snapshot()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total"))
+        .orderBy("event_type")
     })
   )
 
@@ -697,6 +750,49 @@ object R14Q {
         |       CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors q281: the batch sketch per day — the drained partial
+    // maxes fold to exactly this
+    "q281_stream_hll" ->
+      """WITH h AS (
+        |  SELECT CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+        |      AS h
+        |  FROM events
+        |), rho AS (
+        |  SELECT day, h // 1125899906842624 AS bkt,
+        |    CASE WHEN strpos(lpad(bin(h % 1125899906842624), 50, '0'),
+        |                     '1') = 0 THEN 51
+        |         ELSE strpos(lpad(bin(h % 1125899906842624), 50, '0'),
+        |                     '1') END AS rho
+        |  FROM h
+        |), regs AS (
+        |  SELECT day, bkt, MAX(rho) AS mj FROM rho GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT day, bkt FROM (SELECT DISTINCT day FROM h),
+        |    (SELECT unnest(generate_series(0, 63)) AS bkt)
+        |), folded AS (
+        |  SELECT s.day, COALESCE(r.mj, 0) AS mj
+        |  FROM spine s LEFT JOIN regs r ON r.day = s.day AND r.bkt = s.bkt
+        |)
+        |SELECT day,
+        |  CAST(SUM(1::BIGINT << (51 - mj)) AS BIGINT) AS s,
+        |  CAST(COUNT(CASE WHEN mj = 0 THEN 1 END) AS BIGINT) AS v_zero,
+        |  0.709 * 64.0 * 64.0 * 2251799813685248 /
+        |    CAST(SUM(1::BIGINT << (51 - mj)) AS DOUBLE) AS estimate
+        |FROM folded GROUP BY day ORDER BY day""".stripMargin,
+
+    // mirrors q282: the table minus the forgotten user
+    "q282_forget_user" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE user_id <> 7
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
   )

@@ -24,7 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q80_stream_dedup", "q81_stream_stream_join", "q87_frame_sample",
     "q112_stream_time_travel", "q127_stream_scrub", "q138_stream_decontaminate",
     "q149_stream_quantile", "q155_stream_static_join", "q156_stream_cdc_merge",
-    "q230_stream_rate_anomaly",
+    "q230_stream_rate_anomaly", "q269_stream_cdc_asof", "q281_stream_hll",
     "q158_stream_outer_join", "q168_stream_full_outer_join",
     "q170_stream_sessions", "q188_stateful_v2", "q189_stream_timer_sessions",
     "q193_stream_join_window",
