@@ -736,6 +736,19 @@ object DeltaInterop {
     versions.size
   }
 
+  /** CHECK constraints declared in a Delta log (r14) — the import
+    * half of the [[exportSnapshot]] constraint interop: parse the
+    * `delta.constraints.<name>` configuration keys from the replayed
+    * metaData, so an engine ingesting a foreign Delta table can
+    * re-attach them (e.g. via [[LakeTable.addCheck]]) instead of
+    * silently dropping the table's write contract. */
+  def readConstraints(spark: SparkSession, root: Path,
+                      version: Long = Long.MaxValue): Map[String, String] =
+    replayLog(spark, root, version).configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+
   case class OptimizeResult(compactedFiles: Int, newFiles: Int,
                             carriedFiles: Int, version: Long)
 

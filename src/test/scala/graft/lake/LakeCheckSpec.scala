@@ -102,4 +102,19 @@ class LakeCheckSpec extends AnyFunSuite {
       dest2.resolve("_delta_log").resolve(f"${0L}%020d.json")).asScala.mkString("\n")
     assert(log2.contains("\"minWriterVersion\":2") && !log2.contains("delta.constraints"))
   }
+
+  test("constraints round-trip: export, read back, re-attach, re-enforce") {
+    val t = LakeTable.createTemp(spark, ev.limit(40), "graft-chk8")
+    t.addCheck("nonneg", "value >= 0")
+    val dest = TempDirs.create("graft-chk-rt").resolve("t")
+    DeltaInterop.exportSnapshot(t, dest)
+    val back = DeltaInterop.readConstraints(spark, dest)
+    assert(back === Map("nonneg" -> "value >= 0"))
+    // an importing engine re-attaches the contract and it ENFORCES
+    val t2 = LakeTable.createTemp(spark,
+      DeltaInterop.readDelta(spark, dest), "graft-chk9")
+    back.foreach { case (n, e) => t2.addCheck(n, e) }
+    intercept[CheckViolationException](t2.append(
+      Seq((9000004L, "x", -1.0)).toDF("event_id", "event_type", "value")))
+  }
 }
