@@ -21,9 +21,10 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r13 slowest-12 — from the committed 266-query sf0.1
-    * artifact run (BENCH_r13 = PERF.md's generated block: 190.7 s
-    * median / 166.4 s min, load 4.47→2.27)
+  /** The r14 slowest-12 — from the round's FINAL quiet 282-query
+    * sf0.1 run (212.4 s median / 184.8 s min, load 2.42→1.60; the
+    * prior run's one outlier, q278's id-level fuzzy DP at 71 s, is
+    * fixed to 0.5 s name-level and out of the list)
     * — plus five cross-surface controls (relational agg, star join,
     * brute-force cosine, dedup clusters, staged IVF). Refreshed each
     * round so the driver's stdout tail sees the most expensive
@@ -32,12 +33,12 @@ object Bench {
     * median and min maps — stays inside the driver's ~2 KB tail
     * capture. */
   val headline: Seq[String] = Seq(
-    "q254_incremental_rollup", "q178_zorder_optimize",
-    "q193_stream_join_window", "q205_semantic_canonical",
-    "q208_stream_funnel", "q188_stateful_v2", "q34_minhash_pairs",
-    "q168_stream_full_outer_join", "q158_stream_outer_join",
-    "q199_semantic_dedup", "q81_stream_stream_join",
-    "q260_stream_pattern",
+    "q269_stream_cdc_asof", "q254_incremental_rollup",
+    "q193_stream_join_window", "q178_zorder_optimize",
+    "q260_stream_pattern", "q281_stream_hll",
+    "q188_stateful_v2", "q205_semantic_canonical",
+    "q158_stream_outer_join", "q199_semantic_dedup",
+    "q34_minhash_pairs", "q208_stream_funnel",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;

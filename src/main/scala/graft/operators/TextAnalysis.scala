@@ -424,41 +424,65 @@ object TextAnalysis {
         col("postings_head"))
   }
 
-  /** BLOCKED FUZZY-MATCH PAIRS (entity resolution, r14) — the
-    * record-linkage kernel: candidate pairs come ONLY from a blocking
-    * key (pair space Σ block-size², never n² — the same bucketed
-    * stance as every dedup generator in this engine), then the exact
-    * edit-distance threshold decides. `levenshtein` is the classic DP
-    * with identical semantics in Spark and DuckDB, so the residual
-    * predicate replays exactly; equal names are excluded (exact
-    * duplicates belong to the exact-dedup family). The contract is
-    * explicit: matches outside EVERY blocking key are not candidates.
-    * Blocking is MULTI-PASS (the standard record-linkage design): a
-    * pair qualifies if ANY key agrees — e.g. first token + last token
-    * together catch an edit confined to either word, where a single
-    * key's recall collapses (measured: 0.13 single-key vs near-total
-    * two-key on the part-name fixture — FuzzyMatchSpec keeps that
-    * measurement honest). Candidates dedup BEFORE the DP so each
-    * pair pays the distance once. */
+  /** BLOCKED FUZZY NAME MATCHING (entity resolution, r14) — the
+    * record-linkage kernel over DISTINCT names: candidate pairs come
+    * ONLY from a blocking key (pair space Σ block-size², never n² —
+    * the same bucketed stance as every dedup generator in this
+    * engine), then the exact edit-distance threshold decides.
+    * `levenshtein` is the classic DP with identical semantics in
+    * Spark and DuckDB, so the residual predicate replays exactly.
+    * Matching runs on the distinct-NAME relation because the name
+    * space is language-bounded while ids are corpus-bounded: a
+    * duplicated name must pay its DP once, not d² times (the r14
+    * bench caught exactly this — see [[fuzzyMatchPairs]]). The
+    * contract is explicit: matches outside EVERY blocking key are
+    * not candidates. Blocking is MULTI-PASS (the standard
+    * record-linkage design): a pair qualifies if ANY key agrees —
+    * e.g. first token + last token together catch an edit confined
+    * to either word, where a single key's recall collapses
+    * (measured: 0.17 single-key vs 1.00 two-key on the part-name
+    * fixture — FuzzyMatchSpec keeps that measurement honest).
+    * Candidates dedup BEFORE the DP so each pair pays the distance
+    * once. Emits (a_name < b_name, dist). */
+  def fuzzyMatchNames(rel: DataFrame, nameCol: String,
+                      maxDist: Int,
+                      blockExprs: Seq[Column]): DataFrame = {
+    require(maxDist >= 1, s"fuzzyMatchNames: maxDist must be >= 1")
+    require(blockExprs.nonEmpty, "at least one blocking key")
+    val names = rel.select(col(nameCol)).distinct()
+    val cands = blockExprs.map { be =>
+      val keyed = names.withColumn("__blk", be)
+      val a = keyed.select(col(nameCol).as("a_name"), col("__blk"))
+      val b = keyed.select(col(nameCol).as("b_name"), col("__blk"))
+      a.join(b, "__blk")
+        .filter(col("a_name") < col("b_name"))
+        .select(col("a_name"), col("b_name"))
+    }.reduce(_.unionByName(_)).dropDuplicates("a_name", "b_name")
+    cands
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_name"), col("b_name"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** Entity-level variant: expand [[fuzzyMatchNames]]' distinct-name
+    * matches back to id pairs. The expansion is the caller's choice
+    * because its size is SEMANTIC: with d duplicated ids per name the
+    * id-pair relation is d² per matched name pair — measured 71 s vs
+    * 0.6 s at sf0.1 on the part fixture when the old id-level path
+    * ran the DP on every duplicated-name candidate. Names first, the
+    * language-bounded relation; ids after, an equi-join. */
   def fuzzyMatchPairs(rel: DataFrame, idCol: String, nameCol: String,
                       maxDist: Int,
                       blockExprs: Seq[Column]): DataFrame = {
-    require(maxDist >= 1, s"fuzzyMatchPairs: maxDist must be >= 1")
-    require(blockExprs.nonEmpty, "at least one blocking key")
-    val cands = blockExprs.map { be =>
-      val keyed = rel.withColumn("__blk", be)
-      val a = keyed.select(col(idCol).as("a_id"), col(nameCol).as("a_name"),
-        col("__blk"))
-      val b = keyed.select(col(idCol).as("b_id"), col(nameCol).as("b_name"),
-        col("__blk"))
-      a.join(b, "__blk")
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"))
-    }.reduce(_.unionByName(_)).dropDuplicates("a_id", "b_id")
-    cands
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= maxDist && col("a_name") =!= col("b_name"))
+    val nm = fuzzyMatchNames(rel, nameCol, maxDist, blockExprs)
+    val ids = rel.select(col(idCol).as("__id"), col(nameCol).as("__n"))
+    nm
+      .join(ids.select(col("__id").as("a_id"), col("__n")),
+        col("__n") === col("a_name")).drop("__n")
+      .join(ids.select(col("__id").as("b_id"), col("__n")),
+        col("__n") === col("b_name")).drop("__n")
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"),
-        col("dist").cast("long").as("dist"))
+        col("dist"))
   }
 }

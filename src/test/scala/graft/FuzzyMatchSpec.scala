@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
 
 /** Blocked fuzzy matching (r14): the contract is "all threshold
-  * pairs WITHIN the blocking key" — verified against brute force —
-  * and the blocking-recall tradeoff is measured, not assumed. */
+  * pairs WITHIN the blocking-key union", verified against brute
+  * force over DISTINCT names; the blocking-recall tradeoff is
+  * measured, not assumed; and the id expansion is exactly the
+  * matched-name equi-join. */
 class FuzzyMatchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
@@ -19,44 +21,57 @@ class FuzzyMatchSpec extends AnyFunSuite {
     split(col("p_name"), " ").getItem(0),
     element_at(split(col("p_name"), " "), -1))
 
-  test("blocked pairs equal brute force restricted to the key union") {
-    val blocked = TextAnalysis.fuzzyMatchPairs(
-      parts, "p_partkey", "p_name", maxDist = 3, blockExprs = keys)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val a = parts.select(col("p_partkey").as("a_id"), col("p_name").as("a_name"))
-    val b = parts.select(col("p_partkey").as("b_id"), col("p_name").as("b_name"))
-    val brute = a.crossJoin(b)
-      .filter(col("a_id") < col("b_id") &&
-        levenshtein(col("a_name"), col("b_name")) <= 3 &&
-        col("a_name") =!= col("b_name") &&
-        (split(col("a_name"), " ").getItem(0) ===
-           split(col("b_name"), " ").getItem(0) ||
-         element_at(split(col("a_name"), " "), -1) ===
-           element_at(split(col("b_name"), " "), -1)))
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def bruteNames(restrict: Boolean) = {
+    val n = parts.select(col("p_name")).distinct()
+    val a = n.select(col("p_name").as("a_name"))
+    val b = n.select(col("p_name").as("b_name"))
+    val base = a.crossJoin(b)
+      .filter(col("a_name") < col("b_name") &&
+        levenshtein(col("a_name"), col("b_name")) <= 3)
+    if (!restrict) base
+    else base.filter(
+      split(col("a_name"), " ").getItem(0) ===
+        split(col("b_name"), " ").getItem(0) ||
+      element_at(split(col("a_name"), " "), -1) ===
+        element_at(split(col("b_name"), " "), -1))
+  }
+
+  test("blocked name pairs equal brute force restricted to the key union") {
+    val blocked = TextAnalysis.fuzzyMatchNames(
+      parts, "p_name", maxDist = 3, blockExprs = keys)
+      .select("a_name", "b_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val brute = bruteNames(restrict = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(brute.nonEmpty && blocked === brute)
   }
 
   test("multi-pass blocking recall against full brute force is measured") {
-    def recallOf(ks: Seq[org.apache.spark.sql.Column]): (Long, Double) = {
-      val blocked = TextAnalysis.fuzzyMatchPairs(
-        parts, "p_partkey", "p_name", maxDist = 3, blockExprs = ks).count()
-      val a = parts.select(col("p_partkey").as("a_id"), col("p_name").as("a_name"))
-      val b = parts.select(col("p_partkey").as("b_id"), col("p_name").as("b_name"))
-      val full = a.crossJoin(b)
-        .filter(col("a_id") < col("b_id") &&
-          levenshtein(col("a_name"), col("b_name")) <= 3 &&
-          col("a_name") =!= col("b_name")).count()
-      (blocked, blocked.toDouble / full)
-    }
-    val (_, single) = recallOf(keys.take(1))
-    val (n, multi) = recallOf(keys)
-    info(f"blocking recall: first-token only $single%.3f, two-pass $multi%.3f ($n pairs)")
+    val full = bruteNames(restrict = false).count()
+    val single = TextAnalysis.fuzzyMatchNames(
+      parts, "p_name", maxDist = 3, blockExprs = keys.take(1)).count()
+    val multi = TextAnalysis.fuzzyMatchNames(
+      parts, "p_name", maxDist = 3, blockExprs = keys).count()
+    val (rs, rm) = (single.toDouble / full, multi.toDouble / full)
+    info(f"blocking recall: first-token only $rs%.3f, two-pass $rm%.3f ($multi pairs)")
     // an edit confined to EITHER word keeps the other word's key
     // intact, so two-pass blocking must catch (nearly) everything a
     // <=3-edit pair can be; single-key recall collapses on this
     // fixture - the measurement the operator doc cites
-    assert(multi > 0.9, s"two-pass blocking recall too low: $multi")
-    assert(multi > single, "the second pass must add recall")
+    assert(rm > 0.9, s"two-pass blocking recall too low: $rm")
+    assert(rm > rs, "the second pass must add recall")
+  }
+
+  test("id expansion is the matched-name equi-join: d_a x d_b rows per pair") {
+    import spark.implicits._
+    val rel = Seq((1L, "red widget"), (2L, "red widget"),
+      (3L, "red gadget"), (4L, "blue bolt")).toDF("id", "name")
+    val ids = TextAnalysis.fuzzyMatchPairs(rel, "id", "name",
+      maxDist = 3, blockExprs = Seq(split(col("name"), " ").getItem(0)))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // matched name pair ("red gadget","red widget") expands to
+    // {3}x{1,2}; equal-name ids (1,2) are NOT fuzzy matches
+    assert(ids === Set((3L, 1L), (3L, 2L)))
   }
 }
