@@ -507,6 +507,85 @@ object Stats {
         (lit(2L) * col("dev2") > lit(3L) * col("mad4")).as("is_anomaly"))
   }
 
+  /** GROUPED EXACT QUANTILES BY DISTRIBUTED SELECTION (r14) — the
+    * [[graft.operators.EventAnalytics.conversionLatency]] machinery
+    * generalized to ARBITRARY groups: per group, exact
+    * (n, min, p25, p50, p75, p90, max) over a LONG value column with
+    * no per-group sort, no unpartitioned window, and no driver
+    * collect — the op that replaces "sort each group and index" when
+    * groups are corpus-sized. Ranks follow the q262 convention
+    * rank_p = max(1, (a·(n+1)) div b) for p = a/b (lower-median
+    * style), so values are bit-identical across engines under ties.
+    *
+    * The selection per group: (n, min, max) from one aggregate
+    * (groups-sized, broadcast back — a hash join, not a cross join);
+    * equal-width value buckets b = (v − min) div w with
+    * w = ((max − min) div 1024) + 1; per-(group, bucket, value)
+    * counts — the ONE data shuffle, which ties SHRINK; the ≤1025
+    * per-bucket totals fold to prefix offsets inside one `aggregate`
+    * HOF per group row; each target rank locates its bucket there,
+    * and a (group, bucket)-partitioned window ranks only the target
+    * buckets' distinct values. conversionLatency keeps its
+    * specialized single-group form (its plan is pinned in
+    * R14PlanSpec); this is the same algorithm with the group key
+    * threaded through every stage. */
+  def exactRankStats(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val pcts: Seq[(String, Int, Int)] =
+      Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col(valueCol)).as("minv"), max(col(valueCol)).as("maxv"))
+    val byValue = df.select(col(groupCol), col(valueCol).as("v"))
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("w", expr("((maxv - minv) div 1024L) + 1L"))
+      .withColumn("b", expr("(v - minv) div w"))
+      .groupBy(col(groupCol), col("b"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val perBucket = byValue.groupBy(col(groupCol), col("b"))
+      .agg(sum(col("c")).as("bc"))
+    val rankRows = pcts.map { case (nm, a, bb) =>
+      s"named_struct('p', '$nm', 'rk', greatest(1L, ($a * (n + 1)) div $bb))"
+    }.mkString("array(", ", ", ")")
+    val targets = perBucket.groupBy(col(groupCol))
+      .agg(collect_list(struct(col("b"), col("bc"))).as("bs"))
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("pref", expr(
+        """aggregate(array_sort(bs),
+          |  struct(cast(0 as bigint) as tot,
+          |         cast(array() as
+          |           array<struct<b:bigint,off:bigint,cum:bigint>>) as out),
+          |  (acc, x) -> named_struct('tot', acc.tot + x.bc,
+          |    'out', array_append(acc.out, named_struct(
+          |      'b', x.b, 'off', acc.tot, 'cum', acc.tot + x.bc))),
+          |  acc -> acc.out)""".stripMargin))
+      .select(col(groupCol), col("n"), col("minv"), col("maxv"),
+        col("pref"), explode(expr(rankRows)).as("t"))
+      .select(col(groupCol), col("n"), col("minv"), col("maxv"),
+        col("pref"), col("t.p").as("p"), col("t.rk").as("rk"))
+      .withColumn("hit", expr(
+        "filter(pref, x -> x.off < rk AND rk <= x.cum)[0]"))
+      .select(col(groupCol), col("n"), col("minv"), col("maxv"),
+        col("p"), col("rk"), col("hit.b").as("b"), col("hit.off").as("off"))
+    // in-bucket cumulative BEFORE the target join: two percentiles
+    // sharing a bucket would otherwise duplicate rows under the window
+    val wIn = Window.partitionBy(col(groupCol), col("b")).orderBy(col("v"))
+    val withCum = byValue.withColumn("cum", sum(col("c")).over(wIn))
+    val picked = withCum
+      .join(targets, Seq(groupCol, "b"))
+      .withColumn("hi", col("off") + col("cum"))
+      .withColumn("lo", col("hi") - col("c") + lit(1L))
+      .filter(col("lo") <= col("rk") && col("rk") <= col("hi"))
+    picked.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("minv")).as("min_v"),
+        max(when(col("p") === "p25", col("v"))).as("p25"),
+        max(when(col("p") === "p50", col("v"))).as("p50"),
+        max(when(col("p") === "p75", col("v"))).as("p75"),
+        max(when(col("p") === "p90", col("v"))).as("p90"),
+        max(col("maxv")).as("max_v"))
+  }
+
   /** EQUI-DEPTH QUANTILE BINNING (r14) — the feature-engineering
     * discretizer (decile/percentile bins for monotone models, WoE
     * tables, drift monitors): `ntile(k)` over (value, tie) per group

@@ -335,7 +335,19 @@ object R14Q {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("total"))
         .orderBy("event_type")
-    })
+    }),
+
+    // GROUPED EXACT QUANTILES (r14): q262's distributed selection as
+    // a reusable per-group operator — exact p25/p50/p75/p90 of the
+    // cent-quantized event value per type with no per-group sort, no
+    // unpartitioned window, no collect. `Stats.exactRankStats`.
+    "q283_grouped_quantiles" -> ((s, d) =>
+      graft.operators.Stats.exactRankStats(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("cents")),
+        "event_type", "cents")
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -787,6 +799,34 @@ object R14Q {
         |  0.709 * 64.0 * 64.0 * 2251799813685248 /
         |    CAST(SUM(1::BIGINT << (51 - mj)) AS DOUBLE) AS estimate
         |FROM folded GROUP BY day ORDER BY day""".stripMargin,
+
+    // mirrors q283: rank order statistics per group — value-at-rank
+    // is tie-proof, so the plain row_number formulation reproduces
+    // the bucketed distributed selection exactly
+    "q283_grouped_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type g,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |  FROM events
+        |), rk AS (
+        |  SELECT g, cents,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY cents)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v
+        |)
+        |SELECT g AS event_type, MAX(n) AS n,
+        |  MIN(cents) AS min_v,
+        |  MAX(CASE WHEN r = greatest(1, (1 * (n + 1)) // 4)
+        |      THEN cents END) AS p25,
+        |  MAX(CASE WHEN r = greatest(1, (1 * (n + 1)) // 2)
+        |      THEN cents END) AS p50,
+        |  MAX(CASE WHEN r = greatest(1, (3 * (n + 1)) // 4)
+        |      THEN cents END) AS p75,
+        |  MAX(CASE WHEN r = greatest(1, (9 * (n + 1)) // 10)
+        |      THEN cents END) AS p90,
+        |  MAX(cents) AS max_v
+        |FROM rk GROUP BY g ORDER BY event_type""".stripMargin,
 
     // mirrors q282: the table minus the forgotten user
     "q282_forget_user" ->

@@ -201,6 +201,29 @@ class R14DifferentialSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("exactRankStats ≡ sorted-index reference, negatives and ties included") {
+    val r3 = new scala.util.Random(11)
+    val rows = (1 to 3000).map { _ =>
+      val g = Vector("x", "y", "z")(r3.nextInt(3))
+      // heavy ties + negatives + one wide-range group
+      val v = if (g == "z") r3.nextLong() % 1000000L
+              else (r3.nextInt(41) - 20).toLong
+      (g, v)
+    }
+    val got = Stats.exactRankStats(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val s = rs.map(_._2).sorted.toVector
+      val n = s.size.toLong
+      def at(a: Long, b: Long) =
+        s((math.max(1L, (a * (n + 1)) / b) - 1).toInt)
+      g -> (n, s.head, at(1, 4), at(1, 2), at(3, 4), at(9, 10), s.last)
+    }
+    assert(got === want)
+  }
+
   test("walkForwardSplit ≡ brute force role assignment") {
     val ev = evDf
     val got = EventAnalytics.walkForwardSplit(ev, folds = 4, embargoSec = 3L)

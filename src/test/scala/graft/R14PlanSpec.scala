@@ -72,6 +72,19 @@ class R14PlanSpec extends AnyFunSuite {
       "Q5 shuffles exactly once (the revenue groupBy)")
   }
 
+  test("q283: grouped selection — no unpartitioned window, no nested loop") {
+    val p = df("q283_grouped_quantiles").queryExecution.sparkPlan
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"grouped selection regressed to a global window:\n$p")
+    val loops = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty,
+      s"the stats relation must join by hash on the group key:\n$p")
+  }
+
   test("q199 candidate generator: coarse-bucket prescreen is an equi join") {
     // the staged q199 pipeline checkpoints eagerly, so pin the
     // generator itself: the label (coarse bucket) must be extracted
