@@ -1521,6 +1521,22 @@ object IcebergInterop {
     require(parentList.forall(
       _.get("partition_spec_id").asInstanceOf[Integer] == 0),
       "stageAppend handles only spec-0 manifest sets")
+    // the staged batch must match the table's declared schema —
+    // a drifted batch would stage fine and then read as NULLs (or die
+    // at scan on a type change) AFTER publish, the worst time to learn
+    val declared = parseSchema(
+      if (meta.has("schema")) meta.get("schema")
+      else meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() ==
+          meta.get("current-schema-id").asInt())
+        .getOrElse(throw new IllegalArgumentException(
+          s"current-schema-id not in schemas list at $root")))
+    val declaredShape = declared.fields.map(f => (f.name, f.dataType)).toSeq
+    val batchShape = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(batchShape == declaredShape,
+      s"stageAppend batch schema ${batchShape.mkString(",")} does not match " +
+        s"the table's declared schema ${declaredShape.mkString(",")} at $root " +
+        "— evolve the table first, don't stage drift")
 
     // new data files + their ADDED manifest
     val newId = ids.max + 1

@@ -538,6 +538,11 @@ object Stats {
         min(col(valueCol)).as("minv"), max(col(valueCol)).as("maxv"))
     val byValue = df.select(col(groupCol), col(valueCol).as("v"))
       .join(broadcast(stats), Seq(groupCol))
+      // a group spanning more than half the long range cannot compute
+      // a bucket width; under ANSI mode (this engine's default) the
+      // subtraction itself raises ARITHMETIC_OVERFLOW — loud, never
+      // garbage buckets (values within ±2⁶² are fine; pinned in
+      // R14DifferentialSpec)
       .withColumn("w", expr("((maxv - minv) div 1024L) + 1L"))
       .withColumn("b", expr("(v - minv) div w"))
       .groupBy(col(groupCol), col("b"), col("v"))

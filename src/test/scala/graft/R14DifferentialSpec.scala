@@ -224,6 +224,18 @@ class R14DifferentialSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("exactRankStats fails loud, never garbage, on a range past ±2⁶²") {
+    // ANSI mode (the engine default) raises ARITHMETIC_OVERFLOW on the
+    // width subtraction itself — the operator cannot silently select
+    // wrong values from wrapped buckets
+    val bad = Seq(("g", Long.MinValue + 1), ("g", Long.MaxValue - 1))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      Stats.exactRankStats(bad, "g", "v").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("ARITHMETIC_OVERFLOW"))
+  }
+
   test("walkForwardSplit ≡ brute force role assignment") {
     val ev = evDf
     val got = EventAnalytics.walkForwardSplit(ev, folds = 4, embargoSec = 3L)

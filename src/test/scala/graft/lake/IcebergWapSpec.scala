@@ -86,4 +86,17 @@ class IcebergWapSpec extends AnyFunSuite {
       IcebergInterop.publishBranch(dest, "nope")
     }
   }
+
+  test("staging refuses a schema-drifted batch before any file lands") {
+    val dest = export()
+    val drifted = ev.limit(3).withColumn("extra", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.stageAppend(spark, dest, drifted, "audit")
+    }
+    assert(e.getMessage.contains("does not match"))
+    // and the refusal left no staged snapshot or ref behind
+    intercept[IllegalArgumentException] {
+      IcebergInterop.refSnapshotId(dest, "audit")
+    }
+  }
 }
