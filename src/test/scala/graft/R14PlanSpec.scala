@@ -85,6 +85,22 @@ class R14PlanSpec extends AnyFunSuite {
       s"the stats relation must join by hash on the group key:\n$p")
   }
 
+  test("q268: every CEP transition is a hash-family equi join") {
+    val p = df("q268_cep_steps").queryExecution.sparkPlan
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, "the transition chain must exist")
+    val loops = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"a transition lost its user+id equi-key:\n$p")
+    // and the only global sort is the query's own deterministic output
+    // ordering — pattern matching itself must not range-shuffle
+    val f = formatted("q268_cep_steps")
+    assert(count(f, "Arguments: rangepartitioning") <= 1, f.take(2000))
+  }
+
   test("q199 candidate generator: coarse-bucket prescreen is an equi join") {
     // the staged q199 pipeline checkpoints eagerly, so pin the
     // generator itself: the label (coarse bucket) must be extracted
