@@ -260,7 +260,16 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * `check=<name>|<expr>` lines carried forward by every commit, and
     * export to Delta as `delta.constraints.<name>` configuration. */
   def addCheck(name: String, exprSql: String): Long = {
-    require(name.nonEmpty && !name.contains("|"), s"bad constraint name: $name")
+    // the manifest is line-oriented (`check=<name>|<expr>` per line):
+    // '|' in the name breaks the split, and a newline in EITHER field
+    // would corrupt every later manifest read of the table
+    require(name.nonEmpty && !name.contains("|") &&
+      !name.exists(c => c == '\n' || c == '\r'),
+      s"bad constraint name (must be non-empty, '|'-free, newline-free): " +
+        name.replace("\n", "\\n").replace("\r", "\\r"))
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      s"constraint expression must be newline-free: " +
+        exprSql.replace("\n", "\\n").replace("\r", "\\r"))
     val prev = readManifest(latestVersion)
     require(!prev.checks.exists(_._1 == name),
       s"constraint $name already declared at $root")

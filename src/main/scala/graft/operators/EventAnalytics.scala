@@ -653,7 +653,14 @@ object EventAnalytics {
       cur.join(c, cur("au") === col(s"${pfx}_u") && idc === col(s"${pfx}_id"))
     }
 
-    // expand optional steps into concrete variants, greedy-first
+    // expand optional steps into concrete variants, greedy-first:
+    // MATCH_RECOGNIZE greedy backtracking decides the EARLIEST
+    // optional step first and prefers include over skip, so the
+    // earliest optional step must be the MOST significant priority
+    // bit — a variant that includes it outranks every variant that
+    // skips it, regardless of later steps. (The raw skip mask gets
+    // this backwards for 2+ optionals: `A B? C?` on `A C B` must
+    // backtrack C?, not B?, and end at B.)
     val optIdx = steps.zipWithIndex.collect {
       case ((_, q), i) if q == "opt" || q == "star" => i }
     val variants: Seq[(Seq[(Int, String, Boolean)], Int)] =
@@ -664,7 +671,10 @@ object EventAnalytics {
           case ((t, q), i) if !skipped(i) =>
             (i, t, q == "plus" || q == "star")
         }
-        (concrete, mask) // mask 0 (nothing skipped) = greediest
+        val prio = optIdx.indices
+          .filter(bit => (mask & (1 << bit)) != 0)
+          .map(bit => 1 << (optIdx.size - 1 - bit)).sum
+        (concrete, prio) // prio 0 (nothing skipped) = greediest
       }.filter(_._1.size >= 2)
     variants.foreach { case (c, _) =>
       c.sliding(2).foreach { case Seq((_, t1, _), (_, t2, _)) =>
@@ -681,7 +691,7 @@ object EventAnalytics {
       (explicit ++ auto).distinct
     }
 
-    val perVariant: Seq[DataFrame] = variants.map { case (c, mask) =>
+    val perVariant: Seq[DataFrame] = variants.map { case (c, prio) =>
       val (_, t1, plus1) = c.head
       var cur = carried.filter(col("t") === t1)
         .withColumnRenamed("u", "au")
@@ -722,7 +732,7 @@ object EventAnalytics {
         .select(col("au").as(userCol), col("a_id"),
           col("end_id").as("b_id"),
           expr("(end_ts - a_ts) div 1000000").as("gap_sec"),
-          lit(mask).as("__prio"))
+          lit(prio).as("__prio"))
     }
     val all = perVariant.reduce(_.unionByName(_))
     if (variants.size == 1) all.drop("__prio")

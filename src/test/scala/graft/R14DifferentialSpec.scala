@@ -36,14 +36,19 @@ class R14DifferentialSpec extends AnyFunSuite {
     val alphabet = (steps.map(_._1) ++ guards.values.flatten).distinct.sorted
     val byUser = evRows.filter(r => alphabet.contains(r._2))
       .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._4)).toVector).toMap
-    val optIdx = steps.zipWithIndex.collect {
-      case ((_, q), i) if q == "opt" || q == "star" => i }
-    val variants = (0 until (1 << optIdx.size)).map { mask =>
-      val skipped = optIdx.zipWithIndex.collect {
-        case (si, bit) if (mask & (1 << bit)) != 0 => si }.toSet
-      steps.zipWithIndex.collect {
-        case ((t, q), i) if !skipped(i) => (i, t, q == "plus" || q == "star") }
-    }.filter(_.size >= 2)
+    // genuine greedy-backtracking enumeration (MATCH_RECOGNIZE order):
+    // recurse left-to-right, trying INCLUDE before SKIP at each
+    // optional step — structurally independent of the operator's
+    // priority bit math, so a wrong tie-break there fails here
+    def expand(i: Int): Seq[Seq[(Int, String, Boolean)]] =
+      if (i == steps.size) Seq(Vector.empty)
+      else {
+        val (t, q) = steps(i)
+        val incl = expand(i + 1)
+          .map(rest => (i, t, q == "plus" || q == "star") +: rest)
+        if (q == "opt" || q == "star") incl ++ expand(i + 1) else incl
+      }
+    val variants = expand(0).filter(_.size >= 2)
     def transGuards(c: Seq[(Int, String, Boolean)], j: Int): Seq[String] = {
       val span = (c(j)._1 + 1) to c(j + 1)._1
       val explicit = span.flatMap(k => guards.getOrElse(k, Nil))
@@ -116,6 +121,31 @@ class R14DifferentialSpec extends AnyFunSuite {
   test("matchSteps ≡ brute force: star + plus mixed, within bound biting") {
     runMatch(Seq("a" -> "plus", "g" -> "star", "b" -> "one"),
       Map.empty, withinSec = 12L, contiguous = false)
+  }
+
+  test("matchSteps ≡ brute force: TWO optional steps (priority order)") {
+    runMatch(Seq("a" -> "one", "b" -> "opt", "c" -> "opt"),
+      Map.empty, withinSec = 100L, contiguous = false)
+    runMatch(Seq("a" -> "one", "b" -> "star", "g" -> "opt", "c" -> "one"),
+      Map(3 -> Seq("b")), withinSec = 100L, contiguous = false)
+  }
+
+  test("matchSteps greedy tie-break: A B? C? on 'A C B' backtracks C?, " +
+    "keeping B (r15 ADVICE fix)") {
+    // include-beats-skip at the EARLIEST optional step: the full
+    // A B C variant fails (no C after the B), so greed backtracks the
+    // LATER optional (C?) first and matches A B (end = B at ts 3),
+    // never A C (end = C at ts 2).
+    val ev = Seq(
+      (1L, "a", 1000000L, 10L),
+      (1L, "c", 2000000L, 11L),
+      (1L, "b", 3000000L, 12L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val got = EventAnalytics.matchSteps(ev,
+      Seq("a" -> "one", "b" -> "opt", "c" -> "opt"),
+      withinSec = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 10L, 12L, 2L)))
   }
 
   // ---- daily-grid fixtures for the stats family

@@ -63,18 +63,24 @@ class IcebergWapSpec extends AnyFunSuite {
     val after = IcebergInterop.readIceberg(spark, dest)
       .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
     assert(after === before, "main must be bit-identical after the rejection")
-    // and the reclaimed files are really gone from disk
-    val staged = Files.list(dest.resolve("data")).iterator()
-    var wapDirs = 0
-    while (staged.hasNext) {
-      val p = staged.next()
-      if (p.getFileName.toString.startsWith("wap-")) wapDirs += 1
-    }
-    assert(wapDirs == 0 || {
-      // dir may remain, but its parquet files must not
-      Files.walk(dest.resolve("data")).iterator().hasNext
-      true
-    })
+    // and the reclaimed files are really gone from disk: no parquet
+    // file may survive under any wap-* staging directory (the dir
+    // itself may remain empty)
+    val walk = Files.walk(dest.resolve("data"))
+    val leftover =
+      try {
+        val it = walk.iterator()
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        while (it.hasNext) {
+          val p = it.next()
+          val s = dest.resolve("data").relativize(p).toString
+          if (s.contains("wap-") && s.endsWith(".parquet")) buf += s
+        }
+        buf.toList
+      } finally walk.close()
+    assert(leftover.isEmpty,
+      s"staged-and-rejected parquet files must be physically deleted, " +
+        s"found: $leftover")
   }
 
   test("staging refuses main and unknown parents refuse loudly") {

@@ -48,6 +48,21 @@ class LakeCheckSpec extends AnyFunSuite {
     assert(t.snapshot().filter($"event_id" === 9000000L).count() === 1)
   }
 
+  test("manifest-corrupting names/expressions refuse before any commit " +
+    "(r15 ADVICE: newline in either field breaks the line-oriented log)") {
+    val t = LakeTable.createTemp(spark, ev.limit(10), "graft-chk-nl")
+    val v0 = t.latestVersion
+    intercept[IllegalArgumentException](t.addCheck("bad|pipe", "value >= 0"))
+    intercept[IllegalArgumentException](t.addCheck("bad\nname", "value >= 0"))
+    intercept[IllegalArgumentException](t.addCheck("bad\rname", "value >= 0"))
+    intercept[IllegalArgumentException](t.addCheck("ok", "value >= 0\n OR true"))
+    intercept[IllegalArgumentException](t.addCheck("ok", "value >= 0\r\n"))
+    assert(t.latestVersion === v0 && t.checks.isEmpty,
+      "refused declarations must leave the log untouched")
+    // and the table still reads fine afterwards
+    assert(t.snapshot().count() === 10)
+  }
+
   test("streaming commitBatch and mergeBatch enforce too") {
     val t = LakeTable.createTemp(spark, ev.limit(50), "graft-chk3")
     t.addCheck("nonneg", "value >= 0")
