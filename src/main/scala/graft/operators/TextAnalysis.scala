@@ -416,10 +416,16 @@ object TextAnalysis {
       .groupBy(col("tok"))
       .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
         .as("postings_head"))
-    stats.join(postings, "tok")
+    // Top-k FIRST (TakeOrderedAndProject: per-partition heap, then a
+    // k-row merge — never a vocabulary-sized single-partition sort),
+    // THEN rank over the ≤topK survivors. The previous global
+    // `row_number().over(Window.orderBy)` + filter was only scale-safe
+    // through Spark's InferWindowGroupLimit inference (r14 verdict #3);
+    // this shape is safe by construction and R15PlanSpec pins it.
+    val top = stats.orderBy(desc("df"), col("tok")).limit(topK)
+    broadcast(top).join(postings, "tok")
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("df"), col("tok"))).cast("long"))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("tok"), col("df"), col("total_tf"),
         col("postings_head"))
   }

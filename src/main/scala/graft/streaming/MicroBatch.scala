@@ -151,16 +151,32 @@ object MicroBatch {
     val in = graft.lake.TempDirs.create("graft-stream-in")
     val one = spark.read.parquet(s"$sfDir/events.parquet")
     val all = (1 to copies).map(_ => one).reduce(_ union _)
-    val bucketed = all.withColumn("__gf_bucket",
-      ntile(parts).over(org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
-    (1 to parts).foreach { i =>
-      val tmp = graft.lake.TempDirs.create("graft-stream-bt")
-      bucketed.filter(col("__gf_bucket") === i).drop("__gf_bucket")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no parquet written for bucket $i"))
-      Files.move(part, in.resolve(f"part_$i%03d.parquet"))
+    // Range-partition on ts (sampled boundaries, non-overlapping
+    // ranges, ties co-located) instead of the old global ntile window
+    // — the ntile forced the WHOLE staged table through one partition
+    // and was the bench tail's WindowExec warning (r14 verdict #4).
+    // One distributed write; file k = k-th event-time range because
+    // Spark names range-partitioned outputs part-00000.. in partition
+    // order, so the lexicographic rename preserves chronology.
+    val tmp = graft.lake.TempDirs.create("graft-stream-bt")
+    all.repartitionByRange(parts, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val ranges = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(ranges.nonEmpty, "no parquet written by range staging")
+    // FileStreamSource drains in MODIFICATION-TIME order, not name
+    // order: the parallel range write finishes its tasks in arbitrary
+    // order, so stamp strictly increasing mtimes (the sequential
+    // per-bucket writes of the old ntile staging got this for free).
+    val base = java.nio.file.Files.getLastModifiedTime(ranges.last)
+      .toMillis
+    ranges.zipWithIndex.foreach { case (p, i) =>
+      val dst = in.resolve(f"part_${i + 1}%03d.parquet")
+      Files.move(p, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + (i + 1) * 1000L))
     }
     in
   }
