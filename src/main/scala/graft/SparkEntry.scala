@@ -23,7 +23,8 @@ object SparkEntry {
     (q.ExtendedQ.queries, q.ExtendedQ.oracles),
     (q.SurfaceQ.queries, q.SurfaceQ.oracles),
     (q.CorpusQ.queries, q.CorpusQ.oracles),
-    (q.R14Q.queries, q.R14Q.oracles)
+    (q.R14Q.queries, q.R14Q.oracles),
+    (q.R15Q.queries, q.R15Q.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -348,19 +348,20 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
 
   /** OPTIMIZE ZORDER — the public Delta Lake layout-maintenance idea
     * on this lake's manifest: rewrite the live snapshot CLUSTERED by
-    * the Morton code of the two `zorderBy` columns
-    * ([[graft.functions.ZOrder.interleave]] over each column min-max
-    * normalized to 16 bits), cutting the output into `buckets`
+    * the Morton code of the k `zorderBy` columns (k in [2, 4]:
+    * [[graft.functions.ZOrder.interleaveN]] over each column min-max
+    * normalized to its lane width), cutting the output into `buckets`
     * directories on the z-value's HIGH BITS — a deterministic grid
-    * decomposition (√buckets strips per dimension), no range sampling.
-    * Each directory then covers one small rectangle of the
-    * (c1, c2) space, so the committed per-directory min/max stats let
-    * [[prunedDirs]]/[[scanPruned]] skip most directories for a range
-    * predicate on EITHER column — the property a single-column sort
-    * only gives its leading column. Layout-only: the committed row
-    * multiset and declared schema are exactly the pre-optimize
-    * snapshot's (spec-pinned), and time travel to earlier versions is
-    * untouched (immutable dirs; the old layout ages out via vacuum).
+    * decomposition (buckets^(1/k) strips per dimension), no range
+    * sampling. Each directory then covers one small hyper-rectangle
+    * of the key space, so the committed per-directory min/max stats
+    * let [[prunedDirs]]/[[scanPruned]] skip most directories for a
+    * range predicate on ANY of the k columns — the property a
+    * single-column sort only gives its leading column. Layout-only:
+    * the committed row multiset and declared schema are exactly the
+    * pre-optimize snapshot's (spec-pinned), and time travel to
+    * earlier versions is untouched (immutable dirs; the old layout
+    * ages out via vacuum).
     *
     * Scale shape: ONE range-free shuffle-less job — the z/bucket
     * columns are projections, and `partitionBy` splits at write time;
@@ -368,12 +369,15 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * granularity stays bounded. Null z-order keys normalize to bucket
     * 0 (coalesce) rather than a hive default-partition dir. */
   def optimizeZOrder(zorderBy: Seq[String], buckets: Int = 16): Long = {
-    require(zorderBy.size == 2,
-      "optimizeZOrder interleaves exactly two columns")
+    require(zorderBy.size >= 2 && zorderBy.size <= 4,
+      s"optimizeZOrder interleaves 2-4 columns, got ${zorderBy.size}")
+    val k = zorderBy.size
+    val width = graft.functions.ZOrder.laneBits(k)
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0 && buckets <= 65536,
       s"buckets must be a power of two in [2, 65536], got $buckets")
+    require(java.lang.Integer.numberOfTrailingZeros(buckets) <= k * width,
+      s"$buckets buckets exceed the ${k * width}-bit z space")
     val df = snapshot()
-    val Seq(c1, c2) = zorderBy
     // fail loud on non-numeric keys: casting e.g. a string column to
     // double yields null, which would silently send EVERY row to
     // bucket 0 — a "successful" optimize that clusters nothing
@@ -383,23 +387,28 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
           s"z-order column $c not in table schema"))
       require(isNumericTypeName(f.dataType.typeName),
         s"z-order column $c has non-numeric type ${f.dataType.typeName}; " +
-          "only numeric columns normalize to the 16-bit Morton lanes")
+          s"only numeric columns normalize to the $width-bit Morton lanes")
     }
     val bounds = df.agg(
-      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+      zorderBy.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).head,
+      zorderBy.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))).tail: _*)
+      .head()
+    val maxLane = ((1L << width) - 1).toDouble
     def norm(c: String, loIdx: Int): Column =
       if (bounds.isNullAt(loIdx) || bounds.getDouble(loIdx) == bounds.getDouble(loIdx + 1))
         lit(0L) // empty table or constant column: one-point dimension
       else {
         val (lo, hi) = (bounds.getDouble(loIdx), bounds.getDouble(loIdx + 1))
-        coalesce(((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+        coalesce(((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(maxLane))
           .cast("long"), lit(0L))
       }
-    val z = graft.functions.ZOrder.interleave(norm(c1, 0), norm(c2, 2))
+    val z = graft.functions.ZOrder.interleaveN(
+      zorderBy.zipWithIndex.map { case (c, d) => norm(c, 2 * d) })
     val v = latestVersion + 1
     val rel = s"data/z$v-${UUID.randomUUID().toString.take(8)}"
-    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val shift = k * width - java.lang.Integer.numberOfTrailingZeros(buckets)
     df.withColumn("__zb", shiftright(z, shift))
       .write.partitionBy("__zb").mode("overwrite")
       .parquet(root.resolve(rel).toString)

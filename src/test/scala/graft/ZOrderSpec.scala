@@ -33,6 +33,85 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zs.min === 0L && zs.max === 65535L) // 8-bit inputs fill 16 bits exactly
   }
 
+  test("3-D interleave matches the reference and fills the cube bijectively") {
+    // legacy 2-D equivalence: the generic chain must reproduce the
+    // fixed 16-bit (8,4,2,1) chain bit-for-bit
+    assert(ZOrder.interleaveRefN(Seq(65535L, 65535L)) === 0xFFFFFFFFL)
+    assert(ZOrder.interleaveRefN(Seq(65535L, 0L)) === 0x55555555L)
+    // 3-D corners: each lane's 16 bits land at stride 3
+    val ones3 = (0 until 16).map(i => 1L << (3 * i)).reduce(_ | _)
+    assert(ZOrder.interleaveRefN(Seq(65535L, 0L, 0L)) === ones3)
+    assert(ZOrder.interleaveRefN(Seq(0L, 65535L, 0L)) === (ones3 << 1))
+    assert(ZOrder.interleaveRefN(Seq(0L, 0L, 65535L)) === (ones3 << 2))
+    assert(ZOrder.interleaveRefN(Seq(65535L, 65535L, 65535L)) ===
+      (1L << 48) - 1)
+    // column expression ≡ JVM reference on scattered samples
+    val out = spark.range(1000)
+      .select((col("id") * 40503 % 65536).as("x"),
+        (col("id") * 48271 % 65536).as("y"),
+        (col("id") * 69621 % 65536).as("w"))
+      .withColumn("z", ZOrder.interleaveN(Seq(col("x"), col("y"), col("w"))))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(3) === ZOrder.interleaveRefN(
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    // bijection on the 32^3 cube (5-bit inputs fill 15 bits exactly)
+    val zs = spark.range(32768)
+      .select((col("id") % 32).as("x"),
+        ((col("id") / 32) % 32).cast("long").as("y"),
+        (col("id") / 1024).cast("long").as("w"))
+      .select(ZOrder.interleaveN(Seq(col("x"), col("y"), col("w"))).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === 32768)
+    assert(zs.min === 0L && zs.max === 32767L)
+    // 4-D lanes narrow to 15 bits so the code stays under the sign bit
+    assert(ZOrder.laneBits(4) === 15)
+    assert(ZOrder.interleaveRefN(Seq(32767L, 32767L, 32767L, 32767L)) ===
+      (1L << 60) - 1)
+  }
+
+  test("sqlInterleaveN (DuckDB twin) ≡ interleaveN via Spark SQL") {
+    // the SQL fragment uses only `<<`, `&`, `|` — valid in Spark SQL
+    // too, so gate the string path against the Column path directly
+    val frag = ZOrder.sqlInterleaveN(Seq("x", "y", "w"))
+    val rows = spark.range(500)
+      .select((col("id") * 31 % 65536).as("x"),
+        (col("id") * 37 % 65536).as("y"),
+        (col("id") * 41 % 65536).as("w"))
+    val diff = rows
+      .withColumn("z1", ZOrder.interleaveN(Seq(col("x"), col("y"), col("w"))))
+      .withColumn("z2", expr(frag))
+      .filter(col("z1") =!= col("z2"))
+    assert(diff.count() === 0)
+  }
+
+  test("optimizeZOrder on THREE columns: every dimension prunes") {
+    // 32x32x32 cube in one unclustered directory -> 64 grid cells
+    // (4 strips per dimension); a quarter-range predicate on ANY of
+    // the three columns must keep exactly 4^2 = 16 of 64 dirs
+    val rows = spark.range(32768)
+      .select((col("id") % 32).as("x"),
+        ((col("id") / 32) % 32).cast("long").as("y"),
+        (col("id") / 1024).cast("long").as("w"),
+        col("id").as("payload"))
+    val t = LakeTable.createTemp(spark, rows, "graft-zo3d")
+    val before = rows.collect().map(_.toSeq).sortBy(_.toString)
+    t.optimizeZOrder(Seq("x", "y", "w"), buckets = 64)
+    assert(t.snapshot().collect().map(_.toSeq).sortBy(_.toString) === before)
+    val (keptX, total) = t.prunedDirs("x", 0, 7)
+    val (keptY, _) = t.prunedDirs("y", 8, 15)
+    val (keptW, _) = t.prunedDirs("w", 24, 31)
+    assert(total === 64, s"expected the 4x4x4 grid, got $total dirs")
+    assert(keptX.size === 16, s"x pruning: ${keptX.size}/$total")
+    assert(keptY.size === 16, s"y pruning: ${keptY.size}/$total")
+    assert(keptW.size === 16, s"w pruning: ${keptW.size}/$total")
+    // the 3-D predicate intersects all three strip sets: ONE cell
+    assert(keptX.toSet.intersect(keptY.toSet).intersect(keptW.toSet).size === 1)
+    // and the pruned read is exact on each dimension
+    assert(t.scanPruned("w", 24, 31).filter(col("w") >= 24).count() === 8192L)
+  }
+
   test("z-sorted lake layout prunes range predicates on BOTH dimensions") {
     // 256x256 grid, z-sorted, cut into 16 contiguous curve segments:
     // each segment is a 64x64 tile, so every file has a narrow min/max
