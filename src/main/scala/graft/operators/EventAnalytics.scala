@@ -602,7 +602,9 @@ object EventAnalytics {
     * `steps = [(A,one),(B,one)]`, `guards = {1 → [C]}` reproduces
     * [[matchPattern]] exactly (differential-pinned in R14CepSpec).
     * Adjacent steps in any expanded variant must have distinct types
-    * (an `A A`-style pattern needs a quantifier, not repetition). */
+    * (an `A A`-style pattern needs a quantifier, not repetition).
+    *
+    * Delegates to [[matchStepsAlt]] with singleton type sets. */
   def matchSteps(ev: DataFrame, steps: Seq[(String, String)],
                  guards: Map[Int, Seq[String]] = Map.empty,
                  withinSec: Long = Long.MaxValue / 2000000L,
@@ -610,17 +612,59 @@ object EventAnalytics {
                  userCol: String = "user_id",
                  typeCol: String = "event_type",
                  tsCol: String = "ts_us",
-                 tieCol: String = "event_id"): DataFrame = {
+                 tieCol: String = "event_id"): DataFrame =
+    matchStepsAlt(ev, steps.map { case (t, q) => (Seq(t), q) }, guards,
+      withinSec, contiguous, userCol, typeCol, tsCol, tieCol)
+
+  /** CEP ALTERNATION (r15) — [[matchSteps]] with per-step type SETS:
+    * the MATCH_RECOGNIZE `(view|click) purchase` shape. A step
+    * matches an event of ANY member type; a `plus`/`star` step
+    * consumes a maximal contiguous run of IN-SET events (members may
+    * interleave inside the run, exactly the `(A|B)+` regex reading).
+    *
+    * The staged-alphabet design absorbs sets with two local changes
+    * and NO new join shape:
+    *  - next-event-of-set = `least()` over the member types'
+    *    next-(ts, id) carries (struct order = (ts, id) order; `least`
+    *    skips nulls) — the carries the single-type operator already
+    *    stages;
+    *  - run ends for a multi-type set come from one extra run
+    *    encoding over set MEMBERSHIP (the single-type encoding is the
+    *    degenerate case where membership = type equality), computed
+    *    in the same staged pass, one column per distinct multi set.
+    *
+    * Everything else — variant expansion, greedy priority, guard
+    * exclusivity, the per-transition user+id equi-joins — is
+    * unchanged, so singleton sets reproduce [[matchSteps]] exactly
+    * (differential-pinned in R15CepSpec). Adjacent steps in any
+    * expanded variant must have DISJOINT sets (an overlapping
+    * adjacency needs a quantifier, not repetition). */
+  def matchStepsAlt(ev: DataFrame, steps: Seq[(Seq[String], String)],
+                    guards: Map[Int, Seq[String]] = Map.empty,
+                    withinSec: Long = Long.MaxValue / 2000000L,
+                    contiguous: Boolean = false,
+                    userCol: String = "user_id",
+                    typeCol: String = "event_type",
+                    tsCol: String = "ts_us",
+                    tieCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quants = Set("one", "plus", "opt", "star")
     require(steps.size >= 2, "a pattern needs at least two steps")
     require(steps.forall(s => quants(s._2)),
       s"quantifiers must be one|plus|opt|star: $steps")
+    require(steps.forall(_._1.nonEmpty), "every step needs at least one type")
+    require(steps.forall(s => s._1.distinct.size == s._1.size),
+      s"duplicate types inside a step set: $steps")
     require(steps.head._2 == "one" || steps.head._2 == "plus",
       "the first step anchors the match and cannot be optional")
     require(guards.keys.forall(k => k >= 1 && k < steps.size),
       s"guard transitions must be 1..${steps.size - 1}")
-    val alphabet = (steps.map(_._1) ++ guards.values.flatten).distinct.sorted
+    val alphabet = (steps.flatMap(_._1) ++ guards.values.flatten).distinct.sorted
+    // distinct multi-type sets, each getting its own run encoding
+    val multiSets: Seq[Seq[String]] =
+      steps.map(_._1.sorted).filter(_.size > 1).distinct
+    def runEndName(set: Seq[String]): String =
+      if (set.size == 1) "rl" else s"rls${multiSets.indexOf(set.sorted)}"
 
     // one pass: per-row next-(ts,id) of every alphabet type + run end
     val wFwd = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
@@ -635,14 +679,26 @@ object EventAnalytics {
         first(when(col("t") === t, struct(col("ts"), col("id"))),
           ignoreNulls = true).over(wFwd))
     }
+    val wLag = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
     val runEnc = withNext
-      .withColumn("__new", when(lag(col("t"), 1).over(
-        Window.partitionBy(col("u")).orderBy(col("ts"), col("id")))
+      .withColumn("__new", when(lag(col("t"), 1).over(wLag)
         === col("t"), 0L).otherwise(1L))
       .withColumn("__run", sum(col("__new")).over(wOrd))
     val wRun = Window.partitionBy(col("u"), col("__run"))
-    val carried = runEnc
-      .withColumn("rl", max(struct(col("ts"), col("id"))).over(wRun))
+    // one extra membership run encoding per distinct multi-type set:
+    // a (A|B)+ run is contiguous IN-SET events, not same-type events
+    val setEnc = multiSets.zipWithIndex.foldLeft(
+      runEnc.withColumn("rl", max(struct(col("ts"), col("id"))).over(wRun))) {
+      case (d, (set, i)) =>
+        val inS = col("t").isin(set: _*)
+        d.withColumn(s"__snew$i",
+            when(lag(inS, 1).over(wLag) === inS, 0L).otherwise(1L))
+          .withColumn(s"__srun$i", sum(col(s"__snew$i")).over(wOrd))
+          .withColumn(s"rls$i", max(struct(col("ts"), col("id"))).over(
+            Window.partitionBy(col("u"), col(s"__srun$i"))))
+          .drop(s"__snew$i", s"__srun$i")
+    }
+    val carried = setEnc
       .drop("__new", "__run")
       .localCheckpoint(true) // staged once; every transition joins it
 
@@ -663,7 +719,7 @@ object EventAnalytics {
     // backtrack C?, not B?, and end at B.)
     val optIdx = steps.zipWithIndex.collect {
       case ((_, q), i) if q == "opt" || q == "star" => i }
-    val variants: Seq[(Seq[(Int, String, Boolean)], Int)] =
+    val variants: Seq[(Seq[(Int, Seq[String], Boolean)], Int)] =
       (0 until (1 << optIdx.size)).map { mask =>
         val skipped = optIdx.zipWithIndex.collect {
           case (si, bit) if (mask & (1 << bit)) != 0 => si }.toSet
@@ -677,33 +733,41 @@ object EventAnalytics {
         (concrete, prio) // prio 0 (nothing skipped) = greediest
       }.filter(_._1.size >= 2)
     variants.foreach { case (c, _) =>
-      c.sliding(2).foreach { case Seq((_, t1, _), (_, t2, _)) =>
-        require(t1 != t2,
-          s"adjacent steps of one type ($t1) — use a quantifier instead")
+      c.sliding(2).foreach { case Seq((_, s1, _), (_, s2, _)) =>
+        require(s1.toSet.intersect(s2.toSet).isEmpty,
+          s"adjacent steps share types (${s1.toSet.intersect(s2.toSet)}) " +
+            "— use a quantifier instead")
       case _ => }
     }
-    def transGuards(c: Seq[(Int, String, Boolean)], j: Int): Seq[String] = {
+    def transGuards(c: Seq[(Int, Seq[String], Boolean)], j: Int): Seq[String] = {
       // original transitions spanned between concrete steps j and j+1
       val span = (c(j)._1 + 1) to c(j + 1)._1
       val explicit = span.flatMap(k => guards.getOrElse(k, Nil))
-      val auto = if (contiguous) alphabet.filterNot(_ == c(j + 1)._2)
+      val auto = if (contiguous) alphabet.filterNot(c(j + 1)._2.contains)
                  else Nil
       (explicit ++ auto).distinct
     }
+    // next event whose type is IN the set: least over member carries
+    // ((ts, id) struct order; `least` skips nulls)
+    def nxOf(cc: String => Column, set: Seq[String]): Column =
+      if (set.size == 1) cc(s"nx_${set.head}")
+      else least(set.map(t => cc(s"nx_$t")): _*)
 
     val perVariant: Seq[DataFrame] = variants.map { case (c, prio) =>
-      val (_, t1, plus1) = c.head
-      var cur = carried.filter(col("t") === t1)
+      val (_, s1, plus1) = c.head
+      val rl1 = runEndName(s1)
+      var cur = carried.filter(col("t").isin(s1: _*))
         .withColumnRenamed("u", "au")
         .withColumn("a_id", col("id")).withColumn("a_ts", col("ts"))
       var pfx = "" // "" = anchor row's own columns
       def cc(n: String): Column = if (pfx.isEmpty) col(n) else col(s"${pfx}_$n")
-      if (plus1) { // greedy: consume to the anchor row's run end
-        cur = hop(cur, col("rl.id"), "p1"); pfx = "p1"
+      if (plus1) { // greedy: consume to the anchor row's in-set run end
+        cur = hop(cur, col(s"$rl1.id"), "p1"); pfx = "p1"
       }
       for (j <- 1 until c.size) {
-        val (_, tj, plusJ) = c(j)
-        val m = cc(s"nx_$tj")
+        val (_, sj, plusJ) = c(j)
+        val rlJ = runEndName(sj)
+        val m = nxOf(cc, sj)
         val guarded = transGuards(c, j - 1).foldLeft(m.isNotNull) { (acc, g) =>
           acc && (cc(s"nx_$g").isNull ||
             cc(s"nx_$g").getField("ts") >= m.getField("ts"))
@@ -717,10 +781,10 @@ object EventAnalytics {
           cur = hop(cur, col(s"m$j.id"), s"p${j + 1}"); pfx = s"p${j + 1}"
           if (plusJ) {
             if (last) {
-              cur = cur.withColumn("end_ts", cc("rl.ts"))
-                .withColumn("end_id", cc("rl.id"))
+              cur = cur.withColumn("end_ts", cc(s"$rlJ.ts"))
+                .withColumn("end_id", cc(s"$rlJ.id"))
             } else {
-              cur = hop(cur, cc("rl.id"), s"r${j + 1}"); pfx = s"r${j + 1}"
+              cur = hop(cur, cc(s"$rlJ.id"), s"r${j + 1}"); pfx = s"r${j + 1}"
             }
           } else if (last) {
             cur = cur.withColumn("end_ts", cc("ts"))

@@ -42,6 +42,24 @@ object R15Q {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    }),
+
+    // CEP ALTERNATION (r15, VERDICT r14 next #7): the MATCH_RECOGNIZE
+    // `(view|click)+ purchase` shape — per-step type SETS on top of
+    // q268's quantified step machinery. The anchor's (view|click)+
+    // run consumes a maximal contiguous IN-SET stretch (members may
+    // interleave — per-SET run encoding, not per-type), then one
+    // user+id equi-join lands the purchase, error-guarded. The oracle
+    // replays the set-membership run encoding in SQL windows.
+    // `EventAnalytics.matchStepsAlt`; R15CepSpec holds the
+    // brute-force and degenerate-singleton differentials.
+    "q285_cep_alternation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.matchStepsAlt(ev,
+        Seq(Seq("view", "click") -> "plus", Seq("purchase") -> "one"),
+        guards = Map(1 -> Seq("error")), withinSec = 604800L)
+        .orderBy("user_id", "a_id")
     })
   )
 
@@ -53,6 +71,50 @@ object R15Q {
          |WHERE event_id % 1000 BETWEEN 100 AND 349
          |  AND (user_id * 48271 + event_id) % 1000 BETWEEN 100 AND 349
          |  AND (event_id * 40503 + user_id) % 1000 BETWEEN 100 AND 349
-         |GROUP BY event_type ORDER BY event_type""".stripMargin
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q285_cep_alternation" ->
+      """WITH e AS (
+        |  SELECT user_id u, event_type t, event_id id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) ts
+        |  FROM events
+        |  WHERE event_type IN ('view','click','purchase','error')
+        |), x AS (
+        |  SELECT u, t, ts, id,
+        |    first_value(CASE WHEN t='purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS np_ts,
+        |    first_value(CASE WHEN t='purchase' THEN id END IGNORE NULLS)
+        |      OVER w AS np_id,
+        |    first_value(CASE WHEN t='error' THEN ts END IGNORE NULLS)
+        |      OVER w AS ne_ts,
+        |    CASE WHEN (lag(t) OVER wo IN ('view','click'))
+        |              = (t IN ('view','click'))
+        |         THEN 0 ELSE 1 END AS nw
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY u ORDER BY ts, id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |         wo AS (PARTITION BY u ORDER BY ts, id)
+        |), r AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY u ORDER BY ts, id
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM x
+        |), rr AS (
+        |  SELECT *,
+        |    last_value(ts) OVER wr AS rl_ts,
+        |    last_value(id) OVER wr AS rl_id
+        |  FROM r
+        |  WINDOW wr AS (PARTITION BY u, run ORDER BY ts, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT a.u AS user_id, a.id AS a_id, rl.np_id AS b_id,
+        |       (rl.np_ts - a.ts) // 1000000 AS gap_sec
+        |FROM rr a
+        |JOIN rr rl ON rl.u = a.u AND rl.id = a.rl_id
+        |WHERE a.t IN ('view','click')
+        |  AND rl.np_ts IS NOT NULL
+        |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
+        |  AND rl.np_ts - a.ts <= 604800000000
+        |ORDER BY user_id, a_id""".stripMargin
   )
 }

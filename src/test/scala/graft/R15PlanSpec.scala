@@ -60,6 +60,24 @@ class R15PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q285: alternation transitions stay hash-family equi joins") {
+    // the q268 pin, carried to the set-step operator: alternation must
+    // not cost a join shape — set-nexts are least() over the same
+    // staged carries, set runs one more window column, transitions the
+    // same user+id equi-joins
+    val p = df("q285_cep_alternation").queryExecution.sparkPlan
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, "the transition chain must exist")
+    val loops = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"a transition lost its user+id equi-key:\n$p")
+    val f = formatted("q285_cep_alternation")
+    assert(count(f, "Arguments: rangepartitioning") <= 1, f.take(2000))
+  }
+
   test("stageEventsByTime: chronological ranges, ascending mtimes, " +
     "no window in the staging plan") {
     import scala.jdk.CollectionConverters._
