@@ -530,13 +530,35 @@ object Stats {
     * R14PlanSpec); this is the same algorithm with the group key
     * threaded through every stage. */
   def exactRankStats(df: DataFrame, groupCol: String,
-                     valueCol: String): DataFrame = {
+                     valueCol: String): DataFrame =
+    // a raw row is a weight-1 fragment; the weighted merge's
+    // (group, bucket, value) sum IS the original count shuffle, so
+    // this delegation costs no extra exchange (plan-pinned via q283)
+    exactRankStatsWeighted(
+      df.select(col(groupCol), col(valueCol).as("__v"), lit(1L).as("__c")),
+      groupCol, "__v", "__c")
+
+  /** [[exactRankStats]] over PRE-COUNTED (group, value, count) rows —
+    * the INCREMENTAL face of the selection (r15): per-(group, value)
+    * counts are additive, so any partition of the data into batches /
+    * commits can contribute count FRAGMENTS independently (kilobytes
+    * per group however large the batch — the q149 sketch-commit
+    * idiom), and this read-side merge reproduces the batch answer
+    * BIT-EXACTLY: duplicate (group, value) rows sum before ranking,
+    * n is the count total, and the selection proceeds on the merged
+    * weights. `exactRankStats` itself delegates here (a raw row is a
+    * weight-1 fragment), so the two paths cannot drift. */
+  def exactRankStatsWeighted(counts: DataFrame, groupCol: String,
+                             valueCol: String,
+                             countCol: String): DataFrame = {
     val pcts: Seq[(String, Int, Int)] =
       Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
-    val stats = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("long").as("n"),
-        min(col(valueCol)).as("minv"), max(col(valueCol)).as("maxv"))
-    val byValue = df.select(col(groupCol), col(valueCol).as("v"))
+    val frag = counts.select(col(groupCol), col(valueCol).as("v"),
+      col(countCol).cast("long").as("fc"))
+    val stats = frag.groupBy(col(groupCol))
+      .agg(sum(col("fc")).cast("long").as("n"),
+        min(col("v")).as("minv"), max(col("v")).as("maxv"))
+    val byValue = frag
       .join(broadcast(stats), Seq(groupCol))
       // a group spanning more than half the long range cannot compute
       // a bucket width; under ANSI mode (this engine's default) the
@@ -545,8 +567,9 @@ object Stats {
       // R14DifferentialSpec)
       .withColumn("w", expr("((maxv - minv) div 1024L) + 1L"))
       .withColumn("b", expr("(v - minv) div w"))
+      // the fragment merge: duplicate (group, value) contributions sum
       .groupBy(col(groupCol), col("b"), col("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("fc")).as("c"))
     val perBucket = byValue.groupBy(col(groupCol), col("b"))
       .agg(sum(col("c")).as("bc"))
     val rankRows = pcts.map { case (nm, a, bb) =>

@@ -60,6 +60,30 @@ object R15Q {
         Seq(Seq("view", "click") -> "plus", Seq("purchase") -> "one"),
         guards = Map(1 -> Seq("error")), withinSec = 604800L)
         .orderBy("user_id", "a_id")
+    }),
+
+    // INCREMENTAL GROUPED EXACT QUANTILES (r15, VERDICT r14 next #6)
+    // — the two r14 wins composed: q283's distributed exact selection
+    // maintained under a MULTI-BATCH streaming drain without full
+    // recompute. Each micro-batch commits only its per-(group, value)
+    // count FRAGMENT (the q149 sketch-commit idiom — kilobytes per
+    // batch, additive, exact); the read side merges fragments by
+    // summation and runs the SAME weighted selection
+    // (`Stats.exactRankStatsWeighted`, which `exactRankStats` itself
+    // delegates through — the paths cannot drift). The oracle is
+    // q283's: a 4-batch drain must reproduce the batch answer
+    // BIT-EXACTLY. Plan-pinned no-unpartitioned-window in R15PlanSpec.
+    "q286_stream_quantile_exact" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.exactRankStatsWeighted(
+        frags, "event_type", "cents", "c")
+        .orderBy("event_type")
     })
   )
 
@@ -115,6 +139,32 @@ object R15Q {
         |  AND rl.np_ts IS NOT NULL
         |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
         |  AND rl.np_ts - a.ts <= 604800000000
-        |ORDER BY user_id, a_id""".stripMargin
+        |ORDER BY user_id, a_id""".stripMargin,
+
+    // q283's oracle verbatim: the fragment merge must be invisible
+    "q286_stream_quantile_exact" ->
+      """WITH v AS (
+        |  SELECT event_type g,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |  FROM events
+        |), rk AS (
+        |  SELECT g, cents,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY cents)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM v
+        |)
+        |SELECT g AS event_type, MAX(n) AS n,
+        |  MIN(cents) AS min_v,
+        |  MAX(CASE WHEN r = greatest(1, (1 * (n + 1)) // 4)
+        |      THEN cents END) AS p25,
+        |  MAX(CASE WHEN r = greatest(1, (1 * (n + 1)) // 2)
+        |      THEN cents END) AS p50,
+        |  MAX(CASE WHEN r = greatest(1, (3 * (n + 1)) // 4)
+        |      THEN cents END) AS p75,
+        |  MAX(CASE WHEN r = greatest(1, (9 * (n + 1)) // 10)
+        |      THEN cents END) AS p90,
+        |  MAX(cents) AS max_v
+        |FROM rk GROUP BY g ORDER BY event_type""".stripMargin
   )
 }

@@ -287,9 +287,11 @@ object MicroBatch {
     * through the lake txn log with the same exactly-once (appId,
     * batchId) replay contract as [[batchWriter]]. */
   def appendRunPerBatch(spark: SparkSession, sfDir: String, copies: Int = 1,
-                        maxFilesPerTrigger: Option[Int] = None)(
+                        maxFilesPerTrigger: Option[Int] = None,
+                        splitParts: Option[Int] = None)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val in = stageEvents(sfDir, copies)
+    val in = splitParts.fold(stageEvents(sfDir, copies))(
+      stageEventsSplit(spark, sfDir, _, copies))
     val sink = lakeSink(spark)
     val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val appId = s"graft-perbatch-${runId.incrementAndGet()}"

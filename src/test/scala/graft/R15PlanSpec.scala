@@ -78,6 +78,22 @@ class R15PlanSpec extends AnyFunSuite {
     assert(count(f, "Arguments: rangepartitioning") <= 1, f.take(2000))
   }
 
+  test("q286: weighted selection read-side — no unpartitioned window, " +
+    "no nested loop (q283's pin on the incremental path)") {
+    // the returned df is the read-side plan (fragment merge + weighted
+    // selection); the drain itself ran eagerly during construction
+    val p = df("q286_stream_quantile_exact").queryExecution.sparkPlan
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"weighted selection regressed to a global window:\n$p")
+    val loops = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty,
+      s"the fragment relation must join by hash on the group key:\n$p")
+  }
+
   test("stageEventsByTime: chronological ranges, ascending mtimes, " +
     "no window in the staging plan") {
     import scala.jdk.CollectionConverters._
