@@ -197,7 +197,43 @@ object Bench {
     val text = Files.readString(perf)
     val (i, j) = (text.indexOf(begin), text.indexOf(end))
     if (i < 0 || j < 0) { System.err.println("[bench] PERF.md markers missing"); return }
-    Files.writeString(perf, text.substring(0, i) + block + text.substring(j + end.length))
+    val withBlock = text.substring(0, i) + block + text.substring(j + end.length)
+    // The round-final NARRATIVE drifted from the generated block twice
+    // (r13, r14 verdicts), so it is generated by THIS run too: totals,
+    // slowest entry, and the med/min list for the round's new queries
+    // (SPARK_GRAFT_ROUND / SPARK_GRAFT_NEW_QUERIES, e.g. "15" and
+    // "q284,q285,q286"). tools/perf_report.py --round is the manual
+    // fallback emitting the identical text from bench_out.json.
+    val nBegin = "<!-- BEGIN GENERATED NARRATIVE (tools/perf_report.py) -->"
+    val nEnd = "<!-- END GENERATED NARRATIVE -->"
+    val (ni, nj) = (withBlock.indexOf(nBegin), withBlock.indexOf(nEnd))
+    val finalText = sys.env.get("SPARK_GRAFT_ROUND") match {
+      case Some(lbl) if ni >= 0 && nj >= 0 =>
+        val (topQ, topMed) = results.maxBy(_._2)
+        val newQs = sys.env.getOrElse("SPARK_GRAFT_NEW_QUERIES", "")
+          .split(",").filter(_.nonEmpty)
+        val newLine =
+          if (newQs.isEmpty) Nil
+          else {
+            val cells = newQs.toSeq.flatMap(p =>
+              results.filter(_._1.startsWith(p)).sortBy(_._1))
+              .map { case (q, med) => s"$q ${f2(med)}/${f2(mins(q))}" }
+            if (cells.isEmpty) Nil
+            else Seq("", s"New this round (med/min s): ${cells.mkString("; ")}.")
+          }
+        val narrative = (Seq(nBegin, "",
+          s"**Round $lbl final (generated from the same bench artifact " +
+            s"as the block above): ${results.size} queries, " +
+            s"${f1(total)} s total median / ${f1(totalMin)} s " +
+            s"min-of-reps, $nErrors errors** under 1-min load " +
+            s"${f2(loadStart)}→${f2(loadEnd)}; staged artifacts " +
+            s"${f2(staging)} s; slowest entry $topQ at ${f2(topMed)} s " +
+            s"med / ${f2(mins(topQ))} s min.") ++ newLine ++ Seq("", nEnd))
+          .mkString("\n")
+        withBlock.substring(0, ni) + narrative + withBlock.substring(nj + nEnd.length)
+      case _ => withBlock
+    }
+    Files.writeString(perf, finalText)
     System.err.println(s"[bench] PERF.md block rewritten from this run")
   }
 }

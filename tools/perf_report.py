@@ -1,47 +1,128 @@
 #!/usr/bin/env python3
-"""Regenerate the measured-numbers section of PERF.md from bench_out.json.
+"""Regenerate the measured-numbers sections of PERF.md from bench_out.json.
 
 Claims in PERF.md drifted from measurement twice (r3, r4 verdicts), so
-the headline block is now machine-written: run the bench, then this
-script, and the section between the BEGIN/END markers is replaced with
-numbers read straight from the bench output. Everything outside the
-markers is hand-maintained design prose.
+the headline block is machine-written: run the bench, then this script,
+and the section between the BEGIN/END markers is replaced with numbers
+read straight from the bench output. The round-final NARRATIVE numbers
+drifted the same way twice more (r13, r14 verdicts), so they are now
+generated too: the block between the NARRATIVE markers is emitted from
+the same bench_out.json — totals, slowest entry, and the per-query
+med/min list for the round's new queries. Everything outside the
+markers is hand-maintained design prose and must not contain wall-time
+figures except ones tagged to a named artifact.
 
 Usage: python3 tools/perf_report.py [bench_out.json] [PERF.md]
+           [--round LABEL] [--new q284,q285,q286]
 """
 import json
 import sys
 
-BENCH = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
-PERF = sys.argv[2] if len(sys.argv) > 2 else "PERF.md"
+args, opts = [], {}
+it = iter(sys.argv[1:])
+for a in it:
+    if a == "--round":
+        opts["round"] = next(it)
+    elif a == "--new":
+        opts["new"] = next(it)
+    else:
+        args.append(a)
+
+BENCH = args[0] if len(args) > 0 else "bench_out.json"
+PERF = args[1] if len(args) > 1 else "PERF.md"
 BEGIN = "<!-- BEGIN GENERATED from bench_out.json (tools/perf_report.py) -->"
 END = "<!-- END GENERATED -->"
+NBEGIN = "<!-- BEGIN GENERATED NARRATIVE (tools/perf_report.py) -->"
+NEND = "<!-- END GENERATED NARRATIVE -->"
 
 b = json.load(open(BENCH))
 qs = sorted(b["queries"].items(), key=lambda kv: -kv[1])
+mins = b.get("mins", {})
 
-lines = [BEGIN, ""]
-lines.append(
-    f"Bench (local[32], `{b['sf']}`, `graft.Bench`, median of "
-    f"{b.get('reps', 1)} reps per query): **{b['n_queries']} queries, "
-    f"{b['value']:.1f} s total, {b['n_errors']} errors**.")
-lines.append("")
-lines.append("Slowest 12 (median seconds):")
-lines.append("")
-lines.append("| Query | s | Query | s |")
-lines.append("|---|---|---|---|")
-top = qs[:12]
-for i in range(0, len(top), 2):
-    l = top[i]
-    r = top[i + 1] if i + 1 < len(top) else ("", "")
-    rs = f"{r[1]:.2f}" if r[0] else ""
-    lines.append(f"| {l[0]} | {l[1]:.2f} | {r[0]} | {rs} |")
-lines.append("")
-lines.append(END)
+
+def headline():
+    lines = [BEGIN, ""]
+    load = (f", 1-min system load {b['load_start']:.2f}→{b['load_end']:.2f} on a "
+            f"{b.get('cpus', '?')}-cpu box" if "load_start" in b else "")
+    staging = (f" (+ {b['staging']:.2f} s one-time staged artifacts: the dedup "
+               "cluster assignment shared by q103/q126/q128, the trained PQ "
+               "index read by q191/q192, and the k-means coarse assignment "
+               "read by q120/q123 — reported separately so the total "
+               "decomposes)" if "staging" in b else "")
+    tmin = (f", {b['total_min']:.1f} s total (min-of-reps)"
+            if "total_min" in b else "")
+    lines.append(
+        f"Bench (local[32], `{b['sf']}`, `graft.Bench`, {b.get('reps', 1)} "
+        f"reps per query{load}): **{b['n_queries']} queries, "
+        f"{b['value']:.1f} s total (median){tmin}, {b['n_errors']} "
+        f"errors**{staging}. The min column is the contention-robust "
+        "number: median≫min with min at its historical value reads as "
+        "box noise, a drifted min as a plan regression (VERDICT r12 "
+        "next #1).")
+    lines.append("")
+    lines.append("Slowest 12 (median / min seconds):")
+    lines.append("")
+    lines.append("| Query | med | min | Query | med | min |")
+    lines.append("|---|---|---|---|---|---|")
+    top = qs[:12]
+    for i in range(0, len(top), 2):
+        l = top[i]
+        r = top[i + 1] if i + 1 < len(top) else None
+        lm = f"{mins.get(l[0], l[1]):.2f}"
+        if r:
+            rm = f"{mins.get(r[0], r[1]):.2f}"
+            lines.append(f"| {l[0]} | {l[1]:.2f} | {lm} "
+                         f"| {r[0]} | {r[1]:.2f} | {rm} |")
+        else:
+            lines.append(f"| {l[0]} | {l[1]:.2f} | {lm} | | | |")
+    lines.append("")
+    lines.append(END)
+    return lines
+
+
+def narrative():
+    label = opts.get("round", "N")
+    new = [p for p in opts.get("new", "").split(",") if p]
+    lines = [NBEGIN, ""]
+    load = (f" under 1-min load {b['load_start']:.2f}→{b['load_end']:.2f}"
+            if "load_start" in b else "")
+    tmin = (f" / {b['total_min']:.1f} s min-of-reps"
+            if "total_min" in b else "")
+    top_q, top_med = qs[0]
+    lines.append(
+        f"**Round {label} final (generated from the same bench artifact "
+        f"as the block above): {b['n_queries']} queries, "
+        f"{b['value']:.1f} s total median{tmin}, {b['n_errors']} "
+        f"errors**{load}; staged artifacts {b.get('staging', 0):.2f} s; "
+        f"slowest entry {top_q} at {top_med:.2f} s med / "
+        f"{mins.get(top_q, top_med):.2f} s min.")
+    if new:
+        rows = []
+        for p in new:
+            hits = [(k, v) for k, v in b["queries"].items()
+                    if k.startswith(p)]
+            for k, v in sorted(hits):
+                rows.append(f"{k} {v:.2f}/{mins.get(k, v):.2f}")
+        if rows:
+            lines.append("")
+            lines.append("New this round (med/min s): " + "; ".join(rows) + ".")
+    lines.append("")
+    lines.append(NEND)
+    return lines
+
 
 text = open(PERF).read()
 i, j = text.find(BEGIN), text.find(END)
 if i < 0 or j < 0:
     sys.exit(f"markers not found in {PERF}; add {BEGIN} / {END} first")
-open(PERF, "w").write(text[:i] + "\n".join(lines) + text[j + len(END):])
-print(f"updated {PERF}: {b['n_queries']} queries, {b['value']:.1f}s")
+text = text[:i] + "\n".join(headline()) + text[j + len(END):]
+
+ni, nj = text.find(NBEGIN), text.find(NEND)
+if ni >= 0 and nj >= 0:
+    text = text[:ni] + "\n".join(narrative()) + text[nj + len(NEND):]
+elif "round" in opts:
+    sys.exit(f"--round given but narrative markers not found in {PERF}")
+
+open(PERF, "w").write(text)
+print(f"updated {PERF}: {b['n_queries']} queries, {b['value']:.1f}s"
+      + (" (+narrative)" if ni >= 0 else ""))
