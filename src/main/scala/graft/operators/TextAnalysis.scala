@@ -491,4 +491,46 @@ object TextAnalysis {
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"),
         col("dist"))
   }
+
+  /** GOLDEN RECORDS (r15) — the entity-resolution COMPLETION:
+    * [[fuzzyMatchNames]]' pairwise matches become entity CLUSTERS
+    * (connected components over the distinct-name graph — the
+    * [[Dedup.dedupClusters]] min-label machinery with pointer
+    * jumping, so chains of transitive variants converge in O(log D)
+    * rounds), and each cluster collapses to ONE canonical record by
+    * survivorship rules: canonical name = the most FREQUENT member
+    * name among the records (ties by name — majority vote, the
+    * standard MDM rule), entity id = the minimum member id, plus the
+    * record and variant counts.
+    *
+    * Scale shape: matching and clustering run on the language-bounded
+    * DISTINCT-name relation; records join back by ONE name equi-join
+    * (the q278 lesson — id expansion never multiplies the DP);
+    * survivorship is two name-keyed aggregations. Unmatched names
+    * form singleton entities via the left join's coalesce. */
+  def goldenRecords(rel: DataFrame, idCol: String, nameCol: String,
+                    maxDist: Int, blockExprs: Seq[Column]): DataFrame = {
+    val pairs = fuzzyMatchNames(rel, nameCol, maxDist, blockExprs)
+      .select(col("a_name").as("doc_a"), col("b_name").as("doc_b"))
+    val clusters = Dedup.dedupClusters(pairs, iterations = 8,
+        pointerJumping = true)
+      .select(col("doc_id").as("__n"), col("cluster").as("__cl"))
+    val member = rel.select(col(idCol).as("__id"), col(nameCol).as("__n"))
+      .join(clusters, Seq("__n"), "left")
+      .withColumn("__cl", coalesce(col("__cl"), col("__n")))
+    val votes = member.groupBy(col("__cl"), col("__n"))
+      .agg(count(lit(1)).as("c"))
+    // majority vote with (count desc, name asc) ties: min_by over the
+    // (-count, name) struct — lexicographic struct order does both
+    val canon = votes.groupBy(col("__cl"))
+      .agg(min_by(col("__n"),
+        struct((-col("c")).as("nc"), col("__n"))).as("canonical_name"))
+    member.groupBy(col("__cl"))
+      .agg(min(col("__id")).as("entity_id"),
+        count(lit(1)).as("n_records"),
+        countDistinct(col("__n")).as("n_variants"))
+      .join(canon, Seq("__cl"))
+      .select(col("entity_id"), col("canonical_name"),
+        col("n_records"), col("n_variants"))
+  }
 }

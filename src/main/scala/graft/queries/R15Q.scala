@@ -84,7 +84,22 @@ object R15Q {
       graft.operators.Stats.exactRankStatsWeighted(
         frags, "event_type", "cents", "c")
         .orderBy("event_type")
-    })
+    }),
+
+    // GOLDEN RECORDS (r15): q278's pairwise fuzzy matches completed
+    // into entities — connected components over the distinct-name
+    // graph (pointer-jumping min-label CC), then survivorship: most
+    // frequent name wins (ties by name), entity id = min member id.
+    // The oracle replays CC as a recursive reachability CTE (the q103
+    // idiom) and the majority vote as a windowed rank.
+    // `TextAnalysis.goldenRecords`.
+    "q287_golden_record" -> ((s, d) =>
+      graft.operators.TextAnalysis.goldenRecords(
+        Tables.part(s, d), "p_partkey", "p_name", maxDist = 3,
+        blockExprs = Seq(
+          split(col("p_name"), " ").getItem(0),
+          element_at(split(col("p_name"), " "), -1)))
+        .orderBy("entity_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +180,50 @@ object R15Q {
         |  MAX(CASE WHEN r = greatest(1, (9 * (n + 1)) // 10)
         |      THEN cents END) AS p90,
         |  MAX(cents) AS max_v
-        |FROM rk GROUP BY g ORDER BY event_type""".stripMargin
+        |FROM rk GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "q287_golden_record" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT DISTINCT p_name,
+        |         split_part(p_name, ' ', 1) AS blk1,
+        |         split_part(p_name, ' ', -1) AS blk2
+        |  FROM part
+        |), cand AS (
+        |  SELECT a.p_name AS a_name, b.p_name AS b_name
+        |  FROM p a JOIN p b ON b.blk1 = a.blk1 AND a.p_name < b.p_name
+        |  UNION
+        |  SELECT a.p_name, b.p_name
+        |  FROM p a JOIN p b ON b.blk2 = a.blk2 AND a.p_name < b.p_name
+        |), pairs AS (
+        |  SELECT a_name AS u, b_name AS v FROM cand
+        |  WHERE levenshtein(a_name, b_name) <= 3
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        |), reach AS (
+        |  SELECT u AS id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+        |), labels AS (
+        |  SELECT id, MIN(lbl) AS cl FROM reach GROUP BY id
+        |), member AS (
+        |  SELECT pt.p_partkey AS id, pt.p_name AS nm,
+        |         COALESCE(l.cl, pt.p_name) AS cl
+        |  FROM part pt LEFT JOIN labels l ON l.id = pt.p_name
+        |), votes AS (
+        |  SELECT cl, nm, COUNT(*) AS c FROM member GROUP BY cl, nm
+        |), canon AS (
+        |  SELECT cl, nm AS canonical_name FROM (
+        |    SELECT cl, nm,
+        |           row_number() OVER (PARTITION BY cl
+        |             ORDER BY c DESC, nm) AS rn
+        |    FROM votes) q
+        |  WHERE rn = 1
+        |)
+        |SELECT MIN(m.id) AS entity_id, c.canonical_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_records,
+        |       CAST(COUNT(DISTINCT m.nm) AS BIGINT) AS n_variants
+        |FROM member m JOIN canon c ON c.cl = m.cl
+        |GROUP BY m.cl, c.canonical_name
+        |ORDER BY entity_id""".stripMargin
   )
 }
