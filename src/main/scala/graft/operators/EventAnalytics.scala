@@ -808,6 +808,80 @@ object EventAnalytics {
     }
   }
 
+  /** SINGLE-KEY [[matchStepsAlt]] (r15) — the same set-step semantics
+    * as a plain in-memory fold over ONE key's events, for contexts
+    * where the data is already per-key resident: the streaming CEP
+    * processor ([[graft.streaming.Stateful.streamingSteps]]) re-derives
+    * matches from its per-user state history with this, so the drained
+    * stream converges to exactly the distributed batch answer.
+    * Variant enumeration is genuine MATCH_RECOGNIZE greedy
+    * backtracking (include before skip, earliest optional step
+    * decided first) — the order the distributed operator's priority
+    * bits encode; equivalence is differential-pinned per user in
+    * R15CepSpec. Returns (anchor_id, end_id, gap_sec) per matched
+    * anchor event. */
+  def matchStepsLocal(evs: Seq[(String, Long, Long)],
+                      steps: Seq[(Seq[String], String)],
+                      guards: Map[Int, Seq[String]] = Map.empty,
+                      withinUs: Long = Long.MaxValue / 2,
+                      contiguous: Boolean = false): Seq[(Long, Long, Long)] = {
+    val alphabet = (steps.flatMap(_._1) ++ guards.values.flatten).distinct.sorted
+    val seq = evs.filter(e => alphabet.contains(e._1))
+      .sortBy(e => (e._2, e._3)).toVector
+    def expand(i: Int): Seq[Seq[(Int, Set[String], Boolean)]] =
+      if (i == steps.size) Seq(Vector.empty)
+      else {
+        val (s, q) = steps(i)
+        val incl = expand(i + 1)
+          .map(rest => (i, s.toSet, q == "plus" || q == "star") +: rest)
+        if (q == "opt" || q == "star") incl ++ expand(i + 1) else incl
+      }
+    val variants = expand(0).filter(_.size >= 2)
+    def transGuards(c: Seq[(Int, Set[String], Boolean)], j: Int): Seq[String] = {
+      val span = (c(j)._1 + 1) to c(j + 1)._1
+      val explicit = span.flatMap(k => guards.getOrElse(k, Nil))
+      val auto = if (contiguous) alphabet.filterNot(c(j + 1)._2.contains) else Nil
+      (explicit ++ auto).distinct
+    }
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    for (anchorIdx <- seq.indices) {
+      val anchor = seq(anchorIdx)
+      var matched = false
+      for (c <- variants if !matched) {
+        if (c.head._2.contains(anchor._1)) {
+          def runEnd(i: Int, set: Set[String]): Int = {
+            var j = i
+            while (j + 1 < seq.size && set.contains(seq(j + 1)._1)) j += 1
+            j
+          }
+          var pos = if (c.head._3) runEnd(anchorIdx, c.head._2) else anchorIdx
+          var ok = true
+          for (j <- 1 until c.size if ok) {
+            val (_, sj, plusJ) = c(j)
+            (pos + 1 until seq.size).find(i => sj.contains(seq(i)._1)) match {
+              case None => ok = false
+              case Some(mi) =>
+                val guardsOk = transGuards(c, j - 1).forall { g =>
+                  (pos + 1 until seq.size).find(seq(_)._1 == g) match {
+                    case Some(gi) => seq(gi)._2 >= seq(mi)._2
+                    case None => true
+                  }
+                }
+                if (!guardsOk) ok = false
+                else pos = if (plusJ) runEnd(mi, sj) else mi
+            }
+          }
+          if (ok && seq(pos)._2 - anchor._2 <= withinUs) {
+            out += ((anchor._3, seq(pos)._3,
+              (seq(pos)._2 - anchor._2) / 1000000L))
+            matched = true
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   /** LINEAR GAP INTERPOLATION over the daily grid — pandas
     * `interpolate(method="linear")` at warehouse scale: per group,
     * silent days between two observed days get the straight-line

@@ -99,7 +99,40 @@ object R15Q {
         blockExprs = Seq(
           split(col("p_name"), " ").getItem(0),
           element_at(split(col("p_name"), " "), -1)))
-        .orderBy("entity_id"))
+        .orderBy("entity_id")),
+
+    // STREAMING CEP ALTERNATION (r15): q285's (view|click)+ purchase
+    // pattern matched IN-STREAM — the full step-pattern language
+    // (quantifiers, sets, guards) over an unbounded keyed stream via
+    // `Stateful.StreamingSteps` (per-user capped history, per-batch
+    // re-derivation with the single-key greedy matcher). A 3-batch
+    // RocksDB drain must converge to EXACTLY the batch operator's
+    // answer: the oracle is q285's SQL verbatim, so batch, stream,
+    // and DuckDB all hash-agree.
+    "q288_stream_cep_alternation" -> ((s, d) => {
+      val sink = graft.streaming.MicroBatch.updateRun(s, d,
+        splitParts = Some(3),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.streamingSteps(
+          graft.Tables.toEventTime(stream)
+            .filter(col("event_type").isin("view", "click", "purchase", "error"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          steps = Seq(Seq("view", "click") -> "plus",
+            Seq("purchase") -> "one"),
+          guards = Map(1 -> Seq("error")),
+          withinUs = 604800L * 1000000L)
+          .toDF("user_id", "seq", "a_id", "b_id", "gap_sec")
+      }
+      // converged matches: the last emission set per user
+      val last = sink.groupBy(col("user_id"))
+        .agg(max(col("seq")).as("seq"))
+      sink.join(last, Seq("user_id", "seq"))
+        .select(col("user_id"), col("a_id"), col("b_id"), col("gap_sec"))
+        .orderBy("user_id", "a_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +257,51 @@ object R15Q {
         |       CAST(COUNT(DISTINCT m.nm) AS BIGINT) AS n_variants
         |FROM member m JOIN canon c ON c.cl = m.cl
         |GROUP BY m.cl, c.canonical_name
-        |ORDER BY entity_id""".stripMargin
+        |ORDER BY entity_id""".stripMargin,
+
+    // q285's oracle verbatim: stream must equal batch
+    "q288_stream_cep_alternation" ->
+      """WITH e AS (
+        |  SELECT user_id u, event_type t, event_id id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) ts
+        |  FROM events
+        |  WHERE event_type IN ('view','click','purchase','error')
+        |), x AS (
+        |  SELECT u, t, ts, id,
+        |    first_value(CASE WHEN t='purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS np_ts,
+        |    first_value(CASE WHEN t='purchase' THEN id END IGNORE NULLS)
+        |      OVER w AS np_id,
+        |    first_value(CASE WHEN t='error' THEN ts END IGNORE NULLS)
+        |      OVER w AS ne_ts,
+        |    CASE WHEN (lag(t) OVER wo IN ('view','click'))
+        |              = (t IN ('view','click'))
+        |         THEN 0 ELSE 1 END AS nw
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY u ORDER BY ts, id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |         wo AS (PARTITION BY u ORDER BY ts, id)
+        |), r AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY u ORDER BY ts, id
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM x
+        |), rr AS (
+        |  SELECT *,
+        |    last_value(ts) OVER wr AS rl_ts,
+        |    last_value(id) OVER wr AS rl_id
+        |  FROM r
+        |  WINDOW wr AS (PARTITION BY u, run ORDER BY ts, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT a.u AS user_id, a.id AS a_id, rl.np_id AS b_id,
+        |       (rl.np_ts - a.ts) // 1000000 AS gap_sec
+        |FROM rr a
+        |JOIN rr rl ON rl.u = a.u AND rl.id = a.rl_id
+        |WHERE a.t IN ('view','click')
+        |  AND rl.np_ts IS NOT NULL
+        |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
+        |  AND rl.np_ts - a.ts <= 604800000000
+        |ORDER BY user_id, a_id""".stripMargin
   )
 }

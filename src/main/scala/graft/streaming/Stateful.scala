@@ -347,6 +347,66 @@ object Stateful {
       OutputMode.Update())(
       Encoders.product[(Long, Long, Long, Long, Option[Double])])
 
+  /** STREAMING GENERALIZED CEP (r15) — the in-stream twin of
+    * [[graft.operators.EventAnalytics.matchStepsAlt]]: arbitrary step
+    * lists with one|plus|opt|star quantifiers, per-step type SETS,
+    * and transition guards, over an unbounded keyed event stream.
+    * [[StreamingPattern]] (q260) hard-codes the two-step view→purchase
+    * shape; this processor takes the full pattern language. Per key,
+    * state holds the alphabet-filtered (type, ts, id) history (capped
+    * fail-loud like every processor in this file); each micro-batch
+    * re-derives ALL matches from the merged history with
+    * [[graft.operators.EventAnalytics.matchStepsLocal]] — the same
+    * greedy-backtracking semantics the distributed operator encodes in
+    * its priority bits — so the drained stream converges to exactly
+    * the batch answer under ANY arrival order (seq + last-write
+    * reader, the q208 rule). Emits (key, seq, a_id, b_id, gap_sec)
+    * per match per update. */
+  class StreamingSteps(steps: Seq[(Seq[String], String)],
+                       guards: Map[Int, Seq[String]],
+                       withinUs: Long,
+                       contiguous: Boolean = false,
+                       maxEvents: Int = 16384)
+      extends StatefulProcessor[Long, (Long, String, Long, Long),
+        (Long, Long, Long, Long, Long)] {
+    private val alphabet =
+      (steps.flatMap(_._1) ++ guards.values.flatten).distinct.toSet
+    @transient private var st:
+      ValueState[(Seq[(String, Long, Long)], Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("cepsteps",
+        Encoders.product[(Seq[(String, Long, Long)], Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, String, Long, Long)],
+                                 timers: TimerValues):
+        Iterator[(Long, Long, Long, Long, Long)] = {
+      var (evs, seq) =
+        if (st.exists()) st.get()
+        else (Seq.empty[(String, Long, Long)], 0L)
+      rows.foreach { r =>
+        if (alphabet.contains(r._2)) evs :+= ((r._2, r._3, r._4))
+      }
+      require(evs.size <= maxEvents,
+        s"key $key exceeds $maxEvents pattern-relevant events")
+      seq += 1
+      st.update((evs, seq))
+      graft.operators.EventAnalytics
+        .matchStepsLocal(evs, steps, guards, withinUs, contiguous)
+        .iterator.map { case (aId, bId, gap) => (key, seq, aId, bId, gap) }
+    }
+  }
+
+  /** [[StreamingSteps]] over a keyed `(key, type, ts, id)` stream. */
+  def streamingSteps(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)],
+                     steps: Seq[(Seq[String], String)],
+                     guards: Map[Int, Seq[String]] = Map.empty,
+                     withinUs: Long = Long.MaxValue / 2,
+                     contiguous: Boolean = false)
+      : Dataset[(Long, Long, Long, Long, Long)] =
+    grouped.transformWithState(new StreamingSteps(steps, guards, withinUs,
+      contiguous), TimeMode.None(), OutputMode.Update())(
+      Encoders.product[(Long, Long, Long, Long, Long)])
+
   /** Running max of a per-event Long measure, emitted on change only —
     * the "new high-water mark" pattern. */
   def highWaterMark[K: Encoder](grouped: KeyValueGroupedDataset[K, Long])(

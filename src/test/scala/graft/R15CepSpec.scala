@@ -164,6 +164,30 @@ class R15CepSpec extends AnyFunSuite {
       (1L, 12L, 13L, 1L)))
   }
 
+  test("matchStepsLocal ≡ matchStepsAlt per user (the streaming " +
+    "processor's re-derivation kernel)") {
+    // the q288 processor re-derives matches per batch with the local
+    // matcher; if its greedy enumeration ever diverged from the
+    // distributed operator's priority encoding, stream and batch
+    // would disagree — pin them against each other on every pattern
+    val patterns: Seq[(Seq[(Seq[String], String)], Map[Int, Seq[String]], Long, Boolean)] =
+      Seq(
+        (Seq(Seq("a", "b") -> "plus", Seq("c") -> "one"), Map(1 -> Seq("g")), 100L, false),
+        (Seq(Seq("a") -> "one", Seq("b", "g") -> "opt", Seq("c") -> "one"), Map.empty, 100L, false),
+        (Seq(Seq("a") -> "one", Seq("b") -> "star", Seq("c", "h") -> "one"), Map.empty, 30L, true))
+    patterns.foreach { case (steps, g, w, cont) =>
+      val dist = EventAnalytics.matchStepsAlt(evDf, steps, g, w, cont)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val local = evRows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        EventAnalytics.matchStepsLocal(
+          rs.map(r => (r._2, r._3, r._4)), steps, g, w * 1000000L, cont)
+          .map { case (a, b, gap) => (u, a, b, gap) }
+      }.toSet
+      assert(local === dist, s"pattern $steps")
+    }
+  }
+
   test("directed: adjacent overlapping sets refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       EventAnalytics.matchStepsAlt(evDf,
