@@ -646,7 +646,8 @@ object EventAnalytics {
                     userCol: String = "user_id",
                     typeCol: String = "event_type",
                     tsCol: String = "ts_us",
-                    tieCol: String = "event_id"): DataFrame = {
+                    tieCol: String = "event_id",
+                    withLen: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quants = Set("one", "plus", "opt", "star")
     require(steps.size >= 2, "a pattern needs at least two steps")
@@ -681,6 +682,11 @@ object EventAnalytics {
     }
     val wLag = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
     val runEnc = withNext
+      // rn: the row's position in its user's alphabet-filtered order —
+      // carried inside every run-end struct so MEASURES (match_len,
+      // the MATCH_RECOGNIZE COUNT(B.*) analog) are rn arithmetic, no
+      // extra pass. Same window family as the carries.
+      .withColumn("rn", row_number().over(wLag).cast("long"))
       .withColumn("__new", when(lag(col("t"), 1).over(wLag)
         === col("t"), 0L).otherwise(1L))
       .withColumn("__run", sum(col("__new")).over(wOrd))
@@ -688,14 +694,16 @@ object EventAnalytics {
     // one extra membership run encoding per distinct multi-type set:
     // a (A|B)+ run is contiguous IN-SET events, not same-type events
     val setEnc = multiSets.zipWithIndex.foldLeft(
-      runEnc.withColumn("rl", max(struct(col("ts"), col("id"))).over(wRun))) {
+      runEnc.withColumn("rl",
+        max(struct(col("ts"), col("id"), col("rn"))).over(wRun))) {
       case (d, (set, i)) =>
         val inS = col("t").isin(set: _*)
         d.withColumn(s"__snew$i",
             when(lag(inS, 1).over(wLag) === inS, 0L).otherwise(1L))
           .withColumn(s"__srun$i", sum(col(s"__snew$i")).over(wOrd))
-          .withColumn(s"rls$i", max(struct(col("ts"), col("id"))).over(
-            Window.partitionBy(col("u"), col(s"__srun$i"))))
+          .withColumn(s"rls$i",
+            max(struct(col("ts"), col("id"), col("rn"))).over(
+              Window.partitionBy(col("u"), col(s"__srun$i"))))
           .drop(s"__snew$i", s"__srun$i")
     }
     val carried = setEnc
@@ -761,8 +769,12 @@ object EventAnalytics {
         .withColumn("a_id", col("id")).withColumn("a_ts", col("ts"))
       var pfx = "" // "" = anchor row's own columns
       def cc(n: String): Column = if (pfx.isEmpty) col(n) else col(s"${pfx}_$n")
+      // MEASURES: events mapped to the match — 1 per `one` step, run
+      // length (rn arithmetic over the carried structs) per `plus`
+      var lenCol: Column = lit(1L)
       if (plus1) { // greedy: consume to the anchor row's in-set run end
         cur = hop(cur, col(s"$rl1.id"), "p1"); pfx = "p1"
+        lenCol = col("p1_rn") - col("rn") + lit(1L)
       }
       for (j <- 1 until c.size) {
         val (_, sj, plusJ) = c(j)
@@ -777,26 +789,36 @@ object EventAnalytics {
         if (last && !plusJ) {
           cur = cur.withColumn("end_ts", col(s"m$j.ts"))
             .withColumn("end_id", col(s"m$j.id"))
+          lenCol = lenCol + lit(1L)
         } else {
           cur = hop(cur, col(s"m$j.id"), s"p${j + 1}"); pfx = s"p${j + 1}"
           if (plusJ) {
             if (last) {
               cur = cur.withColumn("end_ts", cc(s"$rlJ.ts"))
                 .withColumn("end_id", cc(s"$rlJ.id"))
+              lenCol = lenCol + (cc(s"$rlJ.rn") - cc("rn") + lit(1L))
             } else {
+              val firstRn = cc("rn")
               cur = hop(cur, cc(s"$rlJ.id"), s"r${j + 1}"); pfx = s"r${j + 1}"
+              lenCol = lenCol + (cc("rn") - firstRn + lit(1L))
             }
           } else if (last) {
             cur = cur.withColumn("end_ts", cc("ts"))
               .withColumn("end_id", cc("id"))
+            lenCol = lenCol + lit(1L)
+          } else {
+            lenCol = lenCol + lit(1L)
           }
         }
       }
-      cur.filter(col("end_ts") - col("a_ts") <= withinSec * 1000000L)
+      val base0 = cur
+        .filter(col("end_ts") - col("a_ts") <= withinSec * 1000000L)
         .select(col("au").as(userCol), col("a_id"),
           col("end_id").as("b_id"),
           expr("(end_ts - a_ts) div 1000000").as("gap_sec"),
+          lenCol.as("match_len"),
           lit(prio).as("__prio"))
+      if (withLen) base0 else base0.drop("match_len")
     }
     val all = perVariant.reduce(_.unionByName(_))
     if (variants.size == 1) all.drop("__prio")

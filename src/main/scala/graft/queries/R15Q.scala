@@ -132,6 +132,24 @@ object R15Q {
       sink.join(last, Seq("user_id", "seq"))
         .select(col("user_id"), col("a_id"), col("b_id"), col("gap_sec"))
         .orderBy("user_id", "a_id")
+    }),
+
+    // CEP MEASURES (r15): MATCH_RECOGNIZE's COUNT(B.*) analog —
+    // match_len counts the events MAPPED to the match (run length for
+    // plus/star steps via rn arithmetic over the carried run-end
+    // structs, 1 per one/opt step; computed in the same staged pass,
+    // no extra shuffle). Same pattern as q285 with the measure
+    // exposed; the oracle carries rn through its run encoding and
+    // emits rl.rn − a.rn + 2 (the (view|click)+ run plus the
+    // purchase).
+    "q289_cep_measures" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      graft.operators.EventAnalytics.matchStepsAlt(ev,
+        Seq(Seq("view", "click") -> "plus", Seq("purchase") -> "one"),
+        guards = Map(1 -> Seq("error")), withinSec = 604800L,
+        withLen = true)
+        .orderBy("user_id", "a_id")
     })
   )
 
@@ -296,6 +314,52 @@ object R15Q {
         |)
         |SELECT a.u AS user_id, a.id AS a_id, rl.np_id AS b_id,
         |       (rl.np_ts - a.ts) // 1000000 AS gap_sec
+        |FROM rr a
+        |JOIN rr rl ON rl.u = a.u AND rl.id = a.rl_id
+        |WHERE a.t IN ('view','click')
+        |  AND rl.np_ts IS NOT NULL
+        |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
+        |  AND rl.np_ts - a.ts <= 604800000000
+        |ORDER BY user_id, a_id""".stripMargin,
+
+    "q289_cep_measures" ->
+      """WITH e AS (
+        |  SELECT user_id u, event_type t, event_id id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) ts
+        |  FROM events
+        |  WHERE event_type IN ('view','click','purchase','error')
+        |), x AS (
+        |  SELECT u, t, ts, id,
+        |    first_value(CASE WHEN t='purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS np_ts,
+        |    first_value(CASE WHEN t='purchase' THEN id END IGNORE NULLS)
+        |      OVER w AS np_id,
+        |    first_value(CASE WHEN t='error' THEN ts END IGNORE NULLS)
+        |      OVER w AS ne_ts,
+        |    row_number() OVER wo AS rn,
+        |    CASE WHEN (lag(t) OVER wo IN ('view','click'))
+        |              = (t IN ('view','click'))
+        |         THEN 0 ELSE 1 END AS nw
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY u ORDER BY ts, id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |         wo AS (PARTITION BY u ORDER BY ts, id)
+        |), r AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY u ORDER BY ts, id
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM x
+        |), rr AS (
+        |  SELECT *,
+        |    last_value(ts) OVER wr AS rl_ts,
+        |    last_value(id) OVER wr AS rl_id
+        |  FROM r
+        |  WINDOW wr AS (PARTITION BY u, run ORDER BY ts, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT a.u AS user_id, a.id AS a_id, rl.np_id AS b_id,
+        |       (rl.np_ts - a.ts) // 1000000 AS gap_sec,
+        |       CAST(rl.rn - a.rn + 2 AS BIGINT) AS match_len
         |FROM rr a
         |JOIN rr rl ON rl.u = a.u AND rl.id = a.rl_id
         |WHERE a.t IN ('view','click')

@@ -188,6 +188,34 @@ class R15CepSpec extends AnyFunSuite {
     }
   }
 
+  test("directed: match_len measures count the mapped events") {
+    // user 1: a b a c — (a|b)+ c with withLen: anchor at the first a
+    // maps the 3-event run plus c = 4; later anchors map shorter runs
+    val ev = Seq(
+      (1L, "a", 1000000L, 10L),
+      (1L, "b", 2000000L, 11L),
+      (1L, "a", 3000000L, 12L),
+      (1L, "c", 4000000L, 13L),
+      // user 2: a g c — the one-step pattern a then c maps 2 events
+      // regardless of the intervening g (skip-liberal)
+      (2L, "a", 1000000L, 20L),
+      (2L, "g", 2000000L, 21L),
+      (2L, "c", 3000000L, 22L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val got = EventAnalytics.matchStepsAlt(ev,
+      Seq(Seq("a", "b") -> "plus", Seq("c") -> "one"), withinSec = 100L,
+      withLen = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("match_len"))).toSet
+    assert(got === Set((1L, 10L, 4L), (1L, 11L, 3L), (1L, 12L, 2L),
+      (2L, 20L, 2L)))
+    // and the default path still omits the column
+    val cols = EventAnalytics.matchStepsAlt(ev,
+      Seq(Seq("a", "b") -> "plus", Seq("c") -> "one"),
+      withinSec = 100L).columns.toSeq
+    assert(!cols.contains("match_len"))
+  }
+
   test("directed: adjacent overlapping sets refuse loudly") {
     val e = intercept[IllegalArgumentException] {
       EventAnalytics.matchStepsAlt(evDf,
