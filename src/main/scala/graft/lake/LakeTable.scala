@@ -209,6 +209,43 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** Per-directory min/max stats for a hive-partitioned layout in ONE
+    * job — [[computeStats]]' semantics, grouped by the partition
+    * column. The per-dir loop costs O(dirs) driver round-trips of
+    * tiny jobs (the r15 bench measured q284's 64-dir optimize at
+    * 7.7 s vs 16-dir q178's 2.7 s — pure job-launch overhead, and the
+    * wrong shape at production bucket counts); one groupBy computes
+    * every directory's stats in a single pass. Values match the
+    * per-dir reads exactly: same string casts, same all-null
+    * sentinel, same unsafe-value skip. */
+  private def computeStatsPartitioned(rel: String, partCol: String,
+                                      statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty) return Nil
+    val df = spark.read.parquet(root.resolve(rel).toString)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    val safe = statsCols.filterNot(c =>
+      c.contains("|") || c.contains("\n") || c.contains("\r"))
+    if (safe.isEmpty) return Nil
+    val aggs = safe.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val rows = df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*).collect()
+    def unsafe(s: String): Boolean =
+      s.isEmpty || s.contains("|") || s.contains("\n") || s.contains("\r")
+    rows.toSeq.flatMap { r =>
+      val dd = s"$rel/$partCol=${r.get(0)}"
+      safe.zipWithIndex.flatMap { case (c, i) =>
+        val mnOpt = Option(r.getString(1 + 2 * i))
+        val mxOpt = Option(r.getString(2 + 2 * i))
+        (mnOpt, mxOpt) match {
+          case (None, None) => Some(s"$dd|$c|${types(c)}||")
+          case (Some(mn), Some(mx)) if unsafe(mn) || unsafe(mx) => None
+          case (Some(mn), Some(mx)) => Some(s"$dd|$c|${types(c)}|$mn|$mx")
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Schema evolution at commit time (the Delta mergeSchema shape,
     * automatic for appends): the declared table schema is the previous
     * declared schema plus any NEW columns the batch brings; a column
@@ -432,10 +469,14 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         c.stripPrefix("bloom:")
     }.distinct
     val statsCols = (zorderBy ++ priorStatsCols).distinct
-    // layout rewrite of already-validated rows: carry checks, no re-scan
+    // layout rewrite of already-validated rows: carry checks, no re-scan.
+    // Min/max stats for all `buckets` directories come from ONE grouped
+    // job (computeStatsPartitioned); blooms stay per-dir (ndv-bounded,
+    // and only tables that already carried blooms pay them).
     commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
-      stats = dirs.flatMap(dd =>
-        computeStats(dd, statsCols) ++ computeBloom(dd, priorBloomCols)),
+      stats = (if (dirs.isEmpty) Nil // empty table: no dirs, nothing to read
+               else computeStatsPartitioned(rel, "__zb", statsCols)) ++
+        dirs.flatMap(dd => computeBloom(dd, priorBloomCols)),
       checks = readManifest(v - 1).checks)
   }
 

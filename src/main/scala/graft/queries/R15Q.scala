@@ -6,8 +6,10 @@ import graft.Tables
 import graft.queries.Qx._
 
 /** Round-15 additions: N-dimensional z-order layout (q284), CEP
-  * alternation (type SETS per step), and incremental grouped
-  * quantiles under appends. */
+  * alternation — type SETS per step (q285), incremental grouped
+  * exact quantiles under appends (q286), golden-record entity
+  * resolution (q287), the full streaming step-pattern language
+  * (q288), and MATCH_RECOGNIZE-style match measures (q289). */
 object R15Q {
 
   val queries: Map[String, Q] = Map(
