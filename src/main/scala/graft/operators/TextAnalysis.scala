@@ -518,10 +518,18 @@ object TextAnalysis {
     val member = rel.select(col(idCol).as("__id"), col(nameCol).as("__n"))
       .join(clusters, Seq("__n"), "left")
       .withColumn("__cl", coalesce(col("__cl"), col("__n")))
+    survivorship(member)
+  }
+
+  /** Survivorship tail shared by [[goldenRecords]] and
+    * [[goldenRecordsIncremental]]: (__id, __n, __cl) records collapse
+    * to one canonical row per entity — majority-vote name with
+    * (count desc, name asc) ties via a min_by over the
+    * (-count, name) struct (lexicographic struct order does both),
+    * entity id = min member id, record/variant counts. */
+  private def survivorship(member: DataFrame): DataFrame = {
     val votes = member.groupBy(col("__cl"), col("__n"))
       .agg(count(lit(1)).as("c"))
-    // majority vote with (count desc, name asc) ties: min_by over the
-    // (-count, name) struct — lexicographic struct order does both
     val canon = votes.groupBy(col("__cl"))
       .agg(min_by(col("__n"),
         struct((-col("c")).as("nc"), col("__n"))).as("canonical_name"))
@@ -532,5 +540,89 @@ object TextAnalysis {
       .join(canon, Seq("__cl"))
       .select(col("entity_id"), col("canonical_name"),
         col("n_records"), col("n_variants"))
+  }
+
+  /** INCREMENTAL GOLDEN RECORDS (r15) — fold a NEW batch of records
+    * into an EXISTING entity clustering without re-matching the
+    * corpus against itself: the [[graft.operators.Similarity]]
+    * batch-vs-corpus incremental stance (q209) applied to entity
+    * resolution. The edit-distance DP runs ONLY for candidate pairs
+    * involving a genuinely new name (batch-side blocking keys joined
+    * against the full name relation — batch-bounded, never corpus²);
+    * existing-name pairs are never recomputed because that subgraph
+    * is unchanged. Prior entities enter the delta clustering as
+    * CONTRACTED nodes (their min-name label stands for the whole
+    * cluster), so a new name that BRIDGES two existing entities
+    * merges them exactly as a full recompute would — the contracted
+    * component's min label equals the full component's min name
+    * because each prior label already IS its subset's min. The
+    * result is therefore BIT-IDENTICAL to [[goldenRecords]] over the
+    * union (proven in-query by q290), at delta cost. */
+  def goldenRecordsIncremental(existing: DataFrame, batch: DataFrame,
+                               idCol: String, nameCol: String,
+                               maxDist: Int,
+                               blockExprs: Seq[Column]): DataFrame = {
+    // prior state: the existing corpus' name→cluster map (in
+    // production this is the staged artifact of the last run)
+    val priorPairs = fuzzyMatchNames(existing, nameCol, maxDist, blockExprs)
+      .select(col("a_name").as("doc_a"), col("b_name").as("doc_b"))
+    val prior = Dedup.dedupClusters(priorPairs, iterations = 8,
+        pointerJumping = true)
+      .select(col("doc_id").as("__n"), col("cluster").as("__pl"))
+    // the name relations KEEP `nameCol` so the caller's blockExprs
+    // resolve against them (the fuzzyMatchNames contract)
+    val exNames = existing.select(col(nameCol)).distinct()
+    val priorAll = exNames
+      .join(prior, exNames(nameCol) === prior("__n"), "left")
+      .select(col(nameCol),
+        coalesce(col("__pl"), col(nameCol)).as("__pl"))
+      .localCheckpoint(true)
+    // delta matching: only pairs with a NEW name pay the DP
+    val newNames = batch.select(col(nameCol)).distinct()
+      .join(exNames, Seq(nameCol), "left_anti")
+      .localCheckpoint(true)
+    val allNames = exNames.unionByName(newNames)
+    val deltaPairs = blockExprs.map { be =>
+      val nk = newNames.withColumn("__blk", be)
+        .select(col(nameCol).as("n_name"), col("__blk"))
+      val ak = allNames.withColumn("__blk", be)
+        .select(col(nameCol).as("o_name"), col("__blk"))
+      nk.join(ak, "__blk")
+        .filter(col("n_name") =!= col("o_name"))
+        .select(least(col("n_name"), col("o_name")).as("a_name"),
+          greatest(col("n_name"), col("o_name")).as("b_name"))
+    }.reduce(_.unionByName(_)).dropDuplicates("a_name", "b_name")
+      .filter(levenshtein(col("a_name"), col("b_name")) <= maxDist)
+    // contract: prior clusters collapse to their label; new names
+    // stand for themselves. CC runs over the TOUCHED subgraph only.
+    val lblOf = priorAll
+    val contractedPairs = deltaPairs
+      .join(lblOf.select(col(nameCol).as("a_name"), col("__pl").as("a_l")),
+        Seq("a_name"), "left")
+      .join(lblOf.select(col(nameCol).as("b_name"), col("__pl").as("b_l")),
+        Seq("b_name"), "left")
+      .select(coalesce(col("a_l"), col("a_name")).as("doc_a"),
+        coalesce(col("b_l"), col("b_name")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val touched = contractedPairs.head(1).nonEmpty
+    val mergeMap =
+      if (!touched) priorAll.select(col("__pl").as("__node"),
+        col("__pl").as("__mcl")).limit(0)
+      else Dedup.dedupClusters(contractedPairs, iterations = 8,
+          pointerJumping = true)
+        .select(col("doc_id").as("__node"), col("cluster").as("__mcl"))
+    // final label per name: prior label (or self for new names),
+    // remapped through the delta merge where it participated
+    val nameLbl = allNames
+      .join(priorAll.select(col(nameCol), col("__pl")), Seq(nameCol), "left")
+      .withColumn("__node", coalesce(col("__pl"), col(nameCol)))
+      .join(mergeMap, Seq("__node"), "left")
+      .select(col(nameCol),
+        coalesce(col("__mcl"), col("__node")).as("__cl"))
+    val member = existing.unionByName(batch)
+      .select(col(idCol).as("__id"), col(nameCol))
+      .join(nameLbl, Seq(nameCol))
+      .select(col("__id"), col(nameCol).as("__n"), col("__cl"))
+    survivorship(member)
   }
 }

@@ -152,6 +152,31 @@ object R15Q {
         guards = Map(1 -> Seq("error")), withinSec = 604800L,
         withLen = true)
         .orderBy("user_id", "a_id")
+    }),
+
+    // INCREMENTAL GOLDEN RECORDS (r15): fold a new record batch into
+    // q287's entity clustering at DELTA cost — the DP runs only for
+    // pairs involving a genuinely new name; prior entities enter the
+    // delta CC as contracted min-label nodes, so bridging merges are
+    // exact. The query PROVES bit-identity to the full recompute
+    // in-query (both directions of except), then returns the
+    // incremental result; the oracle is q287's full-table replay
+    // verbatim. `TextAnalysis.goldenRecordsIncremental`.
+    "q290_incremental_entities" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val blocks = Seq(
+        split(col("p_name"), " ").getItem(0),
+        element_at(split(col("p_name"), " "), -1))
+      val existing = part.filter(col("p_partkey") % 10 =!= 3)
+      val batch = part.filter(col("p_partkey") % 10 === 3)
+      val inc = graft.operators.TextAnalysis.goldenRecordsIncremental(
+        existing, batch, "p_partkey", "p_name", maxDist = 3,
+        blockExprs = blocks)
+      val full = graft.operators.TextAnalysis.goldenRecords(
+        part, "p_partkey", "p_name", maxDist = 3, blockExprs = blocks)
+      require(inc.except(full).isEmpty && full.except(inc).isEmpty,
+        "incremental fold must equal the full recompute bit-for-bit")
+      inc.orderBy("entity_id")
     })
   )
 
@@ -236,6 +261,51 @@ object R15Q {
         |FROM rk GROUP BY g ORDER BY event_type""".stripMargin,
 
     "q287_golden_record" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT DISTINCT p_name,
+        |         split_part(p_name, ' ', 1) AS blk1,
+        |         split_part(p_name, ' ', -1) AS blk2
+        |  FROM part
+        |), cand AS (
+        |  SELECT a.p_name AS a_name, b.p_name AS b_name
+        |  FROM p a JOIN p b ON b.blk1 = a.blk1 AND a.p_name < b.p_name
+        |  UNION
+        |  SELECT a.p_name, b.p_name
+        |  FROM p a JOIN p b ON b.blk2 = a.blk2 AND a.p_name < b.p_name
+        |), pairs AS (
+        |  SELECT a_name AS u, b_name AS v FROM cand
+        |  WHERE levenshtein(a_name, b_name) <= 3
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        |), reach AS (
+        |  SELECT u AS id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+        |), labels AS (
+        |  SELECT id, MIN(lbl) AS cl FROM reach GROUP BY id
+        |), member AS (
+        |  SELECT pt.p_partkey AS id, pt.p_name AS nm,
+        |         COALESCE(l.cl, pt.p_name) AS cl
+        |  FROM part pt LEFT JOIN labels l ON l.id = pt.p_name
+        |), votes AS (
+        |  SELECT cl, nm, COUNT(*) AS c FROM member GROUP BY cl, nm
+        |), canon AS (
+        |  SELECT cl, nm AS canonical_name FROM (
+        |    SELECT cl, nm,
+        |           row_number() OVER (PARTITION BY cl
+        |             ORDER BY c DESC, nm) AS rn
+        |    FROM votes) q
+        |  WHERE rn = 1
+        |)
+        |SELECT MIN(m.id) AS entity_id, c.canonical_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n_records,
+        |       CAST(COUNT(DISTINCT m.nm) AS BIGINT) AS n_variants
+        |FROM member m JOIN canon c ON c.cl = m.cl
+        |GROUP BY m.cl, c.canonical_name
+        |ORDER BY entity_id""".stripMargin,
+
+    // q287's full-table oracle verbatim: the delta fold must be invisible
+    "q290_incremental_entities" ->
       """WITH RECURSIVE p AS (
         |  SELECT DISTINCT p_name,
         |         split_part(p_name, ' ', 1) AS blk1,

@@ -47,6 +47,54 @@ class R15DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental golden records ≡ full recompute, bridging included") {
+    import org.apache.spark.sql.functions.{col, split, element_at}
+    // names engineered so the BATCH bridges two pre-existing entities:
+    // 'alpha red core' and 'alpho red casing' share no pair (dist 5 on
+    // full strings? they share block 'red'... use disjoint blocks) —
+    // build explicitly: existing has two clusters A={aa bb cc, aa bb cd}
+    // and B={zz yy xx, zz yy xy}; the new record 'aa bb xx' blocks with
+    // both (first token aa, last token xx) and sits within dist 2 of a
+    // member of each — the full recompute merges A and B, and the
+    // incremental contracted CC must do the same.
+    val existing = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb cd"),
+      (3L, "za bb xx"), (4L, "za bb xy"),
+      (5L, "qq ww ee") // untouched singleton entity
+    ).toDF("id", "name")
+    // pre-batch, A={1,2} and B={3,4} share NO blocking key (first
+    // tokens aa vs za, last tokens c* vs x*), so they stay separate
+    val batch = Seq(
+      (6L, "aa bb cx"),  // joins cluster A (aa-block, dist 1)
+      (7L, "aa bb xx"),  // BRIDGES A (aa-block, dist 2 to cc) and
+                         // B (xx-block, dist 1 to "za bb xx")
+      (8L, "new one off") // brand-new singleton
+    ).toDF("id", "name")
+    val blocks = Seq(
+      split(col("name"), " ").getItem(0),
+      element_at(split(col("name"), " "), -1))
+    val inc = graft.operators.TextAnalysis.goldenRecordsIncremental(
+      existing, batch, "id", "name", maxDist = 3, blockExprs = blocks)
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    val full = graft.operators.TextAnalysis.goldenRecords(
+      existing.unionByName(batch), "id", "name", maxDist = 3,
+      blockExprs = blocks)
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    assert(inc === full)
+    // and the bridge really merged: ids 1,2,3,4,6,7 are one entity
+    assert(inc.exists(r => r.head == 1L && r(2) == 6L),
+      s"expected a 6-record merged entity, got $inc")
+    // empty batch degenerates to the prior clustering
+    val inc0 = graft.operators.TextAnalysis.goldenRecordsIncremental(
+      existing, batch.limit(0), "id", "name", maxDist = 3,
+      blockExprs = blocks)
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    val full0 = graft.operators.TextAnalysis.goldenRecords(
+      existing, "id", "name", maxDist = 3, blockExprs = blocks)
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    assert(inc0 === full0)
+  }
+
   test("weighted handles multi-count fragments and duplicate keys") {
     // two fragments both carrying (g, 5) with different counts: the
     // read-side sum must see 5 occurrences total (rank arithmetic is
