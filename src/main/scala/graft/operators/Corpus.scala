@@ -437,4 +437,50 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING for contrastive training pairs
+    * (r15) — for every positive (anchor, item) interaction, draw `k`
+    * pseudo-random catalog items the anchor did NOT interact with.
+    * The draw is pure integer arithmetic (a multiplicative-hash slot
+    * per (anchor, item, j), mod catalog size), so the sample is
+    * reproducible across engines, runs, and partitionings — the
+    * property a training pipeline needs for resumable epoch builds —
+    * and collisions with true positives are removed by an ANTI-JOIN,
+    * not rejection-resampled, keeping the op one-pass (callers
+    * over-provision k; the drop rate is |positives|/|catalog| per
+    * draw, negligible on real catalogs).
+    *
+    * Scale shape: |positives|·k candidate rows (a generator
+    * projection, no shuffle), one hash anti-join against the
+    * positives on (anchor, item) — both sides partition by the same
+    * key — and one broadcast-joinable index→item map from the
+    * catalog dimension. Requires the catalog's `idxCol` to be a
+    * dense 0..n−1 rank (the caller materializes it once; at 100 TB a
+    * catalog is still a dimension table). */
+  def negativeSample(positives: DataFrame, anchorCol: String,
+                     itemCol: String, catalog: DataFrame,
+                     idxCol: String, catItemCol: String,
+                     k: Int, nCatalog: Long): DataFrame = {
+    require(k >= 1 && nCatalog >= 1,
+      s"negativeSample: k >= 1 and nCatalog >= 1, got k=$k n=$nCatalog")
+    val cands = positives
+      .select(col(anchorCol).as("anchor"), col(itemCol).as("pos_item"))
+      .select(col("anchor"), col("pos_item"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"))
+      .withColumn("slot",
+        pmod(col("anchor") * lit(1000003L) + col("pos_item") * lit(7919L) +
+          col("j") * lit(104729L), lit(nCatalog)))
+    val negKeyed = cands.join(
+        broadcast(catalog.select(col(idxCol).as("slot"),
+          col(catItemCol).as("neg_item"))),
+        Seq("slot"))
+      .select(col("anchor"), col("pos_item"), col("j"), col("neg_item"))
+    negKeyed.join(
+        positives.select(col(anchorCol).as("anchor"),
+          col(itemCol).as("neg_item")).distinct(),
+        Seq("anchor", "neg_item"), "left_anti")
+      // the using-join hoists its keys to the front; restore the
+      // (anchor, positive, draw, negative) contract order
+      .select(col("anchor"), col("pos_item"), col("j"), col("neg_item"))
+  }
 }

@@ -189,4 +189,49 @@ object LinkAnalysis {
     }
     labels.withColumnRenamed("lbl", "community")
   }
+
+  /** BOUNDED-HOP WEIGHTED SHORTEST PATHS (r15) — single-source
+    * Bellman-Ford over `edges(src, dst, w)` with non-negative LONG
+    * weights, run for exactly `hops` relaxation rounds: after round
+    * k, `dist(v)` is the exact cheapest cost among paths of ≤ k
+    * edges. The bounded-hop form IS the production question on
+    * event/link graphs ("cheapest influence path within 4 steps") and
+    * keeps the oracle finite (a recursive CTE enumerating ≤ hops-edge
+    * walks).
+    *
+    * Scale shape: one round = frontier ⋈ edges on src (hash join) +
+    * a min groupBy — the Pregel/GraphX SSSP superstep on plain
+    * DataFrames. Only nodes whose distance IMPROVED join the next
+    * frontier, so rounds touch the active subgraph, not the whole
+    * node set; per-round `localCheckpoint` truncates the loop's
+    * lineage (the pageRankInt rule). Integer-exact, so results are
+    * partitioning-proof. Returns (node, dist) for reached nodes. */
+  def ssspBounded(edges: DataFrame, source: Long, hops: Int): DataFrame = {
+    require(hops >= 1, s"ssspBounded: hops >= 1, got $hops")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .distinct().localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    while (i < hops && frontier.head(1).nonEmpty) {
+      val relaxed = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      val joined = relaxed.join(dist.withColumnRenamed("dist", "old"),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("cand"), col("old")),
+            coalesce(col("old"), col("cand"))).as("dist"),
+          (coalesce(col("old"), lit(Long.MaxValue)) >
+            coalesce(col("cand"), lit(Long.MaxValue))).as("improved"))
+        .localCheckpoint(true)
+      frontier = joined.filter(col("improved"))
+        .select(col("node"), col("dist")).localCheckpoint(true)
+      dist = joined.select(col("node"), col("dist"))
+      i += 1
+    }
+    dist
+  }
 }

@@ -632,4 +632,69 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** DISTRIBUTION DRIFT between a reference and a current slice
+    * (r15) — the monitor a training-data pipeline runs before
+    * admitting a new crawl batch: bin a value column into fixed-width
+    * buckets and compare the two bin histograms. The divergence is
+    * reported PSI-style per bin but in EXACT integer arithmetic (no
+    * ln): with p_b = r_b/R and q_b = c_b/C, the per-bin total
+    * variation contribution |p_b − q_b| is emitted multiplied through
+    * by the common denominator R·C — `tv_scaled = |r_b·C − c_b·R|` —
+    * a DECIMAL(38,0) that is bit-identical on any engine and whose
+    * sum/(2·R·C) is the exact total-variation distance. Log-family
+    * divergences (PSI/KL) are one `ln` away from the same two count
+    * columns; they are left to the caller because libm output is not
+    * cross-engine reproducible (the q102 rational-idf rule).
+    *
+    * Scale shape: ONE pass over each slice (a shared scan when both
+    * slices come from one table — the filters are disjoint
+    * predicates), partial-aggregated (group, bin) counts, and a
+    * bin-count-sized (≤ thousands) merge: nothing downstream of the
+    * first aggregate depends on the corpus size. The fragment face
+    * [[featureDriftFromCounts]] merges pre-counted (side, bin)
+    * fragments — additive, so streaming/batched commits reproduce
+    * the one-shot answer bit-exactly (the exactRankStatsWeighted
+    * contract). */
+  def featureDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"featureDrift: binWidth >= 1, got $binWidth")
+    // valueCol must be a non-negative integral column (callers floor
+    // doubles to cents first, the q286 idiom): floor(v/w) on a
+    // ≤2⁵³ long is exact and equals SQL `v // w` for positives
+    def binned(df: DataFrame, side: String) =
+      df.select(floor(col(valueCol).cast("long") / lit(binWidth))
+          .cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        .select(lit(side).as("side"), col("bin"), col("c"))
+    featureDriftFromCounts(
+      binned(ref, "ref").unionAll(binned(cur, "cur")))
+  }
+
+  /** [[featureDrift]] over pre-counted (side, bin, c) fragments with
+    * side ∈ {ref, cur}; duplicate (side, bin) rows sum first, so any
+    * partition of either slice into batches/commits is invisible. */
+  def featureDriftFromCounts(frags: DataFrame): DataFrame = {
+    // DECIMAL(18,0) operands: the product is (36,0) and the
+    // difference (37,0), inside both engines' 38-digit cap — casting
+    // (38,0) operands would overflow the SQL precision rules
+    val d18 = DecimalType(18, 0)
+    val merged = frags.groupBy(col("side"), col("bin"))
+      .agg(sum(col("c")).cast("long").as("c"))
+    val bins = merged.groupBy(col("bin"))
+      .agg(sum(when(col("side") === "ref", col("c"))
+        .otherwise(lit(0L))).cast("long").as("n_ref"),
+        sum(when(col("side") === "cur", col("c"))
+          .otherwise(lit(0L))).cast("long").as("n_cur"))
+    // one-row totals broadcast back: a small-side hash join, the
+    // scalar-broadcast idiom every drift denominator needs
+    val tot = bins.agg(sum(col("n_ref")).cast("long").as("tot_ref"),
+      sum(col("n_cur")).cast("long").as("tot_cur"))
+    bins.join(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("tot_ref"), col("tot_cur"),
+        abs(col("n_ref").cast(d18) * col("tot_cur").cast(d18) -
+          col("n_cur").cast(d18) * col("tot_ref").cast(d18))
+          .cast(DecimalType(38, 0)).as("tv_scaled"))
+  }
 }

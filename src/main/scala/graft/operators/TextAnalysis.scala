@@ -625,4 +625,66 @@ object TextAnalysis {
       .select(col("__id"), col(nameCol).as("__n"), col("__cl"))
     survivorship(member)
   }
+
+  /** CROSS-DOCUMENT REPEATED-SUBSTRING SPANS (r15) — the
+    * substring-level face of dedup (the "Deduplicating Training Data
+    * Makes Language Models Better" ExactSubstr op, re-expressed for a
+    * shuffle engine): find every MAXIMAL run of whitespace tokens of
+    * length ≥ `w` that also appears verbatim in ≥ `minDocs` distinct
+    * other documents. Doc-level MinHash misses these (boilerplate
+    * headers, licence blocks, templated paragraphs shared across
+    * otherwise-distinct pages); span-level removal is what stops the
+    * model memorizing them.
+    *
+    * Suffix arrays don't shard; w-token shingles do. A span of
+    * length L ≥ w is duplicated iff all its L−w+1 shingles are
+    * duplicated, so: (1) per doc, slice the token array into its
+    * w-shingles (array ops — no explode until the shingle rows, no
+    * window); (2) ONE (shingle → distinct-doc count) aggregation —
+    * the only corpus-sized shuffle, map-side partial; (3) semi-join
+    * docs' shingle starts against the ≥minDocs survivors (hash join
+    * on the shingle); (4) gaps-and-islands over (doc, start) — a
+    * window PARTITIONED BY doc — merges overlapping/adjacent
+    * duplicated shingles into maximal spans [start, last+w−1].
+    *
+    * The shingle JOIN KEY here is the w-token string so the DuckDB
+    * oracle replays verbatim; at 100 TB you'd key steps 2-3 by
+    * xxhash64(shingle) instead (8-byte shuffle keys, collisions
+    * acceptable for a dedup screen) — `hashKey = true` does exactly
+    * that, and `DupSpanSpec` pins hashed ≡ string on the testdata.
+    * Returns (doc_id, span_start 0-based, span_tokens, n_shingles). */
+  def dupSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+               hashKey: Boolean = false): DataFrame = {
+    require(w >= 2 && minDocs >= 2,
+      s"dupSpans: need w >= 2 and minDocs >= 2, got w=$w minDocs=$minDocs")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+    val shingles = toks.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $w), " +
+            s"i -> array_join(slice(toks, i + 1, $w), ' '))"))
+          .as(Seq("start", "sh")))
+      .withColumn("k", if (hashKey) xxhash64(col("sh")) else col("sh"))
+      .select(col("doc_id"), col("start").cast("long").as("start"), col("k"))
+    val dup = shingles.groupBy(col("k"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("k"))
+    val flagged = shingles.join(dup, Seq("k"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    // islands: shingle starts s, s' belong to one span iff s' ≤ s+w
+    // (their token ranges overlap or touch) — here starts are dense
+    // integers, so a new island begins when the gap exceeds w
+    flagged
+      .withColumn("brk",
+        when(col("start") - lag(col("start"), 1).over(byDoc) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) - min(col("start")) + lit(w.toLong))
+          .as("span_tokens"),
+        count(lit(1)).as("n_shingles"))
+      .drop("island")
+  }
 }

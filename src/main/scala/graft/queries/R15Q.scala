@@ -177,6 +177,264 @@ object R15Q {
       require(inc.except(full).isEmpty && full.except(inc).isEmpty,
         "incremental fold must equal the full recompute bit-for-bit")
       inc.orderBy("entity_id")
+    }),
+
+    // GROUPING SETS (r15): the CUBE face of the relational surface —
+    // every (event_type × iso-dow) subtotal plus both marginals and
+    // the grand total in ONE aggregation pass (Catalyst expands the
+    // grouping sets before the shuffle, so it stays a single
+    // hash-aggregate, not 4 unioned scans). ISO day-of-week is
+    // derived engine-identically (Spark's Sunday=1 dayofweek shifted
+    // to Monday=1..Sunday=7, DuckDB's isodow); NULL grouping markers
+    // are COALESCEd to sentinels so the hash compare is total.
+    "q291_cube_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (pmod(dayofweek(col("ts")) + lit(5), lit(7)) + lit(1))
+          .cast("long").as("dow"),
+        col("value"))
+      ev.cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dow"), lit(-1L)).as("dow"),
+          col("n"), col("total"))
+        .orderBy("etype", "dow")
+    }),
+
+    // DISTRIBUTION DRIFT monitor (r15): the check a pipeline runs
+    // before admitting a new batch — order totals before/after
+    // 1998-01-01, $20k fixed-width bins, per-bin counts plus the
+    // exact scaled total-variation contribution |r·C − c·R| (integer
+    // arithmetic throughout — no ln, the q102 rational rule; the sum
+    // over bins ÷ 2RC is the exact TV distance). One pass over each
+    // slice, then bin-count-sized algebra. `Stats.featureDrift`.
+    "q292_feature_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderdate"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      graft.operators.Stats.featureDrift(
+        o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        "cents", binWidth = 2000000L)
+        .orderBy("bin")
+    }),
+
+    // REPEATED-SUBSTRING SPANS (r15): substring-level dedup — every
+    // maximal ≥8-token run appearing verbatim in ≥2 distinct
+    // documents (the boilerplate/licence-block leak MinHash's
+    // doc-level granularity misses). Shingle slice per doc (array
+    // ops, no window), ONE (shingle → distinct-doc count) shuffle,
+    // semi-join back, gaps-and-islands per doc. The oracle replays
+    // the identical shingle/island algebra over string_split.
+    // `TextAnalysis.dupSpans`; DupSpanSpec pins the xxhash64-keyed
+    // 100 TB variant ≡ the string-keyed oracle path.
+    "q293_dup_spans" -> ((s, d) =>
+      graft.operators.TextAnalysis.dupSpans(
+        Tables.documents(s, d), w = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
+
+    // BOUNDED-HOP WEIGHTED SSSP (r15): 4-round Bellman-Ford from
+    // user 0 over the q136 synthetic user graph with derived integer
+    // weights — each round a frontier⋈edges hash join + min groupBy
+    // (the Pregel superstep on DataFrames), only improved nodes
+    // re-expand, integer-exact so partitioning-proof. The oracle
+    // enumerates ≤4-edge walks in a recursive CTE and takes the min.
+    // `LinkAnalysis.ssspBounded`.
+    "q294_sssp_bounded" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+          col("user_id").as("src"),
+          ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst"))
+        .withColumn("w", pmod(col("src") + col("dst"), lit(9L)) + lit(1L))
+      graft.operators.LinkAnalysis.ssspBounded(edges, source = 0L, hops = 4)
+        .orderBy("node")
+    }),
+
+    // DETERMINISTIC NEGATIVE SAMPLING (r15): contrastive training
+    // pairs — for each (customer, purchased part) positive, 2
+    // pseudo-random catalog parts the customer never bought.
+    // Multiplicative-hash slot per (anchor, item, j) → broadcast
+    // catalog index join → anti-join true positives; pure integer
+    // arithmetic, so the epoch build replays bit-identically on any
+    // engine/partitioning. In-query require pins the dense-0..n−1
+    // catalog contract the slot→item map needs. `Corpus.negativeSample`.
+    "q295_negative_sampling" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val np = part.agg(min(col("p_partkey")).cast("long"),
+        max(col("p_partkey")).cast("long"), count(lit(1))).head()
+      require(np.getLong(0) == 0L && np.getLong(1) == np.getLong(2) - 1L,
+        s"negative sampling needs a dense 0..n-1 part catalog, got $np")
+      val pos = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+      graft.operators.Corpus.negativeSample(
+        pos, "cust", "item",
+        part.select(col("p_partkey").as("idx"),
+          col("p_partkey").as("cat_item")),
+        "idx", "cat_item", k = 2, nCatalog = np.getLong(2))
+        .select(col("anchor"), col("pos_item"),
+          col("j").cast("long").as("j"), col("neg_item"))
+        .orderBy("anchor", "pos_item", "j")
+    }),
+
+    // RFM SEGMENTATION (r15): the marketing/cohort scoring table —
+    // per-customer recency (days vs corpus max date), frequency,
+    // monetary (exact cents), each quartile-scored 1..4 against the
+    // customer population WITHOUT a global sort: thresholds come from
+    // `Stats.exactRankStats` (distributed selection, q283 machinery)
+    // and broadcast back as one row. Recency scores reversed (recent
+    // = good). The oracle replays the q283 rank formulas per metric.
+    "q296_rfm_segments" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val mx = o.agg(max(col("o_orderdate")).as("mxd"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))).as("mond"))
+        .join(broadcast(mx))
+        .select(col("o_custkey"),
+          ((unix_micros(col("mxd").cast("timestamp")) -
+            unix_micros(col("lastd").cast("timestamp"))) /
+            lit(86400000000L)).cast("long").as("rec"),
+          col("freq"), (col("mond") * lit(100)).cast("long").as("mon"))
+      // ONE distributed-selection pass over all three metrics: stack
+      // them long-form (metric = the selection GROUP), then fold the
+      // 3-row stats relation into a single threshold row — no
+      // constant-key join for Catalyst to degrade into a cartesian
+      val stacked = cust.select(col("o_custkey"),
+          explode(map(lit("rec"), col("rec"), lit("freq"), col("freq"),
+            lit("mon"), col("mon"))).as(Seq("metric", "v")))
+      val thCols = Seq("rec", "freq", "mon").flatMap(m =>
+        Seq("p25", "p50", "p75").map(p =>
+          max(when(col("metric") === m, col(p))).as(s"${p}_$m")))
+      val th = graft.operators.Stats.exactRankStats(stacked, "metric", "v")
+        .agg(thCols.head, thCols.tail: _*)
+      def gt(c: String, p: String) =
+        (col(c) > col(p)).cast("long")
+      cust.join(broadcast(th))
+        .select(col("o_custkey"), col("rec"), col("freq"), col("mon"),
+          (lit(4L) - gt("rec", "p25_rec") - gt("rec", "p50_rec") -
+            gt("rec", "p75_rec")).as("r_score"),
+          (lit(1L) + gt("freq", "p25_freq") + gt("freq", "p50_freq") +
+            gt("freq", "p75_freq")).as("f_score"),
+          (lit(1L) + gt("mon", "p25_mon") + gt("mon", "p50_mon") +
+            gt("mon", "p75_mon")).as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .orderBy("o_custkey")
+    }),
+
+    // STREAMING DRIFT (r15): q292's monitor maintained in-stream —
+    // each micro-batch commits only its (side, bin, count) fragment
+    // (kilobytes, additive — the q149/q286 sketch-commit idiom), the
+    // read side merges fragments and runs the same exact TV algebra.
+    // Slices split by event_id hash (a holdout-shard drift baseline);
+    // a 4-batch drain must reproduce the one-shot batch answer
+    // BIT-EXACTLY, so the oracle is the batch SQL over events.
+    // `Stats.featureDriftFromCounts`.
+    "q297_stream_drift" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(
+            when(pmod(col("event_id"), lit(3)) === 0, lit("ref"))
+              .otherwise(lit("cur")).as("side"),
+            floor(floor(col("value") * lit(100.0)) / lit(500))
+              .cast("long").as("bin"))
+          .groupBy(col("side"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.featureDriftFromCounts(frags)
+        .orderBy("bin")
+    }),
+
+    // CUPED-ADJUSTED EXPERIMENT LIFT (r15): the variance-reduction
+    // estimator every experimentation platform runs — per-user
+    // pre/post metrics (even/odd event ids as the pre/post split,
+    // user_id parity as the A/B arm), pooled
+    // θ = cov(X,Y)/var(X) from EXACT decimal sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx² — one pass, map-side partial), adjusted
+    // group means ȳ_g − θ(x̄_g − x̄) evaluated in a mirrored IEEE
+    // expression tree so both engines emit identical doubles.
+    "q298_cuped_lift" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      // operand widths chosen so every decimal product stays inside
+      // BOTH engines' 38-digit cap: x,y ≤ 10¹⁴ cents per user
+      // (fail-loud on cast overflow), products (28,0), n·Σ (38,0),
+      // ΣΣ (38,0); the final num/den subtraction happens in double
+      // space with a mirrored IEEE expression tree on both engines
+      val d14 = DecimalType(14, 0)
+      val d19 = DecimalType(19, 0)
+      val d28 = DecimalType(28, 0)
+      val d10 = DecimalType(10, 0)
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_id") % 2 === 0,
+            floor(col("value") * lit(100.0)).cast("long"))
+            .otherwise(lit(0L))).cast("long").as("x"),
+          sum(when(col("event_id") % 2 =!= 0,
+            floor(col("value") * lit(100.0)).cast("long"))
+            .otherwise(lit(0L))).cast("long").as("y"))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      val g = per.agg(count(lit(1)).cast(d10).as("n"),
+        sum(col("x").cast(DecimalType(18, 0))).cast(d19).as("sx"),
+        sum(col("y").cast(DecimalType(18, 0))).cast(d19).as("sy"),
+        sum(col("x").cast(d14) * col("y").cast(d14)).cast(d28).as("sxy"),
+        sum(col("x").cast(d14) * col("x").cast(d14)).cast(d28).as("sxx"))
+      val theta = g.select(col("n").cast("long").as("n"), col("sx"),
+        (((col("n") * col("sxy")).cast("double") -
+          (col("sx") * col("sy")).cast("double")) /
+          ((col("n") * col("sxx")).cast("double") -
+            (col("sx") * col("sx")).cast("double"))).as("theta"))
+      per.groupBy(col("grp"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("x").cast(DecimalType(18, 0))).as("gsx"),
+          sum(col("y").cast(DecimalType(18, 0))).as("gsy"))
+        .join(broadcast(theta))
+        .select(col("grp"), col("n_users"),
+          col("gsx").cast("long").as("sum_x"),
+          col("gsy").cast("long").as("sum_y"),
+          col("theta"),
+          (col("gsy").cast("double") / col("n_users") -
+            col("theta") * (col("gsx").cast("double") / col("n_users") -
+              col("sx").cast("double") / col("n"))).as("adj_mean"))
+        .orderBy("grp")
+    }),
+
+    // DATASET CARD (r15): the one-artifact corpus summary a training
+    // run records next to its data — doc/source/lang counts, exact
+    // token and char totals, exact-duplicate doc count, and the
+    // median doc length BY DISTRIBUTED SELECTION (no global sort) —
+    // all BIGINT metrics in one long (metric, value) relation, each
+    // leg a bounded aggregation over ONE documents pass per leg.
+    "q299_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      val basics = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+      val tok = toks.agg(sum(col("nt")).as("total_ws_tokens"))
+      val dups = docs.groupBy(md5(col("text")))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("exact_dup_docs"))
+      val med = graft.operators.Stats.exactRankStats(
+        toks.withColumn("g", lit("all")), "g", "nt")
+        .select(col("p50").as("p50_ws_tokens"))
+      def long1(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.select(lit(c).as("metric"), col(c).cast("long").as("value"))
+      long1(basics, "n_docs")
+        .unionAll(long1(basics, "n_langs"))
+        .unionAll(long1(basics, "n_sources"))
+        .unionAll(long1(basics, "total_chars"))
+        .unionAll(long1(tok, "total_ws_tokens"))
+        .unionAll(long1(dups, "exact_dup_docs"))
+        .unionAll(long1(med, "p50_ws_tokens"))
+        .orderBy("metric")
     })
   )
 
@@ -438,6 +696,262 @@ object R15Q {
         |  AND rl.np_ts IS NOT NULL
         |  AND (rl.ne_ts IS NULL OR rl.ne_ts >= rl.np_ts)
         |  AND rl.np_ts - a.ts <= 604800000000
-        |ORDER BY user_id, a_id""".stripMargin
+        |ORDER BY user_id, a_id""".stripMargin,
+
+    "q291_cube_rollup" ->
+      s"""SELECT COALESCE(event_type, 'ALL') AS etype,
+         |       COALESCE(dow, -1) AS dow,
+         |       COUNT(*) AS n, ${sqlDsum("value")} AS total
+         |FROM (SELECT event_type,
+         |             CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+         |             value
+         |      FROM events)
+         |GROUP BY CUBE(event_type, dow)
+         |ORDER BY etype, dow""".stripMargin,
+
+    "q292_feature_drift" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |              THEN 'ref' ELSE 'cur' END AS side,
+        |         CAST(floor(o_totalprice * 100.0) AS BIGINT) // 2000000
+        |           AS bin
+        |  FROM orders
+        |), g AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM b GROUP BY bin
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+        |         CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+        |  FROM g
+        |)
+        |SELECT bin, n_ref, n_cur, tot_ref, tot_cur,
+        |  CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(tot_cur AS DECIMAL(18,0))
+        |         - CAST(n_cur AS DECIMAL(18,0)) * CAST(tot_ref AS DECIMAL(18,0)))
+        |       AS DECIMAL(38,0)) AS tv_scaled
+        |FROM g, t
+        |ORDER BY bin""".stripMargin,
+
+    "q293_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |), sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |         array_to_string(l[i:i+7], ' ') AS k
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS g(i)
+        |), dup AS (
+        |  SELECT k FROM sh GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+        |), f AS (
+        |  SELECT s.doc_id, s.start FROM sh s JOIN dup USING (k)
+        |), w AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN start - lag(start)
+        |           OVER (PARTITION BY doc_id ORDER BY start) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM f
+        |), i AS (
+        |  SELECT doc_id, start,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w
+        |)
+        |SELECT doc_id, MIN(start) AS span_start,
+        |       MAX(start) - MIN(start) + 8 AS span_tokens,
+        |       COUNT(*) AS n_shingles
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q294_sssp_bounded" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         (user_id * 3 + event_id % 5 + 1) % 150 AS dst,
+        |         (user_id + (user_id * 3 + event_id % 5 + 1) % 150) % 9 + 1
+        |           AS w
+        |  FROM events
+        |), walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+        |         0 AS hops
+        |  UNION ALL
+        |  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+        |  FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.hops < 4
+        |)
+        |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    "q295_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS anchor, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), np AS (SELECT COUNT(*) AS n FROM part),
+        |c AS (
+        |  SELECT anchor, item AS pos_item, CAST(j AS BIGINT) AS j,
+        |    (anchor * 1000003 + item * 7919 + j * 104729)
+        |      % (SELECT n FROM np) AS neg_item
+        |  FROM pos, UNNEST(generate_series(1, 2)) AS g(j)
+        |)
+        |SELECT anchor, pos_item, j, neg_item
+        |FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |                  WHERE p.anchor = c.anchor
+        |                    AND p.item = c.neg_item)
+        |ORDER BY anchor, pos_item, j""".stripMargin,
+
+    "q296_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    (epoch_us(CAST((SELECT MAX(o_orderdate) FROM orders)
+        |                   AS TIMESTAMP))
+        |     - epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)))
+        |      // 86400000000 AS rec,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS mon
+        |  FROM orders GROUP BY o_custkey
+        |), q AS (
+        |  SELECT
+        |    MAX(CASE WHEN rr = greatest(1, (n + 1) // 4) THEN rec END)
+        |      AS p25_rec,
+        |    MAX(CASE WHEN rr = greatest(1, (n + 1) // 2) THEN rec END)
+        |      AS p50_rec,
+        |    MAX(CASE WHEN rr = greatest(1, (3 * (n + 1)) // 4) THEN rec END)
+        |      AS p75_rec,
+        |    MAX(CASE WHEN rf = greatest(1, (n + 1) // 4) THEN freq END)
+        |      AS p25_freq,
+        |    MAX(CASE WHEN rf = greatest(1, (n + 1) // 2) THEN freq END)
+        |      AS p50_freq,
+        |    MAX(CASE WHEN rf = greatest(1, (3 * (n + 1)) // 4) THEN freq END)
+        |      AS p75_freq,
+        |    MAX(CASE WHEN rm = greatest(1, (n + 1) // 4) THEN mon END)
+        |      AS p25_mon,
+        |    MAX(CASE WHEN rm = greatest(1, (n + 1) // 2) THEN mon END)
+        |      AS p50_mon,
+        |    MAX(CASE WHEN rm = greatest(1, (3 * (n + 1)) // 4) THEN mon END)
+        |      AS p75_mon
+        |  FROM (SELECT rec, freq, mon,
+        |          CAST(row_number() OVER (ORDER BY rec) AS BIGINT) AS rr,
+        |          CAST(row_number() OVER (ORDER BY freq) AS BIGINT) AS rf,
+        |          CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS rm,
+        |          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |        FROM cust)
+        |)
+        |SELECT o_custkey, rec, freq, mon,
+        |  4 - CAST(rec > p25_rec AS BIGINT) - CAST(rec > p50_rec AS BIGINT)
+        |    - CAST(rec > p75_rec AS BIGINT) AS r_score,
+        |  1 + CAST(freq > p25_freq AS BIGINT) + CAST(freq > p50_freq AS BIGINT)
+        |    + CAST(freq > p75_freq AS BIGINT) AS f_score,
+        |  1 + CAST(mon > p25_mon AS BIGINT) + CAST(mon > p50_mon AS BIGINT)
+        |    + CAST(mon > p75_mon AS BIGINT) AS m_score,
+        |  CAST(4 - CAST(rec > p25_rec AS BIGINT) - CAST(rec > p50_rec AS BIGINT)
+        |         - CAST(rec > p75_rec AS BIGINT) AS VARCHAR)
+        |  || CAST(1 + CAST(freq > p25_freq AS BIGINT)
+        |            + CAST(freq > p50_freq AS BIGINT)
+        |            + CAST(freq > p75_freq AS BIGINT) AS VARCHAR)
+        |  || CAST(1 + CAST(mon > p25_mon AS BIGINT)
+        |            + CAST(mon > p50_mon AS BIGINT)
+        |            + CAST(mon > p75_mon AS BIGINT) AS VARCHAR) AS segment
+        |FROM cust, q
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q297_stream_drift" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 'ref' ELSE 'cur' END
+        |           AS side,
+        |         CAST(floor(value * 100.0) AS BIGINT) // 500 AS bin
+        |  FROM events
+        |), g AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM b GROUP BY bin
+        |), t AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tot_ref,
+        |         CAST(SUM(n_cur) AS BIGINT) AS tot_cur
+        |  FROM g
+        |)
+        |SELECT bin, n_ref, n_cur, tot_ref, tot_cur,
+        |  CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(tot_cur AS DECIMAL(18,0))
+        |         - CAST(n_cur AS DECIMAL(18,0)) * CAST(tot_ref AS DECIMAL(18,0)))
+        |       AS DECIMAL(38,0)) AS tv_scaled
+        |FROM g, t
+        |ORDER BY bin""".stripMargin,
+
+    "q298_cuped_lift" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_id % 2 = 0
+        |             THEN CAST(floor(value * 100.0) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_id % 2 <> 0
+        |             THEN CAST(floor(value * 100.0) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 AS grp
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(19,0)) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(14,0)) * CAST(y AS DECIMAL(14,0)))
+        |         AS DECIMAL(28,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(14,0)) * CAST(x AS DECIMAL(14,0)))
+        |         AS DECIMAL(28,0)) AS sxx
+        |  FROM per
+        |), th AS (
+        |  SELECT CAST(n AS BIGINT) AS n, sx,
+        |    (CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+        |      / (CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE))
+        |      AS theta
+        |  FROM g
+        |)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,0))) AS BIGINT) AS sum_x,
+        |  CAST(SUM(CAST(y AS DECIMAL(18,0))) AS BIGINT) AS sum_y,
+        |  theta,
+        |  CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+        |    - theta * (CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+        |                 / COUNT(*)
+        |               - CAST(sx AS DOUBLE) / n) AS adj_mean
+        |FROM per, th
+        |GROUP BY grp, theta, sx, n
+        |ORDER BY grp""".stripMargin,
+
+    "q299_dataset_card" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), med AS (
+        |  SELECT MAX(CASE WHEN r = greatest(1, (n + 1) // 2) THEN nt END)
+        |    AS v
+        |  FROM (SELECT nt,
+        |          CAST(row_number() OVER (ORDER BY nt) AS BIGINT) AS r,
+        |          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |        FROM toks)
+        |)
+        |SELECT 'exact_dup_docs' AS metric,
+        |  CAST(COALESCE((SELECT SUM(c) FROM (
+        |    SELECT COUNT(*) AS c FROM documents GROUP BY md5(text)
+        |    HAVING COUNT(*) > 1)), 0) AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'n_docs', CAST(COUNT(*) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'p50_ws_tokens', v FROM med
+        |UNION ALL
+        |SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'total_ws_tokens', CAST(SUM(nt) AS BIGINT) FROM toks
+        |ORDER BY metric""".stripMargin
   )
 }

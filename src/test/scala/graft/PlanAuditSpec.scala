@@ -105,7 +105,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast cross-joined into the fold projection (q102's
     // embed-the-scalars pattern); the query is otherwise a pure
     // projection + the final (fold, role) rollup
-    "q274_walkforward_split")
+    "q274_walkforward_split",
+    // q292/q297 (r15): the drift denominators (tot_ref, tot_cur) —
+    // a ONE-ROW broadcast totals relation cross-joined into the
+    // bin-count-sized (≤ thousands) histogram, never the corpus
+    // (q102's embed-the-scalars pattern); the corpus-sized work is
+    // the upstream partial-aggregated bin count
+    "q292_feature_drift", "q297_stream_drift",
+    // q296/q299 (r15): single-population distributed selection — the
+    // lit-constant group key constant-folds away, so exactRankStats'
+    // stats/threshold relations ride ONE-ROW broadcasts exactly like
+    // q262's (and q296's corpus max-date scalar is the q207 bound)
+    "q296_rfm_segments", "q299_dataset_card",
+    // q298 (r15): pooled θ — a ONE-ROW broadcast (n, Σx, θ) scalar
+    // relation cross-joined into the TWO-ROW per-arm rollup; the
+    // corpus-sized work is the per-user aggregate upstream
+    "q298_cuped_lift")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

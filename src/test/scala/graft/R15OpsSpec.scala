@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, LinkAnalysis, Stats, TextAnalysis}
+
+/** Directed + differential pins for the r15 second-wave operators:
+  * repeated-substring spans, bounded-hop SSSP, deterministic negative
+  * sampling, and the drift monitor's fragment additivity. */
+class R15OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- dupSpans ----------------
+
+  private def uniq(doc: Int, n: Int): Seq[String] =
+    (0 until n).map(i => s"u${doc}_$i")
+
+  test("dupSpans: maximal spans, offsets, island merge — directed") {
+    val run = (1 to 10).map(i => s"t$i") // the shared 10-token run
+    val tail4 = Seq("s1", "s2", "s3", "s4") // a second shared 4-run
+    val docs = Seq(
+      // run at 0-based offset 5 in d1, offset 0 in d2
+      (1L, (uniq(1, 5) ++ run ++ uniq(1, 6)).mkString(" ")),
+      (2L, (run ++ uniq(2, 7)).mkString(" ")),
+      (3L, uniq(3, 20).mkString(" ")), // nothing shared
+      (4L, (uniq(4, 3) ++ tail4 ++ uniq(4, 9)).mkString(" ")),
+      (5L, (uniq(5, 8) ++ tail4).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, w = 4, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // a 10-token duplicated run with w=4 has 7 duplicated shingle
+    // starts that must merge into ONE maximal island of 10 tokens
+    assert(got === Seq(
+      (1L, 5L, 10L, 7L), (2L, 0L, 10L, 7L),
+      (4L, 3L, 4L, 1L), (5L, 8L, 4L, 1L)))
+  }
+
+  test("dupSpans: below minDocs finds nothing") {
+    val docs = Seq(
+      (1L, ((1 to 10).map(i => s"t$i") ++ uniq(1, 5)).mkString(" ")),
+      (2L, uniq(2, 15).mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(TextAnalysis.dupSpans(docs, w = 4, minDocs = 2).isEmpty)
+  }
+
+  test("dupSpans: xxhash64-keyed scale path ≡ string-keyed oracle path") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(hashKey: Boolean) =
+      TextAnalysis.dupSpans(docs, w = 8, minDocs = 2, hashKey = hashKey)
+        .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val byString = rows(hashKey = false)
+    assert(byString.nonEmpty, "fixture corpus should contain dup spans")
+    assert(rows(hashKey = true) === byString)
+  }
+
+  // ---------------- ssspBounded ----------------
+
+  test("ssspBounded ≡ hop-bounded DP reference on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        (rnd.nextInt(9) + 1).toLong)
+    }.distinct
+    val hops = 4
+    // reference: dist_k(v) = min cost over walks of <= k edges
+    var ref = Map(0L -> 0L)
+    for (_ <- 1 to hops) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        ref.get(s).map(ds => d -> (ds + w)) }
+      ref = (ref.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val got = LinkAnalysis.ssspBounded(
+        edges.toDF("src", "dst", "w"), source = 0L, hops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+  }
+
+  test("ssspBounded: more hops never increases a distance") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 80).map { _ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong,
+        (rnd.nextInt(5) + 1).toLong)
+    }.distinct.toDF("src", "dst", "w")
+    val d2 = LinkAnalysis.ssspBounded(edges, 0L, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d5 = LinkAnalysis.ssspBounded(edges, 0L, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    d2.foreach { case (node, dist) =>
+      assert(d5.contains(node) && d5(node) <= dist,
+        s"node $node regressed from $dist to ${d5.get(node)}")
+    }
+  }
+
+  // ---------------- negativeSample ----------------
+
+  test("negativeSample: deterministic, positive-free, slot-exact") {
+    val positives = Seq((10L, 3L), (10L, 7L), (11L, 3L), (12L, 0L))
+      .toDF("u", "it")
+    val nCat = 10L
+    val catalog = (0L until nCat).map(i => (i, i * 100)).toDF("idx", "item")
+    def run() = Corpus.negativeSample(positives, "u", "it",
+        catalog, "idx", "item", k = 3, nCatalog = nCat)
+      .orderBy("anchor", "pos_item", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val a = run()
+    assert(a === run(), "sampling must be deterministic across runs")
+    // slot arithmetic replayed in Scala, positives removed by hand
+    val pos = Set((10L, 3L), (10L, 7L), (11L, 3L), (12L, 0L))
+    // the anti-join compares CATALOG item ids (slot*100) against the
+    // anchor's positive item ids — only (12, slot 0 → item 0) collides
+    val expect = for {
+      (u, it) <- pos.toSeq.sortBy(identity)
+      j <- 1L to 3L
+      slot = (u * 1000003L + it * 7919L + j * 104729L) % nCat
+      if !pos.contains((u, slot * 100))
+    } yield (u, it, j, slot * 100)
+    assert(a.toSet === expect.toSet)
+    // and no emitted negative may be a positive of the same anchor
+    a.foreach { case (u, _, _, neg) =>
+      assert(!pos.contains((u, neg)), s"positive leaked: $u $neg")
+    }
+  }
+
+  // ---------------- featureDrift ----------------
+
+  test("featureDrift: fragment commits ≡ one-shot, algebra exact") {
+    val rnd = new scala.util.Random(99)
+    val ref = (1 to 3000).map(_ => rnd.nextInt(200).toLong)
+    val cur = (1 to 2000).map(_ => (rnd.nextInt(200) + 30).toLong)
+    val oneShot = Stats.featureDrift(
+        ref.toDF("v"), cur.toDF("v"), "v", binWidth = 25L)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    // replay the algebra in Scala
+    def hist(xs: Seq[Long]) = xs.groupBy(_ / 25L).view.mapValues(_.size.toLong)
+    val (hr, hc) = (hist(ref).toMap, hist(cur).toMap)
+    val (tr, tc) = (ref.size.toLong, cur.size.toLong)
+    val bins = (hr.keySet ++ hc.keySet).toSeq.sorted
+    val expect = bins.map { b =>
+      val (r, c) = (hr.getOrElse(b, 0L), hc.getOrElse(b, 0L))
+      Seq(b, r, c, tr, tc, BigDecimal(math.abs(r * tc - c * tr)))
+    }
+    assert(oneShot.map(s => s.init :+ BigDecimal(s.last.toString)) === expect)
+    // fragment the SAME data into 5 arbitrary (side, bin) count
+    // commits — the merge must be invisible
+    val frags = (ref.map(v => ("ref", v / 25L)) ++ cur.map(v => ("cur", v / 25L)))
+      .zipWithIndex
+      .map { case ((s, b), i) => (s, b, i % 5) }
+      .toDF("side", "bin", "part")
+      .groupBy(col("part"), col("side"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .drop("part")
+    val merged = Stats.featureDriftFromCounts(frags)
+      .orderBy("bin").collect().map(_.toSeq).toSeq
+    assert(merged === oneShot, "fragmented commits drifted from one-shot")
+  }
+}
