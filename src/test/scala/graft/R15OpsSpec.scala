@@ -161,4 +161,35 @@ class R15OpsSpec extends AnyFunSuite {
       .orderBy("bin").collect().map(_.toSeq).toSeq
     assert(merged === oneShot, "fragmented commits drifted from one-shot")
   }
+
+  // ---------------- recursive prefix scan ----------------
+
+  test("prefixOffsets: deep recursion ≡ plain cumsum; windows bounded") {
+    val rnd = new scala.util.Random(3)
+    // sparse keys across a range forcing 4+ levels at fanout 4
+    val totals = (1 to 500).map(_ => rnd.nextLong(4000))
+      .distinct.map(k => (k, rnd.nextInt(100).toLong + 1))
+    val df = totals.toDF("bucket", "v")
+    val got = Corpus.prefixOffsets(df, "bucket", "v", fanout = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = totals.sortBy(_._1)
+    val expect = sorted.map(_._1)
+      .zip(sorted.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    assert(got === expect)
+  }
+
+  test("shardPack: recursive scan path ≡ the global-cumsum semantics") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map { id =>
+      (id * 7, (1 to rnd.nextInt(20) + 1).map(i => s"w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    def shards(fanout: Long) =
+      Corpus.shardPack(docs, budget = 64, bucketSize = 3L,
+          scanFanout = fanout)
+        .select("doc_id", "start_off", "shard_id")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // fanout large enough for a single level vs forced 4-level
+    // recursion (700 buckets / fanout 5): identical packing
+    assert(shards(1 << 20) === shards(5L))
+  }
 }
