@@ -697,4 +697,116 @@ object Stats {
           col("n_cur").cast(d18) * col("tot_ref").cast(d18))
           .cast(DecimalType(38, 0)).as("tv_scaled"))
   }
+
+  /** EXACT POWER-ITERATION STEPS on the [[gramMatrix]] (r15) — the
+    * dominant-eigenvector estimate behind PCA/spectral curation of an
+    * embedding corpus, kept ENGINE-EXACT: two unnormalized Krylov
+    * steps v₁ = G·e_s, v₂ = G·v₁ from the largest-diagonal axis e_s
+    * (ties → min index), all in integer/decimal arithmetic, so the
+    * result is bit-identical on any engine or partitioning. Two steps
+    * is the decimal-exact budget: |G| ≤ rows·2^(2·scaleBits) and
+    * |v₂| ≤ d·|G|·|v₁| stays under 38 digits for corpora to ~10⁹ rows
+    * at d = 64 (the cast overflows FAIL LOUD past that — production
+    * continues with the normalized double iteration, where
+    * cross-engine bit-identity is no longer required).
+    *
+    * Scale shape: the ONE corpus-sized pass is gramMatrix's partial
+    * aggregation; everything after runs on the d²-row matrix relation
+    * (broadcast hash joins on the axis index). */
+  def powerIterationExact(df: DataFrame, vecCol: String, d: Int,
+                          scaleBits: Int = 16): DataFrame = {
+    val d20 = DecimalType(20, 0)
+    val d16 = DecimalType(16, 0)
+    val g = gramMatrix(df, vecCol, d, scaleBits)
+      .select(col("i"), col("j"), col("dot_q"))
+    val full = g.unionAll(g.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("dot_q")))
+    val s = full.filter(col("i") === col("j"))
+      .orderBy(desc("dot_q"), col("i")).limit(1)
+      .select(col("i").as("sp"))
+    val v1 = full.join(broadcast(s), full("j") === s("sp"))
+      .select(col("i").as("p"), col("dot_q").as("v1"))
+    val v2 = full.join(broadcast(v1), full("j") === v1("p"))
+      .groupBy(full("i").as("p2"))
+      .agg(sum(col("dot_q").cast(d20) * col("v1").cast(d16))
+        .cast(DecimalType(38, 0)).as("v2"))
+    v1.join(v2, v1("p") === v2("p2"))
+      .select(col("p").as("i"), col("v1"), col("v2"))
+  }
+
+  /** Normalized double power iteration — the PRODUCTION continuation
+    * of [[powerIterationExact]] once cross-engine bit-identity stops
+    * mattering: the d×d Gram matrix (4096 doubles at d = 64 — bounded
+    * algorithm state, the kCenterSelect rule) is collected and
+    * iterated driver-side with per-step L2 normalization from the
+    * largest-diagonal axis. Deterministic given the exact integer
+    * matrix. Returns (eigvec: the unit dominant eigenvector estimate,
+    * lambda: its Rayleigh quotient). */
+  def powerIterationTop(df: DataFrame, vecCol: String, d: Int,
+                        iters: Int = 400,
+                        scaleBits: Int = 16): (Array[Double], Double) = {
+    require(iters >= 1, s"powerIterationTop: iters >= 1, got $iters")
+    val tri = gramMatrix(df, vecCol, d, scaleBits)
+      .select(col("i"), col("j"), col("gram")).collect()
+    val g = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val s = (0 until d).maxBy(i => (g(i)(i), -i))
+    var v = Array.tabulate(d)(i => if (i == s) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val nv = Array.tabulate(d)(i =>
+        (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val norm = math.sqrt(nv.map(x => x * x).sum)
+      v = if (norm == 0.0) nv else nv.map(_ / norm)
+    }
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val lambda = v.zip(gv).map { case (a, b) => a * b }.sum
+    (v, lambda)
+  }
+
+  /** 2-D SKYLINE (Pareto frontier, r15): rows not dominated under
+    * (minimize `xCol`, maximize `yCol`) — dominance q ≻ p iff
+    * q.x ≤ p.x ∧ q.y ≥ p.y with one strict. The production question
+    * behind "best price for the size" / "cheapest model above the
+    * quality bar" curation screens.
+    *
+    * The sorted-scan textbook algorithm needs a GLOBAL running max —
+    * this is the two-level bounded form instead: (1) bucket by
+    * x div bucketWidth; (2) the strictly-earlier-bucket max-y prefix
+    * runs over the BUCKET-AGGREGATE relation (bounded by the x range,
+    * not the corpus — the shardPack scan rule); (3) the within-bucket
+    * strictly-smaller-x max-y is a bucket-PARTITIONED range-frame
+    * window; (4) equal-x dominance is an x-partitioned window. A row
+    * survives iff no strictly-cheaper row ties-or-beats its y and no
+    * equal-x row strictly beats it — exact, including all tie cases,
+    * with no unpartitioned corpus-sized window anywhere. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"skyline2D: bucketWidth >= 1, got $bucketWidth")
+    val b = df.withColumn("__b", floor(col(xCol) / bucketWidth))
+    val bMax = b.groupBy(col("__b")).agg(max(col(yCol)).as("__bmax"))
+    // prefix max over STRICTLY earlier buckets: a window over the
+    // bounded bucket-aggregate relation (x-range / width rows)
+    val overB = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = bMax.withColumn("__pmax", max(col("__bmax")).over(overB))
+      .select(col("__b"), col("__pmax"))
+    val inB = Window.partitionBy("__b").orderBy(col(xCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val atX = Window.partitionBy(col(xCol))
+    b.join(broadcast(pref), Seq("__b"))
+      .withColumn("__lmax", max(col(yCol)).over(inB))
+      // greatest() skips nulls: null only when NO strictly-cheaper
+      // row exists anywhere (first bucket, first x within it)
+      .withColumn("__cheapermax", greatest(col("__pmax"), col("__lmax")))
+      .withColumn("__xmax", max(col(yCol)).over(atX))
+      // dominated by a strictly-cheaper row with y >= mine, or by an
+      // equal-x row with y strictly above mine
+      .filter(col("__cheapermax").isNull ||
+        col("__cheapermax") < col(yCol))
+      .filter(col("__xmax") === col(yCol))
+      .drop("__b", "__pmax", "__lmax", "__cheapermax", "__xmax")
+  }
 }

@@ -435,6 +435,97 @@ object R15Q {
         .unionAll(long1(dups, "exact_dup_docs"))
         .unionAll(long1(med, "p50_ws_tokens"))
         .orderBy("metric")
+    }),
+
+    // EXACT POWER ITERATION (r15): two unnormalized Krylov steps on
+    // the q224 Gram matrix — the dominant-eigenvector estimate behind
+    // PCA curation, engine-exact in integer/decimal arithmetic (the
+    // normalized double continuation is spec-pinned by Rayleigh
+    // residual in R15OpsSpec; cross-engine bit-identity holds only
+    // for the exact steps, which is why the query gates THESE). The
+    // one corpus-sized pass is the Gram partial aggregation;
+    // everything downstream runs on the 64×64 matrix relation.
+    // `Stats.powerIterationExact`.
+    "q300_power_iteration" -> ((s, d) =>
+      graft.operators.Stats.powerIterationExact(
+        Tables.embeddings(s, d), "embedding", d = 64)
+        .orderBy("i")),
+
+    // ASSOCIATION RULES (r15): market-basket pair mining over order
+    // baskets — distinct parts per order, a<b pair self-join keyed on
+    // the order (pair blowup bounded by basket size, the candidate
+    // generator every FP-growth-style miner bootstraps from), then
+    // support / confidence / lift with counts exact and the ratios as
+    // mirrored one-division IEEE trees. The one-row basket-universe
+    // count rides a broadcast scalar (q102 pattern).
+    "q301_association_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+        .distinct()
+      val nOrders = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val nItem = items.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+      val pairs = items.alias("x")
+        .join(items.alias("y"), col("x.ok") === col("y.ok") &&
+          col("x.it") < col("y.it"))
+        .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(nItem.select(col("it").as("a"), col("n_it").as("n_a")), "a")
+        .join(nItem.select(col("it").as("b"), col("n_it").as("n_b")), "b")
+        .join(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("n_orders"),
+          (col("n_ab").cast("double") / col("n_a")).as("conf"),
+          ((col("n_ab").cast("double") * col("n_orders")) /
+            (col("n_a").cast("double") * col("n_b"))).as("lift"))
+        .orderBy("a", "b")
+    }),
+
+    // 2-D SKYLINE (r15): the Pareto frontier of (cheapest price,
+    // largest size) over parts — no corpus-sized global window: the
+    // strictly-cheaper running max decomposes into a bounded
+    // bucket-aggregate prefix + bucket-partitioned range windows +
+    // an equal-price window (exact under every tie case). The oracle
+    // is the quadratic NOT EXISTS dominance definition itself.
+    // `Stats.skyline2D`.
+    "q302_skyline" -> ((s, d) =>
+      graft.operators.Stats.skyline2D(
+        Tables.part(s, d).select(col("p_partkey"),
+          floor(col("p_retailprice") * lit(100.0)).cast("long")
+            .as("price_cents"),
+          col("p_size").cast("long").as("size")),
+        "price_cents", "size", bucketWidth = 10000L)
+        .orderBy("p_partkey")),
+
+    // STREAMING BASKET MINING (r15): q301's candidate statistics
+    // maintained in-stream. A basket (user, day) can SPAN micro-
+    // batches, so per-batch pair counts are NOT additive — the
+    // correct commit unit is the batch's distinct (user, day, type)
+    // PRESENCE fragment (additive under union-distinct), with the
+    // pair join run at read over the merged presence relation. The
+    // q297 lesson generalized: commit the sufficient statistic, not
+    // the answer. A 4-batch drain must reproduce the batch SQL
+    // bit-exactly.
+    "q303_stream_basket" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        graft.Tables.toEventTime(ev)
+          .select(col("user_id").as("u"),
+            floor(unix_micros(col("ts").cast("timestamp")) /
+              lit(86400000000L)).cast("long").as("day"),
+            col("event_type").as("t"))
+          .distinct()
+      }
+      val present = frags.distinct()
+      val pairs = present.alias("x")
+        .join(present.alias("y"),
+          col("x.u") === col("y.u") && col("x.day") === col("y.day") &&
+            col("x.t") < col("y.t"))
+        .groupBy(col("x.t").as("a"), col("y.t").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs.orderBy("a", "b")
     })
   )
 
@@ -952,6 +1043,84 @@ object R15Q {
         |SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
         |UNION ALL
         |SELECT 'total_ws_tokens', CAST(SUM(nt) AS BIGINT) FROM toks
-        |ORDER BY metric""".stripMargin
+        |ORDER BY metric""".stripMargin,
+
+    "q300_power_iteration" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536.0) AS BIGINT))
+        |         AS qv
+        |  FROM embeddings
+        |), idx AS (
+        |  SELECT unnest(generate_series(1, 64)) AS p
+        |), cells AS (
+        |  SELECT a.p AS pi, b.p AS pj FROM idx a CROSS JOIN idx b
+        |), gm AS (
+        |  SELECT pi, pj, CAST(SUM(qv[pi] * qv[pj]) AS BIGINT) AS g
+        |  FROM q CROSS JOIN cells GROUP BY pi, pj
+        |), s AS (
+        |  SELECT pi AS sp FROM gm WHERE pi = pj
+        |  ORDER BY g DESC, pi LIMIT 1
+        |), v1 AS (
+        |  SELECT pi AS p, g AS v FROM gm WHERE pj = (SELECT sp FROM s)
+        |), v2 AS (
+        |  SELECT gm.pi AS p,
+        |    CAST(SUM(CAST(gm.g AS DECIMAL(20,0)) * CAST(v1.v AS DECIMAL(16,0)))
+        |         AS DECIMAL(38,0)) AS v
+        |  FROM gm JOIN v1 ON gm.pj = v1.p GROUP BY gm.pi
+        |)
+        |SELECT CAST(v1.p - 1 AS BIGINT) AS i, v1.v AS v1, v2.v AS v2
+        |FROM v1 JOIN v2 ON v1.p = v2.p
+        |ORDER BY i""".stripMargin,
+
+    "q301_association_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem
+        |), n_orders AS (
+        |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+        |), n_item AS (
+        |  SELECT it, CAST(COUNT(*) AS BIGINT) AS n_it FROM items GROUP BY it
+        |), pairs AS (
+        |  SELECT x.it AS a, y.it AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.it < y.it
+        |  GROUP BY x.it, y.it HAVING COUNT(*) >= 2
+        |)
+        |SELECT a, b, n_ab, na.n_it AS n_a, nb.n_it AS n_b, n_orders,
+        |  CAST(n_ab AS DOUBLE) / na.n_it AS conf,
+        |  (CAST(n_ab AS DOUBLE) * n_orders)
+        |    / (CAST(na.n_it AS DOUBLE) * nb.n_it) AS lift
+        |FROM pairs
+        |JOIN n_item na ON na.it = a
+        |JOIN n_item nb ON nb.it = b
+        |CROSS JOIN n_orders
+        |ORDER BY a, b""".stripMargin,
+
+    "q302_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part
+        |)
+        |SELECT p_partkey, price_cents, size
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        |    AND (q.price_cents < p.price_cents OR q.size > p.size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q303_stream_basket" ->
+      """WITH pres AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    event_type AS t
+        |  FROM events
+        |)
+        |SELECT x.t AS a, y.t AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |FROM pres x JOIN pres y
+        |  ON x.u = y.u AND x.day = y.day AND x.t < y.t
+        |GROUP BY x.t, y.t
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -120,7 +120,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q298 (r15): pooled θ — a ONE-ROW broadcast (n, Σx, θ) scalar
     // relation cross-joined into the TWO-ROW per-arm rollup; the
     // corpus-sized work is the per-user aggregate upstream
-    "q298_cuped_lift")
+    "q298_cuped_lift",
+    // q301 (r15): the basket-universe count in the lift denominator —
+    // a ONE-ROW broadcast scalar against the pair-support relation
+    // (q233's exact pattern); the pair generator itself is a hash
+    // equi-join on the order key, basket-size-bounded
+    "q301_association_rules")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

@@ -192,4 +192,63 @@ class R15OpsSpec extends AnyFunSuite {
     // recursion (700 buckets / fanout 5): identical packing
     assert(shards(1 << 20) === shards(5L))
   }
+
+  // ---------------- skyline2D ----------------
+
+  test("skyline2D ≡ quadratic dominance on tie-heavy random data") {
+    val rnd = new scala.util.Random(21)
+    // small value ranges force x-ties, y-ties, and exact duplicates
+    val pts = (0L until 400L).map(id =>
+      (id, rnd.nextInt(40).toLong * 5, rnd.nextInt(25).toLong))
+    def dominated(p: (Long, Long, Long)) = pts.exists { q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    }
+    val expect = pts.filterNot(dominated).map(_._1).toSet
+    // several bucket widths, including one bucket per point and one
+    // bucket for everything — the decomposition must be invariant
+    Seq(1L, 7L, 50L, 1000L).foreach { w =>
+      val got = Stats.skyline2D(pts.toDF("id", "x", "y"), "x", "y", w)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"bucketWidth=$w drifted")
+    }
+  }
+
+  // ---------------- power iteration ----------------
+
+  test("powerIterationTop: Rayleigh residual ≈ 0, aligned with exact v2") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (v, lambda) = Stats.powerIterationTop(emb, "embedding", d = 64)
+    assert(lambda > 0.0)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    // residual ||Gv - lambda v|| must be tiny relative to lambda
+    val tri = Stats.gramMatrix(emb, "embedding", 64)
+      .select(col("i"), col("j"), col("gram")).collect()
+    val g = Array.ofDim[Double](64, 64)
+    tri.foreach { r =>
+      g(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+      g(r.getLong(1).toInt)(r.getLong(0).toInt) = r.getDouble(2)
+    }
+    val gv = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+    val resid = math.sqrt(
+      gv.zip(v).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum)
+    assert(resid < 1e-6 * lambda, s"residual $resid vs lambda $lambda")
+    // the exact steps are an EARLY Krylov estimate, not the converged
+    // vector (the corpus' eigengap is small) — the true invariant is
+    // that each power step monotonically raises the Rayleigh quotient
+    // toward lambda on a PSD matrix
+    val rows = Stats.powerIterationExact(emb, "embedding", d = 64)
+      .orderBy("i").collect()
+    val v1 = rows.map(_.getLong(1).toDouble)
+    val v2 = rows.map(_.getDecimal(2).doubleValue())
+    def rq(x: Array[Double]): Double = {
+      val gx = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * x(j)).sum)
+      x.zip(gx).map { case (a, b) => a * b }.sum / x.map(s => s * s).sum
+    }
+    val s0 = (0 until 64).maxBy(i => (g(i)(i), -i))
+    val rq0 = g(s0)(s0)
+    assert(rq0 <= rq(v1) * (1 + 1e-12) && rq(v1) <= rq(v2) * (1 + 1e-12) &&
+      rq(v2) <= lambda * (1 + 1e-9),
+      s"Rayleigh chain not monotone: $rq0, ${rq(v1)}, ${rq(v2)}, $lambda")
+  }
 }
