@@ -1191,4 +1191,60 @@ object EventAnalytics {
         col("run_id").as("version"),
         col("effective_to").isNull.as("is_current"))
   }
+
+  /** CUSUM CHANGE-POINT DETECTION (r15) — the sequential drift
+    * detector a monitoring pipeline runs where [[Stats.rateAnomaly]]'s
+    * window z-score misses SLOW shifts: one-sided cumulative sums
+    * s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − slack)) and
+    * s⁻_t = max(0, s⁻_{t−1} + (μ − x_t − slack)) over the gapless
+    * daily grid, alarming when either exceeds h = alarmMult·slack.
+    * μ is the series' own integer mean, slack = μ div slackDen —
+    * Page's classic parameterization with every quantity in exact
+    * 1e6 fixed-point (truncating div, identical in Spark `div` and
+    * DuckDB `//`), so the fold is bit-identical to the
+    * recursive-CTE oracle under any partitioning.
+    *
+    * Scale shape: the [[holtDaily]] stance — a sequential recursion
+    * folds per group over the ≤history-days daily array (bounded by
+    * the calendar, not the corpus); groups parallelize. */
+  def cusumDaily(ev: DataFrame, slackDen: Int = 20, alarmMult: Int = 5,
+                 groupCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame = {
+    require(slackDen >= 1 && alarmMult >= 1,
+      s"cusumDaily: slackDen >= 1 and alarmMult >= 1, " +
+        s"got $slackDen/$alarmMult")
+    val grid = resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n"))
+    val mu = grid.groupBy(col("g"))
+      .agg(sum(col("n")).as("sn_"), count(lit(1)).as("cnt_"))
+      .withColumn("mu", expr("(sn_ * 1000000) div cnt_"))
+      .withColumn("slack", expr(s"mu div $slackDen"))
+      .withColumn("h", col("slack") * lit(alarmMult.toLong))
+      .drop("sn_", "cnt_")
+    grid.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("rows"))
+      .join(broadcast(mu), "g")
+      .select(col("g").as(groupCol), col("mu"), col("slack"), col("h"),
+        expr(
+          """inline(aggregate(rows,
+            |  struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+            |         CAST(array() AS
+            |           ARRAY<STRUCT<day: BIGINT, n: BIGINT,
+            |                        sp: BIGINT, sn: BIGINT>>) AS out),
+            |  (acc, x) -> named_struct(
+            |    'sp', greatest(CAST(0 AS BIGINT),
+            |            acc.sp + (x.n * 1000000 - mu - slack)),
+            |    'sn', greatest(CAST(0 AS BIGINT),
+            |            acc.sn + (mu - x.n * 1000000 - slack)),
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x.day, 'n', x.n,
+            |      'sp', greatest(CAST(0 AS BIGINT),
+            |              acc.sp + (x.n * 1000000 - mu - slack)),
+            |      'sn', greatest(CAST(0 AS BIGINT),
+            |              acc.sn + (mu - x.n * 1000000 - slack))))),
+            |  acc -> acc.out))""".stripMargin))
+      .select(col(groupCol), col("day"), col("n"),
+        col("sp"), col("sn"),
+        (col("sp") > col("h") || col("sn") > col("h")).as("alarm"))
+  }
 }

@@ -190,6 +190,41 @@ object LinkAnalysis {
     labels.withColumnRenamed("lbl", "community")
   }
 
+  /** PERSONALIZED PAGERANK (r15) — [[pageRankInt]] with the teleport
+    * mass restarting at ONE source node instead of uniformly: the
+    * relevance-to-s ranking behind "related items" / seed-expansion
+    * curation. Same exact-integer discipline (10¹² fixed point,
+    * truncating div), fixed `iters` rounds, per-round
+    * `localCheckpoint`; the oracle unrolls the rounds with the
+    * restart term in the update. Scores decay with distance from the
+    * source; unreachable nodes stay 0. */
+  def pageRankPersonalizedInt(edges: DataFrame, source: Long,
+                              iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
+    var scores = nodes.withColumn("score",
+      when(col("node") === source, lit(Scale)).otherwise(lit(0L)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("score DIV od").as("c"))
+      val in = contrib.groupBy(col("dst")).agg(sum(col("c")).as("insum"))
+      scores = nodes
+        .join(in.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === source, lit(Base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(insum, 0L)) DIV 100")).as("score"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+
   /** BOUNDED-HOP WEIGHTED SHORTEST PATHS (r15) — single-source
     * Bellman-Ford over `edges(src, dst, w)` with non-negative LONG
     * weights, run for exactly `hops` relaxation rounds: after round

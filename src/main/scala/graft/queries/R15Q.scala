@@ -526,6 +526,54 @@ object R15Q {
         .groupBy(col("x.t").as("a"), col("y.t").as("b"))
         .agg(count(lit(1)).as("n_ab"))
       pairs.orderBy("a", "b")
+    }),
+
+    // STREAMING SKYLINE (r15): the Pareto frontier maintained under
+    // appends via its MERGE LAW — skyline(A ∪ B) = skyline(skyline(A)
+    // ∪ skyline(B)) (dominance is transitive, so a batch's dominated
+    // points can never rejoin the frontier). Each micro-batch commits
+    // only ITS OWN frontier (a bounded fragment however large the
+    // batch); the read side re-runs the same operator over the
+    // fragments. The non-additive twin of the q297/q303 sufficient-
+    // statistic lesson. A 4-batch drain must equal the one-shot
+    // quadratic-dominance oracle bit-exactly.
+    "q304_stream_skyline" -> ((s, d) => {
+      def pts(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_id"),
+          floor(col("value") * lit(100.0)).cast("long").as("x"),
+          pmod(col("event_id") * lit(40503L), lit(100000L)).as("y"))
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        graft.operators.Stats.skyline2D(pts(ev), "x", "y",
+          bucketWidth = 500L)
+      }
+      graft.operators.Stats.skyline2D(frags, "x", "y", bucketWidth = 500L)
+        .orderBy("event_id")
+    }),
+
+    // CUSUM CHANGE-POINT DETECTION (r15): Page's one-sided cumulative
+    // sums over the gapless daily grid — the slow-drift detector the
+    // q230/q277 window scores miss by design. Exact 1e6 fixed-point
+    // with the series' own integer mean as reference and μ/20 slack;
+    // the sequential fold runs per group over the ≤history-days array
+    // (the q271 Holt stance) and the oracle replays it as a recursive
+    // CTE. `EventAnalytics.cusumDaily`.
+    "q305_cusum" -> ((s, d) =>
+      graft.operators.EventAnalytics.cusumDaily(Tables.events(s, d))
+        .orderBy("event_type", "day")),
+
+    // PERSONALIZED PAGERANK (r15): the teleport mass restarts at user
+    // 7 — relevance-to-seed ranking (related items / seed expansion)
+    // on the q136 synthetic graph, same 10¹² integer fixed point and
+    // unrolled-rounds oracle with the restart term in the update.
+    // `LinkAnalysis.pageRankPersonalizedInt`.
+    "q306_personalized_pagerank" -> ((s, d) => {
+      val edges = Tables.events(s, d).select(
+        col("user_id").as("src"),
+        ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst"))
+      graft.operators.LinkAnalysis.pageRankPersonalizedInt(
+        edges, source = 7L, iters = 3)
+        .orderBy("node")
     })
   )
 
@@ -1121,6 +1169,90 @@ object R15Q {
         |FROM pres x JOIN pres y
         |  ON x.u = y.u AND x.day = y.day AND x.t < y.t
         |GROUP BY x.t, y.t
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q304_stream_skyline" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS x,
+        |         (event_id * 40503) % 100000 AS y
+        |  FROM events
+        |)
+        |SELECT event_id, x, y FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.x <= p.x AND q.y >= p.y AND (q.x < p.x OR q.y > p.y))
+        |ORDER BY event_id""".stripMargin,
+
+    "q305_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), mus AS (
+        |  SELECT g, mu, mu // 20 AS slack, (mu // 20) * 5 AS h
+        |  FROM (SELECT g,
+        |          CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS mu
+        |        FROM filled GROUP BY g)
+        |), idx AS (
+        |  SELECT g, day, n,
+        |         row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+        |  FROM filled
+        |), c AS (
+        |  SELECT i.g, i.day, i.n, i.rn,
+        |    greatest(CAST(0 AS BIGINT), i.n * 1000000 - m.mu - m.slack)
+        |      AS sp,
+        |    greatest(CAST(0 AS BIGINT), m.mu - i.n * 1000000 - m.slack)
+        |      AS sn
+        |  FROM idx i JOIN mus m ON m.g = i.g WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT i.g, i.day, i.n, i.rn,
+        |    greatest(CAST(0 AS BIGINT),
+        |             c.sp + (i.n * 1000000 - m.mu - m.slack)),
+        |    greatest(CAST(0 AS BIGINT),
+        |             c.sn + (m.mu - i.n * 1000000 - m.slack))
+        |  FROM c JOIN idx i ON i.g = c.g AND i.rn = c.rn + 1
+        |  JOIN mus m ON m.g = i.g
+        |)
+        |SELECT c.g AS event_type, c.day, CAST(c.n AS BIGINT) AS n,
+        |       c.sp, c.sn, (c.sp > m.h OR c.sn > m.h) AS alarm
+        |FROM c JOIN mus m ON m.g = c.g
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q306_personalized_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""s$i AS (
+           |  SELECT n.node,
+           |         CAST(CASE WHEN n.node = 7 THEN 150000000000
+           |                   ELSE 0 END
+           |              + (85 * COALESCE(i$i.insum, 0)) // 100
+           |              AS BIGINT) AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(s.score // o.od) AS insum
+           |    FROM e JOIN od o ON e.src = o.src
+           |    JOIN s${i - 1} s ON e.src = s.node
+           |    GROUP BY e.dst
+           |  ) i$i ON n.node = i$i.node)""".stripMargin
+      }
+      ("""WITH e AS (
+         |  SELECT DISTINCT user_id AS src,
+         |         (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+         |  FROM events
+         |),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+         |s0 AS (SELECT node,
+         |       CAST(CASE WHEN node = 7 THEN 1000000000000 ELSE 0 END
+         |            AS BIGINT) AS score FROM nodes)""".stripMargin
+        +: rounds).mkString(",\n") +
+        "\nSELECT node, score FROM s3 ORDER BY node"
+    }
   )
 }

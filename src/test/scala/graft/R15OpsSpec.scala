@@ -251,4 +251,84 @@ class R15OpsSpec extends AnyFunSuite {
       rq(v2) <= lambda * (1 + 1e-9),
       s"Rayleigh chain not monotone: $rq0, ${rq(v1)}, ${rq(v2)}, $lambda")
   }
+
+  // ---------------- skyline merge law ----------------
+
+  test("skyline merge law: skyline(∪ skyline(batch_i)) ≡ skyline(∪)") {
+    val rnd = new scala.util.Random(77)
+    val pts = (0L until 600L).map(id =>
+      (id, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val all = pts.toDF("id", "x", "y")
+    val oneShot = Stats.skyline2D(all, "x", "y", 10L)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    // arbitrary 5-way batch split: per-batch frontiers, re-merged
+    val frags = (0 until 5).map(b =>
+      Stats.skyline2D(
+        pts.filter(_._1 % 5 == b).toDF("id", "x", "y"), "x", "y", 10L))
+      .reduce(_ unionAll _)
+    val merged = Stats.skyline2D(frags, "x", "y", 10L)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(merged === oneShot, "per-batch frontier merge drifted")
+  }
+
+  // ---------------- cusumDaily ----------------
+
+  test("cusumDaily ≡ sequential Scala fold; alarms fire on a shift") {
+    // a controlled series: flat 10/day for 30 days, then 25/day —
+    // built as events (one row per unit) so the operator's own
+    // resample path runs
+    val rows = (0 until 60).flatMap { day =>
+      val n = if (day < 30) 10 else 12
+      (0 until n).map(i =>
+        ("g1", java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(day)
+            .atStartOfDay().plusMinutes(i))))
+    }
+    val df = rows.toDF("event_type", "ts")
+    val got = graft.operators.EventAnalytics.cusumDaily(df)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5))).toSeq
+    // reference fold in Scala (exact integers, same parameters)
+    val xs = (0 until 60).map(d => if (d < 30) 10L else 12L)
+    val mu = xs.sum * 1000000L / xs.size
+    val slack = mu / 20
+    val h = slack * 5
+    var (sp, sn) = (0L, 0L)
+    val ref = xs.zipWithIndex.map { case (x, d) =>
+      sp = math.max(0L, sp + (x * 1000000L - mu - slack))
+      sn = math.max(0L, sn + (mu - x * 1000000L - slack))
+      (d.toLong, x, sp, sn, sp > h || sn > h)
+    }
+    assert(got === ref)
+    // the drift must alarm eventually, but not on day one
+    assert(got.exists(_._5), "no alarm on a 20% level shift")
+    assert(!got.head._5, "alarmed immediately at series start")
+  }
+
+  // ---------------- personalized PageRank ----------------
+
+  test("pageRankPersonalizedInt ≡ integer reference replay") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    val src = 3L
+    val scale = 1000000000000L
+    val base = 150000000000L
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ref = nodes.map(n => n -> (if (n == src) scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => ref(e._1) / od(e._1)).sum
+      }
+      ref = nodes.map(n =>
+        n -> ((if (n == src) base else 0L) +
+          85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = graft.operators.LinkAnalysis.pageRankPersonalizedInt(
+        edges.toDF("src", "dst"), src, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+  }
 }
