@@ -574,6 +574,72 @@ object R15Q {
       graft.operators.LinkAnalysis.pageRankPersonalizedInt(
         edges, source = 7L, iters = 3)
         .orderBy("node")
+    }),
+
+    // MEDIAN IMPUTATION (r15): the repair step every feature pipeline
+    // runs — replace invalid values (negative balances here) with the
+    // per-group median of the VALID ones, the median coming from
+    // q283's distributed selection (no per-group sort) and joining
+    // back as a groups-sized broadcast. Exact cents, so the imputed
+    // value is bit-identical to the oracle's rank formula.
+    "q307_impute_median" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+      val med = graft.operators.Stats.exactRankStats(
+        c.filter(col("cents") >= 0), "seg", "cents")
+        .select(col("seg"), col("p50"))
+      c.join(broadcast(med), "seg")
+        .select(col("c_custkey"), col("seg"), col("cents"),
+          (col("cents") < 0).as("imputed"),
+          when(col("cents") < 0, col("p50")).otherwise(col("cents"))
+            .as("repaired"))
+        .orderBy("c_custkey")
+    }),
+
+    // IQR OUTLIER FENCES (r15): Tukey's 1.5·IQR rule per event type —
+    // the feature-engineering outlier screen, kept integer-exact by
+    // scaling the comparison by 2 (2v ≷ 2q ± 3·IQR) instead of
+    // multiplying by 1.5. Thresholds from ONE distributed-selection
+    // pass; the corpus pass is a broadcast-join + filter + rollup.
+    "q308_iqr_fences" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      val q = graft.operators.Stats.exactRankStats(ev, "event_type", "cents")
+        .select(col("event_type"), col("p25"), col("p75"))
+      ev.join(broadcast(q), "event_type")
+        .withColumn("iqr", col("p75") - col("p25"))
+        .withColumn("inlier",
+          lit(2L) * col("cents") >= lit(2L) * col("p25") - lit(3L) * col("iqr") &&
+            lit(2L) * col("cents") <= lit(2L) * col("p75") + lit(3L) * col("iqr"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("inlier"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("inlier"), 0L).otherwise(1L)).as("n_dropped"),
+          min(when(col("inlier"), col("cents"))).as("kept_min"),
+          max(when(col("inlier"), col("cents"))).as("kept_max"))
+        .orderBy("event_type")
+    }),
+
+    // QUANTILE NORMALIZATION (r15): each value's within-group
+    // fractional rank r/(n+1) — the rank-based feature scaling robust
+    // to any marginal distribution. Rank is a row_number over
+    // (value, id) (a TOTAL order, so ties replay exactly), one
+    // group-partitioned window; the fraction is the single mirrored
+    // IEEE division. Emitted per row — this is a row-level transform,
+    // like the corpus-prep family.
+    "q309_quantile_normalize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val n = Window.partitionBy(col("event_type"))
+      ev.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(n))
+        .withColumn("qn",
+          col("r").cast("double") / (col("n") + lit(1L)).cast("double"))
+        .orderBy("event_id")
     })
   )
 
@@ -1253,6 +1319,76 @@ object R15Q {
          |            AS BIGINT) AS score FROM nodes)""".stripMargin
         +: rounds).mkString(",\n") +
         "\nSELECT node, score FROM s3 ORDER BY node"
-    }
+    },
+
+    "q307_impute_median" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal * 100.0) AS BIGINT) AS cents
+        |  FROM customer
+        |), med AS (
+        |  SELECT seg,
+        |    MAX(CASE WHEN r = greatest(1, (n + 1) // 2) THEN cents END)
+        |      AS p50
+        |  FROM (SELECT seg, cents,
+        |          CAST(row_number() OVER (PARTITION BY seg ORDER BY cents)
+        |               AS BIGINT) AS r,
+        |          CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+        |        FROM c WHERE cents >= 0)
+        |  GROUP BY seg
+        |)
+        |SELECT c_custkey, c.seg, cents, cents < 0 AS imputed,
+        |       CASE WHEN cents < 0 THEN m.p50 ELSE cents END AS repaired
+        |FROM c JOIN med m ON m.seg = c.seg
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q308_iqr_fences" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |  FROM events
+        |), q AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN r = greatest(1, (n + 1) // 4) THEN cents END)
+        |      AS p25,
+        |    MAX(CASE WHEN r = greatest(1, (3 * (n + 1)) // 4) THEN cents END)
+        |      AS p75
+        |  FROM (SELECT event_type, cents,
+        |          CAST(row_number() OVER (PARTITION BY event_type
+        |                                  ORDER BY cents) AS BIGINT) AS r,
+        |          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |            AS n
+        |        FROM e)
+        |  GROUP BY event_type
+        |), f AS (
+        |  SELECT e.event_type, e.cents,
+        |    (2 * e.cents >= 2 * q.p25 - 3 * (q.p75 - q.p25) AND
+        |     2 * e.cents <= 2 * q.p75 + 3 * (q.p75 - q.p25)) AS inlier
+        |  FROM e JOIN q ON q.event_type = e.event_type
+        |)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN inlier THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(SUM(CASE WHEN inlier THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_dropped,
+        |  MIN(CASE WHEN inlier THEN cents END) AS kept_min,
+        |  MAX(CASE WHEN inlier THEN cents END) AS kept_max
+        |FROM f GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q309_quantile_normalize" ->
+      """SELECT event_id, event_type, cents,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |                          ORDER BY cents, event_id) AS BIGINT)
+        |    AS r,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |                          ORDER BY cents, event_id) AS DOUBLE)
+        |    / CAST(COUNT(*) OVER (PARTITION BY event_type) + 1 AS DOUBLE)
+        |    AS qn
+        |FROM (SELECT event_id, event_type,
+        |        CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin
   )
 }
