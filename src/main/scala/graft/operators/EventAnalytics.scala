@@ -1209,12 +1209,37 @@ object EventAnalytics {
     * the calendar, not the corpus); groups parallelize. */
   def cusumDaily(ev: DataFrame, slackDen: Int = 20, alarmMult: Int = 5,
                  groupCol: String = "event_type",
-                 tsCol: String = "ts"): DataFrame = {
+                 tsCol: String = "ts"): DataFrame =
+    cusumFromDaily(
+      ev.select(col(groupCol).as("g"),
+          datediff(to_date(col(tsCol)), lit("2020-01-01")).cast("long")
+            .as("day"))
+        .groupBy(col("g"), col("day"))
+        .agg(count(lit(1)).as("n")),
+      slackDen, alarmMult)
+      .withColumnRenamed("g", groupCol)
+
+  /** [[cusumDaily]] over PRE-COUNTED (g, day, n) fragments — the
+    * incremental face (r15): per-day counts are additive, so
+    * streaming batches / lake commits contribute fragments
+    * independently (the q149/q286 sketch-commit idiom) and this
+    * read-side merge reproduces the batch detector BIT-EXACTLY:
+    * duplicate (g, day) rows sum first, the gapless spine is rebuilt
+    * from the merged min/max day, and the fold proceeds identically.
+    * `cusumDaily` itself delegates here, so the paths cannot
+    * drift. */
+  def cusumFromDaily(dailyFrags: DataFrame, slackDen: Int = 20,
+                     alarmMult: Int = 5): DataFrame = {
     require(slackDen >= 1 && alarmMult >= 1,
-      s"cusumDaily: slackDen >= 1 and alarmMult >= 1, " +
+      s"cusumFromDaily: slackDen >= 1 and alarmMult >= 1, " +
         s"got $slackDen/$alarmMult")
-    val grid = resampleDaily(ev, groupCol, tsCol)
-      .select(col(groupCol).as("g"), col("day"), col("n"))
+    val daily = dailyFrags.groupBy(col("g"), col("day"))
+      .agg(sum(col("n")).cast("long").as("n"))
+    val spine = daily.groupBy(col("g"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("g"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(daily, Seq("g", "day"), "left")
+      .select(col("g"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
     val mu = grid.groupBy(col("g"))
       .agg(sum(col("n")).as("sn_"), count(lit(1)).as("cnt_"))
       .withColumn("mu", expr("(sn_ * 1000000) div cnt_"))
@@ -1224,7 +1249,7 @@ object EventAnalytics {
     grid.groupBy(col("g"))
       .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("rows"))
       .join(broadcast(mu), "g")
-      .select(col("g").as(groupCol), col("mu"), col("slack"), col("h"),
+      .select(col("g"), col("mu"), col("slack"), col("h"),
         expr(
           """inline(aggregate(rows,
             |  struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
@@ -1243,7 +1268,7 @@ object EventAnalytics {
             |      'sn', greatest(CAST(0 AS BIGINT),
             |              acc.sn + (mu - x.n * 1000000 - slack))))),
             |  acc -> acc.out))""".stripMargin))
-      .select(col(groupCol), col("day"), col("n"),
+      .select(col("g"), col("day"), col("n"),
         col("sp"), col("sn"),
         (col("sp") > col("h") || col("sn") > col("h")).as("alarm"))
   }

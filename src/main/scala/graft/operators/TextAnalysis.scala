@@ -657,23 +657,96 @@ object TextAnalysis {
                hashKey: Boolean = false): DataFrame = {
     require(w >= 2 && minDocs >= 2,
       s"dupSpans: need w >= 2 and minDocs >= 2, got w=$w minDocs=$minDocs")
+    val shingles = docShingles(docs, w, hashKey)
+    val dup = shingles.groupBy(col("k"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("k"))
+    spanIslands(shingles.join(dup, Seq("k"), "left_semi"), w)
+  }
+
+  /** INCREMENTAL [[dupSpans]] (r15): spans for a NEW batch of
+    * documents duplicated within existing ∪ batch, at DELTA cost —
+    * the admission screen a pipeline runs per crawl batch. The
+    * corpus-side relation is only the (shingle → distinct-doc count)
+    * aggregate (the staged artifact in production — kilobytes per
+    * distinct shingle, additive under batch folds); the batch's
+    * shingles hash-join against it, and combined count ≥ minDocs
+    * flags exactly the shingles the full recompute over the union
+    * would flag for batch docs (doc-id spaces disjoint ⇒ the union's
+    * distinct count is the SUM of the two sides' counts). Island
+    * assembly then touches only the batch. Returns batch-doc spans
+    * only. */
+  def dupSpansIncremental(existing: DataFrame, batch: DataFrame,
+                          w: Int = 8, minDocs: Int = 2,
+                          hashKey: Boolean = false): DataFrame = {
+    require(w >= 2 && minDocs >= 2,
+      s"dupSpansIncremental: need w >= 2 and minDocs >= 2, " +
+        s"got w=$w minDocs=$minDocs")
+    val shB = docShingles(batch, w, hashKey)
+    val dfE = docShingles(existing, w, hashKey).groupBy(col("k"))
+      .agg(countDistinct(col("doc_id")).as("dfe"))
+    val dfB = shB.groupBy(col("k"))
+      .agg(countDistinct(col("doc_id")).as("dfb"))
+    val dup = dfB.join(dfE, Seq("k"), "left")
+      .filter(coalesce(col("dfe"), lit(0L)) + col("dfb") >= minDocs)
+      .select(col("k"))
+    spanIslands(shB.join(dup, Seq("k"), "left_semi"), w)
+  }
+
+  /** VOCABULARY COVERAGE CURVE (r15): what fraction of corpus tokens
+    * a top-k vocabulary covers, for each probe size k — the curve a
+    * tokenizer-budget decision reads ("32k vocab covers 97.2%"). One
+    * corpus pass to (token → count) — vocabulary-bounded, map-side
+    * partial — then a distributed TakeOrdered for the top max(k)
+    * relation; the rank/cumsum window runs over those ≤ max(k) rows
+    * only (the q232 take-top-k-FIRST idiom: the vocabulary never
+    * range-shuffles), with (count desc, token) as the total tie
+    * order. Returns (k, covered, total, frac) for every k ≤ |vocab|. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"vocabCoverage: ks must be non-empty positive, got $ks")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val counts = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(desc("c"), col("tok")).limit(ks.max)
+    val ord = Window.orderBy(desc("c"), col("tok"))
+    val ranked = top
+      .withColumn("r", row_number().over(ord).cast("long"))
+      .withColumn("covered", sum(col("c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = counts.agg(sum(col("c")).as("total"))
+    ks.map(_.toLong).toDF("k")
+      .join(ranked, col("k") === col("r"))
+      .join(broadcast(tot))
+      .select(col("k"), col("covered"), col("total"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("frac"))
+  }
+
+  /** Per-doc w-token shingle starts: (doc_id, start, k) with k the
+    * shingle string or its xxhash64 (the 100 TB key). Array ops only
+    * until the shingle rows — no window, no join. */
+  private def docShingles(docs: DataFrame, w: Int,
+                          hashKey: Boolean): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= w)
-    val shingles = toks.select(col("doc_id"),
+    toks.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, size(toks) - $w), " +
             s"i -> array_join(slice(toks, i + 1, $w), ' '))"))
           .as(Seq("start", "sh")))
       .withColumn("k", if (hashKey) xxhash64(col("sh")) else col("sh"))
       .select(col("doc_id"), col("start").cast("long").as("start"), col("k"))
-    val dup = shingles.groupBy(col("k"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("k"))
-    val flagged = shingles.join(dup, Seq("k"), "left_semi")
+  }
+
+  /** Gaps-and-islands over flagged shingle starts → maximal spans
+    * (doc-partitioned windows only). */
+  private def spanIslands(flagged: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     // islands: shingle starts s, s' belong to one span iff s' ≤ s+w
-    // (their token ranges overlap or touch) — here starts are dense
+    // (their token ranges overlap or touch) — starts are dense
     // integers, so a new island begins when the gap exceeds w
     flagged
       .withColumn("brk",

@@ -640,7 +640,63 @@ object R15Q {
         .withColumn("qn",
           col("r").cast("double") / (col("n") + lit(1L)).cast("double"))
         .orderBy("event_id")
-    })
+    }),
+
+    // INCREMENTAL DUP SPANS (r15): q293's admission screen per crawl
+    // batch at DELTA cost — the corpus side participates only as its
+    // (shingle → distinct-doc count) aggregate (the staged artifact;
+    // additive), the batch's shingles hash-join against it, and the
+    // island assembly touches only the batch. The query PROVES
+    // bit-identity to the full union recompute restricted to batch
+    // docs (both-direction except), then returns the incremental
+    // result; the oracle is the full replay with the batch-doc
+    // restriction. `TextAnalysis.dupSpansIncremental`.
+    "q310_incremental_dupspans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val inc = graft.operators.TextAnalysis.dupSpansIncremental(
+        existing, batch, w = 8, minDocs = 2)
+      val full = graft.operators.TextAnalysis.dupSpans(docs, w = 8,
+        minDocs = 2).filter(col("doc_id") % 5 === 0)
+      require(inc.except(full).isEmpty && full.except(inc).isEmpty,
+        "incremental dup spans must equal the full recompute")
+      inc.orderBy("doc_id", "span_start")
+    }),
+
+    // STREAMING CUSUM (r15): q305's slow-drift detector maintained
+    // in-stream — per-day counts are additive, so each micro-batch
+    // commits only its (g, day, n) fragment and the read side
+    // re-spines and folds (`cusumFromDaily`, which the batch operator
+    // itself delegates through — the paths cannot drift). A 4-batch
+    // drain must reproduce q305's recursive-CTE oracle bit-exactly.
+    "q311_stream_cusum" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        graft.Tables.toEventTime(ev)
+          .select(col("event_type").as("g"),
+            datediff(to_date(col("ts")), lit("2020-01-01")).cast("long")
+              .as("day"))
+          .groupBy(col("g"), col("day"))
+          .agg(count(lit(1)).as("n"))
+      }
+      graft.operators.EventAnalytics.cusumFromDaily(frags)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type", "day")
+    }),
+
+    // VOCABULARY COVERAGE CURVE (r15): corpus token coverage at
+    // vocabulary sizes 5/10/25 (the fixture pool holds 31 distinct
+    // tokens; real corpora probe 8k/32k/128k) — the tokenizer-budget
+    // curve. The
+    // vocabulary never range-shuffles: top-k FIRST via distributed
+    // TakeOrdered, rank/cumsum over the ≤max(k) survivors (q232 idiom),
+    // (count desc, token) total tie order replayed in the oracle.
+    // `TextAnalysis.vocabCoverage`.
+    "q312_vocab_coverage" -> ((s, d) =>
+      graft.operators.TextAnalysis.vocabCoverage(
+        Tables.documents(s, d), Seq(5, 10, 25))
+        .orderBy("k"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1389,6 +1445,104 @@ object R15Q {
         |FROM (SELECT event_id, event_type,
         |        CAST(floor(value * 100.0) AS BIGINT) AS cents
         |      FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // q293's oracle with the batch-doc restriction on the OUTPUT only
+    // (shingle doc-frequencies still count the whole union)
+    "q310_incremental_dupspans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |), sh AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+        |         array_to_string(l[i:i+7], ' ') AS k
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 7)) AS g(i)
+        |), dup AS (
+        |  SELECT k FROM sh GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2
+        |), f AS (
+        |  SELECT s.doc_id, s.start FROM sh s JOIN dup USING (k)
+        |), w AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN start - lag(start)
+        |           OVER (PARTITION BY doc_id ORDER BY start) <= 8
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM f
+        |), i AS (
+        |  SELECT doc_id, start,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+        |                   ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM w
+        |)
+        |SELECT doc_id, MIN(start) AS span_start,
+        |       MAX(start) - MIN(start) + 8 AS span_tokens,
+        |       COUNT(*) AS n_shingles
+        |FROM i WHERE doc_id % 5 = 0
+        |GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q311_stream_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), mus AS (
+        |  SELECT g, mu, mu // 20 AS slack, (mu // 20) * 5 AS h
+        |  FROM (SELECT g,
+        |          CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS mu
+        |        FROM filled GROUP BY g)
+        |), idx AS (
+        |  SELECT g, day, n,
+        |         row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+        |  FROM filled
+        |), c AS (
+        |  SELECT i.g, i.day, i.n, i.rn,
+        |    greatest(CAST(0 AS BIGINT), i.n * 1000000 - m.mu - m.slack)
+        |      AS sp,
+        |    greatest(CAST(0 AS BIGINT), m.mu - i.n * 1000000 - m.slack)
+        |      AS sn
+        |  FROM idx i JOIN mus m ON m.g = i.g WHERE i.rn = 1
+        |  UNION ALL
+        |  SELECT i.g, i.day, i.n, i.rn,
+        |    greatest(CAST(0 AS BIGINT),
+        |             c.sp + (i.n * 1000000 - m.mu - m.slack)),
+        |    greatest(CAST(0 AS BIGINT),
+        |             c.sn + (m.mu - i.n * 1000000 - m.slack))
+        |  FROM c JOIN idx i ON i.g = c.g AND i.rn = c.rn + 1
+        |  JOIN mus m ON m.g = i.g
+        |)
+        |SELECT c.g AS event_type, c.day, CAST(c.n AS BIGINT) AS n,
+        |       c.sp, c.sn, (c.sp > m.h OR c.sn > m.h) AS alarm
+        |FROM c JOIN mus m ON m.g = c.g
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q312_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |           AS r,
+        |         CAST(SUM(c) OVER (ORDER BY c DESC, tok
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum
+        |  FROM counts
+        |)
+        |SELECT r AS k, cum AS covered, total,
+        |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+        |FROM ranked, tot
+        |WHERE r IN (5, 10, 25)
+        |ORDER BY k""".stripMargin
   )
 }

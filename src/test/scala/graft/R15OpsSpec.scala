@@ -306,6 +306,49 @@ class R15OpsSpec extends AnyFunSuite {
     assert(!got.head._5, "alarmed immediately at series start")
   }
 
+  // ---------------- incremental dup spans ----------------
+
+  test("dupSpansIncremental: corpus-bridged duplication — directed") {
+    // the batch doc's run is UNIQUE within the batch; only the
+    // corpus copy pushes its shingles over minDocs — the exact case
+    // a batch-only rescan would miss
+    val run = (1 to 6).map(i => s"t$i")
+    val existing = Seq(
+      (1L, (uniq(1, 4) ++ run ++ uniq(1, 3)).mkString(" ")),
+      (2L, uniq(2, 12).mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, (uniq(100, 2) ++ run ++ uniq(100, 5)).mkString(" ")),
+      (101L, uniq(101, 10).mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpansIncremental(existing, batch,
+        w = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq((100L, 2L, 6L)),
+      s"expected the bridged span only, got $got")
+    // and the batch alone must NOT find it
+    assert(TextAnalysis.dupSpans(batch, w = 4, minDocs = 2).isEmpty)
+  }
+
+  // ---------------- cusum fragments ----------------
+
+  test("cusumFromDaily: fragmented day counts ≡ the batch fold") {
+    val rnd = new scala.util.Random(31)
+    val daily = for (g <- Seq("a", "b"); day <- 0L until 40L
+                     if rnd.nextInt(10) > 0) // leave real gaps
+      yield (g, day, rnd.nextInt(30).toLong + 1)
+    val batch = graft.operators.EventAnalytics.cusumFromDaily(
+        daily.toDF("g", "day", "n"))
+      .orderBy("g", "day").collect().map(_.toSeq).toSeq
+    // 4-way fragmentation of each day's count
+    val frags = daily.flatMap { case (g, day, n) =>
+      (0 until 4).map(i => (g, day, n / 4 + (if (i < n % 4) 1 else 0)))
+    }.filter(_._3 > 0)
+    val merged = graft.operators.EventAnalytics.cusumFromDaily(
+        frags.toDF("g", "day", "n"))
+      .orderBy("g", "day").collect().map(_.toSeq).toSeq
+    assert(merged === batch, "fragment merge drifted from batch fold")
+  }
+
   // ---------------- personalized PageRank ----------------
 
   test("pageRankPersonalizedInt ≡ integer reference replay") {
