@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1271,5 +1272,46 @@ object EventAnalytics {
       .select(col("g"), col("day"), col("n"),
         col("sp"), col("sn"),
         (col("sp") > col("h") || col("sn") > col("h")).as("alarm"))
+  }
+
+  /** ITEM-ITEM CO-OCCURRENCE COSINE (r15) — the classic
+    * collaborative-filtering similarity matrix ("users who touched i
+    * also touched j"): cos(i,j) = |U_i ∩ U_j| / √(|U_i|·|U_j|) over
+    * distinct (user, item) interactions.
+    *
+    * The pair generator is the textbook user-keyed equi self-join —
+    * pair space Σ_u d_u², bounded by capping each user's item list
+    * at `maxItemsPerUser` (kept deterministically: the
+    * lexicographically-first items; the production norm — a user
+    * touching everything contributes similarity signal to nothing).
+    * All counts are exact integers; the cosine is one IEEE chain
+    * (co / √(nᵢ·nⱼ), sqrt is correctly rounded by IEEE so the result
+    * is engine-exact). Per-item degrees ride a broadcast (item
+    * vocabulary-sized). Pairs under `minCo` co-occurrences are
+    * dropped before the degree join — the noise floor AND the output
+    * bound. */
+  def itemCosine(df: DataFrame, userCol: String, itemCol: String,
+                 minCo: Long = 2, maxItemsPerUser: Int = 1000): DataFrame = {
+    require(minCo >= 1 && maxItemsPerUser >= 2,
+      s"itemCosine: minCo >= 1, maxItemsPerUser >= 2, " +
+        s"got $minCo/$maxItemsPerUser")
+    val ui0 = df.select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    val byU = Window.partitionBy(col("u")).orderBy(col("i"))
+    val ui = ui0.withColumn("__r", row_number().over(byU))
+      .filter(col("__r") <= maxItemsPerUser).drop("__r")
+    val deg = ui.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val co = ui.as("a")
+      .join(ui.as("b"),
+        col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    co.join(broadcast(deg.select(col("i"), col("n").as("ni"))), Seq("i"))
+      .join(broadcast(deg.select(col("i").as("j"), col("n").as("nj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("co"), col("ni"), col("nj"),
+        (col("co").cast("double") /
+          sqrt(col("ni").cast("double") * col("nj").cast("double")))
+          .as("cosine"))
   }
 }

@@ -102,4 +102,22 @@ object Profile {
           col("n_null_fk"), col("n_orphans"), col("n_orphan_keys"))
     }.reduce(_ unionByName _)
   }
+
+  /** K-ANONYMITY AUDIT (r15) — the re-identification screen a
+    * privacy review runs before a table ships: every quasi-identifier
+    * combination shared by FEWER than k rows is a linkage risk (a
+    * singleton combination re-identifies its row outright). One
+    * map-side-combinable aggregation on the quasi-identifier tuple;
+    * the shuffle carries one row per distinct combination, and the
+    * violating relation (the output) is the rare tail only. Pair
+    * with the PII scrubber (q127): scrub handles direct identifiers,
+    * this catches the indirect ones. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2,
+      s"kAnonymity: need quasi columns and k >= 2, got $quasiCols/$k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

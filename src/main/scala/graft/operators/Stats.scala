@@ -809,4 +809,137 @@ object Stats {
       .filter(col("__xmax") === col(yCol))
       .drop("__b", "__pmax", "__lmax", "__cheapermax", "__xmax")
   }
+
+  /** EXACT ROC AUC per group, tie-corrected (r15) — the
+    * Mann-Whitney U form a model-eval stage runs over billions of
+    * scored rows: AUC = (#concordant + ½·#tied) / (P·N), where a
+    * pair is concordant when the positive outscores the negative.
+    *
+    * Never materializes pairs: one aggregation to the per-(group,
+    * distinct score) (positives, negatives) relation — bounded by
+    * the score domain (quantized scores, e.g. cents), not the corpus
+    * — then a group-PARTITIONED prefix window over distinct scores
+    * gives negatives-strictly-below, and
+    * 2·#conc + #tied = Σ_s p_s·(2·negBelow_s + n_s), an exact
+    * DECIMAL(38,0) sum (overflow-proof: P·N at 10¹² rows is 10²⁴).
+    * One IEEE division at the end. `scoreCol` must already be an
+    * exact integer (quantize doubles to cents first — the repo-wide
+    * idiom); `labelCol` is 0/1. */
+  def rocAuc(df: DataFrame, groupCol: String, labelCol: Column,
+             scoreCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
+    val perScore = df
+      .select(col(groupCol), scoreCol.cast("long").as("s"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col(groupCol), col("s"))
+      .agg(sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("m"))
+    val below = Window.partitionBy(col(groupCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("nb", coalesce(sum(col("m")).over(below), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("p")).as("pos"),
+        sum(col("m")).as("neg"),
+        sum((col("p").cast(d19) *
+          (lit(2) * col("nb") + col("m")).cast(d19)).cast(d38)).as("num2"))
+      .select(col(groupCol), col("pos"), col("neg"),
+        // fixed IEEE chain on the exact totals, mirrored in the
+        // oracle: num2/2/P/N — no float product wide enough to lose
+        // bits before the divides
+        (col("num2").cast("double") / lit(2.0d) /
+          col("pos").cast("double") / col("neg").cast("double"))
+          .as("auc"))
+  }
+
+  /** lcm(1..20) — every reciprocal 1/r with r ≤ 20 becomes the exact
+    * integer RANK_LCM/r, so AP and reciprocal-rank sums stay in
+    * integer space until one final division. */
+  val RANK_LCM: Long = 232792560L
+
+  /** INTEGER-EXACT ranking eval per query: AP@k and MRR@k (r15) —
+    * the retrieval-eval pass a RAG/search pipeline runs per model
+    * checkpoint. Standard AP@k needs Σ (hits@i / i), a float sum
+    * whose order engines disagree on; here each reciprocal is scaled
+    * by lcm(1..20) into an exact integer, the per-query sum is an
+    * integer aggregate, and ONE IEEE division forms the statistic —
+    * bit-identical on any engine, any partitioning.
+    *
+    * ap@k = Σ_{relevant i ≤ k} (hits@i · LCM/i) / (LCM · min(R, k)),
+    * mrr@k = (LCM / firstHitRank) / LCM; R = query's total relevant
+    * count over ALL its items (not just top-k). Queries with R = 0
+    * emit NULL metrics (no relevant item exists — undefined, not
+    * zero). Ranks are row_number over (score desc, tieCol), a total
+    * order; all windows partition by the query key. Requires
+    * 1 ≤ k ≤ 20. */
+  def rankingEval(df: DataFrame, queryCol: String, scoreCol: Column,
+                  tieCol: Column, relCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"rankingEval: 1 <= k <= 20, got $k")
+    val byQ = Window.partitionBy(col(queryCol))
+    val ord = byQ.orderBy(col("sc").desc, col("tb"))
+    val ranked = df
+      .select(col(queryCol), scoreCol.as("sc"), tieCol.as("tb"),
+        relCol.cast("long").as("rel"))
+      .withColumn("r_total", sum(col("rel")).over(byQ))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .filter(col("rank") <= k)
+    val cum = byQ.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked
+      .withColumn("hits", sum(col("rel")).over(cum))
+      .groupBy(col(queryCol))
+      .agg(
+        max(col("r_total")).as("r_total"),
+        // LCM div rank is EXACT (rank ≤ 20 divides the lcm); the sum
+        // is a pure long aggregate — no float until the final division
+        sum(when(col("rel") === 1,
+          col("hits") * expr(s"$RANK_LCM div rank"))).as("ap_num"),
+        min(when(col("rel") === 1, col("rank"))).as("first_hit"))
+      .select(col(queryCol), col("r_total"),
+        (col("ap_num").cast("double") /
+          (lit(RANK_LCM) * least(col("r_total"), lit(k.toLong)))
+            .cast("double")).as("ap_k"),
+        (expr(s"$RANK_LCM div first_hit").cast("double") /
+          lit(RANK_LCM).cast("double")).as("rr_k"))
+  }
+
+  /** CALIBRATION / RELIABILITY BINS + Brier score (r15): does a
+    * model's predicted probability match the observed rate? Scores
+    * arrive as exact permille integers (0..999 — quantize upstream,
+    * the cents idiom); rows bucket into `bins` equal-width bins, and
+    * each bin reports mean prediction, empirical positive rate,
+    * |gap|, and the bin's Brier score Σ(p − y)²/n — all sums exact
+    * integers (DECIMAL(38,0)), three IEEE divisions + one subtract
+    * at the end. One map-side-combinable aggregation; the shuffle
+    * carries `bins` rows. */
+  def calibrationBins(df: DataFrame, pPermilleCol: Column,
+                      labelCol: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000,
+      s"calibrationBins: 2 <= bins <= 1000, got $bins")
+    val d38 = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
+    df.select(pPermilleCol.cast("long").as("p"),
+        labelCol.cast("long").as("y"))
+      .withColumn("bin", expr(s"p * $bins div 1000"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("pos"),
+        sum(col("p").cast(d38)).as("sp"),
+        sum(((col("p") - lit(1000L) * col("y")).cast(d19) *
+          (col("p") - lit(1000L) * col("y")).cast(d19)).cast(d38))
+          .as("ssq"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("sp").cast("double") /
+          (col("n") * lit(1000L)).cast("double")).as("mean_pred"),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        abs((col("sp").cast("double") /
+            (col("n") * lit(1000L)).cast("double")) -
+          (col("pos").cast("double") / col("n").cast("double")))
+          .as("gap"),
+        (col("ssq").cast("double") /
+          (col("n") * lit(1000000L)).cast("double")).as("brier"))
+  }
 }

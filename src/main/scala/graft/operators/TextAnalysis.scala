@@ -725,6 +725,55 @@ object TextAnalysis {
           .as("frac"))
   }
 
+  /** EXACT HEAVY HITTERS, two-phase (r15): every token whose corpus
+    * frequency exceeds N/(k+1), with its EXACT count — the
+    * deterministic face of the Misra-Gries summary.
+    *
+    * Phase 1 runs Misra-Gries with k counters per partition
+    * (`mapPartitions` — one of the few genuinely imperative
+    * per-partition algorithms; the summary is O(k) memory
+    * regardless of partition size). Completeness is the pigeonhole
+    * guarantee: if a token's GLOBAL count exceeds Σnₚ/(k+1) then in
+    * at least one partition its local count exceeds nₚ/(k+1), and
+    * MG never evicts such a token — so the candidate union covers
+    * every true heavy hitter under ANY partitioning. Phase 2
+    * recounts ONLY the candidates exactly (a broadcast semi-join of
+    * ≤ k·partitions tokens against the token stream) and applies
+    * the threshold to the exact counts — the OUTPUT is therefore a
+    * pure function of the data, even though the intermediate
+    * candidate set is partitioning-dependent (R15OpsSpec pins this
+    * under adversarial repartitions). At 100 TB this is the
+    * frequent-token pass that never shuffles the full vocabulary:
+    * the shuffle carries candidates only. */
+  def heavyHitters(docs: DataFrame, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 100000, s"heavyHitters: 1 <= k <= 1e5, got $k")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
+    val cands = toks.as[String].mapPartitions { it =>
+      val ctr = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (ctr.contains(t)) ctr(t) += 1L
+        else if (ctr.size < k) ctr(t) = 1L
+        else {
+          // decrement-all: the MG step that charges one occurrence
+          // of each tracked token against the untracked newcomer
+          val dead = ctr.iterator.filter(_._2 == 1L).map(_._1).toArray
+          ctr.mapValuesInPlace((_, v) => v - 1L)
+          dead.foreach(ctr.subtractOne)
+        }
+      }
+      ctr.keysIterator
+    }.toDF("tok").distinct()
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(tot))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"))
+  }
+
   /** Per-doc w-token shingle starts: (doc_id, start, k) with k the
     * shingle string or its xxhash64 (the 100 TB key). Array ops only
     * until the shingle rows — no window, no join. */

@@ -696,7 +696,89 @@ object R15Q {
     "q312_vocab_coverage" -> ((s, d) =>
       graft.operators.TextAnalysis.vocabCoverage(
         Tables.documents(s, d), Seq(5, 10, 25))
-        .orderBy("k"))
+        .orderBy("k")),
+
+    // EXACT ROC AUC (r15): tie-corrected Mann-Whitney AUC per event
+    // type — the model-eval pass over scored rows. Never pairs: one
+    // aggregation to the (group, distinct score) counts (bounded by
+    // the cents domain), a group-partitioned prefix window, exact
+    // DECIMAL sums, one IEEE chain. Label is the deterministic
+    // event_id % 3 fixture; score is value in cents (ties real).
+    // `Stats.rocAuc`.
+    "q313_roc_auc" -> ((s, d) =>
+      graft.operators.Stats.rocAuc(
+        Tables.events(s, d)
+          .withColumn("cents", floor(col("value") * lit(100.0)).cast("long"))
+          .withColumn("label", (col("event_id") % 3 === 0).cast("long")),
+        "event_type", col("label"), col("cents"))
+        .orderBy("event_type")),
+
+    // INTEGER-EXACT RANKING EVAL (r15): AP@10 and MRR@10 per user —
+    // the retrieval-eval stage. Reciprocals are scaled by lcm(1..20)
+    // into exact integers so the AP sum never touches floats until
+    // ONE final division (float-sum order is engine-dependent; this
+    // is bit-exact on any engine / partitioning). All windows
+    // user-partitioned. `Stats.rankingEval`.
+    "q314_ranking_eval" -> ((s, d) =>
+      graft.operators.Stats.rankingEval(
+        Tables.events(s, d)
+          .withColumn("cents", floor(col("value") * lit(100.0)).cast("long"))
+          .withColumn("rel", (col("event_id") % 4 === 0).cast("long")),
+        "user_id", col("cents"), col("event_id"), col("rel"), k = 10)
+        .orderBy("user_id")),
+
+    // CALIBRATION BINS + Brier (r15): reliability diagram over a
+    // deterministic permille-probability fixture whose labels are
+    // drawn BY the probability (hash-threshold), so the curve is
+    // near-diagonal and the gap column is the miscalibration signal.
+    // One map-side-combinable aggregation; `bins` rows shuffle.
+    // `Stats.calibrationBins`.
+    "q315_calibration" -> ((s, d) =>
+      graft.operators.Stats.calibrationBins(
+        Tables.events(s, d)
+          .withColumn("p", (col("event_id") * 7919 + col("user_id")) % 1000)
+          .withColumn("label",
+            (((col("event_id") * 104729 + 17) % 1000) < col("p"))
+              .cast("long")),
+        col("p"), col("label"), bins = 10)
+        .orderBy("bin")),
+
+    // EXACT HEAVY HITTERS (r15): tokens over the N/(k+1) frequency
+    // bar with exact counts — phase 1 is per-partition Misra-Gries
+    // (candidate completeness by pigeonhole under ANY partitioning),
+    // phase 2 recounts candidates exactly, so the OUTPUT is
+    // partitioning-independent even though the sketch isn't
+    // (R15OpsSpec pins this under adversarial repartitions). The
+    // fixture vocabulary is near-uniform over 31 tokens, so k=31
+    // puts the bar just under the common counts — the discriminating
+    // regime. `TextAnalysis.heavyHitters`.
+    "q316_heavy_hitters" -> ((s, d) =>
+      graft.operators.TextAnalysis.heavyHitters(
+        Tables.documents(s, d), k = 31)
+        .orderBy("tok")),
+
+    // ITEM-ITEM COSINE (r15): the collaborative-filtering similarity
+    // matrix over distinct (user, item) touches — user-keyed equi
+    // self-join pair generator (Σ d_u² bounded by the per-user cap),
+    // exact counts, broadcast degree join, one IEEE chain per pair.
+    // `EventAnalytics.itemCosine`.
+    "q317_item_cosine" -> ((s, d) =>
+      graft.operators.EventAnalytics.itemCosine(
+        Tables.events(s, d).withColumn("item", col("event_id") % 50),
+        "user_id", "item", minCo = 2, maxItemsPerUser = 1000)
+        .orderBy("i", "j")),
+
+    // K-ANONYMITY AUDIT (r15): quasi-identifier combinations shared
+    // by fewer than k=5 rows — the privacy screen on (event_type,
+    // day, value-hundreds). One partial-aggregated rollup; the
+    // output is the rare tail only. `Profile.kAnonymity`.
+    "q318_k_anonymity" -> ((s, d) =>
+      graft.operators.Profile.kAnonymity(
+        Tables.events(s, d).select(
+          col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") / 100.0).cast("long").as("vb")),
+        Seq("event_type", "day", "vb"), k = 5)
+        .orderBy("event_type", "day", "vb"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1543,6 +1625,125 @@ object R15Q {
         |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS frac
         |FROM ranked, tot
         |WHERE r IN (5, 10, 25)
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // mirrors Stats.rocAuc token for token: per-distinct-score
+    // counts, prefix negatives, exact DECIMAL sum, num2/2/P/N chain
+    "q313_roc_auc" ->
+      """WITH scored AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS s,
+        |         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), per_s AS (
+        |  SELECT event_type, s, CAST(SUM(y) AS BIGINT) AS p,
+        |         CAST(COUNT(*) - SUM(y) AS BIGINT) AS m
+        |  FROM scored GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT event_type, p, m,
+        |    COALESCE(CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS nb
+        |  FROM per_s
+        |)
+        |SELECT event_type, CAST(SUM(p) AS BIGINT) AS pos,
+        |       CAST(SUM(m) AS BIGINT) AS neg,
+        |       CAST(SUM(CAST(p AS DECIMAL(19,0)) *
+        |                CAST(2 * nb + m AS DECIMAL(19,0))) AS DOUBLE)
+        |         / 2.0 / CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS auc
+        |FROM nb GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors Stats.rankingEval: lcm(1..20)-scaled reciprocals keep
+    // AP integer-exact; 232792560 = lcm(1..20)
+    "q314_ranking_eval" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(FLOOR(value * 100.0) AS BIGINT) AS sc,
+        |         event_id,
+        |         CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS rel
+        |  FROM events
+        |), ranked AS (
+        |  SELECT user_id, rel,
+        |    CAST(SUM(rel) OVER (PARTITION BY user_id) AS BIGINT) AS r_total,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY sc DESC, event_id) AS BIGINT) AS rank
+        |  FROM base
+        |), top AS (
+        |  SELECT *, CAST(SUM(rel) OVER (PARTITION BY user_id ORDER BY rank
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits
+        |  FROM ranked WHERE rank <= 10
+        |)
+        |SELECT user_id, MAX(r_total) AS r_total,
+        |  CAST(SUM(CASE WHEN rel = 1
+        |           THEN hits * (232792560 // rank) END) AS DOUBLE) /
+        |    CAST(232792560 * least(MAX(r_total), 10) AS DOUBLE) AS ap_k,
+        |  CAST(232792560 // MIN(CASE WHEN rel = 1 THEN rank END) AS DOUBLE)
+        |    / CAST(232792560 AS DOUBLE) AS rr_k
+        |FROM top GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // mirrors Stats.calibrationBins: permille fixture, label drawn by
+    // the probability, exact integer sums, three divisions + |gap|
+    "q315_calibration" ->
+      """WITH base AS (
+        |  SELECT (event_id * 7919 + user_id) % 1000 AS p,
+        |         CASE WHEN (event_id * 104729 + 17) % 1000 <
+        |                   (event_id * 7919 + user_id) % 1000
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |)
+        |SELECT p * 10 // 1000 AS bin, COUNT(*) AS n,
+        |       CAST(SUM(y) AS BIGINT) AS pos,
+        |       CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) /
+        |         CAST(COUNT(*) * 1000 AS DOUBLE) AS mean_pred,
+        |       CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE) AS rate,
+        |       abs(CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DOUBLE) /
+        |             CAST(COUNT(*) * 1000 AS DOUBLE) -
+        |           CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) /
+        |             CAST(COUNT(*) AS DOUBLE)) AS gap,
+        |       CAST(SUM(CAST(p - 1000 * y AS DECIMAL(19,0)) *
+        |                CAST(p - 1000 * y AS DECIMAL(19,0))) AS DOUBLE) /
+        |         CAST(COUNT(*) * 1000000 AS DOUBLE) AS brier
+        |FROM base GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the exact-threshold semantics of TextAnalysis.heavyHitters —
+    // the MG candidate phase is invisible to the result
+    "q316_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t
+        |)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, n_total
+        |FROM t, tot GROUP BY tok, n_total
+        |HAVING COUNT(*) * 32 > n_total
+        |ORDER BY tok""".stripMargin,
+
+    "q317_item_cosine" ->
+      """WITH ui0 AS (
+        |  SELECT DISTINCT user_id AS u, event_id % 50 AS i FROM events
+        |), ui AS (
+        |  SELECT u, i FROM (
+        |    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY i) AS r
+        |    FROM ui0) WHERE r <= 1000
+        |), deg AS (
+        |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY i
+        |), co AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |)
+        |SELECT co.j, co.i, co.co, di.n AS ni, dj.n AS nj,
+        |       CAST(co.co AS DOUBLE) /
+        |         sqrt(CAST(di.n AS DOUBLE) * CAST(dj.n AS DOUBLE)) AS cosine
+        |FROM co JOIN deg di ON di.i = co.i JOIN deg dj ON dj.i = co.j
+        |ORDER BY co.i, co.j""".stripMargin,
+
+    "q318_k_anonymity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       CAST(FLOOR(value / 100.0) AS BIGINT) AS vb,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -125,7 +125,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // a ONE-ROW broadcast scalar against the pair-support relation
     // (q233's exact pattern); the pair generator itself is a hash
     // equi-join on the order key, basket-size-bounded
-    "q301_association_rules")
+    "q301_association_rules",
+    // q312 (r15): the corpus token grand total — a ONE-ROW broadcast
+    // cross-joined into the ≤max(k)-row coverage relation (q102's
+    // embed-the-scalars pattern); the corpus-sized work is the
+    // upstream vocabulary-bounded count + distributed TakeOrdered
+    "q312_vocab_coverage",
+    // q316 (r15): the same ONE-ROW token grand total in the heavy-
+    // hitter threshold; the corpus-sized joins are the candidate
+    // left-semi (broadcast HASH on tok) and the exact recount
+    "q316_heavy_hitters")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

@@ -374,4 +374,151 @@ class R15OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === ref)
   }
+
+  // ---------------- ROC AUC ----------------
+
+  test("rocAuc ≡ brute-force pair enumeration, ties included") {
+    val rnd = new scala.util.Random(17)
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 200) yield
+      // scores from a SMALL domain so ties are dense
+      (g, rnd.nextInt(12).toLong, if (rnd.nextInt(3) == 0) 1L else 0L)
+    val got = Stats.rocAuc(rows.toDF("g", "s", "y"), "g",
+        col("y"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b")) {
+      val ps = rows.filter(r => r._1 == g && r._3 == 1L).map(_._2)
+      val ns = rows.filter(r => r._1 == g && r._3 == 0L).map(_._2)
+      val num2 = (for (p <- ps; n <- ns) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val want = num2.toDouble / 2.0 / ps.size.toDouble / ns.size.toDouble
+      assert(got(g) === ((ps.size.toLong, ns.size.toLong, want)),
+        s"group $g drifted from the pair enumeration")
+    }
+  }
+
+  // ---------------- ranking eval ----------------
+
+  test("rankingEval: AP@k and MRR@k — directed + brute force") {
+    // query A: relevant at ranks 2 and 5 of 6, R=2
+    //   ap = (1/2 + 2/5) / 2 = 0.45, rr = 1/2
+    val a = Seq((9L, 0L), (8L, 1L), (7L, 0L), (6L, 0L), (5L, 1L), (4L, 0L))
+    // query B: no relevant anywhere → NULL metrics
+    val b = Seq((9L, 0L), (8L, 0L))
+    // query C: 15 items, rel every 3rd — exercises the k cut AND
+    //   r_total (4) > relevant-in-top-k (3)
+    val c = (0 until 15).map(i => ((100 - i).toLong,
+      if (i % 3 == 2) 1L else 0L))
+    val df = (a.map(("A", _)) ++ b.map(("B", _)) ++ c.map(("C", _)))
+      .zipWithIndex
+      .map { case ((q, (sc, rel)), i) => (q, sc, i.toLong, rel) }
+      .toDF("q", "sc", "tie", "rel")
+    val got = Stats.rankingEval(df, "q", col("sc"), col("tie"),
+        col("rel"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("A") === ((2L, Some(0.45d), Some(0.5d))))
+    assert(got("B") === ((0L, None, None)))
+    // C: 5 relevant total (i = 2,5,8,11,14), ranks 3/6/9 inside the
+    // k=10 cut with hits 1/2/3; denominator min(R, k) = 5 — the
+    // exact integer form, replayed as the operator computes it
+    val lcm = Stats.RANK_LCM
+    val apC = (1L * (lcm / 3) + 2L * (lcm / 6) + 3L * (lcm / 9)).toDouble /
+      (lcm * 5L).toDouble
+    assert(got("C") === ((5L, Some(apC), Some(1.0d / 3))))
+  }
+
+  // ---------------- heavy hitters ----------------
+
+  test("heavyHitters: exact output under adversarial partitionings") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: token z0 everywhere, z1 half, then a long tail
+    val toks = Seq.fill(300)("z0") ++ Seq.fill(150)("z1") ++
+      Seq.fill(60)("z2") ++ (1 to 400).map(i => s"tail${i % 97}")
+    val docs = rnd.shuffle(toks).grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val n = toks.size.toLong
+    val k = 5
+    val want = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * (k + 1) > n }
+      .toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val got = graft.operators.TextAnalysis
+        .heavyHitters(docs.repartition(parts), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want, s"heavy hitters drifted at $parts partitions")
+    }
+  }
+
+  // ---------------- item cosine ----------------
+
+  test("itemCosine ≡ brute-force replay; cap keeps first items") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(12).toLong))
+    val df = rows.toDF("u", "i")
+    val ui = rows.distinct
+    val deg = ui.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = ui.groupBy(_._1).values.toSeq
+      .flatMap { items =>
+        val is = items.map(_._2).sorted
+        for (a <- is; b <- is if a < b) yield (a, b)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L)
+      .map { case ((a, b), co) =>
+        (a, b) -> (co, co.toDouble / math.sqrt(
+          deg(a).toDouble * deg(b).toDouble))
+      }.toMap
+    val got = graft.operators.EventAnalytics
+      .itemCosine(df, "u", "i", minCo = 2, maxItemsPerUser = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got === want)
+    // cap = 2: user 1 touches items 5,3,9 → only (3,5) survives
+    val capped = graft.operators.EventAnalytics.itemCosine(
+        Seq((1L, 5L), (1L, 3L), (1L, 9L), (2L, 3L), (2L, 5L))
+          .toDF("u", "i"),
+        "u", "i", minCo = 2, maxItemsPerUser = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped === Seq((3L, 5L)))
+  }
+
+  // ---------------- k-anonymity ----------------
+
+  test("kAnonymity: flags exactly the sub-k combos") {
+    val df = (Seq.fill(6)(("a", 1L)) ++ Seq.fill(2)(("a", 2L)) ++
+      Seq.fill(1)(("b", 1L)) ++ Seq.fill(5)(("b", 2L)))
+      .toDF("qa", "qb")
+    val got = graft.operators.Profile.kAnonymity(df, Seq("qa", "qb"), 5)
+      .orderBy("qa", "qb")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === Seq(("a", 2L, 2L), ("b", 1L, 1L)))
+  }
+
+  // ---------------- calibration bins ----------------
+
+  test("calibrationBins: exact bin stats — directed") {
+    val rows = Seq(
+      (50L, 0L), (50L, 1L),          // bin 0: mean .05, rate .5
+      (540L, 1L), (560L, 0L), (555L, 1L), // bin 5
+      (990L, 1L))                    // bin 9
+    val got = Stats.calibrationBins(rows.toDF("p", "y"),
+        col("p"), col("y"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(6))).toSeq
+    val b0brier = ((50.0 * 50 + 950.0 * 950) / 2) / 1e6
+    val b5mean = (540.0 + 560 + 555) / 3000
+    val b5brier = ((460.0 * 460) + (560.0 * 560) + (445.0 * 445)) / 3 / 1e6
+    assert(got === Seq(
+      (0L, 2L, 1L, 0.05d, 0.5d, b0brier),
+      (5L, 3L, 2L, b5mean, 2.0d / 3, b5brier),
+      (9L, 1L, 1L, 0.99d, 1.0d, (10.0 * 10) / 1e6)))
+  }
 }
