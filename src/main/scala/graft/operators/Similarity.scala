@@ -697,4 +697,40 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** EMBEDDING CENTROID DRIFT per label (r15) — "did a corpus
+    * refresh move each class's embedding mass?": the cosine between
+    * the REF and CUR per-label centroid. The scalar featureDrift
+    * (PSI bins) sees marginal value shifts; this sees DIRECTION
+    * shifts in embedding space — the signal an embedding-version
+    * bump or a poisoned-batch check needs.
+    *
+    * Centroid cosine = cos(Σref, Σcur) (the 1/n scalings cancel), so
+    * NO mean is ever materialized: per-(label, dim) exact component
+    * sums from the dyadic-quantized elements ([[exploded]] — exact
+    * long per element), one (label, dim) equi-join (label·dim rows —
+    * metadata-sized), then per-label exact DECIMAL(38,0) dot/norm
+    * sums and ONE IEEE chain. Sums stay inside DECIMAL(19,0) up to
+    * ~10⁹ vectors per label at |x|<4; beyond that, re-scale the
+    * quantization (doc'd trade, same as the ANN family). */
+  def centroidDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
+    def sums(df: DataFrame, out: String) =
+      exploded(df).groupBy(col("label"), col("pos"))
+        .agg(sum(col("x")).as(out))
+    sums(ref, "sr").join(sums(cur, "sc"), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        sum((col("sr").cast(d19) * col("sc").cast(d19)).cast(d38))
+          .as("dot"),
+        sum((col("sr").cast(d19) * col("sr").cast(d19)).cast(d38))
+          .as("n2r"),
+        sum((col("sc").cast(d19) * col("sc").cast(d19)).cast(d38))
+          .as("n2c"))
+      .select(col("label"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2r").cast("double")) *
+            sqrt(col("n2c").cast("double")))).as("centroid_cos"))
+  }
 }

@@ -905,6 +905,47 @@ object Stats {
           lit(RANK_LCM).cast("double")).as("rr_k"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV DISTANCE per group (r15) — "did
+    * this feature's distribution shift between populations A and B?"
+    * with the exact statistic, not a binned approximation:
+    * D = max over observed values v of |F_A(v) − F_B(v)|.
+    *
+    * One aggregation to per-(group, distinct value) side counts,
+    * one group-PARTITIONED prefix window for the two running counts,
+    * and the max runs over |cumA·tB − cumB·tA| — an exact integer
+    * cross-multiplication (DECIMAL(38,0), overflow-proof), so the
+    * max is decided in integer space; ONE IEEE division forms D.
+    * `valueCol` must be an exact integer (quantize to cents first);
+    * `sideCol` is 0 (population A) / 1 (population B). */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: Column,
+             sideCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d19 = DecimalType(19, 0)
+    val perV = df
+      .select(col(groupCol), valueCol.cast("long").as("v"),
+        sideCol.cast("long").as("side"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(lit(1L) - col("side")).as("ca"),
+        sum(col("side")).as("cb"))
+    val run = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    perV
+      .withColumn("cumA", sum(col("ca")).over(run))
+      .withColumn("cumB", sum(col("cb")).over(run))
+      .withColumn("ta", sum(col("ca")).over(tot))
+      .withColumn("tb", sum(col("cb")).over(tot))
+      .groupBy(col(groupCol))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        max(abs((col("cumA").cast(d19) * col("tb").cast(d19)).cast(d38) -
+          (col("cumB").cast(d19) * col("ta").cast(d19)).cast(d38)))
+          .as("dnum"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        (col("dnum").cast("double") /
+          (col("n_a").cast(d19) * col("n_b").cast(d19)).cast(d38)
+            .cast("double")).as("ks"))
+  }
+
   /** CALIBRATION / RELIABILITY BINS + Brier score (r15): does a
     * model's predicted probability match the observed rate? Scores
     * arrive as exact permille integers (0..999 — quantize upstream,

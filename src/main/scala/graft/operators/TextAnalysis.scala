@@ -774,6 +774,34 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"), col("n_total"))
   }
 
+  /** WITHIN-DOC REPETITION RATIO (r15) — the Gopher-style quality
+    * rule the existing length/punct/stopword score (q40) doesn't
+    * cover: the fraction of a doc's n-grams that are repeats of an
+    * earlier n-gram in the SAME doc. Template spam, keyword
+    * stuffing, and decode loops all light this up while passing
+    * length filters.
+    *
+    * Pure per-row array computation (transform/slice to the n-gram
+    * list, array_distinct for the unique count) — NO shuffle, no
+    * explode: the corpus streams through map tasks and the ratio is
+    * one exact integer subtraction + one IEEE division per doc.
+    * Docs shorter than n tokens are dropped (no n-grams — undefined,
+    * not zero). */
+  def repetitionRatio(docs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 16, s"repetitionRatio: 1 <= n <= 16, got $n")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' '))").as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams").cast("double"))
+  }
+
   /** Per-doc w-token shingle starts: (doc_id, start, k) with k the
     * shingle string or its xxhash64 (the 100 TB key). Array ops only
     * until the shingle rows — no window, no join. */

@@ -778,7 +778,58 @@ object R15Q {
           col("event_type"), to_date(col("ts")).as("day"),
           floor(col("value") / 100.0).cast("long").as("vb")),
         Seq("event_type", "day", "vb"), k = 5)
-        .orderBy("event_type", "day", "vb"))
+        .orderBy("event_type", "day", "vb")),
+
+    // STREAMING HEAVY HITTERS (r15): q316's threshold maintained
+    // in-stream — per-batch (type, count) fragments are additive
+    // (the q311 sketch-commit idiom), the read side sums and applies
+    // the EXACT N/(k+1) bar, k=4. A 4-batch drain must reproduce the
+    // batch computation bit-exactly.
+    "q319_stream_heavy" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      }
+      val counts = frags.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("cnt"))
+      val tot = frags.agg(sum(col("n")).as("n_total"))
+      counts.join(broadcast(tot))
+        .filter(col("cnt") * 5 > col("n_total"))
+        .orderBy("event_type")
+    }),
+
+    // EMBEDDING CENTROID DRIFT (r15): cosine between each label's
+    // REF (even vec_id) and CUR (odd vec_id) centroid — direction
+    // shift in embedding space, the check a corpus/model refresh
+    // runs. Exact per-(label,dim) component sums; the 1/n scalings
+    // cancel so no mean is materialized. `Similarity.centroidDrift`.
+    "q320_centroid_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+        .orderBy("label")
+    }),
+
+    // WITHIN-DOC REPETITION (r15): duplicate-bigram fraction per doc
+    // — the Gopher-style stuffing/loop screen; pure map-side array
+    // ops, no shuffle. `TextAnalysis.repetitionRatio`.
+    "q321_repetition" -> ((s, d) =>
+      graft.operators.TextAnalysis.repetitionRatio(
+        Tables.documents(s, d), n = 2)
+        .orderBy("doc_id")),
+
+    // TWO-SAMPLE KS DISTANCE (r15): exact distribution-shift test
+    // per event type between even/odd user populations on value
+    // cents — max |F_A − F_B| decided by integer cross-
+    // multiplication, one division. `Stats.ksTest`.
+    "q322_ks_shift" -> ((s, d) =>
+      graft.operators.Stats.ksTest(
+        Tables.events(s, d)
+          .withColumn("cents", floor(col("value") * lit(100.0)).cast("long"))
+          .withColumn("side", (col("user_id") % 2).cast("long")),
+        "event_type", col("cents"), col("side"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1744,6 +1795,95 @@ object R15Q {
         |       COUNT(*) AS n
         |FROM events GROUP BY 1, 2, 3
         |HAVING COUNT(*) < 5
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the streamed fragments are additive, so the oracle is the
+    // plain batch threshold
+    "q319_stream_heavy" ->
+      """WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, n_total
+        |FROM events, tot GROUP BY 1, 3
+        |HAVING COUNT(*) * 5 > n_total
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors Similarity.centroidDrift: dyadic 2^30 quantization,
+    // exact component sums, decimal dot/norms; decimal → varchar →
+    // double because DuckDB's direct int128-decimal→double cast is
+    // not correctly rounded (the q37 oracle's established detour)
+    "q320_centroid_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1073741824.0)
+        |              AS DECIMAL(18,0)) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |), r AS (
+        |  SELECT label, pos, SUM(x) AS s FROM ex
+        |  WHERE vec_id % 2 = 0 GROUP BY 1, 2
+        |), c AS (
+        |  SELECT label, pos, SUM(x) AS s FROM ex
+        |  WHERE vec_id % 2 = 1 GROUP BY 1, 2
+        |), j AS (
+        |  SELECT r.label,
+        |    SUM(CAST(r.s AS DECIMAL(19,0)) * CAST(c.s AS DECIMAL(19,0)))
+        |      AS dot,
+        |    SUM(CAST(r.s AS DECIMAL(19,0)) * CAST(r.s AS DECIMAL(19,0)))
+        |      AS n2r,
+        |    SUM(CAST(c.s AS DECIMAL(19,0)) * CAST(c.s AS DECIMAL(19,0)))
+        |      AS n2c
+        |  FROM r JOIN c ON r.label = c.label AND r.pos = c.pos
+        |  GROUP BY r.label
+        |)
+        |SELECT label,
+        |       CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+        |         (sqrt(CAST(CAST(n2r AS VARCHAR) AS DOUBLE)) *
+        |          sqrt(CAST(CAST(n2c AS VARCHAR) AS DOUBLE)))
+        |         AS centroid_cos
+        |FROM j ORDER BY label""".stripMargin,
+
+    "q321_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), g AS (
+        |  SELECT doc_id, array_to_string(l[i:i+1], ' ') AS gm
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS t(i)
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(COUNT(DISTINCT gm) AS BIGINT) AS n_distinct,
+        |       CAST(COUNT(*) - COUNT(DISTINCT gm) AS DOUBLE) /
+        |         CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Stats.ksTest: integer cross-multiplied ECDF gap,
+    // decided in decimal space, one division
+    "q322_ks_shift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+        |         user_id % 2 AS side
+        |  FROM events
+        |), perv AS (
+        |  SELECT event_type, v,
+        |         CAST(SUM(1 - side) AS BIGINT) AS ca,
+        |         CAST(SUM(side) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumA,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumB,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+        |  FROM perv
+        |)
+        |SELECT event_type, MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |  CAST(MAX(abs(CAST(cumA AS DECIMAL(19,0)) * CAST(tb AS DECIMAL(19,0)) -
+        |               CAST(cumB AS DECIMAL(19,0)) * CAST(ta AS DECIMAL(19,0))))
+        |       AS DOUBLE) /
+        |  CAST(CAST(MAX(ta) AS DECIMAL(19,0)) * CAST(MAX(tb) AS DECIMAL(19,0))
+        |       AS DOUBLE) AS ks
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -134,7 +134,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q316 (r15): the same ONE-ROW token grand total in the heavy-
     // hitter threshold; the corpus-sized joins are the candidate
     // left-semi (broadcast HASH on tok) and the exact recount
-    "q316_heavy_hitters")
+    "q316_heavy_hitters",
+    // q319 (r15): q316's threshold on the streamed fragment sums —
+    // the ONE-ROW fragment grand total broadcast into the
+    // type-vocabulary-sized count relation (q297's stream-fragment
+    // pattern)
+    "q319_stream_heavy")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

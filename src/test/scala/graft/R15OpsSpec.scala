@@ -430,6 +430,75 @@ class R15OpsSpec extends AnyFunSuite {
     assert(got("C") === ((5L, Some(apC), Some(1.0d / 3))))
   }
 
+  // ---------------- KS test ----------------
+
+  test("ksTest ≡ brute-force ECDF max over both populations") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (g <- Seq("a", "b"); _ <- 1 to 300) yield
+      (g, rnd.nextInt(25).toLong + (if (rnd.nextBoolean()) 5 else 0),
+        rnd.nextInt(2).toLong)
+    val got = Stats.ksTest(rows.toDF("g", "v", "side"), "g",
+        col("v"), col("side"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (g <- Seq("a", "b")) {
+      val as = rows.filter(r => r._1 == g && r._3 == 0L).map(_._2)
+      val bs = rows.filter(r => r._1 == g && r._3 == 1L).map(_._2)
+      val vs = (as ++ bs).distinct.sorted
+      val dnum = vs.map(v =>
+        math.abs(as.count(_ <= v).toLong * bs.size -
+          bs.count(_ <= v).toLong * as.size)).max
+      val want = dnum.toDouble / (as.size.toLong * bs.size).toDouble
+      assert(got(g) === ((as.size.toLong, bs.size.toLong, want)),
+        s"group $g drifted from the ECDF replay")
+    }
+  }
+
+  // ---------------- centroid drift ----------------
+
+  test("centroidDrift: identical sides → 1.0; integer replay exact") {
+    val mk = (id: Long, l: Int, v: Seq[Double]) =>
+      (id, v.map(_.toFloat).toArray, l)
+    val vecs = Seq(
+      mk(0L, 1, Seq(0.5, 0.25, -0.125)), mk(1L, 1, Seq(0.5, 0.25, -0.125)),
+      mk(2L, 2, Seq(1.0, 0.0, 0.5)), mk(3L, 2, Seq(0.0, 1.0, 0.25)),
+      mk(4L, 2, Seq(0.5, 0.5, 0.125)), mk(5L, 2, Seq(0.25, -0.5, 2.0)))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.centroidDrift(
+        vecs.filter(col("vec_id") % 2 === 0),
+        vecs.filter(col("vec_id") % 2 === 1))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(1) === 1.0d, "identical centroids must give exactly 1.0")
+    // label 2 replayed in exact integer space (dyadic values: the
+    // 2^30 quantization is exact)
+    val q = 1073741824L
+    def qv(v: Seq[Double]) = v.map(x => math.floor(x * q).toLong)
+    val r2 = Seq(qv(Seq(1.0, 0.0, 0.5)), qv(Seq(0.5, 0.5, 0.125)))
+      .transpose.map(_.sum)
+    val c2 = Seq(qv(Seq(0.0, 1.0, 0.25)), qv(Seq(0.25, -0.5, 2.0)))
+      .transpose.map(_.sum)
+    val dot = r2.zip(c2).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val n2r = r2.map(a => BigInt(a) * BigInt(a)).sum
+    val n2c = c2.map(a => BigInt(a) * BigInt(a)).sum
+    val want = dot.toDouble / (math.sqrt(n2r.toDouble) * math.sqrt(n2c.toDouble))
+    assert(got(2) === want)
+  }
+
+  // ---------------- repetition ratio ----------------
+
+  test("repetitionRatio: directed bigram counts") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // bigrams: ab ba ab ba → 4 grams, 2 distinct
+      (2L, "x y z"),       // 2 grams, 2 distinct → ratio 0
+      (3L, "w")            // shorter than n → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(docs, n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq((1L, 4L, 2L, 0.5d), (2L, 2L, 2L, 0.0d)))
+  }
+
   // ---------------- heavy hitters ----------------
 
   test("heavyHitters: exact output under adversarial partitionings") {
