@@ -918,29 +918,40 @@ object Stats {
     * `valueCol` must be an exact integer (quantize to cents first);
     * `sideCol` is 0 (population A) / 1 (population B). */
   def ksTest(df: DataFrame, groupCol: String, valueCol: Column,
-             sideCol: Column): DataFrame = {
+             sideCol: Column): DataFrame =
+    ksFromCounts(
+      df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"),
+          sideCol.cast("long").as("side"))
+        .groupBy(col("g"), col("v"))
+        .agg(sum(lit(1L) - col("side")).as("ca"),
+          sum(col("side")).as("cb")))
+      .withColumnRenamed("g", groupCol)
+
+  /** [[ksTest]] over PRE-COUNTED (g, v, ca, cb) fragments — the
+    * incremental face (r15, the cusumFromDaily pattern): per-value
+    * side counts are additive, so streaming batches / lake commits
+    * contribute fragments independently and this read-side merge
+    * reproduces the batch statistic BIT-EXACTLY. `ksTest` itself
+    * delegates here, so the paths cannot drift. */
+  def ksFromCounts(frags: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     val d19 = DecimalType(19, 0)
-    val perV = df
-      .select(col(groupCol), valueCol.cast("long").as("v"),
-        sideCol.cast("long").as("side"))
-      .groupBy(col(groupCol), col("v"))
-      .agg(sum(lit(1L) - col("side")).as("ca"),
-        sum(col("side")).as("cb"))
-    val run = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+    val perV = frags.groupBy(col("g"), col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val run = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = Window.partitionBy(col(groupCol))
+    val tot = Window.partitionBy(col("g"))
     perV
       .withColumn("cumA", sum(col("ca")).over(run))
       .withColumn("cumB", sum(col("cb")).over(run))
       .withColumn("ta", sum(col("ca")).over(tot))
       .withColumn("tb", sum(col("cb")).over(tot))
-      .groupBy(col(groupCol))
+      .groupBy(col("g"))
       .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
         max(abs((col("cumA").cast(d19) * col("tb").cast(d19)).cast(d38) -
           (col("cumB").cast(d19) * col("ta").cast(d19)).cast(d38)))
           .as("dnum"))
-      .select(col(groupCol), col("n_a"), col("n_b"),
+      .select(col("g"), col("n_a"), col("n_b"),
         (col("dnum").cast("double") /
           (col("n_a").cast(d19) * col("n_b").cast(d19)).cast(d38)
             .cast("double")).as("ks"))

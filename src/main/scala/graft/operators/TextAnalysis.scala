@@ -774,6 +774,39 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"), col("n_total"))
   }
 
+  /** SOURCE-PAIR CORPUS SIMILARITY (r15): weighted Jaccard over
+    * token frequencies, J = Σ min(cₐ,c_b) / Σ max(cₐ,c_b) — "how
+    * alike are two ingestion sources?", the mix-design signal plain
+    * set-Jaccard can't give when vocabularies mostly coincide (as
+    * real web corpora do — frequency PROFILES differ, supports
+    * don't).
+    *
+    * Σmax never needs the union: Σmax = totₐ + tot_b − Σ_shared min,
+    * so one (source, token, count) aggregate — |sources|·|vocab|
+    * rows, NOT the corpus — self-joins on token (fan-out per token =
+    * #sources, catalog-bounded), and the per-source totals ride a
+    * broadcast. Exact integers; one IEEE division per pair. */
+  def sourceSimilarity(docs: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    val sc = docs
+      .select(col("source"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = sc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    sc.as("a")
+      .join(sc.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("sum_min"))
+      .join(broadcast(tot.select(col("source").as("s1"),
+        col("t").as("t1"))), Seq("s1"))
+      .join(broadcast(tot.select(col("source").as("s2"),
+        col("t").as("t2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("sum_min"),
+        (col("sum_min").cast("double") /
+          (col("t1") + col("t2") - col("sum_min")).cast("double"))
+          .as("weighted_jaccard"))
+  }
+
   /** WITHIN-DOC REPETITION RATIO (r15) — the Gopher-style quality
     * rule the existing length/punct/stopword score (q40) doesn't
     * cover: the fraction of a doc's n-grams that are repeats of an

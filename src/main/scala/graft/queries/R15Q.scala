@@ -829,7 +829,40 @@ object R15Q {
           .withColumn("cents", floor(col("value") * lit(100.0)).cast("long"))
           .withColumn("side", (col("user_id") % 2).cast("long")),
         "event_type", col("cents"), col("side"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // SOURCE-PAIR WEIGHTED JACCARD (r15): frequency-profile
+    // similarity between ingestion sources — the mix-design signal
+    // set-Jaccard can't give when supports coincide (here all
+    // sources share ~31 tokens but at different rates). The
+    // (source, token, count) relation is catalog×vocab-bounded; the
+    // token self-join fans out by #sources only.
+    // `TextAnalysis.sourceSimilarity`.
+    "q323_source_similarity" -> ((s, d) =>
+      graft.operators.TextAnalysis.sourceSimilarity(
+        Tables.documents(s, d))
+        .orderBy("s1", "s2")),
+
+    // STREAMING KS (r15): q322's shift detector maintained in-stream
+    // — per-(group, value) side counts are additive, each
+    // micro-batch commits only its fragment, and the read side
+    // merges through `ksFromCounts` (which the batch operator itself
+    // delegates through — the paths cannot drift). A 4-batch drain
+    // must reproduce q322's oracle bit-exactly.
+    "q324_stream_ks" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type").as("g"),
+            floor(col("value") * lit(100.0)).cast("long").as("v"),
+            (col("user_id") % 2).cast("long").as("side"))
+          .groupBy(col("g"), col("v"))
+          .agg(sum(lit(1L) - col("side")).as("ca"),
+            sum(col("side")).as("cb"))
+      }
+      graft.operators.Stats.ksFromCounts(frags)
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1859,6 +1892,61 @@ object R15Q {
     // mirrors Stats.ksTest: integer cross-multiplied ECDF gap,
     // decided in decimal space, one division
     "q322_ks_shift" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
+        |         user_id % 2 AS side
+        |  FROM events
+        |), perv AS (
+        |  SELECT event_type, v,
+        |         CAST(SUM(1 - side) AS BIGINT) AS ca,
+        |         CAST(SUM(side) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumA,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumB,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+        |  FROM perv
+        |)
+        |SELECT event_type, MAX(ta) AS n_a, MAX(tb) AS n_b,
+        |  CAST(MAX(abs(CAST(cumA AS DECIMAL(19,0)) * CAST(tb AS DECIMAL(19,0)) -
+        |               CAST(cumB AS DECIMAL(19,0)) * CAST(ta AS DECIMAL(19,0))))
+        |       AS DOUBLE) /
+        |  CAST(CAST(MAX(ta) AS DECIMAL(19,0)) * CAST(MAX(tb) AS DECIMAL(19,0))
+        |       AS DOUBLE) AS ks
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors TextAnalysis.sourceSimilarity: weighted Jaccard with
+    // sum-max = tot_a + tot_b - sum-min (never materializes the
+    // union)
+    "q323_source_similarity" ->
+      """WITH sc AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM sc GROUP BY 1
+        |), shared AS (
+        |  SELECT a.source AS s1, b.source AS s2,
+        |         CAST(SUM(least(a.c, b.c)) AS BIGINT) AS sum_min
+        |  FROM sc a JOIN sc b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s1, s2, sum_min,
+        |       CAST(sum_min AS DOUBLE) /
+        |         CAST(t1.t + t2.t - sum_min AS DOUBLE) AS weighted_jaccard
+        |FROM shared
+        |JOIN tot t1 ON t1.source = shared.s1
+        |JOIN tot t2 ON t2.source = shared.s2
+        |ORDER BY s1, s2""".stripMargin,
+
+    // the streamed fragments are additive, so the oracle is exactly
+    // q322's
+    "q324_stream_ks" ->
       """WITH e AS (
         |  SELECT event_type, CAST(FLOOR(value * 100.0) AS BIGINT) AS v,
         |         user_id % 2 AS side

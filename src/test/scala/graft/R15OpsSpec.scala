@@ -454,6 +454,52 @@ class R15OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------- KS fragments ----------------
+
+  test("ksFromCounts: fragmented side counts ≡ the batch statistic") {
+    val rnd = new scala.util.Random(29)
+    val rows = for (g <- Seq("a", "b"); _ <- 1 to 250) yield
+      (g, rnd.nextInt(30).toLong, rnd.nextInt(2).toLong)
+    val batch = Stats.ksTest(rows.toDF("g", "v", "side"), "g",
+        col("v"), col("side"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    // 3-way fragmentation of each (g, v) count pair
+    val frags = rows.groupBy(r => (r._1, r._2)).toSeq.flatMap {
+      case ((g, v), rs) =>
+        val (ca, cb) = (rs.count(_._3 == 0L).toLong,
+          rs.count(_._3 == 1L).toLong)
+        (0 until 3).map(i => (g, v,
+          ca / 3 + (if (i < ca % 3) 1L else 0L),
+          cb / 3 + (if (i < cb % 3) 1L else 0L)))
+    }.filter(r => r._3 > 0 || r._4 > 0)
+    val merged = Stats.ksFromCounts(frags.toDF("g", "v", "ca", "cb"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(merged === batch, "fragment merge drifted from batch KS")
+  }
+
+  // ---------------- source similarity ----------------
+
+  test("sourceSimilarity ≡ weighted-Jaccard replay") {
+    val docs = Seq(
+      ("sA", "x x x y z"), ("sA", "x y"),
+      ("sB", "x y y z z z"), ("sC", "w w")
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.sourceSimilarity(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def counts(s: String*) = s.flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ca, cb) = (counts("x x x y z", "x y"), counts("x y y z z z"))
+    val smin = (ca.keySet & cb.keySet).toSeq
+      .map(t => math.min(ca(t), cb(t))).sum
+    val j = smin.toDouble /
+      (ca.values.sum + cb.values.sum - smin).toDouble
+    assert(got(("sA", "sB")) === ((smin, j)))
+    // sC shares no token with anyone → no pair rows for it
+    assert(!got.keySet.exists(p => p._1 == "sC" || p._2 == "sC"))
+  }
+
   // ---------------- centroid drift ----------------
 
   test("centroidDrift: identical sides → 1.0; integer replay exact") {
