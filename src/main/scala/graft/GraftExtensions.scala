@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CosineSimilarity, HammingDistance, UnicodeNormalize}
+import graft.functions.expressions.{CosineSimilarity, HammingDistance, JaroWinkler, UnicodeNormalize}
 
 /** Engine extension point (SparkSessionExtensions): registers the
   * native expressions so SQL users get them as built-ins
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HammingDistance(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_similarity"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler_similarity"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JaroWinkler(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),

@@ -524,4 +524,59 @@ object Corpus {
       // (anchor, positive, draw, negative) contract order
       .select(col("anchor"), col("pos_item"), col("j"), col("neg_item"))
   }
+
+  /** DETERMINISTIC SYSTEMATIC PPS SAMPLE (r15) — probability-
+    * proportional-to-size sampling with NO random number generator:
+    * documents are laid on a weight line in md5-permuted order, and a
+    * systematic grid of k equally-spaced points (stride = W/k over
+    * total weight W) picks every document whose weight interval
+    * contains a grid point. Inclusion probability is exactly
+    * min(1, k*w/W) — the classic systematic PPS estimator — while
+    * md5 ordering stands in for the random permutation, so the
+    * sample is reproducible on any cluster, any partitioning, any
+    * re-run (the [[splitAssign]] stance on determinism).
+    *
+    * Everything is INTEGER arithmetic: the running weight sum is
+    * exact (BIGINT), and "interval [prev, cum) contains grid point
+    * j*W/k" is evaluated by cross-multiplied ceilings —
+    * `ceil(prev*k/W) < ceil(cum*k/W)` with `ceil(a/b) = (a+b-1) div
+    * b` — no doubles, no rounding modes, bit-identical in any
+    * engine. Oversized documents (w > W/k) absorb several grid
+    * points; `n_picks` reports the multiplicity so Horvitz-Thompson
+    * reweighting stays exact.
+    *
+    * Scale shape: the global prefix sum is the [[prefixOffsets]]
+    * two-level scan (bucketed on the leading md5 hex chars — no
+    * global single-partition window); the grid test is a pure map.
+    * One guard aggregate checks weights are non-negative and
+    * `W*k` fits a BIGINT (fail-loud; at 10^13 total tokens and
+    * k ≤ 10^5 the product is comfortably inside 2^63). */
+  def ppsSample(docs: DataFrame, weightCol: String, k: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"ppsSample: k must be >= 1, got $k")
+    val w = docs.select(col(idCol), col(weightCol).cast("long").as("w"),
+      md5(col(idCol).cast("string")).as("h"))
+    val probe = w.agg(min(col("w")), sum(col("w"))).head()
+    require(!probe.isNullAt(0) && probe.getLong(0) >= 0L,
+      s"ppsSample: weights must be non-negative (min=${probe.get(0)})")
+    val total = probe.getLong(1)
+    require(total > 0L, "ppsSample: total weight must be positive")
+    require(total <= Long.MaxValue / (k.toLong + 1),
+      s"ppsSample: W*k overflows BIGINT (W=$total, k=$k)")
+    val bucketed = w.withColumn("bucket",
+      conv(substring(col("h"), 1, 4), 16, 10).cast("long"))
+    val inBucket = Window.partitionBy("bucket").orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = bucketed.groupBy(col("bucket")).agg(sum(col("w")).as("bw"))
+    val offsets = prefixOffsets(totals, "bucket", "bw", 4096L)
+      .select(col("bucket"), col("__off").as("boff"))
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("boff") + sum(col("w")).over(inBucket))
+      .withColumn("prev", col("cum") - col("w"))
+      .withColumn("n_picks",
+        expr(s"(cum * $k + ${total - 1}) div $total" +
+          s" - (prev * $k + ${total - 1}) div $total"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("w"), col("n_picks"))
+  }
 }

@@ -269,4 +269,57 @@ object LinkAnalysis {
     }
     dist
   }
+
+  /** K-CORE DECOMPOSITION (r15) — the maximal subgraph in which every
+    * node keeps degree >= k, by SIMULTANEOUS peeling: each round
+    * recomputes degrees inside the surviving subgraph and removes
+    * every node below k at once. The parallel peel is deterministic
+    * (no removal order to disagree on) and idempotent after the
+    * fixpoint, so an oracle that unrolls exactly `maxRounds` rounds
+    * equals the converged loop — provided convergence happened within
+    * the budget, which the loop REQUIRES fail-loud rather than
+    * silently truncating (the BPE maxVocab stance).
+    *
+    * Scale shape: one round = two hash semi-joins of the symmetrized
+    * edge set against the alive-node relation + one degree count —
+    * all shuffles on the node key; per-round `localCheckpoint`
+    * truncates lineage (the [[pageRankInt]] rule). Rounds needed is
+    * the peel depth of the graph, typically O(10) on social/link
+    * graphs; each round's cost shrinks with the surviving subgraph.
+    * Returns (node, deg) of the k-core, deg = degree INSIDE the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCore: maxRounds must be >= 1, got $maxRounds")
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    var alive = und.select(col("a").as("node")).distinct().localCheckpoint(true)
+    var aliveN = alive.count()
+    var core = alive.withColumn("deg", lit(-1L)) // replaced in round 1
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCore: no fixpoint within $maxRounds rounds (still $aliveN alive) " +
+          "— raise maxRounds (and the oracle's unroll depth with it)")
+      val next = und
+        .join(alive.select(col("node").as("a")), "a")
+        .join(alive.select(col("node").as("b")), "b")
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("a").as("node"), col("deg"))
+        .localCheckpoint(true)
+      val nextN = next.count()
+      converged = nextN == aliveN
+      core = next
+      alive = next.select("node")
+      aliveN = nextN
+    }
+    core
+  }
 }

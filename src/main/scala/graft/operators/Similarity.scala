@@ -733,4 +733,82 @@ object Similarity {
           (sqrt(col("n2r").cast("double")) *
             sqrt(col("n2c").cast("double")))).as("centroid_cos"))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE (r15) — the diversity-aware reranker:
+    * from the top-`n` candidates by relevance to a query vector,
+    * greedily pick `k` results maximizing
+    * `rel(c) - max_{s in selected} sim(c, s)` (the λ=0.5 MMR
+    * objective up to the constant factor, which preserves the
+    * argmax), so near-duplicates of an already-selected result are
+    * demoted — "relevant AND novel", the standard retrieval/RAG and
+    * data-curation reranking step.
+    *
+    * Exactness: relevance and pairwise similarity are INTEGER dot
+    * products over the shared int8 quantization ([[quantizeVec]]),
+    * so every greedy argmax compares exact BIGINTs (ties to the
+    * smaller vec_id) — no IEEE anywhere, and an oracle that unrolls
+    * the k steps in SQL reproduces the selection bit-for-bit.
+    *
+    * Scale shape: the candidate generation is DISTRIBUTED — one
+    * codegen'd zip_with/aggregate dot against the broadcast query
+    * literal + a TakeOrderedAndProject top-n (no window, no
+    * shuffle-wide sort). Only the n surviving candidates (a bounded,
+    * driver-sized relation — the production reranker contract, like
+    * [[kCenterSelect]]'s k centers) are collected for the greedy
+    * loop, which is O(k·n) driver arithmetic on ≤ n rows, not a data
+    * path. Returns (round, vec_id, rel, mmr_gain); round 1's gain is
+    * its relevance (empty selected set). */
+  def mmrSelect(emb: DataFrame, queryId: Long, n: Int, k: Int,
+                scale: Double = 64.0): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(n >= k, s"mmrSelect: n ($n) must be >= k ($k)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantizeVec(emb, scale)
+    val qRow = q.filter(col("vec_id") === queryId).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"mmrSelect: query vec_id $queryId not found"))
+    val qv = qRow.getSeq[Long](1)
+    val dotToQuery: Column =
+      aggregate(zip_with(col("qv"), array(qv.map(lit): _*),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val cand = q.filter(col("vec_id") =!= queryId)
+      .withColumn("rel", dotToQuery)
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(n)
+      .collect()
+    require(cand.length >= k,
+      s"mmrSelect: only ${cand.length} candidates for k=$k")
+    val ids = cand.map(_.getLong(0))
+    val vecs = cand.map(_.getSeq[Long](1).toArray)
+    val rels = cand.map(_.getLong(2))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      val m = math.min(a.length, b.length)
+      var s = 0L; var i = 0
+      while (i < m) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (round <- 1 to k) {
+      var best = -1
+      var bestGain = Long.MinValue
+      var bestId = Long.MaxValue
+      var c = 0
+      while (c < cand.length) {
+        if (!chosen.contains(c)) {
+          val gain =
+            if (chosen.isEmpty) rels(c)
+            else rels(c) - chosen.iterator.map(s => dot(vecs(c), vecs(s))).max
+          if (gain > bestGain || (gain == bestGain && ids(c) < bestId)) {
+            best = c; bestGain = gain; bestId = ids(c)
+          }
+        }
+        c += 1
+      }
+      chosen += best
+      out += ((round.toLong, ids(best), rels(best), bestGain))
+    }
+    out.toSeq.toDF("round", "vec_id", "rel", "mmr_gain")
+  }
 }

@@ -454,9 +454,22 @@ object TextAnalysis {
                       maxDist: Int,
                       blockExprs: Seq[Column]): DataFrame = {
     require(maxDist >= 1, s"fuzzyMatchNames: maxDist must be >= 1")
+    blockedNamePairs(rel, nameCol, blockExprs)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_name"), col("b_name"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** Shared candidate generator for the blocked fuzzy matchers:
+    * multi-pass blocking over the DISTINCT-name relation, candidate
+    * pairs deduped before any scorer runs (each pair pays its
+    * distance computation once). */
+  private def blockedNamePairs(rel: DataFrame, nameCol: String,
+                               blockExprs: Seq[Column]): DataFrame = {
     require(blockExprs.nonEmpty, "at least one blocking key")
     val names = rel.select(col(nameCol)).distinct()
-    val cands = blockExprs.map { be =>
+    blockExprs.map { be =>
       val keyed = names.withColumn("__blk", be)
       val a = keyed.select(col(nameCol).as("a_name"), col("__blk"))
       val b = keyed.select(col(nameCol).as("b_name"), col("__blk"))
@@ -464,11 +477,32 @@ object TextAnalysis {
         .filter(col("a_name") < col("b_name"))
         .select(col("a_name"), col("b_name"))
     }.reduce(_.unionByName(_)).dropDuplicates("a_name", "b_name")
-    cands
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("dist") <= maxDist)
-      .select(col("a_name"), col("b_name"),
-        col("dist").cast("long").as("dist"))
+  }
+
+  /** [[fuzzyMatchNames]] with the JARO-WINKLER scorer (r15): the same
+    * multi-pass blocked candidate generation, decided by the
+    * codegen'd native `jaro_winkler_similarity` expression instead of
+    * edit distance — the matcher of choice for names and short
+    * titles, where a transposition ("marhta") or a dropped letter
+    * near the END should score far better than levenshtein's uniform
+    * per-edit penalty, and a shared PREFIX should score better than
+    * a shared suffix. Complementary failure modes: levenshtein for
+    * bounded-typo part numbers, Jaro-Winkler for human-entered names.
+    *
+    * The expression mirrors DuckDB's rapidfuzz arithmetic operation
+    * for operation ([[graft.functions.expressions.JaroWinkler]]), so
+    * the emitted score is oracle-exact as a raw double. Same scale
+    * contract as the levenshtein form: the DP/score runs once per
+    * DISTINCT candidate pair, pair space Σ block². */
+  def fuzzyMatchNamesJw(rel: DataFrame, nameCol: String,
+                        minSim: Double,
+                        blockExprs: Seq[Column]): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"fuzzyMatchNamesJw: minSim in (0,1], got $minSim")
+    blockedNamePairs(rel, nameCol, blockExprs)
+      .withColumn("jw", expr("jaro_winkler_similarity(a_name, b_name)"))
+      .filter(col("jw") >= minSim)
+      .select(col("a_name"), col("b_name"), col("jw"))
   }
 
   /** Entity-level variant: expand [[fuzzyMatchNames]]' distinct-name

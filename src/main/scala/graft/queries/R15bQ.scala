@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Qx._
+
+/** Round-15 batch 2: Jaro-Winkler native expression (q325), MMR
+  * diversity reranking (q326), k-core decomposition (q327),
+  * deterministic systematic PPS sampling (q328), and observed-metrics
+  * pipeline gates (q329).
+  */
+object R15bQ {
+
+  /** The q327 graph: a skewed synthetic link graph from events whose
+    * node set and density grow with the corpus (unlike the q136
+    * graph, whose regular degrees make every k-core all-or-nothing).
+    * The varying modulus spreads degrees heavy-tailed so the peel
+    * actually removes strata round by round. */
+  private def kcoreEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      (col("event_id") % 211).as("src"),
+      ((col("event_id") * 7919 + col("user_id"))
+        % ((col("event_id") % 17 + 2) * 19)).as("dst"))
+
+  val queries: Map[String, Q] = Map(
+
+    // JARO-WINKLER FUZZY MATCH (r15): q278's multi-pass blocked
+    // entity resolution decided by the native codegen'd
+    // `jaro_winkler_similarity` expression instead of levenshtein —
+    // the human-name/short-title scorer (prefix-weighted, transposition
+    // -tolerant). The expression mirrors DuckDB's rapidfuzz arithmetic
+    // operation for operation, so raw DOUBLES hash-match the oracle —
+    // the strongest cross-engine pin a float scorer can have.
+    // `functions/expressions/JaroWinkler.scala`,
+    // `TextAnalysis.fuzzyMatchNamesJw`.
+    "q325_jaro_winkler" -> ((s, d) =>
+      graft.operators.TextAnalysis.fuzzyMatchNamesJw(
+        Tables.part(s, d), "p_name", minSim = 0.90,
+        blockExprs = Seq(
+          split(col("p_name"), " ").getItem(0),
+          element_at(split(col("p_name"), " "), -1)))
+        .orderBy("a_name", "b_name")),
+
+    // MMR DIVERSITY RERANK (r15): top-32 candidates by exact integer
+    // relevance to query vec 0 (distributed zip_with dot against the
+    // broadcast query literal + TakeOrderedAndProject — no window, no
+    // global sort), then the k=6 greedy maximal-marginal-relevance
+    // selection over the bounded candidate set (the production
+    // reranker contract). All comparisons are exact BIGINT dots over
+    // the shared int8 quantization, so the oracle's 6 unrolled SQL
+    // steps replay the selection bit-for-bit.
+    // `Similarity.mmrSelect`.
+    "q326_mmr_rerank" -> ((s, d) =>
+      graft.operators.Similarity.mmrSelect(
+        Tables.embeddings(s, d), queryId = 0L, n = 32, k = 6)
+        .orderBy("round")),
+
+    // K-CORE DECOMPOSITION (r15): the "dense interaction core" of the
+    // link graph by simultaneous peeling — each round recomputes
+    // degrees inside the surviving subgraph and drops every node
+    // below k at once (deterministic: no peel order to disagree on).
+    // The loop REQUIRES convergence within 12 rounds fail-loud; the
+    // oracle unrolls exactly 12 (idempotent after the fixpoint, so
+    // the converged loop and the fixed unroll agree).
+    // `LinkAnalysis.kCore`.
+    "q327_kcore" -> ((s, d) =>
+      graft.operators.LinkAnalysis.kCore(kcoreEdges(s, d), k = 5,
+          maxRounds = 12)
+        .orderBy("node")),
+
+    // SYSTEMATIC PPS SAMPLE (r15): probability-proportional-to-size
+    // corpus sampling with NO RNG — md5 order stands in for the
+    // random permutation, a k=25 grid over the exact running weight
+    // sum picks documents, and the interval test is cross-multiplied
+    // integer ceilings (no doubles anywhere). Prefix sums ride the
+    // recursively-bounded two-level scan, never a global window.
+    // `Corpus.ppsSample`.
+    "q328_pps_sample" -> ((s, d) =>
+      graft.operators.Corpus.ppsSample(
+        Tables.documents(s, d), "n_chars", k = 25)
+        .orderBy("doc_id")),
+
+    // OBSERVED-METRICS GATE (r15): `Dataset.observe` (Catalyst
+    // CollectMetrics) — data-quality counters collected AS A SIDE
+    // EFFECT of the pipeline's own single pass, the scale-correct way
+    // to health-check a 100 TB run (a separate metrics scan would
+    // double the read). The observed map is surfaced as a one-row
+    // relation; the oracle recomputes every counter independently,
+    // pinning that the listener-collected values equal a real scan's.
+    "q329_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = Tables.documents(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(col("lang") === "en", lit(1))).as("n_en"))
+      val kept = observed.filter(col("n_chars") >= 200).count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("total_chars").asInstanceOf[Long],
+        m("n_en").asInstanceOf[Long], kept))
+        .toDF("n_rows", "total_chars", "n_en", "n_kept")
+    })
+  )
+
+  /** The q326 oracle: candidate generation + 6 unrolled greedy MMR
+    * steps as chained CTEs over the shared int8 quantization — every
+    * argmax an exact BIGINT comparison, ties to the smaller vec_id. */
+  private def mmrSql(n: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(greatest(-127.0, least(127.0,
+         |                  floor(CAST(x AS DOUBLE) * 64.0 + 0.5))) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |), idx AS (
+         |  SELECT unnest(generate_series(1, 64)) AS i
+         |), qe AS (
+         |  SELECT qv FROM q WHERE vec_id = 0
+         |), rel AS (
+         |  SELECT q.vec_id, CAST(SUM(q.qv[i.i] * qe.qv[i.i]) AS BIGINT) AS rel
+         |  FROM q CROSS JOIN qe CROSS JOIN idx i
+         |  WHERE q.vec_id <> 0 GROUP BY q.vec_id
+         |), cand AS (
+         |  SELECT c.vec_id, c.rel, q.qv
+         |  FROM (SELECT vec_id, rel FROM rel
+         |        ORDER BY rel DESC, vec_id LIMIT $n) c
+         |  JOIN q USING (vec_id)
+         |), s1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS round, vec_id, rel,
+         |         rel AS mmr_gain, qv
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+         |), sel1 AS (SELECT * FROM s1)""".stripMargin
+    for (t <- 2 to k) {
+      sb ++=
+        s""", g$t AS (
+           |  SELECT c.vec_id, c.rel, c.qv, c.rel - MAX(d.sim) AS mmr_gain
+           |  FROM cand c JOIN (
+           |    SELECT c2.vec_id AS cv,
+           |           CAST(SUM(c2.qv[i.i] * s.qv[i.i]) AS BIGINT) AS sim
+           |    FROM cand c2 CROSS JOIN sel${t - 1} s CROSS JOIN idx i
+           |    GROUP BY c2.vec_id, s.vec_id
+           |  ) d ON d.cv = c.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  GROUP BY c.vec_id, c.rel, c.qv
+           |), s$t AS (
+           |  SELECT CAST($t AS BIGINT) AS round, vec_id, rel, mmr_gain, qv
+           |  FROM g$t ORDER BY mmr_gain DESC, vec_id LIMIT 1
+           |), sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }
+    sb ++= s"\nSELECT round, vec_id, rel, mmr_gain FROM sel$k ORDER BY round"
+    sb.toString
+  }
+
+  /** The q327 oracle: the same symmetric edge set, `rounds` unrolled
+    * simultaneous-peel rounds (the loop converges earlier and the
+    * peel is idempotent past the fixpoint), final degrees computed
+    * inside the surviving core. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    // MATERIALIZED: without it DuckDB inlines `und` into every one of
+    // the rounds' IN-subqueries and re-opens the parquet per copy —
+    // the unrolled plan then dies on the process fd limit
+    sb ++=
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT (event_id % 211) AS src,
+        |         ((event_id * 7919 + user_id) % ((event_id % 17 + 2) * 19)) AS dst
+        |  FROM events
+        |), und AS MATERIALIZED (
+        |  SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+        |  UNION
+        |  SELECT dst, src FROM e0 WHERE src <> dst
+        |), n0 AS (SELECT DISTINCT a AS node FROM und)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++=
+        s""", n$i AS MATERIALIZED (
+           |  SELECT a AS node FROM und
+           |  WHERE a IN (SELECT node FROM n${i - 1})
+           |    AND b IN (SELECT node FROM n${i - 1})
+           |  GROUP BY a HAVING COUNT(*) >= $k
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und
+         |WHERE a IN (SELECT node FROM n$rounds)
+         |  AND b IN (SELECT node FROM n$rounds)
+         |GROUP BY a ORDER BY node""".stripMargin
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    // mirrors q325: q278's blocked candidates, DuckDB's own
+    // jaro_winkler_similarity (same rapidfuzz arithmetic) as scorer
+    "q325_jaro_winkler" ->
+      """WITH p AS (
+        |  SELECT DISTINCT p_name,
+        |         split_part(p_name, ' ', 1) AS blk1,
+        |         split_part(p_name, ' ', -1) AS blk2
+        |  FROM part
+        |), cand AS (
+        |  SELECT a.p_name AS a_name, b.p_name AS b_name
+        |  FROM p a JOIN p b ON b.blk1 = a.blk1 AND a.p_name < b.p_name
+        |  UNION
+        |  SELECT a.p_name, b.p_name
+        |  FROM p a JOIN p b ON b.blk2 = a.blk2 AND a.p_name < b.p_name
+        |)
+        |SELECT a_name, b_name, jaro_winkler_similarity(a_name, b_name) AS jw
+        |FROM cand
+        |WHERE jaro_winkler_similarity(a_name, b_name) >= 0.90
+        |ORDER BY a_name, b_name""".stripMargin,
+
+    "q326_mmr_rerank" -> mmrSql(n = 32, k = 6),
+
+    "q327_kcore" -> kcoreSql(k = 5, rounds = 12),
+
+    // mirrors q328: inclusive running weight sum in md5 order, grid
+    // membership by the same cross-multiplied integer ceilings
+    "q328_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), tot AS (SELECT SUM(w) AS tw FROM w),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         SUM(w) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w
+        |)
+        |SELECT doc_id, w,
+        |       CAST((cum * 25 + tw - 1) // tw
+        |            - ((cum - w) * 25 + tw - 1) // tw AS BIGINT) AS n_picks
+        |FROM c, tot
+        |WHERE (cum * 25 + tw - 1) // tw
+        |      - ((cum - w) * 25 + tw - 1) // tw > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors q329: every observed counter recomputed by an
+    // independent scan
+    "q329_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+        |       CAST(COUNT(CASE WHEN n_chars >= 200 THEN 1 END) AS BIGINT) AS n_kept
+        |FROM documents""".stripMargin
+  )
+}
