@@ -75,18 +75,22 @@ object Stats {
     *
     * Pearson on integer ranks, all sums exact in DECIMAL(38,0):
     * ρ = (n·Σab − Σa·Σb) / (√(n·Σa² − (Σa)²) · √(n·Σb² − (Σb)²)).
-    * The two windows partition by the group key — at scale each
-    * group sorts within its own hash partition, no global sort.
-    */
+    * Both rank passes ride the distributed [[rankInGroup]] two-level
+    * form (r15) — at scale a corpus-sized group never sorts inside
+    * one partition, whatever the group cardinality. */
   def rankCorrelation(df: DataFrame, groupCol: String, aCol: Column,
-                      bCol: Column, tieCol: Column): DataFrame = {
+                      bCol: Column, tieCol: Column,
+                      aBucketWidth: Double = 1.0,
+                      bBucketWidth: Double = 1.0): DataFrame = {
     val d38 = DecimalType(38, 0)
     val d19 = DecimalType(19, 0)
-    val wa = Window.partitionBy(col(groupCol)).orderBy(aCol, tieCol)
-    val wb = Window.partitionBy(col(groupCol)).orderBy(bCol, tieCol)
-    val ranked = df.select(col(groupCol),
-      row_number().over(wa).cast("long").as("ra"),
-      row_number().over(wb).cast("long").as("rb"))
+    val base = df.select(col(groupCol), aCol.as("__a"), bCol.as("__b"),
+      tieCol.as("__t"))
+    val ranked = rankInGroup(
+        rankInGroup(base, groupCol, col("__a"), col("__t"), "ra",
+          aBucketWidth),
+        groupCol, col("__b"), col("__t"), "rb", bBucketWidth)
+      .select(col(groupCol), col("ra"), col("rb"))
     val g = ranked.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(col("ra").cast(d38)).as("sa"),
@@ -162,23 +166,66 @@ object Stats {
       when(col("n_prior") >= minPrior && varPos, z).as("z_score"))
   }
 
+  /** DISTRIBUTED IN-GROUP RANK (r15) — `row_number() OVER (PARTITION
+    * BY group ORDER BY value, tie)` WITHOUT a group-sized window
+    * partition: with few groups (event types, languages, sources) the
+    * plain window funnels a corpus-sized group through one partition —
+    * the q262 scale-killer class, just keyed. Two-level form instead:
+    *
+    *  1. bucket rows by `floor(value / bucketWidth)` (monotone, so
+    *     bucket order = value order);
+    *  2. per-(group, bucket) COUNTS — a map-side-combined aggregate —
+    *     give every bucket its exclusive offset via a prefix window
+    *     over the AGGREGATE relation (bounded by the value range /
+    *     bucketWidth, the [[skyline2D]] rule — never the corpus);
+    *  3. the exact (value, tie) order runs (group, bucket)-PARTITIONED;
+    *     rank = bucket offset + in-bucket row_number.
+    *
+    * Identical ranks to the single window at any bucketWidth (pinned
+    * in R15cSpec); `bucketWidth` trades bucket-relation size against
+    * per-bucket sort width, the skyline2D contract. Values must be
+    * NaN-free (NaN sorts after every double but buckets as null). */
+  private[graft] def rankInGroup(df: DataFrame, groupCol: String,
+                                 valueC: Column, tieC: Column,
+                                 outCol: String,
+                                 bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"rankInGroup: bucketWidth > 0, got $bucketWidth")
+    val withB = df.withColumn("__rv", valueC)
+      .withColumn("__rb", floor(col("__rv") / lit(bucketWidth)).cast("long"))
+    val per = withB.groupBy(col(groupCol), col("__rb"))
+      .agg(count(lit(1)).as("__c"))
+    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__rb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = per
+      .withColumn("__boff", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .drop("__c")
+    val inB = Window.partitionBy(col(groupCol), col("__rb"))
+      .orderBy(col("__rv"), tieC)
+    withB.join(off, Seq(groupCol, "__rb"))
+      .withColumn(outCol,
+        (col("__boff") + row_number().over(inB)).cast("long"))
+      .drop("__rv", "__rb", "__boff")
+  }
+
   /** PER-GROUP FEATURE SCALING — the ML-prep normalization pass:
     * for every row, its value's PERCENT RANK (CDF position with
     * deterministic (value, tie) ordering — quantile normalization),
     * its min-max scaling, and its z-score against the group, all
     * from exact statistics: ranks and counts are integers,
     * min/max exact, mean/variance from DECIMAL-quantized cent sums,
-    * each output one short mirrored IEEE chain. Two passes over the
-    * group partition (window rank + broadcast-joined group moments),
-    * both hash-partitioned on the group key. */
+    * each output one short mirrored IEEE chain. Ranks come from the
+    * distributed [[rankInGroup]] two-level form (r15: the plain
+    * group-partitioned window funneled a corpus-sized group through
+    * one partition when groups are few); moments are one aggregate
+    * joined back on the group key. */
   def featureScale(df: DataFrame, groupCol: String, valueCol: String,
-                   tieCol: String): DataFrame = {
+                   tieCol: String, rankBucketWidth: Double = 1.0): DataFrame = {
     val d38 = DecimalType(38, 0)
     val y = floor(col(valueCol) * lit(100.0)).cast("long")
     val base = df.select(col(groupCol), col(valueCol).as("value"),
       col(tieCol).as("tie"), y.as("y2"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("value"), col("tie"))
-    val ranked = base.withColumn("rk", row_number().over(w).cast("long"))
+    val ranked = rankInGroup(base, groupCol, col("value"), col("tie"),
+      "rk", rankBucketWidth)
     val moments = base.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       min(col("y2")).as("y_min"),
@@ -210,19 +257,22 @@ object Stats {
     * 5% per tail) — no fractional quantile interpolation, whose
     * engine-specific formula order would break bit-equality, and no
     * clipping at all while n < trimDen (k = 0 keeps every value, the
-    * honest small-group behavior). One rank window + one bounds
-    * rollup + a bounded join back, all hash-partitioned on the group
-    * key — the [[featureScale]] plan shape. */
+    * honest small-group behavior). Ranks ride the distributed
+    * [[rankInGroup]] two-level form and the group size is an
+    * aggregate joined back (r15: both the rank window and the
+    * count-over-group window funneled corpus-sized groups through one
+    * partition when groups are few) — then a bounded bounds rollup +
+    * join, the [[featureScale]] plan shape. */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-                tieCol: String, trimDen: Int = 20): DataFrame = {
+                tieCol: String, trimDen: Int = 20,
+                rankBucketWidth: Double = 1.0): DataFrame = {
     require(trimDen >= 2, s"winsorize: trimDen must be >= 2, got $trimDen")
-    val wRank = Window.partitionBy(col(groupCol))
-      .orderBy(col("value"), col("tie"))
-    val wAll = Window.partitionBy(col(groupCol))
-    val ranked = df.select(col(groupCol), col(valueCol).as("value"),
-        col(tieCol).as("tie"))
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+    val base = df.select(col(groupCol), col(valueCol).as("value"),
+      col(tieCol).as("tie"))
+    val sizes = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val ranked = rankInGroup(base, groupCol, col("value"), col("tie"),
+        "rk", rankBucketWidth)
+      .join(sizes, groupCol :: Nil)
       .withColumn("k", expr(s"n div $trimDen"))
     val bounds = ranked.groupBy(col(groupCol)).agg(
       max(when(col("rk") <= col("k") + 1, col("value"))).as("lo"),
@@ -620,14 +670,29 @@ object Stats {
     * assigns every row its rank-balanced bin — ntile's floor/ceil
     * split of n into k parts is specified identically in Spark and
     * DuckDB, and the tie column makes the assignment total, so bins
-    * replay exactly. One partitioned window (the per-group sort a
-    * rank discretizer must pay) + the per-bin rollup. */
+    * replay exactly. r15: the rank comes from the distributed
+    * [[rankInGroup]] two-level form and ntile's split is re-derived
+    * arithmetically from (rank, n) — bit-identical to the window
+    * `ntile(k)` (first n%k bins hold ceil(n/k) rows) without the
+    * group-sized window partition. */
   def quantileBin(df: DataFrame, k: Int, groupCol: String,
-                  valueCol: String, tieCol: String): DataFrame = {
+                  valueCol: String, tieCol: String,
+                  rankBucketWidth: Double = 1.0): DataFrame = {
     require(k >= 2, s"quantileBin: k must be >= 2, got $k")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(valueCol), col(tieCol))
-    df.withColumn("bin", ntile(k).over(w).cast("long"))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    rankInGroup(df, groupCol, col(valueCol), col(tieCol), "__rk",
+        rankBucketWidth)
+      .join(sizes, groupCol :: Nil)
+      // ntile(k): q = n div k rows per bin, the first rem = n % k
+      // bins take one extra. `x div 0` is NULL, and the q = 0 branch
+      // is unreachable (rk <= n = rem there), so the guard holds.
+      .withColumn("bin", expr(
+        s"""CASE WHEN __rk <= (__n % $k) * ((__n div $k) + 1)
+           |  THEN (__rk - 1) div ((__n div $k) + 1) + 1
+           |  ELSE (__n % $k)
+           |    + ((__rk - (__n % $k) * ((__n div $k) + 1) - 1)
+           |        div (__n div $k)) + 1
+           |END""".stripMargin))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))

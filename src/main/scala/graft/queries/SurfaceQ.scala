@@ -276,7 +276,11 @@ object SurfaceQ {
     "q222_rank_corr" -> ((s, d) =>
       graft.operators.Stats.rankCorrelation(
         Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
-        "event_type", col("value"), col("ts_us"), col("event_id"))
+        "event_type", col("value"), col("ts_us"), col("event_id"),
+        // bucket widths sized to each rank column's domain: cents-ish
+        // values bucket at 1.0; the µs timestamp at one hour, so the
+        // bucket relation stays range/3.6e9 however large the corpus
+        aBucketWidth = 1.0, bBucketWidth = 3.6e9)
         .orderBy("event_type")),
 
     // Trailing-window rate-anomaly detection (r13): per (type, day),
