@@ -465,4 +465,67 @@ object Dedup {
           expr("transform(array_sort(collect_list(struct(win_idx, win_text))), s -> s.win_text)"),
           " ").as("clean_text"))
   }
+
+  /** EXACT SET-SIMILARITY JOIN with PREFIX FILTERING (r15) — the
+    * deterministic complement to MinHash: every document pair whose
+    * shingle-set Jaccard clears `minJacNum/minJacDen`, with NO
+    * probabilistic misses. The AllPairs/PPJoin prefix filter keeps it
+    * off n²: order every doc's shingles by the global (document
+    * frequency asc, shingle) total order and keep only the first
+    * `|s| − ceil(t·|s|) + 1` — two sets with Jaccard ≥ t MUST share a
+    * prefix shingle under any common total order (pigeonhole: a pair
+    * missing each other's prefixes can overlap on at most |s| − p
+    * elements each), so the candidate join on prefix shingles has
+    * recall 1.0 (differential-pinned in R15dSpec) while rare-first
+    * ordering makes those shingles the most selective ones.
+    *
+    * All arithmetic is integer — ceil by `(num·sz + den−1) div den`,
+    * the threshold by cross-multiplication — plus ONE IEEE division
+    * for the reported jaccard, so results replay bit-exactly.
+    *
+    * Scale shape: one shingle shuffle for document frequencies, a
+    * doc-partitioned prefix window, the candidate equi-join on the
+    * prefix shingle (pair space Σ prefix-shingle-df², never n²), and
+    * per-candidate intersection counts as two (doc, shingle)-keyed
+    * hash joins bounded by candidates × shingles-per-doc. The shingle
+    * relation stages once ([[org.apache.spark.sql.Dataset!.localCheckpoint(eager:Boolean):org.apache.spark.sql.Dataset[T]* localCheckpoint]])
+    * and feeds all three consumers. */
+  def setSimilarityJoin(docs: DataFrame, n: Int = 3,
+                        minJacNum: Int = 4, minJacDen: Int = 5): DataFrame = {
+    require(minJacNum > 0 && minJacDen >= minJacNum,
+      s"setSimilarityJoin: threshold must be in (0,1]: $minJacNum/$minJacDen")
+    val sh = shingles(docs, n).localCheckpoint(true)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    val pref = sh.join(dfreq, "shingle")
+      .join(szs, "doc_id")
+      .withColumn("__pos", row_number().over(wDoc))
+      .filter(col("__pos") <= col("__sz")
+        - expr(s"($minJacNum * __sz + ${minJacDen - 1}) div $minJacDen")
+        + lit(1))
+      .select(col("doc_id"), col("shingle"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(x, Seq("doc_a"))
+      .join(y, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szs.select(col("doc_id").as("doc_a"), col("__sz").as("sz_a")),
+        "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("__sz").as("sz_b")),
+        "doc_b")
+      .withColumn("un", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * minJacDen >= col("un") * minJacNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un").cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -1314,4 +1314,45 @@ object EventAnalytics {
           sqrt(col("ni").cast("double") * col("nj").cast("double")))
           .as("cosine"))
   }
+
+  /** JOURNEY CONFORMANCE (r15) — how far each user's early behavior
+    * strays from a canonical onboarding/funnel path: the user's first
+    * `prefixLen` events (by time, tie-total) become a type-initial
+    * string, scored by edit distance against the `canonical` journey
+    * — the sequence-level generalization of step funnels (a funnel
+    * asks "did A→B→C happen"; this asks "HOW UNLIKE the expected
+    * script was the session", tolerating insertions/swaps the way
+    * fuzzy name matching tolerates typos).
+    *
+    * Scale shape: the prefix cut is a user-partitioned
+    * `WindowGroupLimit`-prunable rank (state per user bounded at
+    * prefixLen); journey assembly is one groupBy with an array_sort
+    * over ≤ prefixLen structs (deterministic order without an
+    * ordered-aggregation window); the DP cost is prefixLen² per USER,
+    * linear in users. Returns every user scored — (user, journey,
+    * dist, conforming). */
+  def journeyConformance(ev: DataFrame, canonical: String,
+                         prefixLen: Int = 12, maxDist: Long = 6,
+                         userCol: String = "user_id",
+                         typeCol: String = "event_type",
+                         tsCol: String = "ts",
+                         tieCol: String = "event_id"): DataFrame = {
+    require(canonical.nonEmpty, "journeyConformance: canonical is empty")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__ts"), col("__id"))
+    ev.select(col(userCol), substring(col(typeCol), 1, 1).as("__c"),
+        col(tsCol).as("__ts"), col(tieCol).as("__id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= prefixLen)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(__ts, __id, __c)))," +
+          " s -> s.__c)"), "").as("journey"))
+      .withColumn("dist",
+        levenshtein(col("journey"), lit(canonical)).cast("long"))
+      .withColumn("conforming", col("dist") <= maxDist)
+  }
 }

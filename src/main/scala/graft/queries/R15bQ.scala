@@ -81,6 +81,30 @@ object R15bQ {
         Tables.documents(s, d), "n_chars", k = 25)
         .orderBy("doc_id")),
 
+    // EXACT SET-SIMILARITY JOIN (r15): AllPairs/PPJoin prefix
+    // filtering — every doc pair with trigram-shingle Jaccard ≥ 4/5,
+    // recall 1.0 BY THEOREM (not probability, the MinHash
+    // complement): pairs must share a rare-first prefix shingle, so
+    // the candidate join is an equi-join on prefix shingles. Integer
+    // ceilings and cross-multiplied thresholds; one IEEE division
+    // reports the jaccard. `Dedup.setSimilarityJoin`.
+    "q330_setsim_join" -> ((s, d) =>
+      graft.operators.Dedup.setSimilarityJoin(
+        Tables.documents(s, d), n = 3, minJacNum = 4, minJacDen = 5)
+        .orderBy("doc_a", "doc_b")),
+
+    // JOURNEY CONFORMANCE (r15): each user's first-12-event
+    // type-initial string scored by edit distance against the
+    // canonical onboarding script — the sequence generalization of
+    // the step funnel (HOW unlike the expected path, not just
+    // did-it-happen). Prefix cut is a user-partitioned rank; the DP
+    // is prefixLen² per user. `EventAnalytics.journeyConformance`.
+    "q331_journey_conformance" -> ((s, d) =>
+      graft.operators.EventAnalytics.journeyConformance(
+        Tables.events(s, d), canonical = "svcpvcsvcpvc",
+        prefixLen = 12, maxDist = 6)
+        .orderBy("user_id")),
+
     // OBSERVED-METRICS GATE (r15): `Dataset.observe` (Catalyst
     // CollectMetrics) — data-quality counters collected AS A SIDE
     // EFFECT of the pipeline's own single pass, the scale-correct way
@@ -238,6 +262,66 @@ object R15bQ {
         |WHERE (cum * 25 + tw - 1) // tw
         |      - ((cum - w) * 25 + tw - 1) // tw > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors q330: same shingle split (single space, the Dedup
+    // contract), same (df asc, shingle) prefix order, same integer
+    // ceiling (4·sz+4)//5 — never CEIL(0.8·sz), whose binary 0.8
+    // rounds UP at sz multiples of 5
+    "q330_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+        |  WHERE len(ws) >= 3
+        |), dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+        |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pre AS (
+        |  SELECT sh.doc_id, sh.s,
+        |         row_number() OVER (PARTITION BY sh.doc_id
+        |                            ORDER BY d.df, sh.s) AS pos,
+        |         z.sz
+        |  FROM sh JOIN dfreq d ON d.s = sh.s
+        |          JOIN szs z ON z.doc_id = sh.doc_id
+        |), pref AS (
+        |  SELECT doc_id, s FROM pre
+        |  WHERE pos <= sz - (4 * sz + 4) // 5 + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+        |), i AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b, i.inter,
+        |       za.sz + zb.sz - i.inter AS un,
+        |       CAST(i.inter AS DOUBLE)
+        |         / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+        |FROM i JOIN szs za ON za.doc_id = i.doc_a
+        |       JOIN szs zb ON zb.doc_id = i.doc_b
+        |WHERE i.inter * 5 >= (za.sz + zb.sz - i.inter) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors q331: ordered string_agg of the rank-capped prefix,
+    // the same DP edit distance
+    "q331_journey_conformance" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS journey
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |               row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS rn
+        |        FROM events) t
+        |  WHERE rn <= 12
+        |  GROUP BY user_id
+        |)
+        |SELECT user_id, journey,
+        |       CAST(levenshtein(journey, 'svcpvcsvcpvc') AS BIGINT) AS dist,
+        |       levenshtein(journey, 'svcpvcsvcpvc') <= 6 AS conforming
+        |FROM seq ORDER BY user_id""".stripMargin,
 
     // mirrors q329: every observed counter recomputed by an
     // independent scan
