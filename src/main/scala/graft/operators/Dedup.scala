@@ -505,11 +505,30 @@ object Dedup {
       .filter(col("__pos") <= col("__sz")
         - expr(s"($minJacNum * __sz + ${minJacDen - 1}) div $minJacDen")
         + lit(1))
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("__pos"), col("__sz"))
+    // candidate join carries the PPJoin residuals — both are exact
+    // NECESSARY conditions of J >= t, so recall stays 1.0:
+    //  - length filter: t*|b| <= |a| (a is the smaller side by id
+    //    order? no — by neither, so band both ways);
+    //  - positional filter: via a shared prefix shingle at positions
+    //    (pa, pb), the overlap can reach at most
+    //    1 + min(|a|-pa, |b|-pb), which must clear the equivalent
+    //    overlap threshold ceil(num*(|a|+|b|) / (num+den)).
+    // On template-heavy corpora (low-entropy shingle spaces) these
+    // cut the candidate blowup the bare prefix join suffers — the
+    // x8 corpus probe fell 40 s -> 13 s with them (PERF.md; the
+    // residual super-linearity is the inherent sum-of-df² of prefix
+    // joins on templated text — MinHash/SemDeDup are the right tool
+    // past that regime, and both live in this module).
     val cand = pref.alias("a")
       .join(pref.alias("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.__sz") * minJacNum <= col("b.__sz") * minJacDen &&
+          col("b.__sz") * minJacNum <= col("a.__sz") * minJacDen &&
+          (lit(1) + least(col("a.__sz") - col("a.__pos"),
+            col("b.__sz") - col("b.__pos"))) * (minJacNum + minJacDen)
+            >= (col("a.__sz") + col("b.__sz")) * minJacNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val x = sh.select(col("doc_id").as("doc_a"), col("shingle"))
