@@ -547,4 +547,78 @@ object Dedup {
         (col("inter").cast("double") / col("un").cast("double"))
           .as("jaccard"))
   }
+
+  /** INCREMENTAL [[setSimilarityJoin]] (r15) — fold a NEW batch into
+    * an existing corpus at DELTA cost: every qualifying pair touching
+    * an incoming document (incoming×corpus and incoming×incoming),
+    * without re-running the corpus-internal join. The global prefix
+    * order is FROZEN on the CORPUS document frequencies (the
+    * production PPJoin-index design: the index stores prefixes under
+    * the stats it was built with; unseen shingles get df 0 — rarest
+    * first). Any consistent total order preserves the recall-1.0
+    * theorem, so the incremental result equals the full recompute
+    * filtered to incoming-touching pairs BIT-EXACTLY — q333 proves
+    * that equality in-query.
+    *
+    * Scale shape: the one corpus-sized term is the frozen df
+    * aggregate (a staged artifact in a real lake — counts are
+    * additive, the q254 IVM pattern); candidates are
+    * prefix(incoming) ⋈ prefix(all) with the same length+positional
+    * residuals, so the pair space tracks the BATCH, not the corpus².
+    * Doc-id spaces must be disjoint (fail-loud probe). */
+  def setSimilarityJoinAgainst(incoming: DataFrame, corpus: DataFrame,
+                               n: Int = 3, minJacNum: Int = 4,
+                               minJacDen: Int = 5): DataFrame = {
+    require(minJacNum > 0 && minJacDen >= minJacNum,
+      s"setSimilarityJoinAgainst: bad threshold $minJacNum/$minJacDen")
+    val shI = shingles(incoming, n).localCheckpoint(true)
+    val shC = shingles(corpus, n).localCheckpoint(true)
+    val overlap = shI.select(col("doc_id")).distinct()
+      .join(shC.select(col("doc_id")).distinct(), "doc_id").head(1)
+    require(overlap.isEmpty,
+      "setSimilarityJoinAgainst: incoming and corpus doc ids overlap")
+    val dfC = shC.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val shAll = shI.unionAll(shC).localCheckpoint(true)
+    val szs = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    def prefixOf(sh: DataFrame): DataFrame = sh
+      .join(dfC, Seq("shingle"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      .join(szs, "doc_id")
+      .withColumn("__pos", row_number().over(wDoc))
+      .filter(col("__pos") <= col("__sz")
+        - expr(s"($minJacNum * __sz + ${minJacDen - 1}) div $minJacDen")
+        + lit(1))
+      .select(col("doc_id"), col("shingle"), col("__pos"), col("__sz"))
+    val prefI = prefixOf(shI)
+    val prefAll = prefixOf(shAll)
+    val cand = prefI.alias("a")
+      .join(prefAll.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.__sz") * minJacNum <= col("b.__sz") * minJacDen &&
+          col("b.__sz") * minJacNum <= col("a.__sz") * minJacDen &&
+          (lit(1) + least(col("a.__sz") - col("a.__pos"),
+            col("b.__sz") - col("b.__pos"))) * (minJacNum + minJacDen)
+            >= (col("a.__sz") + col("b.__sz")) * minJacNum)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val x = shAll.select(col("doc_id").as("doc_a"), col("shingle"))
+    val y = shAll.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(x, Seq("doc_a"))
+      .join(y, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szs.select(col("doc_id").as("doc_a"), col("__sz").as("sz_a")),
+        "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("__sz").as("sz_b")),
+        "doc_b")
+      .withColumn("un", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * minJacDen >= col("un") * minJacNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un").cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -105,6 +105,78 @@ object R15bQ {
         prefixLen = 12, maxDist = 6)
         .orderBy("user_id")),
 
+    // STREAMING JOURNEY CONFORMANCE (r15): q331's sequence scoring as
+    // a STATELESS streaming fold — each micro-batch commits its own
+    // per-user first-12 candidates (a batch-local rank, the q281
+    // read-side-fold idiom: first-k by (ts, id) is a mergeable
+    // partial, since the global first-12 is contained in the union of
+    // batch-local first-12s), and the read-side merge re-ranks the
+    // bounded union and scores. No state store at all — the partials
+    // ARE the state, replayable from the sink.
+    "q332_stream_journey" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sink = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+          splitParts = Some(3)) { batch =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        graft.Tables.toEventTime(batch)
+          .select(col("user_id"),
+            substring(col("event_type"), 1, 1).as("c"),
+            col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 12)
+          .drop("rn")
+      }
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      sink.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 12)
+        .groupBy(col("user_id"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, c)))," +
+            " s -> s.c)"), "").as("journey"))
+        .withColumn("dist",
+          levenshtein(col("journey"), lit("svcpvcsvcpvc")).cast("long"))
+        .withColumn("conforming", col("dist") <= 6L)
+        .orderBy("user_id")
+    }),
+
+    // INCREMENTAL SET-SIMILARITY (r15): fold a new batch (doc_id % 7
+    // = 0) into the standing corpus at DELTA cost — prefixes under
+    // the CORPUS-frozen df order (the production PPJoin-index
+    // contract), candidates = prefix(batch) ⋈ prefix(all). The query
+    // PROVES bit-identity to the full q330 recompute filtered to
+    // batch-touching pairs (both except directions), then returns the
+    // incremental result; the oracle replays the full join filtered.
+    // `Dedup.setSimilarityJoinAgainst`.
+    "q333_setsim_incremental" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val incoming = all.filter(col("doc_id") % 7 === 0)
+      val corpus = all.filter(col("doc_id") % 7 =!= 0)
+      val inc = graft.operators.Dedup.setSimilarityJoinAgainst(
+        incoming, corpus, n = 3, minJacNum = 4, minJacDen = 5)
+      val full = graft.operators.Dedup.setSimilarityJoin(
+          all, n = 3, minJacNum = 4, minJacDen = 5)
+        .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+      require(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        "incremental set-similarity diverged from the full recompute")
+      inc.orderBy("doc_a", "doc_b")
+    }),
+
+    // EXACT-JACCARD DEDUP CLUSTERS (r15): q330's recall-1.0 pair
+    // mining feeding the same pointer-jumping connected-components
+    // machinery the MinHash path uses (q103) — entity groups with a
+    // THEOREM-backed completeness guarantee instead of a
+    // probabilistic one. `Dedup.setSimilarityJoin` + `dedupClusters`.
+    "q334_setsim_clusters" -> ((s, d) => {
+      val pairs = graft.operators.Dedup.setSimilarityJoin(
+          Tables.documents(s, d), n = 3, minJacNum = 4, minJacDen = 5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup.dedupClusters(pairs, iterations = 8,
+          pointerJumping = true)
+        .orderBy("doc_id")
+    }),
+
     // OBSERVED-METRICS GATE (r15): `Dataset.observe` (Catalyst
     // CollectMetrics) — data-quality counters collected AS A SIDE
     // EFFECT of the pipeline's own single pass, the scale-correct way
@@ -215,6 +287,45 @@ object R15bQ {
     sb.toString
   }
 
+  /** Shared q330/q333/q334 oracle chain: trigram shingle sets →
+    * (df asc, shingle) per-doc prefixes → prefix candidate join →
+    * exact intersection/union counts → the cross-multiplied Jaccard
+    * threshold. `res` = (doc_a, doc_b, inter, un). */
+  private val setsimPairsSql: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+      |  WHERE len(ws) >= 3
+      |), dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |pre AS (
+      |  SELECT sh.doc_id, sh.s,
+      |         row_number() OVER (PARTITION BY sh.doc_id
+      |                            ORDER BY d.df, sh.s) AS pos,
+      |         z.sz
+      |  FROM sh JOIN dfreq d ON d.s = sh.s
+      |          JOIN szs z ON z.doc_id = sh.doc_id
+      |), pref AS (
+      |  SELECT doc_id, s FROM pre
+      |  WHERE pos <= sz - (4 * sz + 4) // 5 + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+      |), i AS MATERIALIZED (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+      |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      |  GROUP BY 1, 2
+      |), res AS MATERIALIZED (
+      |  SELECT i.doc_a, i.doc_b, i.inter,
+      |         za.sz + zb.sz - i.inter AS un
+      |  FROM i JOIN szs za ON za.doc_id = i.doc_a
+      |         JOIN szs zb ON zb.doc_id = i.doc_b
+      |  WHERE i.inter * 5 >= (za.sz + zb.sz - i.inter) * 4
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     // mirrors q325: q278's blocked candidates, DuckDB's own
@@ -268,41 +379,59 @@ object R15bQ {
     // ceiling (4·sz+4)//5 — never CEIL(0.8·sz), whose binary 0.8
     // rounds UP at sz multiples of 5
     "q330_setsim_join" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), sh AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |  FROM toks, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
-        |  WHERE len(ws) >= 3
-        |), dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-        |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |pre AS (
-        |  SELECT sh.doc_id, sh.s,
-        |         row_number() OVER (PARTITION BY sh.doc_id
-        |                            ORDER BY d.df, sh.s) AS pos,
-        |         z.sz
-        |  FROM sh JOIN dfreq d ON d.s = sh.s
-        |          JOIN szs z ON z.doc_id = sh.doc_id
-        |), pref AS (
-        |  SELECT doc_id, s FROM pre
-        |  WHERE pos <= sz - (4 * sz + 4) // 5 + 1
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
-        |), i AS (
-        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-        |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-        |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-        |  GROUP BY 1, 2
+      s"""WITH $setsimPairsSql
+         |SELECT doc_a, doc_b, inter, un,
+         |       CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+         |FROM res ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors q333: the full-recompute replay filtered to pairs that
+    // touch the incoming batch — the incremental path is proven equal
+    // in-query, so the oracle needs no frozen-order replica
+    "q333_setsim_incremental" ->
+      s"""WITH $setsimPairsSql
+         |SELECT doc_a, doc_b, inter, un,
+         |       CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+         |FROM res
+         |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors q334: the q330 pair chain + the q103 recursive
+    // min-label closure
+    "q334_setsim_clusters" ->
+      s"""WITH RECURSIVE $setsimPairsSql,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM res
+         |  UNION ALL SELECT doc_b, doc_a FROM res
+         |),
+         |reach AS (
+         |  SELECT u AS id, u AS lbl FROM edges
+         |  UNION
+         |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+         |),
+         |labels AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+         |)
+         |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin,
+
+    // mirrors q332: the streaming fold's read-side merge equals the
+    // batch q331 exactly (first-k partials are mergeable), so the
+    // oracle IS q331's
+    "q332_stream_journey" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS journey
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |               row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS rn
+        |        FROM events) t
+        |  WHERE rn <= 12
+        |  GROUP BY user_id
         |)
-        |SELECT i.doc_a, i.doc_b, i.inter,
-        |       za.sz + zb.sz - i.inter AS un,
-        |       CAST(i.inter AS DOUBLE)
-        |         / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
-        |FROM i JOIN szs za ON za.doc_id = i.doc_a
-        |       JOIN szs zb ON zb.doc_id = i.doc_b
-        |WHERE i.inter * 5 >= (za.sz + zb.sz - i.inter) * 4
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |SELECT user_id, journey,
+        |       CAST(levenshtein(journey, 'svcpvcsvcpvc') AS BIGINT) AS dist,
+        |       levenshtein(journey, 'svcpvcsvcpvc') <= 6 AS conforming
+        |FROM seq ORDER BY user_id""".stripMargin,
 
     // mirrors q331: ordered string_agg of the rank-capped prefix,
     // the same DP edit distance

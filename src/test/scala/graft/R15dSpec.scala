@@ -81,6 +81,33 @@ class R15dSpec extends AnyFunSuite {
     assert(got == bruteJaccard(corpus(31), 2, 3, 5))
   }
 
+  test("setSimilarityJoinAgainst ≡ full join filtered to incoming pairs") {
+    val all = corpus(77)
+    val inc = all.filter(_._1 % 3 == 0)
+    val cor = all.filter(_._1 % 3 != 0)
+    val got = Dedup.setSimilarityJoinAgainst(
+        inc.toDF("doc_id", "text"), cor.toDF("doc_id", "text"),
+        n = 3, minJacNum = 4, minJacDen = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = bruteJaccard(all, 3, 4, 5)
+      .filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(got == want,
+      s"missed=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "fixture planted no incoming-touching pairs")
+    assert(want.exists(p => p._1 % 3 == 0 && p._2 % 3 == 0) ||
+      want.exists(p => p._1 % 3 != 0 || p._2 % 3 != 0),
+      "fixture covers batch-internal or batch-corpus pairs")
+  }
+
+  test("setSimilarityJoinAgainst rejects overlapping doc-id spaces") {
+    val d = corpus(5).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.setSimilarityJoinAgainst(d, d, n = 3)
+    }
+  }
+
   test("journeyConformance: directed journeys, distances, prefix cap") {
     val ev = Seq(
       // user 1 follows the canonical "svc" exactly, then noise beyond
