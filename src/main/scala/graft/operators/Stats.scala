@@ -1059,4 +1059,94 @@ object Stats {
         (col("ssq").cast("double") /
           (col("n") * lit(1000000L)).cast("double")).as("brier"))
   }
+
+  /** THEIL-SEN ROBUST TREND (r15) — the median-of-pairwise-slopes
+    * estimator over the per-group daily series: up to ~29% of the
+    * days can be corrupted (spikes, outages, backfill glitches)
+    * without moving the fitted trend, where OLS (q258's family) bends
+    * to a single bad day. The slope set is every day pair's
+    * (x₂−x₁)/(d₂−d₁); the estimate is the LOWER MEDIAN by (slope,
+    * d1, d2) order — each slope is ONE exactly-rounded IEEE division
+    * of exact integers, so the ordering (and therefore the pick) is
+    * engine-identical with no quantization step at all. The intercept
+    * is the lower median of x − slope·day (again one mul + one sub,
+    * both exactly rounded).
+    *
+    * Scale shape: pairs live on the DAILY grid — |days|² per group
+    * (a year is ~66k pairs), never corpus² — and the rank windows
+    * partition by group over that bounded pair relation (the
+    * [[madAnomalyDaily]] bounded-series stance). */
+  def theilSenDaily(ev: DataFrame, groupCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val grid = EventAnalytics.resampleDaily(ev, groupCol, tsCol)
+      .select(col(groupCol).as("g"), col("day"), col("n").as("x"))
+      .localCheckpoint(true)
+    val pairs = grid.alias("a").join(grid.alias("b"),
+        col("a.g") === col("b.g") && col("a.day") < col("b.day"))
+      .select(col("a.g").as("g"), col("a.day").as("d1"),
+        col("b.day").as("d2"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val wS = Window.partitionBy(col("g"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    val np = pairs.groupBy(col("g")).agg(count(lit(1)).as("n_pairs"))
+    val med = pairs.withColumn("rk", row_number().over(wS).cast("long"))
+      .join(np, Seq("g"))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("g"), col("n_pairs"), col("slope"))
+    val nd = grid.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    val wB = Window.partitionBy(col("g")).orderBy(col("b"), col("day"))
+    grid.join(med, Seq("g"))
+      .withColumn("b", col("x").cast("double")
+        - col("slope") * col("day").cast("double"))
+      .withColumn("rkb", row_number().over(wB).cast("long"))
+      .join(nd, Seq("g"))
+      .filter(col("rkb") === expr("(n_days + 1) div 2"))
+      .select(col("g").as(groupCol), col("n_pairs"), col("n_days"),
+        col("slope"), col("b").as("intercept"))
+  }
+
+  /** TWO-PROPORTION Z-TEST (r15) — the A/B significance gate: did
+    * cohort 1 convert at a different rate than cohort 0? Pooled
+    * z = (p₁−p₀)/√(p̄(1−p̄)(1/n₀+1/n₁)) over per-cohort distinct
+    * users and distinct converters. Every input is an exact integer
+    * count; the statistic is a SHORT fixed chain of exactly-rounded
+    * IEEE ops (divisions, one sqrt — sqrt is correctly rounded by
+    * the standard) mirrored token-for-token in the oracle, so even
+    * the z-score itself hash-matches. `cohortCol` must be a pure
+    * function of the user id (a user sits in one cohort); a
+    * converter is a user with >= `minConvEvents` events of
+    * `convType`. Degenerate splits (p̄ ∈ {0, 1} → se = 0) yield a
+    * NULL z rather than 0/0 — engines genuinely disagree on x/0.0,
+    * the q230 zero-variance rule. */
+  def twoProportionZ(ev: DataFrame, cohortCol: Column,
+                     userCol: String = "user_id",
+                     convType: String = "purchase",
+                     typeCol: String = "event_type",
+                     minConvEvents: Long = 1L): DataFrame = {
+    val users = ev.select(col(userCol).as("u"),
+      cohortCol.cast("long").as("c")).distinct()
+    val conv = ev.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") >= minConvEvents)
+      .select(col("u")).withColumn("is_c", lit(1L))
+    val agg = users.join(conv, Seq("u"), "left")
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("is_c"), lit(0L))).as("x"))
+    val d = (c: Column) => c.cast("double")
+    val r = agg.agg(
+      max(when(col("c") === 0, col("n"))).as("n0"),
+      max(when(col("c") === 0, col("x"))).as("x0"),
+      max(when(col("c") === 1, col("n"))).as("n1"),
+      max(when(col("c") === 1, col("x"))).as("x1"))
+    val p0 = d(col("x0")) / d(col("n0"))
+    val p1 = d(col("x1")) / d(col("n1"))
+    val p = d(col("x0") + col("x1")) / d(col("n0") + col("n1"))
+    val se = sqrt((p * (lit(1.0d) - p)) *
+      (lit(1.0d) / d(col("n0")) + lit(1.0d) / d(col("n1"))))
+    val z = when(se > lit(0.0d), (p1 - p0) / se)
+    r.select(col("n0"), col("x0"), col("n1"), col("x1"),
+      z.as("z"), when(se > lit(0.0d), abs(z) > lit(1.96d)).as("significant"))
+  }
 }

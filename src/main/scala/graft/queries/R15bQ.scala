@@ -177,6 +177,42 @@ object R15bQ {
         .orderBy("doc_id")
     }),
 
+    // THEIL-SEN ROBUST TREND (r15): median-of-pairwise-slopes over
+    // each event type's daily series — outlier-immune where OLS bends
+    // to one bad day. Each slope is ONE exactly-rounded IEEE division
+    // of exact integers, so the (slope, d1, d2) order — and the
+    // lower-median pick — is engine-identical with no quantization.
+    // Pairs live on the days²-bounded daily grid. `Stats.theilSenDaily`.
+    "q335_theil_sen" -> ((s, d) =>
+      graft.operators.Stats.theilSenDaily(Tables.events(s, d))
+        .orderBy("event_type")),
+
+    // TWO-PROPORTION Z-TEST (r15): the A/B significance gate — do
+    // odd-id users become HEAVY purchasers (>= 14 purchase events) at
+    // a different rate than even-id users? Distinct-user counts per
+    // cohort, pooled z = (p1-p0)/sqrt(p(1-p)(1/n0+1/n1)) as a short
+    // fixed chain of exactly-rounded IEEE ops mirrored
+    // token-for-token, so the z-score itself hash-matches; degenerate
+    // splits NULL out rather than 0/0. `Stats.twoProportionZ`.
+    "q336_ab_ztest" -> ((s, d) =>
+      graft.operators.Stats.twoProportionZ(
+        Tables.events(s, d), cohortCol = col("user_id") % 2,
+        minConvEvents = 14L)),
+
+    // FRAME SAMPLING over binary columns (r15): every 4th 32-byte
+    // frame of each clip as its own row with an md5 fingerprint —
+    // pure byte arithmetic (binary substring + hash, codegen'd, no
+    // UDF, no decode). Clips here are the documents' UTF-8 bytes, so
+    // the oracle can fingerprint the same slices through DuckDB's
+    // string md5 (ASCII: byte == char). `Multimodal.frameSample`.
+    "q337_frame_sample" -> ((s, d) =>
+      graft.operators.Multimodal.frameSample(
+        Tables.documents(s, d).withColumn("clip",
+          encode(col("text"), "UTF-8")),
+        "doc_id", "clip", frameBytes = 32, every = 4)
+        .drop("frame")
+        .orderBy("doc_id", "frame_idx")),
+
     // OBSERVED-METRICS GATE (r15): `Dataset.observe` (Catalyst
     // CollectMetrics) — data-quality counters collected AS A SIDE
     // EFFECT of the pipeline's own single pass, the scale-correct way
@@ -451,6 +487,103 @@ object R15bQ {
         |       CAST(levenshtein(journey, 'svcpvcsvcpvc') AS BIGINT) AS dist,
         |       levenshtein(journey, 'svcpvcsvcpvc') <= 6 AS conforming
         |FROM seq ORDER BY user_id""".stripMargin,
+
+    // mirrors q335: the q277 daily grid, pairwise slopes as single
+    // IEEE divisions, lower medians by rank
+    "q335_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g,
+        |         CAST(date_diff('day', DATE '2020-01-01',
+        |                        CAST(ts AS DATE)) AS BIGINT) AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT g, unnest(generate_series(MIN(day), MAX(day))) AS day
+        |  FROM daily GROUP BY g
+        |), filled AS (
+        |  SELECT s.g, s.day, COALESCE(d.n, 0) AS x
+        |  FROM spine s LEFT JOIN daily d ON s.g = d.g AND s.day = d.day
+        |), pairs AS (
+        |  SELECT a.g, a.day AS d1, b.day AS d2,
+        |         CAST(b.x - a.x AS DOUBLE)
+        |           / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM filled a JOIN filled b ON a.g = b.g AND a.day < b.day
+        |), np AS (SELECT g, COUNT(*) AS n_pairs FROM pairs GROUP BY g),
+        |meds AS (
+        |  SELECT g, n_pairs, slope FROM (
+        |    SELECT p.g, p.slope, np.n_pairs,
+        |           row_number() OVER (PARTITION BY p.g
+        |                              ORDER BY p.slope, p.d1, p.d2) AS rk
+        |    FROM pairs p JOIN np USING (g))
+        |  WHERE rk = (n_pairs + 1) // 2
+        |), nd AS (SELECT g, COUNT(*) AS n_days FROM filled GROUP BY g)
+        |SELECT g AS event_type, n_pairs, n_days, slope, intercept FROM (
+        |  SELECT f.g, m.n_pairs, nd.n_days, m.slope,
+        |         CAST(f.x AS DOUBLE) - m.slope * CAST(f.day AS DOUBLE)
+        |           AS intercept,
+        |         row_number() OVER (PARTITION BY f.g
+        |           ORDER BY CAST(f.x AS DOUBLE)
+        |                    - m.slope * CAST(f.day AS DOUBLE), f.day) AS rk
+        |  FROM filled f JOIN meds m USING (g) JOIN nd USING (g))
+        |WHERE rk = (n_days + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors q336: the identical IEEE chain over the same distinct
+    // counts
+    "q336_ab_ztest" ->
+      """WITH users AS (
+        |  SELECT DISTINCT user_id AS u, user_id % 2 AS c FROM events
+        |), conv AS (
+        |  SELECT user_id AS u FROM events
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY user_id HAVING COUNT(*) >= 14
+        |), agg AS (
+        |  SELECT us.c, COUNT(*) AS n,
+        |         COUNT(cv.u) AS x
+        |  FROM users us LEFT JOIN conv cv ON us.u = cv.u
+        |  GROUP BY us.c
+        |), r AS (
+        |  SELECT MAX(CASE WHEN c = 0 THEN n END) AS n0,
+        |         MAX(CASE WHEN c = 0 THEN x END) AS x0,
+        |         MAX(CASE WHEN c = 1 THEN n END) AS n1,
+        |         MAX(CASE WHEN c = 1 THEN x END) AS x1
+        |  FROM agg
+        |)
+        |SELECT n0, x0, n1, x1,
+        |       CASE WHEN se > 0.0 THEN
+        |         (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / se END AS z,
+        |       CASE WHEN se > 0.0 THEN
+        |         abs((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |              - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / se)
+        |           > 1.96 END AS significant
+        |FROM (
+        |  SELECT n0, x0, n1, x1,
+        |         sqrt((CAST(x0 + x1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+        |               * (1.0 - CAST(x0 + x1 AS DOUBLE)
+        |                        / CAST(n0 + n1 AS DOUBLE)))
+        |              * (1.0 / CAST(n0 AS DOUBLE)
+        |                 + 1.0 / CAST(n1 AS DOUBLE))) AS se
+        |  FROM r)""".stripMargin,
+
+    // mirrors q337 through the ASCII byte==char bridge: same slices,
+    // same md5 of the same bytes
+    "q337_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) AS BIGINT) // 32 AS n_frames
+        |  FROM documents
+        |), ix AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        |  FROM f WHERE n_frames >= 1
+        |)
+        |SELECT doc_id, frame_idx,
+        |       md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32))
+        |         AS frame_md5,
+        |       CAST(32 AS BIGINT) AS frame_len
+        |FROM ix WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // mirrors q329: every observed counter recomputed by an
     // independent scan

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, EventAnalytics}
+import graft.operators.{Dedup, EventAnalytics, Multimodal, Stats}
 
 /** Differential pins for the r15 batch-3 operators.
   *
@@ -106,6 +106,74 @@ class R15dSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.setSimilarityJoinAgainst(d, d, n = 3)
     }
+  }
+
+  test("theilSenDaily: outlier-immune slope ≡ brute-force median of pair slopes") {
+    // 21 days of exactly day+5 events, one 300-event outlier day
+    val rows = (0 to 20).flatMap { day =>
+      val n = if (day == 10) 300 else day + 5
+      (1 to n).map(i =>
+        (s"t", java.sql.Timestamp.valueOf(f"2020-01-${day + 1}%02d 12:00:00"),
+          day.toLong * 1000 + i))
+    }
+    val ev = rows.toDF("event_type", "ts", "event_id")
+    val out = Stats.theilSenDaily(ev).collect().head
+    // brute force over the daily grid
+    val counts = (0 to 20).map(d => (d.toLong, if (d == 10) 300L else d + 5L))
+    val slopes = for {
+      (d1, x1) <- counts; (d2, x2) <- counts if d1 < d2
+    } yield ((x2 - x1).toDouble / (d2 - d1).toDouble, d1, d2)
+    val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+    val medSlope = sorted((sorted.size + 1) / 2 - 1)._1
+    assert(out.getLong(1) == slopes.size)
+    assert(out.getDouble(3) == medSlope)
+    // the outlier day cannot drag the median off the planted trend
+    assert(math.abs(out.getDouble(3) - 1.0) < 0.2,
+      s"outlier moved the Theil-Sen slope: ${out.getDouble(3)}")
+    val bs = counts.map { case (d, x) => (x.toDouble - medSlope * d.toDouble, d) }
+      .sortBy(identity)
+    assert(out.getDouble(4) == bs((bs.size + 1) / 2 - 1)._1)
+  }
+
+  test("twoProportionZ: exact chain on a directed fixture; degenerate NULLs") {
+    val ev = (
+      (1 to 40).map(u => (u.toLong, "view", u.toLong)) ++
+      (1 to 40).filter(u => u % 2 == 0 && u <= 24).map(u => (u.toLong, "purchase", 1000L + u)) ++
+      (1 to 40).filter(u => u % 2 == 1 && u <= 9).map(u => (u.toLong, "purchase", 2000L + u))
+    ).toDF("user_id", "event_type", "event_id")
+    val out = Stats.twoProportionZ(ev, col("user_id") % 2).collect().head
+    val (n0, x0, n1, x1) = (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    assert((n0, n1) == (20L, 20L))
+    assert((x0, x1) == (12L, 5L)) // even users <= 24 convert; odd <= 9
+    val p0 = x0.toDouble / n0; val p1 = x1.toDouble / n1
+    val p = (x0 + x1).toDouble / (n0 + n1)
+    val se = math.sqrt((p * (1.0 - p)) * (1.0 / n0 + 1.0 / n1))
+    assert(out.getDouble(4) == (p1 - p0) / se)
+    assert(out.getBoolean(5) == (math.abs((p1 - p0) / se) > 1.96))
+    // all users convert -> se = 0 -> NULL z, never 0/0
+    val deg = (1 to 10).flatMap(u => Seq((u.toLong, "view", u.toLong),
+      (u.toLong, "purchase", 100L + u))).toDF("user_id", "event_type", "event_id")
+    val d = Stats.twoProportionZ(deg, col("user_id") % 2).collect().head
+    assert(d.isNullAt(4) && d.isNullAt(5))
+  }
+
+  test("frameSample: byte-exact frames, stride, partial-frame drop") {
+    val clips = Seq(
+      (1L, "abcdefghij"), // 2 full 4-byte frames + partial "ij"
+      (2L, "xyz"),        // shorter than one frame: vanishes
+      (3L, "0123456789abcdef") // 4 full frames, stride keeps 0 and 2
+    ).toDF("doc_id", "text")
+      .withColumn("clip", encode(col("text"), "UTF-8"))
+    val out = Multimodal.frameSample(clips, "doc_id", "clip",
+        frameBytes = 4, every = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1),
+      new String(r.getAs[Array[Byte]](2), "UTF-8"), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "abcd", 4L),
+      (3L, 0L, "0123", 4L), (3L, 2L, "89ab", 4L)))
+    val md5s = out.map(_.getString(3))
+    assert(md5s.forall(_.length == 32))
   }
 
   test("journeyConformance: directed journeys, distances, prefix cap") {
