@@ -1016,6 +1016,34 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
   private[lake] def versionState(v: Long): (Seq[String], Option[StructType]) =
     (readManifest(v).dirs, declaredSchema(v))
 
+  /** SHALLOW CLONE (r15) — the zero-copy table copy (Delta `CLONE
+    * SHALLOW`, Iceberg snapshot-ref semantics): the clone's first
+    * manifest lists the source's CURRENT live data directories as
+    * absolute paths (the manifest resolver passes absolutes through
+    * untouched), so creation moves METADATA ONLY — no byte of data is
+    * read or written, however large the table. The clone then
+    * evolves independently: its appends/merges land under its own
+    * root; the source never sees them (q338 proves both directions
+    * in-query).
+    *
+    * The documented production caveat applies here exactly as in
+    * Delta: a VACUUM on the SOURCE can reclaim files the clone still
+    * references — retention policy must outlive clones (the clone
+    * tracks no cross-table lease; Delta's shallow clones have the
+    * same contract). Skipping stats are not carried (dirs stay
+    * unprunable on the clone — the safe over-approximation). */
+  def shallowClone(to: Path): LakeTable = {
+    val v = latestVersion
+    val (dirs, schema) = versionState(v)
+    val abs = dirs.map(d => root.resolve(d).toString)
+    require(abs.forall(d => !d.contains("|") && !d.contains("\n")),
+      s"shallowClone: a source path would corrupt the manifest: $abs")
+    val t = new LakeTable(spark, to)
+    Files.createDirectories(to.resolve("_log"))
+    t.commitManifest(1L, "create", abs, None, schema.map(_.json))
+    t
+  }
+
   def snapshot(version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion else version
     require(Files.exists(manifestPath(v)), s"no version $v at $root")

@@ -579,4 +579,55 @@ object Corpus {
       .filter(col("n_picks") > 0)
       .select(col(idCol), col("w"), col("n_picks"))
   }
+
+  /** STRATIFIED [[ppsSample]] (r15) — an independent systematic PPS
+    * grid of `kPerGroup` points per stratum (source/domain/language),
+    * the sampling design a mixing pipeline actually runs ("25 docs
+    * per source, weighted by length"). Same integer-exact machinery,
+    * with every relation keyed by the stratum: per-(group, bucket)
+    * running sums, bucket offsets from a group-partitioned window
+    * over the BUCKET-AGGREGATE relation (≤ 65536 rows per group —
+    * the md5-prefix bucket space, bounded however large the stratum),
+    * per-group totals joined back, and the same cross-multiplied
+    * ceiling grid test. One aggregate guards weights and the
+    * per-group `W·k` BIGINT bound fail-loud. */
+  def ppsSampleStratified(docs: DataFrame, weightCol: String, kPerGroup: Int,
+                          groupCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(kPerGroup >= 1, s"ppsSampleStratified: k must be >= 1")
+    val w = docs.select(col(groupCol).as("g"), col(idCol),
+      col(weightCol).cast("long").as("w"),
+      md5(col(idCol).cast("string")).as("h"))
+    val probe = w.agg(min(col("w"))).head()
+    require(!probe.isNullAt(0) && probe.getLong(0) >= 0L,
+      s"ppsSampleStratified: weights must be non-negative")
+    val totals = w.groupBy(col("g")).agg(sum(col("w")).as("tw"))
+    val worst = totals.agg(max(col("tw")), min(col("tw"))).head()
+    require(!worst.isNullAt(0) &&
+      worst.getLong(0) <= Long.MaxValue / (kPerGroup.toLong + 1),
+      s"ppsSampleStratified: W*k overflows BIGINT in some stratum")
+    require(worst.getLong(1) > 0L,
+      "ppsSampleStratified: a stratum has zero total weight")
+    val bucketed = w.withColumn("bucket",
+      conv(substring(col("h"), 1, 4), 16, 10).cast("long"))
+    val perBucket = bucketed.groupBy(col("g"), col("bucket"))
+      .agg(sum(col("w")).as("bw"))
+    val offW = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("boff", coalesce(sum(col("bw")).over(offW), lit(0L)))
+      .select(col("g"), col("bucket"), col("boff"))
+    val inBucket = Window.partitionBy(col("g"), col("bucket"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(offsets, Seq("g", "bucket"))
+      .withColumn("cum", col("boff") + sum(col("w")).over(inBucket))
+      .withColumn("prev", col("cum") - col("w"))
+      .join(totals, Seq("g"))
+      .withColumn("n_picks",
+        expr(s"(cum * $kPerGroup + tw - 1) div tw" +
+          s" - (prev * $kPerGroup + tw - 1) div tw"))
+      .filter(col("n_picks") > 0)
+      .select(col("g").as(groupCol), col(idCol), col("w"), col("n_picks"))
+  }
 }

@@ -213,6 +213,43 @@ object R15bQ {
         .drop("frame")
         .orderBy("doc_id", "frame_idx")),
 
+    // SHALLOW CLONE (r15): the zero-copy table copy — the clone's
+    // first manifest references the source's live directories
+    // (metadata only; the query PROVES no data file exists under the
+    // clone before its first append), then evolves independently: an
+    // append to the clone lands under the clone's root and the source
+    // snapshot is bit-identical to pre-clone. `LakeTable.shallowClone`.
+    "q338_shallow_clone" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val src = graft.lake.LakeTable.createTemp(s, ev, "graft-clone-src")
+      val cloneRoot = Qx.tempDir("graft-clone-dst").resolve("t")
+      val cl = src.shallowClone(cloneRoot)
+      // metadata-only: the clone owns no parquet yet
+      val ownFiles = java.nio.file.Files.walk(cloneRoot).iterator()
+      val owned = Iterator.continually(ownFiles)
+        .takeWhile(_.hasNext).map(_.next())
+        .count(p => p.toString.endsWith(".parquet"))
+      require(owned == 0, s"shallow clone copied $owned data files")
+      val nSrc = src.snapshot().count()
+      cl.append(ev.filter(col("event_id") % 10 === 0))
+      require(src.snapshot().count() == nSrc,
+        "clone append leaked into the source table")
+      cl.snapshot()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
+    }),
+
+    // STRATIFIED SYSTEMATIC PPS (r15): an independent k=10 PPS grid
+    // per source — "k docs per stratum, weighted by length", the
+    // mixing pipeline's sampling design. Same integer-exact ceilings;
+    // every relation keyed by the stratum. `Corpus.ppsSampleStratified`.
+    "q339_pps_stratified" -> ((s, d) =>
+      graft.operators.Corpus.ppsSampleStratified(
+        Tables.documents(s, d), "n_chars", kPerGroup = 10,
+        groupCol = "source")
+        .orderBy("source", "doc_id")),
+
     // OBSERVED-METRICS GATE (r15): `Dataset.observe` (Catalyst
     // CollectMetrics) — data-quality counters collected AS A SIDE
     // EFFECT of the pipeline's own single pass, the scale-correct way
@@ -584,6 +621,37 @@ object R15bQ {
         |       CAST(32 AS BIGINT) AS frame_len
         |FROM ix WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mirrors q338: after the clone's append, its snapshot = events
+    // plus the re-appended tenth
+    "q338_shallow_clone" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT * FROM events
+        |      UNION ALL SELECT * FROM events WHERE event_id % 10 = 0)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q339: per-source inclusive running sums in md5 order,
+    // per-source grid of 10, the same integer ceilings
+    "q339_pps_stratified" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), tot AS (SELECT source, SUM(w) AS tw FROM w GROUP BY source),
+        |c AS (
+        |  SELECT source, doc_id, w,
+        |         SUM(w) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w
+        |)
+        |SELECT c.source, c.doc_id, c.w,
+        |       CAST((cum * 10 + tw - 1) // tw
+        |            - ((cum - w) * 10 + tw - 1) // tw AS BIGINT) AS n_picks
+        |FROM c JOIN tot ON tot.source = c.source
+        |WHERE (cum * 10 + tw - 1) // tw
+        |      - ((cum - w) * 10 + tw - 1) // tw > 0
+        |ORDER BY c.source, doc_id""".stripMargin,
 
     // mirrors q329: every observed counter recomputed by an
     // independent scan

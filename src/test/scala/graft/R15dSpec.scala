@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, EventAnalytics, Multimodal, Stats}
+import graft.operators.{Corpus, Dedup, EventAnalytics, Multimodal, Stats}
 
 /** Differential pins for the r15 batch-3 operators.
   *
@@ -174,6 +174,57 @@ class R15dSpec extends AnyFunSuite {
       (3L, 0L, "0123", 4L), (3L, 2L, "89ab", 4L)))
     val md5s = out.map(_.getString(3))
     assert(md5s.forall(_.length == 32))
+  }
+
+  test("shallowClone: zero-copy, bidirectional isolation after divergence") {
+    val src = graft.lake.LakeTable.createTemp(spark,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "r15d-src")
+    val cloneRoot = graft.lake.TempDirs.create("r15d-dst").resolve("t")
+    val cl = src.shallowClone(cloneRoot)
+    // identical snapshots, no data files owned by the clone
+    assert(cl.snapshot().exceptAll(src.snapshot()).isEmpty)
+    assert(src.snapshot().exceptAll(cl.snapshot()).isEmpty)
+    def ownedParquet(): Int = {
+      val w = java.nio.file.Files.walk(cloneRoot)
+      try {
+        var n = 0
+        val it = w.iterator()
+        while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+        n
+      } finally w.close()
+    }
+    assert(ownedParquet() == 0, "shallow clone copied data files")
+    // divergence: clone append invisible to source, source append
+    // invisible to clone
+    cl.append((100 to 104).map(i => (i.toLong, s"c$i")).toDF("id", "v"))
+    src.append((200 to 209).map(i => (i.toLong, s"s$i")).toDF("id", "v"))
+    assert(cl.snapshot().count() == 55)
+    assert(src.snapshot().count() == 60)
+    assert(cl.snapshot().filter(col("id") >= 200).isEmpty)
+    assert(src.snapshot().filter(col("id").between(100, 104)).isEmpty)
+  }
+
+  test("ppsSampleStratified: k picks per stratum, repartition-proof") {
+    val rnd = new scala.util.Random(912)
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"s${i % 4}", 20L + rnd.nextInt(500)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Corpus.ppsSampleStratified(docs, "n_chars", 15, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._3).sum == 15, s"stratum $g grid did not sum to k")
+    }
+    assert(out.map(_._1).distinct.length == 4)
+    val re = Corpus.ppsSampleStratified(docs.repartition(7), "n_chars",
+        15, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(re.sortBy(r => (r._1, r._2)).toSeq ==
+      out.sortBy(r => (r._1, r._2)).toSeq)
+    val zero = docs.withColumn("n_chars",
+      when(col("source") === "s0", lit(0L)).otherwise(col("n_chars")))
+    intercept[IllegalArgumentException] {
+      Corpus.ppsSampleStratified(zero, "n_chars", 5, "source")
+    }
   }
 
   test("journeyConformance: directed journeys, distances, prefix cap") {
