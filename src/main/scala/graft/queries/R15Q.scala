@@ -169,11 +169,14 @@ object R15Q {
         element_at(split(col("p_name"), " "), -1))
       val existing = part.filter(col("p_partkey") % 10 =!= 3)
       val batch = part.filter(col("p_partkey") % 10 === 3)
+      // staged once each, so the proof's except jobs reuse the
+      // materialized relations rather than re-deriving both pipelines
       val inc = graft.operators.TextAnalysis.goldenRecordsIncremental(
         existing, batch, "p_partkey", "p_name", maxDist = 3,
-        blockExprs = blocks)
+        blockExprs = blocks).localCheckpoint(true)
       val full = graft.operators.TextAnalysis.goldenRecords(
         part, "p_partkey", "p_name", maxDist = 3, blockExprs = blocks)
+        .localCheckpoint(true)
       require(inc.except(full).isEmpty && full.except(inc).isEmpty,
         "incremental fold must equal the full recompute bit-for-bit")
       inc.orderBy("entity_id")
@@ -655,10 +658,13 @@ object R15Q {
       val docs = Tables.documents(s, d)
       val existing = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
+      // staged once each, so the proof's except jobs reuse the
+      // materialized relations; the remaining cost is the deliberate
+      // incremental + full double-compute of the in-query proof
       val inc = graft.operators.TextAnalysis.dupSpansIncremental(
-        existing, batch, w = 8, minDocs = 2)
+        existing, batch, w = 8, minDocs = 2).localCheckpoint(true)
       val full = graft.operators.TextAnalysis.dupSpans(docs, w = 8,
-        minDocs = 2).filter(col("doc_id") % 5 === 0)
+        minDocs = 2).filter(col("doc_id") % 5 === 0).localCheckpoint(true)
       require(inc.except(full).isEmpty && full.except(inc).isEmpty,
         "incremental dup spans must equal the full recompute")
       inc.orderBy("doc_id", "span_start")

@@ -153,11 +153,17 @@ object R15bQ {
       val all = Tables.documents(s, d)
       val incoming = all.filter(col("doc_id") % 7 === 0)
       val corpus = all.filter(col("doc_id") % 7 =!= 0)
+      // staged once each, so the proof's four except jobs reuse the
+      // materialized relations; the remaining cost IS the design —
+      // the query deliberately pays incremental + full to prove them
+      // equal (the q254 in-query-proof pattern)
       val inc = graft.operators.Dedup.setSimilarityJoinAgainst(
-        incoming, corpus, n = 3, minJacNum = 4, minJacDen = 5)
+          incoming, corpus, n = 3, minJacNum = 4, minJacDen = 5)
+        .localCheckpoint(true)
       val full = graft.operators.Dedup.setSimilarityJoin(
           all, n = 3, minJacNum = 4, minJacDen = 5)
         .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+        .localCheckpoint(true)
       require(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
         "incremental set-similarity diverged from the full recompute")
       inc.orderBy("doc_a", "doc_b")
