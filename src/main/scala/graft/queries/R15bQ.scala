@@ -219,6 +219,62 @@ object R15bQ {
         .drop("frame")
         .orderBy("doc_id", "frame_idx")),
 
+    // DELETE-1 JACKKNIFE SE (r15): uncertainty on a RATIO metric —
+    // per event type, the share of value carried by low-k events,
+    // with the jackknife standard error (the right SE for Σa/Σb
+    // numbers; binomial SE is wrong when both sums are random). Each
+    // replicate is one exactly-rounded IEEE division; moments of the
+    // 1e-6-quantized replicates accumulate in exact decimals; one
+    // mirrored chain emits the SE. `Stats.jackknifeRatio`.
+    "q340_jackknife_ratio" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * lit(100.0)).cast("long"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      graft.operators.Stats.jackknifeRatio(ev, "event_type",
+        when(col("k") < 50, col("cents")).otherwise(lit(0L)), col("cents"))
+        .orderBy("event_type")
+    }),
+
+    // TOP-K + OTHER ROLLUP (r15): the cardinality-capped dashboard
+    // tile — top 8 props-k segments by count with the exact-decimal
+    // tail folded into one OTHER row (totals stay decimal until the
+    // single output cast, so OTHER is order-independent). TakeOrdered
+    // top-k, never a global sort. `Stats.topKOther`.
+    "q341_topk_other" -> ((s, d) =>
+      graft.operators.Stats.topKOther(
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k")),
+        col("k"), col("value"), k = 8)
+        .orderBy("key_label")),
+
+    // MERKLE TWO-LEVEL TABLE DIFF (r15): reconcile two replicas by
+    // comparing per-bucket order-free XOR checksums first and reading
+    // row detail ONLY in the buckets that disagree — the 100 TB
+    // anti-entropy shape. Replica b mutates / drops / adds
+    // deterministic row sets; the query REQUIRES level-1 pruning to
+    // have excluded buckets, then emits (key, changed|only_a|only_b).
+    // The oracle diffs by key directly — same result, proving the
+    // Merkle path lost nothing. `Integrity.merkleDiff`.
+    "q342_merkle_diff" -> ((s, d) => {
+      val a = Tables.events(s, d)
+      val cols = Seq("event_id", "user_id", "event_type", "props")
+      // replica b: a bad backfill touched one bucket's rows (edits
+      // cluster, as real replication damage does), plus a couple of
+      // scattered deletions/additions
+      val bkt = graft.operators.Integrity.bucketExpr("event_id", 64)
+      val b = a.filter(col("event_id") % 49999 =!= 3) // deletions
+        .withColumn("props", when(bkt === 3,
+          concat(col("props"), lit(" "))).otherwise(col("props"))) // edits
+        .unionByName(a.filter(col("event_id") % 49999 === 5) // additions
+          .withColumn("event_id", col("event_id") + 100000000L))
+      val dirty = graft.operators.Integrity.dirtyBuckets(
+        a, b, "event_id", cols, buckets = 64).count()
+      require(dirty < 16, s"level-1 pruning excluded too little: $dirty/64")
+      graft.operators.Integrity.merkleDiff(a, b, "event_id", cols,
+          buckets = 64)
+        .orderBy("event_id")
+    }),
+
     // SHALLOW CLONE (r15): the zero-copy table copy — the clone's
     // first manifest references the source's live directories
     // (metadata only; the query PROVES no data file exists under the
@@ -627,6 +683,108 @@ object R15bQ {
         |       CAST(32 AS BIGINT) AS frame_len
         |FROM ix WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mirrors q340: identical quantization, identical decimal widths
+    // (19-digit squares, 28x10 product — inside both engines' 38 cap),
+    // identical IEEE chain
+    "q340_jackknife_ratio" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |         CASE WHEN CAST(props->>'$.k' AS BIGINT) < 50
+        |              THEN CAST(floor(value * 100.0) AS BIGINT)
+        |              ELSE 0 END AS a,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS b
+        |  FROM events
+        |), sums AS (
+        |  SELECT g, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb
+        |  FROM base GROUP BY g
+        |), r AS (
+        |  SELECT base.g, sums.n, sums.sa, sums.sb,
+        |         CASE WHEN sums.sb - base.b > 0 THEN
+        |           CAST(sums.sa - base.a AS DOUBLE)
+        |             / CAST(sums.sb - base.b AS DOUBLE) END AS rep
+        |  FROM base JOIN sums USING (g)
+        |), qd AS (
+        |  SELECT g, n, sa, sb,
+        |         CAST(floor(rep * 1000000.0) AS DECIMAL(19,0)) AS rq
+        |  FROM r
+        |), m AS (
+        |  SELECT g, MAX(n) AS n, MAX(sa) AS sa, MAX(sb) AS sb,
+        |         COUNT(rq) AS n_eff, SUM(rq) AS s1,
+        |         SUM(CAST(rq*rq AS DECIMAL(38,0))) AS s2
+        |  FROM qd GROUP BY g
+        |)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n_eff AS BIGINT) AS n_eff,
+        |       CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE) AS ratio,
+        |       CASE WHEN n_eff > 1 THEN
+        |         sqrt((CAST(CAST(s2 AS DECIMAL(28,0))
+        |                      * CAST(n_eff AS DECIMAL(10,0))
+        |                    - CAST(s1 AS DECIMAL(19,0))
+        |                      * CAST(s1 AS DECIMAL(19,0)) AS DOUBLE)
+        |               / (CAST(n_eff AS DOUBLE) * CAST(n_eff AS DOUBLE)))
+        |              * ((CAST(n_eff AS DOUBLE) - 1.0)
+        |                 / CAST(n_eff AS DOUBLE))) / 1000000.0
+        |       END AS jack_se
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // mirrors q341: rank over the bounded per-key relation, exact
+    // decimal tail fold
+    "q341_topk_other" ->
+      """WITH counts AS (
+        |  SELECT CAST(props->>'$.k' AS BIGINT) AS key,
+        |         COUNT(*) AS n,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS tot
+        |  FROM events GROUP BY 1
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY n DESC, key) AS rk
+        |  FROM counts
+        |)
+        |SELECT 'k=' || lpad(CAST(key AS VARCHAR), 2, '0') AS key_label,
+        |       CAST(n AS BIGINT) AS n, CAST(tot AS DOUBLE) AS total
+        |FROM ranked WHERE rk <= 8
+        |UNION ALL
+        |SELECT 'other', CAST(SUM(n) AS BIGINT), CAST(SUM(tot) AS DOUBLE)
+        |FROM ranked WHERE rk > 8
+        |HAVING COUNT(*) > 0
+        |ORDER BY key_label""".stripMargin,
+
+    // mirrors q342: direct by-key diff of the same deterministic
+    // replica — equal to the two-level Merkle result, proving the
+    // bucket pruning lost nothing
+    "q342_merkle_diff" ->
+      """WITH bb AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CASE WHEN CAST(('0x' ||
+        |                substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |                AS BIGINT) % 64 = 3
+        |              THEN props || ' ' ELSE props END AS props
+        |  FROM events WHERE event_id % 49999 <> 3
+        |  UNION ALL
+        |  SELECT event_id + 100000000, user_id, event_type, props
+        |  FROM events WHERE event_id % 49999 = 5
+        |), ha AS (
+        |  SELECT event_id, md5(concat_ws('|',
+        |    COALESCE(CAST(event_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(user_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(event_type AS VARCHAR), '∅'),
+        |    COALESCE(CAST(props AS VARCHAR), '∅'))) AS h
+        |  FROM events
+        |), hb AS (
+        |  SELECT event_id, md5(concat_ws('|',
+        |    COALESCE(CAST(event_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(user_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(event_type AS VARCHAR), '∅'),
+        |    COALESCE(CAST(props AS VARCHAR), '∅'))) AS h
+        |  FROM bb
+        |)
+        |SELECT COALESCE(ha.event_id, hb.event_id) AS event_id,
+        |       CASE WHEN ha.h IS NULL THEN 'only_b'
+        |            WHEN hb.h IS NULL THEN 'only_a'
+        |            ELSE 'changed' END AS status
+        |FROM ha FULL OUTER JOIN hb ON ha.event_id = hb.event_id
+        |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
+        |ORDER BY event_id""".stripMargin,
 
     // mirrors q338: after the clone's append, its snapshot = events
     // plus the re-appended tenth

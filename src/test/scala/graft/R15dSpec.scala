@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, Dedup, EventAnalytics, Multimodal, Stats}
+import graft.operators.{Corpus, Dedup, EventAnalytics, Integrity, Multimodal, Stats}
 
 /** Differential pins for the r15 batch-3 operators.
   *
@@ -225,6 +225,79 @@ class R15dSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Corpus.ppsSampleStratified(zero, "n_chars", 5, "source")
     }
+  }
+
+  test("merkleDiff ≡ direct by-key diff; level-1 touches only dirty buckets") {
+    val rnd = new scala.util.Random(1242)
+    val base = (1L to 800L).map(i => (i, s"p${rnd.nextInt(1000)}"))
+    val aRows = base
+    val bRows = base.filter(_._1 % 101 != 7) // deletions
+      .map { case (k, v) => if (k % 97 == 3) (k, v + "!") else (k, v) } // edits
+      .++((9001L to 9005L).map(i => (i, s"new$i"))) // additions
+    val a = aRows.toDF("k", "v")
+    val b = bRows.toDF("k", "v")
+    val got = Integrity.merkleDiff(a, b, "k", Seq("k", "v"), buckets = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val am = aRows.toMap; val bm = bRows.toMap
+    val want = ((am.keySet ++ bm.keySet).flatMap { k =>
+      (am.get(k), bm.get(k)) match {
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case (Some(_), None) => Some(k -> "only_a")
+        case (None, Some(_)) => Some(k -> "only_b")
+        case _ => None
+      }
+    }).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the dirty-bucket set covers exactly the differing keys' buckets
+    val dirty = Integrity.dirtyBuckets(a, b, "k", Seq("k", "v"), 32)
+      .collect().map(_.getLong(0)).toSet
+    val wantBuckets = a.sparkSession.createDataFrame(
+        want.keys.toSeq.map(Tuple1(_))).toDF("k")
+      .select(Integrity.bucketExpr("k", 32).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(wantBuckets.subsetOf(dirty), "a differing key's bucket was pruned")
+    assert(dirty.size < 32, "no pruning happened on a mostly-equal table")
+  }
+
+  test("jackknifeRatio ≡ an independent Scala replay of the exact chain") {
+    val rnd = new scala.util.Random(740)
+    val rows = (1 to 500).map { i =>
+      val b = 1L + rnd.nextInt(200)
+      val a = if (rnd.nextBoolean()) b else 0L
+      (s"g${i % 2}", a, b)
+    }
+    val out = Stats.jackknifeRatio(rows.toDF("g", "a", "b"), "g",
+        col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.size.toLong
+      val sa = rs.map(_._2).sum; val sb = rs.map(_._3).sum
+      val reps = rs.map { case (_, a, b) =>
+        (sa - a).toDouble / (sb - b).toDouble }
+      val rq = reps.map(r => math.floor(r * 1e6).toLong)
+      val s1 = rq.map(BigInt(_)).sum
+      val s2 = rq.map(x => BigInt(x) * BigInt(x)).sum
+      val nD = n.toDouble
+      val num = (s2 * n - s1 * s1).toDouble
+      val se = math.sqrt((num / (nD * nD)) * ((nD - 1.0) / nD)) / 1e6
+      val (gn, gneff, gratio, gse) = out(g)
+      assert((gn, gneff) == (n, n))
+      assert(gratio == sa.toDouble / sb.toDouble)
+      assert(gse == se, s"group $g jackknife SE")
+    }
+  }
+
+  test("topKOther: exact tail fold, stable labels") {
+    val rows = (1 to 1000).map(i => (i.toLong % 13, (i % 7) + 0.25))
+    val out = Stats.topKOther(rows.toDF("key", "value"),
+        col("key"), col("value"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.count(_._1 != "other") == 4)
+    assert(out.map(_._2).sum == 1000L)
+    val totAll = rows.map(r => BigDecimal(r._2).setScale(2)).sum
+    assert(out.map(r => BigDecimal(r._3).setScale(2)).sum == totAll)
   }
 
   test("journeyConformance: directed journeys, distances, prefix cap") {
