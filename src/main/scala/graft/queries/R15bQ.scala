@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Qx._
 
-/** Round-15 batch 2: Jaro-Winkler native expression (q325), MMR
-  * diversity reranking (q326), k-core decomposition (q327),
-  * deterministic systematic PPS sampling (q328), and observed-metrics
-  * pipeline gates (q329).
+/** Round-15 batches 2+ (q325–q342): Jaro-Winkler native expression,
+  * MMR diversity reranking, k-core decomposition, systematic PPS
+  * sampling (plain + stratified), observed-metrics gates, exact
+  * set-similarity join (+ incremental face + clusters), journey
+  * conformance (batch + streaming fold), Theil-Sen trend,
+  * two-proportion z-test, binary frame sampling, zero-copy shallow
+  * clone, delete-1 jackknife ratio SE, top-k+OTHER rollup, and the
+  * Merkle two-level table diff.
   */
 object R15bQ {
 
