@@ -23,9 +23,18 @@ object Verify {
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        => org.apache.spark.sql.DataFrame): Unit = {
+      val df = fn(spark, sfDir)
+      // Output-representation lint (VERDICT r15 #1): a DECIMAL(38,0)
+      // final column defeats the driver's hash even on bit-identical
+      // values — fail the query loudly here (→ a red row with an err,
+      // not a silent hash mismatch) so the class can't ship again.
+      val bad = SchemaLint.unhashable(df.schema)
+      require(bad.isEmpty,
+        s"$name emits driver-unhashable output columns (re-represent as " +
+          s"canonical string or hi/lo BIGINTs): ${bad.mkString(", ")}")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = SparkEntry.queries.toSeq.filter(q => selected(q._1)).map { case (name, fn) =>
       Future {

@@ -681,6 +681,12 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * optimistic-commit protocol: losing a race to a concurrent writer
     * throws [[ConcurrentCommitException]]; re-run the vacuum.
     *
+    * CROSS-TABLE SAFETY: vacuum never deletes a directory outside the
+    * table root. Borrowed absolute dirs ([[shallowClone]] manifests
+    * reference the source's data in place) drop out of the manifest
+    * log but their bytes stay — the source table owns them (Delta's
+    * contract: clone-side VACUUM never touches source files).
+    *
     * RETENTION CONTRACT for readers: vacuum deletes data files that
     * only dropped versions reference. A reader holding a DataFrame
     * from `snapshot(v)` for a dropped `v` is NOT protected — its scan
@@ -712,7 +718,19 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val keepDirs = keep.flatMap(v => readManifest(v).dirs).toSet
     val dropDirs = drop.flatMap(v => readManifest(v).dirs).toSet -- keepDirs
     drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
-    dropDirs.foreach { d =>
+    // BORROWED directories are never this table's to reclaim: a
+    // shallowClone manifest lists the SOURCE table's data dirs as
+    // absolute paths, and `root.resolve` passes absolutes through — an
+    // unguarded delete here would let a clone-side vacuum (after the
+    // clone overwrites/optimizes away the borrowed dirs) destroy the
+    // source table's data. Delta's shallow-clone contract is the same:
+    // VACUUM on a clone never touches source files. Only paths that
+    // normalize to somewhere under this table's root are deleted;
+    // borrowed dirs simply age out of the clone's manifests.
+    val rootAbs = root.toAbsolutePath.normalize
+    val owned = dropDirs.filter(d =>
+      root.resolve(d).toAbsolutePath.normalize.startsWith(rootAbs))
+    owned.foreach { d =>
       val p = root.resolve(d)
       if (Files.exists(p)) {
         Using.resource(Files.walk(p)) { s =>
@@ -721,7 +739,7 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         }
       }
     }
-    (drop.size, dropDirs.size)
+    (drop.size, owned.size)
   }
 
   /** Row-level diff between two committed versions: what a reader of
@@ -1030,8 +1048,12 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * Delta: a VACUUM on the SOURCE can reclaim files the clone still
     * references — retention policy must outlive clones (the clone
     * tracks no cross-table lease; Delta's shallow clones have the
-    * same contract). Skipping stats are not carried (dirs stay
-    * unprunable on the clone — the safe over-approximation). */
+    * same contract). The REVERSE direction is guarded: a clone-side
+    * [[vacuum]] never deletes outside the clone's root, so the
+    * borrowed source dirs survive clone rewrites + GC
+    * (LakeCloneVacuumSpec pins it). Skipping stats are not carried
+    * (dirs stay unprunable on the clone — the safe
+    * over-approximation). */
   def shallowClone(to: Path): LakeTable = {
     val v = latestVersion
     val (dirs, schema) = versionState(v)

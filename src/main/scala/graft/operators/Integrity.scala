@@ -37,8 +37,8 @@ object Integrity {
     * equal count) are 2⁻⁶⁰ per bucket — the q259 contract; key
     * uniqueness per side is the caller's (verified cheaply by the
     * level-2 join's key multiplicity if violated). Returns
-    * (key, status ∈ changed|only_a|only_b), plus the level-1 scan
-    * stats via [[merkleBucketStats]] for pruning proofs. */
+    * (key, status ∈ changed|only_a|only_b); the level-1 relation is
+    * exposed as [[dirtyBuckets]] for pruning proofs. */
   def merkleDiff(a: DataFrame, b: DataFrame, keyCol: String,
                  cols: Seq[String], buckets: Int = 64): DataFrame = {
     val dirty = dirtyBuckets(a, b, keyCol, cols, buckets)

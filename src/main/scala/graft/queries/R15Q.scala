@@ -623,25 +623,30 @@ object R15Q {
         .orderBy("event_type")
     }),
 
-    // QUANTILE NORMALIZATION (r15): each value's within-group
-    // fractional rank r/(n+1) — the rank-based feature scaling robust
-    // to any marginal distribution. Rank is a row_number over
-    // (value, id) (a TOTAL order, so ties replay exactly), one
-    // group-partitioned window; the fraction is the single mirrored
-    // IEEE division. Emitted per row — this is a row-level transform,
-    // like the corpus-prep family.
+    // QUANTILE NORMALIZATION (r15; plan rewired r16 per VERDICT r15
+    // #3): each value's within-group fractional rank r/(n+1) — the
+    // rank-based feature scaling robust to any marginal distribution.
+    // Rank is a TOTAL (value, id) order so ties replay exactly, but
+    // NOT through a window partitioned only by event_type over raw
+    // rows (few groups ⇒ a corpus-sized partition through one task,
+    // the q262 scale-killer class): ranks ride `Stats.rankInGroup`
+    // (bucket counts → bounded offset window over the AGGREGATE
+    // relation → (group, bucket)-partitioned exact order), and n is a
+    // per-group count broadcast back. The fraction is the single
+    // mirrored IEEE division. R15cSpec pins the plan shape.
     "q309_quantile_normalize" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d).select(col("event_id"),
         col("event_type"),
         floor(col("value") * lit(100.0)).cast("long").as("cents"))
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      val n = Window.partitionBy(col("event_type"))
-      ev.withColumn("r", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(n))
-        .withColumn("qn",
-          col("r").cast("double") / (col("n") + lit(1L)).cast("double"))
+      val counts = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Stats.rankInGroup(ev, "event_type",
+          col("cents"), col("event_id"), "r", bucketWidth = 10000.0)
+        .join(broadcast(counts), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("r"), col("n"),
+          (col("r").cast("double") /
+            (col("n") + lit(1L)).cast("double")).as("qn"))
         .orderBy("event_id")
     }),
 
@@ -1162,9 +1167,9 @@ object R15Q {
         |  FROM g
         |)
         |SELECT bin, n_ref, n_cur, tot_ref, tot_cur,
-        |  CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(tot_cur AS DECIMAL(18,0))
+        |  CAST(CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(tot_cur AS DECIMAL(18,0))
         |         - CAST(n_cur AS DECIMAL(18,0)) * CAST(tot_ref AS DECIMAL(18,0)))
-        |       AS DECIMAL(38,0)) AS tv_scaled
+        |       AS DECIMAL(38,0)) AS VARCHAR) AS tv_scaled
         |FROM g, t
         |ORDER BY bin""".stripMargin,
 
@@ -1309,9 +1314,9 @@ object R15Q {
         |  FROM g
         |)
         |SELECT bin, n_ref, n_cur, tot_ref, tot_cur,
-        |  CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(tot_cur AS DECIMAL(18,0))
+        |  CAST(CAST(abs(CAST(n_ref AS DECIMAL(18,0)) * CAST(tot_cur AS DECIMAL(18,0))
         |         - CAST(n_cur AS DECIMAL(18,0)) * CAST(tot_ref AS DECIMAL(18,0)))
-        |       AS DECIMAL(38,0)) AS tv_scaled
+        |       AS DECIMAL(38,0)) AS VARCHAR) AS tv_scaled
         |FROM g, t
         |ORDER BY bin""".stripMargin,
 
@@ -1411,7 +1416,8 @@ object R15Q {
         |         AS DECIMAL(38,0)) AS v
         |  FROM gm JOIN v1 ON gm.pj = v1.p GROUP BY gm.pi
         |)
-        |SELECT CAST(v1.p - 1 AS BIGINT) AS i, v1.v AS v1, v2.v AS v2
+        |SELECT CAST(v1.p - 1 AS BIGINT) AS i, v1.v AS v1,
+        |       CAST(v2.v AS VARCHAR) AS v2
         |FROM v1 JOIN v2 ON v1.p = v2.p
         |ORDER BY i""".stripMargin,
 

@@ -744,7 +744,9 @@ object R15bQ {
         |  SELECT *, row_number() OVER (ORDER BY n DESC, key) AS rk
         |  FROM counts
         |)
-        |SELECT 'k=' || lpad(CAST(key AS VARCHAR), 2, '0') AS key_label,
+        |SELECT 'k=' || CASE WHEN length(CAST(key AS VARCHAR)) < 2
+        |                    THEN lpad(CAST(key AS VARCHAR), 2, '0')
+        |                    ELSE CAST(key AS VARCHAR) END AS key_label,
         |       CAST(n AS BIGINT) AS n, CAST(tot AS DOUBLE) AS total
         |FROM ranked WHERE rk <= 8
         |UNION ALL

@@ -240,7 +240,9 @@ class R15OpsSpec extends AnyFunSuite {
     val rows = Stats.powerIterationExact(emb, "embedding", d = 64)
       .orderBy("i").collect()
     val v1 = rows.map(_.getLong(1).toDouble)
-    val v2 = rows.map(_.getDecimal(2).doubleValue())
+    // v2 is the canonical digit string of the exact decimal (the r16
+    // DECIMAL(38,0)-output gate rule)
+    val v2 = rows.map(r => BigDecimal(r.getString(2)).toDouble)
     def rq(x: Array[Double]): Double = {
       val gx = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * x(j)).sum)
       x.zip(gx).map { case (a, b) => a * b }.sum / x.map(s => s * s).sum

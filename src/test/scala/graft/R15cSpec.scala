@@ -80,9 +80,9 @@ class R15cSpec extends AnyFunSuite {
       case a: SortAggregateExec => a
     }.isDefined
 
-  test("q236/q251/q279/q222: narrow-partition windows only over aggregates") {
+  test("q236/q251/q279/q222/q309: narrow-partition windows only over aggregates") {
     Seq("q236_feature_scale", "q251_winsorize", "q279_quantile_bins",
-      "q222_rank_corr").foreach { name =>
+      "q222_rank_corr", "q309_quantile_normalize").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
       val wins = plan.collect { case w: WindowExec => w }

@@ -300,6 +300,20 @@ class R15dSpec extends AnyFunSuite {
     assert(out.map(r => BigDecimal(r._3).setScale(2)).sum == totAll)
   }
 
+  test("topKOther: long and negative keys keep distinct labels (no lpad truncation)") {
+    // lpad(s, 2, "0") TRUNCATES strings longer than 2 — keys 123, 124
+    // and -15, -16 used to collapse to "k=12" / "k=-1" (ADVICE r15)
+    val rows = Seq(123L, 124L, -15L, -16L, 7L).flatMap(k =>
+      (1 to 3).map(_ => (k, 1.0)))
+    val out = Stats.topKOther(rows.toDF("key", "value"),
+        col("key"), col("value"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val labels = out.map(_._1).toSet
+    assert(labels == Set("k=123", "k=124", "k=-15", "k=-16", "k=07"),
+      labels.toString)
+    assert(out.map(_._2).sum == 15L)
+  }
+
   test("journeyConformance: directed journeys, distances, prefix cap") {
     val ev = Seq(
       // user 1 follows the canonical "svc" exactly, then noise beyond

@@ -44,11 +44,25 @@ class R15ePlanSpec extends AnyFunSuite {
       case a: SortAggregateExec => a
     }.isDefined
 
+  /** R15cSpec's strict pin extended to the samplers: a window
+    * partitioned by fewer than two columns must read an AGGREGATE
+    * relation. One named allowance (ADVICE r15): the samplers'
+    * in-bucket running sum is partitioned by the single md5-prefix
+    * `bucket` column over raw rows BY DESIGN — the bucket space is
+    * 65536 values however few logical groups exist, so each partition
+    * is ~2⁻¹⁶ of the corpus, never the q262 corpus-sized-partition
+    * hazard. Anything else single-column over raw rows fails. */
   private def narrowWindowsOverAggregates(p: SparkPlan, name: String): Unit =
     p.collect { case w: WindowExec => w }.foreach { w =>
-      if (w.partitionSpec.size < 2)
-        assert(aggregateBelow(w) || w.partitionSpec.nonEmpty,
-          s"$name: an unpartitioned window reads raw rows:\n$p")
+      val md5Bucket = w.partitionSpec.nonEmpty &&
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+          .forall(_ == "bucket")
+      if (w.partitionSpec.size < 2 && !md5Bucket)
+        assert(aggregateBelow(w),
+          s"$name: a window partitioned by fewer than two columns reads " +
+            s"raw rows (prefixOffsets' bounded global windows read " +
+            s"bucket AGGREGATES; only the md5-bucket running sum may " +
+            s"read raw rows):\n$p")
     }
 
   test("q330/q333: prefix joins stay equi; windows doc-partitioned") {
