@@ -198,19 +198,34 @@ object Bench {
     val (i, j) = (text.indexOf(begin), text.indexOf(end))
     if (i < 0 || j < 0) { System.err.println("[bench] PERF.md markers missing"); return }
     val withBlock = text.substring(0, i) + block + text.substring(j + end.length)
-    // The round-final NARRATIVE drifted from the generated block twice
-    // (r13, r14 verdicts), so it is generated by THIS run too: totals,
-    // slowest entry, and the med/min list for the round's new queries
-    // (SPARK_GRAFT_ROUND / SPARK_GRAFT_NEW_QUERIES, e.g. "15" and
-    // "q284,q285,q286"). tools/perf_report.py --round is the manual
-    // fallback emitting the identical text from bench_out.json.
+    // The round-final NARRATIVE drifted from the generated block in
+    // r13, r14 AND r15: when its round markers rode env vars
+    // (SPARK_GRAFT_ROUND / SPARK_GRAFT_NEW_QUERIES), the driver's
+    // re-bench — which doesn't set them — regenerated the block above
+    // but left the narrative stale, so "generated from the same bench
+    // artifact" went false. The markers now come from a COMMITTED
+    // state file (bench_round.json: {"round": "...", "new_queries":
+    // "q343,q344"}) so EVERY sf0.1 run, the driver's included,
+    // regenerates both blocks from the same artifact; the env vars
+    // remain as local overrides only. tools/perf_report.py is the
+    // manual fallback emitting the identical text from bench_out.json.
     val nBegin = "<!-- BEGIN GENERATED NARRATIVE (tools/perf_report.py) -->"
     val nEnd = "<!-- END GENERATED NARRATIVE -->"
     val (ni, nj) = (withBlock.indexOf(nBegin), withBlock.indexOf(nEnd))
-    val finalText = sys.env.get("SPARK_GRAFT_ROUND") match {
+    def stateField(key: String): Option[String] = {
+      val state = Paths.get(sys.env.getOrElse("SPARK_GRAFT_ROUND_STATE",
+        "/root/repo/bench_round.json"))
+      if (!Files.exists(state)) None
+      else ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(Files.readString(state))
+        .map(_.group(1)).filter(_.nonEmpty)
+    }
+    val roundLbl = sys.env.get("SPARK_GRAFT_ROUND").orElse(stateField("round"))
+    val finalText = roundLbl match {
       case Some(lbl) if ni >= 0 && nj >= 0 =>
         val (topQ, topMed) = results.maxBy(_._2)
-        val newQs = sys.env.getOrElse("SPARK_GRAFT_NEW_QUERIES", "")
+        val newQs = sys.env.get("SPARK_GRAFT_NEW_QUERIES")
+          .orElse(stateField("new_queries")).getOrElse("")
           .split(",").filter(_.nonEmpty)
         val newLine =
           if (newQs.isEmpty) Nil

@@ -112,18 +112,34 @@ object MicroBatch {
       .select(from_json(col("value"), orderJsonSchema).as("data"))
       .select(col("data.*"))
 
+  /** Staged landing dirs, MEMOIZED per (kind, sf, parts, copies) —
+    * staging models "messages already in the topic", a harness cost,
+    * not operator cost, and r15's per-query re-staging surfaced as a
+    * +15–30% min drift across the whole streaming family on a quiet
+    * box (VERDICT r15 #5; adjudicated r16). A landing dir is
+    * READ-ONLY once staged (drains only read it; checkpoints and
+    * sinks live elsewhere), so reuse across queries and bench reps is
+    * safe — the same per-session memoization the dedup/PQ/k-means
+    * lake artifacts use. computeIfAbsent keeps Verify's concurrent
+    * run building each dir exactly once. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private def memoizedDir(key: String)(build: => Path): Path =
+    stagedDirs.computeIfAbsent(key, _ => build)
+
   /** Stage `copies` copies of the events table into a fresh landing
     * directory — the file source's analog of "messages currently in the
     * topic". copies > 1 models an at-least-once upstream that
     * redelivers the same records. */
-  def stageEvents(sfDir: String, copies: Int = 1): Path = {
-    val in = graft.lake.TempDirs.create("graft-stream-in")
-    (1 to copies).foreach { i =>
-      Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve(s"events_$i.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+  def stageEvents(sfDir: String, copies: Int = 1): Path =
+    memoizedDir(s"copy|$sfDir|$copies") {
+      val in = graft.lake.TempDirs.create("graft-stream-in")
+      (1 to copies).foreach { i =>
+        Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve(s"events_$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      in
     }
-    in
-  }
 
   /** Stage the events table as `parts` parquet files hash-split on
     * event_id, so `maxFilesPerTrigger=1` turns the drain into `parts`
@@ -131,14 +147,15 @@ object MicroBatch {
     * adversarial arrival order for cross-batch aggregation state
     * (every batch reopens sessions the previous batch thought closed). */
   def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int,
-                       copies: Int = 1): Path = {
-    val in = graft.lake.TempDirs.create("graft-stream-in")
-    val one = spark.read.parquet(s"$sfDir/events.parquet")
-    (1 to copies).map(_ => one).reduce(_ union _)
-      .repartition(parts, org.apache.spark.sql.functions.col("event_id"))
-      .write.mode("overwrite").parquet(in.toString)
-    in
-  }
+                       copies: Int = 1): Path =
+    memoizedDir(s"split|$sfDir|$parts|$copies") {
+      val in = graft.lake.TempDirs.create("graft-stream-in")
+      val one = spark.read.parquet(s"$sfDir/events.parquet")
+      (1 to copies).map(_ => one).reduce(_ union _)
+        .repartition(parts, org.apache.spark.sql.functions.col("event_id"))
+        .write.mode("overwrite").parquet(in.toString)
+      in
+    }
 
   /** Stage events as `parts` CHRONOLOGICAL files (file k holds the
     * k-th event-time range), written sequentially with ordered names so
@@ -147,7 +164,16 @@ object MicroBatch {
     * observable mid-drain (a hash-split drain pushes the watermark to
     * ~max in batch 1 and everything later arrives late). */
   def stageEventsByTime(spark: SparkSession, sfDir: String, parts: Int,
-                        copies: Int = 1): Path = {
+                        copies: Int = 1): Path =
+    memoizedDir(s"bytime|$sfDir|$parts|$copies") {
+      stageEventsByTimeFresh(spark, sfDir, parts, copies)
+    }
+
+  /** The un-memoized staging body — direct harness/test entry when a
+    * FRESH dir is required (mtime-stamping assertions). */
+  private[graft] def stageEventsByTimeFresh(spark: SparkSession,
+                                            sfDir: String, parts: Int,
+                                            copies: Int = 1): Path = {
     val in = graft.lake.TempDirs.create("graft-stream-in")
     val one = spark.read.parquet(s"$sfDir/events.parquet")
     val all = (1 to copies).map(_ => one).reduce(_ union _)

@@ -28,6 +28,18 @@ for a in it:
     else:
         args.append(a)
 
+# Round markers default to the COMMITTED state file (bench_round.json)
+# so this fallback emits the same narrative the in-bench generator
+# writes on every sf0.1 run (r15: env-var-only markers let the
+# driver's re-bench leave the narrative stale); flags override.
+try:
+    _state = json.load(open("/root/repo/bench_round.json"))
+    for k_flag, k_state in (("round", "round"), ("new", "new_queries")):
+        if k_flag not in opts and _state.get(k_state):
+            opts[k_flag] = _state[k_state]
+except (FileNotFoundError, json.JSONDecodeError):
+    pass
+
 BENCH = args[0] if len(args) > 0 else "bench_out.json"
 PERF = args[1] if len(args) > 1 else "PERF.md"
 BEGIN = "<!-- BEGIN GENERATED from bench_out.json (tools/perf_report.py) -->"
