@@ -25,7 +25,8 @@ object SparkEntry {
     (q.CorpusQ.queries, q.CorpusQ.oracles),
     (q.R14Q.queries, q.R14Q.oracles),
     (q.R15Q.queries, q.R15Q.oracles),
-    (q.R15bQ.queries, q.R15bQ.oracles)
+    (q.R15bQ.queries, q.R15bQ.oracles),
+    (q.R16Q.queries, q.R16Q.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -630,4 +630,35 @@ object Corpus {
       .filter(col("n_picks") > 0)
       .select(col("g").as(groupCol), col(idCol), col("w"), col("n_picks"))
   }
+
+  /** DETERMINISTIC STRATIFIED TRAIN/VAL/TEST SPLIT (r16) — exact
+    * per-stratum proportions (not just in-expectation): docs are
+    * ranked WITHIN each stratum by (md5-prefix hash, id) — the
+    * engine's no-RNG permutation idiom — and the first ⌊n·8/10⌋ go to
+    * train, the next ⌊n·9/10⌋−⌊n·8/10⌋ to val, the rest to test (the
+    * fractions are `fracNum`/`fracDen` cumulative numerators). Ranks
+    * ride [[graft.operators.Stats.rankInGroup]]'s bucketed two-level
+    * scan (strata are few — the q262 corpus-sized-partition hazard);
+    * per-stratum totals broadcast back; the cut is pure integer
+    * arithmetic, so the SAME doc lands in the SAME split on any
+    * engine, partitioning, or re-run — the reproducibility contract
+    * an experiment pipeline needs. */
+  def stratifiedSplit(docs: DataFrame, strataCol: String,
+                      idCol: String = "doc_id",
+                      trainNum: Int = 8, valNum: Int = 9,
+                      den: Int = 10): DataFrame = {
+    require(0 < trainNum && trainNum <= valNum && valNum <= den,
+      s"stratifiedSplit: need 0 < train <= val <= den: $trainNum/$valNum/$den")
+    val hashed = docs.select(col(strataCol), col(idCol),
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("__h"))
+    val ranked = Stats.rankInGroup(hashed, strataCol, col("__h"),
+      col(idCol), "r", bucketWidth = 1 << 16)
+    val counts = hashed.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq(strataCol))
+      .select(col(strataCol), col(idCol), col("r"), col("n"),
+        when(col("r") <= expr(s"(n * $trainNum) div $den"), lit("train"))
+          .when(col("r") <= expr(s"(n * $valNum) div $den"), lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
 }

@@ -621,4 +621,75 @@ object Dedup {
         (col("inter").cast("double") / col("un").cast("double"))
           .as("jaccard"))
   }
+
+  /** EXACT SET-CONTAINMENT JOIN (r16) — the ASYMMETRIC near-dup
+    * relation Jaccard misses: C(A, B) = |A∩B| / |A| ≥ t finds "A is
+    * (mostly) inside B" even when B is far larger — the
+    * boilerplate-superset / quote-expansion / page-within-crawl case
+    * a training-data screen needs alongside [[setSimilarityJoin]].
+    *
+    * Same PPJoin-style machinery, with the containment-specific
+    * prefix theorem: if C(A,B) ≥ num/den then the overlap is at least
+    * o_min = ⌈num·|A|/den⌉, so A's first |A| − o_min + 1 shingles in
+    * the GLOBAL (df asc, shingle) order must hit B (pigeonhole) —
+    * only the CONTAINED side emits a prefix; the container side
+    * indexes all its shingles. There is no length filter (containment
+    * admits any |B|), but the positional filter survives:
+    * 1 + min(|A|−pa, |B|−pb) ≥ o_min. Both stages are equi joins on
+    * the shingle key; the exact intersection recount proves every
+    * emitted pair. Emits BOTH orientations (doc_a contained-in doc_b,
+    * doc_a ≠ doc_b); recall 1.0 by the theorem — the brute-force
+    * differential lives in R16Spec. */
+  /** [[containmentJoin]]'s global-prefix-order stage — each doc's
+    * shingles positioned by (global df asc, shingle): a doc-keyed
+    * window over the df-joined shingle relation (never global).
+    * Extracted so the plan shape is pinnable pre-checkpoint
+    * (R16PlanSpec; the VERDICT r7 checkpointed-loop audit pattern). */
+  private[graft] def shinglePositions(sh: DataFrame,
+                                      szs: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    sh.join(dfreq, "shingle")
+      .join(szs, "doc_id")
+      .withColumn("__pos", row_number().over(wDoc))
+      .select(col("doc_id"), col("shingle"), col("__pos"), col("__sz"))
+  }
+
+  def containmentJoin(docs: DataFrame, n: Int = 3,
+                      minConNum: Int = 9, minConDen: Int = 10): DataFrame = {
+    require(minConNum > 0 && minConDen >= minConNum,
+      s"containmentJoin: threshold must be in (0,1]: $minConNum/$minConDen")
+    val sh = shingles(docs, n).localCheckpoint(true)
+    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val pos = shinglePositions(sh, szs).localCheckpoint(true)
+    val oMin = expr(s"($minConNum * __sz + ${minConDen - 1}) div $minConDen")
+    val pref = pos.withColumn("__omin", oMin)
+      .filter(col("__pos") <= col("__sz") - col("__omin") + lit(1))
+      .select(col("doc_id"), col("shingle"), col("__pos"),
+        col("__sz"), col("__omin"))
+    val cand = pref.alias("a")
+      .join(pos.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (lit(1) + least(col("a.__sz") - col("a.__pos"),
+            col("b.__sz") - col("b.__pos"))) >= col("a.__omin"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(x, Seq("doc_a"))
+      .join(y, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szs.select(col("doc_id").as("doc_a"), col("__sz").as("sz_a")),
+        "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("__sz").as("sz_b")),
+        "doc_b")
+      .filter(col("inter") * minConDen >= col("sz_a") * minConNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        (col("inter").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
+  }
 }

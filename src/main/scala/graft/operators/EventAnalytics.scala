@@ -1355,4 +1355,5 @@ object EventAnalytics {
         levenshtein(col("journey"), lit(canonical)).cast("long"))
       .withColumn("conforming", col("dist") <= maxDist)
   }
+
 }

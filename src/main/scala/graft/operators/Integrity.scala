@@ -74,4 +74,22 @@ object Integrity {
                          buckets: Int): DataFrame =
     df.select(col(keyCol), rowHash(cols).as("h"),
       bucketExpr(keyCol, buckets).as("bucket"))
+
+  /** MERKLE REPAIR PLAN (r16) — turn [[merkleDiff]]'s statuses into
+    * the minimal action list that reconciles replica `b` to `a`:
+    * `upsert` (key changed — take a's row), `insert` (only_a),
+    * `delete` (only_b). The plan is DIFF-SIZED, not table-sized —
+    * exactly what an anti-entropy repairer ships to the damaged
+    * replica; applying it touches only the affected keys (a lake
+    * MERGE on the key). Correctness is provable in-query: b minus
+    * (deleted ∪ upserted keys) plus a's rows for (upserted ∪
+    * inserted) keys must equal a row-for-row — q356 runs that proof
+    * via except both directions before returning the plan. */
+  def repairPlan(a: DataFrame, b: DataFrame, keyCol: String,
+                 cols: Seq[String], buckets: Int = 64): DataFrame =
+    merkleDiff(a, b, keyCol, cols, buckets)
+      .select(col(keyCol),
+        when(col("status") === "changed", lit("upsert"))
+          .when(col("status") === "only_a", lit("insert"))
+          .otherwise(lit("delete")).as("action"))
 }

@@ -322,4 +322,37 @@ object LinkAnalysis {
     }
     core
   }
+
+  /** EXACT UNNORMALIZED HITS STEPS (r16) — hub/authority estimates on
+    * the directed graph, kept ENGINE-EXACT the powerIterationExact
+    * way: from h₀ ≡ 1, two full mutual-reinforcement steps
+    * a₁(v) = indeg(v), h₁(u) = Σ_{u→v} a₁(v), a₂(v) = Σ_{u→v} h₁(u),
+    * all integer/decimal arithmetic — bit-identical on any engine or
+    * partitioning (the normalized double continuation stops needing
+    * cross-engine identity, exactly like PageRank's). Each step is
+    * one edges⋈scores hash join + a node-keyed groupBy, linear in
+    * edges. Width budget: a₁ ≤ E as DECIMAL(20,0), h₁ ≤ E² and
+    * a₂ ≤ E³ inside DECIMAL(38,0) for E up to ~2·10¹². h₁/a₂ are
+    * emitted as canonical digit STRINGS (the r16 DECIMAL(38,0)
+    * output rule). Multi-edges collapse first (simple-graph HITS). */
+  def hitsExact(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val a1 = e.groupBy(col("dst")).agg(count(lit(1)).cast("long").as("a1"))
+    val h1 = e.join(a1, "dst").groupBy(col("src"))
+      .agg(sum(col("a1").cast(DecimalType(20, 0)))
+        .cast(DecimalType(38, 0)).as("h1"))
+    val a2 = e.join(h1, "src").groupBy(col("dst"))
+      .agg(sum(col("h1")).cast(DecimalType(38, 0)).as("a2"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    nodes
+      .join(a1.select(col("dst").as("node"), col("a1")), Seq("node"), "left")
+      .join(h1.select(col("src").as("node"), col("h1")), Seq("node"), "left")
+      .join(a2.select(col("dst").as("node"), col("a2")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("a1"), lit(0L)).as("auth1"),
+        coalesce(col("h1").cast("string"), lit("0")).as("hub1"),
+        coalesce(col("a2").cast("string"), lit("0")).as("auth2"))
+  }
 }

@@ -1265,4 +1265,212 @@ object Stats {
         col("n"), col("tot").cast("double").as("total"))
       .unionByName(other.filter(col("n") > 0))
   }
+
+  /** EXACT GINI COEFFICIENT per group (r16) — the inequality /
+    * concentration number a data-mix report carries ("how skewed is
+    * token volume across sources"), in the rank-sum form
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over non-negative integer
+    * values: ranks come from [[rankInGroup]]'s bucketed two-level
+    * scan (never a corpus-sized single-key window — the q262 rule),
+    * every sum is exact decimal (i ≤ 10¹⁰ as DECIMAL(11,0), x ≤ 10¹⁴
+    * cents as DECIMAL(14,0), products (25,0), sums (38,0)), and the
+    * statistic is one short mirrored IEEE chain on the exact totals.
+    * With duplicate values the (value, tie) total order makes the
+    * rank assignment deterministic, and G is tie-order-invariant
+    * because equal x share any permutation of their ranks' sum.
+    * All-zero groups yield NULL (0/0 is an engine disagreement, the
+    * q230 rule). [[keySkew]] is the sibling for KEY-FREQUENCY
+    * inequality (it ranks the per-key count relation, already
+    * bounded); this one ranks RAW ROWS, hence the bucketed rank. */
+  def giniExact(df: DataFrame, groupCol: String, valueC: Column,
+                tieC: Column, bucketWidth: Double = 10000.0): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = df.select(col(groupCol), valueC.cast("long").as("__x"),
+      tieC.as("__tie"))
+    val ranked = rankInGroup(base, groupCol, col("__x"), col("__tie"),
+      "__r", bucketWidth)
+    // width budget mirrors the oracle under DuckDB's HARD multiply cap
+    // (p1+p2 <= 38, it ERRORS past it — the q292 lesson): the 2·i·x
+    // term is built per row ((12,0)×(14,0) = (27,0)) so no (38,0)
+    // operand is ever multiplied; Σx is down-cast to (27,0) (loud on
+    // overflow) so (n+1)·Σx is (11,0)×(27,0) = exactly the cap
+    val g = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(DecimalType(14, 0)))
+        .cast(DecimalType(27, 0)).as("sx"),
+      sum(((col("__r") * lit(2L)).cast(DecimalType(12, 0)) *
+        col("__x").cast(DecimalType(14, 0))).cast(d38)).as("srx2"))
+    val num = col("srx2").cast(d38) -
+      ((col("n") + lit(1L)).cast(DecimalType(11, 0)) * col("sx")).cast(d38)
+    val den = col("n").cast(DecimalType(11, 0)) * col("sx")
+    g.select(col(groupCol), col("n"),
+      col("sx").cast("string").as("sum_x"),
+      when(col("sx") > 0,
+        num.cast("double") / den.cast("double")).as("gini"))
+  }
+
+  /** EXACT TRIMMED MEAN per group (r16) — the robust location number
+    * for value columns with heavy tails: drop the lowest and highest
+    * ⌊n·num/den⌋ observations BY RANK (deterministic (value, tie)
+    * total order) and average the exact remainder. Ranks ride
+    * [[rankInGroup]] (bucketed two-level, never a group-sized window
+    * partition); the trim count is pure integer arithmetic, the kept
+    * sum an exact decimal, the mean one mirrored IEEE division. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueC: Column,
+                  tieC: Column, trimNum: Int = 1, trimDen: Int = 10,
+                  bucketWidth: Double = 10000.0): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"trimmedMean: trim fraction must be in [0, 1/2): $trimNum/$trimDen")
+    val d38 = DecimalType(38, 0)
+    val base = df.select(col(groupCol), valueC.cast("long").as("__x"),
+      tieC.as("__tie"))
+    val ranked = rankInGroup(base, groupCol, col("__x"), col("__tie"),
+      "__r", bucketWidth)
+    val counts = ranked.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val k = expr(s"(__n * $trimNum) div $trimDen")
+    ranked.join(broadcast(counts), Seq(groupCol))
+      .withColumn("__k", k)
+      .filter(col("__r") > col("__k") && col("__r") <= col("__n") - col("__k"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("__x").cast(d38)).as("__s"))
+      .select(col(groupCol), col("n_kept"),
+        (col("__s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+  }
+
+  /** EXACT PER-GROUP MODE (r16) — the most frequent value with a
+    * deterministic tie rule (highest count, then smallest value): a
+    * per-(group, value) count aggregate, then a rank over that
+    * AGGREGATE relation (bounded by the distinct-value domain, never
+    * the corpus — the R15cSpec window contract). */
+  def modeBy(df: DataFrame, groupCol: String, valueC: Column): DataFrame = {
+    val counts = df.select(col(groupCol), valueC.as("value"))
+      .groupBy(col(groupCol), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(desc("n"), col("value"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("value").as("mode"), col("n"))
+  }
+
+  /** WILSON SCORE INTERVAL per group (r16) — the right confidence
+    * interval for small-n / extreme-p conversion rates (the normal
+    * interval misbehaves at both): exact integer (n, x) per group,
+    * then the textbook chain
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    * as one mirrored IEEE expression tree — sqrt is correctly
+    * rounded, so identical exact inputs give identical doubles on
+    * both engines. z defaults to 1.96 (95%). n = 0 yields NULLs. */
+  def wilsonInterval(df: DataFrame, groupCol: String, successC: Column,
+                     z: Double = 1.96d): DataFrame =
+    wilsonFromTotals(
+      df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(successC.cast("long")).cast("long").as("x")),
+      groupCol, z)
+
+  /** [[wilsonInterval]] over pre-aggregated (group, n, x) totals —
+    * the additive fragment face: (n, x) count pairs sum across
+    * batches/commits, so a streaming drain that commits per-batch
+    * totals reproduces the one-shot interval bit-exactly (the
+    * featureDriftFromCounts contract). Input columns: `n`, `x`. */
+  def wilsonFromTotals(totals: DataFrame, groupCol: String,
+                       z: Double = 1.96d): DataFrame = {
+    val g = totals.groupBy(col(groupCol)).agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("x")).cast("long").as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0d) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0d) - p) / nD +
+      z2 / (lit(4.0d) * nD * nD))
+    val denom = lit(1.0d) + z2 / nD
+    g.select(col(groupCol), col("n"), col("x"),
+      when(col("n") > 0, p).as("p_hat"),
+      when(col("n") > 0, (center - half) / denom).as("wilson_lo"),
+      when(col("n") > 0, (center + half) / denom).as("wilson_hi"))
+  }
+
+  /** GINI–SIMPSON DIVERSITY per group (r16) — the log-free diversity
+    * number (1 − Σp²) a corpus mix report can carry EXACTLY (Shannon
+    * entropy needs ln, which is not cross-engine reproducible — the
+    * q102 rational rule): per-(group, category) counts, then
+    * 1 − Σc²/n² evaluated as the exact rational (n² − Σc²) / n² with
+    * one IEEE division. Widths: c ≤ n ≤ 10¹⁴ as DECIMAL(14,0)
+    * squares (28,0), sums (38,0). */
+  def diversityIndex(df: DataFrame, groupCol: String,
+                     catC: Column): DataFrame =
+    diversityFromCounts(
+      df.select(col(groupCol), catC.as("cat"))
+        .groupBy(col(groupCol), col("cat"))
+        .agg(count(lit(1)).as("c")),
+      groupCol)
+
+  /** [[diversityIndex]] over pre-counted (group, cat, c) fragments —
+    * additive (duplicate (group, cat) rows sum first), so per-batch
+    * category counts committed by a streaming drain fold to the
+    * one-shot answer bit-exactly. Input columns: `cat`, `c`. */
+  def diversityFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val d14 = DecimalType(14, 0)
+    val d38 = DecimalType(38, 0)
+    val counts = frags.groupBy(col(groupCol), col("cat"))
+      .agg(sum(col("c")).cast("long").as("__n"))
+    counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("__n")).cast("long").as("n"),
+        sum((col("__n").cast(d14) * col("__n").cast(d14)).cast(d38))
+          .as("__s2"))
+      .select(col(groupCol), col("n_categories"), col("n"),
+        ((col("n").cast(d14) * col("n").cast(d14) - col("__s2"))
+          .cast("double") /
+          (col("n").cast(d14) * col("n").cast(d14)).cast("double"))
+          .as("diversity"))
+  }
+
+  /** CUMULATIVE GAINS / LIFT TABLE (r16) — the model-eval decile
+    * report (top-scored 10%: how many positives?): rows ranked by
+    * (score desc, tie asc) through [[rankInGroup]] on the NEGATED
+    * quantized score (single population → the constant group key
+    * constant-folds; the rank work is carried by the bucket
+    * dimension, the q262 discipline), decile d = ((r−1)·k) div n + 1,
+    * per-decile positives and the cumulative precision/recall/lift
+    * chains as mirrored IEEE divisions over exact integers. */
+  def cumulativeGains(df: DataFrame, scoreC: Column, labelC: Column,
+                      tieC: Column, k: Int = 10,
+                      bucketWidth: Double = 10000.0): DataFrame = {
+    require(k >= 1, s"cumulativeGains: k must be >= 1, got $k")
+    val base = df.select(lit(1).as("__g"),
+      (-scoreC.cast("long")).as("__negs"),
+      labelC.cast("long").as("__y"), tieC.as("__tie"))
+    val ranked = rankInGroup(base, "__g", col("__negs"), col("__tie"),
+      "__r", bucketWidth)
+    val tot = ranked.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).cast("long").as("__pos"))
+    val dec = ranked.join(broadcast(tot))
+      .withColumn("decile", expr(s"((__r - 1) * $k) div __n") + lit(1L))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__pos")).as("__tot_pos"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the cumulative window runs over the k-row AGGREGATE relation
+    dec
+      .withColumn("cum_rows", sum(col("n_rows")).over(w).cast("long"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w).cast("long"))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        col("cum_rows"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("cum_rows").cast("double"))
+          .as("cum_precision"),
+        when(col("__tot_pos") > 0,
+          col("cum_pos").cast("double") / col("__tot_pos").cast("double"))
+          .as("cum_recall"),
+        when(col("__tot_pos") > 0,
+          (col("cum_pos").cast("double") * col("__n").cast("double")) /
+            (col("cum_rows").cast("double") * col("__tot_pos").cast("double")))
+          .as("cum_lift"))
+  }
 }

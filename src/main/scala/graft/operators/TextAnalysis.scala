@@ -904,4 +904,31 @@ object TextAnalysis {
         count(lit(1)).as("n_shingles"))
       .drop("island")
   }
+
+  /** CHAO1 VOCABULARY-RICHNESS ESTIMATE per group (r16) — "how much
+    * vocabulary does this language/source slice have that we have NOT
+    * yet seen": the bias-corrected Chao1 estimator
+    * D + f₁(f₁−1) / (2(f₂+1)) over whitespace tokens, where D is the
+    * observed distinct-token count and f₁/f₂ the tokens seen exactly
+    * once/twice. The abundance-based form needs only the
+    * (group, token) count relation — ONE vocabulary-bounded aggregate
+    * pass — and the bias-corrected denominator is defined at f₂ = 0,
+    * so no branch. All counts exact integers; the estimate is one
+    * mirrored IEEE chain (the f₁ product runs in doubles, exact to
+    * 2⁵³ — past that a vocabulary has other problems). */
+  def chao1(docs: DataFrame, groupCol: String): DataFrame = {
+    val toks = docs
+      .withColumn("__tok", explode(split(col("text"), " ")))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    toks.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("d_obs"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).cast("long").as("f2"))
+      .select(col(groupCol), col("d_obs"), col("f1"), col("f2"),
+        (col("d_obs").cast("double") +
+          col("f1").cast("double") * (col("f1") - lit(1L)).cast("double") /
+            (lit(2.0d) * (col("f2") + lit(1L)).cast("double"))).as("chao1"))
+  }
 }

@@ -1,0 +1,531 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Qx._
+
+/** Round-16 additions — the reporting/eval layer a training-data
+  * pipeline runs on top of the r13–r15 machinery: exact inequality
+  * and diversity numbers (Gini, Gini–Simpson — the log-free exact
+  * alternatives to entropy), Chao1 vocabulary richness, robust
+  * trimmed means, per-group modes, Wilson intervals (batch + the
+  * streaming fragment face), cumulative-gains deciles for model eval,
+  * exact HITS steps, the asymmetric set-CONTAINMENT join Jaccard
+  * misses, deterministic stratified splits, and the Merkle repair
+  * plan with an in-query apply-and-prove. All oracle-gated; decimal
+  * width budgets mirror DuckDB's hard multiply cap (p1+p2 ≤ 38). */
+object R16Q {
+
+  val queries: Map[String, Q] = Map(
+
+    // EXACT GINI COEFFICIENT (r16): how concentrated is order value
+    // across orders, per priority class — the inequality number a
+    // data-mix report carries. Rank-sum form over exact cents; ranks
+    // ride rankInGroup's bucketed two-level scan (few groups — the
+    // q262 hazard), sums exact decimal, one mirrored IEEE division.
+    // `Stats.giniExact`.
+    "q343_gini_inequality" -> ((s, d) =>
+      graft.operators.Stats.giniExact(
+        Tables.orders(s, d), "o_orderpriority",
+        floor(col("o_totalprice") * lit(100.0)).cast("long"),
+        col("o_orderkey"))
+        .orderBy("o_orderpriority")),
+
+    // CHAO1 VOCABULARY RICHNESS (r16): per language, how much
+    // vocabulary the slice has that we have NOT yet seen — the
+    // bias-corrected abundance estimator D + f1(f1−1)/(2(f2+1)) over
+    // whitespace tokens. One vocabulary-bounded aggregate pass;
+    // counts exact; one mirrored IEEE chain. `TextAnalysis.chao1`.
+    "q344_chao1_vocab" -> ((s, d) =>
+      graft.operators.TextAnalysis.chao1(Tables.documents(s, d), "lang")
+        .orderBy("lang")),
+
+    // EXACT TRIMMED MEAN (r16): the robust per-type value location —
+    // drop the top/bottom 10% BY RANK (deterministic (cents, id)
+    // order via rankInGroup — never a group-sized window), average
+    // the exact remainder. `Stats.trimmedMean`.
+    "q345_trimmed_mean" -> ((s, d) =>
+      graft.operators.Stats.trimmedMean(
+        Tables.events(s, d), "event_type",
+        floor(col("value") * lit(100.0)).cast("long"), col("event_id"))
+        .orderBy("event_type")),
+
+    // PER-GROUP MODE (r16): the most frequent props-k per event type,
+    // ties to the smallest k — a (group, value) count aggregate plus
+    // a rank over that AGGREGATE relation (value-domain bounded).
+    // `Stats.modeBy`.
+    "q346_group_mode" -> ((s, d) =>
+      graft.operators.Stats.modeBy(
+        Tables.events(s, d).withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long")),
+        "event_type", col("k"))
+        .orderBy("event_type")),
+
+    // EXACT HITS STEPS (r16): hub/authority estimates on the q136
+    // synthetic user graph — two unnormalized mutual-reinforcement
+    // steps in integer/decimal arithmetic, engine-exact (the q300
+    // discipline; big columns emitted as canonical digit strings).
+    // Each step one edges⋈scores hash join + a node groupBy.
+    // `LinkAnalysis.hitsExact`.
+    "q347_hits_scores" -> ((s, d) =>
+      graft.operators.LinkAnalysis.hitsExact(
+        Tables.events(s, d).select(
+          col("user_id").as("src"),
+          ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150).as("dst")))
+        .orderBy("node")),
+
+    // SET-CONTAINMENT JOIN (r16): the ASYMMETRIC near-dup relation —
+    // "A is ≥90% inside B" finds boilerplate supersets and
+    // quote-expansions whatever |B| is, which Jaccard's symmetric
+    // union denominator hides. Containment prefix filter (pigeonhole
+    // on the contained side's rarest shingles) + positional residual,
+    // both stages equi joins; exact recount verifies. Recall 1.0 by
+    // theorem — R16Spec holds the brute-force differential.
+    // `Dedup.containmentJoin`.
+    "q348_containment_join" -> ((s, d) =>
+      graft.operators.Dedup.containmentJoin(
+        Tables.documents(s, d), n = 3, minConNum = 9, minConDen = 10)
+        .orderBy("doc_a", "doc_b")),
+
+    // WILSON SCORE INTERVAL (r16): per event type, the share of
+    // low-k events with the confidence interval that behaves at
+    // small n / extreme p. Exact (n, x) integers; the textbook chain
+    // as one mirrored IEEE tree (z constants written as 1.96*1.96 on
+    // both sides so the fold is bit-identical). `Stats.wilsonInterval`.
+    "q349_wilson_ci" -> ((s, d) =>
+      graft.operators.Stats.wilsonInterval(
+        Tables.events(s, d), "event_type",
+        (get_json_object(col("props"), "$.k").cast("long") < 10)
+          .cast("long"))
+        .orderBy("event_type")),
+
+    // GINI–SIMPSON DIVERSITY (r16): per user, the event-type
+    // diversity 1 − Σp² — the log-free diversity number (Shannon
+    // needs ln, which is not cross-engine reproducible): exact
+    // rational (n² − Σc²)/n², one IEEE division.
+    // `Stats.diversityIndex`.
+    "q350_gini_simpson" -> ((s, d) =>
+      graft.operators.Stats.diversityIndex(
+        Tables.events(s, d), "user_id", col("event_type"))
+        .orderBy("user_id")),
+
+    // DETERMINISTIC STRATIFIED SPLIT (r16): exact 80/10/10 per
+    // language — rank within stratum by (md5 hash, id) (the no-RNG
+    // permutation idiom) through rankInGroup, cut by integer
+    // arithmetic: the same doc lands in the same split on any
+    // engine, partitioning, or re-run. `Corpus.stratifiedSplit`.
+    "q351_stratified_split" -> ((s, d) =>
+      graft.operators.Corpus.stratifiedSplit(
+        Tables.documents(s, d), "lang")
+        .orderBy("lang", "doc_id")),
+
+    // CUMULATIVE GAINS / LIFT DECILES (r16): the model-eval decile
+    // table — rows ranked by (cents desc, id) through rankInGroup on
+    // the negated score (the rank work rides the bucket dimension,
+    // q262 discipline), decile by integer arithmetic, cumulative
+    // precision / recall / lift as mirrored divisions over exact
+    // integers. The one-row totals relation rides a broadcast
+    // (q102's embed-the-scalars). `Stats.cumulativeGains`.
+    "q352_lift_deciles" -> ((s, d) =>
+      graft.operators.Stats.cumulativeGains(
+        Tables.events(s, d).withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long")),
+        floor(col("value") * lit(100.0)).cast("long"),
+        (col("k") < 25).cast("long"), col("event_id"), k = 10)
+        .orderBy("decile")),
+
+    // STREAMING WILSON (r16): q349's interval maintained in-stream —
+    // each micro-batch commits its per-type (n, x) COUNT fragment
+    // (kilobytes, additive — the q297 sufficient-statistic idiom);
+    // the read side folds fragments and runs the same chain. A
+    // 4-batch drain must reproduce the batch answer BIT-EXACTLY, so
+    // the oracle is q349's batch SQL. `Stats.wilsonFromTotals`.
+    "q353_stream_wilson" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            when(get_json_object(col("props"), "$.k").cast("long") < 10,
+              1L).otherwise(0L).as("s"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).cast("long").as("x"))
+      }
+      graft.operators.Stats.wilsonFromTotals(frags, "event_type")
+        .orderBy("event_type")
+    }),
+
+    // STREAMING DIVERSITY (r16): q350's index per event type over the
+    // props-k distribution, in-stream — per-batch (type, k, c) count
+    // fragments (additive under summation), read-side fold through
+    // the same exact rational. Oracle = the batch SQL.
+    // `Stats.diversityFromCounts`.
+    "q354_stream_diversity" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("cat"))
+          .groupBy(col("event_type"), col("cat"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.diversityFromCounts(frags, "event_type")
+        .orderBy("event_type")
+    }),
+
+    // MERKLE REPAIR (r16): q342's diff turned into the minimal
+    // reconciliation plan (upsert/insert/delete — DIFF-sized, what an
+    // anti-entropy repairer actually ships), then APPLIED in-query:
+    // b minus (delete ∪ upsert keys) plus a's rows for (upsert ∪
+    // insert) keys must equal a row-for-row — proven by except both
+    // directions (the q310 proof idiom) before the plan is returned.
+    // `Integrity.repairPlan`.
+    "q355_merkle_repair" -> ((s, d) => {
+      val cols = Seq("event_id", "user_id", "event_type", "props")
+      val a = Tables.events(s, d).select(cols.map(col): _*)
+      val bkt = graft.operators.Integrity.bucketExpr("event_id", 64)
+      val b = a.filter(col("event_id") % 49999 =!= 3)
+        .withColumn("props", when(bkt === 3,
+          concat(col("props"), lit(" "))).otherwise(col("props")))
+        .unionByName(a.filter(col("event_id") % 49999 === 5)
+          .withColumn("event_id", col("event_id") + 100000000L))
+      val plan = graft.operators.Integrity.repairPlan(
+        a, b, "event_id", cols, buckets = 64).localCheckpoint(true)
+      val drop = plan.filter(col("action").isin("delete", "upsert"))
+        .select(col("event_id"))
+      val take = plan.filter(col("action").isin("upsert", "insert"))
+        .select(col("event_id"))
+      val repaired = b.join(drop, Seq("event_id"), "left_anti")
+        .unionByName(a.join(take, Seq("event_id"), "left_semi"))
+        .localCheckpoint(true)
+      require(repaired.exceptAll(a).isEmpty && a.exceptAll(repaired).isEmpty,
+        "merkle repair must reconcile b to a exactly")
+      plan.orderBy("event_id")
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // Oracles
+  // ---------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+
+    // mirrors q343: same rank-sum algebra; decimal operand widths
+    // pre-cast down so no multiply exceeds DuckDB's hard 38-digit cap
+    "q343_gini_inequality" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS x,
+        |         o_orderkey AS tie
+        |  FROM orders
+        |), r AS (
+        |  SELECT g, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x, tie)
+        |         AS BIGINT) AS r
+        |  FROM b
+        |), a AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(14,0))) AS DECIMAL(27,0)) AS sx,
+        |    CAST(SUM(CAST(2*r AS DECIMAL(12,0)) * CAST(x AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS srx2
+        |  FROM r GROUP BY g
+        |)
+        |SELECT g AS o_orderpriority, n, CAST(sx AS VARCHAR) AS sum_x,
+        |  CASE WHEN sx > 0 THEN
+        |    CAST(srx2 - CAST(n + 1 AS DECIMAL(11,0)) * sx AS DOUBLE)
+        |      / CAST(CAST(n AS DECIMAL(11,0)) * sx AS DOUBLE)
+        |  END AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "q344_chao1_vocab" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, tok, COUNT(*) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY lang, tok
+        |), a AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_obs,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c GROUP BY lang
+        |)
+        |SELECT lang, d_obs, f1, f2,
+        |  CAST(d_obs AS DOUBLE)
+        |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+        |      / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q345_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS x,
+        |         event_id AS tie
+        |  FROM events
+        |), r AS (
+        |  SELECT g, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x, tie)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM b
+        |), f AS (
+        |  SELECT g, x FROM r
+        |  WHERE r > (n * 1) // 10 AND r <= n - (n * 1) // 10
+        |)
+        |SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+        |FROM f GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "q346_group_mode" ->
+      """WITH k AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS v
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM k GROUP BY event_type, v
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY n DESC, v) AS rn
+        |  FROM c
+        |)
+        |SELECT event_type, v AS mode, n FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "q347_hits_scores" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+        |  FROM events
+        |), a1 AS (
+        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY dst
+        |), h1 AS (
+        |  SELECT e.src, CAST(SUM(CAST(a1.a1 AS DECIMAL(20,0)))
+        |                     AS DECIMAL(38,0)) AS h1
+        |  FROM e JOIN a1 USING (dst) GROUP BY e.src
+        |), a2 AS (
+        |  SELECT e.dst, CAST(SUM(h1.h1) AS DECIMAL(38,0)) AS a2
+        |  FROM e JOIN h1 USING (src) GROUP BY e.dst
+        |), n AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |)
+        |SELECT n.node, COALESCE(a1.a1, 0) AS auth1,
+        |  COALESCE(CAST(h1.h1 AS VARCHAR), '0') AS hub1,
+        |  COALESCE(CAST(a2.a2 AS VARCHAR), '0') AS auth2
+        |FROM n LEFT JOIN a1 ON n.node = a1.dst
+        |       LEFT JOIN h1 ON n.node = h1.src
+        |       LEFT JOIN a2 ON n.node = a2.dst
+        |ORDER BY node""".stripMargin,
+
+    // mirrors q348: the quadratic containment definition itself — the
+    // prefix+positional filters are exact necessary conditions, so
+    // hash identity proves recall 1.0 on this corpus
+    "q348_containment_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS g(i)
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+        |         AS containment
+        |FROM inter i
+        |JOIN sz sa ON i.doc_a = sa.doc_id
+        |JOIN sz sb ON i.doc_b = sb.doc_id
+        |WHERE i.inter * 10 >= sa.sz * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q349_wilson_ci" -> wilsonSql,
+
+    "q350_gini_simpson" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id, event_type
+        |), g AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(14,0)) * CAST(cnt AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS s2
+        |  FROM c GROUP BY user_id
+        |)
+        |SELECT user_id, n_categories, n,
+        |  CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0)) - s2
+        |       AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0))
+        |           AS DOUBLE) AS diversity
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q351_stratified_split" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) AS hh
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM h
+        |)
+        |SELECT lang, doc_id, r, n,
+        |  CASE WHEN r <= (n * 8) // 10 THEN 'train'
+        |       WHEN r <= (n * 9) // 10 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY lang, doc_id""".stripMargin,
+
+    "q352_lift_deciles" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value * 100.0) AS BIGINT) AS cents,
+        |    CASE WHEN CAST(props->>'$.k' AS BIGINT) < 25
+        |         THEN 1 ELSE 0 END AS y,
+        |    event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, event_id)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(y) OVER () AS BIGINT) AS tot_pos
+        |  FROM b
+        |), d AS (
+        |  SELECT ((r - 1) * 10) // n + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    MAX(n) AS n, MAX(tot_pos) AS tot_pos
+        |  FROM r GROUP BY ((r - 1) * 10) // n + 1
+        |), c AS (
+        |  SELECT decile, n_rows, n_pos,
+        |    CAST(SUM(n_rows) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+        |    n, tot_pos
+        |  FROM d
+        |)
+        |SELECT decile, n_rows, n_pos, cum_rows, cum_pos,
+        |  CAST(cum_pos AS DOUBLE) / CAST(cum_rows AS DOUBLE)
+        |    AS cum_precision,
+        |  CASE WHEN tot_pos > 0 THEN
+        |    CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+        |  END AS cum_recall,
+        |  CASE WHEN tot_pos > 0 THEN
+        |    (CAST(cum_pos AS DOUBLE) * CAST(n AS DOUBLE))
+        |      / (CAST(cum_rows AS DOUBLE) * CAST(tot_pos AS DOUBLE))
+        |  END AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin,
+
+    // q353 drains to the same totals q349 aggregates one-shot — the
+    // fragments are additive, so the oracle IS the batch SQL
+    "q353_stream_wilson" -> wilsonSql,
+
+    "q354_stream_diversity" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS cat,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY event_type, cat
+        |), g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(14,0)) * CAST(cnt AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS s2
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT event_type, n_categories, n,
+        |  CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0)) - s2
+        |       AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0))
+        |           AS DOUBLE) AS diversity
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // mirrors q355: the direct by-key diff (q342's oracle) with the
+    // status→action mapping; the in-query apply-and-prove needs no
+    // oracle leg — a failed proof fails the query loudly
+    "q355_merkle_repair" ->
+      """WITH bb AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CASE WHEN CAST(('0x' ||
+        |                substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |                AS BIGINT) % 64 = 3
+        |              THEN props || ' ' ELSE props END AS props
+        |  FROM events WHERE event_id % 49999 <> 3
+        |  UNION ALL
+        |  SELECT event_id + 100000000, user_id, event_type, props
+        |  FROM events WHERE event_id % 49999 = 5
+        |), ha AS (
+        |  SELECT event_id, md5(concat_ws('|',
+        |    COALESCE(CAST(event_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(user_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(event_type AS VARCHAR), '∅'),
+        |    COALESCE(CAST(props AS VARCHAR), '∅'))) AS h
+        |  FROM events
+        |), hb AS (
+        |  SELECT event_id, md5(concat_ws('|',
+        |    COALESCE(CAST(event_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(user_id AS VARCHAR), '∅'),
+        |    COALESCE(CAST(event_type AS VARCHAR), '∅'),
+        |    COALESCE(CAST(props AS VARCHAR), '∅'))) AS h
+        |  FROM bb
+        |)
+        |SELECT COALESCE(ha.event_id, hb.event_id) AS event_id,
+        |       CASE WHEN ha.h IS NULL THEN 'delete'
+        |            WHEN hb.h IS NULL THEN 'insert'
+        |            ELSE 'upsert' END AS action
+        |FROM ha FULL OUTER JOIN hb ON ha.event_id = hb.event_id
+        |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
+        |ORDER BY event_id""".stripMargin
+  )
+
+  /** q349/q353 share this batch SQL — the streaming drain commits
+    * additive (n, x) fragments whose fold equals the one-shot totals
+    * bit-exactly. z² is written CAST(1.96 AS DOUBLE)*CAST(1.96 AS
+    * DOUBLE), NOT 3.8416 and not bare 1.96*1.96: DuckDB folds bare
+    * decimal literals in exact decimal (3.8416) whose double image
+    * differs from the IEEE product double(1.96)² by one ulp —
+    * measured, not hypothetical. */
+  private lazy val wilsonSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CASE WHEN CAST(props->>'$.k' AS BIGINT) < 10
+      |         THEN 1 ELSE 0 END AS s
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(s) AS BIGINT) AS x
+      |  FROM b GROUP BY event_type
+      |)
+      |SELECT event_type, n, x,
+      |  CASE WHEN n > 0 THEN
+      |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END AS p_hat,
+      |  CASE WHEN n > 0 THEN
+      |    ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE)))
+      |     - 1.96 * sqrt(
+      |         CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |           * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / CAST(n AS DOUBLE)
+      |         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+      |           / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE))
+      |  END AS wilson_lo,
+      |  CASE WHEN n > 0 THEN
+      |    ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n AS DOUBLE)))
+      |     + 1.96 * sqrt(
+      |         CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+      |           * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / CAST(n AS DOUBLE)
+      |         + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+      |           / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n AS DOUBLE))
+      |  END AS wilson_hi
+      |FROM g ORDER BY event_type""".stripMargin
+}

@@ -32,7 +32,10 @@ object PlanAuditSets {
     "q103_dedup_clusters", "q110_chain_clusters",
     "q120_ivf_kmeans", "q123_neardup_kmeans",
     "q126_canonical_docs", "q128_training_pipeline",
-    "q146_pagerank_converged", "q152_image_clusters")
+    "q146_pagerank_converged", "q152_image_clusters",
+    // r16: streaming drains + the merkle repair's in-query
+    // apply-and-prove (localCheckpoint + except proof at build)
+    "q353_stream_wilson", "q354_stream_diversity", "q355_merkle_repair")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
@@ -147,7 +150,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the ONE-ROW fragment grand total broadcast into the
     // type-vocabulary-sized count relation (q297's stream-fragment
     // pattern)
-    "q319_stream_heavy")
+    "q319_stream_heavy",
+    // q352 (r16): the (n, tot_pos) grand-totals row — a ONE-ROW
+    // broadcast cross-joined into the ranked projection (q102's
+    // embed-the-scalars pattern); the rank itself is rankInGroup's
+    // bucketed two-level scan, all hash joins
+    "q352_lift_deciles")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

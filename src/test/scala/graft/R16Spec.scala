@@ -1,0 +1,325 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup, Integrity, LinkAnalysis, Stats, TextAnalysis}
+
+/** Differential pins for the r16 operator batch — every operator
+  * replayed against an independent Scala implementation on seeded
+  * random data (the R13/R14/R15 differential discipline), plus the
+  * fragment-additivity and recall-1.0 contracts the streaming and
+  * containment faces rely on. */
+class R16Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- giniExact ----------------
+
+  test("giniExact ≡ rank-sum replay; all-zero group yields NULL gini") {
+    val rnd = new scala.util.Random(1601)
+    val rows = (1 to 2000).map(i =>
+      (s"g${i % 3}", rnd.nextInt(50).toLong * 25, i.toLong)) ++
+      (1 to 40).map(i => ("gz", 0L, 10000L + i)) // all-zero group
+    val out = Stats.giniExact(rows.toDF("g", "x", "tie"), "g",
+        col("x"), col("tie"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.size.toLong
+      val sx = sorted.map(BigInt(_)).sum
+      val srx = sorted.zipWithIndex
+        .map { case (x, i) => BigInt(i + 1) * 2 * x }.sum
+      val expect =
+        if (sx == 0) None
+        else Some((srx - BigInt(n + 1) * sx).toDouble /
+          (BigInt(n) * sx).toDouble)
+      val (gn, gsx, gg) = out(g)
+      assert(gn == n && BigInt(gsx) == sx)
+      assert(gg == expect, s"group $g gini")
+    }
+  }
+
+  // ---------------- chao1 ----------------
+
+  test("chao1 ≡ abundance replay") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hh",
+      "iii", "jj", "kk", "lm", "nop", "qr", "st")
+    val docs = (1 to 80).map { i =>
+      (i.toLong, (1 to rnd.nextInt(12) + 1)
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"lang${i % 2}")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.chao1(docs, "lang").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    docs.collect().map(r => (r.getString(2), r.getString(1)))
+      .groupBy(_._1).foreach { case (lang, ds) =>
+        val counts = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val d = counts.size.toLong
+        val f1 = counts.values.count(_ == 1L).toLong
+        val f2 = counts.values.count(_ == 2L).toLong
+        val expect = d.toDouble +
+          f1.toDouble * (f1 - 1L).toDouble / (2.0 * (f2 + 1L).toDouble)
+        assert(out(lang) == ((d, f1, f2, expect)), s"lang $lang")
+      }
+  }
+
+  // ---------------- trimmedMean ----------------
+
+  test("trimmedMean ≡ sorted-drop replay across trim fractions") {
+    val rnd = new scala.util.Random(1603)
+    val rows = (1 to 1500).map(i =>
+      (s"g${i % 4}", rnd.nextInt(1000).toLong - 200, i.toLong))
+    Seq((1, 10), (1, 4), (0, 5)).foreach { case (tn, td) =>
+      val out = Stats.trimmedMean(rows.toDF("g", "x", "tie"), "g",
+          col("x"), col("tie"), trimNum = tn, trimDen = td,
+          bucketWidth = 97.0)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        val k = (sorted.size * tn) / td
+        val kept = sorted.slice(k, sorted.size - k)
+        val expect = kept.map(BigInt(_)).sum.toDouble / kept.size.toDouble
+        assert(out(g) == ((kept.size.toLong, expect)),
+          s"group $g trim $tn/$td")
+      }
+    }
+  }
+
+  // ---------------- modeBy ----------------
+
+  test("modeBy: highest count wins, ties to the smallest value") {
+    val rows = Seq(
+      ("a", 5L), ("a", 5L), ("a", 3L), ("a", 3L), ("a", 9L), // tie 5 vs 3
+      ("b", 7L), ("b", 1L), ("b", 7L),
+      ("c", -2L), ("c", -2L), ("c", -9L), ("c", -9L)) // tie → -9
+    val out = Stats.modeBy(rows.toDF("g", "v"), "g", col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map("a" -> (3L, 2L), "b" -> (7L, 2L), "c" -> (-9L, 2L)))
+  }
+
+  // ---------------- wilsonInterval ----------------
+
+  test("wilsonInterval ≡ scalar chain replay; fragments fold bit-exactly") {
+    val rnd = new scala.util.Random(1605)
+    val rows = (1 to 900).map(i =>
+      (s"g${i % 3}", if (rnd.nextInt(7) == 0) 1L else 0L))
+    val df = rows.toDF("g", "s")
+    val out = Stats.wilsonInterval(df, "g", col("s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.size.toDouble
+      val x = rs.map(_._2).sum.toDouble
+      val p = x / n
+      val z2 = 1.96 * 1.96
+      val center = p + z2 / (2.0 * n)
+      val half = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+      val denom = 1.0 + z2 / n
+      val (gn, gx, gp, glo, ghi) = out(g)
+      assert((gn, gx) == ((rs.size.toLong, rs.map(_._2).sum)))
+      assert(gp == p && glo == (center - half) / denom &&
+        ghi == (center + half) / denom, s"group $g")
+    }
+    // additivity: arbitrary 5-way fragmenting of (n, x) totals
+    val frags = rows.zipWithIndex
+      .map { case ((g, s), i) => (g, s, i % 5) }
+      .toDF("g", "s", "part")
+      .groupBy(col("part"), col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).cast("long").as("x"))
+      .drop("part")
+    val folded = Stats.wilsonFromTotals(frags, "g")
+      .collect().map(_.toSeq).toSet
+    val oneShot = Stats.wilsonInterval(df, "g", col("s"))
+      .collect().map(_.toSeq).toSet
+    assert(folded == oneShot, "fragmented totals drifted from one-shot")
+  }
+
+  // ---------------- diversityIndex ----------------
+
+  test("diversityIndex ≡ rational replay; count fragments fold bit-exactly") {
+    val rnd = new scala.util.Random(1606)
+    val rows = (1 to 1200).map(i =>
+      (s"g${i % 3}", s"c${rnd.nextInt(6)}"))
+    val df = rows.toDF("g", "cat")
+    val out = Stats.diversityIndex(df, "g", col("cat")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val cnts = rs.groupBy(_._2).view.mapValues(_.size.toLong).values.toSeq
+      val n = cnts.sum
+      val s2 = cnts.map(c => BigInt(c) * BigInt(c)).sum
+      val expect = (BigInt(n) * BigInt(n) - s2).toDouble /
+        (BigInt(n) * BigInt(n)).toDouble
+      assert(out(g) == ((cnts.size.toLong, n, expect)), s"group $g")
+    }
+    val frags = rows.zipWithIndex
+      .map { case ((g, c), i) => (g, c, i % 4) }
+      .toDF("g", "cat", "part")
+      .groupBy(col("part"), col("g"), col("cat"))
+      .agg(count(lit(1)).as("c"))
+      .drop("part")
+    val folded = Stats.diversityFromCounts(frags, "g")
+      .collect().map(_.toSeq).toSet
+    assert(folded == Stats.diversityIndex(df, "g", col("cat"))
+      .collect().map(_.toSeq).toSet)
+  }
+
+  // ---------------- cumulativeGains ----------------
+
+  test("cumulativeGains ≡ sorted-decile replay, tie-heavy scores") {
+    val rnd = new scala.util.Random(1607)
+    val rows = (1 to 1000).map(i =>
+      (rnd.nextInt(40).toLong * 5, // heavy score ties
+        if (rnd.nextInt(4) == 0) 1L else 0L, i.toLong))
+    val out = Stats.cumulativeGains(rows.toDF("score", "y", "tie"),
+        col("score"), col("y"), col("tie"), k = 10, bucketWidth = 13.0)
+      .orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val sorted = rows.sortBy(r => (-r._1, r._3))
+    val n = sorted.size
+    val totPos = sorted.map(_._2).sum
+    val byDec = sorted.zipWithIndex
+      .groupBy { case (_, i) => (i.toLong * 10) / n + 1 }
+    val expect = byDec.toSeq.sortBy(_._1).scanLeft(
+      (0L, 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cr0, cp0, _, _, _), (d, rs)) =>
+        val nr = rs.size.toLong
+        val np = rs.map(_._1._2).sum
+        val (cr, cp) = (cr0 + nr, cp0 + np)
+        (d, nr, np, cr, cp,
+          cp.toDouble / cr.toDouble,
+          cp.toDouble / totPos.toDouble,
+          (cp.toDouble * n.toDouble) / (cr.toDouble * totPos.toDouble))
+    }.tail
+    assert(out.toSeq == expect)
+  }
+
+  // ---------------- hitsExact ----------------
+
+  test("hitsExact ≡ adjacency replay on a seeded random digraph") {
+    val rnd = new scala.util.Random(1608)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)).distinct
+    val out = LinkAnalysis.hitsExact(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), BigInt(r.getString(2)), BigInt(r.getString(3))))
+      .toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val a1 = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val h1 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => BigInt(a1(e._2))).sum).toMap
+    val a2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => h1.getOrElse(e._1, BigInt(0))).sum).toMap
+    nodes.foreach { v =>
+      assert(out(v) == ((a1.getOrElse(v, 0L),
+        h1.getOrElse(v, BigInt(0)), a2.getOrElse(v, BigInt(0)))),
+        s"node $v")
+    }
+    assert(out.keySet == nodes.toSet)
+  }
+
+  // ---------------- containmentJoin ----------------
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  test("containmentJoin ≡ brute-force all-pairs, planted supersets") {
+    val rnd = new scala.util.Random(1609)
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until (8 + rnd.nextInt(15)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted: doc 100+i = doc i's text embedded in a longer doc
+    // (high containment of i in 100+i, low the other way)
+    val planted = (0 until 12).map { i =>
+      val pad = (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      (100L + i, base(i)._2 + " " + pad)
+    }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = (base ++ planted).map { case (id, t) => id -> shingleSet(t) }
+      .filter(_._2.nonEmpty).toMap
+    Seq((9, 10), (3, 5)).foreach { case (num, den) =>
+      val brute = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b
+        inter = (sa intersect sb).size.toLong
+        if inter > 0 && inter * den >= sa.size.toLong * num
+      } yield (a, b) -> (inter, sa.size.toLong, sb.size.toLong)).toMap
+      val got = Dedup.containmentJoin(docs, n = 3, minConNum = num,
+          minConDen = den)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == brute,
+        s"threshold $num/$den: missed ${brute.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- brute.keySet}")
+    }
+  }
+
+  // ---------------- stratifiedSplit ----------------
+
+  test("stratifiedSplit: exact per-stratum proportions, repartition-proof") {
+    val docs = (1 to 500).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.stratifiedSplit(docs, "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4)))
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      val n = rows.size
+      val byS = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(byS("train") == n * 8 / 10, s"$g train")
+      assert(byS.getOrElse("val", 0) == n * 9 / 10 - n * 8 / 10, s"$g val")
+      assert(byS.getOrElse("test", 0) == n - n * 9 / 10, s"$g test")
+    }
+    val re = Corpus.stratifiedSplit(docs.repartition(7), "lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(4)))
+    assert(re.sortBy(r => (r._1, r._2)).toSeq ==
+      out.sortBy(r => (r._1, r._2)).toSeq,
+      "split assignment changed under repartition")
+  }
+
+  // ---------------- repairPlan ----------------
+
+  test("repairPlan: applying the plan reconciles b to a on random damage") {
+    val rnd = new scala.util.Random(1611)
+    val a = (1L to 600L).map(k => (k, s"v${rnd.nextInt(100)}"))
+    val b = a.filter(_._1 % 53 != 5) // deletions from b = only_a → insert
+      .map { case (k, v) => if (k % 41 == 7) (k, v + "!") else (k, v) }
+      .++((9001L to 9004L).map(k => (k, "extra"))) // only_b → delete
+    val adf = a.toDF("k", "v").localCheckpoint(true)
+    val bdf = b.toDF("k", "v").localCheckpoint(true)
+    val plan = Integrity.repairPlan(adf, bdf, "k", Seq("k", "v"),
+      buckets = 16).localCheckpoint(true)
+    val acts = plan.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected actions from the direct diff
+    val am = a.toMap; val bm = b.toMap
+    val expect =
+      (am.keySet -- bm.keySet).map(_ -> "insert") ++
+        (bm.keySet -- am.keySet).map(_ -> "delete") ++
+        (am.keySet intersect bm.keySet)
+          .filter(k => am(k) != bm(k)).map(_ -> "upsert")
+    assert(acts == expect.toMap)
+    // applying it yields a exactly
+    val drop = plan.filter(col("action").isin("delete", "upsert"))
+      .select(col("k"))
+    val take = plan.filter(col("action").isin("upsert", "insert"))
+      .select(col("k"))
+    val repaired = bdf.join(drop, Seq("k"), "left_anti")
+      .unionByName(adf.join(take, Seq("k"), "left_semi"))
+    assert(repaired.exceptAll(adf).isEmpty && adf.exceptAll(repaired).isEmpty)
+  }
+}
