@@ -643,6 +643,28 @@ object Corpus {
     * arithmetic, so the SAME doc lands in the SAME split on any
     * engine, partitioning, or re-run — the reproducibility contract
     * an experiment pipeline needs. */
+  /** DETERMINISTIC HASH-THRESHOLD SPLIT (r16) — [[stratifiedSplit]]'s
+    * GROWTH-STABLE sibling: split = pure function of the id
+    * (md5-prefix mod `den` against cumulative thresholds), so a doc's
+    * assignment NEVER changes as the corpus grows — the contract an
+    * incremental training pipeline needs (rank-based stratified
+    * splits re-deal assignments when n changes; hash splits hold
+    * proportions only in md5-expectation). Row-level map, no shuffle
+    * at all. q358 proves the stability in-query. */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+                trainNum: Int = 8, valNum: Int = 9,
+                den: Int = 10): DataFrame = {
+    require(0 < trainNum && trainNum <= valNum && valNum <= den,
+      s"hashSplit: need 0 < train <= val <= den: $trainNum/$valNum/$den")
+    val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(den.toLong))
+    docs.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainNum, lit("train"))
+          .when(col("bucket") < valNum, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   def stratifiedSplit(docs: DataFrame, strataCol: String,
                       idCol: String = "doc_id",
                       trainNum: Int = 8, valNum: Int = 9,

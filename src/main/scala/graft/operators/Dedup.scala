@@ -692,4 +692,71 @@ object Dedup {
         (col("inter").cast("double") / col("sz_a").cast("double"))
           .as("containment"))
   }
+
+  /** INCREMENTAL [[containmentJoin]] (r16) — the per-crawl-batch
+    * admission screen at DELTA cost: every pair where an INCOMING
+    * document is ≥ t contained in ANY document (corpus or the same
+    * batch), without re-running the corpus-internal join. The global
+    * prefix order is FROZEN on the CORPUS document frequencies
+    * (unseen shingles → df 0, rarest-first — the q333 index design);
+    * the containment prefix theorem holds under ANY total order
+    * (pigeonhole needs only |A| − o_min + 1 DISTINCT shingles of A),
+    * and the exact verify recount makes the output order-independent
+    * — so the incremental result equals the full-union recompute
+    * restricted to incoming contained-sides BIT-EXACTLY (q360 proves
+    * that equality in-query). Prefixes come from the BATCH side only;
+    * the candidate space tracks the batch, never corpus². */
+  def containmentJoinAgainst(incoming: DataFrame, corpus: DataFrame,
+                             n: Int = 3, minConNum: Int = 9,
+                             minConDen: Int = 10): DataFrame = {
+    require(minConNum > 0 && minConDen >= minConNum,
+      s"containmentJoinAgainst: bad threshold $minConNum/$minConDen")
+    val shI = shingles(incoming, n).localCheckpoint(true)
+    val shC = shingles(corpus, n).localCheckpoint(true)
+    val overlap = shI.select(col("doc_id")).distinct()
+      .join(shC.select(col("doc_id")).distinct(), "doc_id").head(1)
+    require(overlap.isEmpty,
+      "containmentJoinAgainst: incoming and corpus doc ids overlap")
+    val dfC = shC.groupBy(col("shingle")).agg(count(lit(1)).as("__dfc"))
+    val shAll = shI.unionAll(shC).localCheckpoint(true)
+    val szs = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df"), col("shingle"))
+    val pos = shAll.join(dfC, Seq("shingle"), "left")
+      .withColumn("__df", coalesce(col("__dfc"), lit(0L)))
+      .join(szs, "doc_id")
+      .withColumn("__pos", row_number().over(wDoc))
+      .select(col("doc_id"), col("shingle"), col("__pos"), col("__sz"))
+      .localCheckpoint(true)
+    val incIds = shI.select(col("doc_id")).distinct()
+    val oMin = expr(s"($minConNum * __sz + ${minConDen - 1}) div $minConDen")
+    val pref = pos.join(incIds, "doc_id") // prefixes from the batch only
+      .withColumn("__omin", oMin)
+      .filter(col("__pos") <= col("__sz") - col("__omin") + lit(1))
+      .select(col("doc_id"), col("shingle"), col("__pos"),
+        col("__sz"), col("__omin"))
+    val cand = pref.alias("a")
+      .join(pos.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (lit(1) + least(col("a.__sz") - col("a.__pos"),
+            col("b.__sz") - col("b.__pos"))) >= col("a.__omin"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val x = shAll.select(col("doc_id").as("doc_a"), col("shingle"))
+    val y = shAll.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(x, Seq("doc_a"))
+      .join(y, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szs.select(col("doc_id").as("doc_a"), col("__sz").as("sz_a")),
+        "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("__sz").as("sz_b")),
+        "doc_b")
+      .filter(col("inter") * minConDen >= col("sz_a") * minConNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        (col("inter").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
+  }
 }

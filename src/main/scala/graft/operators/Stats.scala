@@ -1344,15 +1344,69 @@ object Stats {
     * per-(group, value) count aggregate, then a rank over that
     * AGGREGATE relation (bounded by the distinct-value domain, never
     * the corpus — the R15cSpec window contract). */
-  def modeBy(df: DataFrame, groupCol: String, valueC: Column): DataFrame = {
-    val counts = df.select(col(groupCol), valueC.as("value"))
-      .groupBy(col(groupCol), col("value"))
-      .agg(count(lit(1)).as("n"))
+  def modeBy(df: DataFrame, groupCol: String, valueC: Column): DataFrame =
+    modeFromCounts(
+      df.select(col(groupCol), valueC.as("value"))
+        .groupBy(col(groupCol), col("value"))
+        .agg(count(lit(1)).as("c")),
+      groupCol)
+
+  /** [[modeBy]] over pre-counted (group, value, c) fragments —
+    * additive (duplicate (group, value) rows sum first), so per-batch
+    * value counts committed by a streaming drain fold to the one-shot
+    * mode bit-exactly. Input columns: `value`, `c`. */
+  def modeFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val counts = frags.groupBy(col(groupCol), col("value"))
+      .agg(sum(col("c")).cast("long").as("n"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(desc("n"), col("value"))
     counts.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(groupCol), col("value").as("mode"), col("n"))
+  }
+
+  /** COCHRAN–ARMITAGE TREND TEST (r16) — "does the success rate move
+    * MONOTONICALLY with an ordered dose" (quality band, size decile,
+    * price tier), the ordered counterpart of the q336 two-proportion
+    * z-test. Input: per-row (dose ∈ 0..k integer, success ∈ 0/1).
+    * The statistic is assembled from six exact integer sums (one
+    * dose-bounded aggregate pass): with N = Σn, X = Σx over doses,
+    * T' = N·Σwx − X·Σwn and z = T' / √(X(N−X)(N·Σw²n − (Σwn)²) / N),
+    * every operand exact decimal up to the final mirrored IEEE
+    * chain. Zero variance (all one dose, or X ∈ {0, N}) → NULL z
+    * (the q230 engine-disagreement rule). T' is emitted as a
+    * canonical digit string (it exceeds int64 at corpus scale).
+    * Width budget under DuckDB's multiply cap: doses ≤ 999 as (3,0),
+    * counts ≤ 10¹⁴ as (14,0)/(17,0), every product ≤ (18,0)+(17,0). */
+  def trendTest(df: DataFrame, doseC: Column, successC: Column): DataFrame = {
+    val d14 = DecimalType(14, 0)
+    val d17 = DecimalType(17, 0)
+    val per = df.select(doseC.cast("long").as("w"),
+        successC.cast("long").as("s"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"),
+        sum(col("s")).cast("long").as("x"))
+    val g = per.agg(
+      sum(col("n")).cast(d14).as("nn"),
+      sum(col("x")).cast(d14).as("xx"),
+      sum((col("w").cast(DecimalType(3, 0)) * col("x").cast(d14))
+        .cast(d17)).cast(d17).as("swx"),
+      sum((col("w").cast(DecimalType(3, 0)) * col("n").cast(d14))
+        .cast(d17)).cast(d17).as("swn"),
+      sum((col("w").cast(DecimalType(3, 0)) * col("w").cast(DecimalType(3, 0)) *
+        col("n").cast(d14)).cast(DecimalType(20, 0)))
+        .cast(DecimalType(20, 0)).as("sw2n"))
+    val tPrime = (col("nn") * col("swx")).cast(DecimalType(38, 0)) -
+      (col("xx") * col("swn")).cast(DecimalType(38, 0))
+    val b = (col("xx") * (col("nn") - col("xx"))).cast(DecimalType(29, 0))
+    val c = (col("nn") * col("sw2n")).cast(DecimalType(38, 0)) -
+      (col("swn") * col("swn")).cast(DecimalType(38, 0))
+    g.select(col("nn").cast("long").as("n"),
+        col("xx").cast("long").as("x"),
+        tPrime.cast("string").as("t_scaled"),
+        when(b > 0 && c > 0,
+          tPrime.cast("double") /
+            sqrt((b.cast("double") * c.cast("double")) /
+              col("nn").cast("double"))).as("z"))
   }
 
   /** WILSON SCORE INTERVAL per group (r16) — the right confidence

@@ -199,6 +199,92 @@ object R16Q {
       require(repaired.exceptAll(a).isEmpty && a.exceptAll(repaired).isEmpty,
         "merkle repair must reconcile b to a exactly")
       plan.orderBy("event_id")
+    }),
+
+    // STREAMING MODE (r16): q346's per-type mode maintained in-stream
+    // — per-batch (type, k, c) count fragments (additive), read-side
+    // fold re-ranks the merged counts. Oracle = q346's batch SQL.
+    // `Stats.modeFromCounts`.
+    "q356_stream_mode" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("value"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.modeFromCounts(frags, "event_type")
+        .orderBy("event_type")
+    }),
+
+    // COCHRAN–ARMITAGE TREND TEST (r16): does the high-value-event
+    // rate move monotonically with the props-k quartile — the ordered
+    // counterpart of q336's two-proportion z-test. Six exact integer
+    // sums, one dose-bounded aggregate pass, one mirrored IEEE chain;
+    // T′ emitted as a canonical digit string. `Stats.trendTest`.
+    "q357_trend_test" -> ((s, d) =>
+      graft.operators.Stats.trendTest(
+        Tables.events(s, d),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25"),
+        (floor(col("value") * lit(100.0)).cast("long") > 50000L)
+          .cast("long"))),
+
+    // HASH-THRESHOLD SPLIT + GROWTH-STABILITY PROOF (r16): the
+    // growth-STABLE split design (assignment = pure function of the
+    // id) vs q351's exact-proportion rank split (which re-deals when
+    // n changes). The query PROVES the stability contract in-query:
+    // splitting the corpus-minus-batch must assign every surviving
+    // doc identically to splitting the full corpus. `Corpus.hashSplit`.
+    "q358_stable_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val full = graft.operators.Corpus.hashSplit(docs)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .localCheckpoint(true)
+      val pre = graft.operators.Corpus.hashSplit(
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("bucket").as("b0"),
+          col("split").as("split0"))
+        .localCheckpoint(true)
+      require(full.join(pre, "doc_id")
+        .filter(col("split") =!= col("split0") ||
+          col("bucket") =!= col("b0")).isEmpty,
+        "hash split must be stable under corpus growth")
+      full.orderBy("doc_id")
+    }),
+
+    // CHARACTER DIVERSITY (r16): per-doc Gini–Simpson over the first
+    // 200 characters — the log-free gibberish/low-entropy-text signal
+    // (a run of one repeated character scores ~0, natural text high).
+    // Exact rational; the per-char explode is bounded at 200 rows per
+    // doc. `Stats.diversityIndex`.
+    "q359_char_diversity" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .withColumn("i", explode(sequence(lit(1),
+          least(length(col("text")), lit(200)))))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      graft.operators.Stats.diversityIndex(ch, "doc_id", col("ch"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL CONTAINMENT (r16): q348's admission screen per
+    // crawl batch at DELTA cost — prefixes from the BATCH side only,
+    // global order frozen on the CORPUS document frequencies (the
+    // q333 index design; the containment prefix theorem holds under
+    // ANY total order, and the exact verify recount makes the output
+    // order-independent). The query PROVES bit-identity to the full
+    // recompute restricted to incoming contained-sides, then returns
+    // the incremental result. `Dedup.containmentJoinAgainst`.
+    "q360_containment_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val got = graft.operators.Dedup.containmentJoinAgainst(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint(true)
+      val full = graft.operators.Dedup.containmentJoin(docs)
+        .filter(col("doc_a") % 5 === 0).localCheckpoint(true)
+      require(got.except(full).isEmpty && full.except(got).isEmpty,
+        "incremental containment must equal the full recompute")
+      got.orderBy("doc_a", "doc_b")
     })
   )
 
@@ -445,6 +531,128 @@ object R16Q {
         |    / CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0))
         |           AS DOUBLE) AS diversity
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // q356 drains to the same (type, value) counts q346 aggregates
+    // one-shot — the fragments are additive, so the oracle IS q346's
+    "q356_stream_mode" ->
+      """WITH k AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS v
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM k GROUP BY event_type, v
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |                               ORDER BY n DESC, v) AS rn
+        |  FROM c
+        |)
+        |SELECT event_type, v AS mode, n FROM r WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // mirrors q357: same six exact sums, same width budget (every
+    // multiply inside DuckDB's p1+p2 <= 38 cap), same IEEE chain
+    "q357_trend_test" ->
+      """WITH b AS (
+        |  SELECT CAST(props->>'$.k' AS BIGINT) // 25 AS w,
+        |    CASE WHEN CAST(floor(value * 100.0) AS BIGINT) > 50000
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |), per AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(s) AS BIGINT) AS x
+        |  FROM b GROUP BY w
+        |), g AS (
+        |  SELECT CAST(SUM(n) AS DECIMAL(14,0)) AS nn,
+        |    CAST(SUM(x) AS DECIMAL(14,0)) AS xx,
+        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(x AS DECIMAL(14,0)))
+        |         AS DECIMAL(17,0)) AS swx,
+        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(n AS DECIMAL(14,0)))
+        |         AS DECIMAL(17,0)) AS swn,
+        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(w AS DECIMAL(3,0))
+        |             * CAST(n AS DECIMAL(14,0)))
+        |         AS DECIMAL(20,0)) AS sw2n
+        |  FROM per
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(xx AS BIGINT) AS x,
+        |  CAST(CAST(nn * swx AS DECIMAL(38,0))
+        |       - CAST(xx * swn AS DECIMAL(38,0)) AS VARCHAR) AS t_scaled,
+        |  CASE WHEN CAST(xx * (nn - xx) AS DECIMAL(29,0)) > 0
+        |        AND CAST(nn * sw2n AS DECIMAL(38,0))
+        |            - CAST(swn * swn AS DECIMAL(38,0)) > 0 THEN
+        |    CAST(CAST(nn * swx AS DECIMAL(38,0))
+        |         - CAST(xx * swn AS DECIMAL(38,0)) AS DOUBLE)
+        |      / sqrt((CAST(CAST(xx * (nn - xx) AS DECIMAL(29,0)) AS DOUBLE)
+        |              * CAST(CAST(nn * sw2n AS DECIMAL(38,0))
+        |                     - CAST(swn * swn AS DECIMAL(38,0)) AS DOUBLE))
+        |             / CAST(nn AS DOUBLE))
+        |  END AS z
+        |FROM g""".stripMargin,
+
+    // mirrors q358: the pure md5-threshold assignment; the in-query
+    // growth-stability proof needs no oracle leg
+    "q358_stable_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) % 10 AS bucket,
+        |  CASE WHEN CAST(('0x' ||
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 10 < 8 THEN 'train'
+        |       WHEN CAST(('0x' ||
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q359_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+        |  FROM documents,
+        |       UNNEST(generate_series(1, least(len(text), 200))) AS g(i)
+        |  WHERE len(text) >= 1
+        |), c AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ch GROUP BY doc_id, ch
+        |), g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_categories,
+        |    CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(14,0)) * CAST(cnt AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS s2
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_categories, n,
+        |  CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0)) - s2
+        |       AS DOUBLE)
+        |    / CAST(CAST(n AS DECIMAL(14,0)) * CAST(n AS DECIMAL(14,0))
+        |           AS DOUBLE) AS diversity
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // mirrors q360: the full quadratic replay restricted to incoming
+    // contained-sides — the incremental path is proven equal in-query,
+    // so the oracle needs no frozen-order replica (the q333 rule)
+    "q360_containment_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS g(i)
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+        |         AS containment
+        |FROM inter i
+        |JOIN sz sa ON i.doc_a = sa.doc_id
+        |JOIN sz sb ON i.doc_b = sb.doc_id
+        |WHERE i.inter * 10 >= sa.sz * 9 AND i.doc_a % 5 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors q355: the direct by-key diff (q342's oracle) with the
     // status→action mapping; the in-query apply-and-prove needs no

@@ -33,9 +33,12 @@ object PlanAuditSets {
     "q120_ivf_kmeans", "q123_neardup_kmeans",
     "q126_canonical_docs", "q128_training_pipeline",
     "q146_pagerank_converged", "q152_image_clusters",
-    // r16: streaming drains + the merkle repair's in-query
-    // apply-and-prove (localCheckpoint + except proof at build)
-    "q353_stream_wilson", "q354_stream_diversity", "q355_merkle_repair")
+    // r16: streaming drains + queries whose in-query proofs
+    // localCheckpoint/except at build (merkle repair, split
+    // stability, incremental containment)
+    "q353_stream_wilson", "q354_stream_diversity", "q355_merkle_repair",
+    "q356_stream_mode", "q358_stable_split",
+    "q360_containment_incremental")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

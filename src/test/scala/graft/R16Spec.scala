@@ -292,6 +292,103 @@ class R16Spec extends AnyFunSuite {
       "split assignment changed under repartition")
   }
 
+  // ---------------- trendTest ----------------
+
+  test("trendTest ≡ scalar Cochran–Armitage replay; degenerate → NULL") {
+    val rnd = new scala.util.Random(1612)
+    // planted trend: success rate rises with dose
+    val rows = (1 to 2000).map { _ =>
+      val w = rnd.nextInt(4).toLong
+      (w, if (rnd.nextInt(10) < 2 + w * 2) 1L else 0L)
+    }
+    val out = Stats.trendTest(rows.toDF("w", "s"), col("w"), col("s"))
+      .collect().head
+    val per = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.size.toLong, rs.map(_._2).sum)).toMap
+    val n = per.values.map(_._1).sum
+    val x = per.values.map(_._2).sum
+    val swx = per.map { case (w, (_, xi)) => BigInt(w) * xi }.sum
+    val swn = per.map { case (w, (ni, _)) => BigInt(w) * ni }.sum
+    val sw2n = per.map { case (w, (ni, _)) => BigInt(w) * w * ni }.sum
+    val t = BigInt(n) * swx - BigInt(x) * swn
+    val b = BigInt(x) * (n - x)
+    val c = BigInt(n) * sw2n - swn * swn
+    val z = t.toDouble / math.sqrt((b.toDouble * c.toDouble) / n.toDouble)
+    assert(out.getLong(0) == n && out.getLong(1) == x)
+    assert(BigInt(out.getString(2)) == t)
+    assert(out.getDouble(3) == z)
+    assert(z > 3.0, "the planted trend should be strongly significant")
+    // degenerate: single dose → zero variance → NULL z
+    val deg = Stats.trendTest(
+      (1 to 50).map(i => (2L, (i % 2).toLong)).toDF("w", "s"),
+      col("w"), col("s")).collect().head
+    assert(deg.isNullAt(3), "zero dose variance must yield NULL z")
+  }
+
+  // ---------------- hashSplit ----------------
+
+  test("hashSplit: growth-stable, pure function of the id") {
+    val docs = (1 to 400).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val full = Corpus.hashSplit(docs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // any subset assigns identically — stability under growth/shrink
+    val sub = Corpus.hashSplit(docs.filter(col("doc_id") % 3 === 0))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved") }
+    // all three splits occur and thresholds are respected
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
+  // ---------------- modeFromCounts ----------------
+
+  test("modeFromCounts: arbitrary fragmenting folds to the one-shot mode") {
+    val rnd = new scala.util.Random(1613)
+    val rows = (1 to 900).map(i => (s"g${i % 3}", rnd.nextInt(8).toLong))
+    val df = rows.toDF("g", "v")
+    val oneShot = Stats.modeBy(df, "g", col("v"))
+      .collect().map(_.toSeq).toSet
+    val frags = rows.zipWithIndex
+      .map { case ((g, v), i) => (g, v, i % 6) }
+      .toDF("g", "value", "part")
+      .groupBy(col("part"), col("g"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .drop("part")
+    assert(Stats.modeFromCounts(frags, "g")
+      .collect().map(_.toSeq).toSet == oneShot)
+  }
+
+  // ---------------- containmentJoinAgainst ----------------
+
+  test("containmentJoinAgainst ≡ full recompute restricted to incoming") {
+    val rnd = new scala.util.Random(1614)
+    val base = (0 until 70).map { i =>
+      (i.toLong, (0 until (10 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // planted: batch docs = near-full prefixes of corpus docs' text
+    // (high containment of the plant in its source)
+    val plants = (0 until 8).map { i =>
+      val t = base(i * 3)._2.split(" ")
+      (300L + i, t.take(math.max(3, t.length - 2)).mkString(" "))
+    }
+    val all = (base ++ plants).toDF("doc_id", "text")
+    val inc = all.filter(col("doc_id") >= 300 || col("doc_id") % 7 === 0)
+    val corpus = all.filter(col("doc_id") < 300 && col("doc_id") % 7 =!= 0)
+    val got = Dedup.containmentJoinAgainst(inc, corpus, n = 3,
+        minConNum = 3, minConDen = 5)
+      .collect().map(_.toSeq).toSet
+    val incIds = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.containmentJoin(all, n = 3, minConNum = 3,
+        minConDen = 5)
+      .collect().map(_.toSeq).filter(s => incIds(s.head.asInstanceOf[Long]))
+      .toSet
+    assert(got == full,
+      s"missed ${full -- got}, extra ${got -- full}")
+    assert(got.nonEmpty, "the planted prefixes should produce containments")
+  }
+
   // ---------------- repairPlan ----------------
 
   test("repairPlan: applying the plan reconciles b to a on random damage") {
