@@ -1365,26 +1365,127 @@ object Stats {
       .select(col(groupCol), col("value").as("mode"), col("n"))
   }
 
-  /** COCHRAN–ARMITAGE TREND TEST (r16) — "does the success rate move
-    * MONOTONICALLY with an ordered dose" (quality band, size decile,
-    * price tier), the ordered counterpart of the q336 two-proportion
-    * z-test. Input: per-row (dose ∈ 0..k integer, success ∈ 0/1).
-    * The statistic is assembled from six exact integer sums (one
-    * dose-bounded aggregate pass): with N = Σn, X = Σx over doses,
-    * T' = N·Σwx − X·Σwn and z = T' / √(X(N−X)(N·Σw²n − (Σwn)²) / N),
-    * every operand exact decimal up to the final mirrored IEEE
-    * chain. Zero variance (all one dose, or X ∈ {0, N}) → NULL z
-    * (the q230 engine-disagreement rule). T' is emitted as a
-    * canonical digit string (it exceeds int64 at corpus scale).
-    * Width budget under DuckDB's multiply cap: doses ≤ 999 as (3,0),
-    * counts ≤ 10¹⁴ as (14,0)/(17,0), every product ≤ (18,0)+(17,0). */
-  def trendTest(df: DataFrame, doseC: Column, successC: Column): DataFrame = {
+  /** [[giniExact]] over pre-counted (group, value, c) HISTOGRAM
+    * fragments — the additive face: with distinct values sorted per
+    * group, a tied block of count c starting after `lo` earlier rows
+    * occupies ranks lo+1..lo+c, so its rank-weighted contribution is
+    * 2·v·(c·lo + c(c+1)/2) in closed form — the whole Gini reduces to
+    * prefix sums over the VALUE-HISTOGRAM relation (aggregate-sized,
+    * never the corpus), making per-batch (group, value, c) count
+    * commits fold to the one-shot [[giniExact]] BIT-EXACTLY (pinned
+    * in R16Spec). Input columns: `value` (non-negative long), `c`. */
+  def giniFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val merged = frags.groupBy(col(groupCol), col("value"))
+      .agg(sum(col("c")).cast("long").as("__c"))
+    // prefix count of earlier rows, over the histogram aggregate
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLo = merged
+      .withColumn("__lo", coalesce(sum(col("__c")).over(w), lit(0L)))
+    // per-block Σ2·i·x = v·(2c·lo + c(c+1)) — division-free integer
+    // algebra; widths: the doubled rank sum ≤ 2n² as (22,0), v (14,0)
+    // → product (36,0), inside both engines' multiply caps
+    val rankSum2 = ((col("__c") * lit(2L)).cast(DecimalType(11, 0)) *
+      col("__lo").cast(DecimalType(10, 0))).cast(DecimalType(22, 0)) +
+      (col("__c").cast(DecimalType(10, 0)) *
+        (col("__c") + lit(1L)).cast(DecimalType(11, 0)))
+        .cast(DecimalType(22, 0))
+    val g = withLo.groupBy(col(groupCol)).agg(
+      sum(col("__c")).cast("long").as("n"),
+      sum((col("__c").cast(DecimalType(10, 0)) *
+        col("value").cast(DecimalType(14, 0))).cast(DecimalType(24, 0)))
+        .cast(DecimalType(27, 0)).as("sx"),
+      sum((col("value").cast(DecimalType(14, 0)) * rankSum2)
+        .cast(d38)).as("srx2"))
+    val num = col("srx2").cast(d38) -
+      ((col("n") + lit(1L)).cast(DecimalType(11, 0)) * col("sx")).cast(d38)
+    val den = col("n").cast(DecimalType(11, 0)) * col("sx")
+    g.select(col(groupCol), col("n"),
+      col("sx").cast("string").as("sum_x"),
+      when(col("sx") > 0,
+        num.cast("double") / den.cast("double")).as("gini"))
+  }
+
+  /** LORENZ CURVE POINTS per group (r16) — [[giniExact]]'s visual
+    * companion: rows ranked by (value, tie) via [[rankInGroup]],
+    * split into k rank-bands by integer arithmetic, each band's exact
+    * value sum turned into the CUMULATIVE share of the group total
+    * (one mirrored IEEE division per band). The cumulative window
+    * runs over the (group, band) AGGREGATE relation. */
+  def lorenzPoints(df: DataFrame, groupCol: String, valueC: Column,
+                   tieC: Column, k: Int = 10,
+                   bucketWidth: Double = 10000.0): DataFrame = {
+    require(k >= 1, s"lorenzPoints: k must be >= 1, got $k")
+    val base = df.select(col(groupCol), valueC.cast("long").as("__x"),
+      tieC.as("__tie"))
+    val ranked = rankInGroup(base, groupCol, col("__x"), col("__tie"),
+      "__r", bucketWidth)
+    val counts = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val banded = ranked.join(broadcast(counts), Seq(groupCol))
+      .withColumn("band", expr(s"((__r - 1) * $k) div __n") + lit(1L))
+      .groupBy(col(groupCol), col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__x").cast(DecimalType(27, 0)))
+          .cast(DecimalType(27, 0)).as("__s"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    banded
+      .withColumn("__cum", sum(col("__s")).over(w).cast(DecimalType(28, 0)))
+      .withColumn("__tot", sum(col("__s")).over(tot).cast(DecimalType(28, 0)))
+      .select(col(groupCol), col("band"), col("n_rows"),
+        col("__cum").cast("string").as("cum_value"),
+        when(col("__tot") > 0,
+          col("__cum").cast("double") / col("__tot").cast("double"))
+          .as("cum_share"))
+  }
+
+  /** φ COEFFICIENT (r16) — the exact-arithmetic association number
+    * for two binary flags (feature ↔ label co-occurrence; the 2×2
+    * specialization of Pearson, so no means/variances to estimate):
+    * φ = (n₁₁n₀₀ − n₁₀n₀₁) / √(r₁·r₀·c₁·c₀) from one aggregate pass,
+    * the numerator exact decimal (emitted as a digit string — it
+    * exceeds int64 at corpus scale), the denominator a mirrored
+    * double chain (margins ≤ 10¹⁴ so each is double-exact; the
+    * product is the same IEEE fold on both engines). Any zero margin
+    * → NULL (the q230 rule). */
+  def phiAssociation(df: DataFrame, aC: Column, bC: Column): DataFrame = {
+    val d14 = DecimalType(14, 0)
+    val g = df.select(aC.cast("long").as("a"), bC.cast("long").as("b"))
+      .agg(
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+          .cast("long").as("n11"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+          .cast("long").as("n10"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+          .cast("long").as("n01"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+          .cast("long").as("n00"))
+    val num = (col("n11").cast(d14) * col("n00").cast(d14))
+      .cast(DecimalType(29, 0)) -
+      (col("n10").cast(d14) * col("n01").cast(d14))
+        .cast(DecimalType(29, 0))
+    val r1 = (col("n11") + col("n10")).cast("double")
+    val r0 = (col("n01") + col("n00")).cast("double")
+    val c1 = (col("n11") + col("n01")).cast("double")
+    val c0 = (col("n10") + col("n00")).cast("double")
+    g.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      num.cast("string").as("phi_num"),
+      when(r1 > 0.0d && r0 > 0.0d && c1 > 0.0d && c0 > 0.0d,
+        num.cast("double") / sqrt(r1 * r0 * c1 * c0)).as("phi"))
+  }
+
+  /** [[trendTest]] over pre-aggregated (w, n, x) dose fragments —
+    * additive, so per-batch dose counts committed by a streaming
+    * drain fold to the one-shot statistic bit-exactly. */
+  def trendTestFromCounts(frags: DataFrame): DataFrame = {
     val d14 = DecimalType(14, 0)
     val d17 = DecimalType(17, 0)
-    val per = df.select(doseC.cast("long").as("w"),
-        successC.cast("long").as("s"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"),
-        sum(col("s")).cast("long").as("x"))
+    val per = frags.groupBy(col("w")).agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(col("x")).cast("long").as("x"))
     val g = per.agg(
       sum(col("n")).cast(d14).as("nn"),
       sum(col("x")).cast(d14).as("xx"),
@@ -1401,13 +1502,33 @@ object Stats {
     val c = (col("nn") * col("sw2n")).cast(DecimalType(38, 0)) -
       (col("swn") * col("swn")).cast(DecimalType(38, 0))
     g.select(col("nn").cast("long").as("n"),
-        col("xx").cast("long").as("x"),
-        tPrime.cast("string").as("t_scaled"),
-        when(b > 0 && c > 0,
-          tPrime.cast("double") /
-            sqrt((b.cast("double") * c.cast("double")) /
-              col("nn").cast("double"))).as("z"))
+      col("xx").cast("long").as("x"),
+      tPrime.cast("string").as("t_scaled"),
+      when(b > 0 && c > 0,
+        tPrime.cast("double") /
+          sqrt((b.cast("double") * c.cast("double")) /
+            col("nn").cast("double"))).as("z"))
   }
+
+  /** COCHRAN–ARMITAGE TREND TEST (r16) — "does the success rate move
+    * MONOTONICALLY with an ordered dose" (quality band, size decile,
+    * price tier), the ordered counterpart of the q336 two-proportion
+    * z-test. Input: per-row (dose ∈ 0..k integer, success ∈ 0/1).
+    * The statistic is assembled from six exact integer sums (one
+    * dose-bounded aggregate pass): with N = Σn, X = Σx over doses,
+    * T' = N·Σwx − X·Σwn and z = T' / √(X(N−X)(N·Σw²n − (Σwn)²) / N),
+    * every operand exact decimal up to the final mirrored IEEE
+    * chain. Zero variance (all one dose, or X ∈ {0, N}) → NULL z
+    * (the q230 engine-disagreement rule). T' is emitted as a
+    * canonical digit string (it exceeds int64 at corpus scale).
+    * Width budget under DuckDB's multiply cap: doses ≤ 999 as (3,0),
+    * counts ≤ 10¹⁴ as (14,0)/(17,0), every product ≤ (18,0)+(17,0). */
+  def trendTest(df: DataFrame, doseC: Column, successC: Column): DataFrame =
+    trendTestFromCounts(
+      df.select(doseC.cast("long").as("w"),
+          successC.cast("long").as("s"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"),
+          sum(col("s")).cast("long").as("x")))
 
   /** WILSON SCORE INTERVAL per group (r16) — the right confidence
     * interval for small-n / extreme-p conversion rates (the normal

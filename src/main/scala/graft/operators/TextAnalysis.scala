@@ -916,6 +916,32 @@ object TextAnalysis {
     * so no branch. All counts exact integers; the estimate is one
     * mirrored IEEE chain (the f₁ product runs in doubles, exact to
     * 2⁵³ — past that a vocabulary has other problems). */
+  /** SHINGLE NOVELTY SCORE per incoming doc (r16) — the admission
+    * readout between "exact dup" and "fully novel": the share of a
+    * batch document's DISTINCT shingles never seen in the corpus
+    * (1.0 = all new content, 0.0 = pure recombination). The corpus
+    * participates ONLY as its distinct-shingle relation — one
+    * aggregate, additive under union, the staged-index shape every
+    * incremental face here uses — and the batch probes it with one
+    * left hash join; the ratio is exact integers + one mirrored
+    * division. Docs with fewer than n tokens have no shingles and no
+    * row (the [[Dedup.shingles]] domain). */
+  def noveltyScore(incoming: DataFrame, corpus: DataFrame,
+                   n: Int = 3): DataFrame = {
+    val shI = Dedup.shingles(incoming, n)
+    val seen = Dedup.shingles(corpus, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__seen", lit(1L))
+    shI.join(seen, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_unseen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unseen"),
+        (col("n_unseen").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   def chao1(docs: DataFrame, groupCol: String): DataFrame = {
     val toks = docs
       .withColumn("__tok", explode(split(col("text"), " ")))

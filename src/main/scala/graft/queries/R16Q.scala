@@ -285,6 +285,100 @@ object R16Q {
       require(got.except(full).isEmpty && full.except(got).isEmpty,
         "incremental containment must equal the full recompute")
       got.orderBy("doc_a", "doc_b")
+    }),
+
+    // STREAMING TREND TEST (r16): q357's statistic maintained
+    // in-stream — per-batch (dose, n, x) fragments (additive), fold
+    // through the same exact chain. Oracle = q357's batch SQL.
+    // `Stats.trendTestFromCounts`.
+    "q361_stream_trend" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
+              .as("w"),
+            (floor(col("value") * lit(100.0)).cast("long") > 50000L)
+              .cast("long").as("s"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).cast("long").as("x"))
+      }
+      graft.operators.Stats.trendTestFromCounts(frags)
+    }),
+
+    // SHINGLE NOVELTY SCORE (r16): per batch doc, the share of its
+    // distinct 3-shingles the corpus has never seen — the admission
+    // readout between "exact dup" and "fully novel". Corpus = one
+    // distinct-shingle relation (additive staged index), batch probes
+    // it with one left hash join. `TextAnalysis.noveltyScore`.
+    "q362_novelty_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.TextAnalysis.noveltyScore(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .orderBy("doc_id")
+    }),
+
+    // CROSS-SOURCE CONTAINMENT REPORT (r16): which source pairs leak
+    // content into each other — the q348 join at a looser 3/5
+    // threshold, rolled up per (source_a, source_b) with same-source
+    // pairs excluded. The syndication/boilerplate provenance report a
+    // corpus audit ships. Composition query: containment machinery +
+    // two dimension joins + a bounded rollup.
+    "q363_cross_source_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      graft.operators.Dedup.containmentJoin(docs, n = 3,
+          minConNum = 3, minConDen = 5)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("source_b")), "doc_b")
+        .filter(col("source_a") =!= col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // LORENZ CURVE POINTS (r16): q343's visual companion — per
+    // priority class, the cumulative share of order value held by
+    // each rank decile (the inequality curve itself, not just its
+    // area). Ranks ride rankInGroup; the cumulative window runs over
+    // the (group, band) AGGREGATE. `Stats.lorenzPoints`.
+    "q364_lorenz_points" -> ((s, d) =>
+      graft.operators.Stats.lorenzPoints(
+        Tables.orders(s, d), "o_orderpriority",
+        floor(col("o_totalprice") * lit(100.0)).cast("long"),
+        col("o_orderkey"))
+        .orderBy("o_orderpriority", "band")),
+
+    // φ COEFFICIENT (r16): exact 2×2 association between "low-k
+    // event" and "high-value event" — the feature↔label
+    // co-occurrence number with no estimated moments. One aggregate
+    // pass; numerator exact (digit string), denominator a mirrored
+    // double chain. `Stats.phiAssociation`.
+    "q365_phi_association" -> ((s, d) =>
+      graft.operators.Stats.phiAssociation(
+        Tables.events(s, d),
+        (get_json_object(col("props"), "$.k").cast("long") < 25)
+          .cast("long"),
+        (floor(col("value") * lit(100.0)).cast("long") > 50000L)
+          .cast("long"))),
+
+    // STREAMING GINI (r16): q343's coefficient per event type,
+    // in-stream — per-batch (type, cents, c) HISTOGRAM fragments
+    // (additive), folded through the closed-form tied-block rank
+    // algebra (division-free). A 4-batch drain must reproduce the
+    // batch rank-sum answer BIT-EXACTLY. `Stats.giniFromCounts`.
+    "q366_stream_gini" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("value"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.giniFromCounts(frags, "event_type")
+        .orderBy("event_type")
     })
   )
 
@@ -551,42 +645,8 @@ object R16Q {
 
     // mirrors q357: same six exact sums, same width budget (every
     // multiply inside DuckDB's p1+p2 <= 38 cap), same IEEE chain
-    "q357_trend_test" ->
-      """WITH b AS (
-        |  SELECT CAST(props->>'$.k' AS BIGINT) // 25 AS w,
-        |    CASE WHEN CAST(floor(value * 100.0) AS BIGINT) > 50000
-        |         THEN 1 ELSE 0 END AS s
-        |  FROM events
-        |), per AS (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
-        |         CAST(SUM(s) AS BIGINT) AS x
-        |  FROM b GROUP BY w
-        |), g AS (
-        |  SELECT CAST(SUM(n) AS DECIMAL(14,0)) AS nn,
-        |    CAST(SUM(x) AS DECIMAL(14,0)) AS xx,
-        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(x AS DECIMAL(14,0)))
-        |         AS DECIMAL(17,0)) AS swx,
-        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(n AS DECIMAL(14,0)))
-        |         AS DECIMAL(17,0)) AS swn,
-        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(w AS DECIMAL(3,0))
-        |             * CAST(n AS DECIMAL(14,0)))
-        |         AS DECIMAL(20,0)) AS sw2n
-        |  FROM per
-        |)
-        |SELECT CAST(nn AS BIGINT) AS n, CAST(xx AS BIGINT) AS x,
-        |  CAST(CAST(nn * swx AS DECIMAL(38,0))
-        |       - CAST(xx * swn AS DECIMAL(38,0)) AS VARCHAR) AS t_scaled,
-        |  CASE WHEN CAST(xx * (nn - xx) AS DECIMAL(29,0)) > 0
-        |        AND CAST(nn * sw2n AS DECIMAL(38,0))
-        |            - CAST(swn * swn AS DECIMAL(38,0)) > 0 THEN
-        |    CAST(CAST(nn * swx AS DECIMAL(38,0))
-        |         - CAST(xx * swn AS DECIMAL(38,0)) AS DOUBLE)
-        |      / sqrt((CAST(CAST(xx * (nn - xx) AS DECIMAL(29,0)) AS DOUBLE)
-        |              * CAST(CAST(nn * sw2n AS DECIMAL(38,0))
-        |                     - CAST(swn * swn AS DECIMAL(38,0)) AS DOUBLE))
-        |             / CAST(nn AS DOUBLE))
-        |  END AS z
-        |FROM g""".stripMargin,
+    // mirrors q357/q361: same six exact sums, same width budget
+    "q357_trend_test" -> trendSql,
 
     // mirrors q358: the pure md5-threshold assignment; the in-query
     // growth-stability proof needs no oracle leg
@@ -654,6 +714,148 @@ object R16Q {
         |WHERE i.inter * 10 >= sa.sz * 9 AND i.doc_a % 5 = 0
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // q361 drains to the same (dose, n, x) totals q357 aggregates —
+    // additive fragments, so the oracle IS q357's batch SQL
+    "q361_stream_trend" -> trendSql,
+
+    "q362_novelty_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS g(i)
+        |), corpus AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 5 <> 0
+        |), i AS (
+        |  SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0
+        |)
+        |SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN c.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unseen,
+        |  CAST(SUM(CASE WHEN c.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM i LEFT JOIN corpus c ON i.s = c.s
+        |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q363_cross_source_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS g(i)
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sz sa ON i.doc_a = sa.doc_id
+        |  WHERE i.inter * 5 >= sa.sz * 3
+        |)
+        |SELECT da.source AS source_a, db.source AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM pairs p
+        |JOIN documents da ON p.doc_a = da.doc_id
+        |JOIN documents db ON p.doc_b = db.doc_id
+        |WHERE da.source <> db.source
+        |GROUP BY da.source, db.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q364_lorenz_points" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS x,
+        |         o_orderkey AS tie
+        |  FROM orders
+        |), r AS (
+        |  SELECT g, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x, tie)
+        |         AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM b
+        |), d AS (
+        |  SELECT g, ((r - 1) * 10) // n + 1 AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(x AS DECIMAL(27,0))) AS DECIMAL(27,0)) AS s
+        |  FROM r GROUP BY g, ((r - 1) * 10) // n + 1
+        |), c AS (
+        |  SELECT g, band, n_rows,
+        |    CAST(SUM(s) OVER (PARTITION BY g ORDER BY band
+        |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,0)) AS cum,
+        |    CAST(SUM(s) OVER (PARTITION BY g) AS DECIMAL(28,0)) AS tot
+        |  FROM d
+        |)
+        |SELECT g AS o_orderpriority, band, n_rows,
+        |  CAST(cum AS VARCHAR) AS cum_value,
+        |  CASE WHEN tot > 0 THEN
+        |    CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) END AS cum_share
+        |FROM c ORDER BY o_orderpriority, band""".stripMargin,
+
+    "q365_phi_association" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT) < 25
+        |              THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN CAST(floor(value * 100.0) AS BIGINT) > 50000
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |), g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM b
+        |)
+        |SELECT n11, n10, n01, n00,
+        |  CAST(CAST(CAST(n11 AS DECIMAL(14,0)) * CAST(n00 AS DECIMAL(14,0))
+        |            AS DECIMAL(29,0))
+        |     - CAST(CAST(n10 AS DECIMAL(14,0)) * CAST(n01 AS DECIMAL(14,0))
+        |            AS DECIMAL(29,0)) AS VARCHAR) AS phi_num,
+        |  CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0
+        |        AND n11 + n01 > 0 AND n10 + n00 > 0 THEN
+        |    CAST(CAST(CAST(n11 AS DECIMAL(14,0)) * CAST(n00 AS DECIMAL(14,0))
+        |              AS DECIMAL(29,0))
+        |       - CAST(CAST(n10 AS DECIMAL(14,0)) * CAST(n01 AS DECIMAL(14,0))
+        |              AS DECIMAL(29,0)) AS DOUBLE)
+        |      / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+        |             * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |  END AS phi
+        |FROM g""".stripMargin,
+
+    // q366 folds additive (type, cents, c) histogram fragments; the
+    // oracle replays the raw rank-sum — equal by the tied-block
+    // closed form (R16Spec pins giniFromCounts ≡ giniExact)
+    "q366_stream_gini" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS x,
+        |         event_id AS tie
+        |  FROM events
+        |), r AS (
+        |  SELECT g, x,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY x, tie)
+        |         AS BIGINT) AS r
+        |  FROM b
+        |), a AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(14,0))) AS DECIMAL(27,0)) AS sx,
+        |    CAST(SUM(CAST(2*r AS DECIMAL(12,0)) * CAST(x AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS srx2
+        |  FROM r GROUP BY g
+        |)
+        |SELECT g AS event_type, n, CAST(sx AS VARCHAR) AS sum_x,
+        |  CASE WHEN sx > 0 THEN
+        |    CAST(srx2 - CAST(n + 1 AS DECIMAL(11,0)) * sx AS DOUBLE)
+        |      / CAST(CAST(n AS DECIMAL(11,0)) * sx AS DOUBLE)
+        |  END AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
+
     // mirrors q355: the direct by-key diff (q342's oracle) with the
     // status→action mapping; the in-query apply-and-prove needs no
     // oracle leg — a failed proof fails the query loudly
@@ -691,6 +893,47 @@ object R16Q {
         |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
         |ORDER BY event_id""".stripMargin
   )
+
+  /** q357/q361 share this batch SQL — per-batch dose fragments
+    * are additive, so the streaming fold equals the one-shot
+    * statistic; every multiply sits inside DuckDB's p1+p2 <= 38
+    * hard cap. */
+  private lazy val trendSql: String =
+    """WITH b AS (
+        |  SELECT CAST(props->>'$.k' AS BIGINT) // 25 AS w,
+        |    CASE WHEN CAST(floor(value * 100.0) AS BIGINT) > 50000
+        |         THEN 1 ELSE 0 END AS s
+        |  FROM events
+        |), per AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(s) AS BIGINT) AS x
+        |  FROM b GROUP BY w
+        |), g AS (
+        |  SELECT CAST(SUM(n) AS DECIMAL(14,0)) AS nn,
+        |    CAST(SUM(x) AS DECIMAL(14,0)) AS xx,
+        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(x AS DECIMAL(14,0)))
+        |         AS DECIMAL(17,0)) AS swx,
+        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(n AS DECIMAL(14,0)))
+        |         AS DECIMAL(17,0)) AS swn,
+        |    CAST(SUM(CAST(w AS DECIMAL(3,0)) * CAST(w AS DECIMAL(3,0))
+        |             * CAST(n AS DECIMAL(14,0)))
+        |         AS DECIMAL(20,0)) AS sw2n
+        |  FROM per
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(xx AS BIGINT) AS x,
+        |  CAST(CAST(nn * swx AS DECIMAL(38,0))
+        |       - CAST(xx * swn AS DECIMAL(38,0)) AS VARCHAR) AS t_scaled,
+        |  CASE WHEN CAST(xx * (nn - xx) AS DECIMAL(29,0)) > 0
+        |        AND CAST(nn * sw2n AS DECIMAL(38,0))
+        |            - CAST(swn * swn AS DECIMAL(38,0)) > 0 THEN
+        |    CAST(CAST(nn * swx AS DECIMAL(38,0))
+        |         - CAST(xx * swn AS DECIMAL(38,0)) AS DOUBLE)
+        |      / sqrt((CAST(CAST(xx * (nn - xx) AS DECIMAL(29,0)) AS DOUBLE)
+        |              * CAST(CAST(nn * sw2n AS DECIMAL(38,0))
+        |                     - CAST(swn * swn AS DECIMAL(38,0)) AS DOUBLE))
+        |             / CAST(nn AS DOUBLE))
+        |  END AS z
+        |FROM g""".stripMargin
 
   /** q349/q353 share this batch SQL — the streaming drain commits
     * additive (n, x) fragments whose fold equals the one-shot totals

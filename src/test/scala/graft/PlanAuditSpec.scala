@@ -38,7 +38,8 @@ object PlanAuditSets {
     // stability, incremental containment)
     "q353_stream_wilson", "q354_stream_diversity", "q355_merkle_repair",
     "q356_stream_mode", "q358_stable_split",
-    "q360_containment_incremental")
+    "q360_containment_incremental",
+    "q361_stream_trend", "q366_stream_gini")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

@@ -389,6 +389,128 @@ class R16Spec extends AnyFunSuite {
     assert(got.nonEmpty, "the planted prefixes should produce containments")
   }
 
+  // ---------------- giniFromCounts ----------------
+
+  test("giniFromCounts: histogram fragments fold to giniExact bit-exactly") {
+    val rnd = new scala.util.Random(1615)
+    // heavy ties so the tied-block closed form actually exercises
+    val rows = (1 to 2500).map(i =>
+      (s"g${i % 3}", rnd.nextInt(30).toLong * 100, i.toLong))
+    val oneShot = Stats.giniExact(rows.toDF("g", "x", "tie"), "g",
+        col("x"), col("tie"))
+      .collect().map(_.toSeq).toSet
+    val frags = rows.zipWithIndex
+      .map { case ((g, v, _), i) => (g, v, i % 5) }
+      .toDF("g", "value", "part")
+      .groupBy(col("part"), col("g"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .drop("part")
+    val folded = Stats.giniFromCounts(frags, "g")
+      .collect().map(_.toSeq).toSet
+    assert(folded == oneShot,
+      "histogram-fragment gini drifted from the rank-sum gini")
+  }
+
+  // ---------------- trendTestFromCounts ----------------
+
+  test("trendTestFromCounts: dose fragments fold to the one-shot statistic") {
+    val rnd = new scala.util.Random(1616)
+    val rows = (1 to 1200).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(2).toLong))
+    val oneShot = Stats.trendTest(rows.toDF("w", "s"), col("w"), col("s"))
+      .collect().map(_.toSeq).toSet
+    val frags = rows.zipWithIndex
+      .map { case ((w, s), i) => (w, s, i % 4) }
+      .toDF("w", "s", "part")
+      .groupBy(col("part"), col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).cast("long").as("x"))
+      .drop("part")
+    assert(Stats.trendTestFromCounts(frags)
+      .collect().map(_.toSeq).toSet == oneShot)
+  }
+
+  // ---------------- noveltyScore ----------------
+
+  test("noveltyScore ≡ set-arithmetic replay; planted extremes score 0 and 1") {
+    val rnd = new scala.util.Random(1617)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, (0 until (8 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val batch = Seq(
+      (100L, corpus(3)._2), // exact copy → novelty 0
+      (101L, "zz1 zz2 zz3 zz4 zz5"), // disjoint vocab → novelty 1
+      (102L, corpus(5)._2 + " zz9 zz8 zz7 zz6 zz5")) // mixed
+    val out = TextAnalysis.noveltyScore(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val seen = corpus.flatMap(c => sh(c._2)).toSet
+    batch.foreach { case (id, t) =>
+      val mine = sh(t)
+      val unseen = (mine -- seen).size.toLong
+      assert(out(id) == ((mine.size.toLong, unseen,
+        unseen.toDouble / mine.size.toDouble)), s"doc $id")
+    }
+    assert(out(100L)._3 == 0.0 && out(101L)._3 == 1.0)
+  }
+
+  // ---------------- phiAssociation ----------------
+
+  test("phiAssociation ≡ 2×2 replay; zero margin → NULL") {
+    val rnd = new scala.util.Random(1618)
+    val rows = (1 to 2000).map { _ =>
+      val a = rnd.nextInt(2).toLong
+      // correlated b
+      val b = if (rnd.nextInt(4) == 0) a else rnd.nextInt(2).toLong
+      (a, b)
+    }
+    val out = Stats.phiAssociation(rows.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    val n11 = rows.count(r => r._1 == 1 && r._2 == 1).toLong
+    val n10 = rows.count(r => r._1 == 1 && r._2 == 0).toLong
+    val n01 = rows.count(r => r._1 == 0 && r._2 == 1).toLong
+    val n00 = rows.count(r => r._1 == 0 && r._2 == 0).toLong
+    val num = BigInt(n11) * n00 - BigInt(n10) * n01
+    val phi = num.toDouble / math.sqrt(
+      (n11 + n10).toDouble * (n01 + n00).toDouble *
+        (n11 + n01).toDouble * (n10 + n00).toDouble)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((n11, n10, n01, n00)))
+    assert(BigInt(out.getString(4)) == num && out.getDouble(5) == phi)
+    // degenerate: constant a → zero margin → NULL phi
+    val deg = Stats.phiAssociation(
+      (1 to 40).map(i => (1L, (i % 2).toLong)).toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(deg.isNullAt(5))
+  }
+
+  // ---------------- lorenzPoints ----------------
+
+  test("lorenzPoints ≡ sorted cumulative-share replay") {
+    val rnd = new scala.util.Random(1619)
+    val rows = (1 to 1100).map(i =>
+      (s"g${i % 2}", rnd.nextInt(500).toLong, i.toLong))
+    val out = Stats.lorenzPoints(rows.toDF("g", "x", "tie"), "g",
+        col("x"), col("tie"), k = 10, bucketWidth = 50.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), BigInt(r.getString(3)), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.size
+      val tot = sorted.map(BigInt(_)).sum
+      val byBand = sorted.zipWithIndex
+        .groupBy { case (_, i) => (i.toLong * 10) / n + 1 }
+      var cum = BigInt(0)
+      byBand.toSeq.sortBy(_._1).foreach { case (band, xs) =>
+        cum += xs.map(x => BigInt(x._1)).sum
+        assert(out((g, band)) == ((xs.size.toLong, cum,
+          cum.toDouble / tot.toDouble)), s"($g, $band)")
+      }
+    }
+  }
+
   // ---------------- repairPlan ----------------
 
   test("repairPlan: applying the plan reconciles b to a on random damage") {
