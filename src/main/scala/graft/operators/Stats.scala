@@ -1451,17 +1451,26 @@ object Stats {
     * double chain (margins ≤ 10¹⁴ so each is double-exact; the
     * product is the same IEEE fold on both engines). Any zero margin
     * → NULL (the q230 rule). */
-  def phiAssociation(df: DataFrame, aC: Column, bC: Column): DataFrame = {
+  def phiAssociation(df: DataFrame, aC: Column, bC: Column): DataFrame =
+    phiFromCounts(
+      df.select(aC.cast("long").as("a"), bC.cast("long").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c")))
+
+  /** [[phiAssociation]] over pre-counted (a, b, c) cell fragments —
+    * additive (the four 2×2 cells sum across batches/commits), so a
+    * streaming drain committing per-batch cell counts folds to the
+    * one-shot coefficient bit-exactly. */
+  def phiFromCounts(frags: DataFrame): DataFrame = {
     val d14 = DecimalType(14, 0)
-    val g = df.select(aC.cast("long").as("a"), bC.cast("long").as("b"))
+    val g = frags
       .agg(
-        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+        sum(when(col("a") === 1 && col("b") === 1, col("c")).otherwise(0L))
           .cast("long").as("n11"),
-        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+        sum(when(col("a") === 1 && col("b") === 0, col("c")).otherwise(0L))
           .cast("long").as("n10"),
-        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+        sum(when(col("a") === 0 && col("b") === 1, col("c")).otherwise(0L))
           .cast("long").as("n01"),
-        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+        sum(when(col("a") === 0 && col("b") === 0, col("c")).otherwise(0L))
           .cast("long").as("n00"))
     val num = (col("n11").cast(d14) * col("n00").cast(d14))
       .cast(DecimalType(29, 0)) -

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-analysis operators for a training-data pipeline (builder
   * north-star "text analysis", generalizing the reference's M11 text
@@ -940,6 +941,65 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_unseen"),
         (col("n_unseen").cast("double") / col("n_shingles").cast("double"))
           .as("novelty"))
+  }
+
+  /** RARE-TOKEN TAIL MASS per group (r16) — [[chao1]]'s operational
+    * companion: the share of token OCCURRENCES carried by tokens seen
+    * at most `maxC` times (the mass a frequency-threshold vocabulary
+    * cut would drop — the number that decides the cut). One
+    * vocabulary-bounded count pass, exact integers, one mirrored
+    * division. */
+  def rareTailMass(docs: DataFrame, groupCol: String,
+                   maxC: Long = 2L): DataFrame = {
+    require(maxC >= 1, s"rareTailMass: maxC must be >= 1, got $maxC")
+    val toks = docs
+      .withColumn("__tok", explode(split(col("text"), " ")))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    toks.groupBy(col(groupCol)).agg(
+        sum(col("__c")).cast("long").as("n_occurrences"),
+        sum(when(col("__c") <= maxC, col("__c")).otherwise(0L))
+          .cast("long").as("tail_occurrences"))
+      .select(col(groupCol), col("n_occurrences"), col("tail_occurrences"),
+        (col("tail_occurrences").cast("double") /
+          col("n_occurrences").cast("double")).as("tail_share"))
+  }
+
+  /** TOKEN BURSTINESS (Fano factor) for the top-k corpus tokens
+    * (r16) — "does this token cluster in a few documents or spread
+    * evenly": the variance-to-mean ratio of per-document occurrence
+    * counts (zeros included — the corpus doc count enters as a
+    * broadcast scalar), VMR = (n·Σx² − (Σx)²) / (n·Σx), exact
+    * decimal sums with one mirrored IEEE division. VMR ≈ 1 is
+    * Poisson-like spread; ≫ 1 is bursty (topical/boilerplate). Top-k
+    * by total count (ties to the lexicographically smallest token) is
+    * a TakeOrdered, never a global sort. Width budget: Σx² down-cast
+    * to (24,0) loudly so n·Σx² stays inside both engines' caps. */
+  def tokenBurstiness(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"tokenBurstiness: k must be >= 1, got $k")
+    val d14 = DecimalType(14, 0)
+    val perDoc = docs
+      .withColumn("__tok", explode(split(col("text"), " ")))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok"), col("doc_id"))
+      .agg(count(lit(1)).as("__x"))
+    val nDocs = docs.agg(count(lit(1)).cast(d14).as("__n"))
+    val per = perDoc.groupBy(col("__tok"))
+      .agg(sum(col("__x")).cast(d14).as("sx"),
+        sum((col("__x").cast(DecimalType(10, 0)) *
+          col("__x").cast(DecimalType(10, 0))).cast(DecimalType(20, 0)))
+          .cast(DecimalType(24, 0)).as("sx2"))
+      .orderBy(desc("sx"), col("__tok")).limit(k)
+    per.join(broadcast(nDocs))
+      .select(col("__tok").as("token"),
+        col("sx").cast("long").as("total_occ"),
+        ((col("__n") * col("sx2")).cast(DecimalType(38, 0)) -
+          (col("sx") * col("sx")).cast(DecimalType(38, 0)))
+          .cast("string").as("vmr_num"),
+        (((col("__n") * col("sx2")).cast(DecimalType(38, 0)) -
+          (col("sx") * col("sx")).cast(DecimalType(38, 0))).cast("double") /
+          (col("__n") * col("sx")).cast("double")).as("vmr"))
   }
 
   def chao1(docs: DataFrame, groupCol: String): DataFrame = {

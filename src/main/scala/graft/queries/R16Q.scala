@@ -379,6 +379,115 @@ object R16Q {
       }
       graft.operators.Stats.giniFromCounts(frags, "event_type")
         .orderBy("event_type")
+    }),
+
+    // RARE-TOKEN TAIL MASS (r16): per language, the share of token
+    // occurrences a count-≤2 vocabulary cut would drop — chao1's
+    // operational companion (q344 says how much vocabulary is
+    // unseen; this says what cutting the seen tail costs). One
+    // vocabulary-bounded pass. `TextAnalysis.rareTailMass`.
+    "q367_rare_tail" -> ((s, d) =>
+      graft.operators.TextAnalysis.rareTailMass(
+        Tables.documents(s, d), "lang")
+        .orderBy("lang")),
+
+    // TOKEN BURSTINESS (r16): Fano factor (variance-to-mean of
+    // per-doc occurrence counts, zeros included) for the top-20
+    // corpus tokens — ≈1 reads Poisson-spread, ≫1 reads
+    // bursty/topical/boilerplate. Exact decimal sums; the corpus doc
+    // count rides a ONE-ROW broadcast scalar; the top-k is a
+    // TakeOrdered. `TextAnalysis.tokenBurstiness`.
+    "q368_token_burstiness" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenBurstiness(
+        Tables.documents(s, d), k = 20)
+        .orderBy("token")),
+
+    // EMBEDDING NORM OUTLIERS (r16): the corrupt-vector screen — each
+    // embedding's EXACT quantized squared norm (the gramMatrix
+    // fixed-point idiom: ×2¹⁶ floor per coordinate, integer squares),
+    // flagged against Tukey fences from `exactRankStats`' distributed
+    // selection (the q308 IQR rule, integer-only comparisons). The
+    // constant group key constant-folds into one-row broadcasts
+    // (q296's pattern).
+    "q369_embedding_norm_outliers" -> ((s, d) => {
+      val nq = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("aggregate(embedding, 0L, (acc, x) -> acc + " +
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT) * " +
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 65536.0D) AS BIGINT))")
+            .as("norm_q"))
+        .withColumn("g", lit("all"))
+      val th = graft.operators.Stats.exactRankStats(nq, "g", "norm_q")
+        .select(col("p25"), col("p75"))
+      nq.join(broadcast(th))
+        .withColumn("iqr", col("p75") - col("p25"))
+        .select(col("vec_id"), col("norm_q"),
+          (!(lit(2L) * col("norm_q") >= lit(2L) * col("p25") -
+              lit(3L) * col("iqr") &&
+             lit(2L) * col("norm_q") <= lit(2L) * col("p75") +
+              lit(3L) * col("iqr"))).as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
+    // l-DIVERSITY AUDIT (r16): q318 k-anonymity's companion — a
+    // quasi-identifier combo can be k-anonymous yet leak if its
+    // SENSITIVE values are homogeneous; flag combos with fewer than
+    // l distinct sensitive values. One groupBy + count distinct.
+    "q370_l_diversity" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_type"),
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10")
+            .as("k_band"),
+          (col("user_id") % 50).as("sensitive"))
+        .groupBy(col("event_type"), col("k_band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("sensitive")).as("n_distinct"))
+        .withColumn("at_risk", col("n_distinct") < 5)
+        .orderBy("event_type", "k_band")),
+
+    // Q–Q TABLE (r16): the drift DIAGNOSIS readout q292's monitor
+    // triggers — decile-by-decile quantile alignment of two slices
+    // (even/odd users), each threshold an exact order statistic at
+    // rank ⌊d(n+1)/10⌋ from rankInGroup's bucketed scan, pivoted
+    // with the integer gap per decile.
+    "q371_qq_table" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+          .as("slice"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"),
+        col("event_id"))
+      val ranked = graft.operators.Stats.rankInGroup(ev, "slice",
+        col("cents"), col("event_id"), "r", bucketWidth = 10000.0)
+      val counts = ev.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+      val targets = counts
+        .withColumn("decile",
+          explode(array((1 to 9).map(i => lit(i.toLong)): _*)))
+        .withColumn("rk", expr("greatest(1L, (decile * (n + 1)) div 10)"))
+        .select(col("slice").as("tslice"), col("decile"), col("rk"))
+      ranked.join(targets,
+          col("slice") === col("tslice") && col("r") === col("rk"))
+        .groupBy(col("decile"))
+        .agg(max(when(col("slice") === "even", col("cents"))).as("q_even"),
+          max(when(col("slice") === "odd", col("cents"))).as("q_odd"))
+        .select(col("decile"), col("q_even"), col("q_odd"),
+          (col("q_even") - col("q_odd")).as("gap"))
+        .orderBy("decile")
+    }),
+
+    // STREAMING φ (r16): q365's coefficient in-stream — per-batch
+    // 2×2 CELL count fragments (additive), read-side fold through
+    // the same exact chain. Oracle = q365's batch SQL.
+    // `Stats.phiFromCounts`.
+    "q372_stream_phi" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(
+            (get_json_object(col("props"), "$.k").cast("long") < 25)
+              .cast("long").as("a"),
+            (floor(col("value") * lit(100.0)).cast("long") > 50000L)
+              .cast("long").as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.phiFromCounts(frags)
     })
   )
 
@@ -797,36 +906,115 @@ object R16Q {
         |    CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) END AS cum_share
         |FROM c ORDER BY o_orderpriority, band""".stripMargin,
 
-    "q365_phi_association" ->
-      """WITH b AS (
-        |  SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT) < 25
-        |              THEN 1 ELSE 0 END AS a,
-        |         CASE WHEN CAST(floor(value * 100.0) AS BIGINT) > 50000
-        |              THEN 1 ELSE 0 END AS b
-        |  FROM events
-        |), g AS (
-        |  SELECT
-        |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-        |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
-        |  FROM b
+    // mirrors q365/q372: exact 2x2 cells + the phi chain
+    "q365_phi_association" -> phiSql,
+
+    "q367_rare_tail" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |  WHERE tok <> '' GROUP BY lang, tok
         |)
-        |SELECT n11, n10, n01, n00,
-        |  CAST(CAST(CAST(n11 AS DECIMAL(14,0)) * CAST(n00 AS DECIMAL(14,0))
-        |            AS DECIMAL(29,0))
-        |     - CAST(CAST(n10 AS DECIMAL(14,0)) * CAST(n01 AS DECIMAL(14,0))
-        |            AS DECIMAL(29,0)) AS VARCHAR) AS phi_num,
-        |  CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0
-        |        AND n11 + n01 > 0 AND n10 + n00 > 0 THEN
-        |    CAST(CAST(CAST(n11 AS DECIMAL(14,0)) * CAST(n00 AS DECIMAL(14,0))
-        |              AS DECIMAL(29,0))
-        |       - CAST(CAST(n10 AS DECIMAL(14,0)) * CAST(n01 AS DECIMAL(14,0))
-        |              AS DECIMAL(29,0)) AS DOUBLE)
-        |      / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
-        |             * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
-        |  END AS phi
-        |FROM g""".stripMargin,
+        |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        |  CAST(SUM(CASE WHEN c <= 2 THEN c ELSE 0 END) AS BIGINT)
+        |    AS tail_occurrences,
+        |  CAST(SUM(CASE WHEN c <= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE) AS tail_share
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q368_token_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), pd AS (
+        |  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM t WHERE tok <> '' GROUP BY tok, doc_id
+        |), nd AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(14,0)) AS n FROM documents
+        |), per AS (
+        |  SELECT tok, CAST(SUM(x) AS DECIMAL(14,0)) AS sx,
+        |    CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0)))
+        |         AS DECIMAL(24,0)) AS sx2
+        |  FROM pd GROUP BY tok ORDER BY sx DESC, tok LIMIT 20
+        |)
+        |SELECT tok AS token, CAST(sx AS BIGINT) AS total_occ,
+        |  CAST(CAST(n * sx2 AS DECIMAL(38,0))
+        |       - CAST(sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS vmr_num,
+        |  CAST(CAST(n * sx2 AS DECIMAL(38,0))
+        |       - CAST(sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) AS vmr
+        |FROM per, nd ORDER BY token""".stripMargin,
+
+    // mirrors q369: the same quantized norm and the exactRankStats
+    // rank convention (value at rank greatest(1, (a(n+1)) div b))
+    "q369_embedding_norm_outliers" ->
+      """WITH nq AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)
+        |           * CAST(FLOOR(CAST(x AS DOUBLE) * 65536.0) AS BIGINT)))
+        |         AS BIGINT) AS norm_q
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT vec_id, norm_q,
+        |    CAST(row_number() OVER (ORDER BY norm_q) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM nq
+        |), th AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = greatest(1, (n + 1) // 4) THEN norm_q END)
+        |      AS p25,
+        |    MAX(CASE WHEN rn = greatest(1, (3 * (n + 1)) // 4) THEN norm_q END)
+        |      AS p75
+        |  FROM r
+        |)
+        |SELECT nq.vec_id, nq.norm_q,
+        |  NOT (2 * nq.norm_q >= 2 * th.p25 - 3 * (th.p75 - th.p25)
+        |       AND 2 * nq.norm_q <= 2 * th.p75 + 3 * (th.p75 - th.p25))
+        |    AS is_outlier
+        |FROM nq, th ORDER BY vec_id""".stripMargin,
+
+    "q370_l_diversity" ->
+      """SELECT event_type,
+        |  CAST(props->>'$.k' AS BIGINT) // 10 AS k_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id % 50) AS BIGINT) AS n_distinct,
+        |  COUNT(DISTINCT user_id % 50) < 5 AS at_risk
+        |FROM events
+        |GROUP BY event_type, CAST(props->>'$.k' AS BIGINT) // 10
+        |ORDER BY event_type, k_band""".stripMargin,
+
+    "q371_qq_table" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+        |           AS slice,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+        |         event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT slice, cents,
+        |    CAST(row_number() OVER (PARTITION BY slice
+        |                            ORDER BY cents, event_id) AS BIGINT)
+        |      AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY slice) AS BIGINT) AS n
+        |  FROM b
+        |), d AS (
+        |  SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS decile
+        |), th AS (
+        |  SELECT r.slice, d.decile, r.cents AS q
+        |  FROM r JOIN d ON r.r = greatest(1, (d.decile * (r.n + 1)) // 10)
+        |)
+        |SELECT decile,
+        |  MAX(CASE WHEN slice = 'even' THEN q END) AS q_even,
+        |  MAX(CASE WHEN slice = 'odd' THEN q END) AS q_odd,
+        |  MAX(CASE WHEN slice = 'even' THEN q END)
+        |    - MAX(CASE WHEN slice = 'odd' THEN q END) AS gap
+        |FROM th GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // q372 drains to the same 2×2 cells q365 aggregates one-shot
+    "q372_stream_phi" -> phiSql,
 
     // q366 folds additive (type, cents, c) histogram fragments; the
     // oracle replays the raw rank-sum — equal by the tied-block
@@ -893,6 +1081,40 @@ object R16Q {
         |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
         |ORDER BY event_id""".stripMargin
   )
+
+  /** q365/q372 share this batch SQL — the 2×2 cell counts are
+    * additive, so the streaming fold equals the one-shot
+    * coefficient bit-exactly. */
+  private lazy val phiSql: String =
+    """WITH b AS (
+        |  SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT) < 25
+        |              THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN CAST(floor(value * 100.0) AS BIGINT) > 50000
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |), g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM b
+        |)
+        |SELECT n11, n10, n01, n00,
+        |  CAST(CAST(CAST(n11 AS DECIMAL(14,0)) * CAST(n00 AS DECIMAL(14,0))
+        |            AS DECIMAL(29,0))
+        |     - CAST(CAST(n10 AS DECIMAL(14,0)) * CAST(n01 AS DECIMAL(14,0))
+        |            AS DECIMAL(29,0)) AS VARCHAR) AS phi_num,
+        |  CASE WHEN n11 + n10 > 0 AND n01 + n00 > 0
+        |        AND n11 + n01 > 0 AND n10 + n00 > 0 THEN
+        |    CAST(CAST(CAST(n11 AS DECIMAL(14,0)) * CAST(n00 AS DECIMAL(14,0))
+        |              AS DECIMAL(29,0))
+        |       - CAST(CAST(n10 AS DECIMAL(14,0)) * CAST(n01 AS DECIMAL(14,0))
+        |              AS DECIMAL(29,0)) AS DOUBLE)
+        |      / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+        |             * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+        |  END AS phi
+        |FROM g""".stripMargin
 
   /** q357/q361 share this batch SQL — per-batch dose fragments
     * are additive, so the streaming fold equals the one-shot

@@ -39,7 +39,7 @@ object PlanAuditSets {
     "q353_stream_wilson", "q354_stream_diversity", "q355_merkle_repair",
     "q356_stream_mode", "q358_stable_split",
     "q360_containment_incremental",
-    "q361_stream_trend", "q366_stream_gini")
+    "q361_stream_trend", "q366_stream_gini", "q372_stream_phi")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
@@ -159,7 +159,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast cross-joined into the ranked projection (q102's
     // embed-the-scalars pattern); the rank itself is rankInGroup's
     // bucketed two-level scan, all hash joins
-    "q352_lift_deciles")
+    "q352_lift_deciles",
+    // q368 (r16): the corpus doc count — a ONE-ROW broadcast scalar
+    // against the TakeOrdered top-k token relation (q102's pattern)
+    "q368_token_burstiness",
+    // q369 (r16): single-population distributed selection — the
+    // lit-constant group key constant-folds, so exactRankStats'
+    // stats/threshold relations ride ONE-ROW broadcasts (q296's
+    // allowance, norm-outlier flavor)
+    "q369_embedding_norm_outliers")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

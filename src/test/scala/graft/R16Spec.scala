@@ -511,6 +511,104 @@ class R16Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- rareTailMass ----------------
+
+  test("rareTailMass ≡ count replay across maxC") {
+    val rnd = new scala.util.Random(1620)
+    val vb = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (1 to rnd.nextInt(10) + 1)
+        .map(_ => vb(rnd.nextInt(vb.size))).mkString(" "), s"l${i % 2}"))
+      .toDF("doc_id", "text", "lang")
+    Seq(1L, 2L, 5L).foreach { maxC =>
+      val out = TextAnalysis.rareTailMass(docs, "lang", maxC)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      docs.collect().map(r => (r.getString(2), r.getString(1)))
+        .groupBy(_._1).foreach { case (lang, ds) =>
+          val counts = ds.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+            .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+          val n = counts.sum
+          val tail = counts.filter(_ <= maxC).sum
+          assert(out(lang) == ((n, tail, tail.toDouble / n.toDouble)),
+            s"lang $lang maxC $maxC")
+        }
+    }
+  }
+
+  // ---------------- tokenBurstiness ----------------
+
+  test("tokenBurstiness ≡ Fano replay with zero-docs counted") {
+    // directed fixture: 'burst' clusters in one doc, 'even' spreads
+    val docs = Seq(
+      (1L, "burst burst burst burst even"),
+      (2L, "even filler1"),
+      (3L, "even filler2"),
+      (4L, "even filler3")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), BigInt(r.getString(2)), r.getDouble(3))).toMap
+    def vmr(xs: Seq[Long]): (Long, BigInt, Double) = {
+      val n = 4L // ALL docs, zeros included
+      val sx = xs.sum
+      val sx2 = xs.map(x => BigInt(x) * x).sum
+      val num = BigInt(n) * sx2 - BigInt(sx) * sx
+      (sx, num, num.toDouble / (BigInt(n) * sx).toDouble)
+    }
+    assert(out("burst") == vmr(Seq(4L)))
+    assert(out("even") == vmr(Seq(1L, 1L, 1L, 1L)))
+    // the burst token must read far more bursty than the even one
+    assert(out("burst")._3 > out("even")._3 && out("even")._3 == 0.0)
+    // top-k by (count desc, token asc): burst(4), even(4), filler1
+    assert(out.keySet == Set("burst", "even", "filler1"))
+  }
+
+  // ---------------- phiFromCounts ----------------
+
+  test("phiFromCounts: cell fragments fold to the one-shot coefficient") {
+    val rnd = new scala.util.Random(1621)
+    val rows = (1 to 800).map(_ =>
+      (rnd.nextInt(2).toLong, rnd.nextInt(2).toLong))
+    val oneShot = Stats.phiAssociation(rows.toDF("a", "b"),
+      col("a"), col("b")).collect().map(_.toSeq).toSet
+    val frags = rows.zipWithIndex
+      .map { case ((a, b), i) => (a, b, i % 3) }
+      .toDF("a", "b", "part")
+      .groupBy(col("part"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .drop("part")
+    assert(Stats.phiFromCounts(frags).collect().map(_.toSeq).toSet
+      == oneShot)
+  }
+
+  // ---------------- q371's decile order statistics ----------------
+
+  test("QQ decile thresholds ≡ sorted order-statistic replay") {
+    val rnd = new scala.util.Random(1622)
+    val rows = (1 to 700).map(i =>
+      (s"s${i % 2}", rnd.nextInt(400).toLong, i.toLong))
+    val ev = rows.toDF("slice", "cents", "event_id")
+    val ranked = Stats.rankInGroup(ev, "slice", col("cents"),
+      col("event_id"), "r", 50.0)
+    val counts = ev.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    val targets = counts
+      .withColumn("decile", explode(array((1 to 9).map(i => lit(i.toLong)): _*)))
+      .withColumn("rk", expr("greatest(1L, (decile * (n + 1)) div 10)"))
+      .select(col("slice").as("tslice"), col("decile"), col("rk"))
+    val th = ranked.join(targets,
+        col("slice") === col("tslice") && col("r") === col("rk"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("decile")) ->
+        r.getAs[Long]("cents")).toMap
+    rows.groupBy(_._1).foreach { case (sl, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.size.toLong
+      (1 to 9).foreach { d =>
+        val rk = math.max(1L, (d * (n + 1)) / 10).toInt
+        assert(th((sl, d.toLong)) == sorted(rk - 1), s"($sl, $d)")
+      }
+    }
+  }
+
   // ---------------- repairPlan ----------------
 
   test("repairPlan: applying the plan reconciles b to a on random damage") {
