@@ -1407,6 +1407,32 @@ object Stats {
         num.cast("double") / den.cast("double")).as("gini"))
   }
 
+  /** DECILE ORDER STATISTICS from additive (group, value, c)
+    * HISTOGRAM fragments (r16) — the streaming face of the Q–Q
+    * thresholds: the merged histogram's running count locates the
+    * value whose tied block covers rank ⌊d(n+1)/10⌋ for d = 1..9,
+    * identical to ranking raw rows (an order statistic depends only
+    * on the value multiset). The window and the range-residual join
+    * run over the HISTOGRAM aggregate (distinct values — bounded by
+    * the value domain, e.g. ~10⁷ cents buckets at any corpus size),
+    * never raw rows; per-batch count commits fold bit-exactly. */
+  def decilesFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val merged = frags.groupBy(col(groupCol), col("value"))
+      .agg(sum(col("c")).cast("long").as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged.withColumn("__cum", sum(col("__c")).over(w).cast("long"))
+    val counts = merged.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("n"))
+    val targets = counts
+      .withColumn("decile", explode(array((1 to 9).map(i => lit(i.toLong)): _*)))
+      .withColumn("rk", expr("greatest(1L, (decile * (n + 1)) div 10)"))
+      .select(col(groupCol).as("__tg"), col("decile"), col("rk"))
+    cum.join(targets, col(groupCol) === col("__tg") &&
+        col("__cum") - col("__c") < col("rk") && col("rk") <= col("__cum"))
+      .select(col(groupCol), col("decile"), col("value").as("q"))
+  }
+
   /** LORENZ CURVE POINTS per group (r16) — [[giniExact]]'s visual
     * companion: rows ranked by (value, tie) via [[rankInGroup]],
     * split into k rank-bands by integer arithmetic, each band's exact

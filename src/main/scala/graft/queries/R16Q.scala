@@ -488,6 +488,120 @@ object R16Q {
           .agg(count(lit(1)).as("c"))
       }
       graft.operators.Stats.phiFromCounts(frags)
+    }),
+
+    // MAD OUTLIER SCREEN (r16): the robust anomaly gate the IQR
+    // fences (q308) can't give when half the data is identical —
+    // median absolute deviation via TWO distributed-selection passes
+    // (median of cents, then median of |cents − med|), outliers as
+    // the pure-integer comparison |x − med| > 3·MAD. All thresholds
+    // broadcast back from exactRankStats; no global sort anywhere.
+    "q373_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      val med = graft.operators.Stats.exactRankStats(ev, "event_type", "cents")
+        .select(col("event_type"), col("p50").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("cents") - col("med")))
+      val mad = graft.operators.Stats.exactRankStats(dev, "event_type", "absdev")
+        .select(col("event_type"), col("p50").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("absdev") > lit(3L) * col("mad"), 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // STREAMING Q–Q TABLE (r16): q371's decile thresholds in-stream —
+    // per-batch (slice, cents, c) HISTOGRAM fragments (additive), the
+    // read-side fold locating each decile's value from the merged
+    // histogram's running counts (an order statistic depends only on
+    // the value multiset, so the fold ≡ the raw-row rank BIT-EXACTLY;
+    // R16Spec pins decilesFromCounts ≡ the rankInGroup thresholds).
+    // Oracle = q371's batch SQL. `Stats.decilesFromCounts`.
+    "q374_stream_qq" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(
+            when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+              .as("slice"),
+            floor(col("value") * lit(100.0)).cast("long").as("value"))
+          .groupBy(col("slice"), col("value"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.decilesFromCounts(frags, "slice")
+        .groupBy(col("decile"))
+        .agg(max(when(col("slice") === "even", col("q"))).as("q_even"),
+          max(when(col("slice") === "odd", col("q"))).as("q_odd"))
+        .select(col("decile"), col("q_even"), col("q_odd"),
+          (col("q_even") - col("q_odd")).as("gap"))
+        .orderBy("decile")
+    }),
+
+    // REFERENTIAL-INTEGRITY AUDIT (r16): orphan-FK and childless-PK
+    // rates across the star schema — the lake hygiene report a 100 TB
+    // warehouse runs nightly. Each leg is ONE anti-join (hash,
+    // key-partitioned); counts exact. On this generator's consistent
+    // data every orphan count is 0 and customers-without-orders is
+    // the one legitimately non-zero row — the audit proves the
+    // CHECKS, the zeros are the expected healthy reading.
+    "q375_fk_orphans" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val p = Tables.part(s, d)
+      val legs = Seq(
+        ("lineitem->orders",
+          li.select(col("l_orderkey").as("k")),
+          o.select(col("o_orderkey").as("k"))),
+        ("lineitem->part",
+          li.select(col("l_partkey").as("k")),
+          p.select(col("p_partkey").as("k"))),
+        ("orders->customer",
+          o.select(col("o_custkey").as("k")),
+          c.select(col("c_custkey").as("k"))),
+        ("customer<-orders",
+          c.select(col("c_custkey").as("k")),
+          o.select(col("o_custkey").as("k"))))
+      legs.map { case (nm, child, parent) =>
+        // one pass per leg: left join against the distinct parent
+        // keys, orphans = misses — no second scan for the total
+        child.join(parent.distinct().withColumn("__hit", lit(1L)),
+            Seq("k"), "left")
+          .agg(lit(nm).as("rel"), count(lit(1)).as("n_rows"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_unmatched"))
+      }.reduce(_ unionByName _)
+        .orderBy("rel")
+    }),
+
+    // SCD TYPE-2 INTERVAL BUILD (r16): each user's event-type CHANGE
+    // HISTORY as validity intervals — the dimension-table build every
+    // warehouse runs: change points from one lag inside the USER
+    // partition (deterministic (ts, id) order), valid_to from the
+    // next change's lead, open intervals NULL. Row-level lake op, no
+    // corpus-sized partition anywhere.
+    "q376_scd2_intervals" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+      val changes = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      changes
+        .withColumn("version", row_number().over(w2).cast("long"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w2))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts_us").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -986,35 +1100,107 @@ object R16Q {
         |GROUP BY event_type, CAST(props->>'$.k' AS BIGINT) // 10
         |ORDER BY event_type, k_band""".stripMargin,
 
-    "q371_qq_table" ->
-      """WITH b AS (
-        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
-        |           AS slice,
-        |         CAST(floor(value * 100.0) AS BIGINT) AS cents,
-        |         event_id
-        |  FROM events
-        |), r AS (
-        |  SELECT slice, cents,
-        |    CAST(row_number() OVER (PARTITION BY slice
-        |                            ORDER BY cents, event_id) AS BIGINT)
-        |      AS r,
-        |    CAST(COUNT(*) OVER (PARTITION BY slice) AS BIGINT) AS n
-        |  FROM b
-        |), d AS (
-        |  SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS decile
-        |), th AS (
-        |  SELECT r.slice, d.decile, r.cents AS q
-        |  FROM r JOIN d ON r.r = greatest(1, (d.decile * (r.n + 1)) // 10)
-        |)
-        |SELECT decile,
-        |  MAX(CASE WHEN slice = 'even' THEN q END) AS q_even,
-        |  MAX(CASE WHEN slice = 'odd' THEN q END) AS q_odd,
-        |  MAX(CASE WHEN slice = 'even' THEN q END)
-        |    - MAX(CASE WHEN slice = 'odd' THEN q END) AS gap
-        |FROM th GROUP BY decile ORDER BY decile""".stripMargin,
+    // mirrors q371/q374: exact decile order statistics per slice
+    "q371_qq_table" -> qqSql,
 
     // q372 drains to the same 2×2 cells q365 aggregates one-shot
     "q372_stream_phi" -> phiSql,
+
+    // mirrors q373: the exactRankStats p50 rank convention
+    // (value at rank greatest(1, (n+1) div 2)), applied twice
+    "q373_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |  FROM events
+        |), r1 AS (
+        |  SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e
+        |), med AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = greatest(1, (n + 1) // 2) THEN cents END)
+        |      AS med
+        |  FROM r1 GROUP BY event_type
+        |), d AS (
+        |  SELECT e.event_type, abs(e.cents - m.med) AS absdev, m.med
+        |  FROM e JOIN med m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, absdev,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY absdev) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d
+        |), mad AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = greatest(1, (n + 1) // 2) THEN absdev END)
+        |      AS mad
+        |  FROM r2 GROUP BY event_type
+        |)
+        |SELECT d.event_type, MAX(d.med) AS med, MAX(mad.mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.absdev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
+
+    // q374 drains to the same (slice, value) histogram q371 ranks
+    "q374_stream_qq" -> qqSql,
+
+    "q375_fk_orphans" ->
+      """SELECT 'customer<-orders' AS rel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM (SELECT c_custkey AS k FROM customer) ch
+        |LEFT JOIN (SELECT DISTINCT o_custkey AS pk FROM orders) p
+        |  ON ch.k = p.pk
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT l_orderkey AS k FROM lineitem) ch
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+        |  ON ch.k = p.pk
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT l_partkey AS k FROM lineitem) ch
+        |LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
+        |  ON ch.k = p.pk
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT o_custkey AS k FROM orders) ch
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |  ON ch.k = p.pk
+        |ORDER BY rel""".stripMargin,
+
+    "q376_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS prev
+        |  FROM e
+        |), ch AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS BIGINT)
+        |    AS version,
+        |  event_type, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, version""".stripMargin,
 
     // q366 folds additive (type, cents, c) histogram fragments; the
     // oracle replays the raw rank-sum — equal by the tied-block
@@ -1081,6 +1267,37 @@ object R16Q {
         |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
         |ORDER BY event_id""".stripMargin
   )
+
+  /** q371/q374 share this batch SQL — (slice, value, c) histogram
+    * fragments are additive and an order statistic depends only on
+    * the value multiset, so the streaming fold equals the raw-row
+    * rank thresholds bit-exactly. */
+  private lazy val qqSql: String =
+    """WITH b AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+        |           AS slice,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+        |         event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT slice, cents,
+        |    CAST(row_number() OVER (PARTITION BY slice
+        |                            ORDER BY cents, event_id) AS BIGINT)
+        |      AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY slice) AS BIGINT) AS n
+        |  FROM b
+        |), d AS (
+        |  SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS decile
+        |), th AS (
+        |  SELECT r.slice, d.decile, r.cents AS q
+        |  FROM r JOIN d ON r.r = greatest(1, (d.decile * (r.n + 1)) // 10)
+        |)
+        |SELECT decile,
+        |  MAX(CASE WHEN slice = 'even' THEN q END) AS q_even,
+        |  MAX(CASE WHEN slice = 'odd' THEN q END) AS q_odd,
+        |  MAX(CASE WHEN slice = 'even' THEN q END)
+        |    - MAX(CASE WHEN slice = 'odd' THEN q END) AS gap
+        |FROM th GROUP BY decile ORDER BY decile""".stripMargin
 
   /** q365/q372 share this batch SQL — the 2×2 cell counts are
     * additive, so the streaming fold equals the one-shot

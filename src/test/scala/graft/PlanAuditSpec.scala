@@ -39,7 +39,8 @@ object PlanAuditSets {
     "q353_stream_wilson", "q354_stream_diversity", "q355_merkle_repair",
     "q356_stream_mode", "q358_stable_split",
     "q360_containment_incremental",
-    "q361_stream_trend", "q366_stream_gini", "q372_stream_phi")
+    "q361_stream_trend", "q366_stream_gini", "q372_stream_phi",
+    "q374_stream_qq")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
@@ -167,7 +168,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // lit-constant group key constant-folds, so exactRankStats'
     // stats/threshold relations ride ONE-ROW broadcasts (q296's
     // allowance, norm-outlier flavor)
-    "q369_embedding_norm_outliers")
+    "q369_embedding_norm_outliers",
+    // q373 (r16): exactRankStats' per-group stats rows ride q262's
+    // one-row-per-group broadcasts, twice (median, then MAD)
+    "q373_mad_outliers")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

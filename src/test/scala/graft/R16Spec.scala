@@ -609,6 +609,94 @@ class R16Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- decilesFromCounts ----------------
+
+  test("decilesFromCounts: histogram fragments ≡ raw-row rank thresholds") {
+    val rnd = new scala.util.Random(1623)
+    val rows = (1 to 900).map(i =>
+      (s"s${i % 2}", rnd.nextInt(60).toLong * 10, i.toLong)) // tie-heavy
+    val frags = rows.zipWithIndex
+      .map { case ((g, v, _), i) => (g, v, i % 5) }
+      .toDF("g", "value", "part")
+      .groupBy(col("part"), col("g"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .drop("part")
+    val got = Stats.decilesFromCounts(frags, "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.size.toLong
+      (1 to 9).foreach { d =>
+        val rk = math.max(1L, (d * (n + 1)) / 10).toInt
+        assert(got((g, d.toLong)) == sorted(rk - 1), s"($g, $d)")
+      }
+    }
+    assert(got.size == 18)
+  }
+
+  // ---------------- MAD ----------------
+
+  test("MAD outlier screen ≡ two-pass median replay (q373's chain)") {
+    val rnd = new scala.util.Random(1624)
+    val rows = (1 to 800).map(i =>
+      (s"g${i % 2}", rnd.nextInt(200).toLong +
+        (if (i % 97 == 0) 100000L else 0L))) // planted outliers
+    val ev = rows.toDF("event_type", "cents")
+    val med = Stats.exactRankStats(ev, "event_type", "cents")
+      .select(col("event_type"), col("p50").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("cents") - col("med")))
+    val mad = Stats.exactRankStats(dev, "event_type", "absdev")
+      .select(col("event_type"), col("p50").as("mad"))
+    val out = dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("absdev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2).sorted
+      def medAt(s: Seq[Long]) = s(math.max(1, (s.size + 1) / 2) - 1)
+      val m = medAt(xs)
+      val devs = rs.map(r => math.abs(r._2 - m)).sorted
+      val md = medAt(devs)
+      val outliers = rs.count(r => math.abs(r._2 - m) > 3 * md).toLong
+      assert(out(g) == ((m, md, outliers)), s"group $g")
+      assert(outliers > 0, s"group $g should contain the planted outliers")
+    }
+  }
+
+  // ---------------- SCD2 intervals ----------------
+
+  test("SCD2 intervals ≡ sequential fold (q376's window chain)") {
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "b", 40L, 4L), (1L, "a", 50L, 5L),
+      (2L, "x", 10L, 6L), // single-state user: one open interval
+      (3L, "p", 10L, 8L), (3L, "q", 10L, 7L) // ts tie → event_id order
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changes = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(changes.toSeq == Seq(
+      (1L, 1L, "a", 10L, Some(30L)), (1L, 2L, "b", 30L, Some(50L)),
+      (1L, 3L, "a", 50L, None),
+      (2L, 1L, "x", 10L, None),
+      (3L, 1L, "q", 10L, Some(10L)), (3L, 2L, "p", 10L, None)))
+  }
+
   // ---------------- repairPlan ----------------
 
   test("repairPlan: applying the plan reconciles b to a on random damage") {
