@@ -335,6 +335,47 @@ object LinkAnalysis {
     * a₂ ≤ E³ inside DECIMAL(38,0) for E up to ~2·10¹². h₁/a₂ are
     * emitted as canonical digit STRINGS (the r16 DECIMAL(38,0)
     * output rule). Multi-edges collapse first (simple-graph HITS). */
+  /** DEGREE ASSORTATIVITY (r16) — "do hubs link to hubs": the Pearson
+    * correlation over directed edges of (out-degree of the source,
+    * in-degree of the target). Positive ⇒ assortative (social-graph
+    * shape), negative ⇒ hub-and-spoke (web/dependency shape) — the
+    * one-number topology readout a graph-quality report carries.
+    * Five exact integer sums over the edge relation (two degree
+    * aggregates joined back — hash joins on the endpoint); the
+    * correlation is the q298 CUPED chain: exact totals cast to
+    * double, then one mirrored IEEE tree (num/den products exceed any
+    * fixed decimal width at 10¹² edges, so the CHAIN, not the
+    * difference, is the cross-engine contract). Zero variance on
+    * either side → NULL (the q230 rule). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).cast("long").as("j"))
+    val ind = e.groupBy(col("dst")).agg(count(lit(1)).cast("long").as("k"))
+    import org.apache.spark.sql.types.DecimalType
+    val d14 = DecimalType(14, 0)
+    val g = e.join(outd, "src").join(ind, "dst")
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("j")).cast("long").as("sj"),
+        sum(col("k")).cast("long").as("sk"),
+        sum((col("j").cast(d14) * col("k").cast(d14))
+          .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sjk"),
+        sum((col("j").cast(d14) * col("j").cast(d14))
+          .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sj2"),
+        sum((col("k").cast(d14) * col("k").cast(d14))
+          .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("sk2"))
+    val mD = col("m").cast("double")
+    val num = mD * col("sjk").cast("double") -
+      col("sj").cast("double") * col("sk").cast("double")
+    val varJ = mD * col("sj2").cast("double") -
+      col("sj").cast("double") * col("sj").cast("double")
+    val varK = mD * col("sk2").cast("double") -
+      col("sk").cast("double") * col("sk").cast("double")
+    g.select(col("m"), col("sj"), col("sk"),
+      col("sjk").cast("string").as("sum_jk"),
+      when(varJ > 0.0d && varK > 0.0d,
+        num / sqrt(varJ * varK)).as("assortativity"))
+  }
+
   def hitsExact(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = edges.select(col("src"), col("dst")).distinct()

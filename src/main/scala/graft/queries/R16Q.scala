@@ -602,6 +602,78 @@ object R16Q {
         .select(col("user_id"), col("version"), col("event_type"),
           col("ts_us").as("valid_from"), col("valid_to"))
         .orderBy("user_id", "version")
+    }),
+
+    // DEGREE ASSORTATIVITY (r16): do hubs link to hubs on the q136
+    // synthetic user graph — Pearson over edges of (src out-degree,
+    // dst in-degree), exact sums + the q298 mirrored double chain.
+    // `LinkAnalysis.assortativity`.
+    "q377_assortativity" -> ((s, d) =>
+      graft.operators.LinkAnalysis.assortativity(
+        Tables.events(s, d).select(
+          col("user_id").as("src"),
+          ((col("user_id") * 3 + col("event_id") % 5 + 1) % 150)
+            .as("dst")))),
+
+    // TOP-K RANKING OVERLAP (r16): how similar are two scoring
+    // functions' top sets — the offline eval a ranker swap runs
+    // before shipping. Two TakeOrdered top-100s (value-cents desc vs
+    // props-k desc, ties by id — never a global sort), one full-outer
+    // join, exact Jaccard.
+    "q378_topk_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val byCents = ev.orderBy(desc("cents"), col("event_id")).limit(100)
+        .select(col("event_id")).withColumn("__a", lit(1L))
+      val byK = ev.orderBy(desc("k"), col("event_id")).limit(100)
+        .select(col("event_id")).withColumn("__b", lit(1L))
+      byCents.join(byK, Seq("event_id"), "full_outer")
+        .agg(
+          sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_both"), col("n_union"),
+          (col("n_both").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+    }),
+
+    // STREAMING REFERENTIAL AUDIT (r16): q375's hygiene check on the
+    // ingest path — each micro-batch left-joins its rows against the
+    // STATIC parent keys and commits one (n_rows, n_unmatched) COUNT
+    // fragment (additive); the fold is the corpus audit. The child
+    // key is deliberately damaged (user_id×11 walks past the customer
+    // key range) so the non-zero leg is exercised.
+    "q379_stream_fk" -> ((s, d) => {
+      val parent = Tables.customer(s, d)
+        .select(col("c_custkey").as("k")).distinct()
+        .withColumn("__hit", lit(1L))
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select((col("user_id") * 11).as("k"))
+          .join(parent, Seq("k"), "left")
+          .agg(lit("events->customer(x11)").as("rel"),
+            count(lit(1)).as("n_rows"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_unmatched"))
+      }
+      frags.groupBy(col("rel"))
+        .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+          sum(col("n_unmatched")).cast("long").as("n_unmatched"))
+    }),
+
+    // CONTAINMENT CLUSTERS (r16): q348's directed pairs closed into
+    // boilerplate FAMILIES — symmetrized edges through the q103
+    // pointer-jumping connected components, min-doc-id labels. The
+    // asymmetric twin of q334's Jaccard clusters. Oracle: the same
+    // quadratic pair definition + a recursive min-label closure.
+    "q380_containment_clusters" -> ((s, d) => {
+      val pairs = graft.operators.Dedup.containmentJoin(
+          Tables.documents(s, d), n = 3, minConNum = 3, minConDen = 5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.operators.Dedup.dedupClusters(pairs, iterations = 8,
+          pointerJumping = true)
+        .orderBy("doc_id")
     })
   )
 
@@ -1229,6 +1301,104 @@ object R16Q {
         |      / CAST(CAST(n AS DECIMAL(11,0)) * sx AS DOUBLE)
         |  END AS gini
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q377_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         (user_id * 3 + event_id % 5 + 1) % 150 AS dst
+        |  FROM events
+        |), od AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS j FROM e GROUP BY src
+        |), idg AS (
+        |  SELECT dst, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY dst
+        |), g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+        |    CAST(SUM(CAST(j AS DECIMAL(14,0)) * CAST(k AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS sjk,
+        |    CAST(SUM(CAST(j AS DECIMAL(14,0)) * CAST(j AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS sj2,
+        |    CAST(SUM(CAST(k AS DECIMAL(14,0)) * CAST(k AS DECIMAL(14,0)))
+        |         AS DECIMAL(38,0)) AS sk2
+        |  FROM e JOIN od USING (src) JOIN idg USING (dst)
+        |)
+        |SELECT m, sj, sk, CAST(sjk AS VARCHAR) AS sum_jk,
+        |  CASE WHEN CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
+        |              - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) > 0
+        |         AND CAST(m AS DOUBLE) * CAST(sk2 AS DOUBLE)
+        |              - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) > 0 THEN
+        |    (CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+        |       - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+        |    / sqrt((CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
+        |              - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+        |           * (CAST(m AS DOUBLE) * CAST(sk2 AS DOUBLE)
+        |              - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)))
+        |  END AS assortativity
+        |FROM g""".stripMargin,
+
+    "q378_topk_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(value * 100.0) AS BIGINT) AS cents,
+        |         CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events
+        |), a AS (
+        |  SELECT event_id FROM e ORDER BY cents DESC, event_id LIMIT 100
+        |), b AS (
+        |  SELECT event_id FROM e ORDER BY k DESC, event_id LIMIT 100
+        |), j AS (
+        |  SELECT a.event_id IS NOT NULL AND b.event_id IS NOT NULL AS in_both
+        |  FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+        |)
+        |SELECT CAST(SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_both,
+        |       CAST(COUNT(*) AS BIGINT) AS n_union,
+        |       CAST(SUM(CASE WHEN in_both THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS jaccard
+        |FROM j""".stripMargin,
+
+    // q379 drains to the same (n_rows, n_unmatched) totals the batch
+    // join aggregates one-shot — per-batch anti counts are additive
+    "q379_stream_fk" ->
+      """SELECT 'events->customer(x11)' AS rel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched
+        |FROM (SELECT user_id * 11 AS k FROM events) ch
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |  ON ch.k = p.pk""".stripMargin,
+
+    // mirrors q380: the quadratic containment pairs + the q334
+    // recursive min-label closure
+    "q380_containment_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS g(i)
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), res AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sz sa ON i.doc_a = sa.doc_id
+        |  WHERE i.inter * 5 >= sa.sz * 3
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM res
+        |  UNION ALL SELECT doc_b, doc_a FROM res
+        |), reach AS (
+        |  SELECT u AS id, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS id, r.lbl AS lbl FROM edges e JOIN reach r ON e.v = r.id
+        |), labels AS (
+        |  SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+        |)
+        |SELECT doc_id, cluster FROM labels ORDER BY doc_id""".stripMargin,
 
     // mirrors q355: the direct by-key diff (q342's oracle) with the
     // status→action mapping; the in-query apply-and-prove needs no

@@ -697,6 +697,56 @@ class R16Spec extends AnyFunSuite {
       (3L, 1L, "q", 10L, Some(10L)), (3L, 2L, "p", 10L, None)))
   }
 
+  // ---------------- assortativity ----------------
+
+  test("assortativity ≡ edge-level Pearson replay; sign on planted shapes") {
+    val rnd = new scala.util.Random(1625)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    val out = LinkAnalysis.assortativity(edges.toDF("src", "dst"))
+      .collect().head
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ind = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val jk = edges.map(e => (outd(e._1), ind(e._2)))
+    val m = jk.size.toDouble
+    val (sj, sk) = (jk.map(_._1).sum.toDouble, jk.map(_._2).sum.toDouble)
+    val sjk = jk.map(p => BigInt(p._1) * p._2).sum
+    val sj2 = jk.map(p => BigInt(p._1) * p._1).sum
+    val sk2 = jk.map(p => BigInt(p._2) * p._2).sum
+    val num = m * sjk.toDouble - sj * sk
+    val r = num / math.sqrt((m * sj2.toDouble - sj * sj) *
+      (m * sk2.toDouble - sk * sk))
+    assert(out.getLong(0) == jk.size && BigInt(out.getString(3)) == sjk)
+    assert(out.getDouble(4) == r)
+    // a pure hub-and-spoke star must read strongly disassortative
+    val star = ((1 to 20).map(i => (0L, i.toLong)) ++
+      (21 to 40).map(i => (i.toLong, 0L))).toDF("src", "dst")
+    val rs = LinkAnalysis.assortativity(star).collect().head.getDouble(4)
+    assert(rs < 0.0, s"star graph must be disassortative, got $rs")
+  }
+
+  // ---------------- topk overlap (q378's shape) ----------------
+
+  test("top-k overlap ≡ set replay with deterministic tie cuts") {
+    val rnd = new scala.util.Random(1626)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("event_id", "s1", "s2")
+    val a = df.orderBy(desc("s1"), col("event_id")).limit(100)
+      .select(col("event_id")).withColumn("__a", lit(1L))
+    val b = df.orderBy(desc("s2"), col("event_id")).limit(100)
+      .select(col("event_id")).withColumn("__b", lit(1L))
+    val got = a.join(b, Seq("event_id"), "full_outer")
+      .agg(sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+        .otherwise(0L)).cast("long").as("nb"), count(lit(1)).as("nu"))
+      .collect().head
+    def top(sel: ((Long, Long, Long)) => Long): Set[Long] =
+      rows.sortBy(r => (-sel(r), r._1)).take(100).map(_._1).toSet
+    val (sa, sb) = (top(_._2), top(_._3))
+    assert(got.getLong(0) == (sa intersect sb).size.toLong)
+    assert(got.getLong(1) == (sa union sb).size.toLong)
+  }
+
   // ---------------- repairPlan ----------------
 
   test("repairPlan: applying the plan reconciles b to a on random damage") {
