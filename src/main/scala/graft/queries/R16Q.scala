@@ -698,6 +698,37 @@ object R16Q {
       graft.operators.Dedup.dedupClusters(pairs, iterations = 8,
           pointerJumping = true)
         .orderBy("doc_id")
+    }),
+
+    // STREAMING SCD2 (r16): q376's dimension history maintained
+    // in-stream — O(1) state per key (the last observed attribute),
+    // change rows emitted per batch under the CHRONOLOGICAL drain
+    // (the CDC contract; out-of-order arrival fails loud), versions
+    // and valid_to derived read-side from the change-sized relation.
+    // A chronological multi-batch RocksDB drain must reproduce the
+    // batch interval build BIT-EXACTLY — the oracle is q376's SQL.
+    // `Stateful.Scd2Changes`.
+    "q381_stream_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val changes = graft.streaming.MicroBatch.updateRun(s, d,
+        splitParts = Some(4), chronological = true,
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.scd2Changes(
+          graft.Tables.toEventTime(stream)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1))
+          .toDF("user_id", "event_type", "ts_us", "event_id")
+      }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      changes
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts_us").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -1275,28 +1306,11 @@ object R16Q {
         |  ON ch.k = p.pk
         |ORDER BY rel""".stripMargin,
 
-    "q376_scd2_intervals" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type,
-        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
-        |  FROM events
-        |), c AS (
-        |  SELECT user_id, event_type, ts_us, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |                          ORDER BY ts_us, event_id) AS prev
-        |  FROM e
-        |), ch AS (
-        |  SELECT user_id, event_type, ts_us, event_id FROM c
-        |  WHERE prev IS NULL OR prev <> event_type
-        |)
-        |SELECT user_id,
-        |  CAST(row_number() OVER (PARTITION BY user_id
-        |                          ORDER BY ts_us, event_id) AS BIGINT)
-        |    AS version,
-        |  event_type, ts_us AS valid_from,
-        |  lead(ts_us) OVER (PARTITION BY user_id
-        |                    ORDER BY ts_us, event_id) AS valid_to
-        |FROM ch ORDER BY user_id, version""".stripMargin,
+    // mirrors q376/q381: lag-detected change points + interval windows
+    "q376_scd2_intervals" -> scd2Sql,
+
+    // q381 drains to the same change rows q376 lag-detects one-shot
+    "q381_stream_scd2" -> scd2Sql,
 
     // q366 folds additive (type, cents, c) histogram fragments; the
     // oracle replays the raw rank-sum — equal by the tied-block
@@ -1461,6 +1475,32 @@ object R16Q {
         |WHERE ha.h IS NULL OR hb.h IS NULL OR ha.h <> hb.h
         |ORDER BY event_id""".stripMargin
   )
+
+  /** q376/q381 share this batch SQL — the streaming change
+    * detector emits exactly the lag-change rows under the
+    * chronological drain, so the interval build folds identically. */
+  private lazy val scd2Sql: String =
+    """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS prev
+        |  FROM e
+        |), ch AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id) AS BIGINT)
+        |    AS version,
+        |  event_type, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |                    ORDER BY ts_us, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, version""".stripMargin
 
   /** q371/q374 share this batch SQL — (slice, value, c) histogram
     * fragments are additive and an order statistic depends only on

@@ -40,7 +40,7 @@ object PlanAuditSets {
     "q356_stream_mode", "q358_stable_split",
     "q360_containment_incremental",
     "q361_stream_trend", "q366_stream_gini", "q372_stream_phi",
-    "q374_stream_qq", "q379_stream_fk",
+    "q374_stream_qq", "q379_stream_fk", "q381_stream_scd2",
     // q380: dedupClusters localCheckpoints per CC round at build
     "q380_containment_clusters")
 }

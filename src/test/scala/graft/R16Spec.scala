@@ -747,6 +747,33 @@ class R16Spec extends AnyFunSuite {
     assert(got.getLong(1) == (sa union sb).size.toLong)
   }
 
+  // ---------------- Scd2Changes ----------------
+
+  test("Scd2Changes: a non-chronological drain fails loud, never a wrong history") {
+    // hash-split staging interleaves event time across batches — the
+    // exact violation of the CDC contract the processor guards; it
+    // must throw (wrapped in the streaming query's failure), not emit
+    // a change history computed from out-of-order state
+    val sf = "/root/testdata/sf0.001"
+    val thrown = intercept[Throwable] {
+      graft.streaming.MicroBatch.updateRun(spark, sf,
+        splitParts = Some(3), chronological = false,
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        graft.streaming.Stateful.scd2Changes(
+          graft.Tables.toEventTime(stream)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1))
+          .toDF("user_id", "event_type", "ts_us", "event_id")
+      }.count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(thrown).exists(_.contains("out-of-order arrival")),
+      s"expected the chronological-contract failure, got: $thrown")
+  }
+
   // ---------------- repairPlan ----------------
 
   test("repairPlan: applying the plan reconciles b to a on random damage") {
