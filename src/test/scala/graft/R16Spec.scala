@@ -747,6 +747,55 @@ class R16Spec extends AnyFunSuite {
     assert(got.getLong(1) == (sa union sb).size.toLong)
   }
 
+  // ---------------- directed edge cases ----------------
+
+  test("containmentJoin at threshold 1/1 emits exactly full-subset pairs") {
+    val rnd = new scala.util.Random(1627)
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until (6 + rnd.nextInt(8)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val subs = (0 until 6).map { i => // exact shingle-subset plants
+      val t = base(i * 5)._2.split(" ")
+      (500L + i, t.take(math.max(3, t.length - 3)).mkString(" "))
+    }
+    val docs = (base ++ subs).toDF("doc_id", "text")
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = (base ++ subs).map { case (id, t) => id -> sh(t) }
+      .filter(_._2.nonEmpty).toMap
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.subsetOf(sb)
+    } yield (a, b)).toSet
+    val got = Dedup.containmentJoin(docs, n = 3, minConNum = 1,
+        minConDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"missed ${expect -- got}, extra ${got -- expect}")
+    assert(got.nonEmpty)
+  }
+
+  test("trimmedMean with trim 0 ≡ the exact mean; gini extremes 0 and →1") {
+    val rows = (1 to 300).map(i => ("g", (i % 37).toLong * 3, i.toLong))
+    val tm = Stats.trimmedMean(rows.toDF("g", "x", "tie"), "g",
+        col("x"), col("tie"), trimNum = 0, trimDen = 10)
+      .collect().head
+    val xs = rows.map(_._2)
+    assert(tm.getLong(1) == xs.size.toLong)
+    assert(tm.getDouble(2) == xs.map(BigInt(_)).sum.toDouble / xs.size)
+    // constant values → perfectly equal → gini exactly 0
+    val g0 = Stats.giniExact(
+      (1 to 50).map(i => ("c", 7L, i.toLong)).toDF("g", "x", "tie"),
+      "g", col("x"), col("tie")).collect().head
+    assert(g0.getDouble(3) == 0.0)
+    // one holder of everything → gini = (n-1)/n
+    val n = 40
+    val g1 = Stats.giniExact(
+      ((1 until n).map(i => ("m", 0L, i.toLong)) :+ (("m", 1000L, n.toLong)))
+        .toDF("g", "x", "tie"),
+      "g", col("x"), col("tie")).collect().head
+    assert(g1.getDouble(3) == (n - 1).toDouble / n.toDouble)
+  }
+
   // ---------------- Scd2Changes ----------------
 
   test("Scd2Changes: a non-chronological drain fails loud, never a wrong history") {
