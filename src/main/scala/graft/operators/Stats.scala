@@ -1351,13 +1351,50 @@ object Stats {
         .agg(count(lit(1)).as("c")),
       groupCol)
 
+  /** NAMED DOMAIN BUDGET for the `FromCounts` histogram folds
+    * (VERDICT r16 watch item → r17): these folds window-partition by
+    * the group key over the merged VALUE-HISTOGRAM relation, which is
+    * scale-safe ONLY while the value domain is bounded (the R15c
+    * window contract — cents quantization keeps per-group distinct
+    * values ≤ ~10⁷ at any corpus size). A caller feeding an
+    * UNQUANTIZED high-cardinality value column would silently funnel
+    * a distinct-value-sized partition through one window sort —
+    * instead, the merged histogram's per-group distinct-value count
+    * is checked against the budget (one group-bounded aggregate +
+    * broadcast join, evaluated BEFORE the window stage) and the
+    * violation fails loud with this named contract, the
+    * [[jackknifeRatio]] `raise_error` pattern. */
+  private def guardedHistogram(merged: DataFrame, groupCol: String,
+                               domainBudget: Long, who: String): DataFrame = {
+    require(domainBudget >= 1, s"$who: domainBudget must be >= 1")
+    val dv = merged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__dv"))
+    merged.join(broadcast(dv), Seq(groupCol))
+      .withColumn("__guard",
+        when(col("__dv") <= domainBudget, lit(1))
+          .otherwise(raise_error(concat(
+            lit(s"$who: per-group distinct-value count exceeds the " +
+              s"histogram domain budget ($domainBudget) for group "),
+            col(groupCol).cast("string"),
+            lit(" — quantize the value column; the FromCounts folds " +
+              "rank the HISTOGRAM, so its per-group size must be " +
+              "value-domain bounded")))))
+      .filter(col("__guard") === 1)
+      .drop("__dv", "__guard")
+  }
+
   /** [[modeBy]] over pre-counted (group, value, c) fragments —
     * additive (duplicate (group, value) rows sum first), so per-batch
     * value counts committed by a streaming drain fold to the one-shot
-    * mode bit-exactly. Input columns: `value`, `c`. */
-  def modeFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
-    val counts = frags.groupBy(col(groupCol), col("value"))
-      .agg(sum(col("c")).cast("long").as("n"))
+    * mode bit-exactly. Input columns: `value`, `c`. Per-group
+    * distinct values must fit `domainBudget` ([[guardedHistogram]] —
+    * fails loud otherwise). */
+  def modeFromCounts(frags: DataFrame, groupCol: String,
+                     domainBudget: Long = 10000000L): DataFrame = {
+    val counts = guardedHistogram(
+      frags.groupBy(col(groupCol), col("value"))
+        .agg(sum(col("c")).cast("long").as("n")),
+      groupCol, domainBudget, "modeFromCounts")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(desc("n"), col("value"))
     counts.withColumn("__rn", row_number().over(w))
@@ -1373,11 +1410,16 @@ object Stats {
     * prefix sums over the VALUE-HISTOGRAM relation (aggregate-sized,
     * never the corpus), making per-batch (group, value, c) count
     * commits fold to the one-shot [[giniExact]] BIT-EXACTLY (pinned
-    * in R16Spec). Input columns: `value` (non-negative long), `c`. */
-  def giniFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    * in R16Spec). Input columns: `value` (non-negative long), `c`.
+    * Per-group distinct values must fit `domainBudget`
+    * ([[guardedHistogram]] — fails loud otherwise). */
+  def giniFromCounts(frags: DataFrame, groupCol: String,
+                     domainBudget: Long = 10000000L): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val merged = frags.groupBy(col(groupCol), col("value"))
-      .agg(sum(col("c")).cast("long").as("__c"))
+    val merged = guardedHistogram(
+      frags.groupBy(col(groupCol), col("value"))
+        .agg(sum(col("c")).cast("long").as("__c")),
+      groupCol, domainBudget, "giniFromCounts")
     // prefix count of earlier rows, over the histogram aggregate
     val w = Window.partitionBy(col(groupCol)).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1415,10 +1457,15 @@ object Stats {
     * on the value multiset). The window and the range-residual join
     * run over the HISTOGRAM aggregate (distinct values — bounded by
     * the value domain, e.g. ~10⁷ cents buckets at any corpus size),
-    * never raw rows; per-batch count commits fold bit-exactly. */
-  def decilesFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
-    val merged = frags.groupBy(col(groupCol), col("value"))
-      .agg(sum(col("c")).cast("long").as("__c"))
+    * never raw rows; per-batch count commits fold bit-exactly.
+    * Per-group distinct values must fit `domainBudget`
+    * ([[guardedHistogram]] — fails loud otherwise). */
+  def decilesFromCounts(frags: DataFrame, groupCol: String,
+                        domainBudget: Long = 10000000L): DataFrame = {
+    val merged = guardedHistogram(
+      frags.groupBy(col(groupCol), col("value"))
+        .agg(sum(col("c")).cast("long").as("__c")),
+      groupCol, domainBudget, "decilesFromCounts")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = merged.withColumn("__cum", sum(col("__c")).over(w).cast("long"))

@@ -928,10 +928,20 @@ object TextAnalysis {
     * division. Docs with fewer than n tokens have no shingles and no
     * row (the [[Dedup.shingles]] domain). */
   def noveltyScore(incoming: DataFrame, corpus: DataFrame,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3): DataFrame =
+    noveltyScoreAgainst(incoming,
+      Dedup.shingles(corpus, n).select(col("shingle")), n)
+
+  /** [[noveltyScore]] probing a PREBUILT distinct-shingle INDEX (a
+    * `shingle` column — r17, VERDICT r16 #6): the steady-state ingest
+    * shape, where the corpus shingle relation is a MAINTAINED lake
+    * artifact appended per admitted batch instead of rebuilt per
+    * session. One left hash join against the index; the ratio is
+    * exact integers + one mirrored division. */
+  def noveltyScoreAgainst(incoming: DataFrame, index: DataFrame,
+                          n: Int = 3): DataFrame = {
     val shI = Dedup.shingles(incoming, n)
-    val seen = Dedup.shingles(corpus, n)
-      .select(col("shingle")).distinct()
+    val seen = index.select(col("shingle")).distinct()
       .withColumn("__seen", lit(1L))
     shI.join(seen, Seq("shingle"), "left")
       .groupBy(col("doc_id"))

@@ -380,14 +380,18 @@ object R16Q {
     // event" and "high-value event" — the feature↔label
     // co-occurrence number with no estimated moments. One aggregate
     // pass; numerator exact (digit string), denominator a mirrored
-    // double chain. `Stats.phiAssociation`.
+    // double chain. Flags built the q353 Wilson way
+    // (when(cond,1).otherwise(0)) so a NULL predicate lands in the 0
+    // cell on BOTH engines — the oracle's CASE ... ELSE 0 does the
+    // same, and a bare boolean cast would have dropped NULL rows from
+    // all four cells (ADVICE r16). `Stats.phiAssociation`.
     "q365_phi_association" -> ((s, d) =>
       graft.operators.Stats.phiAssociation(
         Tables.events(s, d),
-        (get_json_object(col("props"), "$.k").cast("long") < 25)
-          .cast("long"),
-        (floor(col("value") * lit(100.0)).cast("long") > 50000L)
-          .cast("long"))),
+        when(get_json_object(col("props"), "$.k").cast("long") < 25, 1L)
+          .otherwise(0L),
+        when(floor(col("value") * lit(100.0)).cast("long") > 50000L, 1L)
+          .otherwise(0L))),
 
     // STREAMING GINI (r16): q343's coefficient per event type,
     // in-stream — per-batch (type, cents, c) HISTOGRAM fragments
@@ -499,16 +503,17 @@ object R16Q {
 
     // STREAMING φ (r16): q365's coefficient in-stream — per-batch
     // 2×2 CELL count fragments (additive), read-side fold through
-    // the same exact chain. Oracle = q365's batch SQL.
-    // `Stats.phiFromCounts`.
+    // the same exact chain. Oracle = q365's batch SQL. NULL
+    // predicates land in the 0 cell (when/otherwise, the q365 fix —
+    // ADVICE r16). `Stats.phiFromCounts`.
     "q372_stream_phi" -> ((s, d) => {
       val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
         maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
         ev.select(
-            (get_json_object(col("props"), "$.k").cast("long") < 25)
-              .cast("long").as("a"),
-            (floor(col("value") * lit(100.0)).cast("long") > 50000L)
-              .cast("long").as("b"))
+            when(get_json_object(col("props"), "$.k").cast("long") < 25,
+              1L).otherwise(0L).as("a"),
+            when(floor(col("value") * lit(100.0)).cast("long") > 50000L,
+              1L).otherwise(0L).as("b"))
           .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("c"))
       }
@@ -1476,10 +1481,12 @@ object R16Q {
         |ORDER BY event_id""".stripMargin
   )
 
-  /** q376/q381 share this batch SQL — the streaming change
-    * detector emits exactly the lag-change rows under the
-    * chronological drain, so the interval build folds identically. */
-  private lazy val scd2Sql: String =
+  /** q376/q381 share this batch SQL (and r17's q382/q383 disordered
+    * drains — the buffered detector re-sorts inside the watermark, so
+    * the change relation is arrival-order independent) — the
+    * streaming change detector emits exactly the lag-change rows, so
+    * the interval build folds identically. */
+  private[queries] lazy val scd2Sql: String =
     """WITH e AS (
         |  SELECT user_id, event_type,
         |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id

@@ -124,15 +124,26 @@ object MicroBatch {
     * run building each dir exactly once. */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  /** Every memo key carries a CONTENT STAMP (the source parquet's
+    * mtime) alongside the (kind, sf, parts, copies) identity, so a
+    * regenerated testdata file invalidates the cache instead of
+    * silently feeding every later drain stale rows (ADVICE r16). */
+  private def contentStamp(sfDir: String): Long = {
+    val p = Paths.get(s"$sfDir/events.parquet")
+    if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
+  }
   private def memoizedDir(key: String)(build: => Path): Path =
     stagedDirs.computeIfAbsent(key, _ => build)
 
   /** Stage `copies` copies of the events table into a fresh landing
     * directory — the file source's analog of "messages currently in the
     * topic". copies > 1 models an at-least-once upstream that
-    * redelivers the same records. */
+    * redelivers the same records. READ-ONLY CONTRACT: the returned
+    * dir is shared by every later drain in the session (memoized) —
+    * callers must never write into or mutate it; a mutating scenario
+    * (late-arrival simulation) must stage its own fresh dir. */
   def stageEvents(sfDir: String, copies: Int = 1): Path =
-    memoizedDir(s"copy|$sfDir|$copies") {
+    memoizedDir(s"copy|$sfDir|$copies|${contentStamp(sfDir)}") {
       val in = graft.lake.TempDirs.create("graft-stream-in")
       (1 to copies).foreach { i =>
         Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve(s"events_$i.parquet"),
@@ -145,10 +156,11 @@ object MicroBatch {
     * event_id, so `maxFilesPerTrigger=1` turns the drain into `parts`
     * micro-batches whose rows interleave in event time — the
     * adversarial arrival order for cross-batch aggregation state
-    * (every batch reopens sessions the previous batch thought closed). */
+    * (every batch reopens sessions the previous batch thought closed).
+    * READ-ONLY CONTRACT: memoized and shared — see [[stageEvents]]. */
   def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int,
                        copies: Int = 1): Path =
-    memoizedDir(s"split|$sfDir|$parts|$copies") {
+    memoizedDir(s"split|$sfDir|$parts|$copies|${contentStamp(sfDir)}") {
       val in = graft.lake.TempDirs.create("graft-stream-in")
       val one = spark.read.parquet(s"$sfDir/events.parquet")
       (1 to copies).map(_ => one).reduce(_ union _)
@@ -165,7 +177,7 @@ object MicroBatch {
     * ~max in batch 1 and everything later arrives late). */
   def stageEventsByTime(spark: SparkSession, sfDir: String, parts: Int,
                         copies: Int = 1): Path =
-    memoizedDir(s"bytime|$sfDir|$parts|$copies") {
+    memoizedDir(s"bytime|$sfDir|$parts|$copies|${contentStamp(sfDir)}") {
       stageEventsByTimeFresh(spark, sfDir, parts, copies)
     }
 
@@ -206,6 +218,107 @@ object MicroBatch {
     }
     in
   }
+
+  /** One far-future SENTINEL row (key −1) with the staged events
+    * schema, `interval` past the real max ts — the file-source analog
+    * of a CDC feed's control/heartbeat record: it advances the final
+    * watermark past every real row so watermark-buffered state
+    * flushes deterministically at drain end. Consumers filter
+    * `user_id >= 0` read-side. */
+  private def sentinelEvents(spark: SparkSession, sfDir: String,
+                             interval: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val mx = ev.agg(max(col("ts")).as("__mx"))
+    mx.select(ev.columns.toSeq.map {
+      case "ts"         => (col("__mx") + expr(s"INTERVAL $interval")).as("ts")
+      case "event_id"   => lit(-1L).as("event_id")
+      case "user_id"    => lit(-1L).as("user_id")
+      case "event_type" => lit("__sentinel__").as("event_type")
+      case "value"      => lit(0.0d).as("value")
+      case "props"      => lit("{}").as("props")
+      case other        => lit(null).cast(ev.schema(other).dataType).as(other)
+    }: _*)
+  }
+
+  /** Move `files` into `in` as part_001.. with strictly increasing
+    * mtimes (FileStreamSource drains in MODIFICATION-TIME order), then
+    * write the sentinel as the chronologically-LAST file. */
+  private def placeWithSentinel(in: Path, files: Seq[Path],
+                                sentinel: DataFrame): Unit = {
+    val tmpS = graft.lake.TempDirs.create("graft-stream-sent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpS.toString)
+    val sFile = Files.list(tmpS).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel write produced no parquet"))
+    val all = files :+ sFile
+    val base = System.currentTimeMillis()
+    all.zipWithIndex.foreach { case (p, i) =>
+      val dst = in.resolve(f"part_${i + 1}%03d.parquet")
+      Files.move(p, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + (i + 1) * 1000L))
+    }
+  }
+
+  /** Stage a HASH-SPLIT drain (the adversarial full-disorder arrival
+    * order — every batch spans the whole event-time range) PLUS the
+    * [[sentinelEvents]] control record as the last file. Paired with
+    * a watermark delay covering the real event-time range: nothing is
+    * ever late mid-drain (so no row is dropped), and the sentinel
+    * advances the final watermark past every real row. READ-ONLY
+    * CONTRACT: memoized and shared — see [[stageEvents]]. */
+  def stageEventsSplitSentinel(spark: SparkSession, sfDir: String,
+                               parts: Int, sentinelInterval: String): Path =
+    memoizedDir(
+      s"splitsent|$sfDir|$parts|$sentinelInterval|${contentStamp(sfDir)}") {
+      val in = graft.lake.TempDirs.create("graft-stream-in")
+      val tmp = graft.lake.TempDirs.create("graft-stream-ss")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .repartition(parts, col("event_id"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val files = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      placeWithSentinel(in, files, sentinelEvents(spark, sfDir, sentinelInterval))
+      in
+    }
+
+  /** Stage a BOUNDED-DISORDER drain — the arrival pattern a real
+    * Kafka CDC feed has: each row's ARRIVAL time is its event ts plus
+    * a deterministic per-event jitter in [0, maxJitterSecs), files are
+    * chronological in ARRIVAL order (range-partitioned, mtime-stamped)
+    * so event-time disorder crosses batch boundaries but never exceeds
+    * the jitter bound, and the [[sentinelEvents]] control record lands
+    * last. Paired with a watermark delay ≥ the jitter bound: no row is
+    * late, the watermark genuinely ADVANCES mid-drain (buffered state
+    * flushes incrementally — the eviction a full-range delay never
+    * exercises), and the sentinel flushes the tail. READ-ONLY
+    * CONTRACT: memoized and shared — see [[stageEvents]]. */
+  def stageEventsJitteredSentinel(spark: SparkSession, sfDir: String,
+                                  parts: Int, maxJitterSecs: Long,
+                                  sentinelInterval: String): Path =
+    memoizedDir(s"jitsent|$sfDir|$parts|$maxJitterSecs|$sentinelInterval|" +
+      contentStamp(sfDir)) {
+      val in = graft.lake.TempDirs.create("graft-stream-in")
+      val tmp = graft.lake.TempDirs.create("graft-stream-js")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      // md5-derived jitter: deterministic, uniform-ish, RNG-free (the
+      // repo's sampling convention)
+      val jitterSecs = (conv(substring(md5(col("event_id").cast("string")),
+        1, 8), 16, 10).cast("long") % maxJitterSecs).cast("double")
+      val arrival = col("ts") +
+        make_dt_interval(lit(0), lit(0), lit(0), jitterSecs)
+      ev.withColumn("__arrival", arrival)
+        .repartitionByRange(parts, col("__arrival"))
+        .sortWithinPartitions(col("__arrival"))
+        .drop("__arrival")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val files = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      placeWithSentinel(in, files, sentinelEvents(spark, sfDir, sentinelInterval))
+      in
+    }
 
   /** Unbounded read over the landing dir (T1 source stage).
     * maxFilesPerTrigger splits the drain into multiple micro-batches —
@@ -335,30 +448,35 @@ object MicroBatch {
     sink.snapshot()
   }
 
-  /** Update-mode drain for arbitrary-stateful transforms
-    * (`flatMapGroupsWithState` emits updated rows, not appends): every
-    * micro-batch's emissions land in the parquet sink via foreachBatch.
-    * With a single-batch drain each key emits exactly once, so the
-    * final sink equals the batch aggregate — oracle-checkable. */
-  def updateRun(spark: SparkSession, sfDir: String,
-                statePartitions: Option[Int] = Some(8),
-                splitParts: Option[Int] = None,
-                conf: Map[String, String] = Map.empty,
-                copies: Int = 1,
-                chronological: Boolean = false)(
-      transform: DataFrame => DataFrame): DataFrame = {
+  /** [[updateRun]] returning the versioned SINK TABLE instead of its
+    * final contents — every micro-batch is one commit, so specs can
+    * read per-batch emission timing straight from the table history
+    * (the r17 eviction pin: bounded-disorder drains must emit
+    * MID-drain, not everything at the final flush). */
+  def updateRunTable(spark: SparkSession, sfDir: String,
+                     statePartitions: Option[Int] = Some(8),
+                     splitParts: Option[Int] = None,
+                     conf: Map[String, String] = Map.empty,
+                     copies: Int = 1,
+                     chronological: Boolean = false,
+                     inDir: Option[Path] = None)(
+      transform: DataFrame => DataFrame): LakeTable = {
     // chronological: file k = the k-th event-time range, drained one
-    // file per trigger — the arrival order a production CDC feed has
-    val in =
+    // file per trigger — the arrival order a production CDC feed has.
+    // inDir: caller-staged landing dir (sentinel drains) — always
+    // drained one file per trigger.
+    val in = inDir.getOrElse(
       if (chronological) stageEventsByTime(spark, sfDir,
         splitParts.getOrElse(3), copies)
       else splitParts.fold(stageEvents(sfDir, copies))(
-        stageEventsSplit(spark, sfDir, _, copies))
+        stageEventsSplit(spark, sfDir, _, copies)))
     val sink = lakeSink(spark)
     val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
     val writeBatch = batchWriter(sink, ckpt.toString)
     val sess = isolated(spark, statePartitions, conf)
-    val maxFiles = if (chronological) Some(1) else splitParts.map(_ => 1)
+    val maxFiles =
+      if (chronological || inDir.isDefined) Some(1)
+      else splitParts.map(_ => 1)
     val q = transform(fileSource(sess, in, maxFiles)).writeStream
       .foreachBatch(writeBatch)
       .outputMode("update")
@@ -367,8 +485,23 @@ object MicroBatch {
       .start()
     q.awaitTermination()
     recordStats(q)
-    sink.snapshot()
+    sink
   }
+
+  /** Update-mode drain for arbitrary-stateful transforms
+    * (`flatMapGroupsWithState`/`transformWithState` emit updated rows,
+    * not appends): every micro-batch's emissions land in the sink via
+    * foreachBatch; returns the final sink contents. */
+  def updateRun(spark: SparkSession, sfDir: String,
+                statePartitions: Option[Int] = Some(8),
+                splitParts: Option[Int] = None,
+                conf: Map[String, String] = Map.empty,
+                copies: Int = 1,
+                chronological: Boolean = false,
+                inDir: Option[Path] = None)(
+      transform: DataFrame => DataFrame): DataFrame =
+    updateRunTable(spark, sfDir, statePartitions, splitParts, conf,
+      copies, chronological, inDir)(transform).snapshot()
 
   /** Stream-stream inner join (engine extension per SURVEY §2.9): two
     * independent unbounded sources over the same landing dir, each

@@ -42,7 +42,11 @@ object PlanAuditSets {
     "q361_stream_trend", "q366_stream_gini", "q372_stream_phi",
     "q374_stream_qq", "q379_stream_fk", "q381_stream_scd2",
     // q380: dedupClusters localCheckpoints per CC round at build
-    "q380_containment_clusters")
+    "q380_containment_clusters",
+    // r17: watermark-buffered SCD2 drains; q384 appends the staged
+    // novelty index + proves by except at build
+    "q382_stream_scd2_ooo", "q383_stream_scd2_jitter",
+    "q384_novelty_index_maintained")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

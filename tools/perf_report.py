@@ -16,6 +16,7 @@ Usage: python3 tools/perf_report.py [bench_out.json] [PERF.md]
            [--round LABEL] [--new q284,q285,q286]
 """
 import json
+import os
 import sys
 
 args, opts = [], {}
@@ -31,9 +32,17 @@ for a in it:
 # Round markers default to the COMMITTED state file (bench_round.json)
 # so this fallback emits the same narrative the in-bench generator
 # writes on every sf0.1 run (r15: env-var-only markers let the
-# driver's re-bench leave the narrative stale); flags override.
+# driver's re-bench leave the narrative stale); flags override. The
+# state path honours the same SPARK_GRAFT_ROUND_STATE env var
+# Bench.scala uses, then falls back to the file next to this script's
+# repo root — not a hardcoded absolute path, so running the fallback
+# from another checkout reads THAT repo's state (ADVICE r16).
+_state_path = os.environ.get(
+    "SPARK_GRAFT_ROUND_STATE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "bench_round.json"))
 try:
-    _state = json.load(open("/root/repo/bench_round.json"))
+    _state = json.load(open(_state_path))
     for k_flag, k_state in (("round", "round"), ("new", "new_queries")):
         if k_flag not in opts and _state.get(k_state):
             opts[k_flag] = _state[k_state]
