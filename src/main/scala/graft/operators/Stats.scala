@@ -1480,6 +1480,200 @@ object Stats {
       .select(col(groupCol), col("decile"), col("value").as("q"))
   }
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) per stratum (r17) — the
+    * nonparametric two-sample location test an A/B readout runs when
+    * the value distribution is skewed: does side A draw from the same
+    * distribution as side B. Midrank (tie-aware) algebra over the
+    * merged VALUE HISTOGRAM, never raw rows: with `lo` rows before a
+    * tied block of c = ca + cb rows, the block's doubled midrank is
+    * 2·lo + c + 1, so 2·R_A = Σ ca·(2lo+c+1) and 2·U_A = 2R_A −
+    * na(na+1) stay exact integers (half-integer U values never round).
+    * The tie-corrected normal approximation
+    * Var = na·nb·[(n+1)n(n−1) − Σ(c³−c)] / (12n(n−1)) is formed from
+    * EXACT decimal totals cast to double once, then one fixed IEEE
+    * tree (mirrored token-for-token in the oracle); degenerate strata
+    * (one side empty, or all values tied) yield NULL z. `sideC` must
+    * be 1 (side A) or 0 (side B). */
+  def mannWhitneyU(df: DataFrame, strataCol: String, sideC: Column,
+                   valueC: Column): DataFrame =
+    mannWhitneyFromCounts(
+      df.select(col(strataCol), sideC.cast("long").as("__s"),
+          valueC.cast("long").as("value"))
+        .groupBy(col(strataCol), col("value"))
+        .agg(sum(when(col("__s") === 1, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("__s") === 1, 0L).otherwise(1L)).as("cb")),
+      strataCol)
+
+  /** [[mannWhitneyU]] over pre-counted (stratum, value, ca, cb)
+    * HISTOGRAM fragments — additive (duplicate (stratum, value) rows
+    * sum first), so per-batch side counts committed by a streaming
+    * drain fold to the one-shot statistic bit-exactly. Per-stratum
+    * distinct values must fit `domainBudget` ([[guardedHistogram]]). */
+  def mannWhitneyFromCounts(frags: DataFrame, strataCol: String,
+                            domainBudget: Long = 10000000L): DataFrame = {
+    val d11 = DecimalType(11, 0)
+    val d12 = DecimalType(12, 0)
+    val merged = guardedHistogram(
+      frags.groupBy(col(strataCol), col("value"))
+        .agg(sum(col("ca")).cast("long").as("__ca"),
+          sum(col("cb")).cast("long").as("__cb")),
+      strataCol, domainBudget, "mannWhitneyFromCounts")
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLo = merged
+      .withColumn("__lo", coalesce(sum(col("__c")).over(w), lit(0L)))
+    val g = withLo.groupBy(col(strataCol)).agg(
+      sum(col("__ca")).cast("long").as("na"),
+      sum(col("__cb")).cast("long").as("nb"),
+      // 2·R_A: block doubled-midrank × side-A count, exact
+      sum((col("__ca").cast(d11) *
+        (lit(2L) * col("__lo") + col("__c") + lit(1L)).cast(d12))
+        .cast(DecimalType(23, 0))).cast(DecimalType(26, 0)).as("r2a"),
+      // tie term Σ(c³−c) = Σ c(c−1)(c+1), exact
+      sum(((col("__c").cast(d11) * (col("__c") - lit(1L)).cast(d11))
+        .cast(DecimalType(22, 0)) * (col("__c") + lit(1L)).cast(d11))
+        .cast(DecimalType(33, 0))).cast(DecimalType(36, 0)).as("t"))
+    val n = (col("na") + col("nb")).cast("long")
+    val u2 = col("r2a") -
+      (col("na").cast(d11) * (col("na") + lit(1L)).cast(d12))
+        .cast(DecimalType(23, 0))
+    val nanb = (col("na").cast(d11) * col("nb").cast(d11))
+      .cast(DecimalType(22, 0))
+    // B = (n+1)n(n−1) − Σ(c³−c); zero exactly when all values tie
+    val bTerm = (((n + lit(1L)).cast(d11) * n.cast(d11))
+      .cast(DecimalType(22, 0)) * (n - lit(1L)).cast(d12))
+      .cast(DecimalType(34, 0)) - col("t")
+    val m12 = (lit(12L).cast(DecimalType(2, 0)) *
+      (n.cast(d11) * (n - lit(1L)).cast(d12)).cast(DecimalType(23, 0)))
+      .cast(DecimalType(25, 0))
+    g.select(col(strataCol), col("na"), col("nb"),
+      u2.cast("string").as("u2_a"),
+      when(col("na") > 0 && col("nb") > 0 && bTerm > 0,
+        (u2 - nanb).cast("double") /
+          (lit(2.0d) * sqrt(nanb.cast("double") * bTerm.cast("double") /
+            m12.cast("double")))).as("z"))
+  }
+
+  /** CLIFF'S DELTA per stratum (r17) — [[mannWhitneyU]]'s effect
+    * size: P(a > b) − P(a < b) over all cross pairs, computed WITHOUT
+    * the pair space from the same value histogram: with loB = B-rows
+    * below a value block, #(a>b) − #(a<b) folds to
+    * Σ ca·(2·loB + cb − nb) — exact integers, one mirrored division.
+    * δ ∈ [−1, 1]; ±1 means complete separation. */
+  def cliffsDelta(df: DataFrame, strataCol: String, sideC: Column,
+                  valueC: Column, domainBudget: Long = 10000000L): DataFrame = {
+    val d11 = DecimalType(11, 0)
+    val merged = guardedHistogram(
+      df.select(col(strataCol), sideC.cast("long").as("__s"),
+          valueC.cast("long").as("value"))
+        .groupBy(col(strataCol), col("value"))
+        .agg(sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__ca"),
+          sum(when(col("__s") === 1, 0L).otherwise(1L)).as("__cb")),
+      strataCol, domainBudget, "cliffsDelta")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLo = merged
+      .withColumn("__loB", coalesce(sum(col("__cb")).over(w), lit(0L)))
+    val g = withLo.groupBy(col(strataCol)).agg(
+      sum(col("__ca")).cast("long").as("na"),
+      sum(col("__cb")).cast("long").as("nb"),
+      sum((col("__ca").cast(d11) *
+        (lit(2L) * col("__loB") + col("__cb")).cast(DecimalType(12, 0)))
+        .cast(DecimalType(23, 0))).cast(DecimalType(26, 0)).as("gtgt"))
+    // Σ ca·(2loB+cb) − na·nb  ==  #(a>b) − #(a<b), exact
+    val num = col("gtgt") -
+      (col("na").cast(d11) * col("nb").cast(d11)).cast(DecimalType(22, 0))
+    g.select(col(strataCol), col("na"), col("nb"),
+      num.cast("string").as("delta_num"),
+      when(col("na") > 0 && col("nb") > 0,
+        num.cast("double") /
+          (col("na").cast(d11) * col("nb").cast(d11))
+            .cast(DecimalType(22, 0)).cast("double")).as("delta"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT (r17) — the fabricated-data /
+    * generator-drift screen a finance-ish corpus runs: the observed
+    * share of each leading significant digit next to Benford's
+    * log₁₀(1+1/d) expectation. The digit is taken from the integer
+    * part's DECIMAL STRING (exact — no libm log in the extraction),
+    * counts are one bounded 9-row aggregate, and the only doubles are
+    * one share division per digit plus the expectation CONSTANTS,
+    * written as full-precision decimal literals that parse to the
+    * identical IEEE double on both engines (the oracle carries the
+    * same literals). Rows with integer part < 1 have no leading digit
+    * and drop out. */
+  def benfordDigits(df: DataFrame, valueC: Column): DataFrame = {
+    val expected = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+    val base = df.select(floor(valueC).cast("long").as("__x"))
+      .filter(col("__x") >= 1L)
+      .select(substring(col("__x").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = base.groupBy(col("digit")).agg(count(lit(1)).as("__c"))
+    val all = base.agg(count(lit(1)).as("n"))
+      .withColumn("digit", explode(array((1 to 9).map(lit(_)): _*)))
+    val exp = expected.tail.foldLeft(
+      when(col("digit") === expected.head._1, lit(expected.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    all.join(counts, Seq("digit"), "left")
+      .withColumn("c", coalesce(col("__c"), lit(0L)))
+      .withColumn("share", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("expected_share", exp)
+      .select(col("digit"), col("n"), col("c"), col("share"),
+        col("expected_share"),
+        (col("share") - col("expected_share")).as("excess"))
+  }
+
+  /** EXACT AUTOCORRELATION at lags 1..maxLag over a regular (t, x)
+    * series (r17) — "is yesterday's volume predictive of today's":
+    * the mean is cleared WITHOUT leaving integers by scaling through
+    * n (cx_t = n·x_t − Σx, exact decimal), so
+    * r_k = Σ cx_t·cx_{t+k} / Σ cx_t² needs one self-equi-join on
+    * t+k and ONE mirrored division per lag. Built for AGGREGATE-GRAIN
+    * series (daily/hourly rollups — the input relation is
+    * time-domain bounded, never raw events); the n·x width budget
+    * (|cx| ≤ 9·10¹⁸, keeping cx² inside both engines' 38-digit cap)
+    * fails loud via the [[jackknifeRatio]] raise_error pattern.
+    * Gaps in t simply contribute no pair at the affected lags. */
+  def acf(series: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"acf: maxLag must be >= 1, got $maxLag")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val tot = series.agg(count(lit(1)).cast(DecimalType(8, 0)).as("__n"),
+      sum(col("x").cast(DecimalType(20, 0))).cast(DecimalType(21, 0))
+        .as("__s"))
+    val cxRaw = (col("__n") * col("x").cast(DecimalType(14, 0)))
+      .cast(DecimalType(23, 0)) - col("__s")
+    val guarded = when(abs(cxRaw) <= lit(BigDecimal("9e18")).cast(DecimalType(23, 0)),
+        cxRaw.cast(d19))
+      .otherwise(raise_error(lit(
+        "acf: |n·x − Σx| exceeds the 19-digit budget — aggregate the " +
+          "series to a coarser grain or rescale x")))
+    val centered = series.crossJoin(broadcast(tot))
+      .select(col("t"), guarded.as("cx"))
+    val den = centered
+      .agg(sum((col("cx") * col("cx")).cast(d38)).cast(d38).as("__den"))
+    val lagged = centered.select((col("t") - lit(1L)).as("__tl"), col("cx").as("__cxl"))
+    val pairs = centered
+      .withColumn("lag", explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
+      .withColumn("__probe", col("t") + col("lag") - lit(1L))
+      .join(lagged, col("__probe") === col("__tl"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("cx") * col("__cxl")).cast(d38)).cast(d38).as("__num"))
+    pairs.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf"))
+  }
+
   /** LORENZ CURVE POINTS per group (r16) — [[giniExact]]'s visual
     * companion: rows ranked by (value, tie) via [[rankInGroup]],
     * split into k rank-bands by integer arithmetic, each band's exact

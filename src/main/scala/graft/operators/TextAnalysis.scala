@@ -953,6 +953,106 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** PAIRWISE TOTAL-VARIATION DISTANCE between source token
+    * distributions (r17) — the LOG-FREE drift number between corpus
+    * slices (KL/JS would hit libm divergence across engines; TV is
+    * pure rational): TV(a,b) = ½ Σ_tok |p_a − p_b|. The numerator is
+    * kept EXACT by clearing denominators — Σ|c_a·n_b − c_b·n_a| over
+    * co-occurring tokens plus (n_a − Σc_a^co)·n_b + (n_b − Σc_b^co)·n_a
+    * for each side's exclusive mass — so only tokens present in BOTH
+    * sides ever join (one vocabulary-bounded equi self-join), missing
+    * tokens are handled algebraically, and the single division per
+    * pair is the only IEEE op. Source count is bounded (a dimension),
+    * so the per-token pair fan-out is bounded. */
+  def sourceTvDistance(docs: DataFrame, groupCol: String): DataFrame = {
+    val d14 = DecimalType(14, 0)
+    val counts = docs
+      .withColumn("__tok", explode(split(col("text"), " ")))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val a = counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol).as("source_a"), col("__tok"),
+        col("__c").as("ca"), col("__n").as("na"))
+    val b = counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol).as("source_b"), col("__tok"),
+        col("__c").as("cb"), col("__n").as("nb"))
+    val co = a.join(b, Seq("__tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        sum(col("ca")).cast("long").as("coa"),
+        sum(col("cb")).cast("long").as("cob"),
+        sum(abs((col("ca").cast(d14) * col("nb").cast(d14))
+          .cast(DecimalType(29, 0)) -
+          (col("cb").cast(d14) * col("na").cast(d14))
+            .cast(DecimalType(29, 0)))).cast(DecimalType(33, 0)).as("sabs"))
+    val num = col("sabs") +
+      ((col("na") - col("coa")).cast(d14) * col("nb").cast(d14))
+        .cast(DecimalType(29, 0)) +
+      ((col("nb") - col("cob")).cast(d14) * col("na").cast(d14))
+        .cast(DecimalType(29, 0))
+    val den = (lit(2L).cast(DecimalType(2, 0)) *
+      (col("na").cast(d14) * col("nb").cast(d14)).cast(DecimalType(29, 0)))
+      .cast(DecimalType(31, 0))
+    co.select(col("source_a"), col("source_b"), col("na"), col("nb"),
+      num.cast(DecimalType(34, 0)).cast("string").as("tv_num"),
+      when(col("na") > 0 && col("nb") > 0,
+        num.cast(DecimalType(34, 0)).cast("double") / den.cast("double"))
+        .as("tv"))
+  }
+
+  /** VOCABULARY GROWTH (Heaps) CURVE (r17) — distinct tokens seen
+    * after each tenth of the corpus in doc_id order: the number a
+    * data-acquisition plan reads to decide whether more of the same
+    * source still buys vocabulary. Threshold doc ids come from
+    * [[Stats.rankInGroup]]'s bucketed two-level scan (never a
+    * corpus-sized window); each token reduces to its FIRST-OCCURRENCE
+    * doc (one aggregate), is assigned the first bucket whose
+    * threshold covers it via a fixed 10-way CASE over the collected
+    * 10-row threshold table (bounded driver-side metadata — no
+    * non-equi join, so no nested-loop plan), and the curve is a
+    * cumulative sum over the 10-row aggregate. All exact integers. */
+  def heapsCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"heapsCurve: buckets must be >= 1")
+    val ids = docs.select(col("doc_id")).withColumn("__g", lit("all"))
+    val nDocs = ids.count()
+    require(nDocs >= buckets,
+      s"heapsCurve: need at least $buckets docs, got $nDocs")
+    val ranked = Stats.rankInGroup(ids, "__g", col("doc_id"), col("doc_id"),
+      "__rk", 10000.0)
+    val thRanks = (1 to buckets).map(b => (b.toLong * nDocs) / buckets)
+    val th = ranked.filter(col("__rk").isin(thRanks.distinct: _*))
+      .select(col("__rk"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val thIds = thRanks.map(th) // bucket b (1-based) -> threshold doc_id
+    val firstOcc = docs
+      .withColumn("__tok", explode(split(col("text"), " ")))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok"))
+      .agg(min(col("doc_id")).as("__fo"))
+    val firstBucket = thIds.zipWithIndex.reverse.foldLeft(lit(null)
+        .cast("long")) { case (acc, (tid, i)) =>
+      when(col("__fo") <= tid, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val perBucket = firstOcc.select(firstBucket.as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("__new"))
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val allBuckets = (1 to buckets)
+      .map(b => (b.toLong, (b.toLong * nDocs) / buckets))
+      .toDF("bucket", "n_docs")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    allBuckets.join(perBucket, Seq("bucket"), "left")
+      .withColumn("new_tokens", coalesce(col("__new"), lit(0L)).cast("long"))
+      .withColumn("vocab", sum(col("new_tokens")).over(w).cast("long"))
+      .select(col("bucket"), col("n_docs"), col("new_tokens"), col("vocab"))
+  }
+
   /** RARE-TOKEN TAIL MASS per group (r16) — [[chao1]]'s operational
     * companion: the share of token OCCURRENCES carried by tokens seen
     * at most `maxC` times (the mass a frequency-threshold vocabulary

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -38,6 +39,49 @@ object R17Q {
       (1 to 3).foreach { k =>
         idx.append(batchShingles(k)
           .join(idx.snapshot(), Seq("shingle"), "left_anti"))
+      }
+      idx
+    })
+
+  /** One ingest batch's ADDITIVE BM25 index fragment: df per fixed
+    * term + corpus stats, as 4 (kind, term, v) rows — the sums the
+    * q102 scoring chain needs, all additive across disjoint batches. */
+  private def bm25Fragment(batch: DataFrame): DataFrame =
+    batch.select(split(col("text"), " ").as("ws"))
+      .select(size(col("ws")).cast("long").as("len"),
+        when(size(filter(col("ws"), w => w === "spark")) > 0, 1L)
+          .otherwise(0L).as("h0"),
+        when(size(filter(col("ws"), w => w === "join")) > 0, 1L)
+          .otherwise(0L).as("h1"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).cast("long").as("sl"),
+        sum(col("h0")).cast("long").as("df0"),
+        sum(col("h1")).cast("long").as("df1"))
+      .select(inline(array(
+        struct(lit("stats").as("kind"), lit("n_docs").as("term"),
+          col("n").cast("long").as("v")),
+        struct(lit("stats").as("kind"), lit("sum_len").as("term"),
+          col("sl").as("v")),
+        struct(lit("df").as("kind"), lit("spark").as("term"),
+          col("df0").as("v")),
+        struct(lit("df").as("kind"), lit("join").as("term"),
+          col("df1").as("v")))))
+
+  private val stagedBm25 =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+
+  /** The MAINTAINED BM25 index (r17): per-term document frequencies
+    * and corpus length stats as ADDITIVE lake fragments — 4 rows
+    * appended per admitted batch (no anti-join needed; df and totals
+    * sum), so version k+1 is the index as-of batch k and any as-of
+    * read is one bounded fold. Memoized per (session, sf). */
+  private def bm25IndexArtifact(s: org.apache.spark.sql.SparkSession,
+                                d: String): graft.lake.LakeTable =
+    stagedBm25.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ => {
+      val docs = Tables.documents(s, d)
+      val idx = graft.lake.LakeTable.createTemp(s,
+        bm25Fragment(docs.filter(col("doc_id") % 4 === 0)), "graft-bm25-idx")
+      (1 to 3).foreach { k =>
+        idx.append(bm25Fragment(docs.filter(col("doc_id") % 4 === k)))
       }
       idx
     })
@@ -146,6 +190,144 @@ object R17Q {
       require(got.except(scratch).isEmpty && scratch.except(got).isEmpty,
         "as-of index scores must equal the from-scratch novelty scores")
       got.orderBy("doc_id")
+    }),
+
+    // MANN–WHITNEY U (r17): do even- and odd-user cohorts draw spend
+    // from the same distribution, per event type — the nonparametric
+    // A/B readout for skewed values. Midrank algebra over the value
+    // HISTOGRAM (never raw rows), exact integer U (doubled, so ties
+    // never round), tie-corrected z as one mirrored IEEE tree.
+    // `Stats.mannWhitneyU`.
+    "q385_mann_whitney" -> ((s, d) =>
+      graft.operators.Stats.mannWhitneyU(
+        Tables.events(s, d), "event_type",
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L),
+        floor(col("value") * lit(100.0)).cast("long"))
+        .orderBy("event_type")),
+
+    // STREAMING MANN–WHITNEY (r17): q385's statistic in-stream —
+    // per-batch (type, cents, ca, cb) HISTOGRAM fragments (additive),
+    // read-side fold through the same midrank algebra. A 4-batch
+    // drain must reproduce the batch statistic BIT-EXACTLY. Oracle =
+    // q385's batch SQL. `Stats.mannWhitneyFromCounts`.
+    "q386_stream_mannwhitney" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("__s"),
+            floor(col("value") * lit(100.0)).cast("long").as("value"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(when(col("__s") === 1, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("__s") === 1, 0L).otherwise(1L)).as("cb"))
+      }
+      graft.operators.Stats.mannWhitneyFromCounts(frags, "event_type")
+        .orderBy("event_type")
+    }),
+
+    // CLIFF'S DELTA (r17): q385's effect size — P(a>b) − P(a<b)
+    // over all cross pairs WITHOUT the pair space (histogram prefix
+    // algebra, exact integer numerator, one mirrored division).
+    // `Stats.cliffsDelta`.
+    "q387_cliffs_delta" -> ((s, d) =>
+      graft.operators.Stats.cliffsDelta(
+        Tables.events(s, d), "event_type",
+        when(col("user_id") % 2 === 0, 1L).otherwise(0L),
+        floor(col("value") * lit(100.0)).cast("long"))
+        .orderBy("event_type")),
+
+    // BENFORD FIRST-DIGIT AUDIT (r17): leading-digit shares of order
+    // totals vs the log-law expectation — the fabricated-data /
+    // generator-drift screen. Digit extracted from the exact decimal
+    // string (no libm log); the only doubles are one division per
+    // digit and the expectation constants, identical literals on both
+    // engines. `Stats.benfordDigits`.
+    "q388_benford_digits" -> ((s, d) =>
+      graft.operators.Stats.benfordDigits(
+        Tables.orders(s, d), col("o_totalprice"))
+        .orderBy("digit")),
+
+    // SOURCE TOTAL-VARIATION DRIFT (r17): pairwise TV distance
+    // between source token distributions — the log-free slice-drift
+    // number (KL/JS would hit libm divergence). Exact integer
+    // numerator via denominator clearing; co-occurring tokens only
+    // ever join (one vocabulary-bounded equi self-join), exclusive
+    // mass handled algebraically. `TextAnalysis.sourceTvDistance`.
+    "q389_source_tv_drift" -> ((s, d) =>
+      graft.operators.TextAnalysis.sourceTvDistance(
+        Tables.documents(s, d), "source")
+        .orderBy("source_a", "source_b")),
+
+    // VOCABULARY GROWTH (HEAPS) CURVE (r17): distinct tokens after
+    // each tenth of the corpus in doc_id order — does more of the
+    // same source still buy vocabulary. Thresholds through
+    // rankInGroup's bucketed scan; tokens fold to first-occurrence
+    // docs; the curve is a cumulative sum over a 10-row aggregate.
+    // `TextAnalysis.heapsCurve`.
+    "q390_heaps_curve" -> ((s, d) =>
+      graft.operators.TextAnalysis.heapsCurve(Tables.documents(s, d))
+        .orderBy("bucket")),
+
+    // DAILY AUTOCORRELATION (r17): is yesterday's event volume
+    // predictive of today's — exact ACF at lags 1..7 over the
+    // day-grain count series (time-domain bounded by construction).
+    // Mean cleared by n-scaling so every sum stays integer; one
+    // mirrored division per lag. `Stats.acf`.
+    "q391_acf_daily" -> ((s, d) => {
+      val series = Tables.events(s, d)
+        .select((unix_micros(col("ts")) / lit(86400000000L))
+          .cast("long").as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("x"))
+      graft.operators.Stats.acf(series, maxLag = 7)
+        .orderBy("lag")
+    }),
+
+    // MAINTAINED BM25 INDEX (r17): q384's maintained-artifact shape
+    // applied to retrieval — the (df per term, corpus stats) relation
+    // maintained as ADDITIVE lake fragments (4 rows appended per
+    // admitted batch), admission batch 3 scored with the q102 BM25
+    // chain against the index AS-OF batch 2, with the in-query proof
+    // that the as-of stats equal the from-scratch aggregation over
+    // batches 0–2. `bm25IndexArtifact`.
+    "q392_bm25_index_maintained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = bm25IndexArtifact(s, d)
+      val vs = idx.versions.sorted
+      val asOfPrev = idx.snapshot(vs(vs.length - 2))
+      val st = asOfPrev.agg(
+        sum(when(col("kind") === "stats" && col("term") === "n_docs",
+          col("v"))).cast("long").as("n_docs"),
+        sum(when(col("kind") === "stats" && col("term") === "sum_len",
+          col("v"))).cast("long").as("sum_len"),
+        sum(when(col("kind") === "df" && col("term") === "spark",
+          col("v"))).cast("long").as("df0"),
+        sum(when(col("kind") === "df" && col("term") === "join",
+          col("v"))).cast("long").as("df1"))
+      val scratch = bm25Fragment(docs.filter(col("doc_id") % 4 =!= 3))
+        .select(col("kind"), col("term"), col("v"))
+      val folded = asOfPrev.groupBy(col("kind"), col("term"))
+        .agg(sum(col("v")).cast("long").as("v"))
+      require(folded.except(scratch).isEmpty &&
+        scratch.except(folded).isEmpty,
+        "as-of BM25 index stats must equal the from-scratch aggregation")
+      val base = docs.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("double").as("len"),
+          size(filter(col("ws"), w => w === "spark")).cast("double").as("tf0"),
+          size(filter(col("ws"), w => w === "join")).cast("double").as("tf1"))
+      val avgLen = col("sum_len").cast("double") / col("n_docs").cast("double")
+      def term(tf: Column, dfc: Column) =
+        ((col("n_docs").cast("double") - dfc.cast("double") + lit(0.5)) /
+          (dfc.cast("double") + lit(0.5))) *
+          ((tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / avgLen)))
+      base.crossJoin(broadcast(st))
+        .withColumn("score", term(col("tf0"), col("df0")) +
+          term(col("tf1"), col("df1")))
+        .filter(col("score") > 0)
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("score"))
     })
   )
 
@@ -175,6 +357,290 @@ object R17Q {
         |  CAST(SUM(CASE WHEN c.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM i LEFT JOIN corpus c ON i.s = c.s
-        |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY i.doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors q385/q386: midrank histogram algebra, decimal widths
+    // pre-cast so no multiply exceeds DuckDB's hard 38-digit cap;
+    // z is one shared IEEE tree over exact totals
+    "q385_mann_whitney" -> mwSql,
+    "q386_stream_mannwhitney" -> mwSql,
+
+    // mirrors q388: string-extracted leading digit, shared literal
+    // expectation constants (identical IEEE doubles on both engines)
+    "q388_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE floor(o_totalprice) >= 1
+        |), cts AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digit
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        |g AS (SELECT CAST(b AS INTEGER) AS digit
+        |      FROM UNNEST(generate_series(1, 9)) AS t(b))
+        |SELECT g.digit, tot.n, COALESCE(cts.c, 0) AS c,
+        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        |    AS share,
+        |  CAST(CASE g.digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END AS DOUBLE) AS expected_share,
+        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) -
+        |  CAST(CASE g.digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END AS DOUBLE) AS excess
+        |FROM g CROSS JOIN tot LEFT JOIN cts ON g.digit = cts.digit
+        |ORDER BY g.digit""".stripMargin,
+
+    // mirrors q389: denominator-cleared exact TV numerator; only
+    // co-occurring tokens join, exclusive mass enters algebraically
+    "q389_source_tv_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE tok <> '' GROUP BY source, tok
+        |), t AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source
+        |), co AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    ta.n AS na, tb.n AS nb,
+        |    CAST(SUM(a.c) AS BIGINT) AS coa,
+        |    CAST(SUM(b.c) AS BIGINT) AS cob,
+        |    CAST(SUM(ABS(
+        |      CAST(CAST(a.c AS DECIMAL(14,0)) * CAST(tb.n AS DECIMAL(14,0))
+        |        AS DECIMAL(29,0)) -
+        |      CAST(CAST(b.c AS DECIMAL(14,0)) * CAST(ta.n AS DECIMAL(14,0))
+        |        AS DECIMAL(29,0)))) AS DECIMAL(33,0)) AS sabs
+        |  FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        |  JOIN t ta ON ta.source = a.source
+        |  JOIN t tb ON tb.source = b.source
+        |  GROUP BY a.source, b.source, ta.n, tb.n
+        |), f AS (
+        |  SELECT source_a, source_b, na, nb,
+        |    CAST(sabs +
+        |      CAST(CAST(na - coa AS DECIMAL(14,0)) *
+        |        CAST(nb AS DECIMAL(14,0)) AS DECIMAL(29,0)) +
+        |      CAST(CAST(nb - cob AS DECIMAL(14,0)) *
+        |        CAST(na AS DECIMAL(14,0)) AS DECIMAL(29,0))
+        |      AS DECIMAL(34,0)) AS num,
+        |    CAST(CAST(2 AS DECIMAL(2,0)) *
+        |      CAST(CAST(na AS DECIMAL(14,0)) * CAST(nb AS DECIMAL(14,0))
+        |        AS DECIMAL(29,0)) AS DECIMAL(31,0)) AS den
+        |  FROM co
+        |)
+        |SELECT source_a, source_b, na, nb,
+        |  CAST(num AS VARCHAR) AS tv_num,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |  END AS tv
+        |FROM f ORDER BY source_a, source_b""".stripMargin,
+
+    // mirrors q390: thresholds are order statistics of doc_id,
+    // tokens fold to first-occurrence docs, cumulative over 10 rows
+    "q390_heaps_curve" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |ids AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id)
+        |    AS BIGINT) AS rk
+        |  FROM documents
+        |), th AS (
+        |  SELECT CAST(b AS BIGINT) AS bucket,
+        |    (CAST(b AS BIGINT) * n.n) // 10 AS rk_t, n.n AS n
+        |  FROM UNNEST(generate_series(1, 10)) AS t(b), n
+        |), thid AS (
+        |  SELECT th.bucket, th.n, ids.doc_id AS th_id
+        |  FROM th JOIN ids ON ids.rk = th.rk_t
+        |), fo AS (
+        |  SELECT tok, MIN(doc_id) AS fo
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok
+        |), v AS (
+        |  SELECT t.bucket, t.n, CAST(COUNT(fo.tok) AS BIGINT) AS vocab
+        |  FROM thid t LEFT JOIN fo ON fo.fo <= t.th_id
+        |  GROUP BY t.bucket, t.n
+        |)
+        |SELECT bucket, (bucket * n) // 10 AS n_docs,
+        |  vocab - COALESCE(lag(vocab) OVER (ORDER BY bucket), 0)
+        |    AS new_tokens,
+        |  vocab
+        |FROM v ORDER BY bucket""".stripMargin,
+
+    // mirrors q391: n-scaled centering keeps every sum integer;
+    // per-lag equi self-join on t+lag; one division per lag
+    "q391_acf_daily" ->
+      """WITH s AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DECIMAL(21,0)) AS sx
+        |  FROM s
+        |), c AS (
+        |  SELECT t, CAST(CAST(n * CAST(x AS DECIMAL(14,0))
+        |    AS DECIMAL(23,0)) - sx AS DECIMAL(19,0)) AS cx
+        |  FROM s, tot
+        |), den AS (
+        |  SELECT CAST(SUM(CAST(cx * cx AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS den
+        |  FROM c
+        |), p AS (
+        |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(a.cx * b.cx AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS num
+        |  FROM (SELECT CAST(g AS BIGINT) AS lag
+        |        FROM UNNEST(generate_series(1, 7)) AS t(g)) l
+        |  CROSS JOIN c a JOIN c b ON b.t = a.t + l.lag
+        |  GROUP BY l.lag
+        |)
+        |SELECT p.lag, p.n_pairs,
+        |  CASE WHEN den.den > 0 THEN
+        |    CAST(p.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+        |  END AS acf
+        |FROM p, den ORDER BY lag""".stripMargin,
+
+    // mirrors q392: batch 3 scored with the q102 BM25 chain against
+    // the index stats of batches 0-2 (the as-of version)
+    "q392_bm25_index_maintained" ->
+      """WITH idx AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_len,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+        |  FROM documents WHERE doc_id % 4 <> 3
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'join')) AS DOUBLE) AS tf1
+        |  FROM documents WHERE doc_id % 4 = 3
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) /
+        |      (CAST(df0 AS DOUBLE) + 0.5)) *
+        |    ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) +
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) /
+        |      (CAST(df1 AS DOUBLE) + 0.5)) *
+        |    ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      AS score
+        |  FROM base, idx
+        |)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors q387: B-prefix histogram fold, exact numerator
+    "q387_cliffs_delta" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s,
+        |         CAST(floor(value * 100.0) AS BIGINT) AS v
+        |  FROM events
+        |), h AS (
+        |  SELECT g, v,
+        |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN s = 1 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY g, v
+        |), w AS (
+        |  SELECT g, ca, cb,
+        |    COALESCE(SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lob
+        |  FROM h
+        |), a AS (
+        |  SELECT g, CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(CAST(ca AS DECIMAL(11,0)) *
+        |      CAST(2*lob + cb AS DECIMAL(12,0)) AS DECIMAL(23,0)))
+        |      AS DECIMAL(26,0)) AS gtgt
+        |  FROM w GROUP BY g
+        |), f AS (
+        |  SELECT g, na, nb,
+        |    gtgt - CAST(CAST(na AS DECIMAL(11,0)) *
+        |      CAST(nb AS DECIMAL(11,0)) AS DECIMAL(22,0)) AS num,
+        |    CAST(CAST(na AS DECIMAL(11,0)) *
+        |      CAST(nb AS DECIMAL(11,0)) AS DECIMAL(22,0)) AS nanb
+        |  FROM a
+        |)
+        |SELECT g AS event_type, na, nb, CAST(num AS VARCHAR) AS delta_num,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(num AS DOUBLE) / CAST(nanb AS DOUBLE)
+        |  END AS delta
+        |FROM f ORDER BY event_type""".stripMargin
   )
+
+  /** q385/q386 share this batch SQL — (stratum, value, ca, cb)
+    * histogram fragments are additive, so the streaming fold equals
+    * the one-shot midrank statistic bit-exactly. */
+  private lazy val mwSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS g,
+      |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS s,
+      |         CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events
+      |), h AS (
+      |  SELECT g, v,
+      |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN s = 1 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM b GROUP BY g, v
+      |), w AS (
+      |  SELECT g, v, ca, cb, ca + cb AS c,
+      |    COALESCE(SUM(ca + cb) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+      |  FROM h
+      |), a AS (
+      |  SELECT g, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb,
+      |    CAST(SUM(CAST(CAST(ca AS DECIMAL(11,0)) *
+      |      CAST(2*lo + c + 1 AS DECIMAL(12,0)) AS DECIMAL(23,0)))
+      |      AS DECIMAL(26,0)) AS r2a,
+      |    CAST(SUM(CAST(CAST(CAST(c AS DECIMAL(11,0)) *
+      |      CAST(c - 1 AS DECIMAL(11,0)) AS DECIMAL(22,0)) *
+      |      CAST(c + 1 AS DECIMAL(11,0)) AS DECIMAL(33,0)))
+      |      AS DECIMAL(36,0)) AS t
+      |  FROM w GROUP BY g
+      |), f AS (
+      |  SELECT g, na, nb, na + nb AS n, r2a, t FROM a
+      |), z AS (
+      |  SELECT g, na, nb,
+      |    r2a - CAST(CAST(na AS DECIMAL(11,0)) *
+      |      CAST(na + 1 AS DECIMAL(12,0)) AS DECIMAL(23,0)) AS u2,
+      |    CAST(CAST(na AS DECIMAL(11,0)) *
+      |      CAST(nb AS DECIMAL(11,0)) AS DECIMAL(22,0)) AS nanb,
+      |    CAST(CAST(CAST(CAST(n + 1 AS DECIMAL(11,0)) *
+      |      CAST(n AS DECIMAL(11,0)) AS DECIMAL(22,0)) *
+      |      CAST(n - 1 AS DECIMAL(12,0)) AS DECIMAL(34,0)) - t
+      |      AS DECIMAL(37,0)) AS bterm,
+      |    CAST(CAST(12 AS DECIMAL(2,0)) *
+      |      CAST(CAST(n AS DECIMAL(11,0)) *
+      |        CAST(n - 1 AS DECIMAL(12,0)) AS DECIMAL(23,0))
+      |      AS DECIMAL(25,0)) AS m12
+      |  FROM f
+      |)
+      |SELECT g AS event_type, na, nb, CAST(u2 AS VARCHAR) AS u2_a,
+      |  CASE WHEN na > 0 AND nb > 0 AND bterm > 0 THEN
+      |    CAST(u2 - nanb AS DOUBLE) /
+      |      (2.0 * sqrt(CAST(nanb AS DOUBLE) * CAST(bterm AS DOUBLE) /
+      |        CAST(m12 AS DOUBLE)))
+      |  END AS z
+      |FROM z ORDER BY event_type""".stripMargin
 }

@@ -43,10 +43,12 @@ object PlanAuditSets {
     "q374_stream_qq", "q379_stream_fk", "q381_stream_scd2",
     // q380: dedupClusters localCheckpoints per CC round at build
     "q380_containment_clusters",
-    // r17: watermark-buffered SCD2 drains; q384 appends the staged
-    // novelty index + proves by except at build
+    // r17: watermark-buffered SCD2 drains; q384/q392 append staged
+    // index artifacts + prove by except at build; q386 is a streaming
+    // drain; q390 collects its 10-row threshold table at build
     "q382_stream_scd2_ooo", "q383_stream_scd2_jitter",
-    "q384_novelty_index_maintained")
+    "q384_novelty_index_maintained", "q386_stream_mannwhitney",
+    "q390_heaps_curve", "q392_bm25_index_maintained")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
@@ -177,7 +179,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q369_embedding_norm_outliers",
     // q373 (r16): exactRankStats' per-group stats rows ride q262's
     // one-row-per-group broadcasts, twice (median, then MAD)
-    "q373_mad_outliers")
+    "q373_mad_outliers",
+    // q391 (r17): TWO one-row broadcasts — the (n, Σx) scalar into
+    // the centering projection and the Σcx² denominator into the
+    // 7-row per-lag relation (q102's embed-the-scalars pattern); the
+    // lag pairing itself is a hash equi-join on t+lag
+    "q391_acf_daily")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

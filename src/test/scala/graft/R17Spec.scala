@@ -95,6 +95,148 @@ class R17Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------- r17 analytics differentials ----------------
+
+  test("mannWhitneyU ≡ brute midrank replay (ties included)") {
+    val rnd = new scala.util.Random(1701)
+    val rows = (1 to 3000).map(i =>
+      ("g" + (i % 2), if (rnd.nextBoolean()) 1L else 0L,
+        rnd.nextInt(40).toLong * 5))
+    val out = Stats.mannWhitneyU(rows.toDF("g", "s", "v"), "g",
+        col("s"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val na = rs.count(_._2 == 1L).toLong
+      val nb = rs.size - na
+      val n = na + nb
+      // doubled midranks via sort: block of ties at positions
+      // [lo+1, lo+c] has doubled midrank 2lo + c + 1
+      val byV = rs.groupBy(_._3).toSeq.sortBy(_._1)
+      var lo = 0L
+      var r2a = BigInt(0)
+      var t = BigInt(0)
+      byV.foreach { case (_, block) =>
+        val c = block.size.toLong
+        val ca = block.count(_._2 == 1L).toLong
+        r2a += BigInt(ca) * (2 * lo + c + 1)
+        t += BigInt(c) * (c - 1) * (c + 1)
+        lo += c
+      }
+      val u2 = r2a - BigInt(na) * (na + 1)
+      val nanb = BigInt(na) * nb
+      val bterm = BigInt(n + 1) * n * (n - 1) - t
+      val m12 = BigInt(12) * n * (n - 1)
+      val zExp =
+        if (na > 0 && nb > 0 && bterm > 0)
+          Some((u2 - nanb).toDouble /
+            (2.0 * math.sqrt(nanb.toDouble * bterm.toDouble / m12.toDouble)))
+        else None
+      val (gna, gnb, gu2, gz) = out(g)
+      assert(gna == na && gnb == nb && BigInt(gu2) == u2)
+      assert(gz == zExp, s"$g: z $gz vs $zExp")
+    }
+  }
+
+  test("cliffsDelta ≡ brute cross-pair count") {
+    val rnd = new scala.util.Random(1702)
+    val rows = (1 to 400).map(i =>
+      ("g", if (rnd.nextBoolean()) 1L else 0L, rnd.nextInt(15).toLong))
+    val r = Stats.cliffsDelta(rows.toDF("g", "s", "v"), "g",
+      col("s"), col("v")).collect().head
+    val as = rows.filter(_._2 == 1L).map(_._3)
+    val bs = rows.filter(_._2 == 0L).map(_._3)
+    val gt = (for (a <- as; b <- bs) yield if (a > b) 1L else 0L).sum
+    val ltc = (for (a <- as; b <- bs) yield if (a < b) 1L else 0L).sum
+    assert(r.getLong(1) == as.size.toLong && r.getLong(2) == bs.size.toLong)
+    assert(BigInt(r.getString(3)) == BigInt(gt - ltc))
+    assert(r.getDouble(4) ==
+      (BigInt(gt - ltc).toDouble / (BigInt(as.size) * bs.size).toDouble))
+  }
+
+  test("acf ≡ local replay on a seeded series") {
+    val rnd = new scala.util.Random(1703)
+    val xs = (0 until 40).map(t => (t.toLong, (50 + rnd.nextInt(100)).toLong))
+    val out = Stats.acf(xs.toDF("t", "x"), maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = BigInt(xs.size)
+    val s = xs.map(x => BigInt(x._2)).sum
+    val cx = xs.map { case (t, x) => t -> (n * x - s) }.toMap
+    val den = cx.values.map(c => c * c).sum
+    (1 to 3).foreach { k =>
+      val pairs = xs.flatMap { case (t, _) =>
+        cx.get(t + k).map(b => cx(t) * b)
+      }
+      val (np, a) = out(k.toLong)
+      assert(np == pairs.size.toLong)
+      assert(a == pairs.sum.toDouble / den.toDouble, s"lag $k")
+    }
+  }
+
+  test("sourceTvDistance ≡ brute distribution distance") {
+    val docs = Seq(
+      (1L, "s1", "a a b c d"), (2L, "s1", "a b b e"),
+      (3L, "s2", "a c c f"), (4L, "s2", "b c g g g"),
+      (5L, "s3", "a a a a")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.sourceTvDistance(docs, "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(4), r.getDouble(5))).toMap
+    def dist(src: String): Map[String, Long] = Map(
+      "s1" -> Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "d" -> 1L, "e" -> 1L),
+      "s2" -> Map("a" -> 1L, "b" -> 1L, "c" -> 3L, "f" -> 1L, "g" -> 3L),
+      "s3" -> Map("a" -> 4L))(src)
+    for (Seq(x, y) <- Seq("s1", "s2", "s3").combinations(2)) {
+      val (da, db) = (dist(x), dist(y))
+      val (na, nb) = (da.values.sum, db.values.sum)
+      val num = (da.keySet ++ db.keySet).toSeq.map(tok =>
+        (BigInt(da.getOrElse(tok, 0L)) * nb -
+          BigInt(db.getOrElse(tok, 0L)) * na).abs).sum
+      val (gotNum, gotTv) = out((x, y))
+      assert(BigInt(gotNum) == num, s"($x,$y) num")
+      assert(gotTv == num.toDouble / (BigInt(2) * na * nb).toDouble,
+        s"($x,$y) tv")
+    }
+  }
+
+  test("heapsCurve ≡ local first-occurrence replay") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"tok${i / 3} tok${i / 7} common")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.heapsCurve(docs)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = (1 to 40).flatMap(i =>
+      Seq(s"tok${i / 3}", s"tok${i / 7}", "common").map(_ -> i.toLong))
+    val fo = toks.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    (1 to 10).foreach { b =>
+      val nPrefix = (b * 40) / 10
+      val vocab = fo.values.count(_ <= nPrefix).toLong // ids are 1..40 dense
+      val row = out.find(_._1 == b.toLong).get
+      assert(row._2 == nPrefix.toLong && row._4 == vocab,
+        s"bucket $b: $row vs ($nPrefix, $vocab)")
+    }
+    assert(out.map(_._3).sum == out.last._4) // new_tokens sums to vocab
+  }
+
+  test("mannWhitneyFromCounts fragments fold ≡ one-shot (additivity)") {
+    val rnd = new scala.util.Random(1704)
+    val rows = (1 to 2000).map(i =>
+      ("g" + (i % 3), if (rnd.nextBoolean()) 1L else 0L,
+        rnd.nextInt(25).toLong))
+    def hist(part: Seq[(String, Long, Long)]) =
+      part.toDF("g", "s", "v")
+        .groupBy(col("g"), col("v").as("value"))
+        .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("s") === 1, 0L).otherwise(1L)).as("cb"))
+    val frags = rows.grouped(500).map(hist).reduce(_ unionByName _)
+    val folded = Stats.mannWhitneyFromCounts(frags, "g")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val oneShot = Stats.mannWhitneyU(rows.toDF("g", "s", "v"), "g",
+        col("s"), col("v"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(folded == oneShot)
+  }
+
   test("FromCounts folds unchanged inside the domain budget") {
     val frags = Seq(("g", 10L, 3L), ("g", 20L, 5L), ("g", 30L, 2L),
       ("h", 10L, 4L), ("h", 40L, 4L)).toDF("g", "value", "c")
