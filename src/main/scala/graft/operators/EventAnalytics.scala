@@ -1356,4 +1356,61 @@ object EventAnalytics {
       .withColumn("conforming", col("dist") <= maxDist)
   }
 
+  /** FIRST-OCCURRENCE SEQUENCE SUPPORT (r17) — the PrefixSpan-style
+    * 2-step readout: for every ordered event-type pair (a, b), how
+    * many users saw BOTH, and in how many did a's FIRST occurrence
+    * precede b's (exact (ts, id) lexicographic order, so ties are
+    * deterministic). Each user folds to one row per type it has
+    * (alphabet-bounded — the per-user relation is |types|-sized, so
+    * the type-pair self-join fans out by a CONSTANT, never events²);
+    * the share is one mirrored division. */
+  def sequenceSupport(ev: DataFrame, userCol: String = "user_id",
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts_us",
+                      tieCol: String = "event_id"): DataFrame = {
+    val firsts = ev.groupBy(col(userCol), col(typeCol))
+      .agg(min(struct(col(tsCol).as("ts"), col(tieCol).as("id")))
+        .as("__first"))
+    val a = firsts.select(col(userCol), col(typeCol).as("type_a"),
+      col("__first").as("__fa"))
+    val b = firsts.select(col(userCol), col(typeCol).as("type_b"),
+      col("__first").as("__fb"))
+    a.join(b, Seq(userCol))
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users_both"),
+        sum(when(col("__fa") < col("__fb"), 1L).otherwise(0L))
+          .cast("long").as("n_a_first"))
+      .withColumn("support_share",
+        col("n_a_first").cast("double") / col("n_users_both").cast("double"))
+  }
+
+  /** MARKOV TRANSITION TABLE (r17) — the consecutive-step behavior
+    * model: counts of (from → to) event-type transitions in each
+    * user's exact (ts, id) order, and the row-normalized transition
+    * probability (one mirrored division per cell — the cell relation
+    * is |types|²-bounded). The lag window partitions per USER, the
+    * funnel/CEP family's documented shape: k× users widens the
+    * shuffle, never a partition. */
+  def markovTransitions(ev: DataFrame, userCol: String = "user_id",
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts_us",
+                        tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val trans = ev
+      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("c")).cast("long").as("total_from"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"),
+        col("total_from"),
+        (col("c").cast("double") / col("total_from").cast("double"))
+          .as("p"))
+  }
+
 }

@@ -1603,19 +1603,27 @@ object Stats {
     * identical IEEE double on both engines (the oracle carries the
     * same literals). Rows with integer part < 1 have no leading digit
     * and drop out. */
-  def benfordDigits(df: DataFrame, valueC: Column): DataFrame = {
+  def benfordDigits(df: DataFrame, valueC: Column): DataFrame =
+    benfordFromCounts(
+      df.select(floor(valueC).cast("long").as("__x"))
+        .filter(col("__x") >= 1L)
+        .select(substring(col("__x").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("c")))
+
+  /** [[benfordDigits]] over pre-counted (digit, c) fragments —
+    * additive, so per-batch digit counts committed by a streaming
+    * drain fold to the one-shot audit bit-exactly. */
+  def benfordFromCounts(frags: DataFrame): DataFrame = {
     val expected = Seq(
       1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
       3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
       5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
       7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
       9 -> 0.04575749056067514)
-    val base = df.select(floor(valueC).cast("long").as("__x"))
-      .filter(col("__x") >= 1L)
-      .select(substring(col("__x").cast("string"), 1, 1).cast("int")
-        .as("digit"))
-    val counts = base.groupBy(col("digit")).agg(count(lit(1)).as("__c"))
-    val all = base.agg(count(lit(1)).as("n"))
+    val counts = frags.groupBy(col("digit"))
+      .agg(sum(col("c")).cast("long").as("__c"))
+    val all = counts.agg(sum(col("__c")).cast("long").as("n"))
       .withColumn("digit", explode(array((1 to 9).map(lit(_)): _*)))
     val exp = expected.tail.foldLeft(
       when(col("digit") === expected.head._1, lit(expected.head._2))) {

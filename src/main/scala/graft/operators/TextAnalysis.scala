@@ -964,20 +964,30 @@ object TextAnalysis {
     * tokens are handled algebraically, and the single division per
     * pair is the only IEEE op. Source count is bounded (a dimension),
     * so the per-token pair fan-out is bounded. */
-  def sourceTvDistance(docs: DataFrame, groupCol: String): DataFrame = {
+  def sourceTvDistance(docs: DataFrame, groupCol: String): DataFrame =
+    tvFromCounts(
+      docs.withColumn("value", explode(split(col("text"), " ")))
+        .filter(col("value") =!= "")
+        .groupBy(col(groupCol), col("value"))
+        .agg(count(lit(1)).as("c")),
+      groupCol)
+
+  /** [[sourceTvDistance]] over pre-counted (group, value, c)
+    * fragments — additive (the per-slice value distribution is a sum
+    * of batch histograms), so a streaming drain committing per-batch
+    * counts folds to the one-shot distances bit-exactly; `value` may
+    * be any equi-joinable type (tokens, cents buckets). */
+  def tvFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
     val d14 = DecimalType(14, 0)
-    val counts = docs
-      .withColumn("__tok", explode(split(col("text"), " ")))
-      .filter(col("__tok") =!= "")
-      .groupBy(col(groupCol), col("__tok"))
-      .agg(count(lit(1)).as("__c"))
+    val counts = frags.groupBy(col(groupCol), col("value"))
+      .agg(sum(col("c")).cast("long").as("__c"))
     val totals = counts.groupBy(col(groupCol))
       .agg(sum(col("__c")).cast("long").as("__n"))
     val a = counts.join(broadcast(totals), Seq(groupCol))
-      .select(col(groupCol).as("source_a"), col("__tok"),
+      .select(col(groupCol).as("source_a"), col("value").as("__tok"),
         col("__c").as("ca"), col("__n").as("na"))
     val b = counts.join(broadcast(totals), Seq(groupCol))
-      .select(col(groupCol).as("source_b"), col("__tok"),
+      .select(col(groupCol).as("source_b"), col("value").as("__tok"),
         col("__c").as("cb"), col("__n").as("nb"))
     val co = a.join(b, Seq("__tok"))
       .filter(col("source_a") < col("source_b"))

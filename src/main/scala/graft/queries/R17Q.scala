@@ -328,7 +328,78 @@ object R17Q {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(20)
         .select(col("doc_id"), col("score"))
-    })
+    }),
+
+    // STREAMING BENFORD (r17): q388's audit on the event stream —
+    // per-batch (digit, c) fragments (additive), read-side fold
+    // through the same fixed expectation table.
+    // `Stats.benfordFromCounts`.
+    "q393_stream_benford" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(floor(col("value")).cast("long").as("__x"))
+          .filter(col("__x") >= 1L)
+          .select(substring(col("__x").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.benfordFromCounts(frags).orderBy("digit")
+    }),
+
+    // STREAMING TV DRIFT (r17): total-variation distance between
+    // event-type value distributions, maintained in-stream — per-
+    // batch (type, cents, c) HISTOGRAM fragments (additive), folded
+    // through q389's denominator-cleared exact algebra.
+    // `TextAnalysis.tvFromCounts`.
+    "q394_stream_tv" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type"),
+            floor(col("value") * lit(100.0)).cast("long").as("value"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.TextAnalysis.tvFromCounts(frags, "event_type")
+        .orderBy("source_a", "source_b")
+    }),
+
+    // SEQUENCE SUPPORT (r17): for every ordered event-type pair, how
+    // many users saw both and in how many a's FIRST occurrence
+    // preceded b's — the PrefixSpan-style 2-step behavior readout.
+    // Per-user rows are alphabet-bounded, so the pair join fans out
+    // by a constant. `EventAnalytics.sequenceSupport`.
+    "q395_sequence_support" -> ((s, d) =>
+      graft.operators.EventAnalytics.sequenceSupport(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")))
+        .orderBy("type_a", "type_b")),
+
+    // MARKOV TRANSITIONS (r17): consecutive event-type transition
+    // counts in exact per-user order + row-normalized probabilities —
+    // the behavior model a journey simulator samples from. The lag
+    // window is user-partitioned (the funnel/CEP documented shape).
+    // `EventAnalytics.markovTransitions`.
+    "q396_markov_transitions" -> ((s, d) =>
+      graft.operators.EventAnalytics.markovTransitions(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id")))
+        .orderBy("from_type", "to_type")),
+
+    // ASYMMETRIC NEAR-DUP AUDIT (r17): the containment pairs Jaccard
+    // CANNOT see — ≥9/10 contained but Jaccard < 1/2 (quote
+    // expansions, boilerplate supersets). The report that justifies
+    // running the asymmetric join next to the symmetric family.
+    // Integer-exact filter; both metrics emitted.
+    "q397_asymmetric_neardups" -> ((s, d) =>
+      graft.operators.Dedup.containmentJoin(Tables.documents(s, d))
+        .withColumn("union_sz",
+          col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * lit(2L) < col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+          col("sz_b"), col("containment"),
+          (col("inter").cast("double") / col("union_sz").cast("double"))
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +619,171 @@ object R17Q {
         |)
         |SELECT doc_id, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q393 drains to the same (digit, c) counts q388 aggregates —
+    // additive fragments; the events flavor of the Benford audit
+    "q393_stream_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM events WHERE floor(value) >= 1
+        |), cts AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digit
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        |g AS (SELECT CAST(b AS INTEGER) AS digit
+        |      FROM UNNEST(generate_series(1, 9)) AS t(b))
+        |SELECT g.digit, tot.n, COALESCE(cts.c, 0) AS c,
+        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        |    AS share,
+        |  CAST(CASE g.digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END AS DOUBLE) AS expected_share,
+        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) -
+        |  CAST(CASE g.digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END AS DOUBLE) AS excess
+        |FROM g CROSS JOIN tot LEFT JOIN cts ON g.digit = cts.digit
+        |ORDER BY g.digit""".stripMargin,
+
+    // q394 drains to the same (type, cents, c) histogram q389's
+    // algebra folds — the metric-distribution drift flavor
+    "q394_stream_tv" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100.0) AS BIGINT)
+        |    AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY g, v
+        |), t AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY g
+        |), co AS (
+        |  SELECT a.g AS source_a, b.g AS source_b,
+        |    ta.n AS na, tb.n AS nb,
+        |    CAST(SUM(a.c) AS BIGINT) AS coa,
+        |    CAST(SUM(b.c) AS BIGINT) AS cob,
+        |    CAST(SUM(ABS(
+        |      CAST(CAST(a.c AS DECIMAL(14,0)) * CAST(tb.n AS DECIMAL(14,0))
+        |        AS DECIMAL(29,0)) -
+        |      CAST(CAST(b.c AS DECIMAL(14,0)) * CAST(ta.n AS DECIMAL(14,0))
+        |        AS DECIMAL(29,0)))) AS DECIMAL(33,0)) AS sabs
+        |  FROM c a JOIN c b ON a.v = b.v AND a.g < b.g
+        |  JOIN t ta ON ta.g = a.g
+        |  JOIN t tb ON tb.g = b.g
+        |  GROUP BY a.g, b.g, ta.n, tb.n
+        |), f AS (
+        |  SELECT source_a, source_b, na, nb,
+        |    CAST(sabs +
+        |      CAST(CAST(na - coa AS DECIMAL(14,0)) *
+        |        CAST(nb AS DECIMAL(14,0)) AS DECIMAL(29,0)) +
+        |      CAST(CAST(nb - cob AS DECIMAL(14,0)) *
+        |        CAST(na AS DECIMAL(14,0)) AS DECIMAL(29,0))
+        |      AS DECIMAL(34,0)) AS num,
+        |    CAST(CAST(2 AS DECIMAL(2,0)) *
+        |      CAST(CAST(na AS DECIMAL(14,0)) * CAST(nb AS DECIMAL(14,0))
+        |        AS DECIMAL(29,0)) AS DECIMAL(31,0)) AS den
+        |  FROM co
+        |)
+        |SELECT source_a, source_b, na, nb,
+        |  CAST(num AS VARCHAR) AS tv_num,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |  END AS tv
+        |FROM f ORDER BY source_a, source_b""".stripMargin,
+
+    // mirrors q395: lexicographic (ts, id) first occurrences, pair
+    // join over the alphabet-bounded per-user type relation
+    "q395_sequence_support" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), f1 AS (
+        |  SELECT user_id, event_type, MIN(ts_us) AS fts
+        |  FROM e GROUP BY user_id, event_type
+        |), f AS (
+        |  SELECT e.user_id, e.event_type, f1.fts,
+        |    CAST(MIN(e.event_id) AS BIGINT) AS fid
+        |  FROM e JOIN f1 ON e.user_id = f1.user_id
+        |    AND e.event_type = f1.event_type AND e.ts_us = f1.fts
+        |  GROUP BY e.user_id, e.event_type, f1.fts
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users_both,
+        |  CAST(SUM(CASE WHEN a.fts < b.fts OR
+        |    (a.fts = b.fts AND a.fid < b.fid) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a_first,
+        |  CAST(SUM(CASE WHEN a.fts < b.fts OR
+        |    (a.fts = b.fts AND a.fid < b.fid) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS support_share
+        |FROM f a JOIN f b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type
+        |GROUP BY a.event_type, b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // mirrors q396: per-user lag in exact (ts, id) order, |types|²
+    // cell rollup, one division per cell
+    "q396_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type
+        |  FROM e
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+        |), t AS (
+        |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS total_from
+        |  FROM c GROUP BY from_type
+        |)
+        |SELECT c.from_type, c.to_type, c.c, t.total_from,
+        |  CAST(c.c AS DOUBLE) / CAST(t.total_from AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // mirrors q397: the q348 pair definition + the Jaccard blind-spot
+    // filter (integer-exact on both engines)
+    "q397_asymmetric_neardups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS s
+        |  FROM toks, UNNEST(generate_series(1, len(l) - 2)) AS g(i)
+        |), sz AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT i.doc_a, i.doc_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment,
+        |  CAST(i.inter AS DOUBLE) /
+        |    CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON i.doc_a = sa.doc_id
+        |JOIN sz sb ON i.doc_b = sb.doc_id
+        |WHERE i.inter * 10 >= sa.sz * 9
+        |  AND i.inter * 2 < sa.sz + sb.sz - i.inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors q387: B-prefix histogram fold, exact numerator
     "q387_cliffs_delta" ->

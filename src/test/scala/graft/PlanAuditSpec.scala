@@ -48,7 +48,10 @@ object PlanAuditSets {
     // drain; q390 collects its 10-row threshold table at build
     "q382_stream_scd2_ooo", "q383_stream_scd2_jitter",
     "q384_novelty_index_maintained", "q386_stream_mannwhitney",
-    "q390_heaps_curve", "q392_bm25_index_maintained")
+    "q390_heaps_curve", "q392_bm25_index_maintained",
+    // q393/q394 are streaming drains; q397's containment join
+    // localCheckpoints at build (q348's machinery)
+    "q393_stream_benford", "q394_stream_tv", "q397_asymmetric_neardups")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

@@ -237,6 +237,70 @@ class R17Spec extends AnyFunSuite {
     assert(folded == oneShot)
   }
 
+  test("benford/tv fragment folds ≡ one-shot (additivity)") {
+    val rnd = new scala.util.Random(1705)
+    val vals = (1 to 3000).map(_ => ("g" + rnd.nextInt(3),
+      (1 + rnd.nextInt(9999)).toLong))
+    // benford: (digit, c) fragments across 3 slices ≡ one-shot
+    val bFrags = vals.grouped(1000).map(part =>
+      part.map(_._2).toDF("v")
+        .select(substring(col("v").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("c")))
+      .reduce(_ unionByName _)
+    val bFold = Stats.benfordFromCounts(bFrags)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val bOne = Stats.benfordDigits(vals.map(_._2).toDF("v"), col("v"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(bFold.toSeq == bOne.toSeq)
+    // tv: (group, value, c) fragments ≡ one-shot distance
+    val tFrags = vals.grouped(1000).map(part =>
+      part.toDF("g", "value").groupBy("g", "value")
+        .agg(count(lit(1)).as("c")))
+      .reduce(_ unionByName _)
+    val tFold = graft.operators.TextAnalysis.tvFromCounts(tFrags, "g")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val tOne = graft.operators.TextAnalysis.tvFromCounts(
+        vals.toDF("g", "value").groupBy("g", "value")
+          .agg(count(lit(1)).as("c")), "g")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(tFold.toSeq == tOne.toSeq)
+  }
+
+  test("sequenceSupport / markovTransitions ≡ brute replay") {
+    val rnd = new scala.util.Random(1706)
+    val types = Seq("a", "b", "c", "d")
+    val evs = (1 to 2000).map(i => (rnd.nextInt(50).toLong,
+      types(rnd.nextInt(4)), rnd.nextInt(300).toLong, i.toLong))
+    val df = evs.toDF("user_id", "event_type", "ts_us", "event_id")
+    // sequence support
+    val seq = graft.operators.EventAnalytics.sequenceSupport(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val firsts = evs.groupBy(e => (e._1, e._2))
+      .map { case ((u, t), xs) => (u, t) -> xs.map(e => (e._3, e._4)).min }
+    for (a <- types; b <- types if a != b) {
+      val users = evs.map(_._1).distinct
+        .filter(u => firsts.contains((u, a)) && firsts.contains((u, b)))
+      val aFirst = users.count(u => {
+        val (fa, fb) = (firsts((u, a)), firsts((u, b)))
+        fa._1 < fb._1 || (fa._1 == fb._1 && fa._2 < fb._2)
+      })
+      assert(seq.get((a, b)).map(_._1) ==
+        (if (users.nonEmpty) Some(users.size.toLong) else None))
+      if (users.nonEmpty) assert(seq((a, b))._2 == aFirst.toLong, s"($a,$b)")
+    }
+    // markov transitions
+    val mk = graft.operators.EventAnalytics.markovTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val brute = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ordered = xs.sortBy(e => (e._3, e._4)).map(_._2)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(mk == brute)
+  }
+
   test("FromCounts folds unchanged inside the domain budget") {
     val frags = Seq(("g", 10L, 3L), ("g", 20L, 5L), ("g", 30L, 2L),
       ("h", 10L, 4L), ("h", 40L, 4L)).toDF("g", "value", "c")
