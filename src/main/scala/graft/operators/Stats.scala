@@ -1603,17 +1603,14 @@ object Stats {
     * identical IEEE double on both engines (the oracle carries the
     * same literals). Rows with integer part < 1 have no leading digit
     * and drop out. */
-  def benfordDigits(df: DataFrame, valueC: Column): DataFrame =
-    benfordFromCounts(
-      df.select(floor(valueC).cast("long").as("__x"))
-        .filter(col("__x") >= 1L)
-        .select(substring(col("__x").cast("string"), 1, 1).cast("int")
-          .as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("c")))
-
-  /** [[benfordDigits]] over pre-counted (digit, c) fragments —
-    * additive, so per-batch digit counts committed by a streaming
-    * drain fold to the one-shot audit bit-exactly. */
+  /** The [[benfordDigits]] audit over pre-counted (digit, c)
+    * fragments (r17) — the additive face: per-batch leading-digit
+    * counts committed by a streaming drain (or appended to a
+    * maintained index) fold to the one-shot audit bit-exactly.
+    * Output is the observed-vs-expected SHARE table (share,
+    * expected_share, excess per digit) rather than [[benfordDigits]]'s
+    * χ² terms — the fragments carry no total, so the read side owns
+    * the division. */
   def benfordFromCounts(frags: DataFrame): DataFrame = {
     val expected = Seq(
       1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
@@ -1638,48 +1635,63 @@ object Stats {
         (col("share") - col("expected_share")).as("excess"))
   }
 
-  /** EXACT AUTOCORRELATION at lags 1..maxLag over a regular (t, x)
-    * series (r17) — "is yesterday's volume predictive of today's":
-    * the mean is cleared WITHOUT leaving integers by scaling through
-    * n (cx_t = n·x_t − Σx, exact decimal), so
-    * r_k = Σ cx_t·cx_{t+k} / Σ cx_t² needs one self-equi-join on
-    * t+k and ONE mirrored division per lag. Built for AGGREGATE-GRAIN
-    * series (daily/hourly rollups — the input relation is
-    * time-domain bounded, never raw events); the n·x width budget
-    * (|cx| ≤ 9·10¹⁸, keeping cx² inside both engines' 38-digit cap)
-    * fails loud via the [[jackknifeRatio]] raise_error pattern.
-    * Gaps in t simply contribute no pair at the affected lags. */
-  def acf(series: DataFrame, maxLag: Int = 7): DataFrame = {
-    require(maxLag >= 1, s"acf: maxLag must be >= 1, got $maxLag")
+  /** EXACT CROSS-CORRELATION between two regular (t, x) series at
+    * lags −maxLag..maxLag (r17) — "does series A's volume LEAD series
+    * B's, and by how many steps": r_k = Σ cxA_t·cxB_{t+k} /
+    * √(ΣcxA²·ΣcxB²), positive k meaning A leads B (the
+    * [[EventAnalytics.acfDaily]] machinery turned cross-series —
+    * autocorrelation is the A = B special case, already covered
+    * there). Each series' mean is cleared WITHOUT leaving integers by
+    * scaling through its own n (cx_t = n·x_t − Σx, exact decimal), a
+    * constant factor that cancels in r; pairs form by one equi-join
+    * on t+k; the mirrored IEEE chain is one division by one √ of the
+    * two exact energy totals. Built for AGGREGATE-GRAIN series
+    * (daily/hourly rollups — time-domain bounded, never raw events);
+    * the n·x width budget (|cx| ≤ 9·10¹⁸, keeping cx² inside both
+    * engines' 38-digit cap) fails loud via the [[jackknifeRatio]]
+    * raise_error pattern. Gaps in t contribute no pair. NOTE the
+    * normalization uses the FULL series energies (the standard
+    * biased-CCF convention), so partial overlap at large |k| shrinks
+    * r toward 0 deterministically. */
+  def crossCorrelation(seriesA: DataFrame, seriesB: DataFrame,
+                       maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"crossCorrelation: maxLag must be >= 1, got $maxLag")
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
-    val tot = series.agg(count(lit(1)).cast(DecimalType(8, 0)).as("__n"),
-      sum(col("x").cast(DecimalType(20, 0))).cast(DecimalType(21, 0))
-        .as("__s"))
-    val cxRaw = (col("__n") * col("x").cast(DecimalType(14, 0)))
-      .cast(DecimalType(23, 0)) - col("__s")
-    val guarded = when(abs(cxRaw) <= lit(BigDecimal("9e18")).cast(DecimalType(23, 0)),
-        cxRaw.cast(d19))
-      .otherwise(raise_error(lit(
-        "acf: |n·x − Σx| exceeds the 19-digit budget — aggregate the " +
-          "series to a coarser grain or rescale x")))
-    val centered = series.crossJoin(broadcast(tot))
-      .select(col("t"), guarded.as("cx"))
-    val den = centered
-      .agg(sum((col("cx") * col("cx")).cast(d38)).cast(d38).as("__den"))
-    val lagged = centered.select((col("t") - lit(1L)).as("__tl"), col("cx").as("__cxl"))
-    val pairs = centered
-      .withColumn("lag", explode(array((1 to maxLag).map(i => lit(i.toLong)): _*)))
-      .withColumn("__probe", col("t") + col("lag") - lit(1L))
-      .join(lagged, col("__probe") === col("__tl"))
+    def centered(series: DataFrame, who: String): DataFrame = {
+      val tot = series.agg(count(lit(1)).cast(DecimalType(8, 0)).as("__n"),
+        sum(col("x").cast(DecimalType(20, 0))).cast(DecimalType(21, 0))
+          .as("__s"))
+      val cxRaw = (col("__n") * col("x").cast(DecimalType(14, 0)))
+        .cast(DecimalType(23, 0)) - col("__s")
+      val guarded = when(abs(cxRaw) <=
+          lit(BigDecimal("9e18")).cast(DecimalType(23, 0)), cxRaw.cast(d19))
+        .otherwise(raise_error(lit(
+          s"crossCorrelation: |n·x − Σx| exceeds the 19-digit budget on " +
+            s"the $who series — aggregate to a coarser grain or rescale x")))
+      series.crossJoin(broadcast(tot)).select(col("t"), guarded.as("cx"))
+    }
+    val ca = centered(seriesA, "A")
+    val cb = centered(seriesB, "B")
+    val da = ca.agg(sum((col("cx") * col("cx")).cast(d38)).cast(d38)
+      .as("__da"))
+    val db = cb.agg(sum((col("cx") * col("cx")).cast(d38)).cast(d38)
+      .as("__db"))
+    val bSide = cb.select(col("t").as("__tb"), col("cx").as("__cxb"))
+    val pairs = ca
+      .withColumn("lag", explode(array(
+        (-maxLag to maxLag).map(i => lit(i.toLong)): _*)))
+      .withColumn("__probe", col("t") + col("lag"))
+      .join(bSide, col("__probe") === col("__tb"))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum((col("cx") * col("__cxl")).cast(d38)).cast(d38).as("__num"))
-    pairs.crossJoin(broadcast(den))
+        sum((col("cx") * col("__cxb")).cast(d38)).cast(d38).as("__num"))
+    pairs.crossJoin(broadcast(da)).crossJoin(broadcast(db))
       .select(col("lag"), col("n_pairs"),
-        when(col("__den") > 0,
-          col("__num").cast("double") / col("__den").cast("double"))
-          .as("acf"))
+        when(col("__da") > 0 && col("__db") > 0,
+          col("__num").cast("double") /
+            sqrt(col("__da").cast("double") * col("__db").cast("double")))
+          .as("ccf"))
   }
 
   /** LORENZ CURVE POINTS per group (r16) — [[giniExact]]'s visual

@@ -235,15 +235,21 @@ object R17Q {
         floor(col("value") * lit(100.0)).cast("long"))
         .orderBy("event_type")),
 
-    // BENFORD FIRST-DIGIT AUDIT (r17): leading-digit shares of order
-    // totals vs the log-law expectation — the fabricated-data /
-    // generator-drift screen. Digit extracted from the exact decimal
-    // string (no libm log); the only doubles are one division per
-    // digit and the expectation constants, identical literals on both
-    // engines. `Stats.benfordDigits`.
+    // BENFORD FIRST-DIGIT SHARES (r17): leading INTEGER-PART digits
+    // of order totals vs the log-law expectation, through the
+    // ADDITIVE (digit, c) count face — the observed/expected/excess
+    // share table (q249 carries the χ²-term flavor on event cents;
+    // this is the fragment-foldable face q393 streams). Digit from
+    // the exact decimal string (no libm log); constants identical
+    // IEEE literals both engines. `Stats.benfordFromCounts`.
     "q388_benford_digits" -> ((s, d) =>
-      graft.operators.Stats.benfordDigits(
-        Tables.orders(s, d), col("o_totalprice"))
+      graft.operators.Stats.benfordFromCounts(
+        Tables.orders(s, d)
+          .select(floor(col("o_totalprice")).cast("long").as("__x"))
+          .filter(col("__x") >= 1L)
+          .select(substring(col("__x").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("c")))
         .orderBy("digit")),
 
     // SOURCE TOTAL-VARIATION DRIFT (r17): pairwise TV distance
@@ -267,17 +273,21 @@ object R17Q {
       graft.operators.TextAnalysis.heapsCurve(Tables.documents(s, d))
         .orderBy("bucket")),
 
-    // DAILY AUTOCORRELATION (r17): is yesterday's event volume
-    // predictive of today's — exact ACF at lags 1..7 over the
-    // day-grain count series (time-domain bounded by construction).
-    // Mean cleared by n-scaling so every sum stays integer; one
-    // mirrored division per lag. `Stats.acf`.
-    "q391_acf_daily" -> ((s, d) => {
-      val series = Tables.events(s, d)
+    // CROSS-CORRELATION (r17): does daily CLICK volume lead daily
+    // PURCHASE volume, and by how many days — exact CCF at lags
+    // −7..+7 over the day-grain count series (q270's acfDaily is the
+    // single-series special case; this is the cross-series lead/lag
+    // detector). Means cleared by per-series n-scaling so every sum
+    // stays integer; one mirrored √-division per lag.
+    // `Stats.crossCorrelation`.
+    "q391_cross_correlation" -> ((s, d) => {
+      def daily(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
         .select((unix_micros(col("ts")) / lit(86400000000L))
           .cast("long").as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("x"))
-      graft.operators.Stats.acf(series, maxLag = 7)
+      graft.operators.Stats.crossCorrelation(
+        daily("click"), daily("purchase"), maxLag = 7)
         .orderBy("lag")
     }),
 
@@ -551,39 +561,54 @@ object R17Q {
         |  vocab
         |FROM v ORDER BY bucket""".stripMargin,
 
-    // mirrors q391: n-scaled centering keeps every sum integer;
-    // per-lag equi self-join on t+lag; one division per lag
-    "q391_acf_daily" ->
-      """WITH s AS (
+    // mirrors q391: per-series n-scaled centering keeps every sum
+    // integer; per-lag equi join on t+lag; one √-division per lag
+    "q391_cross_correlation" ->
+      """WITH a AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
         |         CAST(COUNT(*) AS BIGINT) AS x
-        |  FROM events GROUP BY t
-        |), tot AS (
+        |  FROM events WHERE event_type = 'click' GROUP BY t
+        |), b AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY t
+        |), ta AS (
         |  SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
         |    CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DECIMAL(21,0)) AS sx
-        |  FROM s
-        |), c AS (
+        |  FROM a
+        |), tb AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(8,0)) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DECIMAL(21,0)) AS sx
+        |  FROM b
+        |), cca AS (
         |  SELECT t, CAST(CAST(n * CAST(x AS DECIMAL(14,0))
         |    AS DECIMAL(23,0)) - sx AS DECIMAL(19,0)) AS cx
-        |  FROM s, tot
-        |), den AS (
+        |  FROM a, ta
+        |), ccb AS (
+        |  SELECT t, CAST(CAST(n * CAST(x AS DECIMAL(14,0))
+        |    AS DECIMAL(23,0)) - sx AS DECIMAL(19,0)) AS cx
+        |  FROM b, tb
+        |), da AS (
         |  SELECT CAST(SUM(CAST(cx * cx AS DECIMAL(38,0)))
-        |    AS DECIMAL(38,0)) AS den
-        |  FROM c
+        |    AS DECIMAL(38,0)) AS da FROM cca
+        |), db AS (
+        |  SELECT CAST(SUM(CAST(cx * cx AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS db FROM ccb
         |), p AS (
         |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |    CAST(SUM(CAST(a.cx * b.cx AS DECIMAL(38,0)))
+        |    CAST(SUM(CAST(a2.cx * b2.cx AS DECIMAL(38,0)))
         |      AS DECIMAL(38,0)) AS num
         |  FROM (SELECT CAST(g AS BIGINT) AS lag
-        |        FROM UNNEST(generate_series(1, 7)) AS t(g)) l
-        |  CROSS JOIN c a JOIN c b ON b.t = a.t + l.lag
+        |        FROM UNNEST(generate_series(-7, 7)) AS t(g)) l
+        |  CROSS JOIN cca a2 JOIN ccb b2 ON b2.t = a2.t + l.lag
         |  GROUP BY l.lag
         |)
         |SELECT p.lag, p.n_pairs,
-        |  CASE WHEN den.den > 0 THEN
-        |    CAST(p.num AS DOUBLE) / CAST(den.den AS DOUBLE)
-        |  END AS acf
-        |FROM p, den ORDER BY lag""".stripMargin,
+        |  CASE WHEN da.da > 0 AND db.db > 0 THEN
+        |    CAST(p.num AS DOUBLE) /
+        |      sqrt(CAST(da.da AS DOUBLE) * CAST(db.db AS DOUBLE))
+        |  END AS ccf
+        |FROM p, da, db ORDER BY lag""".stripMargin,
 
     // mirrors q392: batch 3 scored with the q102 BM25 chain against
     // the index stats of batches 0-2 (the as-of version)

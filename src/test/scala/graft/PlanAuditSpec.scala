@@ -183,11 +183,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q373 (r16): exactRankStats' per-group stats rows ride q262's
     // one-row-per-group broadcasts, twice (median, then MAD)
     "q373_mad_outliers",
-    // q391 (r17): TWO one-row broadcasts — the (n, Σx) scalar into
-    // the centering projection and the Σcx² denominator into the
-    // 7-row per-lag relation (q102's embed-the-scalars pattern); the
-    // lag pairing itself is a hash equi-join on t+lag
-    "q391_acf_daily")
+    // q391 (r17): FOUR one-row broadcasts — each series' (n, Σx)
+    // scalar into its centering projection and the two Σcx² energy
+    // denominators into the 15-row per-lag relation (q102's
+    // embed-the-scalars pattern); the lag pairing itself is a hash
+    // equi-join on t+lag
+    "q391_cross_correlation")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

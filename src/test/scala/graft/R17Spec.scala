@@ -155,23 +155,34 @@ class R17Spec extends AnyFunSuite {
       (BigInt(gt - ltc).toDouble / (BigInt(as.size) * bs.size).toDouble))
   }
 
-  test("acf ≡ local replay on a seeded series") {
+  test("crossCorrelation ≡ local replay on seeded series") {
     val rnd = new scala.util.Random(1703)
-    val xs = (0 until 40).map(t => (t.toLong, (50 + rnd.nextInt(100)).toLong))
-    val out = Stats.acf(xs.toDF("t", "x"), maxLag = 3)
+    val as = (0 until 40).map(t => (t.toLong, (50 + rnd.nextInt(100)).toLong))
+    // B trails A by 2 steps plus noise — the lead the CCF should see
+    val bs = (2 until 40).map(t =>
+      (t.toLong, as(t - 2)._2 + rnd.nextInt(5).toLong))
+    val out = Stats.crossCorrelation(as.toDF("t", "x"), bs.toDF("t", "x"),
+        maxLag = 4)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val n = BigInt(xs.size)
-    val s = xs.map(x => BigInt(x._2)).sum
-    val cx = xs.map { case (t, x) => t -> (n * x - s) }.toMap
-    val den = cx.values.map(c => c * c).sum
-    (1 to 3).foreach { k =>
-      val pairs = xs.flatMap { case (t, _) =>
-        cx.get(t + k).map(b => cx(t) * b)
-      }
-      val (np, a) = out(k.toLong)
-      assert(np == pairs.size.toLong)
-      assert(a == pairs.sum.toDouble / den.toDouble, s"lag $k")
+    def cxOf(xs: Seq[(Long, Long)]): Map[Long, BigInt] = {
+      val n = BigInt(xs.size)
+      val s = xs.map(x => BigInt(x._2)).sum
+      xs.map { case (t, x) => t -> (n * x - s) }.toMap
     }
+    val (ca, cb) = (cxOf(as), cxOf(bs))
+    val da = ca.values.map(c => c * c).sum
+    val db = cb.values.map(c => c * c).sum
+    (-4 to 4).foreach { k =>
+      val pairs = as.flatMap { case (t, _) =>
+        cb.get(t + k).map(b => ca(t) * b)
+      }
+      val (np, r) = out(k.toLong)
+      assert(np == pairs.size.toLong, s"lag $k pairs")
+      assert(r == pairs.sum.toDouble /
+        math.sqrt(da.toDouble * db.toDouble), s"lag $k")
+    }
+    // the planted 2-step lead dominates
+    assert((-4 to 4).maxBy(k => out(k.toLong)._2) == 2)
   }
 
   test("sourceTvDistance ≡ brute distribution distance") {
@@ -250,7 +261,11 @@ class R17Spec extends AnyFunSuite {
       .reduce(_ unionByName _)
     val bFold = Stats.benfordFromCounts(bFrags)
       .collect().map(_.toSeq).sortBy(_.head.toString)
-    val bOne = Stats.benfordDigits(vals.map(_._2).toDF("v"), col("v"))
+    val bOne = Stats.benfordFromCounts(
+        vals.map(_._2).toDF("v")
+          .select(substring(col("v").cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("c")))
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(bFold.toSeq == bOne.toSeq)
     // tv: (group, value, c) fragments ≡ one-shot distance
