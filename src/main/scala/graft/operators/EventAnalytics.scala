@@ -1385,32 +1385,4 @@ object EventAnalytics {
         col("n_a_first").cast("double") / col("n_users_both").cast("double"))
   }
 
-  /** MARKOV TRANSITION TABLE (r17) — the consecutive-step behavior
-    * model: counts of (from → to) event-type transitions in each
-    * user's exact (ts, id) order, and the row-normalized transition
-    * probability (one mirrored division per cell — the cell relation
-    * is |types|²-bounded). The lag window partitions per USER, the
-    * funnel/CEP family's documented shape: k× users widens the
-    * shuffle, never a partition. */
-  def markovTransitions(ev: DataFrame, userCol: String = "user_id",
-                        typeCol: String = "event_type",
-                        tsCol: String = "ts_us",
-                        tieCol: String = "event_id"): DataFrame = {
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsCol), col(tieCol))
-    val trans = ev
-      .select(col(userCol), col(typeCol), col(tsCol), col(tieCol))
-      .withColumn("__next", lead(col(typeCol), 1).over(w))
-      .filter(col("__next").isNotNull)
-      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
-      .agg(count(lit(1)).as("c"))
-    val totals = trans.groupBy(col("from_type"))
-      .agg(sum(col("c")).cast("long").as("total_from"))
-    trans.join(broadcast(totals), Seq("from_type"))
-      .select(col("from_type"), col("to_type"), col("c"),
-        col("total_from"),
-        (col("c").cast("double") / col("total_from").cast("double"))
-          .as("p"))
-  }
-
 }

@@ -384,16 +384,37 @@ object R17Q {
           unix_micros(col("ts")).as("ts_us"), col("event_id")))
         .orderBy("type_a", "type_b")),
 
-    // MARKOV TRANSITIONS (r17): consecutive event-type transition
-    // counts in exact per-user order + row-normalized probabilities —
-    // the behavior model a journey simulator samples from. The lag
-    // window is user-partitioned (the funnel/CEP documented shape).
-    // `EventAnalytics.markovTransitions`.
-    "q396_markov_transitions" -> ((s, d) =>
-      graft.operators.EventAnalytics.markovTransitions(
-        Tables.events(s, d).select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id")))
-        .orderBy("from_type", "to_type")),
+    // STREAMING MARKOV TRANSITIONS (r17): q235's batch transition
+    // matrix maintained in-stream — O(1) state per user (the last
+    // observed event, the q381 shape), every consecutive pair emitted
+    // as a (from, to) fact INCLUDING batch-boundary pairs (what a
+    // per-batch rollup loses), chronological drain fails loud on
+    // disorder. The drained fact relation rolls up to the bounded
+    // |types|² matrix and must hash-match the BATCH lag-window
+    // oracle. `Stateful.TransitionEmit`.
+    "q396_stream_markov" -> ((s, d) => {
+      val trans = graft.streaming.MicroBatch.updateRun(s, d,
+        splitParts = Some(4), chronological = true,
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.transitionEmit(
+          graft.Tables.toEventTime(stream)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1))
+          .toDF("from_type", "to_type")
+      }
+      val cells = trans.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val totals = cells.groupBy(col("from_type"))
+        .agg(sum(col("c")).cast("long").as("total_from"))
+      cells.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("c"),
+          col("total_from"),
+          (col("c").cast("double") / col("total_from").cast("double"))
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }),
 
     // ASYMMETRIC NEAR-DUP AUDIT (r17): the containment pairs Jaccard
     // CANNOT see — ≥9/10 contained but Jaccard < 1/2 (quote
@@ -757,9 +778,10 @@ object R17Q {
         |GROUP BY a.event_type, b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
 
-    // mirrors q396: per-user lag in exact (ts, id) order, |types|²
-    // cell rollup, one division per cell
-    "q396_markov_transitions" ->
+    // q396 drains to the same transition facts q235's lag window
+    // derives one-shot — per-user lag in exact (ts, id) order,
+    // |types|² cell rollup, one division per cell
+    "q396_stream_markov" ->
       """WITH e AS (
         |  SELECT user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id

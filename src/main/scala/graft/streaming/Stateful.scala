@@ -579,4 +579,53 @@ object Stateful {
       : Dataset[(Long, String, Long, Long)] =
     grouped.transformWithState(new Scd2Buffered(), TimeMode.EventTime(),
       OutputMode.Update())(Encoders.product[(Long, String, Long, Long)])
+
+  /** STREAMING TRANSITION EMIT (r17) — the batch transition matrix
+    * (`EventAnalytics.transitionMatrix`, q235) maintained in-stream:
+    * state is ONE tuple per key (the last observed (type, ts, id) —
+    * O(1), the [[Scd2Changes]] shape), each micro-batch's rows sort
+    * in exact (ts, id) event order, and every CONSECUTIVE pair emits
+    * a (from, to) fact — including the pair that straddles a batch
+    * boundary, which is exactly what a per-batch batch-mode rollup
+    * loses. Chronological arrival across batches is the contract
+    * (fails loud, the Scd2Changes discipline); the drained sink is
+    * the transition fact relation and the read side rolls it up to
+    * the bounded |types|² matrix. */
+  class TransitionEmit(maxPerKeyBatch: Int = 1 << 20)
+      extends StatefulProcessor[Long, (Long, String, Long, Long),
+        (String, String)] {
+    @transient private var last: ValueState[(String, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState("last",
+        Encoders.product[(String, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, String, Long, Long)],
+                                 timers: TimerValues):
+        Iterator[(String, String)] = {
+      val buf = rows.toArray
+      require(buf.length <= maxPerKeyBatch,
+        s"key $key exceeds $maxPerKeyBatch rows in one batch")
+      val sorted = buf.sortBy(r => (r._3, r._4))
+      var st = if (last.exists()) Some(last.get()) else None
+      val out = Seq.newBuilder[(String, String)]
+      sorted.foreach { r =>
+        st.foreach { case (t, ts, id) =>
+          require(ts < r._3 || (ts == r._3 && id <= r._4),
+            s"key $key: out-of-order arrival across batches " +
+              s"(state ($ts,$id) vs row (${r._3},${r._4})) — transition " +
+              "emission needs the chronological drain")
+          out += ((t, r._2))
+        }
+        st = Some((r._2, r._3, r._4))
+      }
+      st.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[TransitionEmit]] over a keyed `(key, type, ts, id)` stream. */
+  def transitionEmit(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)])
+      : Dataset[(String, String)] =
+    grouped.transformWithState(new TransitionEmit(), TimeMode.None(),
+      OutputMode.Update())(Encoders.product[(String, String)])
 }

@@ -51,7 +51,8 @@ object PlanAuditSets {
     "q390_heaps_curve", "q392_bm25_index_maintained",
     // q393/q394 are streaming drains; q397's containment join
     // localCheckpoints at build (q348's machinery)
-    "q393_stream_benford", "q394_stream_tv", "q397_asymmetric_neardups")
+    "q393_stream_benford", "q394_stream_tv", "q396_stream_markov",
+    "q397_asymmetric_neardups")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

@@ -282,13 +282,12 @@ class R17Spec extends AnyFunSuite {
     assert(tFold.toSeq == tOne.toSeq)
   }
 
-  test("sequenceSupport / markovTransitions ≡ brute replay") {
+  test("sequenceSupport ≡ brute replay") {
     val rnd = new scala.util.Random(1706)
     val types = Seq("a", "b", "c", "d")
     val evs = (1 to 2000).map(i => (rnd.nextInt(50).toLong,
       types(rnd.nextInt(4)), rnd.nextInt(300).toLong, i.toLong))
     val df = evs.toDF("user_id", "event_type", "ts_us", "event_id")
-    // sequence support
     val seq = graft.operators.EventAnalytics.sequenceSupport(df)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
@@ -305,15 +304,18 @@ class R17Spec extends AnyFunSuite {
         (if (users.nonEmpty) Some(users.size.toLong) else None))
       if (users.nonEmpty) assert(seq((a, b))._2 == aFirst.toLong, s"($a,$b)")
     }
-    // markov transitions
-    val mk = graft.operators.EventAnalytics.markovTransitions(df)
+  }
+
+  test("q396 streaming transition facts ≡ q235 batch lag window (sf0.001)") {
+    val batch = graft.operators.EventAnalytics.transitionMatrix(
+        graft.Tables.events(spark, sf))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    val brute = evs.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
-      val ordered = xs.sortBy(e => (e._3, e._4)).map(_._2)
-      ordered.zip(ordered.tail)
-    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    assert(mk == brute)
+    val streamed = graft.queries.R17Q.queries("q396_stream_markov")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch,
+      "the chronological drain must carry batch-boundary transitions")
   }
 
   test("FromCounts folds unchanged inside the domain budget") {
