@@ -416,6 +416,41 @@ object R17Q {
         .orderBy("from_type", "to_type")
     }),
 
+    // OUT-OF-ORDER STREAMING MARKOV (r17): q396's transition
+    // maintenance under the q382 arrival contract — the
+    // WatermarkOrderedReplay skeleton with the transition step, so
+    // the strict/buffered duality holds for a SECOND replay family
+    // (the fail-loud chronological face stays q396). Hash-interleaved
+    // 4-batch drain + sentinel, full-range watermark delay; the
+    // re-sorted replay must reproduce the batch lag-window matrix
+    // BIT-EXACTLY. `Stateful.TransitionBuffered`.
+    "q398_stream_markov_ooo" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsSplitSentinel(
+        s, d, parts = 4, sentinelInterval = "46 DAYS")
+      val trans = graft.streaming.MicroBatch.updateRun(s, d,
+        inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.transitionBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "45 days")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1))
+          .toDF("from_type", "to_type")
+      }
+      val cells = trans.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("c"))
+      val totals = cells.groupBy(col("from_type"))
+        .agg(sum(col("c")).cast("long").as("total_from"))
+      cells.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("c"),
+          col("total_from"),
+          (col("c").cast("double") / col("total_from").cast("double"))
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ASYMMETRIC NEAR-DUP AUDIT (r17): the containment pairs Jaccard
     // CANNOT see — ≥9/10 contained but Jaccard < 1/2 (quote
     // expansions, boilerplate supersets). The report that justifies
@@ -778,30 +813,11 @@ object R17Q {
         |GROUP BY a.event_type, b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
 
-    // q396 drains to the same transition facts q235's lag window
+    // q396/q398 drain to the same transition facts q235's lag window
     // derives one-shot — per-user lag in exact (ts, id) order,
     // |types|² cell rollup, one division per cell
-    "q396_stream_markov" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
-        |  FROM events
-        |), tr AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id) AS to_type
-        |  FROM e
-        |), c AS (
-        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
-        |), t AS (
-        |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS total_from
-        |  FROM c GROUP BY from_type
-        |)
-        |SELECT c.from_type, c.to_type, c.c, t.total_from,
-        |  CAST(c.c AS DOUBLE) / CAST(t.total_from AS DOUBLE) AS p
-        |FROM c JOIN t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
+    "q396_stream_markov" -> markovSql,
+    "q398_stream_markov_ooo" -> markovSql,
 
     // mirrors q397: the q348 pair definition + the Jaccard blind-spot
     // filter (integer-exact on both engines)
@@ -874,6 +890,32 @@ object R17Q {
   /** q385/q386 share this batch SQL — (stratum, value, ca, cb)
     * histogram fragments are additive, so the streaming fold equals
     * the one-shot midrank statistic bit-exactly. */
+  /** q396/q398 share this batch SQL — both drains emit exactly the
+    * consecutive transition facts the lag window derives one-shot
+    * (q396 under the strict chronological contract, q398 re-ordered
+    * by the watermark buffer). */
+  private lazy val markovSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      |  FROM events
+      |), tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_type
+      |  FROM e
+      |), c AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+      |), t AS (
+      |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS total_from
+      |  FROM c GROUP BY from_type
+      |)
+      |SELECT c.from_type, c.to_type, c.c, t.total_from,
+      |  CAST(c.c AS DOUBLE) / CAST(t.total_from AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   private lazy val mwSql: String =
     """WITH b AS (
       |  SELECT event_type AS g,

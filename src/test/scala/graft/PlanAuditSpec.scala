@@ -52,7 +52,7 @@ object PlanAuditSets {
     // q393/q394 are streaming drains; q397's containment join
     // localCheckpoints at build (q348's machinery)
     "q393_stream_benford", "q394_stream_tv", "q396_stream_markov",
-    "q397_asymmetric_neardups")
+    "q397_asymmetric_neardups", "q398_stream_markov_ooo")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

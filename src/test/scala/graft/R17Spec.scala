@@ -306,16 +306,19 @@ class R17Spec extends AnyFunSuite {
     }
   }
 
-  test("q396 streaming transition facts ≡ q235 batch lag window (sf0.001)") {
+  test("q396/q398 streaming transition facts ≡ q235 batch lag window (sf0.001)") {
     val batch = graft.operators.EventAnalytics.transitionMatrix(
         graft.Tables.events(spark, sf))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    val streamed = graft.queries.R17Q.queries("q396_stream_markov")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
-    assert(streamed == batch,
-      "the chronological drain must carry batch-boundary transitions")
+    Seq("q396_stream_markov", "q398_stream_markov_ooo").foreach { q =>
+      val streamed = graft.queries.R17Q.queries(q)(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch,
+        s"$q must carry batch-boundary transitions (strict) / " +
+          "re-sorted disorder (buffered)")
+    }
   }
 
   test("FromCounts folds unchanged inside the domain budget") {
