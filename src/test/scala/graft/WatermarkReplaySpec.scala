@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Stateful
+
+/** Seeded random-disorder property for the [[Stateful.WatermarkOrderedReplay]]
+  * skeleton (r17): events with BOUNDED per-event arrival jitter are
+  * fed to a MemoryStream in ARRIVAL order across several
+  * micro-batches — so event-time order is genuinely violated within
+  * and across batches, bounded by the jitter — and both replay faces
+  * (SCD2 change detection, transition emission) must reproduce the
+  * in-memory batch replay EXACTLY once two staggered far-future
+  * sentinel batches push the watermark past every real row. This
+  * pins the skeleton's contract on arbitrary seeds, not just the
+  * testdata distributions the oracle gate exercises. */
+class WatermarkReplaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val hourUs = 3600L * 1000000L
+
+  /** (key, attr, tsUs, id) events + the arrival-ordered batches. */
+  private def scenario(seed: Int): (Seq[(Long, String, Long, Long)],
+                                    Seq[Seq[(Long, String, Long, Long)]]) = {
+    val rnd = new scala.util.Random(seed)
+    val attrs = Seq("a", "b", "c")
+    val events = (1 to 600).map { i =>
+      (rnd.nextInt(25).toLong, attrs(rnd.nextInt(3)),
+        rnd.nextLong(30L * 24L * hourUs), i.toLong)
+    }
+    val maxTs = events.map(_._3).max
+    val jitter = 6L * hourUs // watermark delay 7h covers it
+    val byArrival = events.sortBy { case (_, _, ts, id) =>
+      (ts + (scala.util.hashing.MurmurHash3.stringHash(s"$seed|$id").toLong
+        .abs % jitter), id)
+    }
+    // genuine disorder: arrival order must differ from event-time order
+    assert(byArrival.map(_._3) != byArrival.map(_._3).sorted ||
+      byArrival != events.sortBy(e => (e._3, e._4)))
+    val batches = byArrival.grouped(150).toSeq ++ Seq(
+      Seq((-1L, "s", maxTs + 8L * hourUs, -1L)),
+      Seq((-1L, "s", maxTs + 16L * hourUs, -2L)))
+    (events, batches)
+  }
+
+  private def drain(batches: Seq[Seq[(Long, String, Long, Long)]])(
+      transform: org.apache.spark.sql.KeyValueGroupedDataset[
+        Long, (Long, String, Long, Long)] =>
+        org.apache.spark.sql.Dataset[_]): Seq[org.apache.spark.sql.Row] =
+    Stateful.withRocksDBStateStore(spark) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val grouped = input.toDS()
+        .select(col("_1").as("k"), col("_2").as("attr"),
+          timestamp_micros(col("_3")).as("ts"), col("_4").as("id"))
+        .withWatermark("ts", "7 hours")
+        .select(col("k"), col("attr"), unix_micros(col("ts")), col("id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+      val name = s"wmreplay_${System.nanoTime()}"
+      val q = transform(grouped).toDF().writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect().toSeq
+      } finally q.stop()
+    }
+
+  for (seed <- Seq(171, 172, 173)) {
+    test(s"scd2Buffered ≡ batch change replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      val got = drain(batches)(Stateful.scd2Buffered)
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 >= 0).sorted
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._4))
+        sorted.zip(None +: sorted.map(Some(_))).collect {
+          case (r, prev) if prev.forall(_._2 != r._2) =>
+            (k, r._2, r._3, r._4)
+        }
+      }.sorted
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+    }
+
+    test(s"transitionBuffered ≡ batch pair replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      val got = drain(batches)(Stateful.transitionBuffered)
+        .map(r => (r.getString(0), r.getString(1)))
+        .filterNot(p => p._1 == "s" || p._2 == "s")
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._4)).map(_._2)
+        ordered.zip(ordered.tail)
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+}
