@@ -1592,17 +1592,6 @@ object Stats {
             .cast(DecimalType(22, 0)).cast("double")).as("delta"))
   }
 
-  /** BENFORD FIRST-DIGIT AUDIT (r17) — the fabricated-data /
-    * generator-drift screen a finance-ish corpus runs: the observed
-    * share of each leading significant digit next to Benford's
-    * log₁₀(1+1/d) expectation. The digit is taken from the integer
-    * part's DECIMAL STRING (exact — no libm log in the extraction),
-    * counts are one bounded 9-row aggregate, and the only doubles are
-    * one share division per digit plus the expectation CONSTANTS,
-    * written as full-precision decimal literals that parse to the
-    * identical IEEE double on both engines (the oracle carries the
-    * same literals). Rows with integer part < 1 have no leading digit
-    * and drop out. */
   /** The [[benfordDigits]] audit over pre-counted (digit, c)
     * fragments (r17) — the additive face: per-batch leading-digit
     * counts committed by a streaming drain (or appended to a
@@ -1662,12 +1651,21 @@ object Stats {
       val tot = series.agg(count(lit(1)).cast(DecimalType(8, 0)).as("__n"),
         sum(col("x").cast(DecimalType(20, 0))).cast(DecimalType(21, 0))
           .as("__s"))
+      // n-AWARE budget: the per-element cap must also keep the SUMMED
+      // energy Σcx² inside DECIMAL(38,0) — n elements at the bound
+      // give n·bound² ≤ 9.8·10³⁷ (margin under the 10³⁸ cap for the
+      // double→decimal rounding of the bound), so bound = √(9.8e37/n),
+      // capped at 9e18 (the 19-digit element width). Without the n
+      // factor, two near-bound elements overflow the sum as a generic
+      // engine error instead of this named contract.
+      val bound = least(lit(BigDecimal("9e18")).cast(DecimalType(23, 0)),
+        sqrt(lit(9.8e37d) / col("__n").cast("double"))
+          .cast(DecimalType(23, 0)))
       val cxRaw = (col("__n") * col("x").cast(DecimalType(14, 0)))
         .cast(DecimalType(23, 0)) - col("__s")
-      val guarded = when(abs(cxRaw) <=
-          lit(BigDecimal("9e18")).cast(DecimalType(23, 0)), cxRaw.cast(d19))
+      val guarded = when(abs(cxRaw) <= bound, cxRaw.cast(d19))
         .otherwise(raise_error(lit(
-          s"crossCorrelation: |n·x − Σx| exceeds the 19-digit budget on " +
+          s"crossCorrelation: |n·x − Σx| exceeds the Σcx²-safe budget on " +
             s"the $who series — aggregate to a coarser grain or rescale x")))
       series.crossJoin(broadcast(tot)).select(col("t"), guarded.as("cx"))
     }

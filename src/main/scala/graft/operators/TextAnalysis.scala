@@ -992,13 +992,26 @@ object TextAnalysis {
     val co = a.join(b, Seq("__tok"))
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
-        sum(col("ca")).cast("long").as("coa"),
-        sum(col("cb")).cast("long").as("cob"),
+      .agg(sum(col("ca")).cast("long").as("__coa"),
+        sum(col("cb")).cast("long").as("__cob"),
         sum(abs((col("ca").cast(d14) * col("nb").cast(d14))
           .cast(DecimalType(29, 0)) -
           (col("cb").cast(d14) * col("na").cast(d14))
-            .cast(DecimalType(29, 0)))).cast(DecimalType(33, 0)).as("sabs"))
+            .cast(DecimalType(29, 0)))).cast(DecimalType(33, 0)).as("__sabs"))
+    // the PAIR SPINE comes from the group dimension itself (a bounded
+    // broadcast cross), not the co-occurrence join — two slices with
+    // DISJOINT value sets are exactly the maximally-drifted pairs and
+    // must emit tv = 1, not vanish (the co join alone would drop them;
+    // the exclusive-mass algebra below already handles all-missing)
+    val spine = totals.select(col(groupCol).as("source_a"),
+        col("__n").as("na"))
+      .join(broadcast(totals.select(col(groupCol).as("source_b"),
+        col("__n").as("nb"))), col("source_a") < col("source_b"))
+    val full = spine.join(co, Seq("source_a", "source_b"), "left")
+      .withColumn("sabs",
+        coalesce(col("__sabs"), lit(0L).cast(DecimalType(33, 0))))
+      .withColumn("coa", coalesce(col("__coa"), lit(0L)))
+      .withColumn("cob", coalesce(col("__cob"), lit(0L)))
     val num = col("sabs") +
       ((col("na") - col("coa")).cast(d14) * col("nb").cast(d14))
         .cast(DecimalType(29, 0)) +
@@ -1007,7 +1020,7 @@ object TextAnalysis {
     val den = (lit(2L).cast(DecimalType(2, 0)) *
       (col("na").cast(d14) * col("nb").cast(d14)).cast(DecimalType(29, 0)))
       .cast(DecimalType(31, 0))
-    co.select(col("source_a"), col("source_b"), col("na"), col("nb"),
+    full.select(col("source_a"), col("source_b"), col("na"), col("nb"),
       num.cast(DecimalType(34, 0)).cast("string").as("tv_num"),
       when(col("na") > 0 && col("nb") > 0,
         num.cast(DecimalType(34, 0)).cast("double") / den.cast("double"))

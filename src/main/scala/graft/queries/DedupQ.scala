@@ -38,7 +38,8 @@ object DedupQ {
     new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
 
   private def clustersArtifact(s: SparkSession, d: String): DataFrame =
-    stagedClusters.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ =>
+    stagedClusters.computeIfAbsent(
+      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ =>
       graft.lake.LakeTable.createTemp(s,
         Dedup.dedupClusters(
           Dedup.nearDupPairs(dupDocs(s, d)).select(col("doc_a"), col("doc_b"))),

@@ -59,4 +59,15 @@ object Qx {
     sessionKeys.computeIfAbsent(
       s, _ => java.util.UUID.randomUUID().toString)
   }
+
+  /** Content stamp for staged artifacts derived from a testdata table
+    * (r17, the MicroBatch.contentStamp discipline extended to the
+    * lake-artifact memos): the source parquet's mtime joins the memo
+    * key, so regenerated testdata rebuilds the artifact instead of
+    * silently serving a stale one. */
+  def tableStamp(d: String, table: String): Long = {
+    val p = java.nio.file.Paths.get(s"$d/$table.parquet")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.getLastModifiedTime(p).toMillis else 0L
+  }
 }

@@ -28,7 +28,8 @@ object R16Q {
     * in its `staging` metric instead of twice in query time). */
   private def containPairsArtifact(s: org.apache.spark.sql.SparkSession,
                                    d: String): org.apache.spark.sql.DataFrame =
-    stagedPairs.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ =>
+    stagedPairs.computeIfAbsent(
+      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ =>
       graft.lake.LakeTable.createTemp(s,
         graft.operators.Dedup.containmentJoin(
           Tables.documents(s, d), n = 3, minConNum = 3, minConDen = 5),

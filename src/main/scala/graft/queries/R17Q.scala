@@ -29,7 +29,8 @@ object R17Q {
     * Memoized per (session, sf); the consumers time-travel it. */
   private def noveltyIndexArtifact(s: org.apache.spark.sql.SparkSession,
                                    d: String): graft.lake.LakeTable =
-    stagedIndex.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ => {
+    stagedIndex.computeIfAbsent(
+      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ => {
       val docs = Tables.documents(s, d)
       def batchShingles(k: Int) =
         graft.operators.Dedup.shingles(docs.filter(col("doc_id") % 4 === k), 3)
@@ -76,7 +77,8 @@ object R17Q {
     * read is one bounded fold. Memoized per (session, sf). */
   private def bm25IndexArtifact(s: org.apache.spark.sql.SparkSession,
                                 d: String): graft.lake.LakeTable =
-    stagedBm25.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ => {
+    stagedBm25.computeIfAbsent(
+      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ => {
       val docs = Tables.documents(s, d)
       val idx = graft.lake.LakeTable.createTemp(s,
         bm25Fragment(docs.filter(col("doc_id") % 4 === 0)), "graft-bm25-idx")
@@ -85,6 +87,54 @@ object R17Q {
       }
       idx
     })
+
+  /** Shared drain of the buffered SCD2 faces (q382/q383): the
+    * watermarked event stream through [[graft.streaming.Stateful.scd2Buffered]]
+    * over a caller-staged sentinel landing dir. */
+  private def bufferedScd2Changes(s: org.apache.spark.sql.SparkSession,
+                                  d: String, in: java.nio.file.Path,
+                                  delay: String): DataFrame =
+    graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+      conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+      import s.implicits._
+      graft.streaming.Stateful.scd2Buffered(
+        graft.Tables.toEventTime(stream)
+          .withWatermark("ts", delay)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")), col("event_id"))
+          .as[(Long, String, Long, Long)].groupByKey(_._1))
+        .toDF("user_id", "event_type", "ts_us", "event_id")
+    }
+
+  /** Shared read side of the streaming SCD2 faces (q381's shape):
+    * version + valid_to windows over the CHANGE relation (already
+    * collapsed — never raw events), sentinel key filtered. */
+  private def scd2Intervals(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    changes.filter(col("user_id") >= 0)
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Shared read side of the streaming Markov faces (q396/q398): the
+    * bounded |types|² cell rollup + row-normalized probabilities. */
+  private def transitionRollup(trans: DataFrame): DataFrame = {
+    val cells = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col("from_type"))
+      .agg(sum(col("c")).cast("long").as("total_from"))
+    cells.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"),
+        col("total_from"),
+        (col("c").cast("double") / col("total_from").cast("double"))
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -101,31 +151,11 @@ object R17Q {
     // the multi-batch RocksDB drain must reproduce the BATCH interval
     // build BIT-EXACTLY — the oracle is q376's SQL, unchanged.
     // `Stateful.Scd2Buffered`.
-    "q382_stream_scd2_ooo" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val in = graft.streaming.MicroBatch.stageEventsSplitSentinel(
-        s, d, parts = 4, sentinelInterval = "46 DAYS")
-      val changes = graft.streaming.MicroBatch.updateRun(s, d,
-        inDir = Some(in),
-        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
-        import s.implicits._
-        graft.streaming.Stateful.scd2Buffered(
-          graft.Tables.toEventTime(stream)
-            .withWatermark("ts", "45 days")
-            .select(col("user_id"), col("event_type"),
-              unix_micros(col("ts")), col("event_id"))
-            .as[(Long, String, Long, Long)].groupByKey(_._1))
-          .toDF("user_id", "event_type", "ts_us", "event_id")
-      }
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      changes.filter(col("user_id") >= 0)
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("ts_us").as("valid_from"), col("valid_to"))
-        .orderBy("user_id", "version")
-    }),
+    "q382_stream_scd2_ooo" -> ((s, d) =>
+      scd2Intervals(bufferedScd2Changes(s, d,
+        graft.streaming.MicroBatch.stageEventsSplitSentinel(
+          s, d, parts = 4, sentinelInterval = "46 DAYS"),
+        delay = "45 days"))),
 
     // BOUNDED-DISORDER STREAMING SCD2 (r17): the same buffered
     // detector under the steady-state production arrival pattern —
@@ -135,32 +165,12 @@ object R17Q {
     // flushes incrementally (peak state ≪ corpus — R17Spec asserts
     // the eviction via the engine's own state stats); the sentinel
     // flushes only the final tail. Same batch oracle, bit-exact.
-    "q383_stream_scd2_jitter" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val in = graft.streaming.MicroBatch.stageEventsJitteredSentinel(
-        s, d, parts = 6, maxJitterSecs = 21600L, sentinelInterval = "8 HOURS")
-      val changes = graft.streaming.MicroBatch.updateRun(s, d,
-        inDir = Some(in),
-        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
-        import s.implicits._
-        graft.streaming.Stateful.scd2Buffered(
-          graft.Tables.toEventTime(stream)
-            .withWatermark("ts", "7 hours")
-            .select(col("user_id"), col("event_type"),
-              unix_micros(col("ts")), col("event_id"))
-            .as[(Long, String, Long, Long)].groupByKey(_._1))
-          .toDF("user_id", "event_type", "ts_us", "event_id")
-      }
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      changes.filter(col("user_id") >= 0)
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("ts_us").as("valid_from"), col("valid_to"))
-        .orderBy("user_id", "version")
-    }),
-
+    "q383_stream_scd2_jitter" -> ((s, d) =>
+      scd2Intervals(bufferedScd2Changes(s, d,
+        graft.streaming.MicroBatch.stageEventsJitteredSentinel(
+          s, d, parts = 6, maxJitterSecs = 21600L,
+          sentinelInterval = "8 HOURS"),
+        delay = "7 hours"))),
     // MAINTAINED NOVELTY INDEX (r17 — VERDICT r16 #6): q362's
     // admission readout at STEADY-STATE cost — the corpus
     // distinct-shingle relation is a maintained lake artifact (one
@@ -404,16 +414,7 @@ object R17Q {
             .as[(Long, String, Long, Long)].groupByKey(_._1))
           .toDF("from_type", "to_type")
       }
-      val cells = trans.groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("c"))
-      val totals = cells.groupBy(col("from_type"))
-        .agg(sum(col("c")).cast("long").as("total_from"))
-      cells.join(broadcast(totals), Seq("from_type"))
-        .select(col("from_type"), col("to_type"), col("c"),
-          col("total_from"),
-          (col("c").cast("double") / col("total_from").cast("double"))
-            .as("p"))
-        .orderBy("from_type", "to_type")
+      transitionRollup(trans)
     }),
 
     // OUT-OF-ORDER STREAMING MARKOV (r17): q396's transition
@@ -439,16 +440,7 @@ object R17Q {
             .as[(Long, String, Long, Long)].groupByKey(_._1))
           .toDF("from_type", "to_type")
       }
-      val cells = trans.groupBy(col("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("c"))
-      val totals = cells.groupBy(col("from_type"))
-        .agg(sum(col("c")).cast("long").as("total_from"))
-      cells.join(broadcast(totals), Seq("from_type"))
-        .select(col("from_type"), col("to_type"), col("c"),
-          col("total_from"),
-          (col("c").cast("double") / col("total_from").cast("double"))
-            .as("p"))
-        .orderBy("from_type", "to_type")
+      transitionRollup(trans)
     }),
 
     // ASYMMETRIC NEAR-DUP AUDIT (r17): the containment pairs Jaccard
@@ -504,87 +496,18 @@ object R17Q {
 
     // mirrors q388: string-extracted leading digit, shared literal
     // expectation constants (identical IEEE doubles on both engines)
-    "q388_benford_digits" ->
-      """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+    "q388_benford_digits" -> benfordShareSql(
+      """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM orders WHERE floor(o_totalprice) >= 1
-        |), cts AS (
-        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digit
-        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
-        |g AS (SELECT CAST(b AS INTEGER) AS digit
-        |      FROM UNNEST(generate_series(1, 9)) AS t(b))
-        |SELECT g.digit, tot.n, COALESCE(cts.c, 0) AS c,
-        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
-        |    AS share,
-        |  CAST(CASE g.digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END AS DOUBLE) AS expected_share,
-        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) -
-        |  CAST(CASE g.digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END AS DOUBLE) AS excess
-        |FROM g CROSS JOIN tot LEFT JOIN cts ON g.digit = cts.digit
-        |ORDER BY g.digit""".stripMargin,
+        |  FROM orders WHERE floor(o_totalprice) >= 1""".stripMargin),
 
     // mirrors q389: denominator-cleared exact TV numerator; only
     // co-occurring tokens join, exclusive mass enters algebraically
-    "q389_source_tv_drift" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents
-        |), c AS (
-        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM toks WHERE tok <> '' GROUP BY source, tok
-        |), t AS (
-        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source
-        |), co AS (
-        |  SELECT a.source AS source_a, b.source AS source_b,
-        |    ta.n AS na, tb.n AS nb,
-        |    CAST(SUM(a.c) AS BIGINT) AS coa,
-        |    CAST(SUM(b.c) AS BIGINT) AS cob,
-        |    CAST(SUM(ABS(
-        |      CAST(CAST(a.c AS DECIMAL(14,0)) * CAST(tb.n AS DECIMAL(14,0))
-        |        AS DECIMAL(29,0)) -
-        |      CAST(CAST(b.c AS DECIMAL(14,0)) * CAST(ta.n AS DECIMAL(14,0))
-        |        AS DECIMAL(29,0)))) AS DECIMAL(33,0)) AS sabs
-        |  FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
-        |  JOIN t ta ON ta.source = a.source
-        |  JOIN t tb ON tb.source = b.source
-        |  GROUP BY a.source, b.source, ta.n, tb.n
-        |), f AS (
-        |  SELECT source_a, source_b, na, nb,
-        |    CAST(sabs +
-        |      CAST(CAST(na - coa AS DECIMAL(14,0)) *
-        |        CAST(nb AS DECIMAL(14,0)) AS DECIMAL(29,0)) +
-        |      CAST(CAST(nb - cob AS DECIMAL(14,0)) *
-        |        CAST(na AS DECIMAL(14,0)) AS DECIMAL(29,0))
-        |      AS DECIMAL(34,0)) AS num,
-        |    CAST(CAST(2 AS DECIMAL(2,0)) *
-        |      CAST(CAST(na AS DECIMAL(14,0)) * CAST(nb AS DECIMAL(14,0))
-        |        AS DECIMAL(29,0)) AS DECIMAL(31,0)) AS den
-        |  FROM co
-        |)
-        |SELECT source_a, source_b, na, nb,
-        |  CAST(num AS VARCHAR) AS tv_num,
-        |  CASE WHEN na > 0 AND nb > 0 THEN
-        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-        |  END AS tv
-        |FROM f ORDER BY source_a, source_b""".stripMargin,
+    "q389_source_tv_drift" -> tvDriftSql(
+      """SELECT source AS g, tok AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY g, v""".stripMargin),
 
     // mirrors q390: thresholds are order statistics of doc_id,
     // tokens fold to first-occurrence docs, cumulative over 10 rows
@@ -703,85 +626,17 @@ object R17Q {
 
     // q393 drains to the same (digit, c) counts q388 aggregates —
     // additive fragments; the events flavor of the Benford audit
-    "q393_stream_benford" ->
-      """WITH d AS (
-        |  SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT)
+    "q393_stream_benford" -> benfordShareSql(
+      """SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT)
         |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM events WHERE floor(value) >= 1
-        |), cts AS (
-        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digit
-        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
-        |g AS (SELECT CAST(b AS INTEGER) AS digit
-        |      FROM UNNEST(generate_series(1, 9)) AS t(b))
-        |SELECT g.digit, tot.n, COALESCE(cts.c, 0) AS c,
-        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
-        |    AS share,
-        |  CAST(CASE g.digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END AS DOUBLE) AS expected_share,
-        |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) -
-        |  CAST(CASE g.digit
-        |    WHEN 1 THEN 0.3010299956639812
-        |    WHEN 2 THEN 0.17609125905568124
-        |    WHEN 3 THEN 0.12493873660829992
-        |    WHEN 4 THEN 0.09691001300805642
-        |    WHEN 5 THEN 0.07918124604762482
-        |    WHEN 6 THEN 0.06694678963061322
-        |    WHEN 7 THEN 0.05799194697768673
-        |    WHEN 8 THEN 0.05115252244738129
-        |    ELSE 0.04575749056067514 END AS DOUBLE) AS excess
-        |FROM g CROSS JOIN tot LEFT JOIN cts ON g.digit = cts.digit
-        |ORDER BY g.digit""".stripMargin,
+        |  FROM events WHERE floor(value) >= 1""".stripMargin),
 
     // q394 drains to the same (type, cents, c) histogram q389's
     // algebra folds — the metric-distribution drift flavor
-    "q394_stream_tv" ->
-      """WITH c AS (
-        |  SELECT event_type AS g, CAST(floor(value * 100.0) AS BIGINT)
+    "q394_stream_tv" -> tvDriftSql(
+      """SELECT event_type AS g, CAST(floor(value * 100.0) AS BIGINT)
         |    AS v, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM events GROUP BY g, v
-        |), t AS (
-        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY g
-        |), co AS (
-        |  SELECT a.g AS source_a, b.g AS source_b,
-        |    ta.n AS na, tb.n AS nb,
-        |    CAST(SUM(a.c) AS BIGINT) AS coa,
-        |    CAST(SUM(b.c) AS BIGINT) AS cob,
-        |    CAST(SUM(ABS(
-        |      CAST(CAST(a.c AS DECIMAL(14,0)) * CAST(tb.n AS DECIMAL(14,0))
-        |        AS DECIMAL(29,0)) -
-        |      CAST(CAST(b.c AS DECIMAL(14,0)) * CAST(ta.n AS DECIMAL(14,0))
-        |        AS DECIMAL(29,0)))) AS DECIMAL(33,0)) AS sabs
-        |  FROM c a JOIN c b ON a.v = b.v AND a.g < b.g
-        |  JOIN t ta ON ta.g = a.g
-        |  JOIN t tb ON tb.g = b.g
-        |  GROUP BY a.g, b.g, ta.n, tb.n
-        |), f AS (
-        |  SELECT source_a, source_b, na, nb,
-        |    CAST(sabs +
-        |      CAST(CAST(na - coa AS DECIMAL(14,0)) *
-        |        CAST(nb AS DECIMAL(14,0)) AS DECIMAL(29,0)) +
-        |      CAST(CAST(nb - cob AS DECIMAL(14,0)) *
-        |        CAST(na AS DECIMAL(14,0)) AS DECIMAL(29,0))
-        |      AS DECIMAL(34,0)) AS num,
-        |    CAST(CAST(2 AS DECIMAL(2,0)) *
-        |      CAST(CAST(na AS DECIMAL(14,0)) * CAST(nb AS DECIMAL(14,0))
-        |        AS DECIMAL(29,0)) AS DECIMAL(31,0)) AS den
-        |  FROM co
-        |)
-        |SELECT source_a, source_b, na, nb,
-        |  CAST(num AS VARCHAR) AS tv_num,
-        |  CASE WHEN na > 0 AND nb > 0 THEN
-        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-        |  END AS tv
-        |FROM f ORDER BY source_a, source_b""".stripMargin,
+        |  FROM events GROUP BY g, v""".stripMargin),
 
     // mirrors q395: lexicographic (ts, id) first occurrences, pair
     // join over the alphabet-bounded per-user type relation
@@ -890,6 +745,86 @@ object R17Q {
   /** q385/q386 share this batch SQL — (stratum, value, ca, cb)
     * histogram fragments are additive, so the streaming fold equals
     * the one-shot midrank statistic bit-exactly. */
+
+  /** q388/q393 share this Benford share-table SQL over a caller
+    * (digit) CTE — observed vs expected shares, constants as
+    * identical IEEE double literals on both engines. */
+  private def benfordShareSql(digitsCte: String): String = {
+    val exp =
+      """CASE g.digit
+        |    WHEN 1 THEN 0.3010299956639812
+        |    WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992
+        |    WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482
+        |    WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673
+        |    WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END""".stripMargin
+    s"""WITH d AS (
+       |  $digitsCte
+       |), cts AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digit
+       |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       |g AS (SELECT CAST(b AS INTEGER) AS digit
+       |      FROM UNNEST(generate_series(1, 9)) AS t(b))
+       |SELECT g.digit, tot.n, COALESCE(cts.c, 0) AS c,
+       |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+       |    AS share,
+       |  CAST($exp AS DOUBLE) AS expected_share,
+       |  CAST(COALESCE(cts.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE) -
+       |  CAST($exp AS DOUBLE) AS excess
+       |FROM g CROSS JOIN tot LEFT JOIN cts ON g.digit = cts.digit
+       |ORDER BY g.digit""".stripMargin
+  }
+
+  /** q389/q394 share this pairwise total-variation SQL over a caller
+    * (g, v, c) count CTE — denominator-cleared exact numerator with
+    * the exclusive mass entering algebraically, mirroring
+    * `TextAnalysis.tvFromCounts`. */
+  private def tvDriftSql(countsCte: String): String =
+    s"""WITH c AS (
+       |  $countsCte
+       |), t AS (
+       |  SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY g
+       |), co AS (
+       |  SELECT a.g AS source_a, b.g AS source_b,
+       |    ta.n AS na, tb.n AS nb,
+       |    CAST(SUM(a.c) AS BIGINT) AS coa,
+       |    CAST(SUM(b.c) AS BIGINT) AS cob,
+       |    CAST(SUM(ABS(
+       |      CAST(CAST(a.c AS DECIMAL(14,0)) * CAST(tb.n AS DECIMAL(14,0))
+       |        AS DECIMAL(29,0)) -
+       |      CAST(CAST(b.c AS DECIMAL(14,0)) * CAST(ta.n AS DECIMAL(14,0))
+       |        AS DECIMAL(29,0)))) AS DECIMAL(33,0)) AS sabs
+       |  FROM c a JOIN c b ON a.v = b.v AND a.g < b.g
+       |  JOIN t ta ON ta.g = a.g
+       |  JOIN t tb ON tb.g = b.g
+       |  GROUP BY a.g, b.g, ta.n, tb.n
+       |), f AS (
+       |  SELECT p.source_a, p.source_b, p.na, p.nb,
+       |    CAST(COALESCE(co.sabs, 0) +
+       |      CAST(CAST(p.na - COALESCE(co.coa, 0) AS DECIMAL(14,0)) *
+       |        CAST(p.nb AS DECIMAL(14,0)) AS DECIMAL(29,0)) +
+       |      CAST(CAST(p.nb - COALESCE(co.cob, 0) AS DECIMAL(14,0)) *
+       |        CAST(p.na AS DECIMAL(14,0)) AS DECIMAL(29,0))
+       |      AS DECIMAL(34,0)) AS num,
+       |    CAST(CAST(2 AS DECIMAL(2,0)) *
+       |      CAST(CAST(p.na AS DECIMAL(14,0)) * CAST(p.nb AS DECIMAL(14,0))
+       |        AS DECIMAL(29,0)) AS DECIMAL(31,0)) AS den
+       |  FROM (SELECT ta.g AS source_a, tb.g AS source_b,
+       |          ta.n AS na, tb.n AS nb
+       |        FROM t ta JOIN t tb ON ta.g < tb.g) p
+       |  LEFT JOIN co ON co.source_a = p.source_a
+       |    AND co.source_b = p.source_b
+       |)
+       |SELECT source_a, source_b, na, nb,
+       |  CAST(num AS VARCHAR) AS tv_num,
+       |  CASE WHEN na > 0 AND nb > 0 THEN
+       |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       |  END AS tv
+       |FROM f ORDER BY source_a, source_b""".stripMargin
+
   /** q396/q398 share this batch SQL — both drains emit exactly the
     * consecutive transition facts the lag window derives one-shot
     * (q396 under the strict chronological contract, q398 re-ordered

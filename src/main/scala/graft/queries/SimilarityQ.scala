@@ -29,7 +29,8 @@ object SimilarityQ {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     val (codes, books, cents) =
-      stagedPq.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ => {
+      stagedPq.computeIfAbsent(
+        s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "embeddings")}", _ => {
         val emb = Tables.embeddings(s, d)
         val trainPred = (df: org.apache.spark.sql.DataFrame) =>
           df.filter(col("vec_id") % 5 === 0)
@@ -57,7 +58,8 @@ object SimilarityQ {
 
   private def kmBuckets(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    stagedKm.computeIfAbsent(s"${Qx.sessionKey(s)}|$d", _ =>
+    stagedKm.computeIfAbsent(
+      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "embeddings")}", _ =>
       graft.lake.LakeTable.createTemp(s,
         Similarity.kmeansBuckets(Tables.embeddings(s, d), k = 8, rounds = 2,
           trainPred = _.filter(col("vec_id") % 5 === 0)),

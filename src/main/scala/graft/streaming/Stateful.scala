@@ -505,12 +505,15 @@ object Stateful {
     @transient private var buf: ListState[(String, Long, Long)] = _
     @transient private var last: ValueState[(String, Long, Long)] = _
     @transient private var minTs: ValueState[Long] = _
+    @transient private var bufN: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState("buf",
         Encoders.product[(String, Long, Long)], TTLConfig.NONE)
       last = getHandle.getValueState("last",
         Encoders.product[(String, Long, Long)], TTLConfig.NONE)
       minTs = getHandle.getValueState[Long]("minTs",
+        Encoders.scalaLong, TTLConfig.NONE)
+      bufN = getHandle.getValueState[Long]("bufN",
         Encoders.scalaLong, TTLConfig.NONE)
     }
     // FLOOR of the earliest buffered µs deadline (the EventTimeSessions
@@ -545,8 +548,15 @@ object Stateful {
         if (r._3 < incomingMin) incomingMin = r._3
         n += 1
       }
-      require(n <= maxBufferedPerKey,
-        s"key $key exceeds $maxBufferedPerKey rows in one batch")
+      // the budget bounds the ACCUMULATED buffer, not just one batch —
+      // with a slow watermark the buffer grows across batches, and the
+      // flush materializes it all, so the cap must track the total
+      val total = (if (bufN.exists()) bufN.get() else 0L) + n
+      require(total <= maxBufferedPerKey,
+        s"key $key: $total buffered rows exceed the per-key budget " +
+          s"$maxBufferedPerKey — the watermark is not advancing past " +
+          "the disorder window")
+      bufN.update(total)
       buf.appendList(add.result().toArray)
       val prevMin = if (minTs.exists()) minTs.get() else Long.MaxValue
       if (incomingMin < prevMin) rearm(Some(incomingMin))
@@ -562,12 +572,22 @@ object Stateful {
         val sorted = ready.sortBy(r => (r._2, r._3))
         var st = if (last.exists()) Some(last.get()) else None
         sorted.foreach { r =>
+          // a redelivered duplicate inside the disorder window would
+          // silently replay twice (the post-flush copy trips the
+          // frontier check — this makes the pre-flush copy equally loud)
+          st.foreach { p =>
+            require(p._2 != r._2 || p._3 != r._3,
+              s"key $key: duplicate buffered row (${r._2},${r._3}) — " +
+                "at-least-once redelivery inside the disorder window; " +
+                "dedup upstream before the ordered replay")
+          }
           out ++= step(key, st, r)
           st = Some(r)
         }
         st.foreach(last.update)
       }
       if (rest.isEmpty) buf.clear() else buf.put(rest)
+      bufN.update(rest.length.toLong)
       rearm(if (rest.isEmpty) None else Some(rest.iterator.map(_._2).min))
       out.result().iterator
     }
@@ -647,10 +667,14 @@ object Stateful {
       val out = Seq.newBuilder[(String, String)]
       sorted.foreach { r =>
         st.foreach { case (t, ts, id) =>
-          require(ts < r._3 || (ts == r._3 && id <= r._4),
-            s"key $key: out-of-order arrival across batches " +
-              s"(state ($ts,$id) vs row (${r._3},${r._4})) — transition " +
-              "emission needs the chronological drain")
+          // STRICT (unlike Scd2Changes' <=): a redelivered duplicate
+          // is harmless to change detection but would fabricate an
+          // (X -> X) transition here — fail loud instead
+          require(ts < r._3 || (ts == r._3 && id < r._4),
+            s"key $key: duplicate or out-of-order arrival across " +
+              s"batches (state ($ts,$id) vs row (${r._3},${r._4})) — " +
+              "transition emission needs the chronological " +
+              "exactly-once drain")
           out += ((t, r._2))
         }
         st = Some((r._2, r._3, r._4))

@@ -184,6 +184,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q373 (r16): exactRankStats' per-group stats rows ride q262's
     // one-row-per-group broadcasts, twice (median, then MAD)
     "q373_mad_outliers",
+    // q389 (r17): the PAIR SPINE of the TV drift report — the
+    // group-dimension totals relation (a bounded dimension) broadcast
+    // cross-joined against itself under the a<b residual; the
+    // value-sized work is the co-occurrence equi-join, and the spine
+    // is what keeps maximally-drifted DISJOINT pairs in the output
+    "q389_source_tv_drift",
     // q391 (r17): FOUR one-row broadcasts — each series' (n, Σx)
     // scalar into its centering projection and the two Σcx² energy
     // denominators into the 15-row per-lag relation (q102's

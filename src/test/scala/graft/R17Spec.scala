@@ -185,19 +185,27 @@ class R17Spec extends AnyFunSuite {
     assert((-4 to 4).maxBy(k => out(k.toLong)._2) == 2)
   }
 
-  test("sourceTvDistance ≡ brute distribution distance") {
+  test("sourceTvDistance ≡ brute distribution distance (incl. disjoint pair)") {
+    // s4's vocabulary is DISJOINT from every other source — the
+    // maximally-drifted pairs must emit tv = 1, not vanish from the
+    // output (they share no value, so the co-occurrence join alone
+    // would drop them)
     val docs = Seq(
       (1L, "s1", "a a b c d"), (2L, "s1", "a b b e"),
       (3L, "s2", "a c c f"), (4L, "s2", "b c g g g"),
-      (5L, "s3", "a a a a")).toDF("doc_id", "source", "text")
+      (5L, "s3", "a a a a"), (6L, "s4", "x y z x")).toDF(
+      "doc_id", "source", "text")
     val out = graft.operators.TextAnalysis.sourceTvDistance(docs, "source")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getString(4), r.getDouble(5))).toMap
     def dist(src: String): Map[String, Long] = Map(
       "s1" -> Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "d" -> 1L, "e" -> 1L),
       "s2" -> Map("a" -> 1L, "b" -> 1L, "c" -> 3L, "f" -> 1L, "g" -> 3L),
-      "s3" -> Map("a" -> 4L))(src)
-    for (Seq(x, y) <- Seq("s1", "s2", "s3").combinations(2)) {
+      "s3" -> Map("a" -> 4L),
+      "s4" -> Map("x" -> 2L, "y" -> 1L, "z" -> 1L))(src)
+    val srcs = Seq("s1", "s2", "s3", "s4")
+    assert(out.size == 6) // every pair present, disjoint ones included
+    for (Seq(x, y) <- srcs.combinations(2)) {
       val (da, db) = (dist(x), dist(y))
       val (na, nb) = (da.values.sum, db.values.sum)
       val num = (da.keySet ++ db.keySet).toSeq.map(tok =>
@@ -208,6 +216,7 @@ class R17Spec extends AnyFunSuite {
       assert(gotTv == num.toDouble / (BigInt(2) * na * nb).toDouble,
         s"($x,$y) tv")
     }
+    assert(out(("s1", "s4"))._2 == 1.0d && out(("s3", "s4"))._2 == 1.0d)
   }
 
   test("heapsCurve ≡ local first-occurrence replay") {
