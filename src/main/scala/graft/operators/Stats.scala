@@ -1367,9 +1367,19 @@ object Stats {
   private def guardedHistogram(merged: DataFrame, groupCol: String,
                                domainBudget: Long, who: String): DataFrame = {
     require(domainBudget >= 1, s"$who: domainBudget must be >= 1")
-    val dv = merged.groupBy(col(groupCol))
+    // NULL value rows would sort FIRST on Spark but LAST in DuckDB —
+    // the window prefix sums would silently diverge across engines
+    // rather than fail (ADVICE r17); the folds' value column is a
+    // quantized measure, so a NULL is an upstream bug, not data
+    val nullGuarded = merged.withColumn("value",
+      when(col("value").isNotNull, col("value"))
+        .otherwise(raise_error(lit(s"$who: NULL value row in the " +
+          "histogram — NULL sort order diverges across engines " +
+          "(Spark nulls-first, DuckDB nulls-last); filter or " +
+          "coalesce the value column upstream"))))
+    val dv = nullGuarded.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__dv"))
-    merged.join(broadcast(dv), Seq(groupCol))
+    nullGuarded.join(broadcast(dv), Seq(groupCol))
       .withColumn("__guard",
         when(col("__dv") <= domainBudget, lit(1))
           .otherwise(raise_error(concat(
@@ -1480,6 +1490,19 @@ object Stats {
       .select(col(groupCol), col("decile"), col("value").as("q"))
   }
 
+  /** Fail-loud side indicator for the two-sample statistics (r18,
+    * ADVICE r17): the documented contract is "1 = side A, 0 = side B"
+    * — silently bucketing NULL or any other value into side B shifted
+    * counts instead of failing, inconsistent with the named-contract
+    * discipline ([[guardedHistogram]], [[jackknifeRatio]]). */
+  private def guardedSide(sideC: Column, who: String): Column = {
+    val s = sideC.cast("long")
+    when(s === 1L, 1L).when(s === 0L, 0L)
+      .otherwise(raise_error(concat(
+        lit(s"$who: sideC must be 1 (side A) or 0 (side B), got "),
+        coalesce(sideC.cast("string"), lit("NULL")))))
+  }
+
   /** MANN–WHITNEY U (Wilcoxon rank-sum) per stratum (r17) — the
     * nonparametric two-sample location test an A/B readout runs when
     * the value distribution is skewed: does side A draw from the same
@@ -1493,11 +1516,13 @@ object Stats {
     * EXACT decimal totals cast to double once, then one fixed IEEE
     * tree (mirrored token-for-token in the oracle); degenerate strata
     * (one side empty, or all values tied) yield NULL z. `sideC` must
-    * be 1 (side A) or 0 (side B). */
+    * be 1 (side A) or 0 (side B) — any other value (including NULL)
+    * fails loud ([[guardedSide]]) instead of silently bucketing into
+    * side B (ADVICE r17). */
   def mannWhitneyU(df: DataFrame, strataCol: String, sideC: Column,
                    valueC: Column): DataFrame =
     mannWhitneyFromCounts(
-      df.select(col(strataCol), sideC.cast("long").as("__s"),
+      df.select(col(strataCol), guardedSide(sideC, "mannWhitneyU").as("__s"),
           valueC.cast("long").as("value"))
         .groupBy(col(strataCol), col("value"))
         .agg(sum(when(col("__s") === 1, 1L).otherwise(0L)).as("ca"),
@@ -1565,7 +1590,7 @@ object Stats {
                   valueC: Column, domainBudget: Long = 10000000L): DataFrame = {
     val d11 = DecimalType(11, 0)
     val merged = guardedHistogram(
-      df.select(col(strataCol), sideC.cast("long").as("__s"),
+      df.select(col(strataCol), guardedSide(sideC, "cliffsDelta").as("__s"),
           valueC.cast("long").as("value"))
         .groupBy(col(strataCol), col("value"))
         .agg(sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__ca"),

@@ -35,16 +35,16 @@ object DedupQ {
     * queries stay hash-green against unchanged oracles), and
     * `computeIfAbsent` makes the race on first access benign. */
   private val stagedClusters =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
 
   private def clustersArtifact(s: SparkSession, d: String): DataFrame =
-    stagedClusters.computeIfAbsent(
-      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ =>
+    stagedClusters.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
       graft.lake.LakeTable.createTemp(s,
         Dedup.dedupClusters(
           Dedup.nearDupPairs(dupDocs(s, d)).select(col("doc_a"), col("doc_b"))),
         "graft-clusters")
-    ).snapshot()
+    }.snapshot()
 
   /** Force the shared cluster artifact for (session, sf dir) — bench
     * hygiene (VERDICT r8 next #8): the ~3 s mining DAG is paid here,

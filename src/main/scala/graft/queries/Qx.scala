@@ -61,13 +61,11 @@ object Qx {
   }
 
   /** Content stamp for staged artifacts derived from a testdata table
-    * (r17, the MicroBatch.contentStamp discipline extended to the
-    * lake-artifact memos): the source parquet's mtime joins the memo
-    * key, so regenerated testdata rebuilds the artifact instead of
-    * silently serving a stale one. */
-  def tableStamp(d: String, table: String): Long = {
-    val p = java.nio.file.Paths.get(s"$d/$table.parquet")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.getLastModifiedTime(p).toMillis else 0L
-  }
+    * — one shared implementation ([[graft.lake.Stamps.tableStamp]];
+    * r18, ADVICE r17 unified this with MicroBatch's former duplicate).
+    * Memo holders pair it with [[graft.lake.Stamps.StampedMemo]] so a
+    * regenerated table REPLACES the superseded entry instead of
+    * stranding it. */
+  def tableStamp(d: String, table: String): Long =
+    graft.lake.Stamps.tableStamp(d, table)
 }

@@ -18,7 +18,7 @@ import graft.queries.Qx._
 object R16Q {
 
   private val stagedPairs =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
 
   /** The loose-threshold (3/5) containment pair relation SHARED by
     * q363 and q380 — staged once per (session, sf) into a temp lake
@@ -28,19 +28,39 @@ object R16Q {
     * in its `staging` metric instead of twice in query time). */
   private def containPairsArtifact(s: org.apache.spark.sql.SparkSession,
                                    d: String): org.apache.spark.sql.DataFrame =
-    stagedPairs.computeIfAbsent(
-      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ =>
+    stagedPairs.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
       graft.lake.LakeTable.createTemp(s,
         graft.operators.Dedup.containmentJoin(
           Tables.documents(s, d), n = 3, minConNum = 3, minConDen = 5),
         "graft-contain35")
-    ).snapshot()
+    }.snapshot()
 
-  /** Force the shared artifact for (session, sf) — bench hygiene
+  private val stagedPairs910 =
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
+
+  /** The strict-threshold (9/10) containment pair relation SHARED by
+    * q348 and q397 (r18 — VERDICT r17 next #3: q397 re-paid the q348
+    * pair join fresh every run; the q363/q380 lesson applied): staged
+    * once per (session, sf), both consumers read the same snapshot,
+    * and the build cost rides the bench `staging` metric. */
+  private[queries] def containPairs910Artifact(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    stagedPairs910.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
+      graft.lake.LakeTable.createTemp(s,
+        graft.operators.Dedup.containmentJoin(
+          Tables.documents(s, d), n = 3, minConNum = 9, minConDen = 10),
+        "graft-contain910")
+    }.snapshot()
+
+  /** Force the shared artifacts for (session, sf) — bench hygiene
     * (the VERDICT r8 staging discipline). */
   def stageArtifacts(s: org.apache.spark.sql.SparkSession,
                      d: String): Unit = {
     containPairsArtifact(s, d)
+    containPairs910Artifact(s, d)
     ()
   }
 
@@ -108,11 +128,12 @@ object R16Q {
     // union denominator hides. Containment prefix filter (pigeonhole
     // on the contained side's rarest shingles) + positional residual,
     // both stages equi joins; exact recount verifies. Recall 1.0 by
-    // theorem — R16Spec holds the brute-force differential.
-    // `Dedup.containmentJoin`.
+    // theorem — R16Spec holds the brute-force differential. Since r18
+    // the pair relation is the STAGED 9/10 artifact shared with q397
+    // (deterministic pipeline, so the lake round trip is bit-exact).
+    // `Dedup.containmentJoin` via `containPairs910Artifact`.
     "q348_containment_join" -> ((s, d) =>
-      graft.operators.Dedup.containmentJoin(
-        Tables.documents(s, d), n = 3, minConNum = 9, minConDen = 10)
+      containPairs910Artifact(s, d)
         .orderBy("doc_a", "doc_b")),
 
     // WILSON SCORE INTERVAL (r16): per event type, the share of

@@ -18,7 +18,7 @@ import graft.queries.Qx._
 object R17Q {
 
   private val stagedIndex =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
 
   /** The MAINTAINED corpus novelty index (r17 — VERDICT r16 #6): the
     * q362 distinct-shingle relation as a lake artifact built the way
@@ -29,8 +29,8 @@ object R17Q {
     * Memoized per (session, sf); the consumers time-travel it. */
   private def noveltyIndexArtifact(s: org.apache.spark.sql.SparkSession,
                                    d: String): graft.lake.LakeTable =
-    stagedIndex.computeIfAbsent(
-      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ => {
+    stagedIndex.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
       val docs = Tables.documents(s, d)
       def batchShingles(k: Int) =
         graft.operators.Dedup.shingles(docs.filter(col("doc_id") % 4 === k), 3)
@@ -42,7 +42,7 @@ object R17Q {
           .join(idx.snapshot(), Seq("shingle"), "left_anti"))
       }
       idx
-    })
+    }
 
   /** One ingest batch's ADDITIVE BM25 index fragment: df per fixed
     * term + corpus stats, as 4 (kind, term, v) rows — the sums the
@@ -68,7 +68,7 @@ object R17Q {
           col("df1").as("v")))))
 
   private val stagedBm25 =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.lake.LakeTable]()
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
 
   /** The MAINTAINED BM25 index (r17): per-term document frequencies
     * and corpus length stats as ADDITIVE lake fragments — 4 rows
@@ -77,8 +77,8 @@ object R17Q {
     * read is one bounded fold. Memoized per (session, sf). */
   private def bm25IndexArtifact(s: org.apache.spark.sql.SparkSession,
                                 d: String): graft.lake.LakeTable =
-    stagedBm25.computeIfAbsent(
-      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "documents")}", _ => {
+    stagedBm25.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
       val docs = Tables.documents(s, d)
       val idx = graft.lake.LakeTable.createTemp(s,
         bm25Fragment(docs.filter(col("doc_id") % 4 === 0)), "graft-bm25-idx")
@@ -86,7 +86,7 @@ object R17Q {
         idx.append(bm25Fragment(docs.filter(col("doc_id") % 4 === k)))
       }
       idx
-    })
+    }
 
   /** Shared drain of the buffered SCD2 faces (q382/q383): the
     * watermarked event stream through [[graft.streaming.Stateful.scd2Buffered]]
@@ -447,9 +447,12 @@ object R17Q {
     // CANNOT see — ≥9/10 contained but Jaccard < 1/2 (quote
     // expansions, boilerplate supersets). The report that justifies
     // running the asymmetric join next to the symmetric family.
-    // Integer-exact filter; both metrics emitted.
+    // Integer-exact filter; both metrics emitted. Since r18 the pair
+    // relation is the STAGED 9/10 artifact shared with q348 (VERDICT
+    // r17 next #3 — the q363/q380 sharing pattern), so this query is
+    // the filter+project it always semantically was.
     "q397_asymmetric_neardups" -> ((s, d) =>
-      graft.operators.Dedup.containmentJoin(Tables.documents(s, d))
+      R16Q.containPairs910Artifact(s, d)
         .withColumn("union_sz",
           col("sz_a") + col("sz_b") - col("inter"))
         .filter(col("inter") * lit(2L) < col("union_sz"))

@@ -22,15 +22,15 @@ object SimilarityQ {
     * the training chain from the raw table unchanged. Bench pays the
     * training once via [[stageArtifacts]] and reports it under
     * `staging`. */
-  private val stagedPq = new java.util.concurrent.ConcurrentHashMap[
-    String, (graft.lake.LakeTable, graft.lake.LakeTable, graft.lake.LakeTable)]()
+  private val stagedPq = new graft.lake.Stamps.StampedMemo[
+    (graft.lake.LakeTable, graft.lake.LakeTable, graft.lake.LakeTable)]()
 
   private def pqArtifacts(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     val (codes, books, cents) =
-      stagedPq.computeIfAbsent(
-        s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "embeddings")}", _ => {
+      stagedPq.getOrBuild(
+        s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "embeddings")) {
         val emb = Tables.embeddings(s, d)
         val trainPred = (df: org.apache.spark.sql.DataFrame) =>
           df.filter(col("vec_id") % 5 === 0)
@@ -41,7 +41,7 @@ object SimilarityQ {
         (graft.lake.LakeTable.createTemp(s, cod, "graft-pq-codes"),
           graft.lake.LakeTable.createTemp(s, bks, "graft-pq-books"),
           graft.lake.LakeTable.createTemp(s, cents, "graft-pq-cents"))
-      })
+      }
     (codes.snapshot(), books.snapshot(), cents.snapshot())
   }
 
@@ -53,17 +53,18 @@ object SimilarityQ {
     * Deterministic training ⇒ the lake round trip is bit-exact and
     * the oracles keep replaying the training chain from the raw
     * table. */
-  private val stagedKm = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.lake.LakeTable]()
+  private val stagedKm =
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
 
   private def kmBuckets(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    stagedKm.computeIfAbsent(
-      s"${Qx.sessionKey(s)}|$d|${Qx.tableStamp(d, "embeddings")}", _ =>
+    stagedKm.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "embeddings")) {
       graft.lake.LakeTable.createTemp(s,
         Similarity.kmeansBuckets(Tables.embeddings(s, d), k = 8, rounds = 2,
           trainPred = _.filter(col("vec_id") % 5 === 0)),
-        "graft-km-buckets")).snapshot()
+        "graft-km-buckets")
+    }.snapshot()
 
   /** Force the shared index artifacts for (session, sf dir) — bench
     * hygiene: training cost lands in the `staging` metric; q191/q192

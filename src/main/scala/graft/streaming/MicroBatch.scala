@@ -120,20 +120,20 @@ object MicroBatch {
     * READ-ONLY once staged (drains only read it; checkpoints and
     * sinks live elsewhere), so reuse across queries and bench reps is
     * safe — the same per-session memoization the dedup/PQ/k-means
-    * lake artifacts use. computeIfAbsent keeps Verify's concurrent
-    * run building each dir exactly once. */
-  private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
-  /** Every memo key carries a CONTENT STAMP (the source parquet's
-    * mtime) alongside the (kind, sf, parts, copies) identity, so a
-    * regenerated testdata file invalidates the cache instead of
-    * silently feeding every later drain stale rows (ADVICE r16). */
-  private def contentStamp(sfDir: String): Long = {
-    val p = Paths.get(s"$sfDir/events.parquet")
-    if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
-  }
-  private def memoizedDir(key: String)(build: => Path): Path =
-    stagedDirs.computeIfAbsent(key, _ => build)
+    * lake artifacts use. The memo's atomic compute keeps Verify's
+    * concurrent run building each dir exactly once. */
+  private val stagedDirs = new graft.lake.Stamps.StampedMemo[Path]()
+  /** Every memo entry carries a CONTENT STAMP (the source parquet's
+    * mtime — the shared [[graft.lake.Stamps.tableStamp]]
+    * implementation, r18) alongside the (kind, sf, parts, copies)
+    * identity key, so a regenerated testdata file REBUILDS the dir
+    * instead of silently feeding every later drain stale rows (ADVICE
+    * r16), and the superseded entry is evicted rather than stranded
+    * for the session's life (ADVICE r17). */
+  private def contentStamp(sfDir: String): Long =
+    graft.lake.Stamps.tableStamp(sfDir, "events")
+  private def memoizedDir(key: String, stamp: Long)(build: => Path): Path =
+    stagedDirs.getOrBuild(key, stamp)(build)
 
   /** Stage `copies` copies of the events table into a fresh landing
     * directory — the file source's analog of "messages currently in the
@@ -143,7 +143,7 @@ object MicroBatch {
     * callers must never write into or mutate it; a mutating scenario
     * (late-arrival simulation) must stage its own fresh dir. */
   def stageEvents(sfDir: String, copies: Int = 1): Path =
-    memoizedDir(s"copy|$sfDir|$copies|${contentStamp(sfDir)}") {
+    memoizedDir(s"copy|$sfDir|$copies", contentStamp(sfDir)) {
       val in = graft.lake.TempDirs.create("graft-stream-in")
       (1 to copies).foreach { i =>
         Files.copy(Paths.get(s"$sfDir/events.parquet"), in.resolve(s"events_$i.parquet"),
@@ -160,7 +160,7 @@ object MicroBatch {
     * READ-ONLY CONTRACT: memoized and shared — see [[stageEvents]]. */
   def stageEventsSplit(spark: SparkSession, sfDir: String, parts: Int,
                        copies: Int = 1): Path =
-    memoizedDir(s"split|$sfDir|$parts|$copies|${contentStamp(sfDir)}") {
+    memoizedDir(s"split|$sfDir|$parts|$copies", contentStamp(sfDir)) {
       val in = graft.lake.TempDirs.create("graft-stream-in")
       val one = spark.read.parquet(s"$sfDir/events.parquet")
       (1 to copies).map(_ => one).reduce(_ union _)
@@ -177,7 +177,7 @@ object MicroBatch {
     * ~max in batch 1 and everything later arrives late). */
   def stageEventsByTime(spark: SparkSession, sfDir: String, parts: Int,
                         copies: Int = 1): Path =
-    memoizedDir(s"bytime|$sfDir|$parts|$copies|${contentStamp(sfDir)}") {
+    memoizedDir(s"bytime|$sfDir|$parts|$copies", contentStamp(sfDir)) {
       stageEventsByTimeFresh(spark, sfDir, parts, copies)
     }
 
@@ -270,7 +270,7 @@ object MicroBatch {
   def stageEventsSplitSentinel(spark: SparkSession, sfDir: String,
                                parts: Int, sentinelInterval: String): Path =
     memoizedDir(
-      s"splitsent|$sfDir|$parts|$sentinelInterval|${contentStamp(sfDir)}") {
+      s"splitsent|$sfDir|$parts|$sentinelInterval", contentStamp(sfDir)) {
       val in = graft.lake.TempDirs.create("graft-stream-in")
       val tmp = graft.lake.TempDirs.create("graft-stream-ss")
       spark.read.parquet(s"$sfDir/events.parquet")
@@ -296,8 +296,15 @@ object MicroBatch {
     * CONTRACT: memoized and shared — see [[stageEvents]]. */
   def stageEventsJitteredSentinel(spark: SparkSession, sfDir: String,
                                   parts: Int, maxJitterSecs: Long,
-                                  sentinelInterval: String): Path =
-    memoizedDir(s"jitsent|$sfDir|$parts|$maxJitterSecs|$sentinelInterval|" +
+                                  sentinelInterval: String): Path = {
+    // 0 would make the md5-jitter `% 0` evaluate to NULL arrival times
+    // and a garbage-partitioned drain that only surfaces later as
+    // frontier-violation errors inside the stateful processor (ADVICE
+    // r17) — the crossCorrelation/heapsCurve parameter-guard pattern
+    require(maxJitterSecs > 0,
+      s"stageEventsJitteredSentinel: maxJitterSecs must be > 0 " +
+        s"(got $maxJitterSecs); a zero-jitter drain is stageEventsByTime")
+    memoizedDir(s"jitsent|$sfDir|$parts|$maxJitterSecs|$sentinelInterval",
       contentStamp(sfDir)) {
       val in = graft.lake.TempDirs.create("graft-stream-in")
       val tmp = graft.lake.TempDirs.create("graft-stream-js")
@@ -319,6 +326,7 @@ object MicroBatch {
       placeWithSentinel(in, files, sentinelEvents(spark, sfDir, sentinelInterval))
       in
     }
+  }
 
   /** Unbounded read over the landing dir (T1 source stage).
     * maxFilesPerTrigger splits the drain into multiple micro-batches —
