@@ -27,7 +27,8 @@ object SparkEntry {
     (q.R15Q.queries, q.R15Q.oracles),
     (q.R15bQ.queries, q.R15bQ.oracles),
     (q.R16Q.queries, q.R16Q.oracles),
-    (q.R17Q.queries, q.R17Q.oracles)
+    (q.R17Q.queries, q.R17Q.oracles),
+    (q.R18Q.queries, q.R18Q.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1385,4 +1385,36 @@ object EventAnalytics {
         col("n_a_first").cast("double") / col("n_users_both").cast("double"))
   }
 
+  /** DAY-OVER-DAY ACTIVE-SET JACCARD (r18) — how stable is the active
+    * population across consecutive days: |A_d ∩ A_{d+1}| /
+    * |A_d ∪ A_{d+1}| over the distinct per-day active-entity sets, the
+    * set-overlap drift number a feed-health dashboard tracks (a sudden
+    * dip means the population churned, whatever the volume did). One
+    * distinct (day, entity) relation; the intersection is ONE
+    * self-equi-join on (entity, day+1) — never a pair space — and the
+    * consecutive-day spine comes from the day-size relation joined to
+    * itself on day+1, so pairs of days sharing NO entity still emit
+    * (inter = 0, the q365/q372 zero-cell rule). Exact integers, one
+    * mirrored division. Input: a pre-quantized day column + an entity
+    * column. */
+  def activeSetJaccard(df: DataFrame, dayC: Column, entityC: Column): DataFrame = {
+    val du = df.select(dayC.cast("long").as("d"), entityC.as("u")).distinct()
+    val sz = du.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val inter = du.alias("a")
+      .join(du.alias("b"),
+        col("a.u") === col("b.u") && col("b.d") === col("a.d") + lit(1L))
+      .groupBy(col("a.d").as("day_a"))
+      .agg(count(lit(1)).as("inter"))
+    sz.select(col("d").as("day_a"), col("n").as("na"))
+      .join(sz.select((col("d") - lit(1L)).as("day_a"), col("n").as("nb")),
+        "day_a")
+      .join(inter, Seq("day_a"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("day_a"), (col("day_a") + lit(1L)).as("day_b"),
+        col("na"), col("nb"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
 }

@@ -1649,6 +1649,71 @@ object Stats {
         (col("share") - col("expected_share")).as("excess"))
   }
 
+  /** ADJUSTED STANDARDIZED RESIDUALS of an r×c contingency table
+    * (r18) — WHICH (row, col) cells drive the dependence between two
+    * categorical dimensions: resid = (n_ij − E_ij) /
+    * √(E_ij·(1−r_i/N)·(1−c_j/N)) with E_ij = r_i·c_j/N, the post-hoc
+    * readout a χ² independence test needs to LOCATE an effect
+    * (|resid| ≳ 2 flags the cell). The GLOBAL χ² sum is deliberately
+    * not emitted — it would sum per-cell IEEE divisions in
+    * nondeterministic order, while the per-cell residual is one
+    * mirrored IEEE tree over exact integer totals (the repo's
+    * exactness bar; the deviation numerator n_ij·N − r_i·c_j is also
+    * emitted as an exact decimal string). ALL r×c cells emit,
+    * including never-observed ones (n = 0 is evidence too — the
+    * q365/q372 zero-cell rule); the grid forms by an equi-join on a
+    * constant key (both dimension relations are category-bounded), so
+    * the plan stays hash-join only. Degenerate margins (r_i = N or
+    * c_j = N — a one-category dimension) yield NULL residuals, the
+    * engines-disagree-on-x/0 guard. */
+  def contingencyResiduals(df: DataFrame, rowC: Column,
+                           colC: Column): DataFrame =
+    contingencyFromCounts(
+      df.select(rowC.cast("string").as("row_key"),
+          colC.cast("string").as("col_key"))
+        .groupBy(col("row_key"), col("col_key"))
+        .agg(count(lit(1)).as("c")))
+
+  /** [[contingencyResiduals]] over pre-counted (row_key, col_key, c)
+    * fragments — the additive face: per-batch cell counts committed
+    * by a streaming drain fold to the one-shot residual table
+    * bit-exactly. */
+  def contingencyFromCounts(frags: DataFrame): DataFrame = {
+    val d14 = DecimalType(14, 0)
+    val cells = frags.groupBy(col("row_key"), col("col_key"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    val rows = cells.groupBy(col("row_key"))
+      .agg(sum(col("n")).cast("long").as("r_tot"))
+    val colsT = cells.groupBy(col("col_key"))
+      .agg(sum(col("n")).cast("long").as("c_tot"))
+    val tot = cells.agg(sum(col("n")).cast("long").as("nn"))
+    // full grid incl. zero cells: category-bounded × category-bounded
+    // through a constant equi key (hash join, never a cross product)
+    val grid = rows.withColumn("__one", lit(1))
+      .join(colsT.withColumn("__one", lit(1)), "__one")
+      .drop("__one")
+      .join(cells, Seq("row_key", "col_key"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val dev = (col("n").cast(d14) * col("nn").cast(d14))
+      .cast(DecimalType(28, 0)) -
+      (col("r_tot").cast(d14) * col("c_tot").cast(d14))
+        .cast(DecimalType(28, 0))
+    val nd = col("nn").cast("double")
+    val rd = col("r_tot").cast("double")
+    val cd = col("c_tot").cast("double")
+    val expected = rd * cd / nd
+    val resid = (dev.cast(DecimalType(29, 0)).cast("double") / nd) /
+      sqrt(expected * (lit(1.0d) - rd / nd) * (lit(1.0d) - cd / nd))
+    grid.select(col("row_key"), col("col_key"), col("n"),
+      col("r_tot"), col("c_tot"),
+      dev.cast(DecimalType(29, 0)).cast("string").as("dev_num"),
+      expected.as("expected"),
+      when(col("r_tot") > 0 && col("c_tot") > 0 &&
+        col("r_tot") < col("nn") && col("c_tot") < col("nn"), resid)
+        .as("residual"))
+  }
+
   /** EXACT CROSS-CORRELATION between two regular (t, x) series at
     * lags −maxLag..maxLag (r17) — "does series A's volume LEAD series
     * B's, and by how many steps": r_k = Σ cxA_t·cxB_{t+k} /

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Qx._
+
+/** Round-18 additions — the third ordered-replay family (the windowed
+  * FUNNEL under genuine disorder, closing the strict/buffered duality
+  * for a processor whose replay state is richer than last-row
+  * lookback), plus the next analytics wave. All oracle-gated. */
+object R18Q {
+
+  val queries: Map[String, Q] = Map(
+
+    // OUT-OF-ORDER STREAMING WINDOWED FUNNEL (r18 — VERDICT r17 next
+    // #5): q204's conversion-window funnel under the q382 arrival
+    // contract. The batch funnel is NOT arrival-order monotone (a
+    // late earlier view can disqualify a converted click), which is
+    // why q208 re-derives per-user depth from FULL history each
+    // update; watermark-ordered replay makes it monotone again — in
+    // exact (ts, id) order the per-user state is just the entry
+    // timestamps reached so far, O(|steps|) per key. Hash-interleaved
+    // 4-batch drain + sentinel, full-range watermark delay; the
+    // replayed depths roll up to the per-step converted counts and
+    // must hash-match the BATCH windowed-funnel oracle (q204's SQL,
+    // unchanged). `Stateful.FunnelBuffered`.
+    "q399_stream_funnel_ooo" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsSplitSentinel(
+        s, d, parts = 4, sentinelInterval = "46 DAYS")
+      val sink = graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.funnelBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "45 days")
+            // the pre-processor filter MUST keep the sentinel type:
+            // Catalyst pushes this filter BELOW the watermark node, so
+            // a filtered-out sentinel would never advance the final
+            // watermark and the buffered tail would never flush (found
+            // r18 — the funnel face is the first replay consumer that
+            // filters its stream)
+            .filter(col("event_type").isin(
+              "view", "click", "purchase", "__sentinel__"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          steps = Seq("view", "click", "purchase"),
+          withinUs = Seq(86400L * 1000000L, 86400L * 1000000L))
+          .toDF("user_id", "depth")
+      }
+      // depth is monotone under ordered replay, so max(depth) per user
+      // is the final funnel depth; each step row is a scalar count so
+      // zero-converted steps still emit (the q200/q204 shape rule)
+      val depths = sink.filter(col("user_id") >= 0)
+        .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
+        .localCheckpoint(true)
+      Seq("view", "click", "purchase").zipWithIndex.map { case (name, i) =>
+        depths.filter(col("depth") >= i + 1)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_$name").as("step"),
+            col("n_users").cast("long").as("n_users"))
+      }.reduce(_ unionByName _).orderBy("step")
+    }),
+
+    // STREAMING SEQUENCE SUPPORT (r18): q395's 2-step behavior
+    // readout maintained in-stream — per-batch (user, type,
+    // first-(ts, id)) fragments, additive under MIN (the first
+    // IDEMPOTENT-fold streaming face in the registry: every prior
+    // fragment family folds by SUM; first-occurrence state folds by
+    // lexicographic min, which also makes redelivery harmless by
+    // algebra instead of by dedup). Read side min-folds the fragments
+    // and feeds the per-(user, type) firsts through the same
+    // alphabet-bounded pair join. Oracle = q395's batch SQL,
+    // bit-exact. `EventAnalytics.sequenceSupport`.
+    "q400_stream_seqsupport" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        graft.Tables.toEventTime(ev)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(struct(col("ts_us").as("ts"), col("event_id").as("id")))
+            .as("m"))
+          .select(col("user_id"), col("event_type"),
+            col("m.ts").as("fts"), col("m.id").as("fid"))
+      }
+      val firsts = frags.groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("fts").as("ts"), col("fid").as("id"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.ts").as("ts_us"), col("m.id").as("event_id"))
+      graft.operators.EventAnalytics.sequenceSupport(firsts)
+        .orderBy("type_a", "type_b")
+    }),
+
+    // CONTINGENCY ADJUSTED RESIDUALS (r18): which (event type, user
+    // cohort) cells drive the dependence between the two dimensions —
+    // the post-hoc readout that LOCATES a χ² effect, per cell (the
+    // global χ² sum is deliberately absent: it would fold per-cell
+    // IEEE divisions in nondeterministic order, while the per-cell
+    // residual is one mirrored IEEE tree over exact integer margins).
+    // All r×c cells emit, including never-observed ones.
+    // `Stats.contingencyResiduals`.
+    "q401_contingency_residuals" -> ((s, d) =>
+      graft.operators.Stats.contingencyResiduals(
+        Tables.events(s, d), col("event_type"),
+        (col("user_id") % 3).cast("string"))
+        .orderBy("row_key", "col_key")),
+
+    // STREAMING CONTINGENCY (r18): q401's residual table maintained
+    // in-stream — per-batch (row, col, c) cell fragments (additive),
+    // read-side fold through the same mirrored chain.
+    // `Stats.contingencyFromCounts`.
+    "q402_stream_contingency" -> ((s, d) => {
+      val frags = graft.streaming.MicroBatch.appendRunPerBatch(s, d,
+        maxFilesPerTrigger = Some(1), splitParts = Some(4)) { ev =>
+        ev.select(col("event_type").as("row_key"),
+            (col("user_id") % 3).cast("string").as("col_key"))
+          .groupBy(col("row_key"), col("col_key"))
+          .agg(count(lit(1)).as("c"))
+      }
+      graft.operators.Stats.contingencyFromCounts(frags)
+        .orderBy("row_key", "col_key")
+    }),
+
+    // DAY-OVER-DAY ACTIVE-SET JACCARD (r18): population stability —
+    // the set-overlap drift of the daily active-user sets, one
+    // distinct pass + one (user, day+1) equi self-join, with the
+    // consecutive-day spine keeping zero-overlap pairs in the output.
+    // `EventAnalytics.activeSetJaccard`.
+    "q403_active_set_jaccard" -> ((s, d) =>
+      graft.operators.EventAnalytics.activeSetJaccard(
+        Tables.events(s, d),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long"),
+        col("user_id"))
+        .orderBy("day_a")),
+
+    // OUT-OF-ORDER STREAMING KEYED AS-OF (r18 — the second family
+    // VERDICT r17 next #5 named): every purchase joined to the user's
+    // latest STRICTLY-PRECEDING click in exact (ts, id) order, under
+    // the q382 arrival contract. q269's KeyedAsOf converges under any
+    // order by keeping FULL per-key history and re-deriving; the
+    // ordered replay keeps O(1) state (the last click id) and emits
+    // each match exactly once, final by construction — no seq +
+    // last-write reader on the read side. Hash-interleaved 4-batch
+    // drain + sentinel; must hash-match the batch point-in-time
+    // window oracle. `Stateful.AsOfBuffered`.
+    "q404_stream_asof_ooo" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsSplitSentinel(
+        s, d, parts = 4, sentinelInterval = "46 DAYS")
+      graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.asOfBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "45 days")
+            // keep the sentinel: this filter pushes BELOW the
+            // watermark node (the q399 lesson)
+            .filter(col("event_type").isin(
+              "click", "purchase", "__sentinel__"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          dimType = "click", obsType = "purchase")
+          .toDF("user_id", "purchase_id", "click_id")
+      }
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "purchase_id")
+    })
+  )
+
+  /** q401/q402 share this contingency-residual SQL — cell fragments
+    * are additive, so the streaming fold equals the one-shot residual
+    * table bit-exactly. Mirrors `Stats.contingencyFromCounts`
+    * token-for-token in the IEEE chain. */
+  private lazy val contingencySql: String =
+    """WITH b AS (
+      |  SELECT event_type AS row_key, CAST(user_id % 3 AS VARCHAR) AS col_key
+      |  FROM events
+      |), cells AS (
+      |  SELECT row_key, col_key, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b GROUP BY row_key, col_key
+      |), r AS (
+      |  SELECT row_key, CAST(SUM(n) AS BIGINT) AS r_tot FROM cells GROUP BY row_key
+      |), c AS (
+      |  SELECT col_key, CAST(SUM(n) AS BIGINT) AS c_tot FROM cells GROUP BY col_key
+      |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+      |g AS (
+      |  SELECT r.row_key, c.col_key, COALESCE(cells.n, 0) AS n,
+      |         r.r_tot, c.c_tot, t.nn,
+      |    CAST(CAST(CAST(COALESCE(cells.n, 0) AS DECIMAL(14,0)) *
+      |        CAST(t.nn AS DECIMAL(14,0)) AS DECIMAL(28,0)) -
+      |      CAST(CAST(r.r_tot AS DECIMAL(14,0)) *
+      |        CAST(c.c_tot AS DECIMAL(14,0)) AS DECIMAL(28,0))
+      |      AS DECIMAL(29,0)) AS dev
+      |  FROM r CROSS JOIN c CROSS JOIN t
+      |  LEFT JOIN cells ON cells.row_key = r.row_key
+      |    AND cells.col_key = c.col_key
+      |)
+      |SELECT row_key, col_key, n, r_tot, c_tot,
+      |  CAST(dev AS VARCHAR) AS dev_num,
+      |  CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(nn AS DOUBLE)
+      |    AS expected,
+      |  CASE WHEN r_tot > 0 AND c_tot > 0 AND r_tot < nn AND c_tot < nn
+      |  THEN
+      |    (CAST(dev AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |    sqrt(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) /
+      |           CAST(nn AS DOUBLE) *
+      |         (1.0 - CAST(r_tot AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |         (1.0 - CAST(c_tot AS DOUBLE) / CAST(nn AS DOUBLE)))
+      |  END AS residual
+      |FROM g ORDER BY row_key, col_key""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // q399 drains to the same per-step converted counts q204 derives
+    // one-shot — disorder inside the watermark is re-sorted away
+    "q399_stream_funnel_ooo" -> ExtendedQ.oracles("q204_windowed_funnel"),
+
+    // q400 min-folds to exactly the firsts q395's batch SQL derives
+    "q400_stream_seqsupport" -> R17Q.oracles("q395_sequence_support"),
+
+    "q401_contingency_residuals" -> contingencySql,
+    "q402_stream_contingency" -> contingencySql,
+
+    // mirrors q403: distinct (day, user) relation, one (user, day+1)
+    // equi self-join, consecutive-day spine keeps zero-overlap pairs
+    "q403_active_set_jaccard" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |    AS d, user_id AS u
+        |  FROM events
+        |), sz AS (
+        |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM du GROUP BY d
+        |), i AS (
+        |  SELECT a.d AS day_a, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM du a JOIN du b ON a.u = b.u AND b.d = a.d + 1
+        |  GROUP BY a.d
+        |)
+        |SELECT sa.d AS day_a, sa.d + 1 AS day_b, sa.n AS na, sb.n AS nb,
+        |  COALESCE(i.inter, 0) AS inter,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+        |    CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard
+        |FROM sz sa JOIN sz sb ON sb.d = sa.d + 1
+        |LEFT JOIN i ON i.day_a = sa.d
+        |ORDER BY day_a""".stripMargin,
+
+    // mirrors q404: the point-in-time window build — each purchase's
+    // latest strictly-preceding click in exact (ts_us, event_id)
+    // order, -1 when the user has no prior click
+    "q404_stream_asof_ooo" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT user_id, event_type, event_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click
+        |  FROM e
+        |)
+        |SELECT user_id, event_id AS purchase_id,
+        |  CAST(COALESCE(last_click, -1) AS BIGINT) AS click_id
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin
+  )
+}

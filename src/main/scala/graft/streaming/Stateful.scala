@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Arbitrary stateful streaming (engine extension, SURVEY §2.9 note):
   * `flatMapGroupsWithState` wrappers for custom per-key state beyond
@@ -476,119 +477,149 @@ object Stateful {
     grouped.transformWithState(new Scd2Changes(), TimeMode.None(),
       OutputMode.Update())(Encoders.product[(Long, String, Long, Long)])
 
-  /** WATERMARK-ORDERED REPLAY SKELETON (r17 — VERDICT r16 #2): the
+  /** WATERMARK-ORDERED REPLAY SKELETON (r17 — VERDICT r16 #2;
+    * restructured r18 — VERDICT r17 next #1/#4): the
     * chronological-drain requirement of the strict per-key replay
     * processors ([[Scd2Changes]], [[TransitionEmit]]) lifted to the
     * production contract a Kafka CDC feed actually offers — per-key
-    * DISORDER bounded by the WATERMARK delay. Rows buffer in
-    * [[ListState]] (append-only per batch — never read back on the
-    * ingest path) until the event-time watermark passes them; one
-    * timer per key at the earliest buffered ms wakes the key, the
-    * ready prefix (ts strictly below the watermark — rows AT the
-    * watermark stay buffered, because the engine only guarantees
-    * dropping rows strictly older) is sorted in exact (ts, id) event
-    * order and replayed through the subclass's `step`, and the
-    * remainder re-arms. State per key is O(rows inside the disorder
-    * window), the honest minimum for out-of-order ordered replay.
-    * The strict face survives: a row arriving at or behind the
-    * PROCESSED frontier — which the watermark contract says cannot
-    * happen — fails loud rather than emitting a wrong history. */
-  abstract class WatermarkOrderedReplay[O](maxBufferedPerKey: Int)(
-      implicit oEnc: Encoder[O])
+    * DISORDER bounded by the WATERMARK delay. Rows buffer in a
+    * (ts, id)-KEYED [[MapState]] until the event-time watermark
+    * passes them; one timer per key at the earliest buffered ms wakes
+    * the key, the ready prefix (ts strictly below the watermark —
+    * rows AT the watermark stay buffered, because the engine only
+    * guarantees dropping rows strictly older) is sorted in exact
+    * (ts, id) event order and replayed through the subclass's `step`,
+    * and the remainder re-arms. State per key is O(rows inside the
+    * disorder window), the honest minimum for out-of-order ordered
+    * replay. The strict face survives: a row arriving at or behind
+    * the PROCESSED frontier — which the watermark contract says
+    * cannot happen — fails loud rather than emitting a wrong history.
+    *
+    * The r18 restructure fixes the two scale hazards the r17 ListState
+    * shape carried:
+    *  - a flush now RANGE-DELETES the ready prefix (one point-delete
+    *    per REPLAYED row) instead of rewriting the whole remainder —
+    *    under a slowly-advancing watermark the old `buf.put(rest)`
+    *    rewrote every still-buffered row once per flush, O(window²)
+    *    state I/O amortized (VERDICT r17 what's-wrong #3); and a
+    *    redelivered duplicate (same (ts, id)) now fails loud at the
+    *    INSERT, whatever its position in the window;
+    *  - exactly ONE timer is armed per key (tracked in `minTs`) and
+    *    only that timer is deleted on re-arm — the old
+    *    listTimers()-and-delete-all sweep emitted a steady
+    *    `TimerStateImpl: Failed to delete timer` WARN stream in every
+    *    buffered drain (VERDICT r17 what's-wrong #4).
+    * The replay state is now subclass-DEFINED (type S), so richer
+    * forward-replay semantics (funnel progress, as-of dimension
+    * state) ride the same skeleton instead of being limited to
+    * last-row lookback. */
+  abstract class WatermarkOrderedReplay[S, O](maxBufferedPerKey: Int)(
+      implicit sEnc: Encoder[S], oEnc: Encoder[O])
       extends StatefulProcessor[Long, (Long, String, Long, Long), O] {
-    /** The per-row replay step: emissions for `row` given the
-      * previously-processed `(attr, ts, id)` (None at key birth). The
-      * skeleton guarantees rows arrive here in exact (ts, id) order
-      * and only once the watermark has passed them. */
-    protected def step(key: Long, prev: Option[(String, Long, Long)],
-                       row: (String, Long, Long)): IterableOnce[O]
-    @transient private var buf: ListState[(String, Long, Long)] = _
-    @transient private var last: ValueState[(String, Long, Long)] = _
+    /** The per-row replay step: (updated state, emissions) for `row`
+      * given the replay state so far (None at key birth). The
+      * skeleton guarantees rows arrive here in exact (ts, id) order,
+      * exactly once, and only once the watermark has passed them. */
+    protected def step(key: Long, st: Option[S],
+                       row: (String, Long, Long)): (S, IterableOnce[O])
+    @transient private var buf: MapState[(Long, Long), String] = _
+    @transient private var frontier: ValueState[(Long, Long)] = _
+    @transient private var rst: ValueState[S] = _
     @transient private var minTs: ValueState[Long] = _
     @transient private var bufN: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState("buf",
-        Encoders.product[(String, Long, Long)], TTLConfig.NONE)
-      last = getHandle.getValueState("last",
-        Encoders.product[(String, Long, Long)], TTLConfig.NONE)
+      buf = getHandle.getMapState("buf", Encoders.product[(Long, Long)],
+        Encoders.STRING, TTLConfig.NONE)
+      frontier = getHandle.getValueState("frontier",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      rst = getHandle.getValueState("rst", sEnc, TTLConfig.NONE)
       minTs = getHandle.getValueState[Long]("minTs",
         Encoders.scalaLong, TTLConfig.NONE)
       bufN = getHandle.getValueState[Long]("bufN",
         Encoders.scalaLong, TTLConfig.NONE)
     }
-    // FLOOR of the earliest buffered µs deadline (the EventTimeSessions
-    // convention): an early ms fire is harmless — the µs re-check keeps
-    // unready rows buffered and re-arms.
-    private def rearm(atUs: Option[Long]): Unit = {
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      atUs.foreach { us =>
-        minTs.update(us)
-        getHandle.registerTimer(us / 1000L)
-      }
-      if (atUs.isEmpty) minTs.clear()
-    }
     override def handleInputRows(key: Long,
                                  rows: Iterator[(Long, String, Long, Long)],
                                  timers: TimerValues): Iterator[O] = {
-      val frontier: Option[(Long, Long)] =
-        if (last.exists()) Some((last.get()._2, last.get()._3)) else None
+      val f: Option[(Long, Long)] =
+        if (frontier.exists()) Some(frontier.get()) else None
+      val prevArmed = if (minTs.exists()) minTs.get() else Long.MaxValue
       var incomingMin = Long.MaxValue
-      val add = Seq.newBuilder[(String, Long, Long)]
-      var n = 0
+      var n = if (bufN.exists()) bufN.get() else 0L
       rows.foreach { r =>
-        frontier.foreach { case (fts, fid) =>
+        f.foreach { case (fts, fid) =>
           require(fts < r._3 || (fts == r._3 && fid < r._4),
             s"key $key: arrival at or behind the processed frontier " +
               s"(($fts,$fid) vs row (${r._3},${r._4})) — a watermark " +
               "contract violation; widen the watermark delay to cover " +
               "the feed's real disorder")
         }
-        add += ((r._2, r._3, r._4))
-        if (r._3 < incomingMin) incomingMin = r._3
+        // a redelivered duplicate inside the disorder window would
+        // silently replay twice (the post-flush copy trips the
+        // frontier check above — the keyed buffer makes the pre-flush
+        // copy equally loud, at any position in the window)
+        require(!buf.containsKey((r._3, r._4)),
+          s"key $key: duplicate buffered row (${r._3},${r._4}) — " +
+            "at-least-once redelivery inside the disorder window; " +
+            "dedup upstream before the ordered replay")
+        buf.updateValue((r._3, r._4), r._2)
         n += 1
+        if (r._3 < incomingMin) incomingMin = r._3
       }
       // the budget bounds the ACCUMULATED buffer, not just one batch —
       // with a slow watermark the buffer grows across batches, and the
       // flush materializes it all, so the cap must track the total
-      val total = (if (bufN.exists()) bufN.get() else 0L) + n
-      require(total <= maxBufferedPerKey,
-        s"key $key: $total buffered rows exceed the per-key budget " +
+      require(n <= maxBufferedPerKey,
+        s"key $key: $n buffered rows exceed the per-key budget " +
           s"$maxBufferedPerKey — the watermark is not advancing past " +
           "the disorder window")
-      bufN.update(total)
-      buf.appendList(add.result().toArray)
-      val prevMin = if (minTs.exists()) minTs.get() else Long.MaxValue
-      if (incomingMin < prevMin) rearm(Some(incomingMin))
+      bufN.update(n)
+      // FLOOR of the earliest buffered µs deadline (the
+      // EventTimeSessions convention): an early ms fire is harmless —
+      // the µs re-check keeps unready rows buffered and re-arms.
+      // Exactly one timer per key: retire the stale later one first.
+      if (incomingMin < prevArmed) {
+        if (prevArmed != Long.MaxValue &&
+            prevArmed / 1000L != incomingMin / 1000L)
+          getHandle.deleteTimer(prevArmed / 1000L)
+        minTs.update(incomingMin)
+        getHandle.registerTimer(incomingMin / 1000L)
+      }
       Iterator.empty
     }
     override def handleExpiredTimer(key: Long, timers: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[O] = {
       val wmUs = timers.getCurrentWatermarkInMs() * 1000L
-      val all = if (buf.exists()) buf.get().toArray else Array.empty[(String, Long, Long)]
-      val (ready, rest) = all.partition(_._2 < wmUs)
+      val ready = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      var restMin = Long.MaxValue
+      var restN = 0L
+      buf.iterator().foreach { case ((ts, id), attr) =>
+        if (ts < wmUs) ready += ((attr, ts, id))
+        else { restN += 1; if (ts < restMin) restMin = ts }
+      }
       val out = Seq.newBuilder[O]
       if (ready.nonEmpty) {
-        val sorted = ready.sortBy(r => (r._2, r._3))
-        var st = if (last.exists()) Some(last.get()) else None
+        val sorted = ready.sortInPlaceBy(r => (r._2, r._3))
+        var st = if (rst.exists()) Some(rst.get()) else None
         sorted.foreach { r =>
-          // a redelivered duplicate inside the disorder window would
-          // silently replay twice (the post-flush copy trips the
-          // frontier check — this makes the pre-flush copy equally loud)
-          st.foreach { p =>
-            require(p._2 != r._2 || p._3 != r._3,
-              s"key $key: duplicate buffered row (${r._2},${r._3}) — " +
-                "at-least-once redelivery inside the disorder window; " +
-                "dedup upstream before the ordered replay")
-          }
-          out ++= step(key, st, r)
-          st = Some(r)
+          val (ns, os) = step(key, st, r)
+          out ++= os
+          st = Some(ns)
         }
-        st.foreach(last.update)
+        st.foreach(rst.update)
+        val lastR = sorted.last
+        frontier.update((lastR._2, lastR._3))
+        // prefix deletion: the un-ready remainder is NEVER rewritten
+        if (restN == 0L) buf.clear()
+        else sorted.foreach(r => buf.removeKey((r._2, r._3)))
       }
-      if (rest.isEmpty) buf.clear() else buf.put(rest)
-      bufN.update(rest.length.toLong)
-      rearm(if (rest.isEmpty) None else Some(rest.iterator.map(_._2).min))
+      if (restN == 0L) { bufN.clear(); minTs.clear() }
+      else {
+        bufN.update(restN)
+        minTs.update(restMin)
+        // the fired timer is engine-removed; just arm the next one
+        getHandle.registerTimer(restMin / 1000L)
+      }
       out.result().iterator
     }
   }
@@ -596,31 +627,121 @@ object Stateful {
   /** OUT-OF-ORDER-TOLERANT STREAMING SCD2 — the
     * [[WatermarkOrderedReplay]] skeleton with [[Scd2Changes]]'s
     * change-detection step (first-ever observation counts as a
-    * change, the SCD2 convention). */
+    * change, the SCD2 convention); replay state = the last observed
+    * attr. */
   class Scd2Buffered(maxBufferedPerKey: Int = 1 << 22)
-      extends WatermarkOrderedReplay[(Long, String, Long, Long)](
-        maxBufferedPerKey)(Encoders.product[(Long, String, Long, Long)]) {
-    protected def step(key: Long, prev: Option[(String, Long, Long)],
+      extends WatermarkOrderedReplay[String, (Long, String, Long, Long)](
+        maxBufferedPerKey)(Encoders.STRING,
+        Encoders.product[(Long, String, Long, Long)]) {
+    protected def step(key: Long, st: Option[String],
                        row: (String, Long, Long)):
-        IterableOnce[(Long, String, Long, Long)] = prev match {
-      case Some((t, _, _)) =>
-        if (t != row._1) Seq((key, row._1, row._2, row._3)) else Nil
-      case None => Seq((key, row._1, row._2, row._3))
-    }
+        (String, IterableOnce[(Long, String, Long, Long)]) =
+      (row._1,
+        if (st.contains(row._1)) Nil
+        else Seq((key, row._1, row._2, row._3)))
   }
 
   /** [[TransitionEmit]]'s OUT-OF-ORDER-tolerant face — the
     * [[WatermarkOrderedReplay]] skeleton with the transition step:
     * every consecutive (from, to) pair, emitted once the watermark
-    * has fixed the order. */
+    * has fixed the order; replay state = the last observed attr. */
   class TransitionBuffered(maxBufferedPerKey: Int = 1 << 22)
-      extends WatermarkOrderedReplay[(String, String)](
-        maxBufferedPerKey)(Encoders.product[(String, String)]) {
-    protected def step(key: Long, prev: Option[(String, Long, Long)],
+      extends WatermarkOrderedReplay[String, (String, String)](
+        maxBufferedPerKey)(Encoders.STRING,
+        Encoders.product[(String, String)]) {
+    protected def step(key: Long, st: Option[String],
                        row: (String, Long, Long)):
-        IterableOnce[(String, String)] =
-      prev.map(p => (p._1, row._1))
+        (String, IterableOnce[(String, String)]) =
+      (row._1, st.map(p => (p, row._1)))
   }
+
+  /** WINDOWED-FUNNEL ordered replay (r18 — VERDICT r17 next #5): the
+    * THIRD face of the [[WatermarkOrderedReplay]] skeleton, and the
+    * one that needs its richer replay state. The batch windowed
+    * funnel ([[graft.operators.EventAnalytics.funnelSteps]], q204) is
+    * NOT arrival-order monotone — a late-arriving EARLIER first-step
+    * event can disqualify a previously-converted later step — which
+    * is why the q208 processor re-derives per-user depth from the
+    * FULL accumulated history every update. Under watermark-ordered
+    * replay the non-monotonicity vanishes: in exact (ts, id) event
+    * order, step 0's entry is the first `steps(0)` row, and step k's
+    * entry is the first `steps(k)` row strictly after entry k−1 (and
+    * within `withinUs(k−1)` of it), so the replay state is just the
+    * entry timestamps reached so far — O(|steps|) per key, not
+    * O(history). Emits (key, depth) on every depth increase (depth is
+    * monotone under ordered replay); the read side folds max(depth)
+    * per key and rolls up to the per-step converted counts, which
+    * must equal the batch funnel BIT-EXACTLY. */
+  class FunnelBuffered(steps: Seq[String], withinUs: Seq[Long],
+                       maxBufferedPerKey: Int = 1 << 22)
+      extends WatermarkOrderedReplay[Tuple1[Seq[Long]], (Long, Int)](
+        maxBufferedPerKey)(
+        // a bare Seq encoder does not resolve inside the state store;
+        // the product wrapper does (the KeyedAsOf nested-Seq pattern)
+        Encoders.product[Tuple1[Seq[Long]]],
+        Encoders.product[(Long, Int)]) {
+    require(withinUs.isEmpty || withinUs.size == steps.size - 1,
+      s"withinUs needs one bound per transition (${steps.size - 1}), " +
+        s"got ${withinUs.size}")
+    protected def step(key: Long, st: Option[Tuple1[Seq[Long]]],
+                       row: (String, Long, Long)):
+        (Tuple1[Seq[Long]], IterableOnce[(Long, Int)]) = {
+      val entries = st.fold(Seq.empty[Long])(_._1)
+      val depth = entries.size
+      val qualifies = depth < steps.size && row._1 == steps(depth) &&
+        (depth == 0 ||
+          (row._2 > entries.last &&
+            (withinUs.isEmpty || row._2 <= entries.last + withinUs(depth - 1))))
+      if (qualifies) (Tuple1(entries :+ row._2), Seq((key, depth + 1)))
+      else (Tuple1(entries), Nil)
+    }
+  }
+
+  /** [[FunnelBuffered]] over a keyed WATERMARKED `(key, type, ts, id)`
+    * stream. */
+  def funnelBuffered(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)],
+                     steps: Seq[String], withinUs: Seq[Long])
+      : Dataset[(Long, Int)] =
+    grouped.transformWithState(new FunnelBuffered(steps, withinUs),
+      TimeMode.EventTime(), OutputMode.Update())(
+      Encoders.product[(Long, Int)])
+
+  /** KEYED AS-OF ordered replay (r18 — the FOURTH face of the
+    * [[WatermarkOrderedReplay]] skeleton, the other family VERDICT
+    * r17 next #5 named): each OBSERVATION row joins the latest
+    * DIMENSION row strictly before it in exact (ts, id) order, under
+    * genuine arrival disorder. [[KeyedAsOf]] (q269) achieves
+    * any-order convergence by keeping the FULL per-key history and
+    * re-deriving every match each update — O(history) state forever;
+    * the ordered replay keeps O(1): the last dimension id seen. Emits
+    * (key, obs_id, dim_id | -1) per observation, exactly once, final
+    * by construction (no seq/last-write reader needed — under the
+    * watermark contract a processed match can never be invalidated).
+    * Dimension and observation rows are distinguished by their type
+    * string. */
+  class AsOfBuffered(dimType: String, obsType: String,
+                     maxBufferedPerKey: Int = 1 << 22)
+      extends WatermarkOrderedReplay[Long, (Long, Long, Long)](
+        maxBufferedPerKey)(Encoders.scalaLong,
+        Encoders.product[(Long, Long, Long)]) {
+    protected def step(key: Long, st: Option[Long],
+                       row: (String, Long, Long)):
+        (Long, IterableOnce[(Long, Long, Long)]) = {
+      val lastDim = st.getOrElse(-1L)
+      if (row._1 == dimType) (row._3, Nil)
+      else if (row._1 == obsType) (lastDim, Seq((key, row._3, lastDim)))
+      else (lastDim, Nil)
+    }
+  }
+
+  /** [[AsOfBuffered]] over a keyed WATERMARKED `(key, type, ts, id)`
+    * stream. */
+  def asOfBuffered(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)],
+                   dimType: String, obsType: String)
+      : Dataset[(Long, Long, Long)] =
+    grouped.transformWithState(new AsOfBuffered(dimType, obsType),
+      TimeMode.EventTime(), OutputMode.Update())(
+      Encoders.product[(Long, Long, Long)])
 
   /** [[TransitionBuffered]] over a keyed WATERMARKED
     * `(key, type, ts, id)` stream. */

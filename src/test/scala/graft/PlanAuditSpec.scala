@@ -52,7 +52,13 @@ object PlanAuditSets {
     // q393/q394 are streaming drains; q397's containment join
     // localCheckpoints at build (q348's machinery)
     "q393_stream_benford", "q394_stream_tv", "q396_stream_markov",
-    "q397_asymmetric_neardups", "q398_stream_markov_ooo")
+    "q397_asymmetric_neardups", "q398_stream_markov_ooo",
+    // r18: the funnel/as-of ordered-replay drains + the streaming
+    // fragment folds; q348 now reads the staged 9/10 containment
+    // artifact (localCheckpoint at build, the q103 pattern)
+    "q399_stream_funnel_ooo", "q400_stream_seqsupport",
+    "q402_stream_contingency", "q404_stream_asof_ooo",
+    "q348_containment_join")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
@@ -195,7 +201,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // denominators into the 15-row per-lag relation (q102's
     // embed-the-scalars pattern); the lag pairing itself is a hash
     // equi-join on t+lag
-    "q391_cross_correlation")
+    "q391_cross_correlation",
+    // q401 (r18): the ONE-ROW grand-total N broadcast cross-joined
+    // into the r×c grid (q102's embed-the-scalars pattern); the grid
+    // itself is a constant-key HASH join of the two category-bounded
+    // margin relations, and the cells land by equi-join
+    "q401_contingency_residuals")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

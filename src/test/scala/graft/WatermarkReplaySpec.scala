@@ -85,6 +85,46 @@ class WatermarkReplaySpec extends AnyFunSuite {
       assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
     }
 
+    test(s"funnelBuffered ≡ batch windowed-funnel replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      val steps = Seq("a", "b", "c")
+      val withinUs = Seq(48L * hourUs, 48L * hourUs)
+      val got = drain(batches)(g =>
+          Stateful.funnelBuffered(g, steps, withinUs))
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .filter(_._1 >= 0)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      // local forward replay in exact (ts, id) order — entry k is the
+      // first steps(k) event strictly after entry k-1 within the bound
+      val expect = events.groupBy(_._1).view.mapValues { rs =>
+        rs.sortBy(r => (r._3, r._4)).foldLeft(Seq.empty[Long]) { (es, r) =>
+          val d = es.size
+          if (d < steps.size && r._2 == steps(d) &&
+              (d == 0 || (r._3 > es.last && r._3 <= es.last + withinUs(d - 1))))
+            es :+ r._3
+          else es
+        }.size
+      }.filter(_._2 > 0).toMap
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size} keys")
+    }
+
+    test(s"asOfBuffered ≡ batch point-in-time replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      val got = drain(batches)(g => Stateful.asOfBuffered(g, "a", "b"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 >= 0).sorted
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._4))
+        sorted.foldLeft((-1L, Seq.empty[(Long, Long, Long)])) {
+          case ((dim, acc), r) =>
+            if (r._2 == "a") (r._4, acc)
+            else if (r._2 == "b") (dim, acc :+ ((k, r._4, dim)))
+            else (dim, acc)
+        }._2
+      }.sorted
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+    }
+
     test(s"transitionBuffered ≡ batch pair replay under bounded disorder (seed $seed)") {
       val (events, batches) = scenario(seed)
       val got = drain(batches)(Stateful.transitionBuffered)
