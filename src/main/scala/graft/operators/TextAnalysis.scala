@@ -1027,6 +1027,55 @@ object TextAnalysis {
         .as("tv"))
   }
 
+  /** PAIRWISE RUZICKA (weighted-Jaccard) SIMILARITY between slice
+    * token-count vectors (r18) — the SIMILARITY complement of
+    * [[sourceTvDistance]]: R(A, B) = Σ_t min(a_t, b_t) /
+    * Σ_t max(a_t, b_t), the multiset generalization of Jaccard (raw
+    * counts, not normalized distributions — two slices with the same
+    * shape but 10× different volume score LOW here and 0 on TV, which
+    * is exactly why a mix report carries both). Integer-exact: the
+    * min mass comes from the one co-occurrence equi-join
+    * (min(a, b) = 0 unless both present), and Σmax = na + nb − Σmin
+    * algebraically — no max-side join, no pair space. The pair spine
+    * is the bounded group dimension (the q389 rule), so DISJOINT
+    * slices emit R = 0 instead of vanishing. */
+  def sourceRuzicka(docs: DataFrame, groupCol: String): DataFrame =
+    ruzickaFromCounts(
+      docs.withColumn("value", explode(split(col("text"), " ")))
+        .filter(col("value") =!= "")
+        .groupBy(col(groupCol), col("value"))
+        .agg(count(lit(1)).as("c")),
+      groupCol)
+
+  /** [[sourceRuzicka]] over pre-counted (group, value, c) fragments —
+    * additive like [[tvFromCounts]]. */
+  def ruzickaFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val counts = frags.groupBy(col(groupCol), col("value"))
+      .agg(sum(col("c")).cast("long").as("__c"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val a = counts.select(col(groupCol).as("source_a"),
+      col("value").as("__tok"), col("__c").as("ca"))
+    val b = counts.select(col(groupCol).as("source_b"),
+      col("value").as("__tok"), col("__c").as("cb"))
+    val co = a.join(b, Seq("__tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(least(col("ca"), col("cb"))).cast("long").as("__smin"))
+    val spine = totals.select(col(groupCol).as("source_a"),
+        col("__n").as("na"))
+      .join(broadcast(totals.select(col(groupCol).as("source_b"),
+        col("__n").as("nb"))), col("source_a") < col("source_b"))
+    spine.join(co, Seq("source_a", "source_b"), "left")
+      .withColumn("smin", coalesce(col("__smin"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("smin"),
+        when(col("na") + col("nb") > 0,
+          col("smin").cast("double") /
+            (col("na") + col("nb") - col("smin")).cast("double"))
+          .as("ruzicka"))
+  }
+
   /** VOCABULARY GROWTH (Heaps) CURVE (r17) — distinct tokens seen
     * after each tenth of the corpus in doc_id order: the number a
     * data-acquisition plan reads to decide whether more of the same

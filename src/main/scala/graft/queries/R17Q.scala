@@ -93,6 +93,15 @@ object R17Q {
       idx
     }
 
+  /** The FINAL-version folded (kind, term, v) view of the maintained
+    * BM25 index — the full-corpus stats/df relation q405's postings
+    * serving reads (r18). */
+  private[queries] def bm25FoldedIndex(s: org.apache.spark.sql.SparkSession,
+                                       d: String): DataFrame =
+    bm25IndexArtifact(s, d).snapshot()
+      .groupBy(col("kind"), col("term"))
+      .agg(sum(col("v")).cast("long").as("v"))
+
   /** Shared drain of the buffered SCD2 faces (q382/q383): the
     * watermarked event stream through [[graft.streaming.Stateful.scd2Buffered]]
     * over a caller-staged sentinel landing dir. */

@@ -12,7 +12,105 @@ import graft.queries.Qx._
   * lookback), plus the next analytics wave. All oracle-gated. */
 object R18Q {
 
+  private val stagedPostings =
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
+
+  /** The MAINTAINED POSTINGS index (r18) — the serving half of the
+    * q392 retrieval story: per-batch (term, doc_id, tf, len) posting
+    * fragments appended to a lake table (disjoint ingest batches →
+    * every (term, doc) posting lands exactly once, no merge needed),
+    * so a query reads ONLY its terms' postings — on a term-partitioned
+    * cluster layout that is a partition-pruned point read, never a
+    * corpus scan. Memoized per (session, sf). */
+  private def postingsArtifact(s: org.apache.spark.sql.SparkSession,
+                               d: String): graft.lake.LakeTable =
+    stagedPostings.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
+      val docs = Tables.documents(s, d)
+      def frag(k: Int) = {
+        val batch = docs.filter(col("doc_id") % 4 === k)
+        batch.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len"),
+            explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term"), col("doc_id"), col("len"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+      }
+      val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-postings")
+      (1 to 3).foreach(k => idx.append(frag(k)))
+      idx
+    }
+
   val queries: Map[String, Q] = Map(
+
+    // POSTINGS-SERVED BM25 TOP-K (r18): the retrieval query the
+    // maintained index family exists FOR — the q392 corpus-stats
+    // index provides (n_docs, sum_len, per-term df), the maintained
+    // POSTINGS index provides (term, doc, tf, len), and serving a
+    // 2-term query is one broadcast df-join + one posting filter +
+    // one per-doc fold: the plan touches ONLY the query terms'
+    // postings, never the corpus (at cluster scale: a term-pruned
+    // point read). The per-doc score folds at most |query| = 2 IEEE
+    // contributions, and 2-element IEEE addition is commutative, so
+    // the fold is order-safe (3+-term queries would need an ordered
+    // fold — documented contract). In-query proof (the q384
+    // discipline): the postings-served score relation must equal the
+    // full-scan computation over `documents` EXACTLY, pre-top-k.
+    "q405_postings_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val postings = postingsArtifact(s, d).snapshot()
+      val stats = graft.queries.R17Q.bm25FoldedIndex(s, d)
+      val qterms = Seq("spark", "join")
+      val dfRel = stats.filter(col("kind") === "df" &&
+          col("term").isin(qterms.map(x => x: Any): _*))
+        .select(col("term"), col("v").as("df"))
+      val one = stats.agg(
+        max(when(col("kind") === "stats" && col("term") === "n_docs",
+          col("v"))).as("n_docs"),
+        max(when(col("kind") === "stats" && col("term") === "sum_len",
+          col("v"))).as("sum_len"))
+      val avgLen = col("sum_len").cast("double") / col("n_docs").cast("double")
+      val contrib =
+        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len").cast("double") / avgLen)))
+      val served = postings
+        .filter(col("term").isin(qterms.map(x => x: Any): _*))
+        .join(broadcast(dfRel), "term")
+        .crossJoin(broadcast(one))
+        .withColumn("__c", contrib)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__c")).as("score"))
+        .localCheckpoint(true)
+      // proof: postings-served ≡ full scan (q392's chain over ALL docs)
+      val base = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("double").as("blen"),
+          size(filter(col("ws"), w => w === "spark")).cast("double").as("tf0"),
+          size(filter(col("ws"), w => w === "join")).cast("double").as("tf1"))
+      def term(tf: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column) =
+        ((col("n_docs").cast("double") - dfc.cast("double") + lit(0.5)) /
+          (dfc.cast("double") + lit(0.5))) *
+          ((tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("blen") / avgLen)))
+      val df0 = stats.filter(col("kind") === "df" && col("term") === "spark")
+        .select(col("v").as("df0"))
+      val df1 = stats.filter(col("kind") === "df" && col("term") === "join")
+        .select(col("v").as("df1"))
+      val scan = base.crossJoin(broadcast(one))
+        .crossJoin(broadcast(df0)).crossJoin(broadcast(df1))
+        .withColumn("score", term(col("tf0"), col("df0")) +
+          term(col("tf1"), col("df1")))
+        .filter(col("score") > 0)
+        .select(col("doc_id"), col("score"))
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "postings-served scores must equal the full-scan computation")
+      served.orderBy(desc("score"), asc("doc_id")).limit(20)
+        .select(col("doc_id"), col("score"))
+    }),
 
     // OUT-OF-ORDER STREAMING WINDOWED FUNNEL (r18 — VERDICT r17 next
     // #5): q204's conversion-window funnel under the q382 arrival
@@ -136,6 +234,42 @@ object R18Q {
         col("user_id"))
         .orderBy("day_a")),
 
+    // SOURCE RUZICKA SIMILARITY (r18): the weighted-Jaccard complement
+    // of q389's TV drift — raw token-count vectors, Σmin/Σmax, so two
+    // sources with identical SHAPE but 10× different VOLUME score low
+    // here and 0 on TV (a mix report needs both). One co-occurrence
+    // equi-join for the min mass, Σmax algebraically, dimension spine
+    // keeps disjoint pairs. `TextAnalysis.sourceRuzicka`.
+    "q406_source_ruzicka" -> ((s, d) =>
+      graft.operators.TextAnalysis.sourceRuzicka(
+        Tables.documents(s, d), "source")
+        .orderBy("source_a", "source_b")),
+
+    // INTER-EVENT GAP DECILES (r18): the cadence profile per event
+    // type — the distribution of seconds between a user's consecutive
+    // events, read at the nine deciles. The gap derivation is one
+    // user-partitioned lag window (scale-safe: partitions by user,
+    // never by type); the deciles ride the guarded FromCounts
+    // histogram machinery over the seconds-quantized gap domain.
+    // `Stats.decilesFromCounts`.
+    "q407_gap_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = ev.withColumn("__prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts_us - __prev) div 1000000").as("value"))
+      graft.operators.Stats.decilesFromCounts(
+        gaps.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c")),
+        "event_type")
+        .orderBy("event_type", "decile")
+    }),
+
     // OUT-OF-ORDER STREAMING KEYED AS-OF (r18 — the second family
     // VERDICT r17 next #5 named): every purchase joined to the user's
     // latest STRICTLY-PRECEDING click in exact (ts, id) order, under
@@ -222,6 +356,98 @@ object R18Q {
 
     "q401_contingency_residuals" -> contingencySql,
     "q402_stream_contingency" -> contingencySql,
+
+    // mirrors q405: the q102/q392 BM25 chain over the FULL corpus —
+    // the postings-served plan must reproduce the scan exactly
+    "q405_postings_topk" ->
+      """WITH idx AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_len,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'join')) AS DOUBLE) AS tf1
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) /
+        |      (CAST(df0 AS DOUBLE) + 0.5)) *
+        |    ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) +
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) /
+        |      (CAST(df1 AS DOUBLE) + 0.5)) *
+        |    ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      AS score
+        |  FROM base, idx
+        |)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors q406: co-occurring min mass + algebraic max, spine
+    // keeps disjoint pairs (q389's rule), exact integers
+    "q406_source_ruzicka" ->
+      """WITH c AS (
+        |  SELECT source AS g, tok AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY g, v
+        |), t AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY g
+        |), co AS (
+        |  SELECT a.g AS source_a, b.g AS source_b,
+        |    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS smin
+        |  FROM c a JOIN c b ON a.v = b.v AND a.g < b.g
+        |  GROUP BY a.g, b.g
+        |)
+        |SELECT p.source_a, p.source_b, p.na, p.nb,
+        |  COALESCE(co.smin, 0) AS smin,
+        |  CASE WHEN p.na + p.nb > 0 THEN
+        |    CAST(COALESCE(co.smin, 0) AS DOUBLE) /
+        |      CAST(p.na + p.nb - COALESCE(co.smin, 0) AS DOUBLE)
+        |  END AS ruzicka
+        |FROM (SELECT ta.g AS source_a, tb.g AS source_b,
+        |        ta.n AS na, tb.n AS nb
+        |      FROM t ta JOIN t tb ON ta.g < tb.g) p
+        |LEFT JOIN co ON co.source_a = p.source_a
+        |  AND co.source_b = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
+
+    // mirrors q407: user-partitioned lag gaps in whole seconds, value
+    // at rank greatest(1, (d(n+1)) div 10) per type (an order
+    // statistic depends only on the value multiset, so the tiebreak
+    // inside row_number is immaterial)
+    "q407_gap_deciles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |       ORDER BY ts_us, event_id)) // 1000000 AS v
+        |  FROM e
+        |), gg AS (SELECT event_type, v FROM g WHERE v IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+        |      AS BIGINT) AS r,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM gg
+        |), d AS (
+        |  SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS decile
+        |)
+        |SELECT r.event_type, d.decile, r.v AS q
+        |FROM r JOIN d ON r.r = greatest(1, (d.decile * (r.n + 1)) // 10)
+        |ORDER BY event_type, decile""".stripMargin,
 
     // mirrors q403: distinct (day, user) relation, one (user, day+1)
     // equi self-join, consecutive-day spine keeps zero-overlap pairs

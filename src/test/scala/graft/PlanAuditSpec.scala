@@ -58,7 +58,10 @@ object PlanAuditSets {
     // artifact (localCheckpoint at build, the q103 pattern)
     "q399_stream_funnel_ooo", "q400_stream_seqsupport",
     "q402_stream_contingency", "q404_stream_asof_ooo",
-    "q348_containment_join")
+    "q348_containment_join",
+    // q405: appends the staged postings index + proves served ≡ scan
+    // by except at build (the q384/q392 discipline)
+    "q405_postings_topk")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
@@ -206,7 +209,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // into the r×c grid (q102's embed-the-scalars pattern); the grid
     // itself is a constant-key HASH join of the two category-bounded
     // margin relations, and the cells land by equi-join
-    "q401_contingency_residuals")
+    "q401_contingency_residuals",
+    // q406 (r18): q389's bounded group-dimension pair spine (the
+    // broadcast a<b self-cross that keeps disjoint pairs); the
+    // value-sized work is the co-occurrence equi-join
+    "q406_source_ruzicka")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)

@@ -110,6 +110,32 @@ class R18Spec extends AnyFunSuite {
     assert(folded.except(oneShot).isEmpty && oneShot.except(folded).isEmpty)
   }
 
+  test("sourceRuzicka ≡ brute multiset replay (incl. disjoint pair)") {
+    val docs = Seq(
+      (1L, "a b b c", "s1"), (2L, "b c d", "s1"),
+      (3L, "a a b", "s2"), (4L, "e f", "s3") // s3 disjoint from s2
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.sourceRuzicka(docs, "source")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // brute: token count vectors per source
+    val vecs = Seq(
+      "s1" -> Map("a" -> 1L, "b" -> 3L, "c" -> 2L, "d" -> 1L),
+      "s2" -> Map("a" -> 2L, "b" -> 1L),
+      "s3" -> Map("e" -> 1L, "f" -> 1L)).toMap
+    def brute(x: String, y: String) = {
+      val (vx, vy) = (vecs(x), vecs(y))
+      val smin = (vx.keySet ++ vy.keySet).toSeq
+        .map(t => math.min(vx.getOrElse(t, 0L), vy.getOrElse(t, 0L))).sum
+      val (na, nb) = (vx.values.sum, vy.values.sum)
+      (x, y, na, nb, smin, smin.toDouble / (na + nb - smin).toDouble)
+    }
+    assert(got.toSeq == Seq(brute("s1", "s2"), brute("s1", "s3"),
+      brute("s2", "s3")))
+    assert(got.find(r => r._1 == "s2" && r._2 == "s3").get._6 == 0.0)
+  }
+
   test("q399/q404 replay drains ≡ their batch oracles (sf0.001)") {
     // q399 vs the batch windowed funnel (q204's query, same params)
     val funnelBatch = EventAnalytics.funnelSteps(
