@@ -21,24 +21,23 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r14 slowest-12 — from the round's FINAL quiet 282-query
-    * sf0.1 run (212.4 s median / 184.8 s min, load 2.42→1.60; the
-    * prior run's one outlier, q278's id-level fuzzy DP at 71 s, is
-    * fixed to 0.5 s name-level and out of the list)
-    * — plus five cross-surface controls (relational agg, star join,
-    * brute-force cosine, dedup clusters, staged IVF). Refreshed each
-    * round so the driver's stdout tail sees the most expensive
-    * CURRENT queries, not a stale surface (VERDICT r12 wrong #2).
-    * Kept to 17 names so the stdout line — which carries BOTH the
-    * median and min maps — stays inside the driver's ~2 KB tail
-    * capture. */
+  /** The r18 slowest-12 — from the round's 407-query sf0.1 run
+    * (441.1 s median / 394.9 s min, load 1.07→3.40; box classified
+    * ~35% slow by the same-box A/B in PERF.md, so the SET is what
+    * matters here, not the values) — plus five cross-surface controls
+    * (relational agg, star join, brute-force cosine, dedup clusters,
+    * staged IVF). Refreshed each round so the driver's stdout tail
+    * sees the most expensive CURRENT queries, not a stale surface
+    * (VERDICT r12 wrong #2). Kept to 17 names so the stdout line —
+    * which carries BOTH the median and min maps — stays inside the
+    * driver's ~2 KB tail capture. */
   val headline: Seq[String] = Seq(
-    "q269_stream_cdc_asof", "q254_incremental_rollup",
-    "q193_stream_join_window", "q178_zorder_optimize",
-    "q260_stream_pattern", "q281_stream_hll",
-    "q188_stateful_v2", "q205_semantic_canonical",
-    "q158_stream_outer_join", "q199_semantic_dedup",
-    "q34_minhash_pairs", "q208_stream_funnel",
+    "q269_stream_cdc_asof", "q360_containment_incremental",
+    "q333_setsim_incremental", "q290_incremental_entities",
+    "q310_incremental_dupspans", "q383_stream_scd2_jitter",
+    "q399_stream_funnel_ooo", "q404_stream_asof_ooo",
+    "q382_stream_scd2_ooo", "q398_stream_markov_ooo",
+    "q254_incremental_rollup", "q34_minhash_pairs",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;
