@@ -66,11 +66,13 @@ object ProbeR18 {
       lit(0.0d).as("value"), lit("{}").as("props"))
     val tmpS = graft.lake.TempDirs.create("graft-probe-sent")
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmpS.toString)
-    val files = (Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)) :+
-      Files.list(tmpS).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+    // Files.list streams hold directory descriptors until closed
+    def parquetsIn(dir: Path): Seq[Path] =
+      scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    val files = parquetsIn(tmp).sortBy(_.getFileName.toString) :+
+      parquetsIn(tmpS).head
     val base = System.currentTimeMillis()
     files.zipWithIndex.foreach { case (p, i) =>
       val dst = in.resolve(f"part_${i + 1}%03d.parquet")
@@ -165,23 +167,10 @@ object ProbeR18 {
             else regexp_replace(col("text"), lit(" "), lit(s"_$i ")))
       }.reduce(_ unionByName _).localCheckpoint(true)
       val batches = 4 * k
-      def frag(b: Int) = {
-        val batch = docs.filter(col("doc_id") % batches === b)
-        val stats = batch
-          .select(size(split(col("text"), " ")).cast("long").as("len"))
-          .agg(count(lit(1)).as("n"), sum(col("len")).cast("long").as("sl"))
-          .select(inline(array(
-            struct(lit("stats").as("kind"), lit("n_docs").as("term"),
-              col("n").cast("long").as("v")),
-            struct(lit("stats").as("kind"), lit("sum_len").as("term"),
-              col("sl").as("v")))))
-        val dfs = batch
-          .select(explode(array_distinct(split(col("text"), " "))).as("term"))
-          .filter(col("term") =!= "")
-          .groupBy(col("term")).agg(count(lit(1)).cast("long").as("v"))
-          .select(lit("df").as("kind"), col("term"), col("v"))
-        stats.unionByName(dfs)
-      }
+      // the PRODUCTION fragment builder (q392's), not a copy — the
+      // probe must price exactly the index shape production maintains
+      def frag(b: Int) = graft.queries.R17Q.bm25Fragment(
+        docs.filter(col("doc_id") % batches === b))
       var t0 = System.nanoTime()
       val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-probe-bm25")
       (1 until batches).foreach(b => idx.append(frag(b)))

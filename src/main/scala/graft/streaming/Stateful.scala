@@ -525,7 +525,7 @@ object Stateful {
     @transient private var buf: MapState[(Long, Long), String] = _
     @transient private var frontier: ValueState[(Long, Long)] = _
     @transient private var rst: ValueState[S] = _
-    @transient private var minTs: ValueState[Long] = _
+    @transient private var armedMs: ValueState[Long] = _
     @transient private var bufN: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getMapState("buf", Encoders.product[(Long, Long)],
@@ -533,7 +533,7 @@ object Stateful {
       frontier = getHandle.getValueState("frontier",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       rst = getHandle.getValueState("rst", sEnc, TTLConfig.NONE)
-      minTs = getHandle.getValueState[Long]("minTs",
+      armedMs = getHandle.getValueState[Long]("armedMs",
         Encoders.scalaLong, TTLConfig.NONE)
       bufN = getHandle.getValueState[Long]("bufN",
         Encoders.scalaLong, TTLConfig.NONE)
@@ -543,7 +543,7 @@ object Stateful {
                                  timers: TimerValues): Iterator[O] = {
       val f: Option[(Long, Long)] =
         if (frontier.exists()) Some(frontier.get()) else None
-      val prevArmed = if (minTs.exists()) minTs.get() else Long.MaxValue
+      val prevArmed = if (armedMs.exists()) armedMs.get() else Long.MaxValue
       var incomingMin = Long.MaxValue
       var n = if (bufN.exists()) bufN.get() else 0L
       rows.foreach { r =>
@@ -577,13 +577,17 @@ object Stateful {
       // FLOOR of the earliest buffered µs deadline (the
       // EventTimeSessions convention): an early ms fire is harmless —
       // the µs re-check keeps unready rows buffered and re-arms.
-      // Exactly one timer per key: retire the stale later one first.
-      if (incomingMin < prevArmed) {
-        if (prevArmed != Long.MaxValue &&
-            prevArmed / 1000L != incomingMin / 1000L)
-          getHandle.deleteTimer(prevArmed / 1000L)
-        minTs.update(incomingMin)
-        getHandle.registerTimer(incomingMin / 1000L)
+      // Exactly one timer per key, tracked in `armedMs` at MS grain:
+      // a strictly-earlier ms retires the old timer and arms the new
+      // one; an equal ms leaves the armed timer alone (the engine's
+      // registerTimer SILENTLY SKIPS a same-expiry registration with
+      // a WARN, so re-registering would be a no-op plus log noise —
+      // r18 review finding).
+      val incomingMinMs = incomingMin / 1000L
+      if (incomingMin != Long.MaxValue && incomingMinMs < prevArmed) {
+        if (prevArmed != Long.MaxValue) getHandle.deleteTimer(prevArmed)
+        armedMs.update(incomingMinMs)
+        getHandle.registerTimer(incomingMinMs)
       }
       Iterator.empty
     }
@@ -613,12 +617,23 @@ object Stateful {
         if (restN == 0L) buf.clear()
         else sorted.foreach(r => buf.removeKey((r._2, r._3)))
       }
-      if (restN == 0L) { bufN.clear(); minTs.clear() }
+      if (restN == 0L) { bufN.clear(); armedMs.clear() }
       else {
         bufN.update(restN)
-        minTs.update(restMin)
-        // the fired timer is engine-removed; just arm the next one
-        getHandle.registerTimer(restMin / 1000L)
+        // CRITICAL (r18 review, confirmed against the engine's
+        // bytecode): during this callback the FIRED timer still
+        // exists in the store (the engine deletes it only after the
+        // callback returns), and registerTimer SILENTLY SKIPS a
+        // same-expiry registration — so re-arming at restMin/1000
+        // when that floor equals the fired expiry would be dropped
+        // and then the fired timer deleted, stranding the buffered
+        // rows forever (rows AT the watermark ms hit this exactly).
+        // Arm strictly AFTER the fired expiry: an up-to-1-ms-late
+        // timer is harmless (those rows only become ready once the
+        // watermark passes their ms anyway).
+        val targetMs = math.max(restMin / 1000L, expired.getExpiryTimeInMs() + 1L)
+        armedMs.update(targetMs)
+        getHandle.registerTimer(targetMs)
       }
       out.result().iterator
     }
@@ -680,6 +695,9 @@ object Stateful {
         // the product wrapper does (the KeyedAsOf nested-Seq pattern)
         Encoders.product[Tuple1[Seq[Long]]],
         Encoders.product[(Long, Int)]) {
+    require(steps.nonEmpty, "funnel needs at least one step " +
+      "(the batch funnelSteps contract — an empty list would silently " +
+      "emit nothing)")
     require(withinUs.isEmpty || withinUs.size == steps.size - 1,
       s"withinUs needs one bound per transition (${steps.size - 1}), " +
         s"got ${withinUs.size}")

@@ -69,6 +69,50 @@ class WatermarkReplaySpec extends AnyFunSuite {
       } finally q.stop()
     }
 
+  test("re-arm survives a watermark landing exactly on the earliest " +
+      "buffered row's millisecond (r18 review: stranded-timer collision)") {
+    // The engine fires timers with ts <= watermark, keeps the FIRED
+    // timer in the store during the callback, and registerTimer
+    // SILENTLY SKIPS a same-expiry registration — so a flush whose
+    // remainder floors to the fired ms must arm strictly later or the
+    // buffered rows strand forever. Craft exactly that: a row at
+    // 10_000_500µs (timer at 10_000ms), watermark pushed to exactly
+    // 10_000ms (row not ready: 10_000_500 >= 10_000_000), then
+    // advanced past it — the change row MUST still come out.
+    Stateful.withRocksDBStateStore(spark) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val grouped = input.toDS()
+        .select(col("_1").as("k"), col("_2").as("attr"),
+          timestamp_micros(col("_3")).as("ts"), col("_4").as("id"))
+        .withWatermark("ts", "2 seconds")
+        .select(col("k"), col("attr"), unix_micros(col("ts")), col("id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+      val name = s"wmcollision_${System.nanoTime()}"
+      val q = Stateful.scd2Buffered(grouped).toDF().writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      try {
+        // batch 1: the victim row + a max-ts row pushing wm to 10_000ms
+        input.addData((1L, "a", 10000500L, 1L), (-2L, "x", 12000000L, 900L))
+        q.processAllAvailable()
+        // batch 2: no wm advance — the 10_000ms timer fires, row not
+        // ready, the re-arm must dodge the fired expiry
+        input.addData((-3L, "x", 12000000L, 901L))
+        q.processAllAvailable()
+        // batch 3: advance wm past the row — the dodged timer must fire
+        input.addData((-4L, "x", 14000000L, 902L))
+        q.processAllAvailable()
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .filter(_._1 == 1L).toSeq
+        assert(got == Seq((1L, "a", 10000500L, 1L)),
+          s"buffered row stranded after same-ms timer collision: $got")
+      } finally q.stop()
+    }
+  }
+
   for (seed <- Seq(171, 172, 173)) {
     test(s"scd2Buffered ≡ batch change replay under bounded disorder (seed $seed)") {
       val (events, batches) = scenario(seed)
