@@ -45,7 +45,8 @@ class WatermarkReplaySpec extends AnyFunSuite {
     (events, batches)
   }
 
-  private def drain(batches: Seq[Seq[(Long, String, Long, Long)]])(
+  private def drain(batches: Seq[Seq[(Long, String, Long, Long)]],
+                    delay: String = "7 hours")(
       transform: org.apache.spark.sql.KeyValueGroupedDataset[
         Long, (Long, String, Long, Long)] =>
         org.apache.spark.sql.Dataset[_]): Seq[org.apache.spark.sql.Row] =
@@ -56,7 +57,7 @@ class WatermarkReplaySpec extends AnyFunSuite {
       val grouped = input.toDS()
         .select(col("_1").as("k"), col("_2").as("attr"),
           timestamp_micros(col("_3")).as("ts"), col("_4").as("id"))
-        .withWatermark("ts", "7 hours")
+        .withWatermark("ts", delay)
         .select(col("k"), col("attr"), unix_micros(col("ts")), col("id"))
         .as[(Long, String, Long, Long)]
         .groupByKey(_._1)
@@ -111,6 +112,41 @@ class WatermarkReplaySpec extends AnyFunSuite {
           s"buffered row stranded after same-ms timer collision: $got")
       } finally q.stop()
     }
+  }
+
+  test("many-flush drain: repeated prefix deletion + re-arm replays " +
+      "exactly once (slow watermark, 24 batches)") {
+    // The r18 MapState restructure deletes the READY PREFIX per flush
+    // and re-arms; this drives that path ~20 times per key (the seeded
+    // jitter properties flush only a few times): 24 tiny
+    // arrival-ordered batches under a 30-minute disorder bound, so the
+    // watermark advances a little every batch and every key flushes a
+    // small prefix repeatedly — including re-arms whose remainder
+    // floors near the fired expiry.
+    val rnd = new scala.util.Random(1804)
+    val events = (1 to 960).map { i =>
+      (rnd.nextInt(8).toLong, Seq("a", "b", "c")(rnd.nextInt(3)),
+        rnd.nextLong(24L * hourUs), i.toLong)
+    }
+    val jitter = hourUs / 2
+    val byArrival = events.sortBy { case (_, _, ts, id) =>
+      (ts + (scala.util.hashing.MurmurHash3.stringHash(s"mf|$id").toLong
+        .abs % jitter), id)
+    }
+    val maxTs = events.map(_._3).max
+    val batches = byArrival.grouped(40).toSeq ++ Seq(
+      Seq((-1L, "s", maxTs + 2L * hourUs, -1L)),
+      Seq((-1L, "s", maxTs + 4L * hourUs, -2L)))
+    val got = drain(batches, delay = "35 minutes")(Stateful.scd2Buffered)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 >= 0).sorted
+    val expect = events.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      sorted.zip(None +: sorted.map(Some(_))).collect {
+        case (r, prev) if prev.forall(_._2 != r._2) => (k, r._2, r._3, r._4)
+      }
+    }.sorted
+    assert(got == expect, s"many-flush: ${got.size} vs ${expect.size}")
   }
 
   for (seed <- Seq(171, 172, 173)) {
