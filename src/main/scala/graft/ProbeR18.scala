@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * fails loud on genuine duplicates by design. */
 object ProbeR18 {
 
-  private def scaledEvents(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def scaledEvents(s: SparkSession, d: String, k: Int): DataFrame = {
     val ev = Tables.events(s, d)
     (0 until k).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
@@ -41,7 +41,7 @@ object ProbeR18 {
 
   /** The stageEventsSplitSentinel / stageEventsJitteredSentinel shapes
     * over an arbitrary (scaled) events frame — probe-only, un-memoized. */
-  private def stage(s: SparkSession, ev: DataFrame, parts: Int,
+  private[graft] def stage(s: SparkSession, ev: DataFrame, parts: Int,
                     jitterSecs: Option[Long],
                     sentinelIntervalHours: Long): Path = {
     val in = graft.lake.TempDirs.create("graft-probe-in")
@@ -115,7 +115,7 @@ object ProbeR18 {
     out.count()
   }
 
-  private def report(label: String, t0: Long, outRows: Long): Unit = {
+  private[graft] def report(label: String, t0: Long, outRows: Long): Unit = {
     val secs = (System.nanoTime() - t0) / 1e9
     val st = graft.streaming.MicroBatch.lastRunStateStats
     val peakRows = if (st.isEmpty) 0L else st.map(_.peakRows).max

@@ -28,7 +28,17 @@ object Stamps {
     * stamp REBUILDS and replaces the entry (no stranded artifacts).
     * `compute` gives the same build-exactly-once guarantee under
     * concurrent first access that the old `computeIfAbsent` pattern
-    * had. */
+    * had.
+    *
+    * USAGE CONTRACT (ADVICE r18): `build` runs INSIDE the map's
+    * per-bin lock — a multi-second Spark artifact build serializes any
+    * unrelated key that hashes to the same bin for its duration, and a
+    * `build` that (transitively) calls `getOrBuild` on the SAME memo
+    * throws IllegalStateException ("recursive update"). Both held for
+    * the old computeIfAbsent too; they are the accepted trade for
+    * build-exactly-once. Keep builds non-reentrant, and if bin
+    * contention ever measures as real, move to a per-key lazy holder
+    * (compute stores a Lazy, the build runs outside the lock). */
   final class StampedMemo[V] {
     private val m = new ConcurrentHashMap[String, (Long, V)]()
     def getOrBuild(idKey: String, stamp: Long)(build: => V): V =

@@ -15,11 +15,24 @@ object R18Q {
   private val stagedPostings =
     new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
 
+  /** One ingest batch's (term, doc_id, len, tf) POSTINGS fragment —
+    * disjoint ingest batches mean every (term, doc) posting lands
+    * exactly once, no merge needed.
+    * private[graft]: ProbeR19's postings-growth probe prices exactly
+    * this builder (the bm25Fragment discipline — the probe must not
+    * drift from production). */
+  private[graft] def postingsFragment(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"), col("len"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
   /** The MAINTAINED POSTINGS index (r18) — the serving half of the
     * q392 retrieval story: per-batch (term, doc_id, tf, len) posting
-    * fragments appended to a lake table (disjoint ingest batches →
-    * every (term, doc) posting lands exactly once, no merge needed),
-    * so a query reads ONLY its terms' postings — on a term-partitioned
+    * fragments appended to a lake table ([[postingsFragment]]), so a
+    * query reads ONLY its terms' postings — on a term-partitioned
     * cluster layout that is a partition-pruned point read, never a
     * corpus scan. Memoized per (session, sf). */
   private def postingsArtifact(s: org.apache.spark.sql.SparkSession,
@@ -27,15 +40,7 @@ object R18Q {
     stagedPostings.getOrBuild(
       s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
       val docs = Tables.documents(s, d)
-      def frag(k: Int) = {
-        val batch = docs.filter(col("doc_id") % 4 === k)
-        batch.select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("len"),
-            explode(split(col("text"), " ")).as("term"))
-          .filter(col("term") =!= "")
-          .groupBy(col("term"), col("doc_id"), col("len"))
-          .agg(count(lit(1)).cast("long").as("tf"))
-      }
+      def frag(k: Int) = postingsFragment(docs.filter(col("doc_id") % 4 === k))
       val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-postings")
       (1 to 3).foreach(k => idx.append(frag(k)))
       idx
@@ -43,24 +48,33 @@ object R18Q {
 
   val queries: Map[String, Q] = Map(
 
-    // POSTINGS-SERVED BM25 TOP-K (r18): the retrieval query the
-    // maintained index family exists FOR — the q392 corpus-stats
-    // index provides (n_docs, sum_len, per-term df), the maintained
-    // POSTINGS index provides (term, doc, tf, len), and serving a
-    // 2-term query is one broadcast df-join + one posting filter +
-    // one per-doc fold: the plan touches ONLY the query terms'
-    // postings, never the corpus (at cluster scale: a term-pruned
-    // point read). The per-doc score folds at most |query| = 2 IEEE
-    // contributions, and 2-element IEEE addition is commutative, so
-    // the fold is order-safe (3+-term queries would need an ordered
-    // fold — documented contract). In-query proof (the q384
-    // discipline): the postings-served score relation must equal the
-    // full-scan computation over `documents` EXACTLY, pre-top-k.
+    // POSTINGS-SERVED BM25 TOP-K (r18; ARBITRARY-ARITY r19 — VERDICT
+    // r18 wrong #1/next #1): the retrieval query the maintained index
+    // family exists FOR — the q392 corpus-stats index provides
+    // (n_docs, sum_len, per-term df), the maintained POSTINGS index
+    // provides (term, doc, tf, len), and serving a query is one
+    // broadcast df-join + one posting filter + one per-doc fold: the
+    // plan touches ONLY the query terms' postings, never the corpus
+    // (at cluster scale: a term-pruned point read). The r18 version
+    // folded per-doc contributions with sum(), deterministic only for
+    // the 2-term demo (2-element IEEE addition commutes); now the
+    // per-doc contributions fold in DETERMINISTIC TERM ORDER —
+    // sort_array(collect_list(struct(term, c))) + an aggregate() HOF,
+    // left-associated from 0.0 — so ANY query arity scores
+    // bit-identically under any partitioning, and the oracle mirrors
+    // the same term-sorted addition chain. A doc missing a query term
+    // contributes exactly +0.0 in the scan chain (tf=0 ⇒ the tf factor
+    // is +0.0, and x + 0.0 == x bit-exact for the nonnegative
+    // contributions), so skipping absent terms in the served fold
+    // preserves the chain. In-query proof (the q384 discipline): the
+    // postings-served score relation must equal the full-scan
+    // computation over `documents` EXACTLY, pre-top-k — on a ≥3-term
+    // query the proof now also pins the fold-order discipline.
     "q405_postings_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val postings = postingsArtifact(s, d).snapshot()
       val stats = graft.queries.R17Q.bm25FoldedIndex(s, d)
-      val qterms = Seq("spark", "join")
+      val qterms = Seq("data", "join", "spark") // already term-sorted
       val dfRel = stats.filter(col("kind") === "df" &&
           col("term").isin(qterms.map(x => x: Any): _*))
         .select(col("term"), col("v").as("df"))
@@ -82,28 +96,38 @@ object R18Q {
         .crossJoin(broadcast(one))
         .withColumn("__c", contrib)
         .groupBy(col("doc_id"))
-        .agg(sum(col("__c")).as("score"))
+        // deterministic term-ordered fold: terms are unique per doc,
+        // sort_array orders the (term, c) structs by term, and the
+        // HOF left-folds from 0.0 — the one explicitly-ordered IEEE
+        // chain discipline the registry's analytics use
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("__c")))),
+          lit(0.0d), (acc, x) => acc + x.getField("__c")).as("score"))
         .localCheckpoint(true)
-      // proof: postings-served ≡ full scan (q392's chain over ALL docs)
+      // proof: postings-served ≡ full scan (q392's chain over ALL
+      // docs, summed in the same term-sorted order from the same seed)
       val base = docs
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("double").as("blen"),
-          size(filter(col("ws"), w => w === "spark")).cast("double").as("tf0"),
-          size(filter(col("ws"), w => w === "join")).cast("double").as("tf1"))
+        .select(Seq(col("doc_id"),
+          size(col("ws")).cast("double").as("blen")) ++
+          qterms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("ws"), w => w === t)).cast("double").as(s"tf$i")
+          }: _*)
       def term(tf: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column) =
         ((col("n_docs").cast("double") - dfc.cast("double") + lit(0.5)) /
           (dfc.cast("double") + lit(0.5))) *
           ((tf * lit(2.2)) /
             (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("blen") / avgLen)))
-      val df0 = stats.filter(col("kind") === "df" && col("term") === "spark")
-        .select(col("v").as("df0"))
-      val df1 = stats.filter(col("kind") === "df" && col("term") === "join")
-        .select(col("v").as("df1"))
-      val scan = base.crossJoin(broadcast(one))
-        .crossJoin(broadcast(df0)).crossJoin(broadcast(df1))
-        .withColumn("score", term(col("tf0"), col("df0")) +
-          term(col("tf1"), col("df1")))
+      val dfs = qterms.zipWithIndex.map { case (t, i) =>
+        stats.filter(col("kind") === "df" && col("term") === t)
+          .select(col("v").as(s"df$i"))
+      }
+      val scan = dfs.foldLeft(base.crossJoin(broadcast(one))) {
+          (acc, dfi) => acc.crossJoin(broadcast(dfi))
+        }
+        .withColumn("score", qterms.indices.foldLeft(lit(0.0d)) {
+          (acc, i) => acc + term(col(s"tf$i"), col(s"df$i"))
+        })
         .filter(col("score") > 0)
         .select(col("doc_id"), col("score"))
       require(served.except(scan).isEmpty && scan.except(served).isEmpty,
@@ -138,7 +162,8 @@ object R18Q {
             // a filtered-out sentinel would never advance the final
             // watermark and the buffered tail would never flush (found
             // r18 — the funnel face is the first replay consumer that
-            // filters its stream)
+            // filters its stream; since r19 updateRun's
+            // sentinel-survival guard fails loud on exactly this)
             .filter(col("event_type").isin(
               "view", "click", "purchase", "__sentinel__"))
             .select(col("user_id"), col("event_type"),
@@ -230,7 +255,10 @@ object R18Q {
     "q403_active_set_jaccard" -> ((s, d) =>
       graft.operators.EventAnalytics.activeSetJaccard(
         Tables.events(s, d),
-        (unix_micros(col("ts")) / lit(86400000000L)).cast("long"),
+        // integer `div`, structurally exact like the oracle's `//` —
+        // the old IEEE `/`+cast was provably exact below 2^53 µs but
+        // rested on a rounding argument (ADVICE r18)
+        expr("unix_micros(ts) div 86400000000"),
         col("user_id"))
         .orderBy("day_a")),
 
@@ -290,7 +318,7 @@ object R18Q {
           graft.Tables.toEventTime(stream)
             .withWatermark("ts", "45 days")
             // keep the sentinel: this filter pushes BELOW the
-            // watermark node (the q399 lesson)
+            // watermark node (the q399 lesson; guard-enforced r19)
             .filter(col("event_type").isin(
               "click", "purchase", "__sentinel__"))
             .select(col("user_id"), col("event_type"),
@@ -357,27 +385,35 @@ object R18Q {
     "q401_contingency_residuals" -> contingencySql,
     "q402_stream_contingency" -> contingencySql,
 
-    // mirrors q405: the q102/q392 BM25 chain over the FULL corpus —
-    // the postings-served plan must reproduce the scan exactly
+    // mirrors q405 (3-term, r19): the q102/q392 BM25 chain over the
+    // FULL corpus, contributions added in the SAME term-sorted order
+    // from the same 0.0 seed (data, join, spark — SQL `+` is
+    // left-associative, so this is the served fold's exact chain; a
+    // doc missing a term adds exactly +0.0, preserving the bits)
     "q405_postings_topk" ->
       """WITH idx AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_len,
         |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
-        |      w -> w = 'spark')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |      w -> w = 'data')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
         |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
-        |      w -> w = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+        |      w -> w = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
         |  FROM documents
         |), base AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
         |    CAST(len(list_filter(string_split(text, ' '),
-        |      w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |      w -> w = 'data')) AS DOUBLE) AS tf0,
         |    CAST(len(list_filter(string_split(text, ' '),
-        |      w -> w = 'join')) AS DOUBLE) AS tf1
+        |      w -> w = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) AS DOUBLE) AS tf2
         |  FROM documents
         |), sc AS (
         |  SELECT doc_id,
+        |    0.0 +
         |    ((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) /
         |      (CAST(df0 AS DOUBLE) + 0.5)) *
         |    ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len /
@@ -385,6 +421,10 @@ object R18Q {
         |    ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) /
         |      (CAST(df1 AS DOUBLE) + 0.5)) *
         |    ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) +
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) /
+        |      (CAST(df2 AS DOUBLE) + 0.5)) *
+        |    ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * len /
         |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
         |      AS score
         |  FROM base, idx

@@ -701,6 +701,10 @@ object Stateful {
     require(withinUs.isEmpty || withinUs.size == steps.size - 1,
       s"withinUs needs one bound per transition (${steps.size - 1}), " +
         s"got ${withinUs.size}")
+    require(withinUs.forall(_ > 0),
+      s"withinUs must be strictly positive (got $withinUs) — the batch " +
+        "funnelSteps contract; a zero/negative window would silently " +
+        "cap every key at depth 1 instead of matching the oracle")
     protected def step(key: Long, st: Option[Tuple1[Seq[Long]]],
                        row: (String, Long, Long)):
         (Tuple1[Seq[Long]], IterableOnce[(Long, Int)]) = {
@@ -758,6 +762,62 @@ object Stateful {
                    dimType: String, obsType: String)
       : Dataset[(Long, Long, Long)] =
     grouped.transformWithState(new AsOfBuffered(dimType, obsType),
+      TimeMode.EventTime(), OutputMode.Update())(
+      Encoders.product[(Long, Long, Long)])
+
+  /** DYNAMIC-GAP SESSIONIZATION ordered replay (r19 — VERDICT r18 next
+    * #6, the FIFTH face of [[WatermarkOrderedReplay]]): q190's
+    * per-row-gap session windows under genuine arrival disorder. This
+    * is the first face whose BATCH semantics are not append-monotone
+    * in arrival order — a late-arriving row can MERGE two sessions an
+    * arrival-order builder already closed (its window bridges the
+    * gap), which is why streaming sessionizers either re-derive from
+    * full history or carry merge machinery. Under watermark-ordered
+    * replay the merge case is impossible by construction: rows reach
+    * `step` in exact (ts, id) event order, so a session's end is just
+    * the RUNNING MAX of ts+gap(row) and a row at or past that end
+    * opens a new session — the oracle's definition, verbatim. Replay
+    * state is O(1): (session start, running window end, row count).
+    *
+    * Emits (key, session_start_us, n) on EVERY replayed row — the
+    * session's start is immutable once opened (rows arrive in ts
+    * order) and n grows monotonically, so the read side folds
+    * max(n) per (key, session_start), the [[FunnelBuffered]] max-depth
+    * discipline. Distinct sessions of a key can never share a start ts
+    * (with equal ts the second row always lands inside the first row's
+    * window, since win_end > ts). The final open session per key needs
+    * no close event — its last emission already carries its full
+    * count. */
+  class SessionBuffered(gapUsByType: Map[String, Long], defaultGapUs: Long,
+                        maxBufferedPerKey: Int = 1 << 22)
+      extends WatermarkOrderedReplay[(Long, Long, Long), (Long, Long, Long)](
+        maxBufferedPerKey)(Encoders.product[(Long, Long, Long)],
+        Encoders.product[(Long, Long, Long)]) {
+    require(defaultGapUs > 0 && gapUsByType.values.forall(_ > 0),
+      s"session gaps must be strictly positive (got default=$defaultGapUs, " +
+        s"byType=$gapUsByType) — a non-positive gap makes every row its " +
+        "own session instead of matching the dynamic session_window oracle")
+    protected def step(key: Long, st: Option[(Long, Long, Long)],
+                       row: (String, Long, Long)):
+        ((Long, Long, Long), IterableOnce[(Long, Long, Long)]) = {
+      val gap = gapUsByType.getOrElse(row._1, defaultGapUs)
+      val ns = st match {
+        // same session: strictly inside the running window end
+        case Some((start, winEnd, n)) if row._2 < winEnd =>
+          (start, math.max(winEnd, row._2 + gap), n + 1)
+        // key birth, or ts >= running max(ts+gap) → new session
+        case _ => (row._2, row._2 + gap, 1L)
+      }
+      (ns, Seq((key, ns._1, ns._3)))
+    }
+  }
+
+  /** [[SessionBuffered]] over a keyed WATERMARKED `(key, type, ts, id)`
+    * stream. */
+  def sessionBuffered(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)],
+                      gapUsByType: Map[String, Long], defaultGapUs: Long)
+      : Dataset[(Long, Long, Long)] =
+    grouped.transformWithState(new SessionBuffered(gapUsByType, defaultGapUs),
       TimeMode.EventTime(), OutputMode.Update())(
       Encoders.product[(Long, Long, Long)])
 

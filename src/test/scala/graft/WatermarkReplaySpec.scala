@@ -205,6 +205,33 @@ class WatermarkReplaySpec extends AnyFunSuite {
       assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
     }
 
+    test(s"sessionBuffered ≡ batch dynamic-gap session replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      // attr "a" cools off in 2h, everything else holds 5h — the
+      // q190 two-gap shape on the property's alphabet
+      val gaps = Map("a" -> 2L * hourUs)
+      val dflt = 5L * hourUs
+      val got = drain(batches)(g => Stateful.sessionBuffered(g, gaps, dflt))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 >= 0)
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).max)
+        .toMap
+      // local forward replay in exact (ts, id) order: session end is
+      // the running max of ts+gap, a row at/past it opens a session
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        rs.sortBy(r => (r._3, r._4))
+          .foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, r) =>
+            val gap = gaps.getOrElse(r._2, dflt)
+            acc.lastOption match {
+              case Some((st, we, n)) if r._3 < we =>
+                acc.init :+ ((st, math.max(we, r._3 + gap), n + 1))
+              case _ => acc :+ ((r._3, r._3 + gap, 1L))
+            }
+          }.map(sess => (k, sess._1) -> sess._3)
+      }.toMap
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+    }
+
     test(s"transitionBuffered ≡ batch pair replay under bounded disorder (seed $seed)") {
       val (events, batches) = scenario(seed)
       val got = drain(batches)(Stateful.transitionBuffered)
