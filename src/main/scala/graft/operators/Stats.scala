@@ -1490,6 +1490,56 @@ object Stats {
       .select(col(groupCol), col("decile"), col("value").as("q"))
   }
 
+  /** FANO FACTOR (variance-to-mean ratio) per group from (group,
+    * value, c) HISTOGRAM fragments (r19) — the DISPERSION scalar next
+    * to [[decilesFromCounts]]' shape readout: ≈1 reads Poisson, ≫1
+    * reads bursty/clumped. Pure sums over the histogram (no window,
+    * so no domain budget needed): n = Σc, sv = Σ v·c, sv2 = Σ v²·c,
+    * all decimal-exact, numerator n·sv2 − sv² emitted as digit
+    * strings (the q368 vmr chain, generalized to a reusable fold) and
+    * ONE mirrored IEEE division at the end. Fragments are ADDITIVE,
+    * so streaming folds ride the same path. Width budget, enforced
+    * loud: |value| < 10⁷ and Σc ≤ 10¹² per group, so n·sv2 ≤ 10³⁸
+    * sits exactly at the DECIMAL(38,0) cap and sv² at DECIMAL(38,0)
+    * (sv ≤ 10¹⁹). NULL values fail loud (the guardedHistogram NULL
+    * discipline — Spark sorts nulls first, DuckDB last). */
+  def fanoFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val d12 = DecimalType(12, 0)
+    val d14 = DecimalType(14, 0)
+    val d19 = DecimalType(19, 0)
+    val d26 = DecimalType(26, 0)
+    val d38 = DecimalType(38, 0)
+    val guarded = frags.withColumn("value",
+      when(col("value").isNull, raise_error(lit(
+        "fanoFromCounts: NULL value row in the histogram — NULL sort " +
+          "order diverges across engines; filter or coalesce the " +
+          "value column upstream")))
+        .when(abs(col("value")) >= 10000000L, raise_error(concat(
+          lit("fanoFromCounts: |value| exceeds the 10^7 width budget ("),
+          col("value").cast("string"),
+          lit(") — n·sv2 must fit DECIMAL(38,0); rescale the " +
+            "quantization"))))
+        .otherwise(col("value")))
+    val d7 = DecimalType(7, 0)
+    guarded.groupBy(col(groupCol)).agg(
+        sum(col("c")).cast(d12).as("__n"),
+        sum((col("value").cast(d7) * col("c").cast(d12)).cast(d19))
+          .cast(d19).as("__sv"),
+        sum(((col("value").cast(d7) * col("value").cast(d7)).cast(d14) *
+          col("c").cast(d12)).cast(d26)).cast(d26).as("__sv2"))
+      .select(col(groupCol),
+        col("__n").cast("long").as("n"),
+        ((col("__n") * col("__sv2")).cast(d38) -
+          (col("__sv") * col("__sv")).cast(d38))
+          .cast("string").as("vmr_num"),
+        when((col("__n") * col("__sv")).cast(DecimalType(31, 0)) > 0,
+          ((col("__n") * col("__sv2")).cast(d38) -
+            (col("__sv") * col("__sv")).cast(d38)).cast("double") /
+            (col("__n") * col("__sv")).cast(DecimalType(31, 0))
+              .cast("double"))
+          .as("vmr"))
+  }
+
   /** Fail-loud side indicator for the two-sample statistics (r18,
     * ADVICE r17): the documented contract is "1 = side A, 0 = side B"
     * — silently bucketing NULL or any other value into side B shifted

@@ -1076,6 +1076,67 @@ object TextAnalysis {
           .as("ruzicka"))
   }
 
+  /** PAIRWISE COSINE between slice token-COUNT vectors (r19) — the
+    * L2 member of the slice-similarity family, beside TV (L1 shape,
+    * volume-blind), Ruzicka (weighted Jaccard, volume-sensitive), and
+    * min-overlap: cosine is shape-only like TV but weights tokens by
+    * their co-magnitude, so it reads dominance by shared HEAD tokens
+    * where TV reads total mass displacement. Integer-exact chain: the
+    * dot product is ONE co-occurrence equi-join on the token (a_t·b_t
+    * = 0 unless both present — never a pair space), the squared norms
+    * are per-slice aggregates, and the only IEEE steps are the final
+    * mirrored sqrt/division (sqrt is correctly rounded in both
+    * engines). The pair spine is the bounded group dimension (the
+    * q389 rule): DISJOINT slices emit cosine 0 instead of vanishing.
+    * Exact integers emitted as digit strings (the q300 rule — Σc²
+    * can pass 2⁵³ long before any width overflows). */
+  def sourceCosine(docs: DataFrame, groupCol: String): DataFrame =
+    cosineFromCounts(
+      docs.withColumn("value", explode(split(col("text"), " ")))
+        .filter(col("value") =!= "")
+        .groupBy(col(groupCol), col("value"))
+        .agg(count(lit(1)).as("c")),
+      groupCol)
+
+  /** [[sourceCosine]] over pre-counted (group, value, c) fragments —
+    * additive like [[tvFromCounts]]/[[ruzickaFromCounts]]. Width
+    * budget: per-(group, value) counts < 10¹⁴, so products sit in
+    * DECIMAL(28,0) and sums in DECIMAL(28,0) under a 10¹⁴-row bound
+    * per group — documented like the q368 chain. */
+  def cosineFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
+    val d14 = DecimalType(14, 0)
+    val d28 = DecimalType(28, 0)
+    val counts = frags.groupBy(col(groupCol), col("value"))
+      .agg(sum(col("c")).cast("long").as("__c"))
+    val n2 = counts.groupBy(col(groupCol))
+      .agg(sum((col("__c").cast(d14) * col("__c").cast(d14)).cast(d28))
+        .cast(d28).as("__n2"))
+    val a = counts.select(col(groupCol).as("source_a"),
+      col("value").as("__tok"), col("__c").as("ca"))
+    val b = counts.select(col(groupCol).as("source_b"),
+      col("value").as("__tok"), col("__c").as("cb"))
+    val co = a.join(b, Seq("__tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum((col("ca").cast(d14) * col("cb").cast(d14)).cast(d28))
+        .cast(d28).as("__dot"))
+    val spine = n2.select(col(groupCol).as("source_a"),
+        col("__n2").as("na2"))
+      .join(broadcast(n2.select(col(groupCol).as("source_b"),
+        col("__n2").as("nb2"))), col("source_a") < col("source_b"))
+    spine.join(co, Seq("source_a", "source_b"), "left")
+      .withColumn("__d", coalesce(col("__dot"), lit(0).cast(d28)))
+      .select(col("source_a"), col("source_b"),
+        col("__d").cast("string").as("dot_num"),
+        col("na2").cast("string").as("na2_num"),
+        col("nb2").cast("string").as("nb2_num"),
+        when(col("na2") > 0 && col("nb2") > 0,
+          col("__d").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double"))))
+          .as("cosine"))
+  }
+
   /** VOCABULARY GROWTH (Heaps) CURVE (r17) — distinct tokens seen
     * after each tenth of the corpus in doc_id order: the number a
     * data-acquisition plan reads to decide whether more of the same

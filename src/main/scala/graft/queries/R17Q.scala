@@ -139,7 +139,7 @@ object R17Q {
 
   /** Shared read side of the streaming Markov faces (q396/q398): the
     * bounded |types|² cell rollup + row-normalized probabilities. */
-  private def transitionRollup(trans: DataFrame): DataFrame = {
+  private[queries] def transitionRollup(trans: DataFrame): DataFrame = {
     val cells = trans.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("c"))
     val totals = cells.groupBy(col("from_type"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.queries.Qx._
 
 /** Round-19 additions — the replay skeleton's FIFTH face (dynamic-gap
@@ -109,6 +110,144 @@ object R19Q {
           .toDF("user_id", "depth")
       }
       funnelRollup(sink, Seq("view", "click", "purchase"))
+    }),
+
+    // BOUNDED-JITTER STREAMING DYNAMIC SESSIONS (r19): q408's
+    // processor under the q383/q409 arrival contract — ≤6 h jitter,
+    // 6 chronological-by-arrival batches, 7 h delay. Completes the
+    // full-disorder/bounded-jitter duality for the session face the
+    // round introduced: the watermark advances mid-drain, so session
+    // state opens, grows, and is superseded across REPEATED partial
+    // flushes (gap windows here are minutes-to-an-hour ≪ the 6 h
+    // jitter, so most sessions span flush boundaries). Same q190
+    // batch oracle, bit-exact.
+    "q410_stream_sessions_jitter" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsJitteredSentinel(
+        s, d, parts = 6, maxJitterSecs = 21600L,
+        sentinelInterval = "8 HOURS")
+      val sink = graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.sessionBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "7 hours")
+            // pushes below the watermark node; keeps the sentinel
+            // (user −1 < 30) — guard-enforced
+            .filter(col("user_id") < 30)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          gapUsByType = Map("click" -> 600L * 1000000L,
+            "view" -> 600L * 1000000L),
+          defaultGapUs = 3600L * 1000000L)
+          .toDF("user_id", "start_us", "n")
+      }
+      sink.filter(col("user_id") >= 0)
+        .groupBy(col("user_id"), col("start_us"))
+        .agg(max(col("n")).as("n"))
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")),
+            "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // BOUNDED-JITTER STREAMING MARKOV (r19): q398's transition
+    // emission under the jittered arrival contract — with this and
+    // q414 every one of the five replay faces carries BOTH arrival
+    // contracts (full-disorder hash split AND bounded jitter with
+    // mid-drain flushes): scd2 q382/q383, Markov q398/q413, funnel
+    // q399/q409, as-of q404/q414, sessions q408/q410. The jittered
+    // drains are the steady-state production path; the full-disorder
+    // twins price the honest worst case. Same q235-family batch
+    // oracle, bit-exact.
+    "q413_stream_markov_jitter" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsJitteredSentinel(
+        s, d, parts = 6, maxJitterSecs = 21600L,
+        sentinelInterval = "8 HOURS")
+      val trans = graft.streaming.MicroBatch.updateRun(s, d,
+        inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.transitionBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "7 hours")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1))
+          .toDF("from_type", "to_type")
+      }
+      R17Q.transitionRollup(trans)
+    }),
+
+    // BOUNDED-JITTER STREAMING KEYED AS-OF (r19): q404's O(1)-state
+    // ordered replay under the jittered contract — the last-click
+    // dimension state survives repeated partial flushes. Same batch
+    // point-in-time oracle, bit-exact.
+    "q414_stream_asof_jitter" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsJitteredSentinel(
+        s, d, parts = 6, maxJitterSecs = 21600L,
+        sentinelInterval = "8 HOURS")
+      graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.asOfBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "7 hours")
+            // keep the sentinel (guard-enforced)
+            .filter(col("event_type").isin(
+              "click", "purchase", "__sentinel__"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          dimType = "click", obsType = "purchase")
+          .toDF("user_id", "purchase_id", "click_id")
+      }
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    // SOURCE COSINE SIMILARITY (r19): the L2 member of the
+    // slice-similarity family — beside TV (L1 shape, q389), Ruzicka
+    // (weighted Jaccard, volume-sensitive, q406), and min-overlap
+    // (q323). Cosine is shape-only like TV but co-magnitude-weighted:
+    // two sources dominated by the same head tokens score high even
+    // when their tails diverge, where TV charges every displaced
+    // token equally — a mix report wants both readouts. One
+    // co-occurrence equi-join for the dot product, per-source squared
+    // norms, dimension spine keeps disjoint pairs at 0; exact
+    // integers as digit strings, one mirrored sqrt/division.
+    // `TextAnalysis.sourceCosine`.
+    "q411_source_cosine" -> ((s, d) =>
+      graft.operators.TextAnalysis.sourceCosine(
+        Tables.documents(s, d), "source")
+        .orderBy("source_a", "source_b")),
+
+    // INTER-EVENT GAP BURSTINESS (r19): the dispersion scalar over
+    // the same per-user gap relation q407 reads at the deciles — the
+    // Fano factor (variance-to-mean) of the seconds between a user's
+    // consecutive events, per event type: ≈1 reads Poisson cadence,
+    // ≫1 reads clumped/sessionful arrivals (the q368 token readout,
+    // moved to the time axis). One user-partitioned lag window into
+    // the additive `Stats.fanoFromCounts` histogram fold — exact
+    // integer numerator as digits, one mirrored IEEE division, width
+    // budget enforced loud.
+    "q412_gap_burstiness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = ev.withColumn("__prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts_us - __prev) div 1000000").as("value"))
+      graft.operators.Stats.fanoFromCounts(
+        gaps.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c")),
+        "event_type")
+        .orderBy("event_type")
     })
   )
 
@@ -120,6 +259,90 @@ object R19Q {
 
     // q409: bounded jitter changes WHEN state flushes, never WHAT
     // replays — same batch windowed-funnel oracle as q204/q399
-    "q409_stream_funnel_jitter" -> ExtendedQ.oracles("q204_windowed_funnel")
+    "q409_stream_funnel_jitter" -> ExtendedQ.oracles("q204_windowed_funnel"),
+
+    // q410: same contract — jitter moves flush timing only
+    "q410_stream_sessions_jitter" -> ExtendedQ.oracles("q190_dynamic_sessions"),
+
+    // q413/q414: jitter moves flush timing only — the batch oracles
+    // of the full-disorder twins, unchanged
+    "q413_stream_markov_jitter" -> R17Q.oracles("q398_stream_markov_ooo"),
+    "q414_stream_asof_jitter" -> R18Q.oracles("q404_stream_asof_ooo"),
+
+    // mirrors q411: co-occurring dot mass + per-source squared norms,
+    // spine keeps disjoint pairs (the q389/q406 rule), exact digit
+    // strings, the same sqrt/division chain
+    "q411_source_cosine" ->
+      """WITH c AS (
+        |  SELECT source AS g, tok AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY g, v
+        |), n2 AS (
+        |  SELECT g,
+        |    CAST(SUM(CAST(CAST(c AS DECIMAL(14,0)) *
+        |      CAST(c AS DECIMAL(14,0)) AS DECIMAL(28,0)))
+        |      AS DECIMAL(28,0)) AS n2
+        |  FROM c GROUP BY g
+        |), co AS (
+        |  SELECT a.g AS source_a, b.g AS source_b,
+        |    CAST(SUM(CAST(CAST(a.c AS DECIMAL(14,0)) *
+        |      CAST(b.c AS DECIMAL(14,0)) AS DECIMAL(28,0)))
+        |      AS DECIMAL(28,0)) AS dot
+        |  FROM c a JOIN c b ON a.v = b.v AND a.g < b.g
+        |  GROUP BY a.g, b.g
+        |)
+        |SELECT p.source_a, p.source_b,
+        |  CAST(COALESCE(co.dot, 0) AS VARCHAR) AS dot_num,
+        |  CAST(p.na2 AS VARCHAR) AS na2_num,
+        |  CAST(p.nb2 AS VARCHAR) AS nb2_num,
+        |  CASE WHEN p.na2 > 0 AND p.nb2 > 0 THEN
+        |    CAST(COALESCE(co.dot, 0) AS DOUBLE) /
+        |      (sqrt(CAST(p.na2 AS DOUBLE)) * sqrt(CAST(p.nb2 AS DOUBLE)))
+        |  END AS cosine
+        |FROM (SELECT a.g AS source_a, b.g AS source_b,
+        |        a.n2 AS na2, b.n2 AS nb2
+        |      FROM n2 a JOIN n2 b ON a.g < b.g) p
+        |LEFT JOIN co ON co.source_a = p.source_a
+        |  AND co.source_b = p.source_b
+        |ORDER BY p.source_a, p.source_b""".stripMargin,
+
+    // mirrors q412: the q407 gap derivation into the q368 vmr chain
+    // with fanoFromCounts' widths (n D12, sv D19, sv2 D26 — n·sv2 and
+    // sv² both land exactly at the DECIMAL(38,0) cap)
+    "q412_gap_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |       ORDER BY ts_us, event_id)) // 1000000 AS v
+        |  FROM e
+        |), h AS (
+        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g WHERE v IS NOT NULL GROUP BY event_type, v
+        |), a AS (
+        |  SELECT event_type,
+        |    CAST(SUM(c) AS DECIMAL(12,0)) AS n,
+        |    CAST(SUM(CAST(CAST(v AS DECIMAL(7,0)) *
+        |      CAST(c AS DECIMAL(12,0)) AS DECIMAL(19,0)))
+        |      AS DECIMAL(19,0)) AS sv,
+        |    CAST(SUM(CAST(CAST(CAST(v AS DECIMAL(7,0)) *
+        |        CAST(v AS DECIMAL(7,0)) AS DECIMAL(14,0)) *
+        |      CAST(c AS DECIMAL(12,0)) AS DECIMAL(26,0)))
+        |      AS DECIMAL(26,0)) AS sv2
+        |  FROM h GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n * sv2 AS DECIMAL(38,0)) -
+        |    CAST(sv * sv AS DECIMAL(38,0)) AS VARCHAR) AS vmr_num,
+        |  CASE WHEN CAST(n * sv AS DECIMAL(31,0)) > 0 THEN
+        |    CAST(CAST(n * sv2 AS DECIMAL(38,0)) -
+        |      CAST(sv * sv AS DECIMAL(38,0)) AS DOUBLE) /
+        |    CAST(CAST(n * sv AS DECIMAL(31,0)) AS DOUBLE)
+        |  END AS vmr
+        |FROM a ORDER BY event_type""".stripMargin
   )
 }

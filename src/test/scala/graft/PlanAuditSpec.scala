@@ -213,7 +213,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q406 (r18): q389's bounded group-dimension pair spine (the
     // broadcast a<b self-cross that keeps disjoint pairs); the
     // value-sized work is the co-occurrence equi-join
-    "q406_source_ruzicka")
+    "q406_source_ruzicka",
+    // q411 (r19): the same bounded group-dimension pair spine (the
+    // q389/q406 allowance, cosine flavor — per-source squared-norm
+    // rows a<b self-crossed to keep disjoint pairs at 0); the
+    // value-sized work is the dot-product co-occurrence equi-join
+    "q411_source_cosine")
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(sideEffecting)
