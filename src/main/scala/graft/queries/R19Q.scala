@@ -13,6 +13,38 @@ import graft.queries.Qx._
   * oracle-gated against the BATCH queries' SQL, unchanged. */
 object R19Q {
 
+  private val stagedPosPostings =
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
+
+  /** One ingest batch's POSITIONAL postings fragment — (term, doc_id,
+    * pos) with pos the raw split index (empty tokens keep their slot,
+    * so adjacency is position arithmetic, exactly the oracle's
+    * generate_subscripts convention). Disjoint batches → each
+    * occurrence lands exactly once. */
+  private[graft] def positionalFragment(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** The MAINTAINED POSITIONAL postings index (r19) — the q405 family
+    * extended with token positions, the index shape PHRASE queries
+    * need: per-batch (term, doc_id, pos) fragments appended to a lake
+    * table; a phrase query reads ONLY its terms' postings and joins on
+    * (doc, pos+1) — term-pruned at cluster layout, never a corpus
+    * scan. Memoized per (session, sf). */
+  private def posPostingsArtifact(s: org.apache.spark.sql.SparkSession,
+                                  d: String): graft.lake.LakeTable =
+    stagedPosPostings.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
+      val docs = Tables.documents(s, d)
+      def frag(k: Int) =
+        positionalFragment(docs.filter(col("doc_id") % 4 === k))
+      val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-pospost")
+      (1 to 3).foreach(k => idx.append(frag(k)))
+      idx
+    }
+
   /** Shared read side of the streaming funnel faces (q399's shape):
     * depth is monotone under ordered replay, so max(depth) per user is
     * the final funnel depth; each step row is a scalar count so
@@ -223,6 +255,71 @@ object R19Q {
         Tables.documents(s, d), "source")
         .orderBy("source_a", "source_b")),
 
+    // STREAMING GAP BURSTINESS (r19): q412's cadence dispersion
+    // maintained in-stream — the `Stateful.GapBuffered` replay face
+    // (the TransitionBuffered shape carrying the time delta instead
+    // of the type pair, O(1) last-ts state) emits exact (type, gap)
+    // facts under hash-interleaved disorder, and the read side folds
+    // them through the same additive `fanoFromCounts` the batch query
+    // uses — the paths cannot drift. The sentinel key (-1) has one
+    // row, so it emits no gap and needs no filter. Must hash-match
+    // q412's batch oracle bit-exactly.
+    "q415_stream_gap_burstiness" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsSplitSentinel(
+        s, d, parts = 4, sentinelInterval = "46 DAYS")
+      val facts = graft.streaming.MicroBatch.updateRun(s, d,
+        inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.gapBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "45 days")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1))
+          .toDF("event_type", "value")
+      }
+      graft.operators.Stats.fanoFromCounts(
+        facts.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c")),
+        "event_type")
+        .orderBy("event_type")
+    }),
+
+    // POSITIONAL PHRASE RETRIEVAL (r19): the phrase-query face of the
+    // maintained-index family — q405's postings extended with token
+    // POSITIONS (`posPostingsArtifact`), so "spark join" resolves as
+    // one equi-join between the two terms' postings on (doc,
+    // pos+1 = pos): term-pruned reads, position arithmetic, never a
+    // corpus scan or a LIKE over text. Emits (doc_id, n_occ) with
+    // occurrence multiplicity. In-query proof (the q384/q405
+    // discipline): the postings-served relation must equal the
+    // full-scan zip_with adjacency count over `documents` EXACTLY.
+    "q416_phrase_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val post = posPostingsArtifact(s, d).snapshot()
+      val a = post.filter(col("term") === "spark")
+        .select(col("doc_id"), col("pos"))
+      val b = post.filter(col("term") === "join")
+        .select(col("doc_id").as("__d2"), col("pos").as("__p2"))
+      val served = a.join(b, col("doc_id") === col("__d2") &&
+          col("__p2") === col("pos") + lit(1L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_occ"))
+        .localCheckpoint(true)
+      val ws = split(col("text"), " ")
+      val scan = docs.select(col("doc_id"),
+          size(filter(zip_with(ws,
+            slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+            (x, y) => x === lit("spark") && y === lit("join")),
+            bcol => bcol)).cast("long").as("n_occ"))
+        .filter(col("n_occ") > 0)
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "postings-served phrase matches must equal the full-scan " +
+          "adjacency count")
+      served.orderBy("doc_id")
+    }),
+
     // INTER-EVENT GAP BURSTINESS (r19): the dispersion scalar over
     // the same per-user gap relation q407 reads at the deciles — the
     // Fano factor (variance-to-mean) of the seconds between a user's
@@ -251,7 +348,50 @@ object R19Q {
     })
   )
 
+  /** q412/q415 share this SQL — the gap facts are exact and the fold
+    * additive, so the streamed fragments reproduce the batch readout
+    * bit-exactly. Mirrors `Stats.fanoFromCounts`' widths (n D12, sv
+    * D19, sv2 D26 — n·sv2 and sv² both land exactly at the
+    * DECIMAL(38,0) cap). */
+  private lazy val gapBurstinessSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |       ORDER BY ts_us, event_id)) // 1000000 AS v
+      |  FROM e
+      |), h AS (
+      |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM g WHERE v IS NOT NULL GROUP BY event_type, v
+      |), a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c) AS DECIMAL(12,0)) AS n,
+      |    CAST(SUM(CAST(CAST(v AS DECIMAL(7,0)) *
+      |      CAST(c AS DECIMAL(12,0)) AS DECIMAL(19,0)))
+      |      AS DECIMAL(19,0)) AS sv,
+      |    CAST(SUM(CAST(CAST(CAST(v AS DECIMAL(7,0)) *
+      |        CAST(v AS DECIMAL(7,0)) AS DECIMAL(14,0)) *
+      |      CAST(c AS DECIMAL(12,0)) AS DECIMAL(26,0)))
+      |      AS DECIMAL(26,0)) AS sv2
+      |  FROM h GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(CAST(n * sv2 AS DECIMAL(38,0)) -
+      |    CAST(sv * sv AS DECIMAL(38,0)) AS VARCHAR) AS vmr_num,
+      |  CASE WHEN CAST(n * sv AS DECIMAL(31,0)) > 0 THEN
+      |    CAST(CAST(n * sv2 AS DECIMAL(38,0)) -
+      |      CAST(sv * sv AS DECIMAL(38,0)) AS DOUBLE) /
+      |    CAST(CAST(n * sv AS DECIMAL(31,0)) AS DOUBLE)
+      |  END AS vmr
+      |FROM a ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q415 min-folds to exactly the batch cadence readout
+    "q415_stream_gap_burstiness" -> gapBurstinessSql,
+    "q412_gap_burstiness" -> gapBurstinessSql,
     // q408 drains to exactly the sessions q190's batch dynamic
     // session_window derives — disorder inside the watermark is
     // re-sorted away before the step ever sees a row
@@ -268,6 +408,20 @@ object R19Q {
     // of the full-disorder twins, unchanged
     "q413_stream_markov_jitter" -> R17Q.oracles("q398_stream_markov_ooo"),
     "q414_stream_asof_jitter" -> R18Q.oracles("q404_stream_asof_ooo"),
+
+    // mirrors q416: raw split positions via generate_subscripts (same
+    // 0-vs-1-base offset cancels in the +1 adjacency), occurrence
+    // multiplicity per doc
+    "q416_phrase_match" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'spark' AND b.tok = 'join'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     // mirrors q411: co-occurring dot mass + per-source squared norms,
     // spine keeps disjoint pairs (the q389/q406 rule), exact digit
@@ -307,42 +461,5 @@ object R19Q {
         |  AND co.source_b = p.source_b
         |ORDER BY p.source_a, p.source_b""".stripMargin,
 
-    // mirrors q412: the q407 gap derivation into the q368 vmr chain
-    // with fanoFromCounts' widths (n D12, sv D19, sv2 D26 — n·sv2 and
-    // sv² both land exactly at the DECIMAL(38,0) cap)
-    "q412_gap_burstiness" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
-        |  FROM events
-        |), g AS (
-        |  SELECT event_type,
-        |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id
-        |       ORDER BY ts_us, event_id)) // 1000000 AS v
-        |  FROM e
-        |), h AS (
-        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM g WHERE v IS NOT NULL GROUP BY event_type, v
-        |), a AS (
-        |  SELECT event_type,
-        |    CAST(SUM(c) AS DECIMAL(12,0)) AS n,
-        |    CAST(SUM(CAST(CAST(v AS DECIMAL(7,0)) *
-        |      CAST(c AS DECIMAL(12,0)) AS DECIMAL(19,0)))
-        |      AS DECIMAL(19,0)) AS sv,
-        |    CAST(SUM(CAST(CAST(CAST(v AS DECIMAL(7,0)) *
-        |        CAST(v AS DECIMAL(7,0)) AS DECIMAL(14,0)) *
-        |      CAST(c AS DECIMAL(12,0)) AS DECIMAL(26,0)))
-        |      AS DECIMAL(26,0)) AS sv2
-        |  FROM h GROUP BY event_type
-        |)
-        |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(CAST(n * sv2 AS DECIMAL(38,0)) -
-        |    CAST(sv * sv AS DECIMAL(38,0)) AS VARCHAR) AS vmr_num,
-        |  CASE WHEN CAST(n * sv AS DECIMAL(31,0)) > 0 THEN
-        |    CAST(CAST(n * sv2 AS DECIMAL(38,0)) -
-        |      CAST(sv * sv AS DECIMAL(38,0)) AS DOUBLE) /
-        |    CAST(CAST(n * sv AS DECIMAL(31,0)) AS DOUBLE)
-        |  END AS vmr
-        |FROM a ORDER BY event_type""".stripMargin
   )
 }

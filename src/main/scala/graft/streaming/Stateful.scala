@@ -821,6 +821,34 @@ object Stateful {
       TimeMode.EventTime(), OutputMode.Update())(
       Encoders.product[(Long, Long, Long)])
 
+  /** INTER-EVENT GAP EMISSION under ordered replay (r19) — the
+    * [[TransitionBuffered]] shape carrying the TIME DELTA instead of
+    * the type pair: for each replayed row with a predecessor, emits
+    * (row's type, whole seconds since the key's previous event).
+    * State is O(1) (the last event's µs). The emitted facts feed the
+    * additive [[graft.operators.Stats.fanoFromCounts]] /
+    * decilesFromCounts histogram folds, so any pairwise-sequential
+    * dispersion statistic streams through the same skeleton — the
+    * q412/q407 readouts at steady-state cost. Exactly-once and final
+    * by construction (a processed gap can never be invalidated under
+    * the watermark contract). */
+  class GapBuffered(maxBufferedPerKey: Int = 1 << 22)
+      extends WatermarkOrderedReplay[Long, (String, Long)](
+        maxBufferedPerKey)(Encoders.scalaLong,
+        Encoders.product[(String, Long)]) {
+    protected def step(key: Long, st: Option[Long],
+                       row: (String, Long, Long)):
+        (Long, IterableOnce[(String, Long)]) =
+      (row._2, st.map(prev => (row._1, (row._2 - prev) / 1000000L)))
+  }
+
+  /** [[GapBuffered]] over a keyed WATERMARKED `(key, type, ts, id)`
+    * stream. */
+  def gapBuffered(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)])
+      : Dataset[(String, Long)] =
+    grouped.transformWithState(new GapBuffered(), TimeMode.EventTime(),
+      OutputMode.Update())(Encoders.product[(String, Long)])
+
   /** [[TransitionBuffered]] over a keyed WATERMARKED
     * `(key, type, ts, id)` stream. */
   def transitionBuffered(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)])

@@ -232,6 +232,21 @@ class WatermarkReplaySpec extends AnyFunSuite {
       assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
     }
 
+    test(s"gapBuffered ≡ batch lag-delta replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      val got = drain(batches)(Stateful.gapBuffered)
+        .map(r => (r.getString(0), r.getLong(1)))
+        .filterNot(_._1 == "s")
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._4))
+        ordered.zip(ordered.tail).map { case (p, c) =>
+          (c._2, (c._3 - p._3) / 1000000L)
+        }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == expect, s"seed $seed")
+    }
+
     test(s"transitionBuffered ≡ batch pair replay under bounded disorder (seed $seed)") {
       val (events, batches) = scenario(seed)
       val got = drain(batches)(Stateful.transitionBuffered)
