@@ -21,10 +21,9 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** The r19 slowest set — from the round-open 407-query sf0.1 run
-    * (477.6 s median / 424.0 s min, load 1.04→1.74;
-    * bench_r19_open.json) plus the two new r19 sentinel drains
-    * (q408/q409, same lifecycle class as q399/q404) — and five
+  /** The r19 slowest-12 — from the round's FINAL 416-query sf0.1 run
+    * (523.2 s median / 449.3 s min, load 1.02→3.23; now dominated by
+    * the deliberate full-disorder/jittered replay drains) — plus five
     * cross-surface controls (relational agg, star join, brute-force
     * cosine, dedup clusters, staged IVF; q09/q11/q37 double as the
     * box-weather controls PERF.md's Round-19 adjudication tracks).
@@ -34,13 +33,12 @@ object Bench {
     * BOTH the median and min maps — stays inside the driver's ~2 KB
     * tail capture. */
   val headline: Seq[String] = Seq(
-    "q269_stream_cdc_asof", "q360_containment_incremental",
-    "q333_setsim_incremental", "q290_incremental_entities",
-    "q383_stream_scd2_jitter",
-    "q399_stream_funnel_ooo", "q404_stream_asof_ooo",
-    "q382_stream_scd2_ooo", "q398_stream_markov_ooo",
-    "q254_incremental_rollup", "q408_stream_sessions_ooo",
-    "q409_stream_funnel_jitter",
+    "q413_stream_markov_jitter", "q409_stream_funnel_jitter",
+    "q383_stream_scd2_jitter", "q360_containment_incremental",
+    "q414_stream_asof_jitter", "q399_stream_funnel_ooo",
+    "q410_stream_sessions_jitter", "q398_stream_markov_ooo",
+    "q404_stream_asof_ooo", "q382_stream_scd2_ooo",
+    "q290_incremental_entities", "q269_stream_cdc_asof",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;
