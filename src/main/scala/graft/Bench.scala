@@ -33,12 +33,12 @@ object Bench {
     * BOTH the median and min maps — stays inside the driver's ~2 KB
     * tail capture. */
   val headline: Seq[String] = Seq(
-    "q413_stream_markov_jitter", "q409_stream_funnel_jitter",
-    "q383_stream_scd2_jitter", "q360_containment_incremental",
-    "q414_stream_asof_jitter", "q399_stream_funnel_ooo",
-    "q410_stream_sessions_jitter", "q398_stream_markov_ooo",
-    "q404_stream_asof_ooo", "q382_stream_scd2_ooo",
-    "q290_incremental_entities", "q269_stream_cdc_asof",
+    "q383_stream_scd2_jitter", "q409_stream_funnel_jitter",
+    "q413_stream_markov_jitter", "q414_stream_asof_jitter",
+    "q240_profile", "q360_containment_incremental",
+    "q410_stream_sessions_jitter", "q415_stream_gap_burstiness",
+    "q399_stream_funnel_ooo", "q269_stream_cdc_asof",
+    "q382_stream_scd2_ooo", "q398_stream_markov_ooo",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;

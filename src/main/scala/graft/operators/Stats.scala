@@ -1521,23 +1521,47 @@ object Stats {
             "quantization"))))
         .otherwise(col("value")))
     val d7 = DecimalType(7, 0)
-    guarded.groupBy(col(groupCol)).agg(
-        sum(col("c")).cast(d12).as("__n"),
-        sum((col("value").cast(d7) * col("c").cast(d12)).cast(d19))
-          .cast(d19).as("__sv"),
-        sum(((col("value").cast(d7) * col("value").cast(d7)).cast(d14) *
-          col("c").cast(d12)).cast(d26)).cast(d26).as("__sv2"))
-      .select(col(groupCol),
-        col("__n").cast("long").as("n"),
+    val d20 = DecimalType(20, 0)
+    // WIDE first pass (every per-row product and per-group sum fits
+    // its width for ANY long-typed c: c ≤ 9.3·10¹⁸ ⇒ v·c < 10²⁶ ⊂ D27,
+    // v²·c < 10³³ ⊂ D34), THEN the budget gate — summing in the final
+    // widths directly would silently NULL past them (GraftSession runs
+    // ANSI off; Spark decimal overflow is a silent NULL while the
+    // mirrored DuckDB cast errors — the engine/oracle-divergence class
+    // this fold must fail loud on, review finding r19)
+    val wide = guarded.groupBy(col(groupCol)).agg(
+      sum(col("c").cast(d20)).as("__n0"),
+      sum((col("value").cast(d7) * col("c").cast(d20))
+        .cast(DecimalType(27, 0))).as("__sv0"),
+      sum(((col("value").cast(d7) * col("value").cast(d7)).cast(d14) *
+        col("c").cast(d20)).cast(DecimalType(34, 0))).as("__sv20"))
+    val inBudget = wide.withColumn("__ok",
+      when(col("__n0").isNotNull && col("__sv0").isNotNull &&
+          col("__sv20").isNotNull && col("__n0") < lit(1000000000000L),
+        lit(1))
+        .otherwise(raise_error(concat(
+          lit("fanoFromCounts: per-group count exceeds the 10^12 " +
+            "width budget (or a wide sum overflowed) for group "),
+          col(groupCol).cast("string"),
+          lit(" — n·sv2 must fit DECIMAL(38,0); shard the group or " +
+            "rescale the quantization")))))
+      .filter(col("__ok") === 1)
+      // safe downcasts under the gate: n < 10¹², |v| < 10⁷ ⇒
+      // |sv| < 10¹⁹ ⊂ D19 and sv2 < 10²⁶ ⊂ D26
+      .select(col(groupCol), col("__n0").cast(d12).as("__n"),
+        col("__sv0").cast(d19).as("__sv"),
+        col("__sv20").cast(d26).as("__sv2"))
+    inBudget.select(col(groupCol),
+      col("__n").cast("long").as("n"),
+      ((col("__n") * col("__sv2")).cast(d38) -
+        (col("__sv") * col("__sv")).cast(d38))
+        .cast("string").as("vmr_num"),
+      when((col("__n") * col("__sv")).cast(DecimalType(31, 0)) > 0,
         ((col("__n") * col("__sv2")).cast(d38) -
-          (col("__sv") * col("__sv")).cast(d38))
-          .cast("string").as("vmr_num"),
-        when((col("__n") * col("__sv")).cast(DecimalType(31, 0)) > 0,
-          ((col("__n") * col("__sv2")).cast(d38) -
-            (col("__sv") * col("__sv")).cast(d38)).cast("double") /
-            (col("__n") * col("__sv")).cast(DecimalType(31, 0))
-              .cast("double"))
-          .as("vmr"))
+          (col("__sv") * col("__sv")).cast(d38)).cast("double") /
+          (col("__n") * col("__sv")).cast(DecimalType(31, 0))
+            .cast("double"))
+        .as("vmr"))
   }
 
   /** Fail-loud side indicator for the two-sample statistics (r18,

@@ -173,18 +173,9 @@ object R18Q {
           withinUs = Seq(86400L * 1000000L, 86400L * 1000000L))
           .toDF("user_id", "depth")
       }
-      // depth is monotone under ordered replay, so max(depth) per user
-      // is the final funnel depth; each step row is a scalar count so
-      // zero-converted steps still emit (the q200/q204 shape rule)
-      val depths = sink.filter(col("user_id") >= 0)
-        .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
-        .localCheckpoint(true)
-      Seq("view", "click", "purchase").zipWithIndex.map { case (name, i) =>
-        depths.filter(col("depth") >= i + 1)
-          .agg(count(lit(1)).as("n_users"))
-          .select(lit(s"${i + 1}_$name").as("step"),
-            col("n_users").cast("long").as("n_users"))
-      }.reduce(_ unionByName _).orderBy("step")
+      // shared read side with the jittered face (R19Q.funnelRollup):
+      // max(depth) per user, per-step scalar counts
+      R19Q.funnelRollup(sink, Seq("view", "click", "purchase"))
     }),
 
     // STREAMING SEQUENCE SUPPORT (r18): q395's 2-step behavior

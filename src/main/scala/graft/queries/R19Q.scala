@@ -45,12 +45,15 @@ object R19Q {
       idx
     }
 
-  /** Shared read side of the streaming funnel faces (q399's shape):
+  /** Shared read side of the streaming funnel faces (q399/q409):
     * depth is monotone under ordered replay, so max(depth) per user is
     * the final funnel depth; each step row is a scalar count so
-    * zero-converted steps still emit (the q200/q204 shape rule). */
-  private def funnelRollup(sink: DataFrame,
-                           steps: Seq[String]): DataFrame = {
+    * zero-converted steps still emit (the q200/q204 shape rule).
+    * private[queries]: q399 (R18Q) folds through the SAME body so the
+    * full-disorder and jittered faces cannot drift (review finding
+    * r19). */
+  private[queries] def funnelRollup(sink: DataFrame,
+                                    steps: Seq[String]): DataFrame = {
     val depths = sink.filter(col("user_id") >= 0)
       .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
       .localCheckpoint(true)

@@ -61,7 +61,14 @@ object PlanAuditSets {
     "q348_containment_join",
     // q405: appends the staged postings index + proves served ≡ scan
     // by except at build (the q384/q392 discipline)
-    "q405_postings_topk")
+    "q405_postings_topk",
+    // r19 (review finding): the six new replay drains, plus q416
+    // which appends the staged positional-postings index and proves
+    // served ≡ scan by except at build (the q405 discipline)
+    "q408_stream_sessions_ooo", "q409_stream_funnel_jitter",
+    "q410_stream_sessions_jitter", "q413_stream_markov_jitter",
+    "q414_stream_asof_jitter", "q415_stream_gap_burstiness",
+    "q416_phrase_match")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a
