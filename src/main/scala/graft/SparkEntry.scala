@@ -29,7 +29,8 @@ object SparkEntry {
     (q.R16Q.queries, q.R16Q.oracles),
     (q.R17Q.queries, q.R17Q.oracles),
     (q.R18Q.queries, q.R18Q.oracles),
-    (q.R19Q.queries, q.R19Q.oracles)
+    (q.R19Q.queries, q.R19Q.oracles),
+    (q.R20Q.queries, q.R20Q.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1514,7 +1514,12 @@ object Stats {
         "fanoFromCounts: NULL value row in the histogram — NULL sort " +
           "order diverges across engines; filter or coalesce the " +
           "value column upstream")))
-        .when(abs(col("value")) >= 10000000L, raise_error(concat(
+        // two-sided compare, NOT abs(): abs(Long.MinValue) overflows
+        // (ANSI off) back to a negative and would bypass this gate —
+        // the row would still die on the null gate below, but with the
+        // wrong named error (ADVICE r19)
+        .when(col("value") <= -10000000L || col("value") >= 10000000L,
+          raise_error(concat(
           lit("fanoFromCounts: |value| exceeds the 10^7 width budget ("),
           col("value").cast("string"),
           lit(") — n·sv2 must fit DECIMAL(38,0); rescale the " +

@@ -1100,17 +1100,43 @@ object TextAnalysis {
 
   /** [[sourceCosine]] over pre-counted (group, value, c) fragments —
     * additive like [[tvFromCounts]]/[[ruzickaFromCounts]]. Width
-    * budget: per-(group, value) counts < 10¹⁴, so products sit in
-    * DECIMAL(28,0) and sums in DECIMAL(28,0) under a 10¹⁴-row bound
-    * per group — documented like the q368 chain. */
+    * budget, ENFORCED LOUD (r20 — ADVICE r19): per-(group, value)
+    * counts must sit below 10¹⁴ (so every product fits DECIMAL(28,0)
+    * exactly) and the summed squared-norm/dot sums must not overflow
+    * their DECIMAL(38,0) accumulators — with ANSI off a decimal
+    * overflow is a silent NULL in Spark while the mirrored DuckDB
+    * cast errors, the exact engine/oracle-divergence class
+    * [[graft.operators.Stats.fanoFromCounts]] fails loud on. The
+    * merged per-cell counts sum in DECIMAL(20,0) first (exact for any
+    * long inputs), gate, then downcast. */
   def cosineFromCounts(frags: DataFrame, groupCol: String): DataFrame = {
     val d14 = DecimalType(14, 0)
+    val d20 = DecimalType(20, 0)
     val d28 = DecimalType(28, 0)
     val counts = frags.groupBy(col(groupCol), col("value"))
-      .agg(sum(col("c")).cast("long").as("__c"))
+      .agg(sum(col("c").cast(d20)).as("__c0"))
+      .withColumn("__c",
+        when(col("__c0").isNull ||
+            col("__c0") <= lit(-100000000000000L) ||
+            col("__c0") >= lit(100000000000000L), raise_error(concat(
+          lit("cosineFromCounts: per-(group, value) count exceeds the " +
+            "10^14 width budget ("),
+          col("__c0").cast("string"),
+          lit(") — products must fit DECIMAL(28,0) exactly; shard the " +
+            "group or rescale the counts"))))
+          .otherwise(col("__c0").cast("long")))
+      .select(col(groupCol), col("value"), col("__c"))
+    // sums stay at the natural Sum width D38 (p+10 capped); the gates
+    // below turn a D38 overflow NULL into the named loud failure
+    def gateSum(c: Column, what: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"cosineFromCounts: $what sum overflowed DECIMAL(38,0) — " +
+          "shard the group or rescale the counts"))).otherwise(c)
     val n2 = counts.groupBy(col(groupCol))
       .agg(sum((col("__c").cast(d14) * col("__c").cast(d14)).cast(d28))
-        .cast(d28).as("__n2"))
+        .as("__n20"))
+      .select(col(groupCol),
+        gateSum(col("__n20"), "squared-norm").as("__n2"))
     val a = counts.select(col(groupCol).as("source_a"),
       col("value").as("__tok"), col("__c").as("ca"))
     val b = counts.select(col(groupCol).as("source_b"),
@@ -1119,7 +1145,12 @@ object TextAnalysis {
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(sum((col("ca").cast(d14) * col("cb").cast(d14)).cast(d28))
-        .cast(d28).as("__dot"))
+        .as("__dot0"))
+      // NULL here can only be overflow (≥1 non-null product per
+      // group) — gate BEFORE the left join, where NULL legitimately
+      // means a disjoint pair
+      .select(col("source_a"), col("source_b"),
+        gateSum(col("__dot0"), "dot-product").as("__dot"))
     val spine = n2.select(col(groupCol).as("source_a"),
         col("__n2").as("na2"))
       .join(broadcast(n2.select(col(groupCol).as("source_b"),

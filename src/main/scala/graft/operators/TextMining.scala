@@ -155,6 +155,67 @@ object TextMining {
       .agg(concat_ws(",", array_sort(collect_list(col("signed_value")))).as("vals"))
   }
 
+  /** ARBITRARY-ARITY POSITIONAL PHRASE MATCHING over a (term, doc_id,
+    * pos) postings relation (r20 — VERDICT r19 next #1, the q405
+    * arity discipline applied to phrases): an n-term phrase is the
+    * first term's postings narrowed by n−1 POSITION-ARITHMETIC
+    * equi-joins — term k must sit at (same doc, anchor pos + k).
+    * Returns (doc_id, n_occ) with occurrence MULTIPLICITY (one match
+    * row per anchor position, so overlapping matches of a
+    * self-repeating phrase each count). Every join is an equi-join on
+    * (doc_id, pos + k = pos) — on a term-partitioned cluster layout
+    * each term's postings is a partition-pruned point read and the
+    * joins shuffle only the matched anchors, never the corpus; the
+    * intermediate relation SHRINKS monotonically (each join can only
+    * drop anchors), so the longest phrase is the cheapest tail.
+    * Repeated phrase terms are fine: postings carry one row per
+    * occurrence position, so each filtered side stays a set.
+    *
+    * This is the exact-adjacency strengthening of the reference's
+    * keyword containment retrieval
+    * (/root/reference/dags/get_data/kpis_search.py:48-50). */
+  def phraseMatch(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phraseMatch: phrase must have >= 1 term")
+    require(terms.forall(_.nonEmpty),
+      s"phraseMatch: empty term in $terms — postings never carry the " +
+        "empty token, so the phrase would silently match nothing")
+    val base = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val anchors = terms.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (t, i)) =>
+        val ti = postings.filter(col("term") === t)
+          .select(col("doc_id").as(s"__d$i"), col("pos").as(s"__p$i"))
+        acc.join(ti, col("doc_id") === col(s"__d$i") &&
+            col(s"__p$i") === col("pos") + lit(i.toLong))
+          .select(col("doc_id"), col("pos"))
+    }
+    anchors.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occ"))
+  }
+
+  /** The FULL-SCAN twin of [[phraseMatch]] — the same (doc_id, n_occ)
+    * relation derived by direct adjacency counting over (doc_id,
+    * text), used by the served≡scan in-query proofs (the q384/q405
+    * discipline). Docs shorter than the phrase count 0 and are
+    * filtered; anchor positions are 1-based `split` slots (empty
+    * tokens keep their slot — the postings builder's convention, so
+    * both sides quantify over identical position arithmetic). */
+  def phraseScan(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phraseScan: phrase must have >= 1 term")
+    val n = terms.size
+    val ws = split(col("text"), " ")
+    // sequence(1, k) DESCENDS when k < 1 (it would fabricate anchor
+    // 0 and 1 on short docs) — guard the short-doc case to 0 matches
+    val anchorCount = when(size(ws) >= n,
+      size(filter(sequence(lit(1), size(ws) - lit(n - 1)), p =>
+        terms.zipWithIndex.map { case (t, i) =>
+          element_at(ws, (p + lit(i)).cast("int")) === lit(t)
+        }.reduce(_ && _))))
+      .otherwise(lit(0))
+    docs.select(col("doc_id"), anchorCount.cast("long").as("n_occ"))
+      .filter(col("n_occ") > 0)
+  }
+
   /** F8 keyword trim (texteExtract.py:66-71): the sentence containing
     * the keyword, cut to start 3 words before the keyword's first word. */
   def keywordTrim(sents: DataFrame, keyword: String): DataFrame = {

@@ -35,7 +35,7 @@ object R18Q {
     * query reads ONLY its terms' postings — on a term-partitioned
     * cluster layout that is a partition-pruned point read, never a
     * corpus scan. Memoized per (session, sf). */
-  private def postingsArtifact(s: org.apache.spark.sql.SparkSession,
+  private[queries] def postingsArtifact(s: org.apache.spark.sql.SparkSession,
                                d: String): graft.lake.LakeTable =
     stagedPostings.getOrBuild(
       s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
@@ -71,65 +71,18 @@ object R18Q {
     // computation over `documents` EXACTLY, pre-top-k — on a ≥3-term
     // query the proof now also pins the fold-order discipline.
     "q405_postings_topk" -> ((s, d) => {
+      // since r20 served through graft.operators.Retrieval (the
+      // scoring chains extracted verbatim — same fold, same proof)
       val docs = Tables.documents(s, d)
       val postings = postingsArtifact(s, d).snapshot()
       val stats = graft.queries.R17Q.bm25FoldedIndex(s, d)
       val qterms = Seq("data", "join", "spark") // already term-sorted
-      val dfRel = stats.filter(col("kind") === "df" &&
-          col("term").isin(qterms.map(x => x: Any): _*))
-        .select(col("term"), col("v").as("df"))
-      val one = stats.agg(
-        max(when(col("kind") === "stats" && col("term") === "n_docs",
-          col("v"))).as("n_docs"),
-        max(when(col("kind") === "stats" && col("term") === "sum_len",
-          col("v"))).as("sum_len"))
-      val avgLen = col("sum_len").cast("double") / col("n_docs").cast("double")
-      val contrib =
-        ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))) *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("len").cast("double") / avgLen)))
-      val served = postings
-        .filter(col("term").isin(qterms.map(x => x: Any): _*))
-        .join(broadcast(dfRel), "term")
-        .crossJoin(broadcast(one))
-        .withColumn("__c", contrib)
-        .groupBy(col("doc_id"))
-        // deterministic term-ordered fold: terms are unique per doc,
-        // sort_array orders the (term, c) structs by term, and the
-        // HOF left-folds from 0.0 — the one explicitly-ordered IEEE
-        // chain discipline the registry's analytics use
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("term"), col("__c")))),
-          lit(0.0d), (acc, x) => acc + x.getField("__c")).as("score"))
+      val served = graft.operators.Retrieval
+        .bm25Served(postings, stats, qterms)
         .localCheckpoint(true)
       // proof: postings-served ≡ full scan (q392's chain over ALL
       // docs, summed in the same term-sorted order from the same seed)
-      val base = docs
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .select(Seq(col("doc_id"),
-          size(col("ws")).cast("double").as("blen")) ++
-          qterms.zipWithIndex.map { case (t, i) =>
-            size(filter(col("ws"), w => w === t)).cast("double").as(s"tf$i")
-          }: _*)
-      def term(tf: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column) =
-        ((col("n_docs").cast("double") - dfc.cast("double") + lit(0.5)) /
-          (dfc.cast("double") + lit(0.5))) *
-          ((tf * lit(2.2)) /
-            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("blen") / avgLen)))
-      val dfs = qterms.zipWithIndex.map { case (t, i) =>
-        stats.filter(col("kind") === "df" && col("term") === t)
-          .select(col("v").as(s"df$i"))
-      }
-      val scan = dfs.foldLeft(base.crossJoin(broadcast(one))) {
-          (acc, dfi) => acc.crossJoin(broadcast(dfi))
-        }
-        .withColumn("score", qterms.indices.foldLeft(lit(0.0d)) {
-          (acc, i) => acc + term(col(s"tf$i"), col(s"df$i"))
-        })
-        .filter(col("score") > 0)
-        .select(col("doc_id"), col("score"))
+      val scan = graft.operators.Retrieval.bm25Scan(docs, stats, qterms)
       require(served.except(scan).isEmpty && scan.except(served).isEmpty,
         "postings-served scores must equal the full-scan computation")
       served.orderBy(desc("score"), asc("doc_id")).limit(20)

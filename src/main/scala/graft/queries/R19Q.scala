@@ -33,7 +33,7 @@ object R19Q {
     * table; a phrase query reads ONLY its terms' postings and joins on
     * (doc, pos+1) — term-pruned at cluster layout, never a corpus
     * scan. Memoized per (session, sf). */
-  private def posPostingsArtifact(s: org.apache.spark.sql.SparkSession,
+  private[queries] def posPostingsArtifact(s: org.apache.spark.sql.SparkSession,
                                   d: String): graft.lake.LakeTable =
     stagedPosPostings.getOrBuild(
       s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "documents")) {
@@ -49,20 +49,30 @@ object R19Q {
     * depth is monotone under ordered replay, so max(depth) per user is
     * the final funnel depth; each step row is a scalar count so
     * zero-converted steps still emit (the q200/q204 shape rule).
-    * private[queries]: q399 (R18Q) folds through the SAME body so the
+    * private[graft]: q399 (R18Q) folds through the SAME body so the
     * full-disorder and jittered faces cannot drift (review finding
-    * r19). */
-  private[queries] def funnelRollup(sink: DataFrame,
+    * r19); R20Spec drives the empty-sink shape directly. */
+  private[graft] def funnelRollup(sink: DataFrame,
                                     steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelRollup: steps must be non-empty")
     val depths = sink.filter(col("user_id") >= 0)
       .groupBy(col("user_id")).agg(max(col("depth")).as("depth"))
-      .localCheckpoint(true)
-    steps.zipWithIndex.map { case (name, i) =>
-      depths.filter(col("depth") >= i + 1)
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit(s"${i + 1}_$name").as("step"),
-          col("n_users").cast("long").as("n_users"))
-    }.reduce(_ unionByName _).orderBy("step")
+    // ONE conditional aggregate + unpivot (r20 — VERDICT r19 wrong
+    // #2): the per-step converted counts are |steps| conditional
+    // count() columns of a single global aggregate (count, not sum —
+    // a zero-user sink must still emit 0 per step, the q200/q204
+    // shape rule), exploded back to (step, n_users) rows. One job
+    // instead of |steps| job rounds over the sink.
+    val agged = depths.agg(
+      count(when(col("depth") >= 1, lit(1))).as("__n0"),
+      steps.indices.drop(1).map(i =>
+        count(when(col("depth") >= i + 1, lit(1))).as(s"__n$i")): _*)
+    agged.select(explode(array(steps.zipWithIndex.map { case (name, i) =>
+        struct(lit(s"${i + 1}_$name").as("step"),
+          col(s"__n$i").cast("long").as("n_users"))
+      }: _*)).as("kv"))
+      .select(col("kv.step").as("step"), col("kv.n_users").as("n_users"))
+      .orderBy("step")
   }
 
   val queries: Map[String, Q] = Map(
@@ -299,24 +309,15 @@ object R19Q {
     // discipline): the postings-served relation must equal the
     // full-scan zip_with adjacency count over `documents` EXACTLY.
     "q416_phrase_match" -> ((s, d) => {
+      // since r20 served through the extracted arbitrary-arity
+      // operator (VERDICT r19 wrong #1) — same phrase, same relation
       val docs = Tables.documents(s, d)
       val post = posPostingsArtifact(s, d).snapshot()
-      val a = post.filter(col("term") === "spark")
-        .select(col("doc_id"), col("pos"))
-      val b = post.filter(col("term") === "join")
-        .select(col("doc_id").as("__d2"), col("pos").as("__p2"))
-      val served = a.join(b, col("doc_id") === col("__d2") &&
-          col("__p2") === col("pos") + lit(1L))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("long").as("n_occ"))
+      val served = graft.operators.TextMining
+        .phraseMatch(post, Seq("spark", "join"))
         .localCheckpoint(true)
-      val ws = split(col("text"), " ")
-      val scan = docs.select(col("doc_id"),
-          size(filter(zip_with(ws,
-            slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-            (x, y) => x === lit("spark") && y === lit("join")),
-            bcol => bcol)).cast("long").as("n_occ"))
-        .filter(col("n_occ") > 0)
+      val scan = graft.operators.TextMining
+        .phraseScan(docs, Seq("spark", "join"))
       require(served.except(scan).isEmpty && scan.except(served).isEmpty,
         "postings-served phrase matches must equal the full-scan " +
           "adjacency count")

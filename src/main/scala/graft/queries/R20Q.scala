@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Qx._
+
+/** Round-20 additions — the retrieval composition wave (arbitrary-arity
+  * phrase matching through the extracted operator, proximity-aware BM25
+  * over BOTH maintained indexes, a compaction story for maintained
+  * index artifacts with a served-identical proof) and the replay
+  * skeleton's SIXTH face (sliding-window rate — the first whose replay
+  * state is a time-keyed bounded collection with eviction inside the
+  * state value). All oracle-gated. */
+object R20Q {
+
+  val queries: Map[String, Q] = Map(
+
+    // ARBITRARY-ARITY POSITIONAL PHRASE RETRIEVAL (r20 — VERDICT r19
+    // next #1): q416's phrase face generalized past its hardcoded
+    // 2-term join — a THREE-term phrase served through the extracted
+    // `TextMining.phraseMatch` (n−1 position-arithmetic equi-joins
+    // over the maintained (term, doc, pos) postings artifact, anchors
+    // shrinking monotonically), with occurrence multiplicity and the
+    // served≡scan adjacency proof retained (`TextMining.phraseScan`).
+    // Reference anchor: the keyword-containment retrieval shape at
+    // dags/get_data/kpis_search.py:48-50 — phrase is its
+    // exact-adjacency strengthening.
+    "q417_phrase_trigram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val post = R19Q.posPostingsArtifact(s, d).snapshot()
+      val phrase = Seq("big", "order", "scan")
+      val served = graft.operators.TextMining.phraseMatch(post, phrase)
+        .localCheckpoint(true)
+      val scan = graft.operators.TextMining.phraseScan(docs, phrase)
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "postings-served trigram matches must equal the full-scan " +
+          "adjacency count")
+      served.orderBy("doc_id")
+    }),
+
+    // PROXIMITY-AWARE BM25 TOP-K (r20 — VERDICT r19 next #2): the
+    // composition both maintained indexes exist FOR — the q405 BM25
+    // fold (postings + stats indexes, term-sorted deterministic
+    // aggregate() chain) PLUS a positional proximity term per
+    // consecutive query-term pair from the (term, doc, pos) index:
+    // 1/(1 + min |Δpos|), exactly +0.0 when a pair is absent (the
+    // bit-exact identity the chain discipline rests on), added in
+    // fixed pair order. Every served read is term-pruned; the pair
+    // space is per-doc tf·tf, occurrence-bounded. In-query proof:
+    // the fully-composed served relation must equal the full-scan
+    // computation (bm25Scan + minPairGapScan) EXACTLY, pre-top-k;
+    // the oracle mirrors the whole addition chain token-for-token.
+    "q418_proximity_topk" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val docs = Tables.documents(s, d)
+      val postings = R18Q.postingsArtifact(s, d).snapshot()
+      val positional = R19Q.posPostingsArtifact(s, d).snapshot()
+      val stats = R17Q.bm25FoldedIndex(s, d)
+      val qterms = Seq("data", "join", "spark") // term-sorted
+      val pairs = qterms.zip(qterms.tail) // consecutive query pairs
+      def compose(bm: DataFrame, gapOf: (String, String) => DataFrame) = {
+        val joined = pairs.zipWithIndex.foldLeft(bm) {
+          case (acc, ((a, b), k)) =>
+            acc.join(gapOf(a, b)
+              .select(col("doc_id"), col("gap").as(s"__g$k")),
+              Seq("doc_id"), "left")
+        }
+        joined.select(col("doc_id"),
+          pairs.indices.foldLeft(col("score")) { (acc, k) =>
+            acc + Retrieval.proximityTerm(col(s"__g$k"))
+          }.as("score"))
+      }
+      val served = compose(
+        Retrieval.bm25Served(postings, stats, qterms),
+        (a, b) => Retrieval.minPairGap(positional, a, b))
+        .localCheckpoint(true)
+      val scan = compose(
+        Retrieval.bm25Scan(docs, stats, qterms),
+        (a, b) => Retrieval.minPairGapScan(docs, a, b))
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "index-served proximity scores must equal the full-scan " +
+          "computation")
+      served.orderBy(desc("score"), asc("doc_id")).limit(20)
+    }),
+
+    // MAINTAINED-INDEX COMPACTION (r20 — VERDICT r19 next #3): the
+    // maintenance story for the maintained index artifacts — a
+    // production feed accrues one small-file commit per ingest batch,
+    // and the q227 OPTIMIZE machinery must run OVER the index without
+    // disturbing a single served read. A fresh positional postings
+    // index (4 ingest commits × 4-way writes = 16 small files) exports
+    // its full history to the Delta log, serves a phrase read, is
+    // bin-packed to ONE file (reads identical before/after — the
+    // served≡served proof), vacuums the 16 tombstoned originals, and
+    // the compacted single-file read still equals the full-scan
+    // adjacency truth. File count collapsed 16 → 1 is asserted, not
+    // assumed.
+    "q419_index_compaction" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // fresh (non-memoized) index — this query rewrites its layout
+      def frag(k: Int) = R19Q.positionalFragment(
+        docs.filter(col("doc_id") % 4 === k)).repartition(4)
+      val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-pcq")
+      (1 to 3).foreach(k => idx.append(frag(k)))
+      val dest = Qx.tempDir("graft-pc-q").resolve("t")
+      val nCommits = graft.lake.DeltaInterop.exportHistory(idx, dest)
+      require(nCommits == 4, s"expected 4 exported commits, got $nCommits")
+      val phrase = Seq("order", "scan")
+      def serve() = graft.operators.TextMining.phraseMatch(
+        graft.lake.DeltaInterop.readDelta(s, dest), phrase)
+        .localCheckpoint(true)
+      val pre = serve()
+      val res = graft.lake.DeltaInterop.optimize(s, dest)
+      require(res.compactedFiles == 16 && res.newFiles == 1 &&
+        res.carriedFiles == 0,
+        s"expected the index's 16 ingest files packed into 1, got $res")
+      val post = serve()
+      require(pre.except(post).isEmpty && post.except(pre).isEmpty,
+        "the served phrase read must be identical pre/post compaction")
+      val vacuumed = graft.lake.DeltaInterop.vacuumDelta(s, dest)
+      require(vacuumed == 16,
+        s"vacuum must reclaim exactly the 16 tombstoned ingest files, " +
+          s"got $vacuumed")
+      val scan = graft.operators.TextMining.phraseScan(docs, phrase)
+      require(post.except(scan).isEmpty && scan.except(post).isEmpty,
+        "the compacted single-file read must still equal the full-scan " +
+          "adjacency count")
+      post.orderBy("doc_id")
+    }),
+
+    // OUT-OF-ORDER STREAMING SLIDING-WINDOW RATE (r20 — VERDICT r19
+    // next #4, the SIXTH replay face): for every event, the count of
+    // the user's events in the trailing 24 h — the per-key rate
+    // primitive under burst/anomaly detection, and the first face
+    // whose replay state is a TIME-KEYED BOUNDED COLLECTION (the ring
+    // of in-window timestamps, evicted INSIDE the state value as the
+    // window slides). Under arrival disorder the batch twin (a
+    // (ts, id) row_number minus a RANGE-framed prefix count) is not
+    // incrementally maintainable — a late row retro-inflates every
+    // window it lands in; under watermark-ordered replay eviction is
+    // a dropWhile over an ascending ring. Hash-interleaved 4-batch
+    // drain + sentinel; the per-event (user, event, n) emissions fold
+    // to the per-user PEAK rate (+ the smallest event id achieving
+    // it) and must hash-match the batch two-window oracle.
+    // `Stateful.RateBuffered`.
+    "q420_stream_rate_ooo" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsSplitSentinel(
+        s, d, parts = 4, sentinelInterval = "46 DAYS")
+      val sink = graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.rateBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "45 days")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          windowUs = 86400L * 1000000L)
+          .toDF("user_id", "event_id", "n")
+      }
+      rapPeakRollup(sink)
+    }),
+
+    // BOUNDED-JITTER STREAMING SLIDING-WINDOW RATE (r20): q420's
+    // processor under the steady-state arrival contract (≤6 h jitter,
+    // 6 chronological-by-arrival batches, 7 h delay — the q383/q409
+    // treatment), completing the full-disorder/bounded-jitter DUALITY
+    // for the sixth face on arrival. The 24 h ring spans flush
+    // boundaries (median inter-event gap ≈7 h), so ring state grows,
+    // partially evicts, and re-arms across REPEATED mid-drain partial
+    // flushes. Same batch two-window oracle, bit-exact.
+    "q421_stream_rate_jitter" -> ((s, d) => {
+      val in = graft.streaming.MicroBatch.stageEventsJitteredSentinel(
+        s, d, parts = 6, maxJitterSecs = 21600L,
+        sentinelInterval = "8 HOURS")
+      val sink = graft.streaming.MicroBatch.updateRun(s, d, inDir = Some(in),
+        conf = graft.streaming.Stateful.rocksDBConf) { stream =>
+        import s.implicits._
+        graft.streaming.Stateful.rateBuffered(
+          graft.Tables.toEventTime(stream)
+            .withWatermark("ts", "7 hours")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")), col("event_id"))
+            .as[(Long, String, Long, Long)].groupByKey(_._1),
+          windowUs = 86400L * 1000000L)
+          .toDF("user_id", "event_id", "n")
+      }
+      rapPeakRollup(sink)
+    })
+  )
+
+  /** Shared read side of the sliding-rate faces (q420/q421): each
+    * event's in-window count is emitted exactly once under ordered
+    * replay, so the sink IS the per-event rate relation; the readout
+    * is the per-user peak + the smallest event id achieving it (ties
+    * on the peak are resolved by min id — deterministic without an
+    * IEEE fold). Both faces fold through this one body so the arrival
+    * contracts cannot drift (the funnelRollup discipline). */
+  private def rapPeakRollup(sink: DataFrame): DataFrame = {
+    val per = sink.filter(col("user_id") >= 0)
+    val peak = per.groupBy(col("user_id"))
+      .agg(max(col("n")).as("peak_rate"))
+    per.join(peak, "user_id")
+      .filter(col("n") === col("peak_rate"))
+      .groupBy(col("user_id"), col("peak_rate"))
+      .agg(min(col("event_id")).cast("long").as("peak_event"))
+      .select(col("user_id"), col("peak_rate").cast("long").as("peak_rate"),
+        col("peak_event"))
+      .orderBy("user_id")
+  }
+
+  /** q420/q421 share this SQL — the batch sliding-window rate: the
+    * in-window count quantifies over (ts', id') lexicographically ≤
+    * (ts, id) with ts' > ts − 24 h, i.e. a (ts, id) row_number minus
+    * the RANGE-framed count of rows at or before ts − 24 h (those form
+    * a prefix of the (ts, id) order, so the subtraction is exact). */
+  private lazy val slidingRateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events
+      |), w AS (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |    - COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      |        RANGE BETWEEN UNBOUNDED PRECEDING
+      |        AND 86400000000 PRECEDING) AS nw
+      |  FROM e
+      |), p AS (
+      |  SELECT user_id, MAX(nw) AS peak_rate FROM w GROUP BY user_id
+      |)
+      |SELECT w.user_id, CAST(p.peak_rate AS BIGINT) AS peak_rate,
+      |  CAST(MIN(w.event_id) AS BIGINT) AS peak_event
+      |FROM w JOIN p ON w.user_id = p.user_id AND w.nw = p.peak_rate
+      |GROUP BY w.user_id, p.peak_rate
+      |ORDER BY w.user_id""".stripMargin
+
+  /** Positional-adjacency phrase SQL over `documents` for an n-term
+    * phrase — the q416 oracle shape generalized: n−1 self-joins on
+    * (doc, pos + k), occurrence multiplicity per doc. */
+  private def phraseSql(terms: Seq[String]): String = {
+    val joins = terms.indices.drop(1).map(k =>
+      s"JOIN t t$k ON t0.doc_id = t$k.doc_id AND t$k.pos = t0.pos + $k")
+      .mkString("\n", "\n", "")
+    val preds = terms.zipWithIndex.map { case (t, k) =>
+      s"t$k.tok = '$t'" }.mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |)
+       |SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+       |FROM t t0$joins
+       |WHERE $preds
+       |GROUP BY t0.doc_id ORDER BY t0.doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q417_phrase_trigram" -> phraseSql(Seq("big", "order", "scan")),
+
+    // q419: compaction moves bytes, never rows — the served phrase
+    // relation equals the raw adjacency truth
+    "q419_index_compaction" -> phraseSql(Seq("order", "scan")),
+
+    // mirrors q418: the q405 BM25 chain (term-sorted addition from
+    // 0.0) extended by one proximity CASE per consecutive query-term
+    // pair, in pair order — min |Δpos| is an exact integer, the
+    // division and additions mirror Spark's token-for-token
+    "q418_proximity_topk" ->
+      """WITH idx AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_len,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'data')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'join')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'data')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w = 'spark')) AS DOUBLE) AS tf2
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT a.doc_id, MIN(ABS(b.pos - a.pos)) AS d
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |  WHERE a.tok = 'data' AND b.tok = 'join' GROUP BY a.doc_id
+        |), g1 AS (
+        |  SELECT a.doc_id, MIN(ABS(b.pos - a.pos)) AS d
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |  WHERE a.tok = 'join' AND b.tok = 'spark' GROUP BY a.doc_id
+        |), sc AS (
+        |  SELECT base.doc_id,
+        |    0.0 +
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) /
+        |      (CAST(df0 AS DOUBLE) + 0.5)) *
+        |    ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) +
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) /
+        |      (CAST(df1 AS DOUBLE) + 0.5)) *
+        |    ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) +
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) /
+        |      (CAST(df2 AS DOUBLE) + 0.5)) *
+        |    ((tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * len /
+        |      (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) +
+        |    CASE WHEN g0.d IS NULL THEN 0.0
+        |      ELSE 1.0 / (1.0 + CAST(g0.d AS DOUBLE)) END +
+        |    CASE WHEN g1.d IS NULL THEN 0.0
+        |      ELSE 1.0 / (1.0 + CAST(g1.d AS DOUBLE)) END AS score
+        |  FROM base CROSS JOIN idx
+        |  LEFT JOIN g0 ON g0.doc_id = base.doc_id
+        |  LEFT JOIN g1 ON g1.doc_id = base.doc_id
+        |)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q420_stream_rate_ooo" -> slidingRateSql,
+    "q421_stream_rate_jitter" -> slidingRateSql
+  )
+}

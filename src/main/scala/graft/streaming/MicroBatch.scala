@@ -288,7 +288,14 @@ object MicroBatch {
     * [[sentinelEvents]] control record as the last file. Paired with
     * a watermark delay covering the real event-time range: nothing is
     * ever late mid-drain (so no row is dropped), and the sentinel
-    * advances the final watermark past every real row. READ-ONLY
+    * advances the final watermark past every real row. COUPLING
+    * CONTRACT (ADVICE r19): the final watermark is realMax +
+    * sentinelInterval − delay, so the consumer's watermark DELAY must
+    * be strictly less than `sentinelInterval` — a delay ≥ the interval
+    * leaves the final watermark at or behind the last real event and
+    * [[assertSentinelSurvived]] fails loud (correctly: the tail never
+    * flushed), but the failure is a STAGING mismatch, not a dropped
+    * sentinel; widen the interval, not the delay. READ-ONLY
     * CONTRACT: memoized and shared — see [[stageEvents]]. */
   def stageEventsSplitSentinel(spark: SparkSession, sfDir: String,
                                parts: Int, sentinelInterval: String): Path =
@@ -317,7 +324,11 @@ object MicroBatch {
     * last. Paired with a watermark delay ≥ the jitter bound: no row is
     * late, the watermark genuinely ADVANCES mid-drain (buffered state
     * flushes incrementally — the eviction a full-range delay never
-    * exercises), and the sentinel flushes the tail. READ-ONLY
+    * exercises), and the sentinel flushes the tail. Same COUPLING
+    * CONTRACT as [[stageEventsSplitSentinel]]: the watermark delay
+    * must be strictly less than `sentinelInterval` (final wm =
+    * realMax + interval − delay), so pick delay in
+    * [maxJitterSecs, sentinelInterval). READ-ONLY
     * CONTRACT: memoized and shared — see [[stageEvents]]. */
   def stageEventsJitteredSentinel(spark: SparkSession, sfDir: String,
                                   parts: Int, maxJitterSecs: Long,
@@ -552,10 +563,13 @@ object MicroBatch {
           s"advanced past the last real event (${mx}µs) on a " +
           "sentinel-staged drain — the transform dropped the " +
           "__sentinel__ control row (a pre-processor filter pushes " +
-          "below the watermark node) or never watermarked the stream; " +
-          "keep the sentinel type in every pre-processor filter, or " +
-          "widen the watermark delay to cover the feed's real disorder, " +
-          "so buffered replay state flushes instead of stranding")
+          "below the watermark node), never watermarked the stream, or " +
+          "drained with a watermark delay >= the staging sentinelInterval " +
+          "(final wm = realMax + interval - delay, so the interval must " +
+          "exceed the delay — widen the STAGING interval in that case, " +
+          "never the delay); keep the sentinel type in every " +
+          "pre-processor filter so buffered replay state flushes " +
+          "instead of stranding")
     }
 
   /** Update-mode drain for arbitrary-stateful transforms

@@ -821,6 +821,61 @@ object Stateful {
       TimeMode.EventTime(), OutputMode.Update())(
       Encoders.product[(Long, Long, Long)])
 
+  /** SLIDING-WINDOW RATE under ordered replay (r20 — VERDICT r19 next
+    * #4, the SIXTH face of [[WatermarkOrderedReplay]], and the first
+    * whose replay state is a BOUNDED COLLECTION KEYED BY TIME): for
+    * each replayed row, the count of the key's events with ts in
+    * (row.ts − windowUs, row.ts] — the per-key sliding event rate, the
+    * primitive under burst/anomaly detection. The batch twin is two
+    * window functions (a (ts, id) row_number minus a RANGE-framed
+    * prefix count); under arrival disorder neither is incrementally
+    * maintainable (a late row retro-inflates every window it lands
+    * in), but under watermark-ordered replay the state is just the
+    * ring of in-window timestamps: evict the expired prefix (rows
+    * arrive in (ts, id) order, so the ring stays ascending and
+    * eviction is a dropWhile), append, emit the ring size. Unlike the
+    * five earlier faces (O(1)-to-O(steps) scalars), eviction here
+    * happens INSIDE the state value — the ring grows with the key's
+    * in-window burst and shrinks as the window slides, bounded by the
+    * key's max in-window count at any corpus size.
+    *
+    * WINDOW-TIE SEMANTICS: the count quantifies over (ts', id')
+    * lexicographically ≤ (ts, id) with ts' > ts − windowUs — rows at
+    * the SAME ts count predecessors by id order, matching the batch
+    * `row_number − prefix-count` formulation exactly (a RANGE frame
+    * on both ends would count equal-ts successors too and diverge
+    * from any per-row incremental semantics). Emits (key, event id,
+    * in-window count), exactly once, final by construction. */
+  class RateBuffered(windowUs: Long, maxBufferedPerKey: Int = 1 << 22)
+      extends WatermarkOrderedReplay[Tuple1[Seq[Long]], (Long, Long, Long)](
+        maxBufferedPerKey)(
+        // bare Seq encoders don't resolve in the state store; the
+        // product wrapper does (the FunnelBuffered pattern)
+        Encoders.product[Tuple1[Seq[Long]]],
+        Encoders.product[(Long, Long, Long)]) {
+    require(windowUs > 0,
+      s"sliding-rate window must be strictly positive (got $windowUs) — " +
+        "a non-positive window would make every count 1 instead of " +
+        "matching the batch windowed-count oracle")
+    protected def step(key: Long, st: Option[Tuple1[Seq[Long]]],
+                       row: (String, Long, Long)):
+        (Tuple1[Seq[Long]], IterableOnce[(Long, Long, Long)]) = {
+      val ring = st.fold(Seq.empty[Long])(_._1)
+      // evict ts' ≤ ts − window (keep the half-open (ts−w, ts] span);
+      // the ring is ascending, so the expired rows are a prefix
+      val kept = ring.dropWhile(_ <= row._2 - windowUs) :+ row._2
+      (Tuple1(kept), Seq((key, row._3, kept.size.toLong)))
+    }
+  }
+
+  /** [[RateBuffered]] over a keyed WATERMARKED `(key, type, ts, id)`
+    * stream. */
+  def rateBuffered(grouped: KeyValueGroupedDataset[Long, (Long, String, Long, Long)],
+                   windowUs: Long): Dataset[(Long, Long, Long)] =
+    grouped.transformWithState(new RateBuffered(windowUs),
+      TimeMode.EventTime(), OutputMode.Update())(
+      Encoders.product[(Long, Long, Long)])
+
   /** INTER-EVENT GAP EMISSION under ordered replay (r19) — the
     * [[TransitionBuffered]] shape carrying the TIME DELTA instead of
     * the type pair: for each replayed row with a predecessor, emits

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20 pins: arbitrary-arity phrase matching (operator ≡ scan on
+  * seeded corpora, overlap multiplicity, short-doc guard), the
+  * proximity primitives, the single-pass funnel rollup's empty-sink
+  * shape, the sliding-rate face's engine-path differential, and the
+  * loud width-budget gates added to the FromCounts folds (ADVICE
+  * r19). */
+class R20Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDf(texts: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def postingsOf(texts: Seq[String]) =
+    graft.queries.R19Q.positionalFragment(docsDf(texts))
+
+  test("phraseMatch: single-term phrase = per-doc occurrence counts " +
+      "(arity-1 degenerate case)") {
+    val texts = Seq("a b a", "b b", "c")
+    val got = graft.operators.TextMining
+      .phraseMatch(postingsOf(texts), Seq("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((0L, 1L), (1L, 2L)))
+  }
+
+  test("phraseMatch: repeated-term phrase counts OVERLAPPING anchors " +
+      "(occurrence multiplicity, not containment)") {
+    // "a a a" matches "a a" at anchors 0 and 1
+    val texts = Seq("a a a", "a b a")
+    val got = graft.operators.TextMining
+      .phraseMatch(postingsOf(texts), Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((0L, 2L)))
+  }
+
+  test("phraseMatch/phraseScan: docs shorter than the phrase never match " +
+      "(the sequence() descending-range guard)") {
+    val texts = Seq("a", "", "a b c")
+    val phrase = Seq("a", "b")
+    val served = graft.operators.TextMining
+      .phraseMatch(postingsOf(texts), phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val scanned = graft.operators.TextMining
+      .phraseScan(docsDf(texts), phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(served == Seq((2L, 1L)) && scanned == served)
+  }
+
+  test("phraseMatch rejects empty phrases and empty terms loud") {
+    val post = postingsOf(Seq("a b"))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextMining.phraseMatch(post, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextMining.phraseMatch(post, Seq("a", ""))
+    }
+  }
+
+  test("phraseMatch ≡ phraseScan on seeded random corpora (arity 1-4)") {
+    val rnd = new scala.util.Random(2001)
+    val alphabet = Vector("a", "b", "c", "d")
+    (1 to 4).foreach { arity =>
+      val texts = (1 to 80).map(_ =>
+        (1 to (1 + rnd.nextInt(12)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      val phrase = (1 to arity).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+      val served = graft.operators.TextMining
+        .phraseMatch(postingsOf(texts), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val scanned = graft.operators.TextMining
+        .phraseScan(docsDf(texts), phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // reference count from first principles
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ", -1).toSeq
+        val n = (0 to ws.size - phrase.size)
+          .count(p => phrase.indices.forall(k => ws(p + k) == phrase(k)))
+        if (n > 0) Some((i.toLong, n.toLong)) else None
+      }.sorted
+      assert(served == expect && scanned == expect,
+        s"arity $arity phrase $phrase: served=$served scanned=$scanned " +
+          s"expect=$expect")
+    }
+  }
+
+  test("minPairGap ≡ minPairGapScan ≡ first principles on a seeded corpus") {
+    val rnd = new scala.util.Random(2002)
+    val alphabet = Vector("a", "b", "c")
+    val texts = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(10)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    val served = graft.operators.Retrieval
+      .minPairGap(postingsOf(texts), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val scanned = graft.operators.Retrieval
+      .minPairGapScan(docsDf(texts), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+      val ws = t.split(" ", -1).toSeq
+      val pa = ws.indices.filter(ws(_) == "a")
+      val pb = ws.indices.filter(ws(_) == "b")
+      val ds = for (x <- pa; y <- pb) yield math.abs(y - x).toLong
+      if (ds.nonEmpty) Some((i.toLong, ds.min)) else None
+    }.sorted
+    assert(served == expect && scanned == expect)
+  }
+
+  test("funnelRollup emits one ZERO row per step on an empty sink " +
+      "(the q200/q204 shape rule survives the single-pass rewrite)") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Int)].toDF("user_id", "depth")
+    val got = graft.queries.R19Q
+      .funnelRollup(empty, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("1_view", 0L), ("2_click", 0L), ("3_purchase", 0L)))
+  }
+
+  test("q420 disordered drain ≡ batch two-window sliding rate (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val winUs = 86400L * 1000000L
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w1 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -winUs)
+    val per = ev.withColumn("nw",
+      row_number().over(w1).cast("long") - count(lit(1)).over(w2))
+    val peak = per.groupBy(col("user_id")).agg(max(col("nw")).as("peak_rate"))
+    val batch = per.join(peak, "user_id")
+      .filter(col("nw") === col("peak_rate"))
+      .groupBy(col("user_id"), col("peak_rate"))
+      .agg(min(col("event_id")).cast("long").as("peak_event"))
+      .select(col("user_id"), col("peak_rate").cast("long").as("peak_rate"),
+        col("peak_event"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val got = graft.queries.R20Q.queries("q420_stream_rate_ooo")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == batch, "q420 drain diverged from the batch rate build")
+  }
+
+  test("RateBuffered rejects a non-positive window loud") {
+    intercept[IllegalArgumentException] {
+      new graft.streaming.Stateful.RateBuffered(0L)
+    }
+  }
+
+  test("fanoFromCounts names the width-budget error even for " +
+      "Long.MinValue (abs() would overflow past the gate — ADVICE r19)") {
+    val s = spark
+    import s.implicits._
+    val frags = Seq(("g", Long.MinValue, 1L)).toDF("event_type", "value", "c")
+    val e = intercept[Exception] {
+      graft.operators.Stats.fanoFromCounts(frags, "event_type").collect()
+    }
+    assert(e.getMessage.contains("10^7 width budget"),
+      s"wrong error: ${e.getMessage}")
+  }
+
+  test("cosineFromCounts fails LOUD past the 10^14 per-cell width budget " +
+      "(silent decimal-NULL divergence class — ADVICE r19)") {
+    val s = spark
+    import s.implicits._
+    val frags = Seq(("g1", "tok", 100000000000000L))
+      .toDF("source", "value", "c")
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis.cosineFromCounts(frags, "source").collect()
+    }
+    assert(e.getMessage.contains("10^14 width budget"),
+      s"wrong error: ${e.getMessage}")
+  }
+}

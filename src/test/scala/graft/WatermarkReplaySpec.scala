@@ -247,6 +247,25 @@ class WatermarkReplaySpec extends AnyFunSuite {
       assert(got == expect, s"seed $seed")
     }
 
+    test(s"rateBuffered ≡ batch sliding-window count replay under bounded disorder (seed $seed)") {
+      val (events, batches) = scenario(seed)
+      val windowUs = 24L * hourUs
+      val got = drain(batches)(g => Stateful.rateBuffered(g, windowUs))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 >= 0).sorted
+      // local forward replay: each event counts the (ts, id)-ordered
+      // predecessors (itself included) with ts strictly inside the
+      // trailing window — the ring semantics, from first principles
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._4))
+        ordered.zipWithIndex.map { case (r, i) =>
+          (k, r._4,
+            ordered.take(i + 1).count(p => p._3 > r._3 - windowUs).toLong)
+        }
+      }.sorted
+      assert(got == expect, s"seed $seed: ${got.size} vs ${expect.size}")
+    }
+
     test(s"transitionBuffered ≡ batch pair replay under bounded disorder (seed $seed)") {
       val (events, batches) = scenario(seed)
       val got = drain(batches)(Stateful.transitionBuffered)
