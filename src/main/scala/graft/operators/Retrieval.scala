@@ -158,6 +158,53 @@ object Retrieval {
       .filter(col("gap").isNotNull)
   }
 
+  /** MIN COVERING SPAN per doc for an arbitrary-arity term set, served
+    * from the positional postings index — (doc_id, span) with span =
+    * min over all occurrence combinations of (max pos − min pos + 1),
+    * only for docs containing EVERY term: the classical proximity
+    * measure a positional index exists for (1 = adjacent somewhere,
+    * large = terms scattered). The combination space is per-doc
+    * Π tf(term) — occurrence-bounded like [[minPairGap]]'s pair space,
+    * never corpus-bounded — and each join is an equi-join on doc over
+    * a term-pruned read. Distinct terms required: a repeated term
+    * would match the SAME occurrence twice and undercount the span. */
+  def minSpan(positional: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "minSpan: need >= 1 term")
+    require(terms.distinct == terms,
+      s"minSpan: terms must be distinct (got $terms)")
+    require(terms.forall(_.nonEmpty),
+      "minSpan: postings never carry the empty token")
+    val base = positional.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("__p0"))
+    if (terms.size == 1)
+      return base.groupBy(col("doc_id"))
+        .agg(min(lit(1L)).cast("long").as("span"))
+    val joined = terms.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (t, i)) =>
+        acc.join(positional.filter(col("term") === t)
+          .select(col("doc_id").as(s"__d$i"), col("pos").as(s"__p$i")),
+          col("doc_id") === col(s"__d$i"))
+          .drop(s"__d$i")
+    }
+    val ps = terms.indices.map(i => col(s"__p$i"))
+    joined.groupBy(col("doc_id"))
+      .agg(min(greatest(ps: _*) - least(ps: _*) + lit(1L))
+        .cast("long").as("span"))
+  }
+
+  /** The RAW-TEXT twin of [[minSpan]] — the same relation derived from
+    * (doc_id, text) via `posexplode` instead of the maintained
+    * artifact. The join shape is shared deliberately: the proof this
+    * twin powers is about the ARTIFACT (no ingest batch dropped or
+    * double-appended), while the independent-computation check is the
+    * DuckDB oracle's job (it quantifies over raw text in another
+    * engine). */
+  def minSpanScan(docs: DataFrame, terms: Seq[String]): DataFrame =
+    minSpan(docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos")),
+      terms)
+
   /** The PROXIMITY term of a ranked score: 1 / (1 + gap) for a present
     * pair, EXACTLY +0.0 for an absent one (so adding it preserves the
     * base chain bit-exactly on docs without the pair — the +0.0

@@ -130,6 +130,29 @@ object R20Q {
       post.orderBy("doc_id")
     }),
 
+    // MIN COVERING SPAN (r20): the classical positional-proximity
+    // measure over the maintained (term, doc, pos) index — per doc
+    // containing ALL THREE query terms, the smallest token window
+    // covering one occurrence of each (min over occurrence
+    // combinations of max − min + 1; 3 = the trigram-tight case).
+    // Arbitrary-arity `Retrieval.minSpan`: n−1 doc-equi-joins over
+    // term-pruned reads, combination space per-doc Π tf — never
+    // corpus-bounded. All-integer output (no IEEE anywhere). In-query
+    // artifact proof: served ≡ the posexplode raw-text twin (no
+    // ingest batch dropped/doubled); the independent-computation
+    // check is the mirrored oracle itself.
+    "q422_min_span" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val positional = R19Q.posPostingsArtifact(s, d).snapshot()
+      val qterms = Seq("data", "join", "spark")
+      val served = graft.operators.Retrieval.minSpan(positional, qterms)
+        .localCheckpoint(true)
+      val scan = graft.operators.Retrieval.minSpanScan(docs, qterms)
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "index-served min spans must equal the raw-text derivation")
+      served.orderBy("doc_id")
+    }),
+
     // OUT-OF-ORDER STREAMING SLIDING-WINDOW RATE (r20 — VERDICT r19
     // next #4, the SIXTH replay face): for every event, the count of
     // the user's events in the trailing 24 h — the per-key rate
@@ -326,6 +349,22 @@ object R20Q {
         |)
         |SELECT doc_id, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // mirrors q422: the same all-integer min-over-combinations span,
+    // three-way positional self-join per doc
+    "q422_min_span" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |)
+        |SELECT a.doc_id,
+        |  CAST(MIN(GREATEST(a.pos, b.pos, c.pos) -
+        |    LEAST(a.pos, b.pos, c.pos) + 1) AS BIGINT) AS span
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |         JOIN t c ON a.doc_id = c.doc_id
+        |WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'spark'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "q420_stream_rate_ooo" -> slidingRateSql,
     "q421_stream_rate_jitter" -> slidingRateSql

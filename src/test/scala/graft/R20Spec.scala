@@ -115,6 +115,44 @@ class R20Spec extends AnyFunSuite {
     assert(served == expect && scanned == expect)
   }
 
+  test("minSpan ≡ minSpanScan ≡ first principles on a seeded corpus " +
+      "(arity 1-3)") {
+    val rnd = new scala.util.Random(2003)
+    val alphabet = Vector("a", "b", "c", "d")
+    val texts = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    (1 to 3).foreach { arity =>
+      val terms = alphabet.take(arity)
+      val served = graft.operators.Retrieval
+        .minSpan(postingsOf(texts), terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val scanned = graft.operators.Retrieval
+        .minSpanScan(docsDf(texts), terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ", -1).toSeq
+        val poss = terms.map(tm => ws.indices.filter(ws(_) == tm))
+        if (poss.exists(_.isEmpty)) None
+        else {
+          val combos = poss.foldLeft(Seq(Seq.empty[Int])) { (acc, ps) =>
+            for (c <- acc; p <- ps) yield c :+ p
+          }
+          Some((i.toLong, combos.map(c => c.max - c.min + 1L).min))
+        }
+      }.sorted
+      assert(served == expect && scanned == expect,
+        s"arity $arity: served=$served expect=$expect")
+    }
+  }
+
+  test("minSpan rejects repeated terms loud (one occurrence must not " +
+      "cover two phrase slots)") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.minSpan(postingsOf(Seq("a b")), Seq("a", "a"))
+    }
+  }
+
   test("funnelRollup emits one ZERO row per step on an empty sink " +
       "(the q200/q204 shape rule survives the single-pass rewrite)") {
     val s = spark
