@@ -35,10 +35,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q383_stream_scd2_jitter", "q409_stream_funnel_jitter",
     "q413_stream_markov_jitter", "q414_stream_asof_jitter",
-    "q240_profile", "q360_containment_incremental",
+    "q420_stream_rate_ooo", "q360_containment_incremental",
     "q410_stream_sessions_jitter", "q415_stream_gap_burstiness",
-    "q399_stream_funnel_ooo", "q269_stream_cdc_asof",
-    "q382_stream_scd2_ooo", "q398_stream_markov_ooo",
+    "q399_stream_funnel_ooo", "q421_stream_rate_jitter",
+    "q382_stream_scd2_ooo", "q419_index_compaction",
     "q09_pricing_summary", "q11_star_join", "q37_cosine_topk",
     "q103_dedup_clusters", "q120_ivf_kmeans")
   /** 1-minute system load from /proc/loadavg (Linux), else the MXBean;

@@ -153,6 +153,48 @@ object R20Q {
       served.orderBy("doc_id")
     }),
 
+    // STREAM-MAINTAINED POSITIONAL POSTINGS INDEX (r20): the q416
+    // index family maintained BY THE STREAM itself — each micro-batch
+    // maps its events to corpus documents (the q138 idiom), anti-joins
+    // the candidates against what the index ALREADY holds (the q384
+    // novelty-append shape, now inside foreachBatch via
+    // `appendRunPerBatchAgainstSink`), and appends positional
+    // fragments for the genuinely-new docs only: a doc referenced by
+    // events in many batches is indexed EXACTLY ONCE by algebra
+    // (anti-join), not by dedup bookkeeping, and batch redelivery is a
+    // no-op under the (appId, batchId) txn contract. The served phrase
+    // read over the final index must equal the full-scan adjacency
+    // truth over exactly the mapped doc subset — served≡scan, plus
+    // the mirrored oracle recomputing the subset from raw events.
+    "q423_stream_postings_maintained" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val index = graft.streaming.MicroBatch.appendRunPerBatchAgainstSink(
+        s, d, maxFilesPerTrigger = Some(1), splitParts = Some(4)) {
+        (batch, sink) =>
+          val cand = batch.select((col("event_id") % 500).as("doc_id"))
+            .distinct()
+            .join(docs, "doc_id")
+          val snap = sink.snapshot()
+          val newDocs =
+            if (snap.columns.contains("doc_id"))
+              cand.join(snap.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            else cand // the pre-first-commit empty sink has no schema
+          R19Q.positionalFragment(newDocs)
+      }
+      val phrase = Seq("spark", "join")
+      val served = graft.operators.TextMining.phraseMatch(index, phrase)
+        .localCheckpoint(true)
+      val mapped = Tables.events(s, d)
+        .select((col("event_id") % 500).as("doc_id")).distinct()
+      val scan = graft.operators.TextMining
+        .phraseScan(docs.join(mapped, "doc_id"), phrase)
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "stream-maintained postings must serve exactly the mapped " +
+          "subset's adjacency truth")
+      served.orderBy("doc_id")
+    }),
+
     // OUT-OF-ORDER STREAMING SLIDING-WINDOW RATE (r20 — VERDICT r19
     // next #4, the SIXTH replay face): for every event, the count of
     // the user's events in the trailing 24 h — the per-key rate
@@ -364,6 +406,21 @@ object R20Q {
         |FROM t a JOIN t b ON a.doc_id = b.doc_id
         |         JOIN t c ON a.doc_id = c.doc_id
         |WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'spark'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // mirrors q423: the mapped-doc subset recomputed from raw events,
+    // then the q416 adjacency chain over it
+    "q423_stream_postings_maintained" ->
+      """WITH md AS (
+        |  SELECT DISTINCT event_id % 500 AS doc_id FROM events
+        |), t AS (
+        |  SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS tok,
+        |    generate_subscripts(string_split(d.text, ' '), 1) AS pos
+        |  FROM documents d JOIN md ON d.doc_id = md.doc_id
+        |)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'spark' AND b.tok = 'join'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "q420_stream_rate_ooo" -> slidingRateSql,

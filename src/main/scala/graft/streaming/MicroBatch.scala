@@ -494,6 +494,38 @@ object MicroBatch {
     sink.snapshot()
   }
 
+  /** [[appendRunPerBatch]] with the SINK TABLE exposed to the
+    * transform (r20) — the incremental-index maintenance idiom: each
+    * micro-batch can anti-join its candidates against what the index
+    * already holds (the q384 novelty-append shape, inside the
+    * stream), so re-occurrence across batches dedups BY ALGEBRA while
+    * redelivery of a whole batch stays a no-op under the
+    * (appId, batchId) txn contract. The transform runs driver-side in
+    * foreachBatch with the full batch API; reading `sink.snapshot()`
+    * there observes exactly the commits of prior batches. */
+  def appendRunPerBatchAgainstSink(spark: SparkSession, sfDir: String,
+                                   maxFilesPerTrigger: Option[Int] = None,
+                                   splitParts: Option[Int] = None)(
+      transform: (DataFrame, LakeTable) => DataFrame): DataFrame = {
+    val in = splitParts.fold(stageEvents(sfDir, 1))(
+      stageEventsSplit(spark, sfDir, _, 1))
+    val sink = lakeSink(spark)
+    val ckpt = graft.lake.TempDirs.create("graft-stream-ckpt")
+    val appId = s"graft-perbatch-${runId.incrementAndGet()}"
+    val sess = isolated(spark, None, Map.empty)
+    val q = fileSource(sess, in, maxFilesPerTrigger).writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink.commitBatch(transform(batch.toDF(), sink), appId, batchId); ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    recordStats(q)
+    sink.snapshot()
+  }
+
   /** [[updateRun]] returning the versioned SINK TABLE instead of its
     * final contents — every micro-batch is one commit, so specs can
     * read per-batch emission timing straight from the table history

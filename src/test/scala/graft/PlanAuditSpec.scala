@@ -68,7 +68,15 @@ object PlanAuditSets {
     "q408_stream_sessions_ooo", "q409_stream_funnel_jitter",
     "q410_stream_sessions_jitter", "q413_stream_markov_jitter",
     "q414_stream_asof_jitter", "q415_stream_gap_burstiness",
-    "q416_phrase_match")
+    "q416_phrase_match",
+    // r20: the rate-face drains; q417/q418/q422 append the staged
+    // positional/frequency postings indexes and prove served ≡ scan
+    // by except at build (the q405/q416 discipline); q419 runs the
+    // whole build-export-optimize-vacuum lifecycle at build
+    "q417_phrase_trigram", "q418_proximity_topk",
+    "q419_index_compaction", "q420_stream_rate_ooo",
+    "q421_stream_rate_jitter", "q422_min_span",
+    "q423_stream_postings_maintained")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

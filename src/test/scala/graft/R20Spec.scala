@@ -189,6 +189,38 @@ class R20Spec extends AnyFunSuite {
     assert(got == batch, "q420 drain diverged from the batch rate build")
   }
 
+  test("stream-maintained postings index holds each mapped doc EXACTLY " +
+      "once (anti-join dedup by algebra across overlapping batches)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val index = graft.streaming.MicroBatch.appendRunPerBatchAgainstSink(
+      spark, sf, maxFilesPerTrigger = Some(1), splitParts = Some(4)) {
+      (batch, sink) =>
+        val cand = batch.select((col("event_id") % 500).as("doc_id"))
+          .distinct().join(docs, "doc_id")
+        val snap = sink.snapshot()
+        val newDocs =
+          if (snap.columns.contains("doc_id"))
+            cand.join(snap.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          else cand
+        graft.queries.R19Q.positionalFragment(newDocs)
+    }
+    // exactly-once at (term, doc, pos) grain: any doc re-indexed by a
+    // later batch would double every one of its postings
+    assert(index.count() ==
+      index.select(col("term"), col("doc_id"), col("pos"))
+        .distinct().count(),
+      "duplicate postings — a doc was indexed twice")
+    // and the indexed doc set is exactly the mapped subset
+    val mapped = graft.Tables.events(spark, sf)
+      .select((col("event_id") % 500).as("doc_id")).distinct()
+      .join(docs, "doc_id").select(col("doc_id"))
+    val indexed = index.select(col("doc_id")).distinct()
+    assert(indexed.except(mapped).isEmpty && mapped.except(indexed).isEmpty,
+      "indexed doc set diverged from the mapped subset")
+  }
+
   test("RateBuffered rejects a non-positive window loud") {
     intercept[IllegalArgumentException] {
       new graft.streaming.Stateful.RateBuffered(0L)
