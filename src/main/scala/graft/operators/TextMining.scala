@@ -193,6 +193,48 @@ object TextMining {
       .agg(count(lit(1)).cast("long").as("n_occ"))
   }
 
+  /** ORDERED WITHIN-K matching (sloppy phrase, r20) — [[phraseMatch]]
+    * with the adjacency requirement relaxed to a window: terms must
+    * appear IN ORDER, each within `k` positions of the previous match
+    * (k = 1 is exactly the phrase). Returns (doc_id, n_chains) with
+    * CHAIN multiplicity — every distinct occurrence combination
+    * satisfying the order+window constraints counts, the combinatorial
+    * semantics a DuckDB BETWEEN-join chain mirrors exactly. Each step
+    * is an equi-join on doc with a band residual, so the join stays
+    * hash-planable; the chain relation per doc is bounded by
+    * Π min(tf, k) — window-bounded, never corpus-bounded. */
+  def orderedWithin(postings: DataFrame, terms: Seq[String],
+                    k: Long): DataFrame = {
+    require(terms.nonEmpty, "orderedWithin: phrase must have >= 1 term")
+    require(terms.forall(_.nonEmpty),
+      "orderedWithin: postings never carry the empty token")
+    require(k >= 1, s"orderedWithin: window must be >= 1, got $k " +
+      "(k = 1 is exact adjacency)")
+    val base = postings.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("__last"))
+    val chained = terms.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (t, i)) =>
+        acc.join(postings.filter(col("term") === t)
+          .select(col("doc_id").as(s"__d$i"), col("pos").as(s"__p$i")),
+          col("doc_id") === col(s"__d$i") &&
+            col(s"__p$i") > col("__last") &&
+            col(s"__p$i") <= col("__last") + lit(k))
+          .select(col("doc_id"), col(s"__p$i").as("__last"))
+    }
+    chained.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chains"))
+  }
+
+  /** The RAW-TEXT twin of [[orderedWithin]] (the artifact-proof side,
+    * the [[graft.operators.Retrieval.minSpanScan]] convention). */
+  def orderedWithinScan(docs: DataFrame, terms: Seq[String],
+                        k: Long): DataFrame =
+    orderedWithin(docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos")),
+      terms, k)
+
   /** The FULL-SCAN twin of [[phraseMatch]] — the same (doc_id, n_occ)
     * relation derived by direct adjacency counting over (doc_id,
     * text), used by the served≡scan in-query proofs (the q384/q405

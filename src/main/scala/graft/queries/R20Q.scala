@@ -157,6 +157,30 @@ object R20Q {
       served.orderBy("doc_id")
     }),
 
+    // SLOPPY PHRASE (ordered within-k) RETRIEVAL (r20): the proximity
+    // member between exact adjacency (q417, k = 1) and unordered
+    // min-span (q422) — the three query terms must appear IN ORDER,
+    // each within 5 positions of the previous match, chains counted
+    // with combinatorial multiplicity (`TextMining.orderedWithin`:
+    // n−1 doc-equi-joins with band residuals, chain space per doc
+    // window-bounded at Π min(tf, k)). All-integer. Artifact proof
+    // against the posexplode raw-text twin; the independent scan is
+    // the mirrored BETWEEN-join oracle.
+    "q424_sloppy_phrase" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val positional = R19Q.posPostingsArtifact(s, d).snapshot()
+      val qterms = Seq("data", "join", "spark")
+      val served = graft.operators.TextMining
+        .orderedWithin(positional, qterms, k = 5L)
+        .localCheckpoint(true)
+      val scan = graft.operators.TextMining
+        .orderedWithinScan(docs, qterms, k = 5L)
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "index-served sloppy-phrase chains must equal the raw-text " +
+          "derivation")
+      served.orderBy("doc_id")
+    }),
+
     // STREAM-MAINTAINED POSITIONAL POSTINGS INDEX (r20): the q416
     // index family maintained BY THE STREAM itself — each micro-batch
     // maps its events to corpus documents (the q138 idiom), anti-joins
@@ -409,6 +433,23 @@ object R20Q {
         |    LEAST(a.pos, b.pos, c.pos) + 1) AS BIGINT) AS span
         |FROM t a JOIN t b ON a.doc_id = b.doc_id
         |         JOIN t c ON a.doc_id = c.doc_id
+        |WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'spark'
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    // mirrors q424: the same in-order BETWEEN-window join chain,
+    // chain multiplicity per doc
+    "q424_sloppy_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |)
+        |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chains
+        |FROM t a
+        |JOIN t b ON a.doc_id = b.doc_id
+        |  AND b.pos BETWEEN a.pos + 1 AND a.pos + 5
+        |JOIN t c ON a.doc_id = c.doc_id
+        |  AND c.pos BETWEEN b.pos + 1 AND b.pos + 5
         |WHERE a.tok = 'data' AND b.tok = 'join' AND c.tok = 'spark'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 

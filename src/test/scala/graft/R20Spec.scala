@@ -146,6 +146,45 @@ class R20Spec extends AnyFunSuite {
     }
   }
 
+  test("orderedWithin ≡ scan twin ≡ first principles; k = 1 is exactly " +
+      "phraseMatch (seeded corpus)") {
+    val rnd = new scala.util.Random(2004)
+    val alphabet = Vector("a", "b", "c", "d")
+    val texts = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    val terms = Seq("a", "b", "c")
+    for (k <- Seq(1L, 3L)) {
+      val served = graft.operators.TextMining
+        .orderedWithin(postingsOf(texts), terms, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val scanned = graft.operators.TextMining
+        .orderedWithinScan(docsDf(texts), terms, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ", -1).toSeq
+        def chains(last: Int, rest: Seq[String]): Long = rest match {
+          case Nil => 1L
+          case tm +: more =>
+            (last + 1 to math.min(last + k.toInt, ws.size - 1))
+              .filter(p => ws(p) == tm).map(p => chains(p, more)).sum
+        }
+        val n = ws.indices.filter(ws(_) == terms.head)
+          .map(p => chains(p, terms.tail)).sum
+        if (n > 0) Some((i.toLong, n)) else None
+      }.sorted
+      assert(served == expect && scanned == expect, s"k=$k: $served vs $expect")
+    }
+    // k = 1 degenerates to the exact phrase
+    val viaWithin = graft.operators.TextMining
+      .orderedWithin(postingsOf(texts), terms, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaPhrase = graft.operators.TextMining
+      .phraseMatch(postingsOf(texts), terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaWithin == viaPhrase)
+  }
+
   test("minSpan rejects repeated terms loud (one occurrence must not " +
       "cover two phrase slots)") {
     intercept[IllegalArgumentException] {
