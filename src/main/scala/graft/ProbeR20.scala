@@ -161,6 +161,58 @@ object ProbeR20 {
       f"vacuum=${vacS}%5.1f s (reclaimed $vacuumed)")
   }
 
+  /** The POSITIONAL index growth twin of ProbeR19's frequency-postings
+    * probe: docs ×1/×4/×8 with per-copy token suffixes (vocabulary AND
+    * corpus grow), batches 4k through the production fragment builder,
+    * then the three positional retrieval faces timed over the
+    * maintained artifact — exact phrase, sloppy phrase (k = 5), and
+    * min covering span. Their cost must track the query terms'
+    * postings, never the index size (the term-pruned claim, on the
+    * position axis). */
+  private def probeRetrieval(s: SparkSession, d: String): Unit = {
+    println(s"[probe] POSITIONAL RETRIEVAL over $d (docs+vocab ×1/×4/×8)")
+    for (k <- Seq(1, 4, 8)) {
+      val docs0 = Tables.documents(s, d)
+      val docs = (0 until k).map { i =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text",
+            if (i == 0) col("text")
+            else regexp_replace(col("text"), lit(" "), lit(s"_$i ")))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val batches = 4 * k
+      def frag(b: Int) = graft.queries.R19Q.positionalFragment(
+        docs.filter(col("doc_id") % batches === b))
+      var t0 = System.nanoTime()
+      val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-probe-pos")
+      (1 until batches).foreach(b => idx.append(frag(b)))
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val pos = idx.snapshot()
+      t0 = System.nanoTime()
+      val rows = pos.count()
+      val countS = (System.nanoTime() - t0) / 1e9
+      def timed(label: String)(body: => Long): Unit = {
+        val tt0 = System.nanoTime()
+        val n = body
+        println(f"[probe] ×$k $label%-22s ${(System.nanoTime() - tt0) / 1e9}%6.2f s" +
+          f"  (docs=$n%7d)")
+      }
+      println(f"[probe] positional ×$k ($batches batches)  " +
+        f"build=${buildS}%6.1f s  rows=$rows%10d (count ${countS}%5.2f s)")
+      timed("phrase (3-term)") {
+        graft.operators.TextMining
+          .phraseMatch(pos, Seq("big", "order", "scan")).count()
+      }
+      timed("sloppy phrase (k=5)") {
+        graft.operators.TextMining
+          .orderedWithin(pos, Seq("data", "join", "spark"), 5L).count()
+      }
+      timed("min span (3-term)") {
+        graft.operators.Retrieval
+          .minSpan(pos, Seq("data", "join", "spark")).count()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("state")
     val d = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
@@ -168,7 +220,9 @@ object ProbeR20 {
     which match {
       case "state"      => probeState(s, d)
       case "compaction" => probeCompaction(s, d)
-      case other        => sys.error(s"unknown probe $other (state|compaction)")
+      case "retrieval"  => probeRetrieval(s, d)
+      case other        => sys.error(s"unknown probe $other " +
+        "(state|compaction|retrieval)")
     }
   }
 }
