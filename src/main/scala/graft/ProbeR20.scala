@@ -210,6 +210,18 @@ object ProbeR20 {
         graft.operators.Retrieval
           .minSpan(pos, Seq("data", "join", "spark")).count()
       }
+      // the layout lever: hash-cluster by term, serve bloom-pruned
+      t0 = System.nanoTime()
+      idx.optimizeClusterBy("term", buckets = 64)
+      val clusterS = (System.nanoTime() - t0) / 1e9
+      val (kept, total) = idx.prunedDirsEq("term", "big")
+      println(f"[probe] ×$k clusterBy(term,64)      ${clusterS}%6.2f s" +
+        f"  (probe 'big' keeps ${kept.size}/$total dirs)")
+      timed("phrase CLUSTERED") {
+        graft.operators.TextMining.phraseMatchVia(
+          t => idx.scanPrunedEq("term", t),
+          Seq("big", "order", "scan")).count()
+      }
     }
   }
 

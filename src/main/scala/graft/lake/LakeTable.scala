@@ -480,6 +480,53 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
       checks = readManifest(v - 1).checks)
   }
 
+  /** HASH-CLUSTER compaction (r20) — [[optimizeZOrder]]'s
+    * single-column sibling for POINT-LOOKUP columns of any type
+    * (z-order interleaves 2–4 NUMERIC range dimensions; a string key
+    * like an inverted index's `term` wants equality pruning instead):
+    * rewrite the current snapshot into `buckets` directories by
+    * `pmod(hash(col), buckets)` under one layout commit, each
+    * directory carrying a bloom on the cluster column, so
+    * [[scanPrunedEq]] reads ~1/buckets of the table for any point
+    * probe. Prior min/max stats columns are carried (recomputed per
+    * new directory — the optimizeZOrder rule); prior bloom columns
+    * too. Data files are untouched semantically: reads identical
+    * before/after, earlier versions still time-travel, the old layout
+    * ages out via vacuum. Null cluster keys land in bucket 0's hash
+    * class and are invisible to equality probes — which can never
+    * match null anyway. */
+  def optimizeClusterBy(clusterCol: String, buckets: Int = 16): Long = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val df = snapshot()
+    require(df.schema.fieldNames.contains(clusterCol),
+      s"cluster column $clusterCol not in table schema")
+    val v = latestVersion + 1
+    val rel = s"data/c$v-${UUID.randomUUID().toString.take(8)}"
+    df.withColumn("__cb", pmod(hash(col(clusterCol)), lit(buckets)))
+      .write.partitionBy("__cb").mode("overwrite")
+      .parquet(root.resolve(rel).toString)
+    val dirs = Using.resource(Files.list(root.resolve(rel))) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("__cb="))
+        .map(p => s"$rel/${p.getFileName}").toSeq.sorted
+    }
+    val prior = readManifest(latestVersion).stats.map(_.split("\\|", -1))
+    val priorStatsCols = prior.collect {
+      case Array(_, c, _, _, _) if !c.startsWith("bloom:") => c
+    }.distinct
+    val priorBloomCols = prior.collect {
+      case Array(_, c, dt, _, _) if c.startsWith("bloom:") && dt.startsWith("bloom") =>
+        c.stripPrefix("bloom:")
+    }.distinct
+    val bloomCols = (clusterCol +: priorBloomCols).distinct
+    commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
+      stats = (if (dirs.isEmpty) Nil
+               else computeStatsPartitioned(rel, "__cb", priorStatsCols)) ++
+        dirs.flatMap(dd => computeBloom(dd, bloomCols)),
+      checks = readManifest(v - 1).checks)
+  }
+
   /** MERGE upsert (the Delta `MERGE INTO` shape, SURVEY §2.9 / q96):
     * rows in `deletes` vanish, rows in `upserts` replace same-key rows
     * or insert. One anti-join + union, written as a full rewrite commit

@@ -223,6 +223,47 @@ object R20Q {
       served.orderBy("doc_id")
     }),
 
+    // TERM-CLUSTERED POSTINGS with BLOOM-PRUNED serving (r20): the
+    // layout half of the term-pruned-point-read claim, now REAL
+    // locally — the retrieval probe showed the flat-layout residual
+    // (the term filter scans the whole index, row-group pruning
+    // only). `LakeTable.optimizeClusterBy("term", 16)` rewrites the
+    // maintained positional index into hash(term) buckets, each
+    // directory carrying a bloom on term, and the served phrase read
+    // goes through `phraseMatchVia` with a `scanPrunedEq` lookup per
+    // term: the pruning assertion REQUIRES each probe to keep ≤ 1/4
+    // of the directories, and the pruned read must equal both the
+    // pre-cluster flat read (layout moves bytes, never rows) and the
+    // full-scan adjacency truth.
+    "q425_clustered_postings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // fresh index — this query rewrites its layout
+      def frag(k: Int) = R19Q.positionalFragment(
+        docs.filter(col("doc_id") % 4 === k))
+      val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-clq")
+      (1 to 3).foreach(k => idx.append(frag(k)))
+      val phrase = Seq("spark", "join")
+      val flat = graft.operators.TextMining
+        .phraseMatch(idx.snapshot(), phrase).localCheckpoint(true)
+      idx.optimizeClusterBy("term", buckets = 16)
+      phrase.foreach { t =>
+        val (kept, total) = idx.prunedDirsEq("term", t)
+        require(kept.nonEmpty && kept.size * 4 <= total,
+          s"expected a genuinely pruned read for '$t', " +
+            s"kept ${kept.size}/$total dirs")
+      }
+      val served = graft.operators.TextMining.phraseMatchVia(
+        t => idx.scanPrunedEq("term", t), phrase).localCheckpoint(true)
+      require(served.except(flat).isEmpty && flat.except(served).isEmpty,
+        "the clustered bloom-pruned read must equal the pre-cluster " +
+          "flat read")
+      val scan = graft.operators.TextMining.phraseScan(docs, phrase)
+      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+        "the clustered read must still equal the full-scan adjacency " +
+          "truth")
+      served.orderBy("doc_id")
+    }),
+
     // OUT-OF-ORDER STREAMING SLIDING-WINDOW RATE (r20 — VERDICT r19
     // next #4, the SIXTH replay face): for every event, the count of
     // the user's events in the trailing 24 h — the per-key rate
@@ -352,6 +393,10 @@ object R20Q {
 
   val oracles: Map[String, String] = Map(
     "q417_phrase_trigram" -> phraseSql(Seq("big", "order", "scan")),
+
+    // q425: layout moves bytes, never rows — the clustered pruned
+    // read equals the raw adjacency truth (q416's phrase)
+    "q425_clustered_postings" -> phraseSql(Seq("spark", "join")),
 
     // q419: compaction moves bytes, never rows — the served phrase
     // relation equals the raw adjacency truth

@@ -76,7 +76,8 @@ object PlanAuditSets {
     "q417_phrase_trigram", "q418_proximity_topk",
     "q419_index_compaction", "q420_stream_rate_ooo",
     "q421_stream_rate_jitter", "q422_min_span",
-    "q423_stream_postings_maintained", "q424_sloppy_phrase")
+    "q423_stream_postings_maintained", "q424_sloppy_phrase",
+    "q425_clustered_postings")
 }
 
 /** Automated scale-guard: no query may plan a CartesianProduct or a

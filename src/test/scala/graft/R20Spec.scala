@@ -266,6 +266,36 @@ class R20Spec extends AnyFunSuite {
     }
   }
 
+  test("optimizeClusterBy: reads identical pre/post, point probes keep " +
+      "a strict dir subset, prior versions still time-travel") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"t${i % 23}"))
+      .toDF("id", "term")
+    val t = graft.lake.LakeTable.createTemp(spark,
+      df.repartition(4), "graft-clspec")
+    t.append(df.withColumn("id", col("id") + 1000).repartition(4))
+    val preV = t.latestVersion
+    val before = t.snapshot().localCheckpoint(true)
+    t.optimizeClusterBy("term", buckets = 8)
+    val after = t.snapshot()
+    assert(after.except(before).isEmpty && before.except(after).isEmpty,
+      "cluster rewrite changed the data")
+    val (kept, total) = t.prunedDirsEq("term", "t5")
+    assert(kept.nonEmpty && kept.size < total,
+      s"no pruning: kept ${kept.size}/$total")
+    val pruned = t.scanPrunedEq("term", "t5")
+      .filter(col("term") === "t5").count()
+    val full = after.filter(col("term") === "t5").count()
+    assert(pruned == full && pruned > 0,
+      s"pruned read dropped rows: $pruned vs $full")
+    // a value the table never held prunes to zero dirs (bloom has no
+    // false negatives, and every dir carries one)
+    assert(t.prunedDirsEq("term", "never-seen")._1.isEmpty)
+    assert(t.snapshot(preV).count() == 1000,
+      "pre-cluster version lost to the layout commit")
+  }
+
   test("fanoFromCounts names the width-budget error even for " +
       "Long.MinValue (abs() would overflow past the gate — ADVICE r19)") {
     val s = spark
