@@ -64,6 +64,24 @@ object Bench {
     // per-query time = median across reps, total = sum of medians.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+    // In-query served≡scan proof legs are the ORACLE gate's job, not a
+    // per-rep bench cost (VERDICT r20 next #2): the bench times the
+    // served plan the engine would run in production. The returned
+    // relations are identical either way (Verify hashes the proofs-ON
+    // run against DuckDB every round); SPARK_GRAFT_PROVE=1 restores
+    // the r20-and-earlier timed-proofs behavior for A/B comparison.
+    queries.Qx.proofs = sys.env.get("SPARK_GRAFT_PROVE").contains("1")
+    // Lifecycle-bound streaming drains re-measure checkpoint/state-store
+    // I/O, not plan cost — their min tracks their median every round
+    // (VERDICT r20 perf notes) — so extra reps carry no signal while
+    // costing ~40% of the bench wall clock, which is what broke the
+    // r20 driver budget (BENCH_r20 rc=124). They run `lifecycleReps`
+    // passes (default 1); every other query keeps the full `reps`.
+    // Old methodology (all queries × reps): SPARK_GRAFT_BENCH_LIFECYCLE_REPS=3.
+    val lifecycleReps = sys.env.get("SPARK_GRAFT_BENCH_LIFECYCLE_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    def isLifecycle(name: String): Boolean =
+      name.contains("stream") || name.contains("stateful")
     val spark = GraftSession.local()
     // optional subset (local bisection; the driver never sets this):
     // comma-separated query-name prefixes
@@ -95,7 +113,8 @@ object Bench {
     }
     val staging = (System.nanoTime() - tStage) / 1e9
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    for (_ <- 1 to reps; name <- names) {
+    for (rep <- 1 to reps; name <- names
+         if rep <= (if (isLifecycle(name)) lifecycleReps else reps)) {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -128,7 +147,7 @@ object Bench {
     val totalMin = minResults.map(_._2).sum
     val cpus = Runtime.getRuntime.availableProcessors
     def line(rs: Seq[(String, Double)], ms: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"staging":${fmt(staging)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpus,"queries":${qmap(rs)},"mins":${qmap(ms)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"staging":${fmt(staging)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpus,"queries":${qmap(rs)},"mins":${qmap(ms)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"reps":$reps,"lifecycle_reps":$lifecycleReps,"proofs":${queries.Qx.proofs},"sf":${jstr(sfDir)}}"""
     // stdout: headline subset only — must fit inside the driver's tail.
     // Written straight to fd 1: sbt's non-forked run swaps System.out
     // for its logger, so a plain println comes out "[info] {...}" —
@@ -152,8 +171,10 @@ object Bench {
     // documented sf0.1 bench scale so a local sf0.01 iteration loop
     // doesn't clobber the committed numbers.
     if (sfDir.contains("sf0.1") && only.isEmpty) {
-      try rewritePerfBlock(results, minResults.toMap, errors.size, reps, sfDir,
-        total, totalMin, staging, loadStart, loadEnd)
+      try rewritePerfBlock(results, minResults.toMap, errors.size,
+        if (lifecycleReps == reps) s"$reps"
+        else s"$reps ($lifecycleReps for lifecycle-bound streaming drains)",
+        sfDir, total, totalMin, staging, loadStart, loadEnd)
       catch { case e: Throwable => System.err.println(s"[bench] PERF.md rewrite failed: ${e.getMessage}") }
     }
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")
@@ -162,7 +183,7 @@ object Bench {
 
   private def rewritePerfBlock(results: Seq[(String, Double)],
                                mins: Map[String, Double], nErrors: Int,
-                               reps: Int, sfDir: String, total: Double,
+                               reps: String, sfDir: String, total: Double,
                                totalMin: Double, staging: Double,
                                loadStart: Double, loadEnd: Double): Unit = {
     val perf = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PERF_MD", "/root/repo/PERF.md"))

@@ -18,6 +18,13 @@ object Verify {
     // the driver always passes exactly two args → full run).
     val only: Option[Seq[String]] = if (args.length > 2) Some(args.drop(2).toSeq) else None
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // The oracle gate ALWAYS runs the in-query proof legs (served≡scan
+    // twins): a hash-green Verify run proves both that the served
+    // relation matches DuckDB and that every maintained artifact still
+    // equals its independent recompute. Bench turns the legs off for
+    // timing (VERDICT r20 next #2) — this explicit set keeps the gate
+    // immune to whatever a prior main in the same JVM did.
+    queries.Qx.proofs = true
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(4)

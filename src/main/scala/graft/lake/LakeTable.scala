@@ -471,12 +471,14 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     val statsCols = (zorderBy ++ priorStatsCols).distinct
     // layout rewrite of already-validated rows: carry checks, no re-scan.
     // Min/max stats for all `buckets` directories come from ONE grouped
-    // job (computeStatsPartitioned); blooms stay per-dir (ndv-bounded,
-    // and only tables that already carried blooms pay them).
+    // job (computeStatsPartitioned); per-dir blooms likewise come from
+    // one grouped pass (computeBloomPartitioned — r21, ADVICE r20: the
+    // per-dir loop was O(dirs) driver round-trips; only tables that
+    // already carried blooms pay them at all).
     commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
       stats = (if (dirs.isEmpty) Nil // empty table: no dirs, nothing to read
-               else computeStatsPartitioned(rel, "__zb", statsCols)) ++
-        dirs.flatMap(dd => computeBloom(dd, priorBloomCols)),
+               else computeStatsPartitioned(rel, "__zb", statsCols) ++
+                 computeBloomPartitioned(rel, "__zb", priorBloomCols)),
       checks = readManifest(v - 1).checks)
   }
 
@@ -492,9 +494,10 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
     * new directory — the optimizeZOrder rule); prior bloom columns
     * too. Data files are untouched semantically: reads identical
     * before/after, earlier versions still time-travel, the old layout
-    * ages out via vacuum. Null cluster keys land in bucket 0's hash
-    * class and are invisible to equality probes — which can never
-    * match null anyway. */
+    * ages out via vacuum. Null cluster keys land in the hash-of-null
+    * bucket (Spark's hash(null) is the seed 42, so pmod(42, buckets))
+    * and are invisible to equality probes — which can never match
+    * null anyway. */
   def optimizeClusterBy(clusterCol: String, buckets: Int = 16): Long = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
@@ -520,10 +523,15 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
         c.stripPrefix("bloom:")
     }.distinct
     val bloomCols = (clusterCol +: priorBloomCols).distinct
+    // ONE grouped pass per stat family (min/max, blooms) instead of a
+    // per-dir job loop — r21, ADVICE r20: the O(dirs) driver
+    // round-trips dominated the rewrite even at 16 buckets (the
+    // committed r20 probe measured clusterBy(term, 64) at ~25 s, most
+    // of it bloom-loop job launches).
     commitManifest(v, "optimize", dirs, None, Some(df.schema.json),
       stats = (if (dirs.isEmpty) Nil
-               else computeStatsPartitioned(rel, "__cb", priorStatsCols)) ++
-        dirs.flatMap(dd => computeBloom(dd, bloomCols)),
+               else computeStatsPartitioned(rel, "__cb", priorStatsCols) ++
+                 computeBloomPartitioned(rel, "__cb", bloomCols)),
       checks = readManifest(v - 1).checks)
   }
 
@@ -960,8 +968,11 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
 
   private val bloomSeeds = 0 until 4
 
+  private def bloomPositionCols(value: Column, m: Column): Seq[Column] =
+    bloomSeeds.map(i => pmod(xxhash64(value.cast("string"), lit(i)), m))
+
   private def bloomPositionCols(value: Column, m: Int): Seq[Column] =
-    bloomSeeds.map(i => pmod(xxhash64(value.cast("string"), lit(i)), lit(m.toLong)))
+    bloomPositionCols(value, lit(m.toLong))
 
   private def computeBloom(rel: String, bloomCols: Seq[String]): Seq[String] = {
     if (bloomCols.isEmpty) return Nil
@@ -982,6 +993,62 @@ final class LakeTable private (val spark: SparkSession, val root: Path) {
           val set = positions.foldLeft(bits)((b, p) => b.setBit(p))
           val hex = set.toString(16)
           Some(s"$rel|bloom:$c|bloom$m|$hex|$hex")
+        }
+      }
+    }
+  }
+
+  /** Per-directory blooms for a hive-partitioned layout in TWO jobs
+    * per column — [[computeBloom]]'s semantics grouped by the
+    * partition column (the [[computeStatsPartitioned]] treatment;
+    * ADVICE r20: the per-dir `dirs.flatMap(computeBloom)` loop
+    * launched ~3 tiny driver-round-trip jobs per bucket and dominated
+    * `optimizeClusterBy` even at 16 buckets — the O(dirs) shape
+    * computeStatsPartitioned was introduced to eliminate). Job 1
+    * counts per-dir distinct values; job 2 hashes the distinct values
+    * of every still-eligible dir (0 < ndv ≤ 512) with that dir's own
+    * width. Stat lines match the per-dir reads exactly: same
+    * cast-to-string, same xxhash64 seeds, same width rule, same ndv
+    * cap, same unsafe-column skip (LakeStatsSpec pins the
+    * equivalence). */
+  private def computeBloomPartitioned(rel: String, partCol: String,
+                                      bloomCols: Seq[String]): Seq[String] = {
+    if (bloomCols.isEmpty) return Nil
+    val df = spark.read.parquet(root.resolve(rel).toString)
+    val present = df.schema.fieldNames.toSet
+    bloomCols.flatMap { c =>
+      if (!present.contains(c) || c.contains("|") || c.contains("\n") ||
+        c.contains("\r")) Nil
+      else {
+        val vals = df.select(col(partCol).as("__pc"),
+          col(c).cast("string").as("v")).na.drop(Seq("v")).distinct()
+        val ndv = vals.groupBy(col("__pc")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+        val widths: Map[Any, Int] = ndv.collect {
+          case (p, n) if n > 0 && n <= 512 =>
+            p -> math.max(64, Integer.highestOneBit((8 * n.toInt) - 1) << 1)
+        }
+        if (widths.isEmpty) Nil
+        else {
+          // one pass hashes every eligible dir's values at that dir's
+          // width: ≤ 4·512 distinct positions per dir reach the driver
+          val widthExpr = widths.foldLeft(lit(null).cast("long")) {
+            case (acc, (p, m)) =>
+              when(col("__pc") === lit(p), lit(m.toLong)).otherwise(acc)
+          }
+          val positions = vals.withColumn("__m", widthExpr)
+            .filter(col("__m").isNotNull)
+            .select(col("__pc"),
+              explode(array(bloomPositionCols(col("v"), col("__m")): _*))
+                .as("p"))
+            .distinct().collect()
+          widths.toSeq.map { case (p, m) =>
+            val bits = positions.iterator.filter(_.get(0) == p)
+              .foldLeft(new java.math.BigInteger("0"))(
+                (b, r) => b.setBit(r.getLong(1).toInt))
+            val hex = bits.toString(16)
+            s"$rel/$partCol=$p|bloom:$c|bloom$m|$hex|$hex"
+          }.sorted
         }
       }
     }

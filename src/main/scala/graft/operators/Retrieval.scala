@@ -112,8 +112,18 @@ object Retrieval {
         ((tf * lit(K1p1)) /
           (tf + lit(K1) * (lit(OneMinusB) + lit(B) * col("blen") / avgLen)))
     val dfs = qterms.zipWithIndex.map { case (t, i) =>
-      stats.filter(col("kind") === "df" && col("term") === t)
+      val slice = stats.filter(col("kind") === "df" && col("term") === t)
         .select(col("v").as(s"df$i"))
+      // An out-of-vocabulary term has NO df row: its 0-row slice would
+      // crossJoin the whole scan relation to empty — a silent
+      // served≡scan mismatch with no named cause (ADVICE r20). The
+      // served side is unaffected (no postings either), so fail loud
+      // here with the actual failure mode named.
+      require(!slice.isEmpty,
+        s"bm25Scan: query term '$t' has no df row in the stats index " +
+          "(out-of-vocabulary) — the scan twin cannot price it; drop " +
+          "the term or rebuild the stats index over the full corpus")
+      slice
     }
     dfs.foldLeft(base.crossJoin(broadcast(one))) {
         (acc, dfi) => acc.crossJoin(broadcast(dfi))
@@ -134,6 +144,12 @@ object Retrieval {
   def minPairGap(positional: DataFrame, a: String, b: String): DataFrame = {
     require(a.nonEmpty && b.nonEmpty,
       "minPairGap: postings never carry the empty token")
+    // a repeated pair would join each occurrence with ITSELF and
+    // report gap 0 (maximum proximity) for every doc containing the
+    // term — reject loud, the minSpan discipline (ADVICE r20)
+    require(a != b,
+      s"minPairGap: terms must be distinct (got '$a' twice) — a " +
+        "repeated pair matches the same occurrence against itself")
     positional.filter(col("term") === a)
       .select(col("doc_id"), col("pos").as("__pa"))
       .join(positional.filter(col("term") === b)
@@ -149,6 +165,8 @@ object Retrieval {
     * where the postings are 0-based — the DIFFERENCE is shift-
     * invariant, so the two sides agree exactly. */
   def minPairGapScan(docs: DataFrame, a: String, b: String): DataFrame = {
+    require(a != b, // the minPairGap guard, mirrored so the twins agree
+      s"minPairGapScan: terms must be distinct (got '$a' twice)")
     val ws = split(col("text"), " ")
     def posArr(t: String): Column =
       filter(sequence(lit(1), size(ws)), p => element_at(ws, p) === lit(t))

@@ -488,10 +488,12 @@ object ExtendedQ {
           (coalesce(col("cents"), lit(0L)) +
             coalesce(col("dcents"), lit(0L))).as("cents"))
         .filter(col("n") > 0)
-      val full = rollup(t.snapshot())
-      require(maintained.exceptAll(full).isEmpty &&
-        full.exceptAll(maintained).isEmpty,
-        "incrementally maintained rollup must equal the full recompute")
+      Qx.prove { // proof leg: Verify runs it, Bench times the maintained plan
+        val full = rollup(t.snapshot())
+        require(maintained.exceptAll(full).isEmpty &&
+          full.exceptAll(maintained).isEmpty,
+          "incrementally maintained rollup must equal the full recompute")
+      }
       maintained.select(col("event_type"), col("n"),
         (col("cents").cast("double") / lit(100.0)).as("total"))
         .orderBy("event_type")

@@ -68,4 +68,24 @@ object Qx {
     * stranding it. */
   def tableStamp(d: String, table: String): Long =
     graft.lake.Stamps.tableStamp(d, table)
+
+  /** Gate for the in-query PROOF legs (the q384/q405 discipline:
+    * full-scan/from-scratch twins + two `except` legs inside query
+    * bodies, proving a served artifact ≡ an independent recompute).
+    * They are correctness-gate discipline, not query cost — by r20 the
+    * bench re-proved the same identities three times per round, ~30–40
+    * s/rep of pure twin recompute (VERDICT r20 next #2) — so the
+    * timed path may turn them off: Verify (the oracle gate) and `sbt
+    * test` run WITH proofs (the default here), Bench sets this false
+    * unless SPARK_GRAFT_PROVE=1. The RETURNED relation is always the
+    * served side, so result hashes are bit-identical with proofs on or
+    * off — and Verify re-proves that every round by hashing the
+    * proofs-ON run against the oracle. */
+  @volatile var proofs: Boolean =
+    sys.env.get("SPARK_GRAFT_PROVE").forall(_ != "0")
+
+  /** Run `body` only when proof legs are enabled ([[proofs]]). The
+    * whole twin construction belongs inside the thunk, so a proofs-off
+    * run never even builds the scan plan. */
+  def prove(body: => Unit): Unit = if (proofs) body
 }

@@ -129,19 +129,21 @@ object R14Q {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val expect = Tables.events(s, d)
-        .filter(col("event_type") === "signup")
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id"))
-            .orderBy(desc("ts"), desc("event_id"))))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("event_id"), col("value"))
-      require(dimT.snapshot().select("user_id", "event_id", "value")
-          .except(expect).isEmpty &&
-          expect.except(dimT.snapshot()
-            .select("user_id", "event_id", "value")).isEmpty,
-        "CDC-merged dim table must equal last-version-per-key")
+      Qx.prove { // proof leg: Verify runs it, Bench times the drain itself
+        val expect = Tables.events(s, d)
+          .filter(col("event_type") === "signup")
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(desc("ts"), desc("event_id"))))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"))
+        require(dimT.snapshot().select("user_id", "event_id", "value")
+            .except(expect).isEmpty &&
+            expect.except(dimT.snapshot()
+              .select("user_id", "event_id", "value")).isEmpty,
+          "CDC-merged dim table must equal last-version-per-key")
+      }
       // converged enrichment: the last emission per observation
       sink.groupBy(col("user_id"), col("obs_id"))
         .agg(max_by(struct(col("dim_id"), col("dim_value")),

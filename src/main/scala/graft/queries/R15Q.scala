@@ -174,11 +174,13 @@ object R15Q {
       val inc = graft.operators.TextAnalysis.goldenRecordsIncremental(
         existing, batch, "p_partkey", "p_name", maxDist = 3,
         blockExprs = blocks).localCheckpoint(true)
-      val full = graft.operators.TextAnalysis.goldenRecords(
-        part, "p_partkey", "p_name", maxDist = 3, blockExprs = blocks)
-        .localCheckpoint(true)
-      require(inc.except(full).isEmpty && full.except(inc).isEmpty,
-        "incremental fold must equal the full recompute bit-for-bit")
+      Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
+        val full = graft.operators.TextAnalysis.goldenRecords(
+          part, "p_partkey", "p_name", maxDist = 3, blockExprs = blocks)
+          .localCheckpoint(true)
+        require(inc.except(full).isEmpty && full.except(inc).isEmpty,
+          "incremental fold must equal the full recompute bit-for-bit")
+      }
       inc.orderBy("entity_id")
     }),
 
@@ -668,10 +670,12 @@ object R15Q {
       // incremental + full double-compute of the in-query proof
       val inc = graft.operators.TextAnalysis.dupSpansIncremental(
         existing, batch, w = 8, minDocs = 2).localCheckpoint(true)
-      val full = graft.operators.TextAnalysis.dupSpans(docs, w = 8,
-        minDocs = 2).filter(col("doc_id") % 5 === 0).localCheckpoint(true)
-      require(inc.except(full).isEmpty && full.except(inc).isEmpty,
-        "incremental dup spans must equal the full recompute")
+      Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
+        val full = graft.operators.TextAnalysis.dupSpans(docs, w = 8,
+          minDocs = 2).filter(col("doc_id") % 5 === 0).localCheckpoint(true)
+        require(inc.except(full).isEmpty && full.except(inc).isEmpty,
+          "incremental dup spans must equal the full recompute")
+      }
       inc.orderBy("doc_id", "span_start")
     }),
 

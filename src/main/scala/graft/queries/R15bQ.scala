@@ -164,12 +164,14 @@ object R15bQ {
       val inc = graft.operators.Dedup.setSimilarityJoinAgainst(
           incoming, corpus, n = 3, minJacNum = 4, minJacDen = 5)
         .localCheckpoint(true)
-      val full = graft.operators.Dedup.setSimilarityJoin(
-          all, n = 3, minJacNum = 4, minJacDen = 5)
-        .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
-        .localCheckpoint(true)
-      require(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
-        "incremental set-similarity diverged from the full recompute")
+      Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
+        val full = graft.operators.Dedup.setSimilarityJoin(
+            all, n = 3, minJacNum = 4, minJacDen = 5)
+          .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
+          .localCheckpoint(true)
+        require(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+          "incremental set-similarity diverged from the full recompute")
+      }
       inc.orderBy("doc_a", "doc_b")
     }),
 

@@ -328,10 +328,12 @@ object R16Q {
       val got = graft.operators.Dedup.containmentJoinAgainst(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint(true)
-      val full = graft.operators.Dedup.containmentJoin(docs)
-        .filter(col("doc_a") % 5 === 0).localCheckpoint(true)
-      require(got.except(full).isEmpty && full.except(got).isEmpty,
-        "incremental containment must equal the full recompute")
+      Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
+        val full = graft.operators.Dedup.containmentJoin(docs)
+          .filter(col("doc_a") % 5 === 0).localCheckpoint(true)
+        require(got.except(full).isEmpty && full.except(got).isEmpty,
+          "incremental containment must equal the full recompute")
+      }
       got.orderBy("doc_a", "doc_b")
     }),
 

@@ -205,16 +205,18 @@ object R17Q {
       val got = graft.operators.TextAnalysis.noveltyScoreAgainst(
         docs.filter(col("doc_id") % 4 === 3), asOfPrev)
         .localCheckpoint(true)
-      val fullIdx = graft.operators.Dedup.shingles(docs, 3)
-        .select(col("shingle")).distinct()
-      require(idx.snapshot().except(fullIdx).isEmpty &&
-        fullIdx.except(idx.snapshot()).isEmpty,
-        "maintained novelty index must equal the from-scratch rebuild")
-      val scratch = graft.operators.TextAnalysis.noveltyScore(
-        docs.filter(col("doc_id") % 4 === 3),
-        docs.filter(col("doc_id") % 4 =!= 3))
-      require(got.except(scratch).isEmpty && scratch.except(got).isEmpty,
-        "as-of index scores must equal the from-scratch novelty scores")
+      Qx.prove { // proof legs: Verify runs them, Bench times the served plan
+        val fullIdx = graft.operators.Dedup.shingles(docs, 3)
+          .select(col("shingle")).distinct()
+        require(idx.snapshot().except(fullIdx).isEmpty &&
+          fullIdx.except(idx.snapshot()).isEmpty,
+          "maintained novelty index must equal the from-scratch rebuild")
+        val scratch = graft.operators.TextAnalysis.noveltyScore(
+          docs.filter(col("doc_id") % 4 === 3),
+          docs.filter(col("doc_id") % 4 =!= 3))
+        require(got.except(scratch).isEmpty && scratch.except(got).isEmpty,
+          "as-of index scores must equal the from-scratch novelty scores")
+      }
       got.orderBy("doc_id")
     }),
 
@@ -337,11 +339,13 @@ object R17Q {
       val folded = asOfPrev.groupBy(col("kind"), col("term"))
         .agg(sum(col("v")).cast("long").as("v"))
         .localCheckpoint(true)
-      val scratch = bm25Fragment(docs.filter(col("doc_id") % 4 =!= 3))
-        .select(col("kind"), col("term"), col("v"))
-      require(folded.except(scratch).isEmpty &&
-        scratch.except(folded).isEmpty,
-        "as-of BM25 index must equal the from-scratch per-term build")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scratch = bm25Fragment(docs.filter(col("doc_id") % 4 =!= 3))
+          .select(col("kind"), col("term"), col("v"))
+        require(folded.except(scratch).isEmpty &&
+          scratch.except(folded).isEmpty,
+          "as-of BM25 index must equal the from-scratch per-term build")
+      }
       // query-time term resolution from the as-of relation — the terms
       // appear HERE only, never in the index build
       def dfOf(term: String) = coalesce(

@@ -80,11 +80,13 @@ object R18Q {
       val served = graft.operators.Retrieval
         .bm25Served(postings, stats, qterms)
         .localCheckpoint(true)
-      // proof: postings-served ≡ full scan (q392's chain over ALL
-      // docs, summed in the same term-sorted order from the same seed)
-      val scan = graft.operators.Retrieval.bm25Scan(docs, stats, qterms)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "postings-served scores must equal the full-scan computation")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        // proof: postings-served ≡ full scan (q392's chain over ALL
+        // docs, summed in the same term-sorted order from the same seed)
+        val scan = graft.operators.Retrieval.bm25Scan(docs, stats, qterms)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "postings-served scores must equal the full-scan computation")
+      }
       served.orderBy(desc("score"), asc("doc_id")).limit(20)
         .select(col("doc_id"), col("score"))
     }),

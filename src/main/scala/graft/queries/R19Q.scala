@@ -316,11 +316,13 @@ object R19Q {
       val served = graft.operators.TextMining
         .phraseMatch(post, Seq("spark", "join"))
         .localCheckpoint(true)
-      val scan = graft.operators.TextMining
-        .phraseScan(docs, Seq("spark", "join"))
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "postings-served phrase matches must equal the full-scan " +
-          "adjacency count")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scan = graft.operators.TextMining
+          .phraseScan(docs, Seq("spark", "join"))
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "postings-served phrase matches must equal the full-scan " +
+            "adjacency count")
+      }
       served.orderBy("doc_id")
     }),
 

@@ -33,10 +33,12 @@ object R20Q {
       val phrase = Seq("big", "order", "scan")
       val served = graft.operators.TextMining.phraseMatch(post, phrase)
         .localCheckpoint(true)
-      val scan = graft.operators.TextMining.phraseScan(docs, phrase)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "postings-served trigram matches must equal the full-scan " +
-          "adjacency count")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scan = graft.operators.TextMining.phraseScan(docs, phrase)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "postings-served trigram matches must equal the full-scan " +
+            "adjacency count")
+      }
       served.orderBy("doc_id")
     }),
 
@@ -76,16 +78,18 @@ object R20Q {
         Retrieval.bm25Served(postings, stats, qterms),
         (a, b) => Retrieval.minPairGap(positional, a, b))
         .localCheckpoint(true)
-      // checkpointed too: the two excepts below would otherwise
-      // recompute the 3-corpus-scan chain twice (r20 bench: 18 s →
-      // ~12 s, same rows)
-      val scan = compose(
-        Retrieval.bm25Scan(docs, stats, qterms),
-        (a, b) => Retrieval.minPairGapScan(docs, a, b))
-        .localCheckpoint(true)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "index-served proximity scores must equal the full-scan " +
-          "computation")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        // checkpointed too: the two excepts below would otherwise
+        // recompute the 3-corpus-scan chain twice (r20 bench: 18 s →
+        // ~12 s, same rows)
+        val scan = compose(
+          Retrieval.bm25Scan(docs, stats, qterms),
+          (a, b) => Retrieval.minPairGapScan(docs, a, b))
+          .localCheckpoint(true)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "index-served proximity scores must equal the full-scan " +
+            "computation")
+      }
       served.orderBy(desc("score"), asc("doc_id")).limit(20)
     }),
 
@@ -115,22 +119,27 @@ object R20Q {
       def serve() = graft.operators.TextMining.phraseMatch(
         graft.lake.DeltaInterop.readDelta(s, dest), phrase)
         .localCheckpoint(true)
-      val pre = serve()
+      // the pre-compaction read exists only for the identity proof —
+      // the maintenance op itself (optimize + vacuum) always runs
+      val pre = if (Qx.proofs) Some(serve()) else None
       val res = graft.lake.DeltaInterop.optimize(s, dest)
       require(res.compactedFiles == 16 && res.newFiles == 1 &&
         res.carriedFiles == 0,
         s"expected the index's 16 ingest files packed into 1, got $res")
       val post = serve()
-      require(pre.except(post).isEmpty && post.except(pre).isEmpty,
-        "the served phrase read must be identical pre/post compaction")
+      pre.foreach(p =>
+        require(p.except(post).isEmpty && post.except(p).isEmpty,
+          "the served phrase read must be identical pre/post compaction"))
       val vacuumed = graft.lake.DeltaInterop.vacuumDelta(s, dest)
       require(vacuumed == 16,
         s"vacuum must reclaim exactly the 16 tombstoned ingest files, " +
           s"got $vacuumed")
-      val scan = graft.operators.TextMining.phraseScan(docs, phrase)
-      require(post.except(scan).isEmpty && scan.except(post).isEmpty,
-        "the compacted single-file read must still equal the full-scan " +
-          "adjacency count")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scan = graft.operators.TextMining.phraseScan(docs, phrase)
+        require(post.except(scan).isEmpty && scan.except(post).isEmpty,
+          "the compacted single-file read must still equal the full-scan " +
+            "adjacency count")
+      }
       post.orderBy("doc_id")
     }),
 
@@ -151,9 +160,11 @@ object R20Q {
       val qterms = Seq("data", "join", "spark")
       val served = graft.operators.Retrieval.minSpan(positional, qterms)
         .localCheckpoint(true)
-      val scan = graft.operators.Retrieval.minSpanScan(docs, qterms)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "index-served min spans must equal the raw-text derivation")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scan = graft.operators.Retrieval.minSpanScan(docs, qterms)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "index-served min spans must equal the raw-text derivation")
+      }
       served.orderBy("doc_id")
     }),
 
@@ -173,11 +184,13 @@ object R20Q {
       val served = graft.operators.TextMining
         .orderedWithin(positional, qterms, k = 5L)
         .localCheckpoint(true)
-      val scan = graft.operators.TextMining
-        .orderedWithinScan(docs, qterms, k = 5L)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "index-served sloppy-phrase chains must equal the raw-text " +
-          "derivation")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scan = graft.operators.TextMining
+          .orderedWithinScan(docs, qterms, k = 5L)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "index-served sloppy-phrase chains must equal the raw-text " +
+            "derivation")
+      }
       served.orderBy("doc_id")
     }),
 
@@ -213,13 +226,15 @@ object R20Q {
       val phrase = Seq("spark", "join")
       val served = graft.operators.TextMining.phraseMatch(index, phrase)
         .localCheckpoint(true)
-      val mapped = Tables.events(s, d)
-        .select((col("event_id") % 500).as("doc_id")).distinct()
-      val scan = graft.operators.TextMining
-        .phraseScan(docs.join(mapped, "doc_id"), phrase)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "stream-maintained postings must serve exactly the mapped " +
-          "subset's adjacency truth")
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val mapped = Tables.events(s, d)
+          .select((col("event_id") % 500).as("doc_id")).distinct()
+        val scan = graft.operators.TextMining
+          .phraseScan(docs.join(mapped, "doc_id"), phrase)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "stream-maintained postings must serve exactly the mapped " +
+            "subset's adjacency truth")
+      }
       served.orderBy("doc_id")
     }),
 
@@ -243,8 +258,10 @@ object R20Q {
       val idx = graft.lake.LakeTable.createTemp(s, frag(0), "graft-clq")
       (1 to 3).foreach(k => idx.append(frag(k)))
       val phrase = Seq("spark", "join")
-      val flat = graft.operators.TextMining
-        .phraseMatch(idx.snapshot(), phrase).localCheckpoint(true)
+      // the pre-cluster flat read exists only for the identity proof —
+      // the layout rewrite and the pruned serving always run
+      val flat = if (Qx.proofs) Some(graft.operators.TextMining
+        .phraseMatch(idx.snapshot(), phrase).localCheckpoint(true)) else None
       idx.optimizeClusterBy("term", buckets = 16)
       phrase.foreach { t =>
         val (kept, total) = idx.prunedDirsEq("term", t)
@@ -254,13 +271,16 @@ object R20Q {
       }
       val served = graft.operators.TextMining.phraseMatchVia(
         t => idx.scanPrunedEq("term", t), phrase).localCheckpoint(true)
-      require(served.except(flat).isEmpty && flat.except(served).isEmpty,
-        "the clustered bloom-pruned read must equal the pre-cluster " +
-          "flat read")
-      val scan = graft.operators.TextMining.phraseScan(docs, phrase)
-      require(served.except(scan).isEmpty && scan.except(served).isEmpty,
-        "the clustered read must still equal the full-scan adjacency " +
-          "truth")
+      flat.foreach(f =>
+        require(served.except(f).isEmpty && f.except(served).isEmpty,
+          "the clustered bloom-pruned read must equal the pre-cluster " +
+            "flat read"))
+      Qx.prove { // proof leg: Verify runs it, Bench times the served plan
+        val scan = graft.operators.TextMining.phraseScan(docs, phrase)
+        require(served.except(scan).isEmpty && scan.except(served).isEmpty,
+          "the clustered read must still equal the full-scan adjacency " +
+            "truth")
+      }
       served.orderBy("doc_id")
     }),
 
