@@ -88,4 +88,14 @@ object Qx {
     * whole twin construction belongs inside the thunk, so a proofs-off
     * run never even builds the scan plan. */
   def prove(body: => Unit): Unit = if (proofs) body
+
+  /** `localCheckpoint(true)` only while proof legs run: the checkpoint
+    * exists to amortize a relation the proof's two `except` legs
+    * consume again — with proofs off the relation is consumed exactly
+    * once, so the eager checkpoint would be a pure extra
+    * materialization, and its lineage truncation hides the served
+    * plan from `explain`/the bench (the plan the round's plan files
+    * must show). Same rows either way. */
+  def stageForProof(df: DataFrame): DataFrame =
+    if (proofs) df.localCheckpoint(true) else df
 }

@@ -173,7 +173,7 @@ object R15Q {
       // materialized relations rather than re-deriving both pipelines
       val inc = graft.operators.TextAnalysis.goldenRecordsIncremental(
         existing, batch, "p_partkey", "p_name", maxDist = 3,
-        blockExprs = blocks).localCheckpoint(true)
+        blockExprs = blocks).transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
         val full = graft.operators.TextAnalysis.goldenRecords(
           part, "p_partkey", "p_name", maxDist = 3, blockExprs = blocks)
@@ -669,7 +669,7 @@ object R15Q {
       // materialized relations; the remaining cost is the deliberate
       // incremental + full double-compute of the in-query proof
       val inc = graft.operators.TextAnalysis.dupSpansIncremental(
-        existing, batch, w = 8, minDocs = 2).localCheckpoint(true)
+        existing, batch, w = 8, minDocs = 2).transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
         val full = graft.operators.TextAnalysis.dupSpans(docs, w = 8,
           minDocs = 2).filter(col("doc_id") % 5 === 0).localCheckpoint(true)

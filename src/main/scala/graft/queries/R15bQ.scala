@@ -163,7 +163,7 @@ object R15bQ {
       // equal (the q254 in-query-proof pattern)
       val inc = graft.operators.Dedup.setSimilarityJoinAgainst(
           incoming, corpus, n = 3, minJacNum = 4, minJacDen = 5)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
         val full = graft.operators.Dedup.setSimilarityJoin(
             all, n = 3, minJacNum = 4, minJacDen = 5)

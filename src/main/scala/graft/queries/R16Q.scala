@@ -236,16 +236,18 @@ object R16Q {
         .unionByName(a.filter(col("event_id") % 49999 === 5)
           .withColumn("event_id", col("event_id") + 100000000L))
       val plan = graft.operators.Integrity.repairPlan(
-        a, b, "event_id", cols, buckets = 64).localCheckpoint(true)
-      val drop = plan.filter(col("action").isin("delete", "upsert"))
-        .select(col("event_id"))
-      val take = plan.filter(col("action").isin("upsert", "insert"))
-        .select(col("event_id"))
-      val repaired = b.join(drop, Seq("event_id"), "left_anti")
-        .unionByName(a.join(take, Seq("event_id"), "left_semi"))
-        .localCheckpoint(true)
-      require(repaired.exceptAll(a).isEmpty && a.exceptAll(repaired).isEmpty,
-        "merkle repair must reconcile b to a exactly")
+        a, b, "event_id", cols, buckets = 64).transform(Qx.stageForProof)
+      Qx.prove { // proof leg: Verify applies the plan and proves it repairs
+        val drop = plan.filter(col("action").isin("delete", "upsert"))
+          .select(col("event_id"))
+        val take = plan.filter(col("action").isin("upsert", "insert"))
+          .select(col("event_id"))
+        val repaired = b.join(drop, Seq("event_id"), "left_anti")
+          .unionByName(a.join(take, Seq("event_id"), "left_semi"))
+          .localCheckpoint(true)
+        require(repaired.exceptAll(a).isEmpty && a.exceptAll(repaired).isEmpty,
+          "merkle repair must reconcile b to a exactly")
+      }
       plan.orderBy("event_id")
     }),
 
@@ -287,16 +289,18 @@ object R16Q {
       val docs = Tables.documents(s, d)
       val full = graft.operators.Corpus.hashSplit(docs)
         .select(col("doc_id"), col("bucket"), col("split"))
-        .localCheckpoint(true)
-      val pre = graft.operators.Corpus.hashSplit(
-          docs.filter(col("doc_id") % 5 =!= 0))
-        .select(col("doc_id"), col("bucket").as("b0"),
-          col("split").as("split0"))
-        .localCheckpoint(true)
-      require(full.join(pre, "doc_id")
-        .filter(col("split") =!= col("split0") ||
-          col("bucket") =!= col("b0")).isEmpty,
-        "hash split must be stable under corpus growth")
+        .transform(Qx.stageForProof)
+      Qx.prove { // proof leg: Verify runs it, Bench times the split itself
+        val pre = graft.operators.Corpus.hashSplit(
+            docs.filter(col("doc_id") % 5 =!= 0))
+          .select(col("doc_id"), col("bucket").as("b0"),
+            col("split").as("split0"))
+          .localCheckpoint(true)
+        require(full.join(pre, "doc_id")
+          .filter(col("split") =!= col("split0") ||
+            col("bucket") =!= col("b0")).isEmpty,
+          "hash split must be stable under corpus growth")
+      }
       full.orderBy("doc_id")
     }),
 
@@ -327,7 +331,7 @@ object R16Q {
       val docs = Tables.documents(s, d)
       val got = graft.operators.Dedup.containmentJoinAgainst(
         docs.filter(col("doc_id") % 5 === 0),
-        docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint(true)
+        docs.filter(col("doc_id") % 5 =!= 0)).transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the incremental plan
         val full = graft.operators.Dedup.containmentJoin(docs)
           .filter(col("doc_a") % 5 === 0).localCheckpoint(true)

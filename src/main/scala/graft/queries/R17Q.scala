@@ -204,7 +204,7 @@ object R17Q {
       val asOfPrev = idx.snapshot(vs(vs.length - 2))
       val got = graft.operators.TextAnalysis.noveltyScoreAgainst(
         docs.filter(col("doc_id") % 4 === 3), asOfPrev)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof legs: Verify runs them, Bench times the served plan
         val fullIdx = graft.operators.Dedup.shingles(docs, 3)
           .select(col("shingle")).distinct()
@@ -338,7 +338,7 @@ object R17Q {
       val asOfPrev = idx.snapshot(vs(vs.length - 2))
       val folded = asOfPrev.groupBy(col("kind"), col("term"))
         .agg(sum(col("v")).cast("long").as("v"))
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         val scratch = bm25Fragment(docs.filter(col("doc_id") % 4 =!= 3))
           .select(col("kind"), col("term"), col("v"))

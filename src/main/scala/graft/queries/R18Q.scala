@@ -79,7 +79,7 @@ object R18Q {
       val qterms = Seq("data", "join", "spark") // already term-sorted
       val served = graft.operators.Retrieval
         .bm25Served(postings, stats, qterms)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         // proof: postings-served ≡ full scan (q392's chain over ALL
         // docs, summed in the same term-sorted order from the same seed)

@@ -315,7 +315,7 @@ object R19Q {
       val post = posPostingsArtifact(s, d).snapshot()
       val served = graft.operators.TextMining
         .phraseMatch(post, Seq("spark", "join"))
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         val scan = graft.operators.TextMining
           .phraseScan(docs, Seq("spark", "join"))

@@ -32,7 +32,7 @@ object R20Q {
       val post = R19Q.posPostingsArtifact(s, d).snapshot()
       val phrase = Seq("big", "order", "scan")
       val served = graft.operators.TextMining.phraseMatch(post, phrase)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         val scan = graft.operators.TextMining.phraseScan(docs, phrase)
         require(served.except(scan).isEmpty && scan.except(served).isEmpty,
@@ -77,7 +77,7 @@ object R20Q {
       val served = compose(
         Retrieval.bm25Served(postings, stats, qterms),
         (a, b) => Retrieval.minPairGap(positional, a, b))
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         // checkpointed too: the two excepts below would otherwise
         // recompute the 3-corpus-scan chain twice (r20 bench: 18 s →
@@ -118,7 +118,7 @@ object R20Q {
       val phrase = Seq("order", "scan")
       def serve() = graft.operators.TextMining.phraseMatch(
         graft.lake.DeltaInterop.readDelta(s, dest), phrase)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       // the pre-compaction read exists only for the identity proof —
       // the maintenance op itself (optimize + vacuum) always runs
       val pre = if (Qx.proofs) Some(serve()) else None
@@ -159,7 +159,7 @@ object R20Q {
       val positional = R19Q.posPostingsArtifact(s, d).snapshot()
       val qterms = Seq("data", "join", "spark")
       val served = graft.operators.Retrieval.minSpan(positional, qterms)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         val scan = graft.operators.Retrieval.minSpanScan(docs, qterms)
         require(served.except(scan).isEmpty && scan.except(served).isEmpty,
@@ -183,7 +183,7 @@ object R20Q {
       val qterms = Seq("data", "join", "spark")
       val served = graft.operators.TextMining
         .orderedWithin(positional, qterms, k = 5L)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         val scan = graft.operators.TextMining
           .orderedWithinScan(docs, qterms, k = 5L)
@@ -225,7 +225,7 @@ object R20Q {
       }
       val phrase = Seq("spark", "join")
       val served = graft.operators.TextMining.phraseMatch(index, phrase)
-        .localCheckpoint(true)
+        .transform(Qx.stageForProof)
       Qx.prove { // proof leg: Verify runs it, Bench times the served plan
         val mapped = Tables.events(s, d)
           .select((col("event_id") % 500).as("doc_id")).distinct()
@@ -270,7 +270,7 @@ object R20Q {
             s"kept ${kept.size}/$total dirs")
       }
       val served = graft.operators.TextMining.phraseMatchVia(
-        t => idx.scanPrunedEq("term", t), phrase).localCheckpoint(true)
+        t => idx.scanPrunedEq("term", t), phrase).transform(Qx.stageForProof)
       flat.foreach(f =>
         require(served.except(f).isEmpty && f.except(served).isEmpty,
           "the clustered bloom-pruned read must equal the pre-cluster " +

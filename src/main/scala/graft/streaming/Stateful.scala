@@ -167,6 +167,15 @@ object Stateful {
   val rocksDBConf: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  // Measured and REJECTED r21: rocksdb.changelogCheckpointing.enabled
+  // (per-batch checkpoint = state delta instead of a full snapshot
+  // upload). Same-box warm A/B on q382/q398/q404/q413/q420/q421 showed
+  // no win (mins 4.75/4.98/3.85/5.99/4.66/6.22 → 4.43/4.94/4.01/7.07/
+  // 5.11/6.45) — on a local filesystem the snapshot "upload" is a cheap
+  // directory copy, and the drains' cost is micro-batch planning +
+  // store-instance lifecycle, not checkpoint bytes. On object-store
+  // checkpoints the setting is still the right production default;
+  // flip it in the per-run `conf` there, where the delta matters.
 
   /** Set/restore wrapper over a session's conf — ONLY safe when the
     * caller owns the session and runs sequentially (unit specs). Query
