@@ -51,6 +51,20 @@ object MicroBatch {
     * keyed-state rows. */
   def lastRunStateStats: Seq[StateOpStats] = Option(lastStats.get).getOrElse(Nil)
 
+  // Raw progress entries of the most recent run on THIS thread —
+  // profiling surface for the optimization rounds (guide §1: measure
+  // first): durationMs decomposes each micro-batch into addBatch /
+  // queryPlanning / walCommit / commitOffsets / latestOffset, which is
+  // what separates plan cost from checkpoint-lifecycle cost in the
+  // drain family. Same thread-local discipline as lastStats.
+  private val lastProg =
+    new ThreadLocal[Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]]
+
+  /** Per-micro-batch progress of the most recent run helper invocation
+    * on THIS thread (empty before any run). */
+  def lastRunProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    Option(lastProg.get).getOrElse(Nil)
+
   private def recordStats(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ps = q.recentProgress.toSeq
     // peaks are only trustworthy if NO progress entry was evicted:
@@ -60,6 +74,7 @@ object MicroBatch {
       s"recentProgress holds ${ps.size} >= retention $ProgressRetention " +
         "entries — peak state stats would silently exclude evicted " +
         "batches; raise ProgressRetention")
+    lastProg.set(ps)
     lastStats.set(
       ps
         .flatMap(p => p.stateOperators.toSeq)
@@ -133,7 +148,15 @@ object MicroBatch {
   private def contentStamp(sfDir: String): Long =
     graft.lake.Stamps.tableStamp(sfDir, "events")
   private def memoizedDir(key: String, stamp: Long)(build: => Path): Path =
-    stagedDirs.getOrBuild(key, stamp)(build)
+    stagedDirs.getOrBuild(key, stamp) {
+      // stderr breadcrumb so a bench/probe run can attribute which
+      // TIMED query paid each one-time landing-dir build (guide §1.5)
+      val t0 = System.nanoTime()
+      val p = build
+      System.err.println(
+        f"[stage] landing dir $key built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      p
+    }
 
   /** Stage `copies` copies of the events table into a fresh landing
     * directory — the file source's analog of "messages currently in the
@@ -421,8 +444,22 @@ object MicroBatch {
     * append, where exactly-once comes from primary-key upsert
     * instead). foreachBatch runs driver-side, so capturing the table
     * handle is safe (never serialized to executors). */
+  // Optional per-batch sink-commit timing breadcrumb (profiling only;
+  // reads the env ONCE — zero steady-state cost when unset).
+  private val probeSink = sys.env.contains("SPARK_GRAFT_PROBE_SINK")
+  private[graft] def timedCommit(label: String, batchId: Long)(body: => Unit): Unit =
+    if (!probeSink) body
+    else {
+      val t0 = System.nanoTime()
+      body
+      System.err.println(
+        f"[sink] $label batch $batchId commit ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
   def batchWriter(table: LakeTable, appId: String): (Dataset[Row], Long) => Unit =
-    (batch, batchId) => { table.commitBatch(batch.toDF(), appId, batchId); () }
+    (batch, batchId) => {
+      timedCommit("append", batchId)(table.commitBatch(batch.toDF(), appId, batchId)); ()
+    }
 
   /** Fresh lake-table sink under a temp root (version 1 is empty; each
     * micro-batch is one streaming-append commit). */

@@ -166,16 +166,20 @@ object Stateful {
     * the shared session raced Verify's concurrent query threads.) */
   val rocksDBConf: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-  // Measured and REJECTED r21: rocksdb.changelogCheckpointing.enabled
-  // (per-batch checkpoint = state delta instead of a full snapshot
-  // upload). Same-box warm A/B on q382/q398/q404/q413/q420/q421 showed
-  // no win (mins 4.75/4.98/3.85/5.99/4.66/6.22 → 4.43/4.94/4.01/7.07/
-  // 5.11/6.45) — on a local filesystem the snapshot "upload" is a cheap
-  // directory copy, and the drains' cost is micro-batch planning +
-  // store-instance lifecycle, not checkpoint bytes. On object-store
-  // checkpoints the setting is still the right production default;
-  // flip it in the per-run `conf` there, where the delta matters.
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    // changelogCheckpointing: per-batch checkpoint = the state DELTA
+    // (a small changelog append) instead of a full snapshot zip+copy;
+    // snapshots move to background maintenance. r21 measured 6 drains
+    // once each and called it a wash; the r22 re-adjudication measured
+    // the store's own metrics first (q383's summed store-commit time
+    // 19.7 s → 4.7 s, q188 6.1 s → 2.7 s — the snapshot upload WAS the
+    // commit cost) and then a 21-drain × 3-rep same-box A/B: subset
+    // total 72.2 → 67.0 s med / 69.0 → 63.7 s min (−7.5%), every
+    // multi-batch face improving, 2–3-batch drains a wash
+    // (bench_r22_ab_changelog_{on,off}.json). It is also the
+    // production-recommended default for RocksDB stores — restore cost
+    // tracks the delta, not the store size.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 
   /** Set/restore wrapper over a session's conf — ONLY safe when the
     * caller owns the session and runs sequentially (unit specs). Query
