@@ -554,20 +554,36 @@ object R16Q {
     // (median of cents, then median of |cents − med|), outliers as
     // the pure-integer comparison |x − med| > 3·MAD. All thresholds
     // broadcast back from exactRankStats; no global sort anywhere.
+    // r22 (guide §2.3 "aggregate before you shuffle"): the raw rows are
+    // counted into (event_type, cents) fragments ONCE — a single
+    // map-side-combined shuffle of the value multiset — and BOTH
+    // selection passes, the deviation transform, and the outlier sums
+    // run on the merged fragments. Bit-equal to the r16 raw-row form
+    // by exactRankStatsWeighted's fragment contract (exactRankStats is
+    // the weight-1 delegation of the same code path), and |v − med| is
+    // a per-distinct-value map, so deviation counts are the same
+    // multiset. At scale this replaces three raw scans + two raw
+    // shuffles with one scan + one count shuffle.
     "q373_mad_outliers" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(col("event_type"),
-        floor(col("value") * lit(100.0)).cast("long").as("cents"))
-      val med = graft.operators.Stats.exactRankStats(ev, "event_type", "cents")
+      val counts = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0)).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val med = graft.operators.Stats.exactRankStatsWeighted(
+          counts, "event_type", "cents", "c")
         .select(col("event_type"), col("p50").as("med"))
-      val dev = ev.join(broadcast(med), "event_type")
+      val dev = counts.join(broadcast(med), "event_type")
         .withColumn("absdev", abs(col("cents") - col("med")))
-      val mad = graft.operators.Stats.exactRankStats(dev, "event_type", "absdev")
+      val mad = graft.operators.Stats.exactRankStatsWeighted(
+          dev.select(col("event_type"), col("absdev"), col("c")),
+          "event_type", "absdev", "c")
         .select(col("event_type"), col("p50").as("mad"))
       dev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-          count(lit(1)).as("n"),
-          sum(when(col("absdev") > lit(3L) * col("mad"), 1L)
+          sum(col("c")).cast("long").as("n"),
+          sum(when(col("absdev") > lit(3L) * col("mad"), col("c"))
             .otherwise(0L)).cast("long").as("n_outliers"))
         .orderBy("event_type")
     }),

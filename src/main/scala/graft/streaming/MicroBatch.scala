@@ -389,6 +389,27 @@ object MicroBatch {
     }
   }
 
+  /** Pre-build every landing-dir the CURRENT query surface drains
+    * from (r22). Staging models "messages already in the topic" — a
+    * harness cost the bench reports under its `staging` metric, not an
+    * operator cost — but before r22 each distinct dir was lazily built
+    * by whichever TIMED drain touched it first (~0.4–6 s landing
+    * inside that query's single lifecycle rep). The combos below
+    * mirror the registrations' call sites; a drift is harmless — an
+    * unlisted combo is simply built lazily by its first drain, exactly
+    * as before (the [stage] stderr breadcrumb makes any such gap
+    * visible in the bench log). Builds run on the caller's thread;
+    * callers parallelize across a pool (guide §2.6 — independent jobs
+    * backfill each other's stragglers). */
+  def prestage(spark: SparkSession, sfDir: String): Unit = {
+    stageEvents(sfDir, 1); stageEvents(sfDir, 2)
+    stageEventsSplit(spark, sfDir, 3); stageEventsSplit(spark, sfDir, 4)
+    stageEventsByTime(spark, sfDir, 3); stageEventsByTime(spark, sfDir, 4)
+    stageEventsSplitSentinel(spark, sfDir, 4, "46 DAYS")
+    stageEventsJitteredSentinel(spark, sfDir, 6, 21600L, "8 HOURS")
+    ()
+  }
+
   /** Unbounded read over the landing dir (T1 source stage).
     * maxFilesPerTrigger splits the drain into multiple micro-batches —
     * needed to genuinely exercise cross-batch state. */
