@@ -31,7 +31,10 @@ object Bench {
     * expensive CURRENT queries, not a stale surface (VERDICT r12
     * wrong #2). Kept to 17 names so the stdout line — which carries
     * BOTH the median and min maps — stays inside the driver's ~2 KB
-    * tail capture. */
+    * tail capture. Re-checked r22: the round-final slowest-12 are all
+    * replay drains and 11 of 12 are on this list (q398 just misses;
+    * q419 dropped to ~2.3 s after the r21 proof gating but stays for
+    * cross-round continuity), so the list is left unchanged. */
   val headline: Seq[String] = Seq(
     "q383_stream_scd2_jitter", "q409_stream_funnel_jitter",
     "q413_stream_markov_jitter", "q414_stream_asof_jitter",
