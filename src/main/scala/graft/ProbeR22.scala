@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Round-22 OPTIMIZATION probe — decompose the streaming-drain family's
   * per-query cost (the bench's largest remaining block: 62 drains,
   * ~168 s/run after r21) into its actual constituents, per guide §1
@@ -34,9 +36,82 @@ object ProbeR22 {
     "q188_stateful_v2",          // transformWithState running totals
     "q193_stream_join_window")   // stream-stream join
 
+  /** ×1/×4/×8 corpus-multiplication probe for the r22 q373 rewrite
+    * (PERF.md scaling-probe convention): the OLD shape ran both exact
+    * selection passes over RAW rows (three scans + two raw-row
+    * shuffles); the NEW shape counts once into (group, value)
+    * fragments and selects over the merged counts. Multiplying the
+    * corpus multiplies duplicate density — the fragment relation stays
+    * the SAME SIZE while the raw relation grows ×k, so the gap must
+    * widen with k. Timed action = noop sink (guide §1.4). */
+  private def q373Scale(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def noop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val S = graft.operators.Stats
+    def madOld(ev: DataFrame): DataFrame = {
+      val med = S.exactRankStats(ev, "event_type", "cents")
+        .select(col("event_type"), col("p50").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("cents") - col("med")))
+      val mad = S.exactRankStats(dev, "event_type", "absdev")
+        .select(col("event_type"), col("p50").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("absdev") > lit(3L) * col("mad"), 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+    }
+    def madNew(ev: DataFrame): DataFrame = {
+      val counts = ev.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val med = S.exactRankStatsWeighted(counts, "event_type", "cents", "c")
+        .select(col("event_type"), col("p50").as("med"))
+      val dev = counts.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("cents") - col("med")))
+      val mad = S.exactRankStatsWeighted(
+          dev.select(col("event_type"), col("absdev"), col("c")),
+          "event_type", "absdev", "c")
+        .select(col("event_type"), col("p50").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          sum(col("c")).cast("long").as("n"),
+          sum(when(col("absdev") > lit(3L) * col("mad"), col("c"))
+            .otherwise(0L)).cast("long").as("n_outliers"))
+    }
+    println("[probe] Q373 SHAPE A/B under corpus multiplication (noop sink)")
+    Seq(1, 4, 8).foreach { k =>
+      // stage ×k to PARQUET and read it back like the query does — the
+      // rewrite's claim is pass-count over the stored base data (old:
+      // three scans + two raw-row selection passes; new: one scan into
+      // one count shuffle), so the input must live behind a scan, not
+      // a localCheckpoint that would hand both shapes a free cache
+      val one = Tables.events(spark, sfDir)
+      val dir = graft.lake.TempDirs.create("graft-q373-scale")
+      (1 to k).map(_ => one).reduce(_ union _)
+        .write.mode("overwrite").parquet(dir.toString)
+      val ev = spark.read.parquet(dir.toString).select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      noop(madNew(ev)); noop(madOld(ev)) // JIT/codegen warm-up, untimed
+      val tNew = Seq.fill(3)(noop(madNew(ev))).min
+      val tOld = Seq.fill(3)(noop(madOld(ev))).min
+      println(f"[probe]   ×$k%d: raw-row shape $tOld%6.2f s, " +
+        f"fragment shape $tNew%6.2f s  (${tOld / tNew}%4.2f× )")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    if (args.headOption.contains("q373scale")) {
+      q373Scale(spark, sfDir); spark.stop(); return
+    }
     val names = (if (args.nonEmpty) args.toSeq else defaults)
       .flatMap(p => SparkEntry.queries.keys.filter(_.startsWith(p)).toSeq.sorted)
     // warm-up: JVM + codegen + the shared staged landing dirs, so the
