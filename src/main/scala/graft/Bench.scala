@@ -230,9 +230,11 @@ object Bench {
         s"${Runtime.getRuntime.availableProcessors}-cpu box): " +
         s"**${results.size} queries, ${f1(total)} s total (median), " +
         s"${f1(totalMin)} s total (min-of-reps), $nErrors errors** " +
-        s"(+ ${f2(staging)} s one-time staged artifacts: the dedup cluster " +
-        "assignment shared by q103/q126/q128, the trained PQ index read by " +
-        "q191/q192, and the k-means coarse assignment read by q120/q123 — " +
+        s"(+ ${f2(staging)} s one-time staged artifacts, built concurrently " +
+        "since r22: the dedup cluster assignment shared by q103/q126/q128, " +
+        "the trained PQ index read by q191/q192, the k-means coarse " +
+        "assignment read by q120/q123, the SemDeDup component table shared " +
+        "by q199/q205, and the streaming landing dirs every drain reads — " +
         "reported separately so the total decomposes). The min column is " +
         "the contention-robust number: median≫min with min at its " +
         "historical value reads as box noise, a drifted min as a plan " +

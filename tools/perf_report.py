@@ -65,15 +65,20 @@ def headline():
     lines = [BEGIN, ""]
     load = (f", 1-min system load {b['load_start']:.2f}→{b['load_end']:.2f} on a "
             f"{b.get('cpus', '?')}-cpu box" if "load_start" in b else "")
-    staging = (f" (+ {b['staging']:.2f} s one-time staged artifacts: the dedup "
-               "cluster assignment shared by q103/q126/q128, the trained PQ "
-               "index read by q191/q192, and the k-means coarse assignment "
-               "read by q120/q123 — reported separately so the total "
-               "decomposes)" if "staging" in b else "")
+    staging = (f" (+ {b['staging']:.2f} s one-time staged artifacts, built "
+               "concurrently since r22: the dedup cluster assignment shared "
+               "by q103/q126/q128, the trained PQ index read by q191/q192, "
+               "the k-means coarse assignment read by q120/q123, the "
+               "SemDeDup component table shared by q199/q205, and the "
+               "streaming landing dirs every drain reads — reported "
+               "separately so the total decomposes)" if "staging" in b else "")
     tmin = (f", {b['total_min']:.1f} s total (min-of-reps)"
             if "total_min" in b else "")
+    reps = str(b.get("reps", 1))
+    if "lifecycle_reps" in b and b["lifecycle_reps"] != b.get("reps", 1):
+        reps += f" ({b['lifecycle_reps']} for lifecycle-bound streaming drains)"
     lines.append(
-        f"Bench (local[32], `{b['sf']}`, `graft.Bench`, {b.get('reps', 1)} "
+        f"Bench (local[32], `{b['sf']}`, `graft.Bench`, {reps} "
         f"reps per query{load}): **{b['n_queries']} queries, "
         f"{b['value']:.1f} s total (median){tmin}, {b['n_errors']} "
         f"errors**{staging}. The min column is the contention-robust "
