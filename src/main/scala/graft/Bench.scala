@@ -116,11 +116,16 @@ object Bench {
       // lifecycle drains no longer pay one-time dir builds in their
       // single timed rep (the [stage] breadcrumbs in the bench log
       // attribute every build).
+      // 4 in flight, 5 tasks: a wider pool was measured slower (r22 —
+      // 5 concurrent families oversubscribe the box: staging 16.9 →
+      // 22.7 s; guide §2.6's "2-3 jobs in flight is plenty")
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       try {
         Seq[(String, () => Unit)](
           ("dedup-clusters", () => queries.DedupQ.stageArtifacts(spark, sfDir)),
-          ("pq+kmeans", () => queries.SimilarityQ.stageArtifacts(spark, sfDir)),
+          ("pq", () => queries.SimilarityQ.stagePq(spark, sfDir)),
+          ("kmeans+components", () =>
+            queries.SimilarityQ.stageKmComponents(spark, sfDir)),
           ("containment-pairs", () => queries.R16Q.stageArtifacts(spark, sfDir)),
           ("landing-dirs", () => streaming.MicroBatch.prestage(spark, sfDir)))
           .map { case (label, f) =>

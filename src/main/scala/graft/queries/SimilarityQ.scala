@@ -76,6 +76,20 @@ object SimilarityQ {
     ()
   }
 
+  /** The two INDEPENDENT halves of [[stageArtifacts]], exposed so the
+    * bench's staging pool can overlap them (r22, guide §2.6): PQ
+    * training is the straggler (~13 s) and shares nothing with the
+    * k-means buckets or the component table that builds on them
+    * (~3+3 s chained). Both are memo-idempotent with stageArtifacts. */
+  def stagePq(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    pqArtifacts(s, d); ()
+  }
+  def stageKmComponents(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    kmBuckets(s, d)
+    semanticComponents(s, d)
+    ()
+  }
+
   private def exSql(pred: String): String =
     s"""ex AS (
        |  SELECT vec_id, label, i AS pos,
